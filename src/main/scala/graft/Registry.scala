@@ -1,0 +1,296 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ingest.Generator
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.EventPipeline
+import graft.query.{Analytics, ReadPath}
+
+/** Single source of truth binding SURVEY.md §2 operator names to their
+  * Spark implementation and (where SQL-expressible) the DuckDB oracle.
+  * Keeping both sides adjacent is what keeps output column names in
+  * lock-step — the driver's compare hashes columns by name.
+  */
+object Registry {
+
+  final case class QueryDef(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def q(fn: (SparkSession, String) => DataFrame, oracle: String): QueryDef =
+    QueryDef(fn, Some(oracle))
+
+  private def noOracle(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(fn, None)
+
+  /** Oracle-side spelling of Tables.decSum/decOut: exact decimal
+    * aggregate -> ROUND (DuckDB's decimal downcast truncates; ROUND
+    * matches Spark's HALF_UP) -> DECIMAL(38,4) (unscaled < 2^53 so the
+    * double cast is exact) -> DOUBLE. */
+  private def dsum(e: String): String =
+    s"CAST(CAST(ROUND(SUM($e), 4) AS DECIMAL(38,4)) AS DOUBLE)"
+  private val dec4  = "DECIMAL(18,4)"
+  // (1 +/- x) re-narrowed so DuckDB's product width stays within its
+  // exact-decimal range (matches Spark's (7,4) arithmetic).
+  private def oneMinus(c: String) = s"CAST(1 - CAST($c AS DECIMAL(6,4)) AS DECIMAL(7,4))"
+  private def onePlus(c: String)  = s"CAST(1 + CAST($c AS DECIMAL(6,4)) AS DECIMAL(7,4))"
+
+  import Tables._
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---- pipeline projection / scalar ops (P1-P7) ----
+    "q_project_flatten" -> q(
+      (s, d) => EventPipeline.projectFlatten(events(s, d)),
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin),
+    "q_event_time" -> q(
+      (s, d) => EventPipeline.eventTime(events(s, d)),
+      """SELECT event_id, epoch_ms(ts) AS ts_ms,
+        |  make_timestamp(epoch_ms(ts) * 1000) AS event_time,
+        |  make_timestamp((epoch_ms(ts) // 1000) * 1000000) AS event_time_sec
+        |FROM events ORDER BY event_id""".stripMargin),
+    "q_prune" -> q(
+      (s, d) => EventPipeline.prune(events(s, d)),
+      """SELECT event_id, user_id, ts, value FROM events ORDER BY event_id""".stripMargin),
+    "q_time_funcs" -> q(
+      (s, d) => EventPipeline.timeFuncs(events(s, d)),
+      """SELECT event_id, CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+        |  CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+        |  CAST(minute(ts) AS INT) AS mi,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |  date_trunc('hour', ts) AS hour_start
+        |FROM events ORDER BY event_id""".stripMargin),
+    "q_substr" -> q(
+      (s, d) => ReadPath.substr(documents(s, d)),
+      """SELECT doc_id, substring(text, 6, 40) AS frag FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- read path (P8-P15, S12) ----
+    "q_filter_device" -> q(
+      (s, d) => ReadPath.filterDevice(events(s, d)),
+      s"""SELECT event_id, ts, user_id, event_type, value FROM events
+         |WHERE user_id = ${ReadPath.DeviceKey} ORDER BY event_id""".stripMargin),
+    "q_latest_per_device" -> q(
+      (s, d) => ReadPath.latestPerDevice(events(s, d)),
+      s"""SELECT event_id, ts, user_id, event_type, value FROM events
+         |WHERE user_id = ${ReadPath.DeviceKey}
+         |ORDER BY ts DESC, event_id LIMIT 100""".stripMargin),
+    "q_time_range" -> q(
+      (s, d) => ReadPath.timeRange(events(s, d)),
+      s"""SELECT event_id, ts, user_id, event_type, value FROM events
+         |WHERE user_id = ${ReadPath.RangeKey}
+         |  AND ts >= TIMESTAMP '${ReadPath.RangeStart}'
+         |  AND ts <  TIMESTAMP '${ReadPath.RangeEnd}'
+         |ORDER BY ts DESC, event_id""".stripMargin),
+    "q_filter_location" -> q(
+      (s, d) => ReadPath.filterLocation(events(s, d)),
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin),
+    "q_count" -> q(
+      (s, d) => ReadPath.countAll(lineitem(s, d)),
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem""".stripMargin),
+    "q_sort" -> q(
+      (s, d) => ReadPath.sortGlobal(events(s, d)),
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |ORDER BY ts DESC, event_id LIMIT 50""".stripMargin),
+    "q_topk_per_key" -> q(
+      (s, d) => ReadPath.topkPerKey(events(s, d)),
+      """SELECT * FROM (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS INT) AS rn
+        |  FROM events)
+        |WHERE rn <= 5 ORDER BY user_id, rn""".stripMargin),
+    "q_enrich_join" -> q(
+      (s, d) => ReadPath.enrichJoin(orders(s, d), customer(s, d), nation(s, d)),
+      """SELECT o_orderkey, o_totalprice, c_name, n_name
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY o_orderkey""".stripMargin),
+    "q_scan" -> q(
+      (s, d) => ReadPath.scan(lineitem(s, d)),
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // ---- aggregation & windowing (A1-A4) ----
+    "q_hourly_agg" -> q(
+      (s, d) => EventPipeline.hourlyAgg(events(s, d)),
+      s"""SELECT user_id,
+         |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_bucket,
+         |  ${dsum(s"CAST(value AS $dec4)")} / COUNT(*) AS avg_value,
+         |  MAX(value) AS max_value, MIN(value) AS min_value,
+         |  CAST(COUNT(*) AS INT) AS event_count
+         |FROM events GROUP BY 1, 2 ORDER BY user_id, hour_bucket""".stripMargin),
+
+    // ---- analytical / bench headliners ----
+    "q_pricing_summary" -> q(
+      (s, d) => Analytics.pricingSummary(lineitem(s, d)),
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum(s"CAST(l_quantity AS $dec4)")} AS sum_qty,
+         |  ${dsum(s"CAST(l_extendedprice AS $dec4)")} AS sum_base_price,
+         |  ${dsum(s"CAST(l_extendedprice AS $dec4) * ${oneMinus("l_discount")}")} AS sum_disc_price,
+         |  ${dsum(s"CAST(l_extendedprice AS $dec4) * ${oneMinus("l_discount")} * ${onePlus("l_tax")}")} AS sum_charge,
+         |  ${dsum(s"CAST(l_quantity AS $dec4)")} / COUNT(*) AS avg_qty,
+         |  ${dsum(s"CAST(l_extendedprice AS $dec4)")} / COUNT(*) AS avg_price,
+         |  ${dsum(s"CAST(l_discount AS $dec4)")} / COUNT(*) AS avg_disc,
+         |  CAST(COUNT(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    "q_revenue_by_nation" -> q(
+      (s, d) => Analytics.revenueByNation(lineitem(s, d), orders(s, d), customer(s, d), nation(s, d)),
+      s"""SELECT n_name,
+         |  ${dsum(s"CAST(l_extendedprice AS $dec4) * ${oneMinus("l_discount")}")} AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    "q_top_parts" -> q(
+      (s, d) => Analytics.topParts(lineitem(s, d), part(s, d)),
+      s"""SELECT l_partkey, p_name, total_qty, n_lines FROM (
+         |  SELECT l_partkey,
+         |    ${dsum(s"CAST(l_quantity AS $dec4)")} AS total_qty,
+         |    CAST(COUNT(*) AS BIGINT) AS n_lines
+         |  FROM lineitem GROUP BY l_partkey
+         |  ORDER BY total_qty DESC, l_partkey LIMIT 25)
+         |JOIN part ON l_partkey = p_partkey
+         |ORDER BY total_qty DESC, l_partkey""".stripMargin),
+    "q_late_priority" -> q(
+      (s, d) => Analytics.latePriority(orders(s, d), lineitem(s, d)),
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |              AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    "q_segment_revenue" -> q(
+      (s, d) => Analytics.segmentRevenue(orders(s, d), customer(s, d)),
+      s"""SELECT c_mktsegment, o_orderstatus,
+         |  ${dsum(s"CAST(o_totalprice AS $dec4)")} AS total_price,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment, o_orderstatus
+         |ORDER BY c_mktsegment, o_orderstatus""".stripMargin),
+    "q_orders_by_month" -> q(
+      (s, d) => Analytics.ordersByMonth(orders(s, d)),
+      s"""SELECT date_trunc('month', o_orderdate) AS month,
+         |  ${dsum(s"CAST(o_totalprice AS $dec4)")} AS total_price,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders
+         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin),
+
+    // ---- multimodal / map columns (X5) ----
+    "q_props_map" -> q(
+      (s, d) => EventPipeline.propsMap(events(s, d)),
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        |  CAST(len(json_keys(props)) AS INT) AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin),
+    "q_media_meta" -> q(
+      (s, d) => Multimodal.mediaMeta(documents(s, d)),
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    "q_media_features" -> noOracle(
+      (s, d) => Multimodal.mediaFeaturesQuery(s, documents(s, d))),
+
+    // ---- text analysis (X4) ----
+    "q_token_count" -> q(
+      (s, d) => TextOps.tokenCount(documents(s, d)),
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    "q_text_stats" -> q(
+      (s, d) => TextOps.textStats(documents(s, d)),
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         |  ${dsum(s"CAST(length(text) AS $dec4)")} / COUNT(*) AS avg_chars,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+    "q_token_explode" -> q(
+      (s, d) => TextOps.tokenExplode(documents(s, d)),
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin),
+    "q_lang_id" -> q(
+      (s, d) => TextOps.langId(documents(s, d)),
+      s"""SELECT doc_id, lang AS lang_declared,
+         |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopwordsSql))) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS en_stop_ratio,
+         |  CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopwordsSql))) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.05
+         |    THEN 'en' ELSE 'other' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin),
+    "q_quality_score" -> q(
+      (s, d) => TextOps.qualityScore(documents(s, d)),
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopwordsSql))) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, avg_word_len, stop_ratio,
+         |  (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |  + (CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |  + (CASE WHEN stop_ratio > 0.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin),
+    "q_fingerprint" -> noOracle(
+      (s, d) => TextOps.fingerprint(documents(s, d))),
+
+    // ---- dedup (X1/X2) ----
+    "q_dedup_exact" -> q(
+      (s, d) => Dedup.exact(documents(s, d)),
+      """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin),
+    "q_dedup_first" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = events(s, d).select(col("event_id"), ntz(col("ts")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        Dedup.keepFirst(e, Seq("user_id", "event_type"), col("ts"), col("event_id"))
+          .orderBy("user_id", "event_type")
+      },
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+        |ORDER BY user_id, event_type""".stripMargin),
+    "q_dedup_minhash" -> noOracle(
+      (s, d) => Dedup.minhashPairs(documents(s, d))),
+    "q_dedup_simhash" -> noOracle(
+      (s, d) => Dedup.simhashPairs(documents(s, d))),
+
+    // ---- similarity search (X3) ----
+    "q_similarity_topk" -> q(
+      (s, d) => Similarity.bruteForceTopK(embeddings(s, d)),
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), q_emb)
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(q_emb, q_emb))) AS raw_cos
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim FROM c
+        |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
+    "q_ann_lsh" -> noOracle(
+      (s, d) => Similarity.annLshTopK(embeddings(s, d))),
+    "q_dedup_embedding" -> noOracle(
+      (s, d) => Similarity.embeddingNearDupPairs(embeddings(s, d))),
+    "q_label_centroids" -> noOracle(
+      (s, d) => Similarity.labelCentroids(embeddings(s, d))),
+
+    // ---- generator (S13) ----
+    "q_generate" -> noOracle(
+      (s, _) => Generator.sensorEvents(s).orderBy("device_id", "timestamp")),
+    "q_generate_devices" -> noOracle(
+      (s, _) => Generator.devices(s).orderBy("device_id")),
+  )
+
+  private def stopwordsSql: String =
+    TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (k, v) => k -> v.fn }
+
+  def oracleSql: Map[String, String] =
+    defs.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
+}

@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over `embeddings.embedding: array<float>`.
+  *
+  * Baseline: brute-force cosine top-k — one scan, per-partition top-k
+  * folded by TakeOrderedAndProject, no shuffle of the vectors.
+  * Scale path: sign-random-projection LSH buckets; the query probes only
+  * its own bucket(s), so a 100 TB corpus is reduced to a bucket-sized
+  * candidate set. Both paths use double-precision higher-order-function
+  * arithmetic (zip_with + aggregate) — codegen'd, no UDF, and the
+  * sequential fold makes results bit-reproducible cross-engine.
+  */
+object Similarity {
+
+  /** Sequential-order double dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** X3 baseline: exact cosine top-k of every vector vs the query
+    * vector (here: the corpus vector with id = queryId, broadcast as a
+    * 1-row dim). */
+  def bruteForceTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    val cos = cosine(col("embedding"), col("q_emb"))
+    embeddings
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cos.as("raw_cos"))
+      .orderBy(col("raw_cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("raw_cos"), 4).as("cos_sim"))
+  }
+
+  /** Seeded random hyperplanes for sign-LSH: numPlanes x dim doubles. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Bucket id = packed sign bits of the vector against each plane. */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(emb, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** X3 scale path: ANN via LSH buckets with Hamming-<=1 multiprobe —
+    * candidate vectors lie in the query's bucket or any bucket one sign
+    * flip away; exact cosine re-ranks only the candidates. Recall/cost
+    * tunes with numPlanes (fewer planes = bigger buckets = higher
+    * recall). At cluster scale the table is written bucketed by
+    * `bucket`, so a probe touches numPlanes+1 buckets, not the corpus. */
+  def annLshTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
+                 numPlanes: Int = 4): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(numPlanes, dim)
+    val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+    bucketed
+      .join(broadcast(q),
+        col("vec_id") =!= queryId &&
+        bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= 1)
+      .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("raw_cos"))
+      .orderBy(col("raw_cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("raw_cos"), 4).as("cos_sim"))
+  }
+
+  /** Probe keys covering Hamming distance <= 1 from the bucket code. */
+  private def probeKeys(bucket: Column, numPlanes: Int): Column =
+    array((bucket +: (0 until numPlanes).map(i =>
+      bucket.bitwiseXOR(lit(1L << i)))): _*)
+
+  /** Embedding-cosine near-duplicate pairs: LSH-blocked self-join
+    * (bucket codes within Hamming 1: left side explodes its probe keys,
+    * right side keeps its bucket — an equality join, never O(n^2)),
+    * verified by exact cosine >= threshold. With p = P[same side of one
+    * plane], pair recall is 1-(1-p)^2-ish per probe family; more
+    * independent plane sets multiply recall at linear cost. */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.45,
+                            numPlanes: Int = 2): DataFrame = {
+    val planes = hyperplanes(numPlanes, 64)
+    val b = embeddings.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val l = b.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      explode(probeKeys(col("bucket"), numPlanes)).as("probe"))
+    val r = b.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("bucket").as("probe"))
+    l.join(r, Seq("probe"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("emb_a"), col("emb_b")).as("raw_cos"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("raw_cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("raw_cos"), 4).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Per-label centroid + distance profile — the "cluster summary"
+    * aggregation shape over vector columns (array aggregation via
+    * element-wise zip_with reduce in a declarative agg). */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    val dim = 64
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col("embedding"), i + 1).cast(DoubleType)).as(s"s$i"))
+    val n = count(lit(1)).as("n_vecs")
+    embeddings
+      .groupBy(col("label"))
+      .agg(sums.head, sums.tail :+ n: _*)
+      .select(col("label"), col("n_vecs"),
+        array((0 until dim).map(i => col(s"s$i") / col("n_vecs")): _*).as("centroid"))
+      .orderBy("label")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.ColumnFns
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization, token counting, quality scoring,
+  * language-ID heuristic, per-source statistics, fingerprinting.
+  *
+  * All hot-path functions are built-in codegen'd expressions (split,
+  * size, filter-HOF) — no Scala UDFs — so they scale to 100 TB scans
+  * with full column pruning (only `text` + grouping keys are read).
+  */
+object TextOps {
+
+  /** Whitespace tokenizer. The fixtures are pre-normalized ([a-z0-9 ]);
+    * `normalizeTokens` additionally lowercases + strips non-alnum for
+    * raw corpora. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def normalizeTokens(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^a-z0-9 ]", " ")), " +")
+
+  /** Small English stopword list for the language-ID / quality
+    * heuristics (public-domain list head). */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for", "with", "at", "by")
+
+  private def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(EnStopwords)))
+
+  /** Per-document token counting (whitespace tokens + chars). */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .orderBy("doc_id")
+
+  /** Per-source corpus statistics. Decimal-exact average for the
+    * cross-engine compare. */
+  def textStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast(LongType)).as("total_tokens"),
+        graft.Tables.decAvg(length(col("text"))).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+
+  /** Token frequency via explode (the Generator/UDTF class): top-k
+    * tokens corpus-wide. Partial aggregation collapses the exploded
+    * stream map-side, so the shuffle carries only distinct tokens. */
+  def tokenExplode(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Stopword-ratio language-ID heuristic (n-gram/stopword class).
+    * Deterministic + SQL-expressible so the oracle can replicate it. */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val ratio = stopwordCount(toks).cast(DoubleType) / size(toks).cast(DoubleType)
+    documents
+      .select(
+        col("doc_id"),
+        col("lang").as("lang_declared"),
+        ratio.as("en_stop_ratio"),
+        when(ratio > 0.05, lit("en")).otherwise(lit("other")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic quality score: token count band + average word length
+    * band + stopword presence. Pure comparisons/additions on exact
+    * values — deterministic across engines. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks    = tokens(col("text"))
+    val nTok    = size(toks)
+    val avgWLen = (length(col("text")) - nTok + 1).cast(DoubleType) / nTok.cast(DoubleType)
+    val stopR   = stopwordCount(toks).cast(DoubleType) / nTok.cast(DoubleType)
+    val score =
+      when(nTok.between(10, 2000), lit(0.5)).otherwise(lit(0.0)) +
+      when(avgWLen.between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)) +
+      when(stopR > 0.0, lit(0.2)).otherwise(lit(0.0))
+    documents
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        avgWLen.as("avg_word_len"),
+        stopR.as("stop_ratio"),
+        score.as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** 64-bit content fingerprint (FNV-1a over the normalized text) via
+    * the custom codegen'd Catalyst expression — the cheap exact-dedup /
+    * shard-assignment key. */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        ColumnFns.fnv1a64(col("text")).as("fp64"),
+        ColumnFns.simhash64(tokens(col("text"))).as("simhash"))
+      .orderBy("doc_id")
+}

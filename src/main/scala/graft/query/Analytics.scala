@@ -1,0 +1,110 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables.{decAvg, decOut, decSum}
+
+/** Heavier analytical queries over the star schema — the bench headliners.
+  * These exercise scan + pushdown, partial/final hash aggregation,
+  * broadcast vs shuffle join selection, and top-N. All aggregates over
+  * doubles go through DECIMAL(18,4) (see Tables.decSum) so the DuckDB
+  * oracle compare is bit-exact regardless of accumulation order —
+  * essential once partial aggregation runs on 32+ partitions.
+  */
+object Analytics {
+  private val dec = DecimalType(18, 4)
+  // Unit-interval factors get a narrow decimal so products stay under
+  // 38 digits of precision and remain EXACT in both Spark and DuckDB
+  // (DECIMAL(18,4) * DECIMAL(7,4) * DECIMAL(7,4) = precision <= 34).
+  private val unitDec = DecimalType(6, 4)
+
+  /** TPC-H Q1-shaped pricing summary: full lineitem scan, group by two
+    * low-cardinality flags. Map-side partial agg collapses 60k (or 100 TB)
+    * rows to (#groups x #partitions) before the shuffle. */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val price = col("l_extendedprice").cast(dec)
+    val disc  = col("l_discount").cast(unitDec)
+    val tax   = col("l_tax").cast(unitDec)
+    // lit(1) would coerce to decimal(10,0) and push the triple product
+    // past 38 digits (precision loss); a (6,4) literal keeps it exact.
+    val one = lit(1).cast(unitDec)
+    lineitem
+      .filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decOut(sum(price * (one - disc))).as("sum_disc_price"),
+        decOut(sum(price * (one - disc) * (one + tax))).as("sum_charge"),
+        decAvg(col("l_quantity")).as("avg_qty"),
+        decAvg(col("l_extendedprice")).as("avg_price"),
+        decAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Revenue by nation: fact table joined to two broadcast dims, then
+    * grouped. lineitem->orders is a key join between two fact tables —
+    * at scale Spark picks sort-merge with AQE; customer/nation stay
+    * broadcast. */
+  def revenueByNation(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, nation: DataFrame): DataFrame = {
+    val price = col("l_extendedprice").cast(dec)
+    val disc  = col("l_discount").cast(unitDec)
+    val one   = lit(1).cast(unitDec)
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        decOut(sum(price * (one - disc))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Top parts by shipped quantity: large groupBy on a high-cardinality
+    * key, then top-N (TakeOrderedAndProject after partial agg), then a
+    * broadcast enrich of only the 25 survivors. */
+  def topParts(lineitem: DataFrame, part: DataFrame, k: Int = 25): DataFrame =
+    lineitem
+      .groupBy(col("l_partkey"))
+      .agg(decSum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_lines"))
+      .orderBy(col("total_qty").desc, col("l_partkey"))
+      .limit(k)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("p_name"), col("total_qty"), col("n_lines"))
+      .orderBy(col("total_qty").desc, col("l_partkey"))
+
+  /** Order-priority counts in a date range — pushdown-friendly filter +
+    * semi-join shape (TPC-H Q4 flavor): orders that have at least one
+    * late lineitem. */
+  def latePriority(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val late = lineitem
+      .filter(col("l_shipdate") > lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+      .select(col("l_orderkey"))
+    orders
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Customer market-segment revenue (join + two-level grouping). */
+  def segmentRevenue(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(
+        decSum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment", "o_orderstatus")
+
+  /** Monthly order volume — date_trunc rollup over event time. */
+  def ordersByMonth(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("month"))
+      .agg(decSum(col("o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
+      .orderBy("month")
+}
