@@ -278,11 +278,13 @@ object Registry {
     "q_label_centroids" -> noOracle(
       (s, d) => Similarity.labelCentroids(embeddings(s, d))),
 
-    // ---- generator (S13) ----
+    // ---- generator + avro ingest chain (S13, S3/S4) ----
     "q_generate" -> noOracle(
       (s, _) => Generator.sensorEvents(s).orderBy("device_id", "timestamp")),
     "q_generate_devices" -> noOracle(
       (s, _) => Generator.devices(s).orderBy("device_id")),
+    "q_avro_roundtrip" -> noOracle(
+      (s, _) => graft.pipeline.AvroPipeline.roundTrip(s)),
   )
 
   private def stopwordsSql: String =

@@ -1,0 +1,109 @@
+package graft.avro
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.contract.Schemas
+
+/** Confluent-wire-format Avro decode as a custom Catalyst expression —
+  * the one genuinely custom expression this engine needs (SURVEY.md
+  * §2.1 S3/S4): the spark-avro module is not on the offline classpath,
+  * avro-core 1.12 is.
+  *
+  * Wire format (`src/producer.py:74-77`, `docs/data-contracts.md:124-126`):
+  * magic byte 0x00 + big-endian int32 schema id + Avro binary body.
+  * The header strip is fused into the decode (the reference's separate
+  * `substr(6, 100000)` projection silently truncates >100 KB messages —
+  * `src/spark_consumer.py:109-111` — which this fusion avoids).
+  *
+  * Eval-mode expression (CodegenFallback): decode cost is dominated by
+  * Avro deserialization itself, and the expression still composes with
+  * whole-stage-codegen neighbors via the fallback bridge.
+  */
+case class FromAvro(child: Expression, schemaJson: String, confluentWire: Boolean = true)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val schema: Schema = Schemas.parse(schemaJson)
+  @transient private lazy val struct: StructType = Schemas.toStructType(schema)
+  @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+  @transient private var decoder: BinaryDecoder = _
+  @transient private var record: GenericRecord = _
+
+  override def dataType: DataType = Schemas.toStructType(Schemas.parse(schemaJson))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = child.dataType match {
+    case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"from_avro expects BINARY, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val (off, len) =
+      if (confluentWire) {
+        require(bytes.length >= 5 && bytes(0) == 0x00.toByte,
+          s"not Confluent wire format (len=${bytes.length})")
+        (5, bytes.length - 5)
+      } else (0, bytes.length)
+    decoder = DecoderFactory.get.binaryDecoder(bytes, off, len, decoder)
+    record = reader.read(record, decoder)
+    toInternalRow(record)
+  }
+
+  private def toInternalRow(rec: GenericRecord): InternalRow = {
+    val vals = new Array[Any](struct.length)
+    var i = 0
+    while (i < struct.length) {
+      vals(i) = toCatalyst(rec.get(i), struct(i).dataType)
+      i += 1
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  private def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _)                => null
+    case (s: CharSequence, _: StringType) => UTF8String.fromString(s.toString)
+    case (b: ByteBuffer, BinaryType) =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (x, _)                   => x // int/long/float/double/boolean pass through
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FromAvro =
+    copy(child = newChild)
+  override def prettyName: String = "from_avro"
+}
+
+object AvroCodec {
+
+  /** Column API for the decode expression. */
+  def from_avro(c: Column, schemaJson: String, confluentWire: Boolean = true): Column =
+    GraftBridge.column(FromAvro(GraftBridge.expression(c), schemaJson, confluentWire))
+
+  /** Producer-side encode (test + generator path, mirroring the
+    * reference producer's AvroSerializer): Avro binary body with the
+    * 5-byte Confluent header. Plain Scala — used from mapPartitions /
+    * test fixtures, not as an expression. */
+  def encodeConfluent(schema: Schema, schemaId: Int)(fields: Map[String, Any]): Array[Byte] = {
+    val rec = new GenericData.Record(schema)
+    fields.foreach { case (k, v) => rec.put(k, v) }
+    val out = new ByteArrayOutputStream()
+    out.write(0x00)
+    out.write(ByteBuffer.allocate(4).putInt(schemaId).array())
+    val enc = EncoderFactory.get.binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+}

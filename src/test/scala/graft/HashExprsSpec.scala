@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ColumnFns, HashExprs}
+
+class HashExprsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("fnv1a64 matches the published FNV-1a test vectors") {
+    // Public FNV-1a 64 reference values (landmark test vectors).
+    assert(HashExprs.fnv1a64("") == 0xcbf29ce484222325L)
+    assert(HashExprs.fnv1a64("a") == 0xaf63dc4c8601ec8cL)
+    assert(HashExprs.fnv1a64("foobar") == 0x85944171f73967e8L)
+  }
+
+  test("fnv1a64 expression agrees with the Scala implementation and codegen runs") {
+    val df = Seq("", "a", "foobar", "the quick brown fox").toDF("s")
+      .select(col("s"), ColumnFns.fnv1a64(col("s")).as("h"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == HashExprs.fnv1a64(r.getString(0)))
+    }
+  }
+
+  test("simhash: identical token sets collide, disjoint ones do not") {
+    val a = HashExprs.simhash64(Iterator("spark", "scala", "engine", "query", "fast"))
+    val b = HashExprs.simhash64(Iterator("spark", "scala", "engine", "query", "fast"))
+    val c = HashExprs.simhash64(Iterator("entirely", "different", "words", "here", "now"))
+    assert(a == b)
+    assert(HashExprs.hamming64(a, c) > 10)
+  }
+
+  test("simhash: near-identical documents land within small hamming distance") {
+    val base = (1 to 50).map(i => s"token$i")
+    val tweaked = base.updated(10, "changed")
+    val h1 = HashExprs.simhash64(base.iterator)
+    val h2 = HashExprs.simhash64(tweaked.iterator)
+    assert(HashExprs.hamming64(h1, h2) <= 8)
+  }
+
+  test("simhash expression over array column") {
+    val df = Seq(Seq("a", "b", "c"), Seq("a", "b", "c")).toDF("toks")
+      .select(ColumnFns.simhash64(col("toks")).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(hs(0) == HashExprs.simhash64(Iterator("a", "b", "c")))
+  }
+}

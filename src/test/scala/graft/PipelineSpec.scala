@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Generator
+import graft.llm.{Multimodal, TextOps}
+import graft.pipeline.EventPipeline
+
+class PipelineSpec extends SparkTestBase {
+
+  private lazy val events = Tables.events(spark, sf)
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("hourly agg equals the brute-force date_trunc groupBy") {
+    val windowed = EventPipeline.hourlyAgg(events)
+      .select("user_id", "hour_bucket", "event_count")
+    val brute = events
+      .groupBy(col("user_id"), unix_timestamp(date_trunc("hour", col("ts").cast("timestamp")))
+        .cast("long").as("hour_bucket"))
+      .agg(count(lit(1)).cast("int").as("event_count"))
+      .select("user_id", "hour_bucket", "event_count")
+    assert(windowed.collect().toSet == brute.collect().toSet)
+  }
+
+  test("generator is deterministic and in-contract") {
+    val a = Generator.sensorEvents(spark, 10, 5).collect()
+    val b = Generator.sensorEvents(spark, 10, 5).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 50)
+    a.foreach { r =>
+      val t = r.getFloat(3); val h = r.getFloat(4)
+      assert(t >= 15f && t <= 35f, s"temp $t out of U[15,35]")
+      assert(h >= 30f && h <= 90f, s"humidity $h out of U[30,90]")
+      assert(Generator.Cities.contains(r.getString(5)))
+    }
+  }
+
+  test("devices dim has one row per device with stable ids") {
+    val d = Generator.devices(spark, 100).collect()
+    assert(d.length == 100)
+    assert(d.map(_.getString(0)).distinct.length == 100)
+  }
+
+  test("media feature extraction is deterministic with the declared shape") {
+    val f1 = Multimodal.mediaFeaturesQuery(spark, docs).collect()
+    val f2 = Multimodal.mediaFeaturesQuery(spark, docs).collect()
+    assert(f1.toSeq == f2.toSeq)
+    f1.foreach { r =>
+      assert(r.getSeq[Double](5).length == 8)
+      assert(r.getInt(1) > 0)
+    }
+  }
+
+  test("token ops agree with a direct computation") {
+    val row = TextOps.tokenCount(docs).collect().head
+    val text = docs.orderBy("doc_id").select("text").collect().head.getString(0)
+    assert(row.getInt(1) == text.split(" ").length)
+    assert(row.getLong(2) == text.length.toLong)
+  }
+}

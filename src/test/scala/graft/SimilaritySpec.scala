@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("cosine expression matches a hand computation") {
+    val df = Seq(
+      (1L, Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      (2L, Seq(1f, 1f, 0f), Seq(1f, 0f, 0f))
+    ).toDF("id", "a", "b")
+      .select(col("id"), Similarity.cosine(col("a"), col("b")).as("cos"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) == 0.0)
+    assert(math.abs(m(2L) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("brute-force top-k is ordered by cosine and excludes the query id") {
+    val top = Similarity.bruteForceTopK(emb, 0L, 10).collect()
+    assert(top.length == 10)
+    assert(!top.map(_.getLong(0)).contains(0L))
+    val sims = top.map(_.getDouble(1))
+    assert(sims.toSeq == sims.sorted.reverse.toSeq)
+  }
+
+  test("ANN multiprobe recall vs brute force is substantial on the fixture") {
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annLshTopK(emb, 0L, 10, numPlanes = 4).collect().map(_.getLong(0)).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low; ann=$ann exact=$exact")
+  }
+
+  test("embedding near-dup pairs are symmetric-free, thresholded, verified") {
+    val pairs = Similarity.embeddingNearDupPairs(emb, 0.45, 2).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.45)
+    }
+  }
+
+  test("label centroids have unit count-weighted means") {
+    val cents = Similarity.labelCentroids(emb).collect()
+    assert(cents.length == 10) // labels 0..9
+    val total = cents.map(_.getLong(1)).sum
+    assert(total == emb.count())
+    cents.foreach(r => assert(r.getSeq[Double](2).length == 64))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sink.{PartitionedParquetSink, Sink}
+import graft.streaming.Streams
+
+/** Streaming-semantics tests (SURVEY.md §5 item 3): window content vs
+  * batch oracle, watermark late-drop, checkpoint recovery without
+  * duplicates. MemoryStream drives event-time control precisely. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  case class Ev(device_id: String, timestamp: Long, temperature: Float,
+                humidity: Float, location: String)
+
+  private def ev(dev: String, minuteOfDay: Int, temp: Float): Ev =
+    Ev(dev, 1704067200000L + minuteOfDay * 60000L, temp, 50f, "Rome")
+
+  private class CollectingSink(override val name: String) extends Sink {
+    override val consistencyLevel = "TEST"
+    var batches: Vector[(Long, Array[org.apache.spark.sql.Row])] = Vector.empty
+    override def write(batch: DataFrame, batchId: Long): Unit =
+      synchronized { batches :+= (batchId, batch.collect()) }
+    def rows = batches.flatMap(_._2)
+  }
+
+  test("windowed agg content matches the batch groupBy oracle") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // two devices, two hours
+    mem.addData(ev("d1", 0, 20f), ev("d1", 30, 24f), ev("d1", 65, 30f), ev("d2", 10, 10f))
+    // advance watermark far past both windows
+    mem.addData(ev("d9", 300, 0f))
+
+    val sink = new CollectingSink("agg")
+    val q = Streams.startAggStream(mem.toDF(), sink, tmpDir("ck-agg"),
+      Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val got = sink.rows.map(r => (r.getString(0), r.getLong(1), r.getFloat(2), r.getInt(5))).toSet
+    val base = 1704067200L
+    assert(got.contains(("d1", base, 22f, 2)))
+    assert(got.contains(("d1", base + 3600, 30f, 1)))
+    assert(got.contains(("d2", base, 10f, 1)))
+  }
+
+  test("events later than the 1-minute watermark are dropped from closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sink = new CollectingSink("agg-late")
+    val ck = tmpDir("ck-late")
+
+    // batch 1: hour-0 events, then hour-2 event pushes watermark to ~2h
+    mem.addData(ev("d1", 0, 20f), ev("d1", 1, 22f), ev("d1", 125, 30f))
+    val q1 = Streams.startAggStream(mem.toDF(), sink, ck, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+
+    // batch 2: a straggler for hour 0 — already finalized, must be dropped
+    mem.addData(ev("d1", 5, 99f))
+    // and something to advance/flush
+    mem.addData(ev("d1", 300, 1f))
+    val q2 = Streams.startAggStream(mem.toDF(), sink, ck, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+
+    val hour0 = sink.rows.filter(r => r.getString(0) == "d1" && r.getLong(1) == 1704067200L)
+    assert(hour0.map(_.getInt(5)).sum == 2, "late event must not reopen the closed window")
+    assert(!hour0.exists(_.getFloat(3) == 99f))
+  }
+
+  test("raw stream with checkpoint recovery appends exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = tmpDir("raw-out")
+    val ck = tmpDir("ck-raw")
+    val sink = new PartitionedParquetSink(out, "raw", "ONE", "device_id", "timestamp", buckets = 4)
+
+    mem.addData(ev("d1", 0, 20f), ev("d2", 1, 21f))
+    val q1 = Streams.startRawStream(mem.toDF(), sink, ck, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+
+    // restart from the same checkpoint with one new event: only the new
+    // offset range replays
+    mem.addData(ev("d3", 2, 22f))
+    val q2 = Streams.startRawStream(mem.toDF(), sink, ck, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+
+    val persisted = spark.read.parquet(out)
+    assert(persisted.count() == 3)
+    assert(persisted.select("device_id").as[String].collect().toSet == Set("d1", "d2", "d3"))
+    // bucketed layout on disk (the Cassandra-partition analog)
+    assert(persisted.columns.contains("bucket"))
+  }
+
+  test("rate-source generator stream produces the contract schema") {
+    val stream = graft.ingest.Generator.sensorEventStream(spark)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSeq ==
+      Seq("device_id", "device_name", "timestamp", "temperature", "humidity", "location"))
+  }
+}
