@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Fused kernels for the vector / n-gram hot paths. The composable
+  * higher-order-function formulations (`transform` + `zip_with` +
+  * `aggregate`) are semantically identical but materialize an
+  * intermediate array per lambda per row — on a 100 TB pair join that
+  * allocation tax dominates the arithmetic. These expressions run the
+  * same math as ONE primitive loop over ArrayData.
+  */
+
+/** `dot(array<float|double>, array<float|double>) -> double` —
+  * sequential-order sum, bit-identical to
+  * `aggregate(zip_with(a,b,(x,y)->x*y),0d,(acc,v)->acc+v)`. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot expects two float/double arrays, got $other")
+  }
+
+  @transient private lazy val leftFloat = elemIsFloat(left)
+  @transient private lazy val rightFloat = elemIsFloat(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xi * yi
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression) =
+    copy(newLeft, newRight)
+  override def prettyName: String = "dot_product"
+}
+
+object NgramHash {
+  final val Mask31 = 0x7fffffffL
+  private final val Space = ' '.toByte
+
+  /** 31-bit FNV-1a hash of the word n-gram tokens(i..i+n-1) joined by a
+    * single space — identical to fnv1a64(concat_ws(" ", ...)) & Mask31
+    * without building the string. */
+  def shingleHash(tokens: Array[Array[Byte]], start: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var t = start
+    val end = start + n
+    while (t < end) {
+      if (t > start) { h ^= (Space & 0xffL); h *= 0x100000001b3L }
+      val bytes = tokens(t)
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      t += 1
+    }
+    h & Mask31
+  }
+
+  def tokensBytes(arr: ArrayData): Array[Array[Byte]] = {
+    val n = arr.numElements()
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct 31-bit shingle hashes of a token array (sorted). A doc
+    * shorter than one shingle contributes its whole token run as the
+    * single shingle; an empty doc contributes nothing. */
+  def hashSet(arr: ArrayData, shingleSize: Int): Array[Long] = {
+    val toks = tokensBytes(arr)
+    val count = if (toks.length == 0) 0 else math.max(toks.length - shingleSize + 1, 1)
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < count) {
+      seen.add(shingleHash(toks, i, math.min(shingleSize, toks.length - i)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** MinHash coefficient family, seeded — 31-bit odd a, 31-bit b, so
+    * a*h+b never overflows a long. */
+  def coefficients(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(seed)
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      as(i) = (rnd.nextLong() & Mask31) | 1L
+      bs(i) = rnd.nextLong() & Mask31
+      i += 1
+    }
+    (as, bs)
+  }
+}
+
+/** `shingle_hash_set(array<string>, n) -> array<long>` — sorted distinct
+  * 31-bit hashes of the word n-grams; the exact-Jaccard currency. */
+case class ShingleHashSet(child: Expression, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(_: StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash_set expects ARRAY<STRING>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(NgramHash.hashSet(input.asInstanceOf[ArrayData], shingleSize))
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "shingle_hash_set"
+}
+
+/** `shingle_minhash(array<string>, n, k, seed) -> array<long>` — the
+  * full MinHash signature in one pass: shingle -> 31-bit hash ->
+  * min over k linear permutations, no intermediate arrays. */
+case class ShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(_: StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_minhash expects ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val (as, bs) = NgramHash.coefficients(numHashes, seed)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = NgramHash.hashSet(input.asInstanceOf[ArrayData], shingleSize)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var k = 0
+      while (k < numHashes) {
+        val v = as(k) * h + bs(k)
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "shingle_minhash"
+}
+
+object VectorFns {
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def shingleHashSet(tokens: Column, n: Int): Column =
+    GraftBridge.column(ShingleHashSet(GraftBridge.expression(tokens), n))
+  def shingleMinHash(tokens: Column, n: Int, k: Int, seed: Long = 42L): Column =
+    GraftBridge.column(ShingleMinHash(GraftBridge.expression(tokens), n, k, seed))
+}

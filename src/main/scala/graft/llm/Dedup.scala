@@ -34,41 +34,29 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingles, distinct, as array<string>. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Distinct 31-bit shingle-hash set per doc — the working currency of
+    * both the LSH path and exact verification. The fused expression
+    * (graft.functions.ShingleHashSet) hashes word n-grams without ever
+    * materializing n-gram strings, and the band join / verification
+    * shuffles carry compact int arrays — an order of magnitude lighter
+    * on the wire at corpus scale. */
+  def shingleHashSets(documents: DataFrame, shingleSize: Int): DataFrame =
+    documents.select(
+      col("doc_id"),
+      graft.functions.VectorFns.shingleHashSet(TextOps.tokens(col("text")), shingleSize).as("hs"))
 
-  /** MinHash signature from a column of 31-bit shingle hashes:
-    * numHashes linear permutations (a_i * h + b_i), min per permutation.
-    * Coefficients and hashes stay within 31 bits so the product fits a
-    * long WITHOUT overflow — Spark 4 runs ANSI mode by default, where
-    * silent wraparound is an error. Pure higher-order functions —
-    * codegen, no UDF. */
-  def shingleHashes31(shingleArr: Column): Column =
-    transform(shingleArr, s => ColumnFns.fnv1a64(s).bitwiseAND(lit(0x7fffffffL)))
-
-  def minhashSignature(hashes31: Column, numHashes: Int): Column = {
-    val rnd = new java.util.Random(42)
-    def c31() = (rnd.nextLong() & 0x7fffffffL) | 1L
-    val coeffs = Seq.fill(numHashes)((c31(), c31()))
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(hashes31, h => h * lit(a) + lit(b)))
-    }: _*)
-  }
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
 
   /** X2 MinHash-LSH near-dup pairs.
     *
-    * bands x rowsPerBand = numHashes; a pair collides if any band's
-    * row-slice matches exactly. Candidates are verified with EXACT
-    * n-gram Jaccard (array_intersect/array_union on the shingle sets),
-    * so false positives cost work but never correctness; band/row
-    * choice only affects recall (P[miss] = (1-j^r)^b).
-    */
+    * bands x rowsPerBand = numHashes; a pair becomes a candidate if any
+    * band's row-slice matches exactly, and every candidate is verified
+    * with EXACT hashed-shingle Jaccard — false positives cost work but
+    * never correctness; band/row choice only affects recall
+    * (P[miss] = (1-j^r)^b). The signature is computed by the fused
+    * ShingleMinHash expression in one pass over the tokens. */
   def minhashPairs(
       documents: DataFrame,
       shingleSize: Int = 3,
@@ -76,51 +64,50 @@ object Dedup {
       rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = documents
-      .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
-      .withColumn("hs", shingleHashes31(col("sh")))
-      .withColumn("sig", minhashSignature(col("hs"), numHashes))
+    val hashed = shingleHashSets(documents, shingleSize)
+    val withSig = documents.select(
+      col("doc_id"),
+      graft.functions.VectorFns
+        .shingleMinHash(TextOps.tokens(col("text")), shingleSize, numHashes)
+        .as("sig"))
 
-    // (doc_id, band_idx, band_hash): hash the band's slice to one long.
+    // (band_idx, band_hash, doc_id) only — the join never carries the
+    // shingle sets; candidates are re-joined to them after de-dup.
     val banded = withSig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(
         array((0 until bands).map { b =>
           ColumnFns.fnv1a64(
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast(StringType))
         }: _*)).as(Seq("band_idx", "band_hash")))
 
-    val l = banded.select(
-      col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = banded.select(
-      col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-
-    l.join(r, Seq("band_idx", "band_hash"))
+    val candidates = banded.as("l")
+      .join(banded.as("r"), Seq("band_idx", "band_hash"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-        size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+
+    candidates
+      .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(hashed.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard for a candidate pair set — exposed standalone
-    * (X2 verification kernel, also the brute-force oracle in tests). */
+  /** Exact n-gram Jaccard over all pairs (brute-force oracle for the
+    * LSH path in tests; the verification kernel shares `jaccard`).
+    * Same hashed-shingle currency as minhashPairs so the two agree
+    * exactly. */
   def ngramJaccardAllPairs(documents: DataFrame, shingleSize: Int = 3,
                            threshold: Double = 0.5): DataFrame = {
-    val sh = documents.select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
-    val l = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val sh = shingleHashSets(documents, shingleSize)
+    val l = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val r = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     l.crossJoin(r)
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-        size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")

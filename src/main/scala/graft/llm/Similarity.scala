@@ -16,12 +16,12 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Sequential-order double dot product of two float vectors. */
+  /** Sequential-order double dot product of two float/double vectors —
+    * the fused DotProductExpr kernel (bit-identical to the HOF spelling
+    * `aggregate(zip_with(a,b,(x,y)->x*y),0d,(acc,v)->acc+v)` but one
+    * primitive loop, no per-pair intermediate arrays). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.VectorFns.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -85,25 +85,44 @@ object Similarity {
     array((bucket +: (0 until numPlanes).map(i =>
       bucket.bitwiseXOR(lit(1L << i)))): _*)
 
+  /** L2-normalized copy of the vector (double precision) — pair work
+    * then costs ONE dot product instead of three. */
+  def unitVector(emb: Column): Column = {
+    val n = norm(emb)
+    transform(emb, x => x.cast(DoubleType) / n)
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-blocked self-join
     * (bucket codes within Hamming 1: left side explodes its probe keys,
     * right side keeps its bucket — an equality join, never O(n^2)),
-    * verified by exact cosine >= threshold. With p = P[same side of one
-    * plane], pair recall is 1-(1-p)^2-ish per probe family; more
-    * independent plane sets multiply recall at linear cost. */
+    * verified by exact cosine >= threshold.
+    *
+    * Cost shape: vectors are L2-normalized ONCE per row (so a pair is a
+    * single dot product), and candidate ID pairs are de-duplicated
+    * BEFORE the vectors are re-attached — the probe-multiplicity
+    * duplicates never reach the arithmetic, and the wide vector columns
+    * never ride through the dedup shuffle. */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.45,
                             numPlanes: Int = 2): DataFrame = {
     val planes = hyperplanes(numPlanes, 64)
-    val b = embeddings.withColumn("bucket", lshBucket(col("embedding"), planes))
-    val l = b.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+    val b = embeddings.select(
+      col("vec_id"),
+      unitVector(col("embedding")).as("unit"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+
+    val l = b.select(col("vec_id").as("id_a"),
       explode(probeKeys(col("bucket"), numPlanes)).as("probe"))
-    val r = b.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-      col("bucket").as("probe"))
-    l.join(r, Seq("probe"))
+    val r = b.select(col("vec_id").as("id_b"), col("bucket").as("probe"))
+
+    val candidates = l.join(r, Seq("probe"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        cosine(col("emb_a"), col("emb_b")).as("raw_cos"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .join(b.select(col("vec_id").as("id_a"), col("unit").as("unit_a")), Seq("id_a"))
+      .join(b.select(col("vec_id").as("id_b"), col("unit").as("unit_b")), Seq("id_b"))
+      .withColumn("raw_cos", dot(col("unit_a"), col("unit_b")))
       .filter(col("raw_cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("raw_cos"), 4).as("cos_sim"))
       .orderBy("id_a", "id_b")
