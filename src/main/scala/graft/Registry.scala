@@ -238,6 +238,11 @@ object Registry {
          |FROM t ORDER BY doc_id""".stripMargin),
     "q_fingerprint" -> noOracle(
       (s, d) => TextOps.fingerprint(documents(s, d))),
+    "q_token_bpe" -> q(
+      (s, d) => TextOps.tokenCountBpe(documents(s, d)),
+      s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.BpeishPattern}')) AS INT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // ---- dedup (X1/X2) ----
     "q_dedup_exact" -> q(

@@ -182,7 +182,77 @@ case class ShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int, s
   override def prettyName: String = "shingle_minhash"
 }
 
+/** `winnow(string, k, w) -> array<long>` — MOSS-style winnowing
+  * document fingerprint: rolling polynomial hash over character
+  * k-grams, then the minimum hash of each w-length window, de-duplicated
+  * consecutively. Robust to local edits (an edit perturbs only nearby
+  * windows), which makes it the shard-local near-dup prefilter at
+  * corpus scale. One pass, O(len) amortized via a monotonic deque. */
+case class Winnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case _: StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"winnow expects STRING, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    new GenericArrayData(Winnow.fingerprints(bytes, k, w))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "winnow"
+}
+
+object Winnow {
+  private final val Base = 1000003L
+
+  /** Sorted distinct window-min rolling hashes. */
+  def fingerprints(bytes: Array[Byte], k: Int, w: Int): Array[Long] = {
+    val n = bytes.length - k + 1 // number of k-grams
+    if (n <= 0) return Array.emptyLongArray
+    // rolling hashes of all k-grams (wrapping long arithmetic)
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= Base; i += 1 }
+    val hs = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + (bytes(i) & 0xffL); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - (bytes(i - 1) & 0xffL) * pow) * Base + (bytes(i + k - 1) & 0xffL)
+      hs(i) = h
+      i += 1
+    }
+    // window minima via monotonic deque; record each new minimum once
+    val win = math.min(w, n)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0 // [head, tail)
+    i = 0
+    while (i < n) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      while (deque(head) <= i - win) head += 1
+      if (i >= win - 1) out.add(hs(deque(head)))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    arr
+  }
+}
+
 object VectorFns {
+  def winnow(c: Column, k: Int = 5, w: Int = 4): Column =
+    GraftBridge.column(Winnow(GraftBridge.expression(c), k, w))
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
   def shingleHashSet(tokens: Column, n: Int): Column =

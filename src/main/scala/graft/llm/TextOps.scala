@@ -100,14 +100,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** 64-bit content fingerprint (FNV-1a over the normalized text) via
-    * the custom codegen'd Catalyst expression — the cheap exact-dedup /
-    * shard-assignment key. */
+  /** Document fingerprints via the custom Catalyst expressions:
+    * whole-doc FNV-1a (exact-dedup / shard key), 64-bit SimHash
+    * (hamming-near-dup key), and the MOSS-style winnowing rolling-hash
+    * fingerprint set (local-edit-robust overlap detection). */
   def fingerprint(documents: DataFrame): DataFrame =
     documents
       .select(
         col("doc_id"),
         ColumnFns.fnv1a64(col("text")).as("fp64"),
-        ColumnFns.simhash64(tokens(col("text"))).as("simhash"))
+        ColumnFns.simhash64(tokens(col("text"))).as("simhash"),
+        graft.functions.VectorFns.winnow(col("text")).as("winnow_fps"))
+      .orderBy("doc_id")
+
+  /** BPE-ish regex tokenization (the GPT-2 pattern family, lookahead
+    * dropped so the same pattern runs in RE2-based engines): runs of
+    * letters/digits with an optional leading space, or punctuation
+    * runs. Counts per doc. */
+  val BpeishPattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def tokenCountBpe(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))).as("n_bpe_tokens"))
       .orderBy("doc_id")
 }

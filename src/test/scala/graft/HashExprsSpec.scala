@@ -38,6 +38,19 @@ class HashExprsSpec extends SparkTestBase {
     assert(HashExprs.hamming64(h1, h2) <= 8)
   }
 
+  test("winnowing fingerprints: edit-local stability, disjoint separation") {
+    import graft.functions.Winnow
+    def fp(s: String) = Winnow.fingerprints(s.getBytes("UTF-8"), 5, 4).toSet
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    assert(fp(base) == fp(base))
+    val edited = base.replace("jumps", "leaps")
+    val overlap = (fp(base) & fp(edited)).size.toDouble / fp(base).size
+    assert(overlap > 0.5, s"local edit should preserve most fingerprints, got $overlap")
+    val other = "completely different content with zero shared character grams"
+    assert((fp(base) & fp(other)).isEmpty)
+    assert(fp("abc") sameElements Set.empty) // shorter than one k-gram
+  }
+
   test("simhash expression over array column") {
     val df = Seq(Seq("a", "b", "c"), Seq("a", "b", "c")).toDF("toks")
       .select(ColumnFns.simhash64(col("toks")).as("h"))
