@@ -113,6 +113,56 @@ object Registry {
         |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
 
+    // ---- windowing variants / grouping sets / set ops ----
+    "q_sliding_window" -> q(
+      (s, d) => graft.query.Windows.slidingWindow(events(s, d)),
+      s"""SELECT user_id, window_start,
+         |  ${dsum(s"CAST(value AS $dec4)")} / COUNT(*) AS avg_value,
+         |  CAST(COUNT(*) AS BIGINT) AS event_count
+         |FROM (
+         |  SELECT user_id, value, unnest([
+         |    CAST(floor(epoch(ts)/1800)*1800 AS BIGINT),
+         |    CAST(floor(epoch(ts)/1800)*1800 - 1800 AS BIGINT)]) AS window_start
+         |  FROM events)
+         |GROUP BY 1, 2 ORDER BY user_id, window_start""".stripMargin),
+    "q_session_window" -> noOracle(
+      (s, d) => graft.query.Windows.sessionWindow(events(s, d))),
+    "q_rollup" -> q(
+      (s, d) => graft.query.Windows.rollupRevenue(orders(s, d), customer(s, d)),
+      s"""SELECT c_mktsegment, o_orderstatus,
+         |  ${dsum(s"CAST(o_totalprice AS $dec4)")} AS total_price,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
+         |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin),
+    "q_set_ops" -> q(
+      (s, d) => graft.query.Windows.setOps(events(s, d)),
+      """SELECT user_id, 'both' AS relation FROM
+        |  (SELECT user_id FROM events WHERE event_type = 'purchase'
+        |   INTERSECT SELECT user_id FROM events WHERE event_type = 'error')
+        |UNION ALL
+        |SELECT user_id, 'purchase_only' AS relation FROM
+        |  (SELECT user_id FROM events WHERE event_type = 'purchase'
+        |   EXCEPT SELECT user_id FROM events WHERE event_type = 'error')
+        |UNION ALL
+        |SELECT user_id, 'error_only' AS relation FROM
+        |  (SELECT user_id FROM events WHERE event_type = 'error'
+        |   EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY relation, user_id""".stripMargin),
+
+    // ---- sink layout (S6 write path + read routing) ----
+    "q_sink_layout" -> q(
+      (s, d) => graft.sink.Sinks.layoutRoundTrip(
+        s, events(s, d).select(
+          org.apache.spark.sql.functions.col("event_id"),
+          ntz(org.apache.spark.sql.functions.col("ts")).as("ts"),
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("value")),
+        s"/tmp/graft_sink_demo_${ReadPath.DeviceKey}", ReadPath.DeviceKey),
+      s"""SELECT event_id, ts, user_id, event_type, value FROM events
+         |WHERE user_id = ${ReadPath.DeviceKey} ORDER BY event_id""".stripMargin),
+
     // ---- aggregation & windowing (A1-A4) ----
     "q_hourly_agg" -> q(
       (s, d) => EventPipeline.hourlyAgg(events(s, d)),
@@ -278,6 +328,8 @@ object Registry {
         |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
     "q_ann_lsh" -> noOracle(
       (s, d) => Similarity.annLshTopK(embeddings(s, d))),
+    "q_ann_ivf" -> noOracle(
+      (s, d) => Similarity.annIvfTopK(embeddings(s, d))),
     "q_dedup_embedding" -> noOracle(
       (s, d) => Similarity.embeddingNearDupPairs(embeddings(s, d))),
     "q_label_centroids" -> noOracle(

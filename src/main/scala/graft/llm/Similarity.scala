@@ -128,6 +128,49 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** X3 alternative scale path: IVF (inverted-file) ANN. "Training" =
+    * picking nCells centroid vectors (here: the first nCells corpus
+    * vectors, unit-normalized — a deterministic stand-in for a k-means
+    * step, which is inherently a driver-side collect of k centroids).
+    * Every vector is assigned to its nearest centroid cell; the query
+    * probes its nProbe nearest cells and exact cosine re-ranks only
+    * those cells. At cluster scale the table is bucketed/partitioned by
+    * `cell`, so a probe reads nProbe partitions of the corpus. */
+  def annIvfTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
+                 nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents: Array[Array[Double]] = embeddings
+      .orderBy("vec_id").limit(nCells)
+      .select(unitVector(col("embedding")).as("u"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+    def centLit(c: Array[Double]) = array(c.map(lit): _*)
+    // cell = argmax_i dot(emb, centroid_i); emb's own norm is constant
+    // across the comparison so raw dot against unit centroids suffices.
+    val dots = array(cents.map(c => dot(col("embedding"), centLit(c))): _*)
+    val celled = embeddings
+      .withColumn("cells_dots", dots)
+      .withColumn("cell", expr("array_position(cells_dots, array_max(cells_dots))"))
+      .drop("cells_dots")
+
+    // the query's nProbe nearest cells (driver-side: one k-dim argsort)
+    val qVec: Array[Float] = embeddings.filter(col("vec_id") === queryId)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val probeCells: Seq[Long] = cents
+      .map(c => c.zip(qVec).map { case (a, b) => a * b.toDouble }.sum)
+      .zipWithIndex.sortBy(-_._1).take(nProbe).map(_._2.toLong + 1).toSeq
+
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    celled
+      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("raw_cos"))
+      .orderBy(col("raw_cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("raw_cos"), 4).as("cos_sim"))
+  }
+
   /** Per-label centroid + distance profile — the "cluster summary"
     * aggregation shape over vector columns (array aggregation via
     * element-wise zip_with reduce in a declarative agg). */

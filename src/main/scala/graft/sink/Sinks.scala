@@ -18,6 +18,33 @@ trait Sink {
   def write(batch: DataFrame, batchId: Long): Unit
 }
 
+object Sinks {
+  /** Write-then-read demo of the sink layout: events land bucketed +
+    * clustered, and the read back routes to ONE bucket partition via
+    * the derived bucket predicate — the engine analog of Cassandra
+    * partition-key routing (`docs/baseline-architecture.md:106-108`). */
+  def layoutRoundTrip(spark: org.apache.spark.sql.SparkSession, events: DataFrame,
+                      path: String, probeKey: Int, buckets: Int = 8): DataFrame = {
+    val dir = new java.io.File(path)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    val sink = new PartitionedParquetSink(path, "events_demo", "ONE", "user_id", "ts", buckets)
+    sink.write(events, 0L)
+    spark.read.parquet(path)
+      // partition pruning: the probe key hashes with LONG width to
+      // match the written column type (Murmur3 is type-width-sensitive)
+      .filter(pmod(hash(lit(probeKey.toLong)), lit(buckets)) === col("bucket"))
+      .filter(col("user_id") === probeKey)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+}
+
 /** Cassandra-table analog on files: hash-bucketed by entity key (NOT
   * one directory per device — 100k devices x dirs would melt the
   * namenode exactly like unbounded Cassandra partitions melt a node,

@@ -51,6 +51,19 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("session windows merge events within the gap and split across it") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "x", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "x", 2.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "x", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sessions = graft.query.Windows.sessionWindow(df).collect()
+    assert(sessions.length == 2)
+    assert(sessions.head.getLong(3) == 2) // first session holds the two close events
+    assert(sessions(1).getLong(3) == 1)
+  }
+
   test("token ops agree with a direct computation") {
     val row = TextOps.tokenCount(docs).collect().head
     val text = docs.orderBy("doc_id").select("text").collect().head.getString(0)

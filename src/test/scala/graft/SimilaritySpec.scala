@@ -35,6 +35,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.3, s"recall $recall too low; ann=$ann exact=$exact")
   }
 
+  test("IVF ANN probes its cells and recalls a substantial top-k fraction") {
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.annIvfTopK(emb, 0L, 10, nCells = 16, nProbe = 4).collect()
+    assert(ivf.length == 10)
+    val recall = (exact & ivf.map(_.getLong(0)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.2, s"ivf recall $recall; got ${ivf.map(_.getLong(0)).toSeq}")
+    val sims = ivf.map(_.getDouble(1))
+    assert(sims.toSeq == sims.sorted.reverse.toSeq)
+  }
+
   test("embedding near-dup pairs are symmetric-free, thresholded, verified") {
     val pairs = Similarity.embeddingNearDupPairs(emb, 0.45, 2).collect()
     pairs.foreach { r =>
