@@ -85,11 +85,70 @@ case class FromAvro(child: Expression, schemaJson: String, confluentWire: Boolea
   override def prettyName: String = "from_avro"
 }
 
+/** Producer-side encode as an expression: struct -> Confluent-wire Avro
+  * binary (magic 0x00 + big-endian schema id + body) — the symmetric
+  * inverse of FromAvro, so the full producer contract
+  * (`src/producer.py:74-82`) is expressible inside a Catalyst plan. */
+case class ToAvro(child: Expression, schemaJson: String, schemaId: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val schema: Schema = Schemas.parse(schemaJson)
+  @transient private lazy val struct: StructType = Schemas.toStructType(schema)
+  @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes() = child.dataType match {
+    case s: StructType if s.length == Schemas.toStructType(Schemas.parse(schemaJson)).length =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"to_avro expects a ${Schemas.toStructType(Schemas.parse(schemaJson)).length}-field struct, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val rec = new GenericData.Record(schema)
+    var i = 0
+    while (i < struct.length) {
+      val dt = struct(i).dataType
+      val v =
+        if (row.isNullAt(i)) null
+        else dt match {
+          case _: StringType => row.getUTF8String(i).toString
+          case LongType      => java.lang.Long.valueOf(row.getLong(i))
+          case IntegerType   => java.lang.Integer.valueOf(row.getInt(i))
+          case FloatType     => java.lang.Float.valueOf(row.getFloat(i))
+          case DoubleType    => java.lang.Double.valueOf(row.getDouble(i))
+          case BooleanType   => java.lang.Boolean.valueOf(row.getBoolean(i))
+          case BinaryType    => ByteBuffer.wrap(row.getBinary(i))
+          case other => throw new IllegalArgumentException(s"unsupported: $other")
+        }
+      rec.put(i, v)
+      i += 1
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(0x00)
+    out.write(ByteBuffer.allocate(4).putInt(schemaId).array())
+    val enc = EncoderFactory.get.binaryEncoder(out, null)
+    writer.write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ToAvro =
+    copy(child = newChild)
+  override def prettyName: String = "to_avro"
+}
+
 object AvroCodec {
 
   /** Column API for the decode expression. */
   def from_avro(c: Column, schemaJson: String, confluentWire: Boolean = true): Column =
     GraftBridge.column(FromAvro(GraftBridge.expression(c), schemaJson, confluentWire))
+
+  /** Column API for the encode expression. */
+  def to_avro(c: Column, schemaJson: String, schemaId: Int = 1): Column =
+    GraftBridge.column(ToAvro(GraftBridge.expression(c), schemaJson, schemaId))
 
   /** Producer-side encode (test + generator path, mirroring the
     * reference producer's AvroSerializer): Avro binary body with the
