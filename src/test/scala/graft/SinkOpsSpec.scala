@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.query.SkewJoin
+import graft.sink.{Compaction, PartitionedParquetSink}
+
+class SinkOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("compaction merges per-batch small files and preserves content") {
+    val out = tmpDir("compact") + "/t"
+    val sink = new PartitionedParquetSink(out, "t", "ONE", "user_id", "ts", buckets = 2)
+    val mk = (base: Long) => Seq(
+      (base, new java.sql.Timestamp(base), 1L, "x", 1.0),
+      (base + 1, new java.sql.Timestamp(base + 1), 2L, "x", 2.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    (0 until 5).foreach(i => sink.write(mk(i * 10L), i.toLong))
+
+    val before = spark.read.parquet(out).orderBy("event_id").collect().toSeq
+    val (nBefore, nAfter) = Compaction.compact(spark, out, "user_id", "ts")
+    assert(nBefore > nAfter, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(out).orderBy("event_id").collect().toSeq
+    assert(after == before)
+    // idempotent second pass
+    val (b2, a2) = Compaction.compact(spark, out, "user_id", "ts")
+    assert(b2 == a2)
+  }
+
+  test("salted join equals the plain join on skewed data") {
+    val big = (1 to 5000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i.toDouble))
+      .toDF("k", "v")
+    val small = Seq(("hot", "H"), ("cold10", "C")).toDF("k", "label")
+    val plain = big.join(small, Seq("k")).groupBy("k", "label").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val salted = SkewJoin.saltedEquiJoin(big, small, "k").groupBy("k", "label").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("salted two-phase aggregation equals direct groupBy") {
+    val big = (1 to 10000).map(i => (if (i % 100 == 0) s"k$i" else "hotkey", i.toDouble))
+      .toDF("k", "v")
+    val direct = big.groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = SkewJoin.saltedCountSum(big, "k", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
+  }
+}
