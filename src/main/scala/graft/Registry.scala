@@ -231,6 +231,42 @@ object Registry {
          |  CAST(COUNT(*) AS BIGINT) AS n_orders
          |FROM orders GROUP BY 1 ORDER BY month""".stripMargin),
 
+    "q_percentiles" -> q(
+      (s, d) => Analytics.valuePercentiles(events(s, d)),
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(value, 0.99), 4) AS p99,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "q_approx_distinct" -> noOracle(
+      (s, d) => Analytics.approxDistinct(lineitem(s, d))),
+
+    // ---- alternative source formats (S12) ----
+    "q_csv_roundtrip" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val dir = s"/tmp/graft_csv_demo"
+        val e = events(s, d).select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        e.write.mode("overwrite").option("header", "true").csv(dir)
+        s.read.option("header", "true")
+          .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+          .csv(dir)
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id""".stripMargin),
+    "q_json_roundtrip" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val dir = s"/tmp/graft_json_demo"
+        val e = events(s, d).select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        e.write.mode("overwrite").json(dir)
+        s.read.schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+          .json(dir)
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id""".stripMargin),
+
     // ---- multimodal / map columns (X5) ----
     "q_props_map" -> q(
       (s, d) => EventPipeline.propsMap(events(s, d)),

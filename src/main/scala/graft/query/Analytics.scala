@@ -101,6 +101,30 @@ object Analytics {
         count(lit(1)).as("n_orders"))
       .orderBy("c_mktsegment", "o_orderstatus")
 
+  /** Exact percentiles per group (percentile_cont semantics — linear
+    * interpolation, identical formula in DuckDB's quantile_cont). */
+  def valuePercentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        expr("round(percentile(value, 0.5), 4)").as("p50"),
+        expr("round(percentile(value, 0.9), 4)").as("p90"),
+        expr("round(percentile(value, 0.99), 4)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Sketch aggregates: HLL distinct estimate next to the exact count.
+    * Engines' sketches differ, so this is a rows-only query; the
+    * ScalaTest asserts the estimate lands within HLL error of exact. */
+  def approxDistinct(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   /** Monthly order volume — date_trunc rollup over event time. */
   def ordersByMonth(orders: DataFrame): DataFrame =
     orders

@@ -64,6 +64,16 @@ class PipelineSpec extends SparkTestBase {
     assert(sessions(1).getLong(3) == 1)
   }
 
+  test("HLL approx distinct lands within its error bound of exact") {
+    val rows = graft.query.Analytics.approxDistinct(Tables.lineitem(spark, sf)).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("token ops agree with a direct computation") {
     val row = TextOps.tokenCount(docs).collect().head
     val text = docs.orderBy("doc_id").select("text").collect().head.getString(0)
