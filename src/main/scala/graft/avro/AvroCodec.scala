@@ -31,7 +31,8 @@ import graft.contract.Schemas
   * Avro deserialization itself, and the expression still composes with
   * whole-stage-codegen neighbors via the fallback bridge.
   */
-case class FromAvro(child: Expression, schemaJson: String, confluentWire: Boolean = true)
+case class FromAvro(child: Expression, schemaJson: String, confluentWire: Boolean = true,
+                    permissive: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   @transient private lazy val schema: Schema = Schemas.parse(schemaJson)
@@ -49,8 +50,17 @@ case class FromAvro(child: Expression, schemaJson: String, confluentWire: Boolea
       s"from_avro expects BINARY, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  /** permissive=true is the long-job posture: a corrupt record decodes
+    * to a NULL struct (filter with `IS NOT NULL`) instead of failing
+    * the task — one bad Kafka message must not kill a multi-hour scan.
+    * permissive=false (FAILFAST) surfaces the decode error. */
+  override def nullSafeEval(input: Any): Any =
+    if (permissive) {
+      try decode(input.asInstanceOf[Array[Byte]])
+      catch { case _: Exception => null }
+    } else decode(input.asInstanceOf[Array[Byte]])
+
+  private def decode(bytes: Array[Byte]): Any = {
     val (off, len) =
       if (confluentWire) {
         require(bytes.length >= 5 && bytes(0) == 0x00.toByte,
@@ -143,8 +153,9 @@ case class ToAvro(child: Expression, schemaJson: String, schemaId: Int)
 object AvroCodec {
 
   /** Column API for the decode expression. */
-  def from_avro(c: Column, schemaJson: String, confluentWire: Boolean = true): Column =
-    GraftBridge.column(FromAvro(GraftBridge.expression(c), schemaJson, confluentWire))
+  def from_avro(c: Column, schemaJson: String, confluentWire: Boolean = true,
+                permissive: Boolean = false): Column =
+    GraftBridge.column(FromAvro(GraftBridge.expression(c), schemaJson, confluentWire, permissive))
 
   /** Column API for the encode expression. */
   def to_avro(c: Column, schemaJson: String, schemaId: Int = 1): Column =

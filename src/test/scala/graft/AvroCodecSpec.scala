@@ -70,6 +70,24 @@ class AvroCodecSpec extends SparkTestBase {
     assert(r.getString(1).length == 200000)
   }
 
+  test("permissive decode nulls corrupt records instead of failing the task") {
+    val good = encode("dev-ok", "n", 1L, 1f, 2f, "Rome")
+    val corruptBody = good.take(7) // truncated Avro body
+    val badMagic = Array[Byte](9, 9, 9, 9, 9, 9)
+    val df = Seq(good, corruptBody, badMagic).toDF("value")
+      .select(AvroCodec.from_avro(col("value"), Schemas.SensorEventAvro,
+        confluentWire = true, permissive = true).as("data"))
+    val rows = df.collect()
+    assert(rows.count(_.isNullAt(0)) == 2)
+    assert(rows.count(r => !r.isNullAt(0)) == 1)
+    // FAILFAST surfaces the error
+    intercept[Exception] {
+      Seq(badMagic).toDF("value")
+        .select(AvroCodec.from_avro(col("value"), Schemas.SensorEventAvro).as("data"))
+        .collect()
+    }
+  }
+
   test("generator->encode->decode pipeline is lossless") {
     val spark2 = spark
     val decoded = graft.pipeline.AvroPipeline.roundTrip(spark2, numDevices = 5, seconds = 3)

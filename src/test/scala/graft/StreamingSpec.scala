@@ -116,6 +116,33 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.subsetOf(batched))
   }
 
+  test("dual-stream pipeline throughput far exceeds the reference's ~105 events/sec") {
+    // The reference ingests ~105 events/sec end-to-end
+    // (docs/baseline-architecture.md:317). Push 100k generated events
+    // through BOTH concurrent streams (raw append + windowed agg) via
+    // the file-stream source and measure events/sec.
+    val n = 100000
+    val srcDir = tmpDir("tp-src")
+    val batch = graft.ingest.Generator.sensorEvents(spark, 100, n / 100)
+    batch.write.mode("overwrite").parquet(srcDir)
+
+    val rawSink = new CollectingSink("tp-raw")
+    val aggSink = new CollectingSink("tp-agg")
+    val t0 = System.nanoTime()
+    val stream1 = spark.readStream.schema(batch.schema).parquet(srcDir)
+    val stream2 = spark.readStream.schema(batch.schema).parquet(srcDir)
+    val q1 = Streams.startRawStream(stream1, rawSink, tmpDir("tp-ck-raw"), Trigger.AvailableNow())
+    val q2 = Streams.startAggStream(stream2, aggSink, tmpDir("tp-ck-agg"), Trigger.AvailableNow())
+    q1.awaitTermination(300000)
+    q2.awaitTermination(300000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val evPerSec = n / secs
+    info(f"dual-stream throughput: $evPerSec%.0f events/sec over $n events (${secs}%.1f s)")
+    println(f"[stream-bench] dual-stream throughput: $evPerSec%.0f events/sec ($n events in $secs%.1f s)")
+    assert(rawSink.rows.size == n)
+    assert(evPerSec > 1050, f"expected >=10x the reference's 105 ev/s, got $evPerSec%.0f")
+  }
+
   test("rate-source generator stream produces the contract schema") {
     val stream = graft.ingest.Generator.sensorEventStream(spark)
     assert(stream.isStreaming)
