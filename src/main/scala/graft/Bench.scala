@@ -20,10 +20,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the JVM/codegen/parquet-footer paths once so per-query times
-    // reflect steady-state execution, not first-touch JIT.
-    try SparkEntry.queries.get("q_count").foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => () }
+    // Warm the JVM/codegen/parquet-footer/shuffle paths so per-query
+    // times reflect steady-state execution, not first-touch JIT.
+    Seq("q_count", "q_pricing_summary", "q_hourly_agg").foreach { w =>
+      try SparkEntry.queries.get(w).foreach(
+        _(spark, sfDir).write.format("noop").mode("overwrite").save())
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

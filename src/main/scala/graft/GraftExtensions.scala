@@ -56,7 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.builders.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+          "", "", "", "", "", "", "built-in"),
         builder))
     }
 }

@@ -51,7 +51,7 @@ object Similarity {
   /** Bucket id = packed sign bits of the vector against each plane. */
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
       when(dot(emb, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -144,10 +144,10 @@ object Similarity {
       .collect()
       .map(_.getSeq[Double](0).toArray)
 
-    def centLit(c: Array[Double]) = array(c.map(lit): _*)
+    def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
     // cell = argmax_i dot(emb, centroid_i); emb's own norm is constant
     // across the comparison so raw dot against unit centroids suffices.
-    val dots = array(cents.map(c => dot(col("embedding"), centLit(c))): _*)
+    val dots = array(cents.toIndexedSeq.map(c => dot(col("embedding"), centLit(c))): _*)
     val celled = embeddings
       .withColumn("cells_dots", dots)
       .withColumn("cell", expr("array_position(cells_dots, array_max(cells_dots))"))
