@@ -378,6 +378,10 @@ object Registry {
       (s, _) => Generator.devices(s).orderBy("device_id")),
     "q_avro_roundtrip" -> noOracle(
       (s, _) => graft.pipeline.AvroPipeline.roundTrip(s)),
+
+    // ---- streaming semantics surfaced as a batch result (A5) ----
+    "q_watermark_late" -> noOracle(
+      (s, _) => graft.streaming.WatermarkDemo.lateDropDemo(s)),
   )
 
   private def stopwordsSql: String =

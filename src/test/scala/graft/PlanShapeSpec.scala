@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+
+/** Physical-plan regression guards: the shapes documented in
+  * docs/PLANS.md, asserted so a refactor can't silently lose pushdown,
+  * broadcast selection, or top-N fusion. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def planOf(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def planString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def collectAll[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    }
+    inner.collect(f)
+  }
+
+  test("per-device filter is pushed to the parquet scan") {
+    val s = planString("q_filter_device")
+    assert(s.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,13)]"), s)
+  }
+
+  test("pricing summary scans only referenced columns and pushes the date filter") {
+    val s = planString("q_pricing_summary")
+    assert(s.contains("LessThanOrEqual(l_shipdate"), s)
+    assert(!s.contains("l_comment"), "scan must prune unused columns")
+  }
+
+  test("dim joins broadcast (no shuffled fact side)") {
+    val p = planOf("q_enrich_join")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size == 2, s"expected 2 broadcast hash joins, got:\n$p")
+    val bx = collectAll(p) { case b: BroadcastExchangeExec => b }
+    assert(bx.nonEmpty)
+  }
+
+  test("newest-first limit fuses into TakeOrderedAndProject") {
+    val s = planString("q_latest_per_device")
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("no accidental cartesian products anywhere in the registry") {
+    // crossJoin(broadcast(1-row q)) plans as BroadcastNestedLoopJoin,
+    // which is fine; a CartesianProductExec would mean an unintended
+    // unconstrained pair blow-up.
+    val streamingOrWriting = Set("q_watermark_late", "q_sink_layout",
+      "q_csv_roundtrip", "q_json_roundtrip")
+    SparkEntry.queries.keys.filterNot(streamingOrWriting).foreach { name =>
+      val p = planOf(name)
+      val cart = collectAll(p) { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$name plans a CartesianProduct:\n$p")
+    }
+  }
+
+  test("partial aggregation precedes the shuffle in grouped aggs") {
+    val s = planString("q_hourly_agg")
+    // two HashAggregate operators (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s)
+  }
+}
