@@ -44,23 +44,29 @@ object Analytics {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** Revenue by nation: fact table joined to two broadcast dims, then
-    * grouped. lineitem->orders is a key join between two fact tables —
-    * at scale Spark picks sort-merge with AQE; customer/nation stay
-    * broadcast. */
+  /** Revenue by nation. The fact-fact join (lineitem->orders) is the
+    * expensive edge, so lineitem is pre-aggregated to one decimal
+    * revenue row per order BEFORE the join — pushing the aggregation
+    * through the join (Catalyst doesn't do this rewrite itself) shrinks
+    * the shuffled side from #lineitems to #orders. Decimal arithmetic
+    * keeps the two-level sum bit-exact vs the single-level oracle.
+    * customer/nation stay broadcast. */
   def revenueByNation(lineitem: DataFrame, orders: DataFrame,
                       customer: DataFrame, nation: DataFrame): DataFrame = {
     val price = col("l_extendedprice").cast(dec)
     val disc  = col("l_discount").cast(unitDec)
     val one   = lit(1).cast(unitDec)
-    lineitem
+    val perOrder = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(price * (one - disc)).as("rev_dec"), count(lit(1)).as("n_lines"))
+    perOrder
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        decOut(sum(price * (one - disc))).as("revenue"),
-        count(lit(1)).as("n_items"))
+        decOut(sum(col("rev_dec"))).as("revenue"),
+        sum(col("n_lines")).as("n_items"))
       .orderBy("n_name")
   }
 
