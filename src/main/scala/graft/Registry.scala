@@ -280,6 +280,8 @@ object Registry {
         |FROM documents ORDER BY doc_id""".stripMargin),
     "q_media_features" -> noOracle(
       (s, d) => Multimodal.mediaFeaturesQuery(s, documents(s, d))),
+    "q_media_frames" -> noOracle(
+      (s, d) => Multimodal.frameSampleQuery(s, documents(s, d))),
 
     // ---- text analysis (X4) ----
     "q_token_count" -> q(

@@ -78,4 +78,54 @@ object Multimodal {
 
   def mediaFeaturesQuery(spark: SparkSession, documents: DataFrame): DataFrame =
     extractFeatures(spark, documents).toDF().orderBy("doc_id")
+
+  // ====================================================================
+  // STUB: fake resize — a real implementation decodes, bilinear-scales
+  // to (w, h), re-encodes. The fake keeps the data dependency honest by
+  // sampling the payload down to w*h bytes deterministically.
+  // ====================================================================
+  private[llm] def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.max(w * h, 1)
+    if (bytes.isEmpty) new Array[Byte](0)
+    else Array.tabulate(math.min(n, bytes.length))(i =>
+      bytes((i.toLong * bytes.length / math.min(n, bytes.length)).toInt % bytes.length))
+  }
+
+  case class ResizedMedia(doc_id: Long, mime: String, width: Int, height: Int,
+                          media: Array[Byte])
+
+  /** Resize pipeline stage: same partition-wise batch shape as decode;
+    * output stays an opaque binary column + typed size metadata, so
+    * every downstream relational op treats it like any other column. */
+  def resize(spark: SparkSession, documents: DataFrame, w: Int = 64, h: Int = 64): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    mediaTable(documents).as[MediaRow].mapPartitions { rows =>
+      rows.map(r => ResizedMedia(r.doc_id, r.mime, w, h, resizeStub(r.media, w, h)))
+    }
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  /** Frame-sampling stage for video-like payloads: split the payload
+    * into fixed-size "frames", emit every strideth frame as its own row
+    * (one-to-many — the explode/Generator shape, done partition-wise so
+    * a real codec could seek rather than materialize). */
+  def frameSample(spark: SparkSession, documents: DataFrame,
+                  frameBytes: Int = 64, stride: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    mediaTable(documents).as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nFrames = math.max(r.media.length / frameBytes, 0)
+        (0 until nFrames by stride).iterator.map { f =>
+          val off = f * frameBytes
+          val len = math.min(frameBytes, r.media.length - off)
+          Frame(r.doc_id, f, len,
+            graft.functions.HashExprs.fnv1a64Bytes(r.media, off, len))
+        }
+      }
+    }
+  }
+
+  def frameSampleQuery(spark: SparkSession, documents: DataFrame): DataFrame =
+    frameSample(spark, documents).toDF().orderBy("doc_id", "frame_idx")
 }

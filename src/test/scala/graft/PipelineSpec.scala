@@ -74,6 +74,25 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("resize and frame-sample stages keep the declared shapes") {
+    val resized = graft.llm.Multimodal.resize(spark, docs, 8, 8).collect()
+    assert(resized.length == docs.count())
+    resized.foreach { r =>
+      assert(r.width == 8 && r.height == 8)
+      assert(r.media.length <= 64)
+    }
+    val frames = graft.llm.Multimodal.frameSample(spark, docs).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      assert(f.frame_idx % 4 == 0)
+      assert(f.n_bytes > 0 && f.n_bytes <= 64)
+    }
+    // deterministic
+    val frames2 = graft.llm.Multimodal.frameSample(spark, docs).collect()
+    assert(frames.sortBy(f => (f.doc_id, f.frame_idx)).toSeq ==
+      frames2.sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
+  }
+
   test("token ops agree with a direct computation") {
     val row = TextOps.tokenCount(docs).collect().head
     val text = docs.orderBy("doc_id").select("text").collect().head.getString(0)
