@@ -150,6 +150,8 @@ case class ShingleHashSet(child: Expression, shingleSize: Int)
   * min over k linear permutations, no intermediate arrays. */
 case class ShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
+  require(shingleSize >= 1 && numHashes >= 1,
+    s"shingle_minhash needs shingleSize >= 1 and numHashes >= 1, got $shingleSize/$numHashes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() = child.dataType match {
@@ -190,6 +192,7 @@ case class ShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int, s
   * corpus scale. One pass, O(len) amortized via a monotonic deque. */
 case class Winnow(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1, s"winnow needs k >= 1 and w >= 1, got k=$k w=$w")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() = child.dataType match {

@@ -154,8 +154,10 @@ object Similarity {
       .drop("cells_dots")
 
     // the query's nProbe nearest cells (driver-side: one k-dim argsort)
-    val qVec: Array[Float] = embeddings.filter(col("vec_id") === queryId)
-      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val qRows = embeddings.filter(col("vec_id") === queryId)
+      .select("embedding").collect()
+    require(qRows.nonEmpty, s"annIvfTopK: query vec_id=$queryId not found in corpus")
+    val qVec: Array[Float] = qRows.head.getSeq[Float](0).toArray
     val probeCells: Seq[Long] = cents
       .map(c => c.zip(qVec).map { case (a, b) => a * b.toDouble }.sum)
       .zipWithIndex.sortBy(-_._1).take(nProbe).map(_._2.toLong + 1).toSeq
