@@ -107,6 +107,13 @@ object Registry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY o_orderkey""".stripMargin),
+    "q_asof_join" -> q(
+      (s, d) => graft.query.AsOfJoin.eventsAsOfSignup(events(s, d)),
+      """SELECT e.event_id, e.user_id, e.ts, u.ts AS cfg_ts, u.value AS cfg_value
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') u
+        |  ON e.user_id = u.user_id AND e.ts >= u.ts
+        |ORDER BY e.event_id""".stripMargin),
     "q_scan" -> q(
       (s, d) => ReadPath.scan(lineitem(s, d)),
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,

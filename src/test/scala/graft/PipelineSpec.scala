@@ -51,6 +51,24 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("as-of join picks the latest prior right row, inclusive at equal ts") {
+    import spark.implicits._
+    val ts = (m: Int) => new java.sql.Timestamp(1704067200000L + m * 60000L)
+    val left = Seq(
+      (1L, ts(0), 5L), (2L, ts(10), 5L), (3L, ts(30), 5L), (4L, ts(5), 9L)
+    ).toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (5L, ts(10), 100.0), (5L, ts(20), 200.0)
+    ).toDF("user_id", "ts", "value")
+    val got = graft.query.AsOfJoin.asOf(left, right, "user_id", "ts", "value")
+      .select("event_id", "asof_value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L) == None)            // before any update
+    assert(got(2L) == Some(100.0))     // equal ts -> inclusive
+    assert(got(3L) == Some(200.0))     // latest prior
+    assert(got(4L) == None)            // other key
+  }
+
   test("session windows merge events within the gap and split across it") {
     import spark.implicits._
     val df = Seq(
