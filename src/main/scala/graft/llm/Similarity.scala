@@ -174,12 +174,17 @@ object Similarity {
   }
 
   /** Per-label centroid + distance profile — the "cluster summary"
-    * aggregation shape over vector columns (array aggregation via
-    * element-wise zip_with reduce in a declarative agg). */
+    * aggregation shape over vector columns. Element sums go through
+    * DECIMAL(28,10) (a deterministic rounding of each float, summed
+    * exactly) so the centroid doubles are identical regardless of
+    * partial-aggregation order — raw double sums would drift in the
+    * last ulp run-to-run. */
   def labelCentroids(embeddings: DataFrame): DataFrame = {
     val dim = 64
     val sums = (0 until dim).map(i =>
-      sum(element_at(col("embedding"), i + 1).cast(DoubleType)).as(s"s$i"))
+      sum(element_at(col("embedding"), i + 1).cast(DoubleType)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+        .cast(DoubleType).as(s"s$i"))
     val n = count(lit(1)).as("n_vecs")
     embeddings
       .groupBy(col("label"))
