@@ -253,9 +253,68 @@ object Winnow {
   }
 }
 
+/** `zorder2(a, b) -> long` — Morton/Z-order interleave of the low 32
+  * bits of two integer columns. Sorting (or range-partitioning) a table
+  * by this value clusters BOTH dimensions at once, so parquet row-group
+  * min/max stats prune scans filtered on either column — the lakehouse
+  * answer to the reference's secondary index on `location`
+  * (`cassandra/init.cql:81-82`, SURVEY §2.2 P11). */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes() = (left.dataType, right.dataType) match {
+    case (LongType | IntegerType, LongType | IntegerType) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"zorder2 expects two integer columns, got $other")
+  }
+
+  private def toLong(v: Any): Long = v match {
+    case i: java.lang.Integer => i.toLong
+    case l: java.lang.Long    => l
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder2.interleave(toLong(a), toLong(b))
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression) =
+    copy(newLeft, newRight)
+  override def prettyName: String = "zorder2"
+}
+
+object ZOrder2 {
+  /** Spread the low 32 bits of x across the even bit positions. */
+  def spread(x0: Long): Long = {
+    var x = x0 & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8))  & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4))  & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2))  & 0x3333333333333333L
+    x = (x | (x << 1))  & 0x5555555555555555L
+    x
+  }
+
+  def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+
+  /** Inverse of spread (for tests / debugging). */
+  def compact(z0: Long): Long = {
+    var z = z0 & 0x5555555555555555L
+    z = (z | (z >> 1))  & 0x3333333333333333L
+    z = (z | (z >> 2))  & 0x0f0f0f0f0f0f0f0fL
+    z = (z | (z >> 4))  & 0x00ff00ff00ff00ffL
+    z = (z | (z >> 8))  & 0x0000ffff0000ffffL
+    z = (z | (z >> 16)) & 0x00000000ffffffffL
+    z
+  }
+}
+
 object VectorFns {
   def winnow(c: Column, k: Int = 5, w: Int = 4): Column =
     GraftBridge.column(Winnow(GraftBridge.expression(c), k, w))
+  def zorder2(a: Column, b: Column): Column =
+    GraftBridge.column(ZOrder2(GraftBridge.expression(a), GraftBridge.expression(b)))
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
   def shingleHashSet(tokens: Column, n: Int): Column =

@@ -51,6 +51,31 @@ class HashExprsSpec extends SparkTestBase {
     assert(fp("abc") sameElements Set.empty) // shorter than one k-gram
   }
 
+  test("zorder2 interleave round-trips and clusters both dimensions") {
+    import graft.functions.ZOrder2
+    // round trip
+    for (a <- Seq(0L, 1L, 7L, 12345L, 0xffffffffL); b <- Seq(0L, 3L, 999L, 0xffffffffL)) {
+      val z = ZOrder2.interleave(a, b)
+      assert(ZOrder2.compact(z) == a)
+      assert(ZOrder2.compact(z >> 1) == b)
+    }
+    // locality: points in the same 2^k-aligned tile share a z prefix,
+    // so sorting by z clusters any small (a, b) rectangle contiguously
+    val tile = for (a <- 8L to 11L; b <- 4L to 7L) yield ZOrder2.interleave(a, b)
+    val all = for (a <- 0L to 31L; b <- 0L to 31L) yield ZOrder2.interleave(a, b)
+    val sorted = all.sorted
+    val (lo, hi) = (tile.min, tile.max)
+    val span = sorted.count(z => z >= lo && z <= hi)
+    assert(span == tile.size, s"the 4x4 tile must occupy one contiguous z-range, spans $span")
+
+    // expression form
+    val df = Seq((8L, 4L), (11L, 7L)).toDF("a", "b")
+      .select(graft.functions.VectorFns.zorder2(col("a"), col("b")).as("z"))
+    val zs = df.collect().map(_.getLong(0))
+    assert(zs(0) == ZOrder2.interleave(8L, 4L))
+    assert(zs(1) == ZOrder2.interleave(11L, 7L))
+  }
+
   test("simhash expression over array column") {
     val df = Seq(Seq("a", "b", "c"), Seq("a", "b", "c")).toDF("toks")
       .select(ColumnFns.simhash64(col("toks")).as("h"))
