@@ -166,7 +166,7 @@ object Registry {
           org.apache.spark.sql.functions.col("user_id"),
           org.apache.spark.sql.functions.col("event_type"),
           org.apache.spark.sql.functions.col("value")),
-        s"/tmp/graft_sink_demo_${ReadPath.DeviceKey}", ReadPath.DeviceKey),
+        tmpDir(s"graft_sink_demo_${ReadPath.DeviceKey}_"), ReadPath.DeviceKey),
       s"""SELECT event_id, ts, user_id, event_type, value FROM events
          |WHERE user_id = ${ReadPath.DeviceKey} ORDER BY event_id""".stripMargin),
 
@@ -253,7 +253,7 @@ object Registry {
     "q_csv_roundtrip" -> q(
       (s, d) => {
         import org.apache.spark.sql.functions.col
-        val dir = s"/tmp/graft_csv_demo"
+        val dir = tmpDir("graft_csv_demo_")
         val e = events(s, d).select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         e.write.mode("overwrite").option("header", "true").csv(dir)
         s.read.option("header", "true")
@@ -265,7 +265,7 @@ object Registry {
     "q_json_roundtrip" -> q(
       (s, d) => {
         import org.apache.spark.sql.functions.col
-        val dir = s"/tmp/graft_json_demo"
+        val dir = tmpDir("graft_json_demo_")
         val e = events(s, d).select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         e.write.mode("overwrite").json(dir)
         s.read.schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
@@ -286,7 +286,11 @@ object Registry {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin),
     "q_media_features" -> noOracle(
-      (s, d) => Multimodal.mediaFeaturesQuery(s, documents(s, d))),
+      // features array -> JSON string for the driver comparator (the
+      // typed Dataset API, Multimodal.extractFeatures, keeps the array).
+      (s, d) => Multimodal.mediaFeaturesQuery(s, documents(s, d)).withColumn(
+        "features", org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.col("features")))),
     "q_media_frames" -> noOracle(
       (s, d) => Multimodal.frameSampleQuery(s, documents(s, d))),
 
@@ -332,7 +336,12 @@ object Registry {
          |  + (CASE WHEN stop_ratio > 0.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS quality
          |FROM t ORDER BY doc_id""".stripMargin),
     "q_fingerprint" -> noOracle(
-      (s, d) => TextOps.fingerprint(documents(s, d))),
+      // winnow_fps rendered as a JSON string: the driver's comparator
+      // sorts output columns pandas-side and cannot hash raw arrays.
+      // The Scala API (TextOps.fingerprint) keeps the array form.
+      (s, d) => TextOps.fingerprint(documents(s, d)).withColumn(
+        "winnow_fps", org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.col("winnow_fps")))),
     "q_token_bpe" -> q(
       (s, d) => TextOps.tokenCountBpe(documents(s, d)),
       s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
@@ -378,7 +387,12 @@ object Registry {
     "q_dedup_embedding" -> noOracle(
       (s, d) => Similarity.embeddingNearDupPairs(embeddings(s, d))),
     "q_label_centroids" -> noOracle(
-      (s, d) => Similarity.labelCentroids(embeddings(s, d))),
+      // centroid array -> JSON string for the driver comparator (the
+      // Scala API keeps the array form); elements already deterministic
+      // via the decimal element-sum convention.
+      (s, d) => Similarity.labelCentroids(embeddings(s, d)).withColumn(
+        "centroid", org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.col("centroid")))),
 
     // ---- generator + avro ingest chain (S13, S3/S4) ----
     "q_generate" -> noOracle(
@@ -392,6 +406,14 @@ object Registry {
     "q_watermark_late" -> noOracle(
       (s, _) => graft.streaming.WatermarkDemo.lateDropDemo(s)),
   )
+
+  /** Fresh per-invocation scratch dir: concurrent verify + bench runs
+    * must not collide on a shared fixed path. */
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.toString
+  }
 
   private def stopwordsSql: String =
     TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")

@@ -108,11 +108,23 @@ case class ToAvro(child: Expression, schemaJson: String, schemaId: Int)
 
   override def dataType: DataType = BinaryType
 
-  override def checkInputDataTypes() = child.dataType match {
-    case s: StructType if s.length == Schemas.toStructType(Schemas.parse(schemaJson)).length =>
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"to_avro expects a ${Schemas.toStructType(Schemas.parse(schemaJson)).length}-field struct, got ${other.catalogString}")
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val expect = Schemas.toStructType(Schemas.parse(schemaJson))
+    child.dataType match {
+      case s: StructType if s.length == expect.length =>
+        // positional per-field type check (names may differ — Avro
+        // writes by position); nullability is allowed to widen.
+        s.fields.zip(expect.fields).find { case (in, ex) => in.dataType != ex.dataType } match {
+          case Some((in, ex)) => TypeCheckFailure(
+            s"to_avro field '${ex.name}' expects ${ex.dataType.catalogString}, " +
+              s"got ${in.dataType.catalogString}")
+          case None => TypeCheckSuccess
+        }
+      case other => TypeCheckFailure(
+        s"to_avro expects a ${expect.length}-field struct matching the Avro schema, " +
+          s"got ${other.catalogString}")
+    }
   }
 
   override def nullSafeEval(input: Any): Any = {

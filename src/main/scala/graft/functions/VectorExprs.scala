@@ -41,7 +41,11 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // Mismatched dimensions -> NULL, matching the HOF spelling
+    // (zip_with pads with null, null * x = null, the aggregate fold
+    // returns null) — silent truncation would hide dimension bugs.
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {

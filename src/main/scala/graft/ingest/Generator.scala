@@ -51,9 +51,13 @@ object Generator {
       (lit(BaseMs) + expr(s"id div $numDevices") * 1000L).as("timestamp"),
       round2(lit(15.0) + u01(col("id"), "temp") * 20.0).cast(FloatType).as("temperature"),
       round2(lit(30.0) + u01(col("id"), "hum") * 60.0).cast(FloatType).as("humidity"),
+      // location is a fixed per-DEVICE attribute (producer carries the
+      // device's home city on every event) — hash the device index, not
+      // the event id, so it agrees with `devices` above.
       element_at(
         array(Cities.map(lit): _*),
-        (pmod(xxhash64(col("id"), lit("city")), lit(Cities.size.toLong)) + 1).cast(IntegerType))
+        (pmod(xxhash64(pmod(col("id"), lit(numDevices.toLong)), lit("city")),
+          lit(Cities.size.toLong)) + 1).cast(IntegerType))
         .as("location"))
   }
 
@@ -73,9 +77,11 @@ object Generator {
       unix_millis(col("timestamp")).as("timestamp"),
       round2(lit(15.0) + u01(col("value"), "temp") * 20.0).cast(FloatType).as("temperature"),
       round2(lit(30.0) + u01(col("value"), "hum") * 60.0).cast(FloatType).as("humidity"),
+      // per-device location, consistent with `devices` (see sensorEvents)
       element_at(
         array(Cities.map(lit): _*),
-        (pmod(xxhash64(col("value"), lit("city")), lit(Cities.size.toLong)) + 1).cast(IntegerType))
+        (pmod(xxhash64(pmod(col("value"), lit(numDevices.toLong)), lit("city")),
+          lit(Cities.size.toLong)) + 1).cast(IntegerType))
         .as("location"))
   }
 }

@@ -39,7 +39,14 @@ object Sessionize {
             out += SessionOut(key, s.start, s.last, s.n, s.firstTemp, s.lastTemp)
             cur = Some(OpenSession(r.timestamp, r.timestamp, 1, r.temperature, r.temperature))
           case Some(s) =>
-            cur = Some(s.copy(last = r.timestamp, n = s.n + 1, lastTemp = r.temperature))
+            // an out-of-order reading from a later micro-batch must not
+            // shrink the session end (or steal lastTemp from the newest
+            // in-order reading)
+            val inOrder = r.timestamp >= s.last
+            cur = Some(s.copy(
+              last = math.max(s.last, r.timestamp),
+              n = s.n + 1,
+              lastTemp = if (inOrder) r.temperature else s.lastTemp))
           case None =>
             cur = Some(OpenSession(r.timestamp, r.timestamp, 1, r.temperature, r.temperature))
         }
