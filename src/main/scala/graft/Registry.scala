@@ -132,8 +132,29 @@ object Registry {
          |    CAST(floor(epoch(ts)/1800)*1800 - 1800 AS BIGINT)]) AS window_start
          |  FROM events)
          |GROUP BY 1, 2 ORDER BY user_id, window_start""".stripMargin),
-    "q_session_window" -> noOracle(
-      (s, d) => graft.query.Windows.sessionWindow(events(s, d))),
+    // gaps-and-islands oracle: Spark's session_window opens a new
+    // session when the gap reaches the 30-min threshold (windows are
+    // half-open, so ==30min does NOT merge), and session_end is
+    // last-event-time + gap.
+    "q_session_window" -> q(
+      (s, d) => graft.query.Windows.sessionWindow(events(s, d)),
+      s"""WITH o AS (
+         |  SELECT user_id, value, epoch_us(ts) AS us,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+         |  FROM events
+         |), s AS (
+         |  SELECT *, SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+         |      THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM o
+         |)
+         |SELECT user_id,
+         |  CAST(floor(min(us)/1000000) AS BIGINT) AS session_start,
+         |  CAST(floor((max(us) + 1800000000)/1000000) AS BIGINT) AS session_end,
+         |  CAST(count(*) AS BIGINT) AS event_count,
+         |  ${dsum(s"CAST(value AS $dec4)")} / count(*) AS avg_value
+         |FROM s GROUP BY user_id, sess
+         |ORDER BY user_id, session_start""".stripMargin),
     "q_rollup" -> q(
       (s, d) => graft.query.Windows.rollupRevenue(orders(s, d), customer(s, d)),
       s"""SELECT c_mktsegment, o_orderstatus,

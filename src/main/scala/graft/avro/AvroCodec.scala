@@ -9,7 +9,7 @@ import org.apache.avro.io.{BinaryDecoder, DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,13 +27,14 @@ import graft.contract.Schemas
   * `substr(6, 100000)` projection silently truncates >100 KB messages —
   * `src/spark_consumer.py:109-111` — which this fusion avoids).
   *
-  * Eval-mode expression (CodegenFallback): decode cost is dominated by
-  * Avro deserialization itself, and the expression still composes with
-  * whole-stage-codegen neighbors via the fallback bridge.
+  * Codegen keeps the surrounding stage fused: the generated code calls
+  * the decode kernel through a reference object (each task deserializes
+  * its own expression instance, so the reused decoder/record buffers
+  * stay single-threaded).
   */
 case class FromAvro(child: Expression, schemaJson: String, confluentWire: Boolean = true,
                     permissive: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val schema: Schema = Schemas.parse(schemaJson)
   @transient private lazy val struct: StructType = Schemas.toStructType(schema)
@@ -55,12 +56,23 @@ case class FromAvro(child: Expression, schemaJson: String, confluentWire: Boolea
     * the task — one bad Kafka message must not kill a multi-hour scan.
     * permissive=false (FAILFAST) surfaces the decode error. */
   override def nullSafeEval(input: Any): Any =
-    if (permissive) {
-      try decode(input.asInstanceOf[Array[Byte]])
-      catch { case _: Exception => null }
-    } else decode(input.asInstanceOf[Array[Byte]])
+    decodeKernel(input.asInstanceOf[Array[Byte]])
 
-  private def decode(bytes: Array[Byte]): Any = {
+  /** Shared by eval and codegen; null on corrupt input iff permissive. */
+  def decodeKernel(bytes: Array[Byte]): InternalRow =
+    if (permissive) {
+      try decode(bytes)
+      catch { case _: Exception => null }
+    } else decode(bytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fromAvro", this, classOf[FromAvro].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = $ref.decodeKernel($c);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+  }
+
+  private def decode(bytes: Array[Byte]): InternalRow = {
     val (off, len) =
       if (confluentWire) {
         require(bytes.length >= 5 && bytes(0) == 0x00.toByte,
@@ -100,7 +112,7 @@ case class FromAvro(child: Expression, schemaJson: String, confluentWire: Boolea
   * inverse of FromAvro, so the full producer contract
   * (`src/producer.py:74-82`) is expressible inside a Catalyst plan. */
 case class ToAvro(child: Expression, schemaJson: String, schemaId: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val schema: Schema = Schemas.parse(schemaJson)
   @transient private lazy val struct: StructType = Schemas.toStructType(schema)
@@ -127,8 +139,15 @@ case class ToAvro(child: Expression, schemaJson: String, schemaId: Int)
     }
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val row = input.asInstanceOf[InternalRow]
+  override def nullSafeEval(input: Any): Any =
+    encodeKernel(input.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("toAvro", this, classOf[ToAvro].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeKernel($c);")
+  }
+
+  def encodeKernel(row: InternalRow): Array[Byte] = {
     val rec = new GenericData.Record(schema)
     var i = 0
     while (i < struct.length) {

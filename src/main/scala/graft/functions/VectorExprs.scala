@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -19,9 +19,11 @@ import org.apache.spark.sql.types._
   * sequential-order sum, bit-identical to
   * `aggregate(zip_with(a,b,(x,y)->x*y),0d,(acc,v)->acc+v)`. */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // NULL is produced on dimension mismatch even for non-null inputs.
+  override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -56,6 +58,28 @@ case class DotProductExpr(left: Expression, right: Expression)
     }
     acc
   }
+
+  /** The same one-loop kernel inside whole-stage codegen: the fallback
+    * bridge would box every row and break stage fusion in exactly the
+    * per-row-hot similarity kernels. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val getL = if (leftFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val getR = if (rightFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $acc += $getL * $getR; }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression) =
     copy(newLeft, newRight)
@@ -136,15 +160,23 @@ object NgramHash {
 /** `shingle_hash_set(array<string>, n) -> array<long>` — sorted distinct
   * 31-bit hashes of the word n-grams; the exact-Jaccard currency. */
 case class ShingleHashSet(child: Expression, shingleSize: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() = child.dataType match {
     case ArrayType(_: StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"shingle_hash_set expects ARRAY<STRING>, got ${other.catalogString}")
   }
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(NgramHash.hashSet(input.asInstanceOf[ArrayData], shingleSize))
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+  def compute(arr: ArrayData): ArrayData =
+    new GenericArrayData(NgramHash.hashSet(arr, shingleSize))
+  // Kernel stays a Scala method; codegen just calls it via a reference
+  // object, which keeps the surrounding stage fused (no fallback
+  // eval-bridge row boxing).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashSet", this, classOf[ShingleHashSet].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "shingle_hash_set"
 }
@@ -153,7 +185,7 @@ case class ShingleHashSet(child: Expression, shingleSize: Int)
   * full MinHash signature in one pass: shingle -> 31-bit hash ->
   * min over k linear permutations, no intermediate arrays. */
 case class ShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(shingleSize >= 1 && numHashes >= 1,
     s"shingle_minhash needs shingleSize >= 1 and numHashes >= 1, got $shingleSize/$numHashes")
 
@@ -166,8 +198,10 @@ case class ShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int, s
 
   @transient private lazy val (as, bs) = NgramHash.coefficients(numHashes, seed)
 
-  override def nullSafeEval(input: Any): Any = {
-    val hs = NgramHash.hashSet(input.asInstanceOf[ArrayData], shingleSize)
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): ArrayData = {
+    val hs = NgramHash.hashSet(arr, shingleSize)
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
@@ -184,6 +218,11 @@ case class ShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int, s
     new GenericArrayData(sig)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleMinHash", this, classOf[ShingleMinHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "shingle_minhash"
 }
@@ -195,7 +234,7 @@ case class ShingleMinHash(child: Expression, shingleSize: Int, numHashes: Int, s
   * windows), which makes it the shard-local near-dup prefilter at
   * corpus scale. One pass, O(len) amortized via a monotonic deque. */
 case class Winnow(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1 && w >= 1, s"winnow needs k >= 1 and w >= 1, got k=$k w=$w")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -205,9 +244,15 @@ case class Winnow(child: Expression, k: Int, w: Int)
       s"winnow expects STRING, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-    new GenericArrayData(Winnow.fingerprints(bytes, k, w))
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    new GenericArrayData(Winnow.fingerprints(s.getBytes, k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this, classOf[Winnow].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
@@ -264,7 +309,7 @@ object Winnow {
   * answer to the reference's secondary index on `location`
   * (`cassandra/init.cql:81-82`, SURVEY §2.2 P11). */
 case class ZOrder2(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -282,6 +327,29 @@ case class ZOrder2(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     ZOrder2.interleave(toLong(a), toLong(b))
+
+  // Pure bit arithmetic, inlined (a Scala companion object has no Java
+  // static forwarders the generated code could call) — fully fused.
+  private def genSpread(v: String): String =
+    s"""$v &= 0xffffffffL;
+       |$v = ($v | ($v << 16)) & 0x0000ffff0000ffffL;
+       |$v = ($v | ($v << 8))  & 0x00ff00ff00ff00ffL;
+       |$v = ($v | ($v << 4))  & 0x0f0f0f0f0f0f0f0fL;
+       |$v = ($v | ($v << 2))  & 0x3333333333333333L;
+       |$v = ($v | ($v << 1))  & 0x5555555555555555L;""".stripMargin
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val za = ctx.freshName("za")
+      val zb = ctx.freshName("zb")
+      s"""
+         |long $za = (long) $a;
+         |long $zb = (long) $b;
+         |${genSpread(za)}
+         |${genSpread(zb)}
+         |${ev.value} = $za | ($zb << 1);
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression) =
     copy(newLeft, newRight)

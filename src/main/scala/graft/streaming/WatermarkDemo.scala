@@ -24,6 +24,17 @@ object WatermarkDemo {
     Ev(dev, BaseMs + minuteOfDay * 60000L, temp, 50f, "Rome")
 
   def lateDropDemo(spark: SparkSession): DataFrame = {
+    // A 5-event demo does not need 32 state-store partitions: each
+    // stateful micro-batch commits one store per shuffle partition,
+    // and that checkpoint I/O is the entire runtime here. The setting
+    // is pinned at stream start, so restore it right after.
+    val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try lateDropDemoImpl(spark)
+    finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+  }
+
+  private def lateDropDemoImpl(spark: SparkSession): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
@@ -36,17 +47,26 @@ object WatermarkDemo {
       }
     }
 
-    // round 1: two hour-0 readings; an hour-2 reading pushes the
+    // batch 1: two hour-0 readings; an hour-2 reading pushes the
     // watermark past hour-0's window end -> hour-0 finalizes with n=2
     mem.addData(ev("d1", 0, 20f), ev("d1", 30, 24f), ev("d1", 125, 30f))
-    val q1 = Streams.startAggStream(mem.toDF(), sink, ck, Trigger.AvailableNow())
-    q1.awaitTermination(120000)
+    // ONE continuously-running query (a second streaming startup used
+    // to cost ~2.7 s here); micro-batch boundaries between addData
+    // calls give the same watermark semantics as a restart.
+    val q = Streams.startAggStream(mem.toDF(), sink, ck,
+      Trigger.ProcessingTime("25 milliseconds"))
+    q.processAllAvailable()
 
-    // round 2: a 99-degree straggler for hour 0 (far behind the
+    // batch 2: a 99-degree straggler for hour 0 (far behind the
     // watermark -> dropped) plus an hour-5 reading to flush hour 2
     mem.addData(ev("d1", 5, 99f), ev("d1", 300, 10f))
-    val q2 = Streams.startAggStream(mem.toDF(), sink, ck, Trigger.AvailableNow())
-    q2.awaitTermination(120000)
+    q.processAllAvailable()
+    // finalized windows emit in the watermark-advance batch AFTER the
+    // data batch, which processAllAvailable does not wait for — poll.
+    val deadline = System.currentTimeMillis() + 60000
+    while (collected.synchronized(collected.size) < 2
+           && System.currentTimeMillis() < deadline) Thread.sleep(25)
+    q.stop()
 
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("device_id", org.apache.spark.sql.types.StringType),

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{NgramHash, VectorFns, Winnow, ZOrder2}
+
+/** The custom kernels run inside whole-stage codegen (SparkTestBase
+  * sets spark.sql.codegen.fallback=false, so a codegen bug aborts
+  * rather than silently degrading) and agree with the interpreted /
+  * direct-Scala forms.
+  */
+class CodegenSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dot_product codegen equals the HOF spelling; dim mismatch is NULL") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0)),
+      (Array(0.5f, -1.5f, 2.5f), Array(1.0, 1.0, 1.0))
+    ).toDF("f", "d")
+    val rows = df.select(
+      VectorFns.dot(col("f"), col("d")).as("dot"),
+      aggregate(zip_with(col("f").cast(ArrayType(DoubleType)), col("d"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+
+    val mism = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(VectorFns.dot(col("a"), col("b")).as("dot")).collect()
+    assert(mism.head.isNullAt(0), "dimension mismatch must yield NULL")
+  }
+
+  test("shingle_hash_set and shingle_minhash codegen match direct computation") {
+    val docs = Seq("the quick brown fox jumps over the lazy dog",
+      "a b", "").map(_.split(" ").filter(_.nonEmpty).toSeq).toDF("toks")
+    val rows = docs.select(
+      col("toks"),
+      VectorFns.shingleHashSet(col("toks"), 3).as("hs"),
+      VectorFns.shingleMinHash(col("toks"), 3, 16).as("sig")).collect()
+    rows.foreach { r =>
+      val toks = r.getSeq[String](0)
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString))
+      assert(r.getSeq[Long](1) == NgramHash.hashSet(arr, 3).toSeq)
+      assert(r.getSeq[Long](2).length == 16)
+    }
+  }
+
+  test("winnow codegen matches the direct fingerprint computation") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog again", "abc")
+    val rows = texts.toDF("t")
+      .select(col("t"), VectorFns.winnow(col("t"), 5, 4).as("fp")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) ==
+        Winnow.fingerprints(r.getString(0).getBytes("UTF-8"), 5, 4).toSeq)
+    }
+  }
+
+  test("zorder2 codegen matches the Scala interleave") {
+    val rows = Seq((0L, 0L), (1L, 3L), (12345L, 999L), (0xffffffffL, 0xffffffffL))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), VectorFns.zorder2(col("a"), col("b")).as("z")).collect()
+    rows.foreach(r => assert(r.getLong(2) == ZOrder2.interleave(r.getLong(0), r.getLong(1))))
+  }
+}
