@@ -385,8 +385,32 @@ object Registry {
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
         |ORDER BY user_id, event_type""".stripMargin),
-    "q_dedup_minhash" -> noOracle(
-      (s, d) => Dedup.minhashPairs(documents(s, d))),
+    // Oracle = brute-force STRING-shingle Jaccard over all pairs. Two
+    // facts make this a valid check of the LSH path: (a) the planted
+    // near-dup pairs sit at jaccard >= 0.85, far above the b=32/r=4
+    // recall cliff at the 0.5 threshold, and LSH + exact verification
+    // is deterministic under the fixed seed, so candidate-set equality
+    // with brute force holds at the fixture SFs (verified at sf0.001
+    // and sf0.01); (b) the engine's 31-bit hashed-shingle jaccard
+    // equals string-shingle jaccard whenever no within-pair collision
+    // occurs (none at fixture scale).
+    "q_dedup_minhash" -> q(
+      (s, d) => Dedup.minhashPairs(documents(s, d)),
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
+        |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
+        |  FROM toks WHERE len(t) > 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "q_dedup_simhash" -> noOracle(
       (s, d) => Dedup.simhashPairs(documents(s, d))),
 
@@ -405,8 +429,28 @@ object Registry {
       (s, d) => Similarity.annLshTopK(embeddings(s, d))),
     "q_ann_ivf" -> noOracle(
       (s, d) => Similarity.annIvfTopK(embeddings(s, d))),
-    "q_dedup_embedding" -> noOracle(
-      (s, d) => Similarity.embeddingNearDupPairs(embeddings(s, d))),
+    // Oracle = brute-force cosine over all pairs. Valid because the
+    // L-tables sign-LSH blocking (3 independent families + Hamming-1
+    // multiprobe) has ~1e-3 miss probability AT the 0.45 threshold and
+    // far less for real near-dups, and the run is deterministic under
+    // the fixed seeds — exact-parity verified at sf0.001 and sf0.01.
+    // Both engines normalize each vector first, then dot, then ROUND
+    // to 4 dp, so the doubles agree bit-for-bit.
+    "q_dedup_embedding" -> q(
+      (s, d) => Similarity.embeddingNearDupPairs(embeddings(s, d)),
+      """WITH u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product([x / a.nrm FOR x IN a.e], [y / b.nrm FOR y IN b.e]) AS raw_cos
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, ROUND(raw_cos, 4) AS cos_sim FROM p
+        |WHERE raw_cos >= 0.45 ORDER BY id_a, id_b""".stripMargin),
     "q_label_centroids" -> noOracle(
       // centroid array -> JSON string for the driver comparator (the
       // Scala API keeps the array form); elements already deterministic

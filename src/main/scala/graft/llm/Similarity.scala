@@ -93,9 +93,18 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-blocked self-join
-    * (bucket codes within Hamming 1: left side explodes its probe keys,
-    * right side keeps its bucket — an equality join, never O(n^2)),
-    * verified by exact cosine >= threshold.
+    * (equality join on (table, bucket) keys, never O(n^2)), verified by
+    * exact cosine >= threshold.
+    *
+    * Recall comes from the classic L-tables construction: numTables
+    * INDEPENDENT sign-LSH families (seeded hyperplane sets) each
+    * contribute candidates, and the left side additionally probes all
+    * buckets within Hamming 1 of its own. A pair at cosine theta
+    * disagrees on one plane with p = arccos(theta)/pi (~0.35 at the
+    * 0.45 threshold); missing it requires >= 2 disagreements in EVERY
+    * table — P[miss] ~ (p^2)^L ~ 1e-3 at threshold with L=3, and far
+    * lower for real near-dups. Tuning L trades work for recall without
+    * touching correctness (exact verification gates every candidate).
     *
     * Cost shape: vectors are L2-normalized ONCE per row (so a pair is a
     * single dot product), and candidate ID pairs are de-duplicated
@@ -103,25 +112,31 @@ object Similarity {
     * duplicates never reach the arithmetic, and the wide vector columns
     * never ride through the dedup shuffle. */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.45,
-                            numPlanes: Int = 2): DataFrame = {
-    val planes = hyperplanes(numPlanes, 64)
-    val b = embeddings.select(
+                            numPlanes: Int = 2, numTables: Int = 3): DataFrame = {
+    val base = embeddings.select(
       col("vec_id"),
       unitVector(col("embedding")).as("unit"),
-      lshBucket(col("embedding"), planes).as("bucket"))
+      array((0 until numTables).map(t =>
+        lshBucket(col("embedding"), hyperplanes(numPlanes, 64, seed = 42L + t))): _*)
+        .as("buckets"))
 
-    val l = b.select(col("vec_id").as("id_a"),
+    // (table, bucket) keys only — the unit vectors stay behind on
+    // `base` and are re-attached per deduped pair, not per probe row.
+    val b = base.select(col("vec_id"),
+      posexplode(col("buckets")).as(Seq("table", "bucket")))
+
+    val l = b.select(col("vec_id").as("id_a"), col("table"),
       explode(probeKeys(col("bucket"), numPlanes)).as("probe"))
-    val r = b.select(col("vec_id").as("id_b"), col("bucket").as("probe"))
+    val r = b.select(col("vec_id").as("id_b"), col("table"), col("bucket").as("probe"))
 
-    val candidates = l.join(r, Seq("probe"))
+    val candidates = l.join(r, Seq("table", "probe"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     candidates
-      .join(b.select(col("vec_id").as("id_a"), col("unit").as("unit_a")), Seq("id_a"))
-      .join(b.select(col("vec_id").as("id_b"), col("unit").as("unit_b")), Seq("id_b"))
+      .join(base.select(col("vec_id").as("id_a"), col("unit").as("unit_a")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("unit").as("unit_b")), Seq("id_b"))
       .withColumn("raw_cos", dot(col("unit_a"), col("unit_b")))
       .filter(col("raw_cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("raw_cos"), 4).as("cos_sim"))
