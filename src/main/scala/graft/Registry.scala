@@ -191,6 +191,26 @@ object Registry {
       s"""SELECT event_id, ts, user_id, event_type, value FROM events
          |WHERE user_id = ${ReadPath.DeviceKey} ORDER BY event_id""".stripMargin),
 
+    // ---- Z-ordered layout (P11 at lakehouse scale) ----
+    // Morton-interleaved (user_id, hour) write, read back through a
+    // per-device filter; pruning evidence is pinned in ZOrderSpec
+    // (row-group stats overlap fractions for BOTH dimensions).
+    "q_zorder_layout" -> q(
+      (s, d) => {
+        val dir = tmpDir("graft_zorder_")
+        graft.sink.ZOrderLayout.writeZOrdered(
+          events(s, d).select(
+            org.apache.spark.sql.functions.col("event_id"),
+            ntz(org.apache.spark.sql.functions.col("ts")).as("ts"),
+            org.apache.spark.sql.functions.col("user_id"),
+            org.apache.spark.sql.functions.col("event_type"),
+            org.apache.spark.sql.functions.col("value")),
+          dir)
+        graft.sink.ZOrderLayout.readFiltered(s, dir, ReadPath.DeviceKey)
+      },
+      s"""SELECT event_id, ts, user_id, event_type, value FROM events
+         |WHERE user_id = ${ReadPath.DeviceKey} ORDER BY event_id""".stripMargin),
+
     // ---- aggregation & windowing (A1-A4) ----
     "q_hourly_agg" -> q(
       (s, d) => EventPipeline.hourlyAgg(events(s, d)),
@@ -458,6 +478,15 @@ object Registry {
       (s, d) => Similarity.labelCentroids(embeddings(s, d)).withColumn(
         "centroid", org.apache.spark.sql.functions.to_json(
           org.apache.spark.sql.functions.col("centroid")))),
+
+    // ---- ops/monitoring (monitor.sh row-count sweep analog) ----
+    // Footer-based counts (no scan) checked against DuckDB COUNT(*).
+    "q_monitor_stats" -> q(
+      (s, d) => graft.ops.Monitor.statsReport(s, d),
+      Seq("customer", "documents", "embeddings", "events", "lineitem",
+          "nation", "orders", "part", "region", "supplier")
+        .map(t => s"SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM $t")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")),
 
     // ---- generator + avro ingest chain (S13, S3/S4) ----
     "q_generate" -> noOracle(
