@@ -28,15 +28,14 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // Cache the shared fixture tables once: every query re-derives the
-    // same scan plan and the CacheManager substitutes the in-memory
-    // relation, so per-query times measure operator work instead of
-    // re-reading the same parquet 50+ times.
-    Seq(Tables.events(spark, sfDir), Tables.lineitem(spark, sfDir),
-        Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
-        Tables.supplier(spark, sfDir), Tables.part(spark, sfDir),
-        Tables.nation(spark, sfDir), Tables.region(spark, sfDir),
-        Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir))
+    // Cache only the SMALL dimension tables (the CacheManager
+    // substitutes them into every query's scan). Caching the big/wide
+    // fixtures (events, lineitem, documents with binary media columns)
+    // was measured to cost MORE than the re-reads: the decoded rows
+    // blow past storage memory and the whole run pays in GC.
+    Seq(Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir),
+        Tables.part(spark, sfDir), Tables.nation(spark, sfDir),
+        Tables.region(spark, sfDir))
       .foreach { df => df.cache(); df.count() }
 
     // A crashed query must NOT masquerade as a fast one: it is recorded

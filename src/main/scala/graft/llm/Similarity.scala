@@ -112,12 +112,21 @@ object Similarity {
     * duplicates never reach the arithmetic, and the wide vector columns
     * never ride through the dedup shuffle. */
   def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.45,
-                            numPlanes: Int = 2, numTables: Int = 3): DataFrame = {
+                            numPlanes: Int = 0, numTables: Int = 3): DataFrame = {
+    // numPlanes <= 0 -> auto-size to ~500 vectors per bucket: with k
+    // planes there are 2^k buckets, and the in-bucket self-join does
+    // O(n^2 / 2^k) candidate work — a FIXED k degenerates toward
+    // all-pairs as the corpus grows. k = log2(n/500) keeps per-bucket
+    // occupancy (and so the join) flat at any scale; one count() job.
+    val planes0 =
+      if (numPlanes > 0) numPlanes
+      else math.max(2,
+        math.ceil(math.log(math.max(embeddings.count(), 1L) / 500.0) / math.log(2)).toInt)
     val base = embeddings.select(
       col("vec_id"),
       unitVector(col("embedding")).as("unit"),
       array((0 until numTables).map(t =>
-        lshBucket(col("embedding"), hyperplanes(numPlanes, 64, seed = 42L + t))): _*)
+        lshBucket(col("embedding"), hyperplanes(planes0, 64, seed = 42L + t))): _*)
         .as("buckets"))
 
     // (table, bucket) keys only — the unit vectors stay behind on
@@ -126,7 +135,7 @@ object Similarity {
       posexplode(col("buckets")).as(Seq("table", "bucket")))
 
     val l = b.select(col("vec_id").as("id_a"), col("table"),
-      explode(probeKeys(col("bucket"), numPlanes)).as("probe"))
+      explode(probeKeys(col("bucket"), planes0)).as("probe"))
     val r = b.select(col("vec_id").as("id_b"), col("table"), col("bucket").as("probe"))
 
     val candidates = l.join(r, Seq("table", "probe"))
