@@ -178,6 +178,72 @@ object Registry {
         |   EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase')
         |ORDER BY relation, user_id""".stripMargin),
 
+    // ---- upsert / reshape / interval join / skew agg ----
+    // Cassandra-semantics LWW merge: base snapshot + update batch,
+    // newest write per key wins under an explicit total order.
+    "q_upsert_latest" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val e = events(s, d).select(col("event_id"), ntz(col("ts")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        val split = lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+        graft.query.Upsert.lwwMerge(
+          e.filter(col("ts") < split), e.filter(col("ts") >= split),
+          Seq("user_id"), col("ts").desc, col("event_id").desc)
+          .orderBy("user_id")
+      },
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin),
+    "q_interval_join" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = events(s, d).select(col("event_id"), ntz(col("ts")).as("ts"),
+          col("user_id"), col("value"))
+        graft.query.IntervalJoin.byHourBucket(e, graft.query.IntervalJoin.demoWindows(s))
+          .select(col("window_id"), col("event_id"), col("ts"), col("user_id"), col("value"))
+          .orderBy("window_id", "event_id")
+      },
+      """WITH w(window_id, ws, we) AS (VALUES
+        |  (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 02:00:00'),
+        |  (CAST(3 AS BIGINT), TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-03 02:00:00'),
+        |  (CAST(5 AS BIGINT), TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-05 02:00:00'),
+        |  (CAST(7 AS BIGINT), TIMESTAMP '2024-01-07 00:00:00', TIMESTAMP '2024-01-07 02:00:00'),
+        |  (CAST(9 AS BIGINT), TIMESTAMP '2024-01-09 00:00:00', TIMESTAMP '2024-01-09 02:00:00'))
+        |SELECT window_id, event_id, ts, user_id, value FROM events e
+        |JOIN w ON e.ts >= w.ws AND e.ts < w.we
+        |ORDER BY window_id, event_id""".stripMargin),
+    "q_pivot" -> q(
+      (s, d) => graft.query.Reshape.pivotCounts(events(s, d)),
+      """SELECT user_id,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    "q_unpivot" -> q(
+      (s, d) => graft.query.Reshape.unpivotCounts(
+        graft.query.Reshape.pivotCounts(events(s, d))),
+      """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // Explicit salted two-phase aggregation (the skew tool AQE can't
+    // apply to aggregations) under the decimal oracle convention.
+    "q_skew_agg" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.types.DecimalType
+        val e = events(s, d).select(col("event_type"),
+          col("value").cast(DecimalType(18, 4)).as("v"))
+        graft.query.SkewJoin.saltedCountSum(e, "event_type", "v")
+          .select(col("event_type"), col("cnt"), decOut(col("total")).as("total"))
+          .orderBy("event_type")
+      },
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  ${dsum(s"CAST(value AS $dec4)")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // ---- sink layout (S6 write path + read routing) ----
     "q_sink_layout" -> q(
       (s, d) => graft.sink.Sinks.layoutRoundTrip(
