@@ -42,6 +42,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => Winnow(args(0), int(args(1), "k"), int(args(2), "w"))),
     ("from_avro_confluent", "from_avro_confluent(binary, schemaJson) - decode Confluent-wire Avro",
       (args: Seq[Expression]) => FromAvro(args(0), str(args(1), "schemaJson"))),
+    ("zorder2", "zorder2(a, b) - Morton interleave of the low 32 bits of two integers",
+      (args: Seq[Expression]) => ZOrder2(args(0), args(1))),
   )
 
   /** Late registration on a live session (tests / REPLs). */

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream correlation and exactly-once-style ingest dedup —
+  * capabilities around the reference's dual-stream consumer that its
+  * native runtime cannot express (it runs two INDEPENDENT queries off
+  * one source; correlating them happens manually in Cassandra reads).
+  *
+  * Both operators are watermark-bounded: Spark buffers only rows whose
+  * event time can still match/duplicate, so state is O(rate x horizon),
+  * not O(stream).
+  */
+object StreamJoins {
+
+  /** Alert event frame: device + alert time (ms) + severity level. */
+  case class Alert(device_id: String, alert_ms: Long, level: String)
+
+  /** Watermarked stream-stream INNER join: each sensor reading joined
+    * to alerts for the same device within +/- 10 minutes of event time.
+    * The time-range predicate is what lets Spark expire join state —
+    * an unconstrained stream-stream join would buffer forever. */
+  def readingsWithAlerts(readings: DataFrame, alerts: DataFrame,
+                         watermark: String = "1 minute"): DataFrame = {
+    val r = readings
+      .select(col("device_id"), col("temperature"),
+        timestamp_millis(col("timestamp")).as("r_time"))
+      .withWatermark("r_time", watermark)
+    val a = alerts
+      .select(col("device_id").as("alert_device"), col("level"),
+        timestamp_millis(col("alert_ms")).as("a_time"))
+      .withWatermark("a_time", watermark)
+    r.join(a,
+      col("device_id") === col("alert_device") &&
+      col("a_time") >= col("r_time") - expr("INTERVAL 10 MINUTES") &&
+      col("a_time") <= col("r_time") + expr("INTERVAL 10 MINUTES"))
+      .select(col("device_id"), col("r_time"), col("temperature"),
+        col("a_time"), col("level"))
+  }
+
+  /** At-least-once -> effectively-once ingest: duplicate deliveries of
+    * the same (device_id, timestamp) reading are dropped as long as
+    * they arrive within the watermark horizon — the engine-side analog
+    * of the reference's "duplicates overwrite the same Cassandra PK"
+    * idempotence, but BEFORE the sink (no wasted writes). */
+  def dedupWithinWatermark(decoded: DataFrame,
+                           watermark: String = "1 minute"): DataFrame =
+    decoded
+      .withColumn("event_time", timestamp_millis(col("timestamp")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("device_id", "timestamp")
+      .drop("event_time")
+}

@@ -56,7 +56,7 @@ class PlanShapeSpec extends SparkTestBase {
     // which is fine; a CartesianProductExec would mean an unintended
     // unconstrained pair blow-up.
     val streamingOrWriting = Set("q_watermark_late", "q_sink_layout",
-      "q_csv_roundtrip", "q_json_roundtrip")
+      "q_csv_roundtrip", "q_json_roundtrip", "q_zorder_layout")
     SparkEntry.queries.keys.filterNot(streamingOrWriting).foreach { name =>
       val p = planOf(name)
       val cart = collectAll(p) { case c: CartesianProductExec => c }
@@ -68,5 +68,27 @@ class PlanShapeSpec extends SparkTestBase {
     val s = planString("q_hourly_agg")
     // two HashAggregate operators (partial + final) around one exchange
     assert("HashAggregate".r.findAllIn(s).size >= 2, s)
+  }
+
+  test("interval join is an equality join (broadcast dim), not a nested loop") {
+    val p = planOf("q_interval_join")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected a broadcast HASH join on hour_bucket:\n$p")
+    val s = p.toString
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "range predicate must ride the bucket equi-join as a residual, not drive a NLJ")
+  }
+
+  test("upsert merge shuffles once on the key (window over union, no extra exchange)") {
+    val s = planString("q_upsert_latest")
+    assert(s.contains("Window"), s)
+    // one hash partitioning for the window + the final presentation sort
+    val hashExchanges = "hashpartitioning".r.findAllIn(s).size
+    assert(hashExchanges <= 2, s"upsert should need at most one key shuffle:\n$s")
+  }
+
+  test("salted agg runs two partial/final rounds (four HashAggregates)") {
+    val s = planString("q_skew_agg")
+    assert("HashAggregate".r.findAllIn(s).size >= 3, s)
   }
 }
