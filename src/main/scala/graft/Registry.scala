@@ -353,8 +353,21 @@ object Registry {
         |  ROUND(quantile_cont(value, 0.99), 4) AS p99,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
-    "q_approx_distinct" -> noOracle(
-      (s, d) => Analytics.approxDistinct(lineitem(s, d))),
+    // The exact side is value-checked; the HLL estimate is checked as a
+    // relative-error BOUND (rsd=0.02 sketch against a 5% gate) — the
+    // sketch itself is deterministic in Spark but not replicable in
+    // DuckDB, the bound is.
+    "q_approx_distinct" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{abs, col}
+        Analytics.approxDistinct(lineitem(s, d))
+          .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+            (abs(col("approx_parts") - col("exact_parts")) / col("exact_parts") <= 0.05)
+              .as("hll_within_5pct"))
+      },
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS hll_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // ---- alternative source formats (S12) ----
     "q_csv_roundtrip" -> q(
@@ -537,13 +550,33 @@ object Registry {
         |)
         |SELECT id_a, id_b, ROUND(raw_cos, 4) AS cos_sim FROM p
         |WHERE raw_cos >= 0.45 ORDER BY id_a, id_b""".stripMargin),
-    "q_label_centroids" -> noOracle(
-      // centroid array -> JSON string for the driver comparator (the
-      // Scala API keeps the array form); elements already deterministic
-      // via the decimal element-sum convention.
-      (s, d) => Similarity.labelCentroids(embeddings(s, d)).withColumn(
-        "centroid", org.apache.spark.sql.functions.to_json(
-          org.apache.spark.sql.functions.col("centroid")))),
+    // centroid emitted as 64 double COLUMNS (c00..c63): value-compared
+    // by the driver instead of JSON-string-compared, and each element
+    // is the decimal-exact sum / count in BOTH engines (scale 10 keeps
+    // the unscaled sum < 2^53 where DuckDB's decimal->double cast is
+    // exact). The Scala API (Similarity.labelCentroids) keeps the
+    // array form.
+    "q_label_centroids" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, element_at}
+        Similarity.labelCentroids(embeddings(s, d))
+          .select(col("label") +: col("n_vecs") +: (0 until 64).map(i =>
+            element_at(col("centroid"), i + 1).as(f"c$i%02d")): _*)
+      },
+      {
+        // ROUND before the decimal cast: float32 values are dyadic and
+        // CAN land exactly on a .5 boundary at scale 10 (e.g.
+        // -0.27392578125), where DuckDB's double->decimal cast rounds
+        // half-to-even but Spark HALF_UPs; DuckDB's ROUND is half-away
+        // and matches.
+        val cols = (0 until 64).map { i =>
+          s"CAST(CAST(SUM(CAST(ROUND(CAST(embedding[${i + 1}] AS DOUBLE), 10) AS DECIMAL(28,10)))" +
+            f" AS DECIMAL(38,10)) AS DOUBLE) / COUNT(*) AS c$i%02d"
+        }.mkString(",\n  ")
+        s"""SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           |  $cols
+           |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+      }),
 
     // ---- ops/monitoring (monitor.sh row-count sweep analog) ----
     // Footer-based counts (no scan) checked against DuckDB COUNT(*).
@@ -563,8 +596,20 @@ object Registry {
       (s, _) => graft.pipeline.AvroPipeline.roundTrip(s)),
 
     // ---- streaming semantics surfaced as a batch result (A5) ----
-    "q_watermark_late" -> noOracle(
-      (s, _) => graft.streaming.WatermarkDemo.lateDropDemo(s)),
+    // The demo replays a FIXED event sequence through the real
+    // watermarked streaming aggregation, so its finalized windows are a
+    // known constant: hour-0 closes with n=2 (the 99-degree straggler
+    // is provably dropped — were it counted, avg would be 47.67/n=3)
+    // and hour-2 flushes with n=1. The oracle pins that fixed point.
+    "q_watermark_late" -> q(
+      (s, _) => graft.streaming.WatermarkDemo.lateDropDemo(s),
+      """SELECT 'd1' AS device_id, CAST(1704067200 AS BIGINT) AS hour_bucket,
+        |  CAST(22.0 AS FLOAT) AS avg_temperature, CAST(24.0 AS FLOAT) AS max_temperature,
+        |  CAST(20.0 AS FLOAT) AS min_temperature, CAST(2 AS INT) AS event_count
+        |UNION ALL
+        |SELECT 'd1', CAST(1704074400 AS BIGINT), CAST(30.0 AS FLOAT),
+        |  CAST(30.0 AS FLOAT), CAST(30.0 AS FLOAT), CAST(1 AS INT)
+        |ORDER BY hour_bucket""".stripMargin),
   )
 
   /** Fresh per-invocation scratch dir: concurrent verify + bench runs
