@@ -178,6 +178,60 @@ object Registry {
         |   EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase')
         |ORDER BY relation, user_id""".stripMargin),
 
+    // ---- time series: LOCF resample + rolling z-score ----
+    "q_resample_locf" -> q(
+      (s, d) => graft.query.TimeSeries.resampleLocf(events(s, d)),
+      """WITH grid AS (
+        |  SELECT u.user_id, g.ts
+        |  FROM (SELECT DISTINCT user_id FROM events) u,
+        |       generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |                       TIMESTAMP '2024-01-15 00:00:00',
+        |                       INTERVAL 6 HOUR) AS g(ts)
+        |)
+        |SELECT grid.user_id, grid.ts AS grid_ts, e.ts AS src_ts, e.value AS value
+        |FROM grid ASOF LEFT JOIN events e
+        |  ON grid.user_id = e.user_id AND e.ts <= grid.ts
+        |ORDER BY grid.user_id, grid_ts""".stripMargin),
+    "q_rolling_zscore" -> q(
+      (s, d) => graft.query.TimeSeries.rollingZscore(events(s, d)),
+      """WITH t AS (
+        |  SELECT event_id, ts, user_id, value,
+        |    COUNT(value) OVER w AS cnt,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w
+        |      AS DECIMAL(38,4)) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CAST(ROUND(value * value, 4) AS DECIMAL(18,4))) OVER w
+        |      AS DECIMAL(38,4)) AS DOUBLE) AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, ts, user_id, value,
+        |  CASE WHEN cnt >= 5 AND (s2 - s1*s1/cnt)/(cnt-1) > 0
+        |    THEN (value - s1/cnt) / sqrt((s2 - s1*s1/cnt)/(cnt-1)) END AS zscore,
+        |  CASE WHEN cnt >= 5 AND (s2 - s1*s1/cnt)/(cnt-1) > 0
+        |    THEN abs((value - s1/cnt) / sqrt((s2 - s1*s1/cnt)/(cnt-1))) > 3.0
+        |    END AS is_anomaly
+        |FROM t ORDER BY event_id""".stripMargin),
+
+    // ---- TF-IDF feature scores (X4) ----
+    "q_tfidf" -> q(
+      (s, d) => TextOps.tfidf(documents(s, d)),
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf_count
+        |  FROM tok GROUP BY 1, 2
+        |), len AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS doc_len FROM tok GROUP BY 1
+        |), dfq AS (
+        |  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT t.doc_id, t.token, tf_count, doc_len, df,
+        |  ROUND((CAST(tf_count AS DOUBLE) / doc_len)
+        |    * ln((1.0 + n_docs) / (1.0 + df)), 6) AS tfidf
+        |FROM tf t JOIN len USING (doc_id) JOIN dfq USING (token), n
+        |WHERE t.doc_id < 20 ORDER BY doc_id, token""".stripMargin),
+
     // ---- upsert / reshape / interval join / skew agg ----
     // Cassandra-semantics LWW merge: base snapshot + update batch,
     // newest write per key wins under an explicit total order.

@@ -126,4 +126,27 @@ object TextOps {
         size(split(col("text"), " ")).as("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))).as("n_bpe_tokens"))
       .orderBy("doc_id")
+
+  /** TF-IDF feature scores per (doc, token): tf = in-doc frequency /
+    * doc length, idf = ln((1+N)/(1+df)). Every stage is an equality-key
+    * shuffle on (doc_id, token) or (token) — corpus-scale safe (a hot
+    * stopword token skews the df join; AQE's skew split handles it).
+    * The exact counts ride along so the float score is auditable. */
+  def tfidf(documents: DataFrame, docLimit: Int = 20): DataFrame = {
+    val nDocs = documents.count()
+    val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf_count"))
+    val len = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("doc_len"))
+    val dfreq = tok.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(len, "doc_id")
+      .join(dfreq, "token")
+      .withColumn("tfidf", round(
+        (col("tf_count").cast(DoubleType) / col("doc_len")) *
+          log((lit(1.0) + nDocs) / (lit(1.0) + col("df"))), 6))
+      .filter(col("doc_id") < docLimit)
+      .select(col("doc_id"), col("token"), col("tf_count"), col("doc_len"),
+        col("df"), col("tfidf"))
+      .orderBy("doc_id", "token")
+  }
 }
