@@ -213,6 +213,56 @@ object Registry {
         |    END AS is_anomaly
         |FROM t ORDER BY event_id""".stripMargin),
 
+    // ---- curation pipeline / split / chunking (X1/X4 composition) ----
+    "q_curation" -> q(
+      (s, d) => graft.llm.Curation.curate(documents(s, d)),
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_dup,
+         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopwordsSql))) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+         |  FROM documents
+         |), t2 AS (
+         |  SELECT doc_id, is_dup,
+         |    CASE WHEN stop_ratio > 0.05 THEN 'en' ELSE 'other' END AS lang_pred,
+         |    (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |    + (CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |    + (CASE WHEN stop_ratio > 0.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS quality
+         |  FROM t)
+         |SELECT doc_id, is_dup, lang_pred, quality,
+         |  CASE WHEN is_dup THEN 'exact_dup'
+         |       WHEN lang_pred <> 'en' THEN 'lang'
+         |       WHEN quality < 0.7 THEN 'low_quality'
+         |       ELSE 'keep' END AS reason,
+         |  (CASE WHEN is_dup THEN 'exact_dup'
+         |       WHEN lang_pred <> 'en' THEN 'lang'
+         |       WHEN quality < 0.7 THEN 'low_quality'
+         |       ELSE 'keep' END) = 'keep' AS kept
+         |FROM t2 ORDER BY doc_id""".stripMargin),
+    "q_train_split" -> q(
+      (s, d) => graft.llm.Curation.trainValTestSplit(documents(s, d)),
+      """SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |            WHEN doc_id % 10 = 8 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q_chunk_docs" -> q(
+      (s, d) => graft.llm.Curation.chunkDocs(documents(s, d)),
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 20
+        |), c AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, greatest(CAST(ceil((len(t) - 50) / 40.0) AS INT), 0) + 1)) AS ci
+        |  FROM toks
+        |)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |  CAST(len(t[ci*40 + 1 : least(ci*40 + 50, len(t))]) AS INT) AS n_chunk_tokens,
+        |  array_to_string(t[ci*40 + 1 : least(ci*40 + 50, len(t))], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+
     // ---- TF-IDF feature scores (X4) ----
     "q_tfidf" -> q(
       (s, d) => TextOps.tfidf(documents(s, d)),

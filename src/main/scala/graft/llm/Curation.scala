@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data curation pipeline stages over `documents`: the
+  * composed filter a corpus passes before tokenization, a deterministic
+  * train/val/test split, and fixed-size token chunking with overlap.
+  *
+  * Scale shape: curation is projections + one hash-agg (text dedup) —
+  * no join wider than the dedup key; the split is a pure projection;
+  * chunking is explode-over-computed-offsets (output size ~ corpus
+  * token count / stride, no shuffle at all).
+  */
+object Curation {
+
+  /** One pass of the standard curation gauntlet, every rule explicit:
+    * exact-dup (keep the min doc_id per identical text), language, and
+    * quality-score gates, with the FIRST failing rule as the recorded
+    * drop reason — the auditability a 100 TB curation run needs. */
+  def curate(documents: DataFrame, minQuality: Double = 0.7): DataFrame = {
+    val keeper = min(col("doc_id")).over(Window.partitionBy(col("text")))
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks)
+    val avgWLen = (length(col("text")) - nTok + 1).cast(DoubleType) / nTok.cast(DoubleType)
+    val stopR = size(filter(toks, t => t.isin(TextOps.EnStopwords: _*)))
+      .cast(DoubleType) / nTok.cast(DoubleType)
+    val quality =
+      when(nTok.between(10, 2000), lit(0.5)).otherwise(lit(0.0)) +
+      when(avgWLen.between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)) +
+      when(stopR > 0.0, lit(0.2)).otherwise(lit(0.0))
+    val langPred = when(stopR > 0.05, lit("en")).otherwise(lit("other"))
+    documents
+      .withColumn("is_dup", col("doc_id") =!= keeper)
+      .withColumn("quality", quality)
+      .withColumn("lang_pred", langPred)
+      .withColumn("reason",
+        when(col("is_dup"), lit("exact_dup"))
+          .when(col("lang_pred") =!= "en", lit("lang"))
+          .when(col("quality") < minQuality, lit("low_quality"))
+          .otherwise(lit("keep")))
+      .select(col("doc_id"), col("is_dup"), col("lang_pred"),
+        col("quality"), col("reason"), (col("reason") === "keep").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic, engine-independent train/val/test split on the
+    * document key: doc_id mod 10 -> 8/1/1. A pure projection — the
+    * split is reproducible on any engine and any run, unlike
+    * randomSplit. */
+  def trainValTestSplit(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 8, lit("train"))
+          .when(pmod(col("doc_id"), lit(10)) === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+
+  /** Fixed-size token chunking with overlap (chunk = `size` tokens,
+    * stride = `stride`): the packing step before tokenization. Chunk
+    * offsets are computed per row and exploded — no shuffle; output
+    * volume is corpusTokens/stride. */
+  def chunkDocs(documents: DataFrame, size0: Int = 50, stride: Int = 40,
+                docLimit: Int = 20): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nChunksMinus1 = greatest(
+      ceil((size(toks) - lit(size0)).cast(DoubleType) / stride).cast(IntegerType),
+      lit(0))
+    documents
+      .filter(col("doc_id") < docLimit)
+      .select(col("doc_id"), toks.as("t"),
+        explode(sequence(lit(0), nChunksMinus1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(slice(col("t"), col("chunk_idx") * stride + 1, lit(size0))).as("n_chunk_tokens"),
+        array_join(slice(col("t"), col("chunk_idx") * stride + 1, lit(size0)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+}

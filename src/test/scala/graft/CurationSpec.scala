@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Curation
+
+class CurationSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("curation reasons are consistent and kept docs pass every gate") {
+    val out = Curation.curate(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (isDup, lang, quality, reason, kept) =
+        (r.getBoolean(1), r.getString(2), r.getDouble(3), r.getString(4), r.getBoolean(5))
+      if (kept) {
+        assert(!isDup && lang == "en" && quality >= 0.7, r.toString)
+        assert(reason == "keep")
+      } else {
+        assert(reason != "keep")
+        if (reason == "exact_dup") assert(isDup)
+        if (reason == "lang") assert(!isDup && lang != "en")
+        if (reason == "low_quality") assert(!isDup && lang == "en" && quality < 0.7)
+      }
+    }
+    // the fixture's planted dups are NEAR-dups (distinct texts), so no
+    // exact_dup rows here — but both kept and dropped docs must exist
+    assert(out.exists(_.getBoolean(5)))
+    assert(out.exists(!_.getBoolean(5)))
+  }
+
+  test("split fractions are ~8/1/1 and partition the corpus") {
+    val rows = Curation.trainValTestSplit(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = rows.values.sum
+    assert(total == docs.count())
+    assert(rows("train") > rows("val") && rows("train") > rows("test"))
+    assert(math.abs(rows("train").toDouble / total - 0.8) < 0.05)
+  }
+
+  test("chunking covers every token with the declared overlap") {
+    val chunks = Curation.chunkDocs(docs).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    byDoc.foreach { case (docId, cs) =>
+      val sorted = cs.sortBy(_.getInt(1))
+      // every chunk except possibly the last has the full size
+      sorted.init.foreach(c => assert(c.getInt(2) == 50, s"doc $docId"))
+      assert(sorted.last.getInt(2) >= 1 && sorted.last.getInt(2) <= 50)
+      // stride: chunk i starts at i*40 -> consecutive chunks overlap by 10
+      val full = docs.filter(col("doc_id") === docId)
+        .select(split(col("text"), " ")).first().getSeq[String](0)
+      sorted.foreach { c =>
+        val start = c.getInt(1) * 40
+        val expect = full.slice(start, start + 50).mkString(" ")
+        assert(c.getString(3) == expect, s"doc $docId chunk ${c.getInt(1)}")
+      }
+      // union of chunks covers the doc
+      assert(sorted.last.getInt(1) * 40 + sorted.last.getInt(2) == full.length ||
+             full.length <= 50)
+    }
+  }
+}
