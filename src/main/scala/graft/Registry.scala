@@ -699,6 +699,28 @@ object Registry {
     "q_avro_roundtrip" -> noOracle(
       (s, _) => graft.pipeline.AvroPipeline.roundTrip(s)),
 
+    // ORC: third batch source format through the same round-trip gate.
+    "q_orc_roundtrip" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val dir = tmpDir("graft_orc_demo_")
+        val e = events(s, d).select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        e.write.mode("overwrite").orc(dir)
+        s.read.schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+          .orc(dir)
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin),
+
+    // Watermarked stream-stream join surfaced as a batch result under a
+    // literal oracle (one reading inside the alert's +/-10min window).
+    "q_stream_join" -> q(
+      (s, _) => graft.streaming.StreamJoins.joinDemo(s),
+      """SELECT 'd1' AS device_id, TIMESTAMP '2024-01-01 00:05:00' AS r_time,
+        |  CAST(30.0 AS FLOAT) AS temperature,
+        |  TIMESTAMP '2024-01-01 00:10:00' AS a_time, 'high' AS level""".stripMargin),
+
     // ---- streaming semantics surfaced as a batch result (A5) ----
     // The demo replays a FIXED event sequence through the real
     // watermarked streaming aggregation, so its finalized windows are a

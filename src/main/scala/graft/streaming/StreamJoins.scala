@@ -39,6 +39,42 @@ object StreamJoins {
         col("a_time"), col("level"))
   }
 
+  /** The stream-stream join's semantics surfaced as a deterministic
+    * batch result (registered as `q_stream_join` under a literal
+    * oracle): a fixed reading/alert sequence where exactly one reading
+    * falls inside an alert's +/-10min window. Same single-run +
+    * few-state-partitions posture as WatermarkDemo. */
+  def joinDemo(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val base = 1704067200000L // 2024-01-01T00:00:00Z
+      val readings = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WatermarkDemo.Ev]
+      val alerts = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Alert]
+      // d1@00:05 matches the 00:10 alert; d1@01:00 is 50min away; d2
+      // has no alert at all
+      readings.addData(
+        WatermarkDemo.Ev("d1", base + 5 * 60000L, 30f, 50f, "Rome"),
+        WatermarkDemo.Ev("d1", base + 60 * 60000L, 31f, 50f, "Rome"),
+        WatermarkDemo.Ev("d2", base + 6 * 60000L, 20f, 50f, "Rome"))
+      alerts.addData(Alert("d1", base + 10 * 60000L, "high"))
+      val name = "sj_demo_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = readingsWithAlerts(readings.toDF(), alerts.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name)
+        .select(col("device_id"),
+          col("r_time").cast("timestamp_ntz").as("r_time"),
+          col("temperature"),
+          col("a_time").cast("timestamp_ntz").as("a_time"),
+          col("level"))
+        .orderBy("device_id", "r_time")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** At-least-once -> effectively-once ingest: duplicate deliveries of
     * the same (device_id, timestamp) reading are dropped as long as
     * they arrive within the watermark horizon — the engine-side analog
