@@ -54,7 +54,7 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
@@ -62,4 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "", "", "", "", "", "", "built-in"),
         builder))
     }
+    // Whole-operator path: row_number()-top-k Filter+Window pairs are
+    // rewritten to the TopKPerKey logical node and planned as the
+    // heap-partial + streaming-final physical pair (plans/TopKPerKey.scala).
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

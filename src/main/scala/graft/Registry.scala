@@ -100,6 +100,15 @@ object Registry {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS INT) AS rn
         |  FROM events)
         |WHERE rn <= 5 ORDER BY user_id, rn""".stripMargin),
+    "q_topk_exec" -> q(
+      (s, d) => ReadPath.topkByType(events(s, d)),
+      """SELECT * FROM (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY event_type
+        |      ORDER BY value DESC NULLS LAST, event_id) AS INT) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin),
     "q_enrich_join" -> q(
       (s, d) => ReadPath.enrichJoin(orders(s, d), customer(s, d), nation(s, d)),
       """SELECT o_orderkey, o_totalprice, c_name, n_name

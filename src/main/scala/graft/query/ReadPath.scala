@@ -69,6 +69,19 @@ object ReadPath {
       .orderBy(col("user_id"), col("rn"))
   }
 
+  /** Top-N per key again, but written as the plain window idiom and
+    * keyed on a low-cardinality column — exercises the injected
+    * TopKRewrite (plans/TopKPerKey.scala): the optimizer replaces the
+    * Filter+Window pair with the heap-partial / streaming-final custom
+    * operator, so no full pre-shuffle sort and no WindowExec runs. */
+  def topkByType(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+    core(events)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("event_type"), col("rn"))
+  }
+
   /** P15: dimension-enrichment join. The dim side is tiny (customer /
     * nation scale with lineitem) so it MUST broadcast — no shuffle of
     * the fact table at 100 TB. */

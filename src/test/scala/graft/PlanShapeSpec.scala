@@ -79,10 +79,13 @@ class PlanShapeSpec extends SparkTestBase {
       "range predicate must ride the bucket equi-join as a residual, not drive a NLJ")
   }
 
-  test("upsert merge shuffles once on the key (window over union, no extra exchange)") {
+  test("upsert merge shuffles once on the key (top-1 operator over union, no extra exchange)") {
     val s = planString("q_upsert_latest")
-    assert(s.contains("Window"), s)
-    // one hash partitioning for the window + the final presentation sort
+    // The rn=1 keep-latest window idiom is rewritten to the custom
+    // TopKPerKey operator (plans/TopKPerKey.scala): heap partial below
+    // the key exchange, streaming final above it.
+    assert(s.contains("TopKPerKey"), s)
+    // one hash partitioning for the key + the final presentation sort
     val hashExchanges = "hashpartitioning".r.findAllIn(s).size
     assert(hashExchanges <= 2, s"upsert should need at most one key shuffle:\n$s")
   }

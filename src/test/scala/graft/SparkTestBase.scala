@@ -16,6 +16,7 @@ object SparkTestBase {
       // A doGenCode bug must FAIL tests, not silently fall back to
       // interpreted eval (which would hide a broken hot path).
       .config("spark.sql.codegen.fallback", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
