@@ -575,6 +575,46 @@ object Registry {
       (s, d) => TextOps.fingerprint(documents(s, d)).withColumn(
         "winnow_fps", org.apache.spark.sql.functions.to_json(
           org.apache.spark.sql.functions.col("winnow_fps")))),
+    // PII redaction: the fixture text is digit-free, so the query
+    // plants deterministic doc_id-derived contacts first — redaction
+    // visibly fires and both engines construct identical inputs.
+    "q_pii_redact" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, concat, lit, lpad, substring}
+        val base = documents(s, d).select(
+          col("doc_id"),
+          concat(
+            substring(col("text"), 1, 40),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string")).as("text"))
+        TextOps.redactPii(base)
+          .select(
+            col("doc_id"),
+            col("n_emails").cast("long").as("n_emails"),
+            col("n_phones").cast("long").as("n_phones"),
+            col("n_ips").cast("long").as("n_ips"),
+            col("redacted"))
+          .orderBy("doc_id")
+      },
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextOps.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM base ORDER BY doc_id""".stripMargin),
     "q_token_bpe" -> q(
       (s, d) => TextOps.tokenCountBpe(documents(s, d)),
       s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
@@ -625,6 +665,57 @@ object Registry {
         |ORDER BY doc_a, doc_b""".stripMargin),
     "q_dedup_simhash" -> noOracle(
       (s, d) => Dedup.simhashPairs(documents(s, d))),
+    // Prefix-filtered exact n-gram Jaccard join: unlike the minhash
+    // oracle above, NO recall caveat is needed — prefix filtering is
+    // exact, so result equality with brute force is a theorem, not a
+    // parameter-tuning outcome. Same 31-bit-hash-vs-string-shingle
+    // equivalence note as q_dedup_minhash.
+    "q_dedup_ngram" -> q(
+      (s, d) => Dedup.ngramJaccardPairs(documents(s, d)),
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
+        |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
+        |  FROM toks WHERE len(t) > 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // Dedup clustering: min-label connected components over the exact
+    // near-dup pair list; the oracle replays it as a recursive CTE
+    // (min reachable doc_id per vertex == min id of its component).
+    "q_dedup_cluster" -> q(
+      (s, d) => Dedup.connectedComponents(
+        documents(s, d), Dedup.ngramJaccardPairs(documents(s, d))),
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
+        |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
+        |  FROM toks WHERE len(t) > 0
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+        |), reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        |)
+        |SELECT id AS doc_id, MIN(lbl) AS component FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin),
 
     // ---- similarity search (X3) ----
     "q_similarity_topk" -> q(

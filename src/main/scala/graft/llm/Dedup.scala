@@ -96,6 +96,92 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** X2 exact n-gram Jaccard similarity join via positional prefix
+    * filtering — the non-probabilistic sibling of minhashPairs
+    * (SSJoin/PPJoin family): 100% recall at the threshold, no
+    * bands/rows tuning.
+    *
+    * Theorem (prefix filter): order every shingle set by a global
+    * total order (here: the 31-bit shingle hash value — ShingleHashSet
+    * emits sorted sets). If J(A,B) >= t then |A∩B| >= ceil(t*max|A|,|B|),
+    * and two sets with overlap >= a share an element within the first
+    * |S| - a + 1 elements of each. So joining only on each doc's first
+    * |S| - ceil(t*|S|) + 1 shingles finds EVERY qualifying pair;
+    * exact Jaccard verification then removes false candidates.
+    *
+    * Scale shape: the equality join carries (shingle, doc_id) for the
+    * prefix only — ~(1-t)*|S| per doc; candidates are pair-deduped
+    * before the wide hash-set arrays are re-attached. No cross join,
+    * no recall loss, and hot shingles are AQE-skew-join territory
+    * (or drop the globally-top-frequent shingles from prefixes: a
+    * shingle shared by half the corpus prunes nothing).
+    */
+  def ngramJaccardPairs(documents: DataFrame, shingleSize: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    val sh = shingleHashSets(documents, shingleSize)
+    val prefixLen = greatest(
+      lit(1),
+      (size(col("hs")).cast(DoubleType) -
+        ceil(size(col("hs")).cast(DoubleType) * lit(threshold)) + 1).cast(IntegerType))
+    val prefix = sh
+      .select(col("doc_id"), explode(slice(col("hs"), lit(1), prefixLen)).as("shingle"))
+
+    val candidates = prefix.as("l")
+      .join(prefix.as("r"), Seq("shingle"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Dedup clustering: connected components over a near-dup pair list,
+    * so each group of mutually-similar docs keeps one canonical
+    * survivor (the min doc_id of its component).
+    *
+    * Min-label propagation to fixpoint: every vertex starts as its own
+    * label; each round pushes labels across edges and keeps the min.
+    * Rounds = graph diameter — near-dup components are tiny cliques /
+    * short chains (diameter <= 3-4 in practice), so this converges in
+    * a handful of shuffles on doc_id. Each round is one equality join
+    * + one min-aggregate: fully distributed, nothing on the driver but
+    * the convergence counter. At adversarial diameters switch to the
+    * alternating large-star/small-star MapReduce CC (Kiveris et al.),
+    * which squares the label-propagation rate; the per-round dataflow
+    * is the same join+min shape.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("component"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val pushed = sym
+        .join(labels.select(col("doc_id").as("src"), col("component")), Seq("src"))
+        .select(col("dst").as("doc_id"), col("component"))
+      val next = labels.unionByName(pushed)
+        .groupBy("doc_id").agg(min("component").as("component"))
+        .localCheckpoint() // truncate the per-round lineage growth
+      val improved = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.component") < col("o.component"))
+        .limit(1).count() // any strict improvement => another round
+      labels = next
+      converged = improved == 0
+      iter += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard over all pairs (brute-force oracle for the
     * LSH path in tests; the verification kernel shares `jaccard`).
     * Same hashed-shingle currency as minhashPairs so the two agree

@@ -32,6 +32,35 @@ object TextOps {
   private def stopwordCount(toks: Column): Column =
     size(filter(toks, t => t.isInCollection(EnStopwords)))
 
+  /** PII patterns shared verbatim with the DuckDB oracle — RE2-safe
+    * (no lookaround), replace-all semantics in both engines. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re  = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII redaction for training-data curation: scrub emails, phone
+    * numbers, and IPv4 addresses from a text column, and count what
+    * was removed (the counts drive corpus-level leakage reporting).
+    * Order matters: emails first (their domains contain dot-runs an
+    * aggressive IP pattern could clip), IPs before phones is safe
+    * because the phone pattern requires dashes. Pure codegen'd
+    * regexp_replace/extract_all — per-row, no shuffle, 100 TB-scan
+    * friendly. */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df
+      .withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))))
+      .withColumn(
+        "redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>"))
+  }
+
   /** Per-document token counting (whitespace tokens + chars). */
   def tokenCount(documents: DataFrame): DataFrame =
     documents

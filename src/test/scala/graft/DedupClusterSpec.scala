@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, TextOps}
+
+/** Prefix-filtered exact n-gram Jaccard join, connected-components
+  * dedup clustering, and PII redaction. */
+class DedupClusterSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("prefix-filtered n-gram join equals the brute-force all-pairs join exactly") {
+    val fast = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Dedup.ngramJaccardAllPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == brute, s"prefix filter missed or invented pairs (fast=${fast.size}, brute=${brute.size})")
+    assert(brute.nonEmpty, "fixture should contain planted near-dups")
+  }
+
+  test("no cross join in the prefix-filter plan") {
+    val p = Dedup.ngramJaccardPairs(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("connected components on a hand-built graph") {
+    import spark.implicits._
+    // Components: {1,2,3,4} (chain), {5,6} (pair), {7} (singleton).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val vertices = (1L to 7L).toDF("doc_id")
+    val got = Dedup.connectedComponents(vertices, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("cluster labels are consistent with the pair list on the fixture") {
+    val pairs = Dedup.ngramJaccardPairs(docs)
+    val labels = Dedup.connectedComponents(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Every near-dup pair must land in the same component...
+    pairs.collect().foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)))
+    }
+    // ...the label is the min id of the member set...
+    labels.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.keys.min == comp)
+    }
+    // ...and docs in no pair are singletons.
+    val paired = pairs.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    labels.filterNot { case (id, _) => paired(id) }.foreach { case (id, comp) =>
+      assert(comp == id)
+    }
+  }
+
+  test("PII redaction scrubs emails, phones, and IPs and counts them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at a.b+c@test.example.org or call +1-555-0199 from 192.168.0.1"),
+      (2L, "clean text with no contacts at all"),
+      (3L, "two mails x@y.io z@w.dev one phone 44-123-4567")
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPii(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_emails") == 1)
+    assert(out(0).getAs[Int]("n_phones") == 1)
+    assert(out(0).getAs[Int]("n_ips") == 1)
+    assert(out(0).getAs[String]("redacted") ==
+      "mail me at <EMAIL> or call <PHONE> from <IP>")
+    assert(out(1).getAs[String]("redacted") == "clean text with no contacts at all")
+    assert(out(1).getAs[Int]("n_emails") + out(1).getAs[Int]("n_phones") +
+      out(1).getAs[Int]("n_ips") == 0)
+    assert(out(2).getAs[Int]("n_emails") == 2)
+    assert(out(2).getAs[Int]("n_phones") == 1)
+  }
+}
