@@ -172,6 +172,49 @@ object Registry {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
          |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin),
+    // Spark's grouping_id() packs the FIRST cube column into the MSB;
+    // spelled explicitly as 2*GROUPING(a)+GROUPING(b) for DuckDB.
+    "q_cube" -> q(
+      (s, d) => graft.query.Windows.cubeRevenue(orders(s, d), customer(s, d)),
+      s"""SELECT c_mktsegment, o_orderstatus,
+         |  ${dsum(s"CAST(o_totalprice AS $dec4)")} AS total_price,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(2*GROUPING(c_mktsegment) + GROUPING(o_orderstatus) AS BIGINT) AS gid
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+         |ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin),
+    "q_window_funcs" -> q(
+      (s, d) => graft.query.Windows.windowFuncs(events(s, d)),
+      """SELECT event_id, ts, user_id, value,
+        |  lag(value, 1) OVER wt AS prev_value,
+        |  lead(value, 1) OVER wt AS next_value,
+        |  CAST(rank() OVER wv AS INT) AS value_rank,
+        |  CAST(ntile(4) OVER wv AS INT) AS quartile,
+        |  cume_dist() OVER wv AS cdist
+        |FROM events
+        |WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       wv AS (PARTITION BY user_id ORDER BY value ASC NULLS FIRST, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin),
+    "q_scd2" -> q(
+      (s, d) => graft.query.Windows.scd2(events(s, d)),
+      """SELECT user_id, ts AS valid_from, value,
+        |  lead(ts, 1) OVER w AS valid_to,
+        |  lead(ts, 1) OVER w IS NULL AS is_current
+        |FROM events WHERE event_type = 'signup'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from""".stripMargin),
+    "q_anti_join" -> q(
+      (s, d) => Analytics.customersWithoutOrders(customer(s, d), orders(s, d)),
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin),
+    "q_exists_subquery" -> q(
+      (s, d) => Analytics.ordersWithBigLines(orders(s, d), lineitem(s, d)),
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+        |ORDER BY o_orderkey""".stripMargin),
     "q_set_ops" -> q(
       (s, d) => graft.query.Windows.setOps(events(s, d)),
       """SELECT user_id, 'both' AS relation FROM

@@ -86,6 +86,31 @@ object Analytics {
   /** Order-priority counts in a date range — pushdown-friendly filter +
     * semi-join shape (TPC-H Q4 flavor): orders that have at least one
     * late lineitem. */
+  /** Anti join (NOT EXISTS): customers who never placed a big-ticket
+    * order. Spark's left_anti is a hash join on the key — the orders
+    * side is filtered then projected to the key column only, so the
+    * build side carries 8 bytes/row however wide the fact table is. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
+                             minPrice: Double = 300000.0): DataFrame =
+    customer
+      .join(orders.filter(col("o_totalprice") > minPrice).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** Correlated EXISTS with a per-row predicate: orders that contain
+    * at least one high-quantity line. Planned as a left-semi hash join
+    * after the quantity filter is pushed below the join — the
+    * decorrelated form of the subquery. */
+  def ordersWithBigLines(orders: DataFrame, lineitem: DataFrame,
+                         minQty: Double = 49.0): DataFrame =
+    orders
+      .join(
+        lineitem.filter(col("l_quantity") >= minQty).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+
   def latePriority(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val late = lineitem
       .filter(col("l_shipdate") > lit("2000-01-01 00:00:00").cast("timestamp_ntz"))

@@ -53,6 +53,58 @@ object Windows {
         count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
+  /** CUBE grouping sets: all 2^k aggregate combinations in ONE scan —
+    * Catalyst expands to Expand + a single partial/final hash agg, so
+    * the fact table is read once however many grouping sets there are.
+    * grouping_id() disambiguates (NULL key) vs (rolled-up key). */
+  def cubeRevenue(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(graft.Tables.decSum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** Analytic-function battery over per-user event series: offset
+    * (lag/lead), ranking (rank over value), distribution (ntile,
+    * cume_dist) — one Window spec, one sort, no extra shuffles. */
+  def windowFuncs(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+    events
+      .select(col("event_id"), graft.Tables.ntz(col("ts")).as("ts"),
+        col("user_id"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("value_rank", rank().over(wVal).cast(IntegerType))
+      .withColumn("quartile", ntile(4).over(wVal).cast(IntegerType))
+      .withColumn("cdist", cume_dist().over(wVal))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** SCD type-2 dimension build from an event log: each per-user value
+    * observation becomes a versioned row with [valid_from, valid_to)
+    * and a current flag — the warehouse-side answer to Cassandra's
+    * in-place upsert (q_upsert_latest keeps only the head; this keeps
+    * the full history, queryable as-of any time). One shuffle on the
+    * key; lead() closes each interval. */
+  def scd2(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))
+    events
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), graft.Tables.ntz(col("ts")).as("valid_from"),
+        col("event_id"), col("value"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("event_id")
+      .orderBy("user_id", "valid_from")
+  }
+
   /** Set operations: events by two predicates — union / intersect /
     * except of the matching id sets. */
   def setOps(events: DataFrame): DataFrame = {
