@@ -301,6 +301,12 @@ object Registry {
         |            ELSE 'test' END AS split,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q_sample_stratified" -> q(
+      (s, d) => graft.llm.Curation.stratifiedSample(documents(s, d)),
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (doc_id * 2654435761) % 1000000007 % 100 <
+        |  CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+        |ORDER BY doc_id""".stripMargin),
     "q_chunk_docs" -> q(
       (s, d) => graft.llm.Curation.chunkDocs(documents(s, d)),
       """WITH toks AS (
@@ -469,6 +475,23 @@ object Registry {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    "q_market_share" -> q(
+      (s, d) => Analytics.marketShare(lineitem(s, d), orders(s, d), customer(s, d),
+        nation(s, d), region(s, d)),
+      s"""WITH j AS (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, n_name,
+         |    CAST(l_extendedprice AS $dec4) * ${oneMinus("l_discount")} AS rev
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA')
+         |SELECT o_year,
+         |  ${dsum("CASE WHEN n_name = 'NATION_2' THEN rev END")} AS nation_revenue,
+         |  ${dsum("rev")} AS region_revenue,
+         |  ${dsum("CASE WHEN n_name = 'NATION_2' THEN rev END")} / ${dsum("rev")} AS share
+         |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin),
     "q_top_parts" -> q(
       (s, d) => Analytics.topParts(lineitem(s, d), part(s, d)),
       s"""SELECT l_partkey, p_name, total_qty, n_lines FROM (

@@ -80,4 +80,27 @@ object Curation {
         array_join(slice(col("t"), col("chunk_idx") * stride + 1, lit(size0)), " ").as("chunk_text"))
       .orderBy("doc_id", "chunk_idx")
   }
+
+  /** Deterministic stratified sampling: per-language keep rates (e.g.
+    * downsample the dominant language, keep rare ones whole) decided by
+    * a multiplicative-mix pseudo-hash of doc_id — pure projection, no
+    * RNG, no shuffle, reproducible run to run and portable to any SQL
+    * engine. At 100 TB this is the rebalancing pass between curation
+    * and tokenization; being a scan-local filter it parallelizes
+    * perfectly and composes with partition pruning. */
+  def stratifiedSample(documents: DataFrame,
+                       rates: Map[String, Int] = Map("en" -> 20),
+                       defaultRate: Int = 50): DataFrame = {
+    // Knuth multiplicative mix, then a prime mod to decorrelate the
+    // bucket from doc_id's own residues. All intermediate values stay
+    // far below 2^63 (ANSI mode: overflow would throw, not wrap).
+    val bucket = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(100L)
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, pct)) =>
+      when(col("lang") === lang, lit(pct)).otherwise(acc)
+    }
+    documents
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
 }

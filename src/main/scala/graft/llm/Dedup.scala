@@ -124,12 +124,18 @@ object Dedup {
       (size(col("hs")).cast(DoubleType) -
         ceil(size(col("hs")).cast(DoubleType) * lit(threshold)) + 1).cast(IntegerType))
     val prefix = sh
-      .select(col("doc_id"), explode(slice(col("hs"), lit(1), prefixLen)).as("shingle"))
+      .select(col("doc_id"), size(col("hs")).as("n"),
+        explode(slice(col("hs"), lit(1), prefixLen)).as("shingle"))
 
+    // Length filter rides the equality join: J(A,B) <= min/max of the
+    // set sizes, so mismatched sizes can't clear the threshold — pairs
+    // die before the pair-dedup shuffle (~24% of candidates at sf0.1).
     val candidates = prefix.as("l")
-      .join(prefix.as("r"), Seq("shingle"))
+      .join(prefix.as("r"),
+        col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id") &&
+          least(col("l.n"), col("r.n")).cast(DoubleType) >=
+            lit(threshold) * greatest(col("l.n"), col("r.n")))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
     candidates
@@ -158,8 +164,13 @@ object Dedup {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIters: Int = 20): DataFrame = {
+    // Materialize the edge list ONCE: the pair-join pipeline feeding
+    // `edges` is the expensive part, and every propagation round (plus
+    // the convergence probe) would otherwise re-execute it from the
+    // scan. After this, a round touches only checkpointed blocks.
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
 
     var labels = vertices.select(col("doc_id"), col("doc_id").as("component"))
     var converged = false

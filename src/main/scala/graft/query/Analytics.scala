@@ -70,6 +70,40 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** Market-share headliner (TPC-H Q8 family): per order-year, the
+    * revenue share of one nation's customers among its whole region.
+    * Plan shape: per-order partial agg FIRST (shuffles #orders, not
+    * #lineitems), then broadcast dim joins, then one final agg keyed
+    * on the year — conditional numerator and denominator come out of
+    * the same aggregate, so the fact data is read and shuffled once.
+    * Share = exact-decimal numerator / exact-decimal denominator, both
+    * surfaced as doubles, so the quotient is bit-identical across
+    * engines. */
+  def marketShare(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  nation: DataFrame, region: DataFrame,
+                  targetNation: String = "NATION_2",
+                  targetRegion: String = "ASIA"): DataFrame = {
+    val price = col("l_extendedprice").cast(dec)
+    val disc  = col("l_discount").cast(unitDec)
+    val one   = lit(1).cast(unitDec)
+    val perOrder = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(price * (one - disc)).as("rev_dec"))
+    perOrder
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === targetRegion)
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        decOut(sum(when(col("n_name") === targetNation, col("rev_dec"))))
+          .as("nation_revenue"),
+        decOut(sum(col("rev_dec"))).as("region_revenue"))
+      .withColumn("share", col("nation_revenue") / col("region_revenue"))
+      .orderBy("o_year")
+  }
+
   /** Top parts by shipped quantity: large groupBy on a high-cardinality
     * key, then top-N (TakeOrderedAndProject after partial agg), then a
     * broadcast enrich of only the 25 survivors. */
@@ -83,9 +117,6 @@ object Analytics {
       .select(col("l_partkey"), col("p_name"), col("total_qty"), col("n_lines"))
       .orderBy(col("total_qty").desc, col("l_partkey"))
 
-  /** Order-priority counts in a date range — pushdown-friendly filter +
-    * semi-join shape (TPC-H Q4 flavor): orders that have at least one
-    * late lineitem. */
   /** Anti join (NOT EXISTS): customers who never placed a big-ticket
     * order. Spark's left_anti is a hash join on the key — the orders
     * side is filtered then projected to the key column only, so the
@@ -111,6 +142,9 @@ object Analytics {
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       .orderBy("o_orderkey")
 
+  /** Order-priority counts in a date range — pushdown-friendly filter +
+    * semi-join shape (TPC-H Q4 flavor): orders that have at least one
+    * late lineitem. */
   def latePriority(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val late = lineitem
       .filter(col("l_shipdate") > lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
