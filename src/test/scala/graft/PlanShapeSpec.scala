@@ -94,4 +94,42 @@ class PlanShapeSpec extends SparkTestBase {
     val s = planString("q_skew_agg")
     assert("HashAggregate".r.findAllIn(s).size >= 3, s)
   }
+
+  test("cube reads the fact table once (one file scan, Expand above it)") {
+    val s = planString("q_cube")
+    assert("FileScan parquet".r.findAllIn(s).size == 2, // orders + customer
+      s"cube must not rescan per grouping set:\n$s")
+    assert(s.contains("Expand"), s)
+  }
+
+  test("anti and semi joins are hash joins on a key-only build side") {
+    val anti = planString("q_anti_join")
+    assert(anti.contains("LeftAnti"), anti)
+    assert(!anti.contains("NestedLoop"), anti)
+    val semi = planString("q_exists_subquery")
+    assert(semi.contains("LeftSemi"), semi)
+    // The quantity predicate must be pushed into the lineitem scan.
+    assert(semi.contains("GreaterThanOrEqual(l_quantity"), semi)
+  }
+
+  test("window-function battery needs at most two key exchanges") {
+    val s = planString("q_window_funcs")
+    assert("hashpartitioning".r.findAllIn(s).size <= 2,
+      s"both window specs share the user_id clustering:\n$s")
+  }
+
+  test("market share: per-order agg below the join, dims broadcast") {
+    val p = planOf("q_market_share")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 3, s"customer/nation/region must broadcast:\n$p")
+    val s = p.toString
+    // the lineitem partial agg keys on l_orderkey BEFORE any join
+    assert(s.contains("HashAggregate(keys=[l_orderkey"), s)
+  }
+
+  test("stratified sample is a scan-local filter (no exchange before the sort)") {
+    val s = planString("q_sample_stratified")
+    assert("hashpartitioning".r.findAllIn(s).isEmpty,
+      s"sampling must not shuffle:\n$s")
+  }
 }
