@@ -44,6 +44,9 @@ object GraftFunctions {
       (args: Seq[Expression]) => FromAvro(args(0), str(args(1), "schemaJson"))),
     ("zorder2", "zorder2(a, b) - Morton interleave of the low 32 bits of two integers",
       (args: Seq[Expression]) => ZOrder2(args(0), args(1))),
+    ("sorted_intersect_size",
+      "sorted_intersect_size(a, b) - |a intersect b| of two sorted bigint arrays, one merge scan",
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))),
   )
 
   /** Late registration on a live session (tests / REPLs). */

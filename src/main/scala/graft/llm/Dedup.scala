@@ -45,9 +45,16 @@ object Dedup {
       col("doc_id"),
       graft.functions.VectorFns.shingleHashSet(TextOps.tokens(col("text")), shingleSize).as("hs"))
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast(DoubleType) /
-      size(array_union(a, b)).cast(DoubleType)
+  /** Exact Jaccard over two sorted distinct hash sets via the fused
+    * merge-scan kernel: |A∩B| from one O(n+m) loop, |A∪B| by
+    * inclusion-exclusion — same integers, hence bit-identical
+    * quotients, as the array_intersect/array_union spelling it
+    * replaces (which built a hash set + two arrays per candidate
+    * pair). */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = graft.functions.VectorFns.sortedIntersectSize(a, b)
+    inter.cast(DoubleType) / (size(a) + size(b) - inter).cast(DoubleType)
+  }
 
   /** X2 MinHash-LSH near-dup pairs.
     *

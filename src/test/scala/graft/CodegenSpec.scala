@@ -61,4 +61,23 @@ class CodegenSpec extends SparkTestBase {
       .select(col("a"), col("b"), VectorFns.zorder2(col("a"), col("b")).as("z")).collect()
     rows.foreach(r => assert(r.getLong(2) == ZOrder2.interleave(r.getLong(0), r.getLong(1))))
   }
+
+  test("sorted_intersect_size codegen equals the array_intersect spelling") {
+    val df = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L)),   // |inter| = 2
+      (Array(1L, 2L), Array(3L, 4L)),                    // disjoint
+      (Array[Long](), Array(1L, 2L)),                    // empty side
+      (Array(7L, 8L, 9L), Array(7L, 8L, 9L))             // identical
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorFns.sortedIntersectSize(col("a"), col("b")).as("fused"),
+      size(array_intersect(col("a"), col("b"))).as("generic"),
+      (size(col("a")) + size(col("b")) -
+        VectorFns.sortedIntersectSize(col("a"), col("b"))).as("union_fused"),
+      size(array_union(col("a"), col("b"))).as("union_generic")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"$r")
+      assert(r.getInt(2) == r.getInt(3), s"$r")
+    }
+  }
 }
