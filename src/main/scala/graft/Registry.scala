@@ -584,6 +584,28 @@ object Registry {
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin),
+    // REAL codec round trip: the engine encodes actual binary PGM (P5)
+    // images and parses them back with a real header/raster parser; the
+    // oracle recomputes the statistics from the shared pixel formula.
+    // Any encoder/parser defect (header bytes, raster offset, pixel
+    // order) breaks the hash match.
+    "q_media_decode" -> q(
+      (s, d) => Multimodal.pgmStats(s, documents(s, d)),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS INT) AS width,
+        |    CAST(8 + doc_id % 7 AS INT) AS height
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, width, height, unnest(range(width * height)) AS i
+        |  FROM d
+        |)
+        |SELECT doc_id, width, height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |  CAST(SUM((doc_id * 31 + i * 7) % 256) AS BIGINT) AS pixel_sum,
+        |  CAST(MAX((doc_id * 31 + i * 7) % 256) AS BIGINT) AS pixel_max
+        |FROM px GROUP BY doc_id, width, height
+        |ORDER BY doc_id""".stripMargin),
     "q_media_features" -> noOracle(
       // features array -> JSON string for the driver comparator (the
       // typed Dataset API, Multimodal.extractFeatures, keeps the array).

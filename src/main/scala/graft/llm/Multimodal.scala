@@ -11,11 +11,17 @@ import org.apache.spark.sql.types._
   * partition, arbitrary library calls inside, schema declared up
   * front).
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic FAKE decode; the Spark-side plumbing —
-  * schema, batching, partition distribution, output contract — is real
-  * and is what the tests cover. A production build swaps `decodeStub`
-  * for a real codec without touching the plan shape.
+  * Two codec tiers:
+  *  - REAL: binary PGM (Netpbm P5) encode + parse, pure JVM — see
+  *    `pgmFor`/`decodePgm`/`pgmStats` (q_media_decode). The DuckDB
+  *    oracle recomputes pixel stats from the generating formula, so
+  *    the parser is genuinely on the hook.
+  *  - STUB: JPEG/audio-class codecs are absent from this container, so
+  *    `decodeStub`/`resizeStub` are clearly-marked deterministic fakes;
+  *    the Spark-side plumbing — schema, batching, partition
+  *    distribution, output contract — is real and is what the tests
+  *    cover. A production build swaps the stub for the codec call
+  *    without touching the plan shape (exactly as `pgmStats` does).
   */
 object Multimodal {
 
@@ -128,4 +134,94 @@ object Multimodal {
 
   def frameSampleQuery(spark: SparkSession, documents: DataFrame): DataFrame =
     frameSample(spark, documents).toDF().orderBy("doc_id", "frame_idx")
+
+  // ====================================================================
+  // REAL codec path: binary PGM (Netpbm P5) — a production image format
+  // simple enough to encode/decode in pure JVM, no codec libraries.
+  // The engine builds actual P5 binaries (header + raw 8-bit pixels),
+  // and decodePgm is a REAL parser: magic check, whitespace/comment
+  // handling, maxval, raw pixel section. The oracle recomputes the
+  // pixel statistics from the generating formula — if the encoder or
+  // the parser mangled a single header byte or pixel offset, the
+  // round-tripped stats would not match.
+  // ====================================================================
+
+  /** Deterministic pixel formula shared with the DuckDB oracle:
+    * pixel(doc, i) = (doc_id*31 + i*7) % 256. */
+  private[graft] def pgmFor(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 9).toInt
+    val h = (8 + docId % 7).toInt
+    val header = s"P5\n# graft synthetic\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < w * h) {
+      out(header.length + i) = ((docId * 31 + i * 7) % 256).toByte
+      i += 1
+    }
+    out
+  }
+
+  final case class Pgm(width: Int, height: Int, maxVal: Int, pixels: Array[Byte])
+
+  /** Parse a binary PGM (P5). Returns None for anything malformed —
+    * wrong magic, truncated pixel section, oversized maxval — rather
+    * than throwing, so a corrupt blob degrades to a skipped row (the
+    * permissive-decode discipline the Avro path also follows). */
+  private[graft] def decodePgm(bytes: Array[Byte]): Option[Pgm] = {
+    var pos = 0
+    def skipWs(): Unit = {
+      var in = true
+      while (in && pos < bytes.length) {
+        val c = bytes(pos)
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+        else in = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWs()
+      val start = pos
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') pos += 1
+      if (pos == start) None
+      else Some(new String(bytes, start, pos - start, "US-ASCII").toInt)
+    }
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '5') return None
+    pos = 2
+    for {
+      w <- readInt()
+      h <- readInt()
+      maxVal <- readInt()
+      if maxVal > 0 && maxVal < 256 && w > 0 && h > 0
+      // exactly ONE whitespace byte separates maxval from the raster
+      if pos < bytes.length && { pos += 1; bytes.length - pos >= w * h }
+    } yield Pgm(w, h, maxVal, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h))
+  }
+
+  case class PgmStats(doc_id: Long, width: Int, height: Int, n_pixels: Long,
+                      pixel_sum: Long, pixel_max: Long)
+
+  /** Real decode pipeline: build P5 binaries, parse them back, compute
+    * stats from the DECODED pixels. Partition-wise like the stubs, but
+    * nothing here is fake — the parser is on the hook for every value
+    * the oracle checks. */
+  def pgmStats(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.flatMap { id =>
+        decodePgm(pgmFor(id)).map { img =>
+          var sum = 0L
+          var max = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = (img.pixels(i) & 0xff).toLong
+            sum += v
+            if (v > max) max = v
+            i += 1
+          }
+          PgmStats(id, img.width, img.height, img.pixels.length.toLong, sum, max)
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
 }
