@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNo
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator top-k-per-key: the engine's answer to the reference's
   * per-device "latest N" read pattern (`cassandra/init.cql:28-31` orders
@@ -121,6 +122,39 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
+/** Library API: build the TopKPerKey node directly — no reliance on
+  * the optimizer rewrite recognizing a window idiom. The session must
+  * carry GraftExtensions (for TopKStrategy) or planning falls back to
+  * Spark's error for an unplanned node.
+  */
+object TopK {
+  import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.IntegerType
+
+  /** Top `k` rows per `keys` group under `order` (use `col(...).desc`
+    * / `.asc` Columns), with the rank emitted as `rankCol`. The order
+    * Columns are resolved by planting them in a real sortWithinPartitions
+    * and unwrapping the analyzed Sort node — the analyzer does the
+    * Column -> resolved SortOrder conversion, so nulls-ordering and
+    * expression sort keys all behave exactly as they do in df.sort. */
+  def perKey(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int,
+             rankCol: String = "rn"): DataFrame = {
+    val (sortOrders, child) =
+      GraftBridge.analyzed(df.sortWithinPartitions(order: _*)) match {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => (s.order, s.child)
+        case other => throw new IllegalStateException(s"expected a Sort node, got $other")
+      }
+    val keyAttrs: Seq[Expression] = keys.map { name =>
+      child.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"key column '$name' not in ${child.output.map(_.name).mkString(", ")}"))
+    }
+    val rn = AttributeReference(rankCol, IntegerType, nullable = false)()
+    GraftBridge.ofRows(df.sparkSession, TopKPerKeyNode(keyAttrs, sortOrders, k, rn, child))
+  }
+}
+
 object TopKStrategy extends SparkStrategy {
   /** Keys buffered per partition before the partial degrades to
     * pass-through (a safety valve: pathological key cardinality within
@@ -152,12 +186,23 @@ final case class TopKPerKeyPartialExec(
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  // prunedRows quantifies what the heap pass saved the exchange;
+  // passThroughRows > 0 flags a partition that hit the key-cardinality
+  // safety valve (still correct, but un-pruned — a tuning signal).
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "prunedRows" -> SQLMetrics.createMetric(sparkContext, "rows pruned before the exchange"),
+    "passThroughRows" -> SQLMetrics.createMetric(sparkContext, "rows passed through unpruned (key-cap hit)"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = partitionExprs
     val sortOrder = order
     val limit = k
     val maxKeys = maxBufferedKeys
     val childOutput = child.output
+    val outRows = longMetric("numOutputRows")
+    val pruned = longMetric("prunedRows")
+    val passed = longMetric("passThroughRows")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord: BaseOrdering = GenerateOrdering.generate(sortOrder, childOutput)
@@ -177,12 +222,14 @@ final case class TopKPerKeyPartialExec(
             val key = keyProj(row)
             var heap = heaps.get(key)
             if (heap == null) {
-              if (heaps.size() >= maxKeys) { passThrough = row; return }
+              if (heaps.size() >= maxKeys) { passThrough = row; passed += 1; return }
               heap = new java.util.PriorityQueue[InternalRow](limit, heapOrd)
               heaps.put(key.copy(), heap)
             }
             if (heap.size() < limit) heap.add(row.copy())
-            else if (ord.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row.copy()) }
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll(); heap.add(row.copy()); pruned += 1
+            } else pruned += 1
           }
         }
 
@@ -199,6 +246,7 @@ final case class TopKPerKeyPartialExec(
 
         override def next(): InternalRow = {
           if (!hasNext) throw new NoSuchElementException
+          outRows += 1
           if (passThrough != null) { val r = passThrough; passThrough = null; r }
           else flushCur.next()
         }
@@ -235,11 +283,15 @@ final case class TopKPerKeyFinalExec(
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(groupOrder)
   override def outputOrdering: Seq[SortOrder] = groupOrder
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = partitionExprs
     val limit = k
     val childOutput = child.output
     val outAttrs = output
+    val outRows = longMetric("numOutputRows")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -252,6 +304,7 @@ final case class TopKPerKeyFinalExec(
         if (curKey == null || key != curKey) { curKey = key.copy(); rank = 1 } else rank += 1
         if (rank <= limit) {
           rnRow.setInt(0, rank)
+          outRows += 1
           Some(outProj(joined(row, rnRow)): InternalRow)
         } else None
       }

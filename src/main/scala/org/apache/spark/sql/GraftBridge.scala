@@ -10,6 +10,19 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a raw LogicalPlan (classic.Dataset.ofRows
+    * is sql-package-private) — the entry point for custom logical
+    * nodes constructed by the library API rather than the optimizer
+    * rewrite. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (to compose custom nodes
+    * on top of resolved children). */
+  def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
   /** Register a temp SQL function on a live session (the
     * SparkSessionExtensions path only applies at session build time;
     * this covers already-built sessions and tests). */

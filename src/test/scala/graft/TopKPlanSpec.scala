@@ -147,6 +147,21 @@ class TopKPlanSpec extends SparkTestBase {
     assert(globalTop.subsetOf(keptD))
   }
 
+  test("direct TopK.perKey API builds the node without the rewrite and matches the window idiom") {
+    val direct = graft.plans.TopK.perKey(
+      Tables.events(spark, sf).select(col("event_id"), col("ts"), col("user_id")),
+      Seq("user_id"), Seq(col("ts").desc, col("event_id")), 5)
+    assert(direct.queryExecution.optimizedPlan.collect { case n: TopKPerKeyNode => n }.nonEmpty)
+    val got = direct.collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
+    val viaWindow = topkEvents(5).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
+    assert(got == viaWindow)
+    // Unknown columns fail fast with a readable message.
+    intercept[IllegalArgumentException] {
+      graft.plans.TopK.perKey(Tables.events(spark, sf), Seq("nope"), Seq(col("ts")), 3)
+    }
+  }
+
   test("registered q_topk_exec matches the plain-window computation row for row") {
     val viaOperator = Registry.defs("q_topk_exec").fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(3), r.getInt(5))).toList
