@@ -548,6 +548,35 @@ object Registry {
         |  CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS hll_within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // Mergeable-sketch rollup: engines' sketch internals differ, so —
+    // like q_approx_distinct — the ERROR-BOUND CHECK is what gets
+    // oracle-compared (TRUE literal), alongside fully-exact columns.
+    "q_sketch_merge" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{abs, col, countDistinct}
+        val merged = Analytics.sketchMerge(events(s, d))
+        val exact = events(s, d).groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        merged.join(exact, Seq("event_type"))
+          .select(col("event_type"), col("exact_users"), col("n_days"),
+            (abs(col("merged_estimate") - col("exact_users")) / col("exact_users") <= 0.05)
+              .as("merged_within_5pct"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        |  TRUE AS merged_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    // Incremental-refresh merge == full recompute (the oracle IS the
+    // full recompute, so the merge discipline is what is checked).
+    "q_incremental_agg" -> q(
+      (s, d) => Analytics.incrementalAgg(events(s, d)),
+      s"""SELECT user_id,
+         |  ${dsum(s"CAST(value AS $dec4)")} AS total_value,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // ---- alternative source formats (S12) ----
     "q_csv_roundtrip" -> q(
       (s, d) => {

