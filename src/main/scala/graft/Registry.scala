@@ -577,6 +577,14 @@ object Registry {
          |  CAST(COUNT(*) AS BIGINT) AS n_events
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    "q_histogram" -> q(
+      (s, d) => Analytics.histogram(lineitem(s, d)),
+      s"""SELECT l_returnflag,
+         |  CAST(LEAST(FLOOR(l_quantity / 5.0), 9) AS INT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  ${dsum(s"CAST(l_quantity AS $dec4)")} AS sum_qty
+         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, bucket""".stripMargin),
+
     // ---- alternative source formats (S12) ----
     "q_csv_roundtrip" -> q(
       (s, d) => {

@@ -231,6 +231,19 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Equi-width histogram with explicit bucket arithmetic (portable to
+    * any engine, unlike width_bucket): bucket = min(floor(v/w), n-1).
+    * One partial/final agg over (flag, bucket) — the shuffle carries
+    * #flags x #buckets rows however large the fact table is. */
+  def histogram(lineitem: DataFrame, bucketWidth: Double = 5.0,
+                nBuckets: Int = 10): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"),
+        least(floor(col("l_quantity") / bucketWidth), lit(nBuckets - 1))
+          .cast(IntegerType).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), decSum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag", "bucket")
+
   /** Monthly order volume — date_trunc rollup over event time. */
   def ordersByMonth(orders: DataFrame): DataFrame =
     orders
