@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.query.Analytics
+
+/** The warehouse-maintenance trio: mergeable-sketch rollup, incremental
+  * aggregate refresh, and the portable equi-width histogram. */
+class WarehouseOpsSpec extends SparkTestBase {
+
+  test("sketch merge estimate lands within HLL error of the exact distinct count") {
+    val events = Tables.events(spark, sf)
+    val merged = Analytics.sketchMerge(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("x")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet == exact.keySet)
+    merged.foreach { case (t, est) =>
+      val x = exact(t).toDouble
+      assert(math.abs(est - x) / x <= 0.05, s"$t: est=$est exact=$x")
+    }
+  }
+
+  test("incremental merge equals full recompute for ANY split point") {
+    val events = Tables.events(spark, sf)
+    val full = Analytics.incrementalAgg(events, "1900-01-01 00:00:00") // all rows in "delta"
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    Seq("2024-01-03 12:00:00", "2024-01-08 00:00:00", "2100-01-01 00:00:00").foreach { split =>
+      val merged = Analytics.incrementalAgg(events, split)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(merged == full, s"split $split diverged from the full recompute")
+    }
+  }
+
+  test("histogram buckets partition the rows and sums are decimal-exact") {
+    val li = Tables.lineitem(spark, sf)
+    val h = Analytics.histogram(li).collect()
+    assert(h.map(_.getLong(2)).sum == li.count())
+    h.foreach { r =>
+      val b = r.getInt(1)
+      assert(b >= 0 && b <= 9, s"bucket out of range: $r")
+    }
+    // Spot-check one bucket against a direct filter count.
+    val flag = h.head.getString(0); val b0 = h.head.getInt(1)
+    val direct = li.filter(col("l_returnflag") === flag &&
+      least(floor(col("l_quantity") / 5.0), lit(9)).cast("int") === b0).count()
+    assert(h.head.getLong(2) == direct)
+  }
+}
