@@ -55,6 +55,35 @@ object HashExprs {
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash64 over a Catalyst string array — the single kernel shared
+    * by SimHash64's interpreted eval AND its generated code (called as
+    * a static from the codegen'd class). Hashes UTF-8 bytes directly,
+    * no per-token String materialization; null elements are skipped. */
+  def simhash64Array(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val b = arr.getUTF8String(i).getBytes
+        val h = fnv1a64Bytes(b, 0, b.length)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
 }
 
 /** `fnv1a64(string) -> long` — codegen'd scalar expression. */
@@ -78,11 +107,11 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "fnv1a64"
 }
 
-/** `simhash64(array<string>) -> long`. Interpreted eval (cheap relative
-  * to the tokenize upstream); null array elements are skipped. */
-case class SimHash64(child: Expression)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+/** `simhash64(array<string>) -> long` — codegen'd scalar expression;
+  * eval and generated code share the `HashExprs.simhash64Array` kernel,
+  * so the simhash stage stays inside whole-stage codegen with the
+  * tokenizer that feeds it. Null array elements are skipped. */
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes() = child.dataType match {
     case ArrayType(_: StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -90,14 +119,11 @@ case class SimHash64(child: Expression)
       s"simhash64 expects ARRAY<STRING>, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val it = (0 until n).iterator
-      .filterNot(arr.isNullAt)
-      .map(i => arr.getUTF8String(i).toString)
-    HashExprs.simhash64(it)
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashExprs.simhash64Array(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashExprs.simhash64Array($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
   override def prettyName: String = "simhash64"

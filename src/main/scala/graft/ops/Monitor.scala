@@ -19,24 +19,30 @@ object Monitor {
 
   final case class TableStats(table: String, files: Long, bytes: Long, rows: Long)
 
-  /** Footer-derived stats for one parquet table directory. */
+  /** Footer-derived stats for one parquet table directory. Listing and
+    * footer reads both go through the Hadoop `FileSystem` API, so the
+    * same sweep works against local paths, `file:///` URIs, and
+    * HDFS/S3-style object stores — where a `java.io.File` listing would
+    * silently return nothing. */
   def tableStats(dir: String, table: String): TableStats = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.hadoop.conf.Configuration
-    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.{FileStatus, Path}
     import scala.jdk.CollectionConverters._
     val conf = new Configuration()
-    val f = new java.io.File(dir)
-    val files: Array[java.io.File] =
-      if (f.isFile) Array(f)
-      else Option(f.listFiles()).getOrElse(Array.empty)
-        .filter(x => x.getName.endsWith(".parquet"))
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val rootStatus = fs.getFileStatus(root)
+    val files: Array[FileStatus] =
+      if (rootStatus.isFile) Array(rootStatus)
+      else fs.listStatus(root)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     var rows = 0L
     var bytes = 0L
-    files.foreach { pf =>
-      bytes += pf.length()
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(pf.getAbsolutePath), conf))
+    files.foreach { st =>
+      bytes += st.getLen
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
       try rows += r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       finally r.close()
     }

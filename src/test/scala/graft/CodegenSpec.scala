@@ -62,6 +62,31 @@ class CodegenSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getLong(2) == ZOrder2.interleave(r.getLong(0), r.getLong(1))))
   }
 
+  test("simhash64 codegen matches the iterator kernel and skips nulls") {
+    import graft.functions.{ColumnFns, HashExprs}
+    val rows = Seq(
+      Seq("spark", "scala", "engine", "query", "fast"),
+      Seq("a"),
+      Seq.empty[String]
+    ).toDF("toks")
+      .select(col("toks"), ColumnFns.simhash64(col("toks")).as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == HashExprs.simhash64(r.getSeq[String](0).iterator))
+    }
+    // null elements are skipped, not hashed
+    val withNull = Seq(1).toDF("i")
+      .select(array(lit("x"), lit(null).cast("string"), lit("y")).as("toks"))
+      .select(ColumnFns.simhash64(col("toks"))).collect()
+    assert(withNull.head.getLong(0) == HashExprs.simhash64(Iterator("x", "y")))
+    // and the stage is genuinely codegen'd (a non-foldable source, so
+    // the projection isn't collapsed into a LocalTableScan)
+    val plan = spark.range(4)
+      .select(array(lit("a"), col("id").cast("string")).as("toks"))
+      .select(ColumnFns.simhash64(col("toks"))).queryExecution.executedPlan.toString
+    // "*(n)" prefixes a WholeStageCodegen stage in the simple plan string
+    assert(plan.contains("*(1) Project [simhash64"), plan)
+  }
+
   test("sorted_intersect_size codegen equals the array_intersect spelling") {
     val df = Seq(
       (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L)),   // |inter| = 2

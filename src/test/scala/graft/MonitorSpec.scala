@@ -14,6 +14,14 @@ class MonitorSpec extends SparkTestBase {
     assert(stats.files >= 1 && stats.bytes > 0)
   }
 
+  test("table stats work against a file:/// URI (Hadoop FS listing, not java.io.File)") {
+    val uri = new java.io.File(s"$sf/events.parquet").toURI.toString // file:///...
+    assert(uri.startsWith("file:/"))
+    val stats = Monitor.tableStats(uri, "events")
+    assert(stats.rows == Tables.events(spark, sf).count())
+    assert(stats.files >= 1 && stats.bytes > 0)
+  }
+
   test("statsReport covers the warehouse with one row per table") {
     val rows = Monitor.statsReport(spark, sf).collect()
     assert(rows.length == 10)
