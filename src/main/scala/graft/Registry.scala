@@ -643,14 +643,73 @@ object Registry {
         |  CAST(MAX((doc_id * 31 + i * 7) % 256) AS BIGINT) AS pixel_max
         |FROM px GROUP BY doc_id, width, height
         |ORDER BY doc_id""".stripMargin),
-    "q_media_features" -> noOracle(
-      // features array -> JSON string for the driver comparator (the
-      // typed Dataset API, Multimodal.extractFeatures, keeps the array).
-      (s, d) => Multimodal.mediaFeaturesQuery(s, documents(s, d)).withColumn(
-        "features", org.apache.spark.sql.functions.to_json(
-          org.apache.spark.sql.functions.col("features")))),
-    "q_media_frames" -> noOracle(
-      (s, d) => Multimodal.frameSampleQuery(s, documents(s, d))),
+    // REAL ImageIO decode under the oracle: the engine encodes actual
+    // PNG bytes, decodes them with the JDK's PNG reader, and pools the
+    // DECODED raster into 8 horizontal-band means; the oracle replays
+    // the generating pixel formula. Band means are exact-int divisions
+    // (sum/count), so the doubles agree bit-for-bit cross-engine.
+    "q_media_features" -> q(
+      (s, d) => Multimodal.mediaFeaturesQuery(s, documents(s, d)),
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(16 + doc_id % 17 AS INT) AS width,
+         |    CAST(16 + doc_id % 13 AS INT) AS height
+         |  FROM documents
+         |), px AS (
+         |  SELECT doc_id, width, height, unnest(range(width * height)) AS i
+         |  FROM d
+         |), p AS (
+         |  SELECT doc_id, width, height,
+         |    (doc_id * 31 + i * 7) % 256 AS v,
+         |    ((i // width) * 8) // height AS band
+         |  FROM px
+         |)
+         |SELECT doc_id, width, height,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         |  CAST(SUM(v) AS BIGINT) AS pixel_sum,
+         |  CAST(MAX(v) AS BIGINT) AS pixel_max,
+         |${(0 until 8).map(b =>
+             s"  CAST(SUM(CASE WHEN band = $b THEN v END) AS DOUBLE)" +
+             s" / COUNT(CASE WHEN band = $b THEN 1 END) AS f$b").mkString(",\n")}
+         |FROM p GROUP BY doc_id, width, height
+         |ORDER BY doc_id""".stripMargin),
+    // Nearest-neighbor resize: decode PNG -> downscale (integer-division
+    // source mapping) -> RE-ENCODE -> RE-DECODE -> stats; the oracle
+    // replays src(x*sw//8, y*sh//8) from the formula.
+    "q_media_resize" -> q(
+      (s, d) => Multimodal.mediaResizeQuery(s, documents(s, d)),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(16 + doc_id % 17 AS INT) AS sw,
+        |    CAST(16 + doc_id % 13 AS INT) AS sh
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, sw, sh, unnest(range(64)) AS i FROM d
+        |), p AS (
+        |  SELECT doc_id,
+        |    (doc_id * 31 + (((i // 8) * sh // 8) * sw + ((i % 8) * sw // 8)) * 7) % 256 AS v
+        |  FROM px
+        |)
+        |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(SUM(v) AS BIGINT) AS thumb_sum,
+        |  CAST(MAX(v) AS BIGINT) AS thumb_max
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // Frame sampling = every 4th raster scanline of the decoded image.
+    "q_media_frames" -> q(
+      (s, d) => Multimodal.frameSampleQuery(s, documents(s, d)),
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(16 + doc_id % 17 AS INT) AS width,
+        |    CAST(16 + doc_id % 13 AS INT) AS height
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, width, height, unnest(range(width * height)) AS i FROM d
+        |)
+        |SELECT doc_id, CAST(i // width AS INT) AS frame_idx, width AS n_px,
+        |  CAST(SUM((doc_id * 31 + i * 7) % 256) AS BIGINT) AS row_sum
+        |FROM px WHERE (i // width) % 4 = 0
+        |GROUP BY doc_id, i // width, width
+        |ORDER BY doc_id, frame_idx""".stripMargin),
 
     // ---- text analysis (X4) ----
     "q_token_count" -> q(

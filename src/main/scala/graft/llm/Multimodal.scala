@@ -11,27 +11,30 @@ import org.apache.spark.sql.types._
   * partition, arbitrary library calls inside, schema declared up
   * front).
   *
-  * Two codec tiers:
-  *  - REAL: binary PGM (Netpbm P5) encode + parse, pure JVM — see
+  * Two REAL codec tiers (no stubs):
+  *  - Binary PGM (Netpbm P5) encode + parse, pure JVM — see
   *    `pgmFor`/`decodePgm`/`pgmStats` (q_media_decode). The DuckDB
   *    oracle recomputes pixel stats from the generating formula, so
   *    the parser is genuinely on the hook.
-  *  - STUB: JPEG/audio-class codecs are absent from this container, so
-  *    `decodeStub`/`resizeStub` are clearly-marked deterministic fakes;
-  *    the Spark-side plumbing — schema, batching, partition
-  *    distribution, output contract — is real and is what the tests
-  *    cover. A production build swaps the stub for the codec call
-  *    without touching the plan shape (exactly as `pgmStats` does).
+  *  - PNG through `javax.imageio.ImageIO` (the JDK registers PNG/JPEG/
+  *    BMP/GIF/TIFF readers): `pngFor` encodes a deterministic grayscale
+  *    image, `decodeImage` REALLY decodes it, and feature extraction /
+  *    resize / frame sampling all compute from the DECODED raster
+  *    (q_media_features / q_media_resize / q_media_frames). Because the
+  *    decoded pixels follow the shared generating formula, every one of
+  *    those queries sits under a full DuckDB oracle — a codec or
+  *    raster-offset defect breaks the hash match.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, mime: String, media: Array[Byte])
   case class MediaFeatures(
       doc_id: Long,
-      n_bytes: Int,
-      checksum: Long,
       width: Int,
       height: Int,
+      n_pixels: Long,
+      pixel_sum: Long,
+      pixel_max: Long,
       features: Array[Double])
 
   /** Build the media table: binary payload column + metadata. (The
@@ -49,84 +52,181 @@ object Multimodal {
       .orderBy("doc_id")
 
   // ====================================================================
-  // STUB: fake media decode. A real implementation would parse the
-  // codec here (e.g. JPEG -> pixels). Deterministic so tests can assert
-  // exact outputs; byte-driven so the data dependency is honest.
+  // REAL codec path #2: PNG via javax.imageio. The engine ENCODES a
+  // deterministic grayscale image per document (same pixel formula the
+  // DuckDB oracle replays), then DECODES the PNG bytes with a real
+  // ImageIO reader and computes everything downstream from the decoded
+  // raster. Any defect in the encode, the reader dispatch, or the
+  // raster indexing shifts a pixel and breaks the oracle hash.
   // ====================================================================
-  private[llm] def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
-    val checksumLen = 8
-    val w = 16 + (math.abs(bytes.length) % 64)            // fake "width"
-    val h = 16 + (math.abs(bytes.map(_.toInt).sum) % 64)  // fake "height"
-    val feats = Array.tabulate(checksumLen) { i =>
-      var acc = 0L
-      var j = i
-      while (j < bytes.length) { acc += (bytes(j) & 0xff); j += checksumLen }
-      acc.toDouble / math.max(bytes.length, 1)
+
+  /** PNG dimensions per document — wider than the PGM tier so both
+    * codecs are exercised on different shapes. */
+  private[graft] def pngDims(docId: Long): (Int, Int) =
+    ((16 + docId % 17).toInt, (16 + docId % 13).toInt)
+
+  /** Encode the deterministic grayscale image as real PNG bytes.
+    * pixel(doc, i) = (doc_id*31 + i*7) % 256 — shared with the oracle. */
+  private[graft] def pngFor(docId: Long): Array[Byte] = {
+    val (w, h) = pngDims(docId)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0, ((docId * 31 + i * 7) % 256).toInt)
+      i += 1
     }
-    (w, h, feats)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Partition-wise feature extraction over the media column. */
+  /** REAL image decode — ImageIO dispatches on the container's magic
+    * bytes (PNG/JPEG/BMP/GIF/TIFF readers ship with the JDK). Returns
+    * None for undecodable blobs (permissive-decode discipline). */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+
+  /** Gray value at (x, y) of a decoded image, whatever the source color
+    * model (ImageIO may hand back indexed/RGB rasters for other
+    * containers; band 0 of a TYPE_BYTE_GRAY raster is the gray sample). */
+  @inline private def sampleAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+    img.getRaster.getSample(x, y, 0)
+
+  private val NumBands = 8
+
+  /** Partition-wise feature extraction: encode -> REAL ImageIO decode ->
+    * spatial pooling over the decoded raster. Features = mean gray value
+    * of 8 horizontal bands (band of row y = y*8/h) — the classic pooled-
+    * descriptor shape, and exactly recomputable by the SQL oracle. */
   def extractFeatures(spark: SparkSession, documents: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    mediaTable(documents).as[MediaRow].mapPartitions { rows =>
-      // per-partition setup would open the codec once here
-      rows.map { r =>
-        val (w, h, feats) = decodeStub(r.media)
-        MediaFeatures(
-          r.doc_id,
-          r.media.length,
-          graft.functions.HashExprs.fnv1a64Bytes(r.media, 0, r.media.length),
-          w, h, feats)
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.flatMap { id =>
+        decodeImage(pngFor(id)).map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val bandSum = new Array[Long](NumBands)
+          val bandN = new Array[Long](NumBands)
+          var sum = 0L
+          var max = 0L
+          var y = 0
+          while (y < h) {
+            val band = y * NumBands / h
+            var x = 0
+            while (x < w) {
+              val v = sampleAt(img, x, y).toLong
+              sum += v
+              if (v > max) max = v
+              bandSum(band) += v
+              bandN(band) += 1
+              x += 1
+            }
+            y += 1
+          }
+          MediaFeatures(id, w, h, w.toLong * h, sum, max,
+            Array.tabulate(NumBands)(b => bandSum(b).toDouble / bandN(b)))
+        }
       }
     }
   }
 
-  def mediaFeaturesQuery(spark: SparkSession, documents: DataFrame): DataFrame =
-    extractFeatures(spark, documents).toDF().orderBy("doc_id")
-
-  // ====================================================================
-  // STUB: fake resize — a real implementation decodes, bilinear-scales
-  // to (w, h), re-encodes. The fake keeps the data dependency honest by
-  // sampling the payload down to w*h bytes deterministically.
-  // ====================================================================
-  private[llm] def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val n = math.max(w * h, 1)
-    if (bytes.isEmpty) new Array[Byte](0)
-    else Array.tabulate(math.min(n, bytes.length))(i =>
-      bytes((i.toLong * bytes.length / math.min(n, bytes.length)).toInt % bytes.length))
+  /** q_media_features surface: band means unpacked to scalar columns so
+    * the driver comparator can hash them (f0..f7). */
+  def mediaFeaturesQuery(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val base = extractFeatures(spark, documents).toDF()
+    base.select(
+      (Seq(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        col("pixel_sum"), col("pixel_max")) ++
+        (0 until NumBands).map(b => col("features").getItem(b).as(s"f$b"))): _*)
+      .orderBy("doc_id")
   }
 
   case class ResizedMedia(doc_id: Long, mime: String, width: Int, height: Int,
                           media: Array[Byte])
 
-  /** Resize pipeline stage: same partition-wise batch shape as decode;
+  /** Resize pipeline stage: REAL decode, nearest-neighbor downscale
+    * (src pixel of dst (x,y) = (x*srcW/dstW, y*srcH/dstH) — integer
+    * division, so the oracle replays it exactly), REAL re-encode. The
     * output stays an opaque binary column + typed size metadata, so
     * every downstream relational op treats it like any other column. */
-  def resize(spark: SparkSession, documents: DataFrame, w: Int = 64, h: Int = 64): Dataset[ResizedMedia] = {
+  def resize(spark: SparkSession, documents: DataFrame, w: Int = 8, h: Int = 8): Dataset[ResizedMedia] = {
     import spark.implicits._
-    mediaTable(documents).as[MediaRow].mapPartitions { rows =>
-      rows.map(r => ResizedMedia(r.doc_id, r.mime, w, h, resizeStub(r.media, w, h)))
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.flatMap { id =>
+        decodeImage(pngFor(id)).map { img =>
+          val srcW = img.getWidth
+          val srcH = img.getHeight
+          val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = out.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, sampleAt(img, x * srcW / w, y * srcH / h))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ResizedMedia(id, "image/png", w, h, bos.toByteArray)
+        }
+      }
     }
   }
 
-  case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
-
-  /** Frame-sampling stage for video-like payloads: split the payload
-    * into fixed-size "frames", emit every strideth frame as its own row
-    * (one-to-many — the explode/Generator shape, done partition-wise so
-    * a real codec could seek rather than materialize). */
-  def frameSample(spark: SparkSession, documents: DataFrame,
-                  frameBytes: Int = 64, stride: Int = 4): Dataset[Frame] = {
+  /** q_media_resize surface: RE-DECODE the resized PNG and report thumb
+    * stats from its raster — the full encode->resize->encode->decode
+    * chain is on the hook for the oracle hash. */
+  def mediaResizeQuery(spark: SparkSession, documents: DataFrame,
+                       w: Int = 8, h: Int = 8): DataFrame = {
     import spark.implicits._
-    mediaTable(documents).as[MediaRow].mapPartitions { rows =>
+    resize(spark, documents, w, h).mapPartitions { rows =>
       rows.flatMap { r =>
-        val nFrames = math.max(r.media.length / frameBytes, 0)
-        (0 until nFrames by stride).iterator.map { f =>
-          val off = f * frameBytes
-          val len = math.min(frameBytes, r.media.length - off)
-          Frame(r.doc_id, f, len,
-            graft.functions.HashExprs.fnv1a64Bytes(r.media, off, len))
+        decodeImage(r.media).map { img =>
+          var sum = 0L
+          var max = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val v = sampleAt(img, x, y).toLong
+              sum += v
+              if (v > max) max = v
+              x += 1
+            }
+            y += 1
+          }
+          (r.doc_id, img.getWidth, img.getHeight, sum, max)
+        }
+      }
+    }.toDF("doc_id", "width", "height", "thumb_sum", "thumb_max")
+      .orderBy("doc_id")
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, n_px: Int, row_sum: Long)
+
+  /** Frame-sampling stage for video-like payloads: decode, treat each
+    * raster scanline as a "frame", emit every strideth one as its own
+    * row (one-to-many — the explode/Generator shape, done partition-
+    * wise so a real codec seeks rather than materializing everything). */
+  def frameSample(spark: SparkSession, documents: DataFrame,
+                  stride: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.flatMap { id =>
+        decodeImage(pngFor(id)).iterator.flatMap { img =>
+          val w = img.getWidth
+          (0 until img.getHeight by stride).iterator.map { y =>
+            var sum = 0L
+            var x = 0
+            while (x < w) { sum += sampleAt(img, x, y); x += 1 }
+            Frame(id, y, w, sum)
+          }
         }
       }
     }

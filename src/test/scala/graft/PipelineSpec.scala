@@ -45,9 +45,15 @@ class PipelineSpec extends SparkTestBase {
     val f1 = Multimodal.mediaFeaturesQuery(spark, docs).collect()
     val f2 = Multimodal.mediaFeaturesQuery(spark, docs).collect()
     assert(f1.toSeq == f2.toSeq)
+    assert(f1.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "width", "height", "n_pixels", "pixel_sum", "pixel_max") ++
+        (0 until 8).map(b => s"f$b"))
     f1.foreach { r =>
-      assert(r.getSeq[Double](5).length == 8)
-      assert(r.getInt(1) > 0)
+      assert(r.getInt(1) >= 16 && r.getInt(1) <= 32)           // width
+      (6 until 14).foreach { i =>
+        val f = r.getDouble(i)
+        assert(f >= 0.0 && f <= 255.0, s"band mean $f out of gray range")
+      }
     }
   }
 
@@ -92,18 +98,22 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
-  test("resize and frame-sample stages keep the declared shapes") {
+  test("resize emits real 8x8 PNGs and frame-sample strides the decoded raster") {
     val resized = graft.llm.Multimodal.resize(spark, docs, 8, 8).collect()
     assert(resized.length == docs.count())
     resized.foreach { r =>
-      assert(r.width == 8 && r.height == 8)
-      assert(r.media.length <= 64)
+      assert(r.width == 8 && r.height == 8 && r.mime == "image/png")
+      // the payload is an actual PNG: magic bytes + re-decodable at 8x8
+      assert((r.media(0) & 0xff) == 0x89 && r.media(1) == 'P')
+      val img = Multimodal.decodeImage(r.media).getOrElse(fail(s"doc ${r.doc_id} thumb undecodable"))
+      assert(img.getWidth == 8 && img.getHeight == 8)
     }
     val frames = graft.llm.Multimodal.frameSample(spark, docs).collect()
     assert(frames.nonEmpty)
     frames.foreach { f =>
       assert(f.frame_idx % 4 == 0)
-      assert(f.n_bytes > 0 && f.n_bytes <= 64)
+      assert(f.n_px >= 16 && f.n_px <= 32)
+      assert(f.row_sum >= 0 && f.row_sum <= 255L * f.n_px)
     }
     // deterministic
     val frames2 = graft.llm.Multimodal.frameSample(spark, docs).collect()
