@@ -57,23 +57,30 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** X3 scale path: ANN via LSH buckets with Hamming-<=1 multiprobe —
-    * candidate vectors lie in the query's bucket or any bucket one sign
-    * flip away; exact cosine re-ranks only the candidates. Recall/cost
-    * tunes with numPlanes (fewer planes = bigger buckets = higher
-    * recall). At cluster scale the table is written bucketed by
-    * `bucket`, so a probe touches numPlanes+1 buckets, not the corpus. */
+  /** X3 scale path: ANN via L-tables sign-LSH with Hamming-<=1
+    * multiprobe — `numTables` INDEPENDENT hyperplane families each
+    * contribute the query's bucket plus every bucket one sign flip
+    * away; exact cosine re-ranks only the candidate union. Missing a
+    * true neighbor requires >= 2 plane disagreements in EVERY table, so
+    * recall compounds as 1-(1-r)^L while probe cost stays
+    * L*(numPlanes+1) buckets of a bucketed table — never the corpus.
+    * Recall/cost tunes with (numPlanes, numTables) without touching
+    * correctness (the re-rank is exact). */
   def annLshTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
-                 numPlanes: Int = 4): DataFrame = {
+                 numPlanes: Int = 4, numTables: Int = 3): DataFrame = {
     val dim = 64
-    val planes = hyperplanes(numPlanes, dim)
-    val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val bucketed = embeddings.select(
+      col("vec_id") +: col("embedding") +:
+        (0 until numTables).map(t =>
+          lshBucket(col("embedding"), hyperplanes(numPlanes, dim, seed = 42L + t)).as(s"b$t")): _*)
     val q = bucketed.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+      .select(col("embedding").as("q_emb") +:
+        (0 until numTables).map(t => col(s"b$t").as(s"qb$t")): _*)
+    val anyTableHit = (0 until numTables)
+      .map(t => bit_count(col(s"b$t").bitwiseXOR(col(s"qb$t"))) <= 1)
+      .reduce(_ || _)
     bucketed
-      .join(broadcast(q),
-        col("vec_id") =!= queryId &&
-        bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= 1)
+      .join(broadcast(q), col("vec_id") =!= queryId && anyTableHit)
       .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("raw_cos"))
       .orderBy(col("raw_cos").desc, col("vec_id"))
       .limit(k)
@@ -152,21 +159,34 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Deterministic seeded-sample centroid pick for IVF "training": the
+    * nCells corpus vectors with the smallest murmur3(vec_id) — a
+    * hash-sample, so the picks are spread uniformly over the corpus
+    * REGARDLESS of how it is ordered or clustered by id. (The previous
+    * first-nCells pick collapses on an id-sorted/clustered corpus: all
+    * centroids land in one cluster and probe recall craters.) One
+    * TakeOrderedAndProject job over (hash, id) — k rows to the driver,
+    * which is inherent to centroid training. */
+  private[graft] def ivfCentroids(embeddings: DataFrame, nCells: Int): Array[(Long, Array[Double])] =
+    embeddings
+      .select(col("vec_id"), unitVector(col("embedding")).as("u"))
+      .orderBy(hash(col("vec_id")), col("vec_id"))
+      .limit(nCells)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
   /** X3 alternative scale path: IVF (inverted-file) ANN. "Training" =
-    * picking nCells centroid vectors (here: the first nCells corpus
-    * vectors, unit-normalized — a deterministic stand-in for a k-means
-    * step, which is inherently a driver-side collect of k centroids).
-    * Every vector is assigned to its nearest centroid cell; the query
-    * probes its nProbe nearest cells and exact cosine re-ranks only
-    * those cells. At cluster scale the table is bucketed/partitioned by
-    * `cell`, so a probe reads nProbe partitions of the corpus. */
+    * picking nCells centroid vectors (a deterministic hash-sample of
+    * the corpus, unit-normalized — the scale-safe stand-in for a
+    * k-means step, which is inherently a driver-side collect of k
+    * centroids). Every vector is assigned to its nearest centroid cell;
+    * the query probes its nProbe nearest cells and exact cosine
+    * re-ranks only those cells. At cluster scale the table is
+    * bucketed/partitioned by `cell`, so a probe reads nProbe partitions
+    * of the corpus. */
   def annIvfTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
                  nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents: Array[Array[Double]] = embeddings
-      .orderBy("vec_id").limit(nCells)
-      .select(unitVector(col("embedding")).as("u"))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+    val cents: Array[Array[Double]] = ivfCentroids(embeddings, nCells).map(_._2)
 
     def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
     // cell = argmax_i dot(emb, centroid_i); emb's own norm is constant
@@ -195,6 +215,21 @@ object Similarity {
       .orderBy(col("raw_cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("raw_cos"), 4).as("cos_sim"))
+  }
+
+  /** Oracle gate for the ANN paths (the q_approx_distinct pattern for
+    * non-portable internals): the OUTPUT rows are the exact brute-force
+    * top-k — fully recomputable by the SQL oracle — and the ANN result
+    * enters as a boolean `recall_at_10_ok` column, TRUE iff the ANN
+    * candidate set covers >= `bound` of the true top-k. A recall
+    * regression in the LSH/IVF index flips the column and breaks the
+    * hash match. The recall join is k rows — driver-side by nature. */
+  def annRecallGate(embeddings: DataFrame, ann: DataFrame, queryId: Long = 0L,
+                    k: Int = 10, bound: Double = 0.9): DataFrame = {
+    val brute = bruteForceTopK(embeddings, queryId, k)
+    val hits = brute.select(col("vec_id"))
+      .join(ann.select(col("vec_id")), Seq("vec_id")).count()
+    brute.withColumn("recall_at_10_ok", lit(hits.toDouble / k >= bound))
   }
 
   /** Per-label centroid + distance profile — the "cluster summary"

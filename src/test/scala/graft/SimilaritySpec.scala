@@ -45,6 +45,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(sims.toSeq == sims.sorted.reverse.toSeq)
   }
 
+  test("IVF centroid hash-sample spreads over an id-clustered corpus") {
+    // 200 vectors in 4 well-separated clusters, SORTED by cluster id —
+    // the adversarial layout where the old first-nCells pick put every
+    // centroid in cluster 0 (ids {0..15} = first quartile only) and
+    // probe recall cratered.
+    val rows = (0 until 200).map { i =>
+      val cluster = i / 50
+      val v = Array.tabulate(64) { d =>
+        val base = if (d >= cluster * 16 && d < cluster * 16 + 16) 1.0f else 0.0f
+        base + 0.01f * (((i * 31 + d * 7) % 11) - 5)  // deterministic jitter
+      }
+      (i.toLong, v)
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val centIds = Similarity.ivfCentroids(clustered, 16).map(_._1)
+    assert(centIds.length == 16)
+    assert(centIds.toSet != (0L until 16L).toSet, "degenerate first-n pick")
+    val quartiles = centIds.map(_ / 50).toSet
+    assert(quartiles.size >= 3, s"centroids cover only clusters $quartiles")
+
+    // end-to-end: a query in the LAST cluster recalls its true top-10
+    val exact = Similarity.bruteForceTopK(clustered, 199L, 10).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.annIvfTopK(clustered, 199L, 10, nCells = 16, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered-corpus recall $recall; ivf=$ivf exact=$exact")
+  }
+
+  test("annRecallGate emits the exact top-10 plus a recall boolean") {
+    val gated = Similarity.annRecallGate(emb, Similarity.annLshTopK(emb)).collect()
+    assert(gated.length == 10)
+    val brute = Similarity.bruteForceTopK(emb).collect()
+    assert(gated.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      brute.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // all rows carry the same verdict
+    assert(gated.map(_.getBoolean(2)).toSet.size == 1)
+  }
+
   test("embedding near-dup pairs are symmetric-free, thresholded, verified") {
     val pairs = Similarity.embeddingNearDupPairs(emb, 0.45, 2).collect()
     pairs.foreach { r =>
