@@ -900,6 +900,36 @@ object Registry {
         |)
         |SELECT id AS doc_id, MIN(lbl) AS component FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin),
+    // Star-rounds CC on an adversarial-diameter graph: 50-long doc_id
+    // chains, the case where plain min-label propagation needs ~50
+    // shuffle rounds and the large-star/small-star alternation needs
+    // O(log n). The oracle replays reachability as a recursive CTE, so
+    // a wrong contraction (not just a slow one) breaks the hash.
+    "q_dedup_cluster_star" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val docs = documents(s, d).select("doc_id")
+        val edges = docs
+          .filter(col("doc_id") % 50 =!= 49)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+          .join(docs.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+        Dedup.connectedComponentsStar(docs, edges)
+      },
+      """WITH RECURSIVE pairs AS (
+        |  SELECT d.doc_id AS doc_a, d.doc_id + 1 AS doc_b
+        |  FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 50 <> 49
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+        |), reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        |)
+        |SELECT id AS doc_id, MIN(lbl) AS component FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin),
 
     // ---- similarity search (X3) ----
     "q_similarity_topk" -> q(

@@ -200,6 +200,75 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    * — the adversarial-diameter path. Plain min-label propagation
+    * (above) needs diameter-many rounds, O(n) shuffles on a chain-
+    * shaped dup graph; star rounds square the contraction rate, so a
+    * 500-vertex chain converges in O(log n) rounds (see
+    * DedupClusterSpec). Each round is the same join+min dataflow as
+    * propagation: one groupBy-min + one equality join over the edge
+    * list, fully distributed.
+    *
+    * Edge currency: canonical (u < v) pairs.
+    *  - large-star: center c over BOTH directions, m = min(N(c) ∪ {c});
+    *    every strictly-larger neighbor n > c re-attaches to m.
+    *  - small-star: center = the larger endpoint v of each canonical
+    *    edge, m = min of its smaller neighbors; those neighbors and v
+    *    itself re-attach to m.
+    * Fixpoint = depth-1 stars rooted at each component's min id. */
+  private[graft] def connectedComponentsStarRounds(
+      vertices: DataFrame, edges: DataFrame,
+      maxIters: Int = 40): (DataFrame, Int) = {
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+    var e = canon(edges.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      canon(sym.filter(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical (u < v): center v, smaller-neighbor u
+      val mins = e.groupBy("v").agg(min(col("u")).as("m"))
+      canon(e.join(mins, Seq("v"))
+        .select(col("u"), col("m").as("v"))
+        .unionByName(mins.select(col("v").as("u"), col("m").as("v"))))
+    }
+
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nNext = next.count()
+      converged = nNext == e.count() &&
+        next.exceptAll(e).limit(1).count() == 0
+      e = next
+      rounds += 1
+    }
+    // min-agg guards the maxIters-exhausted case (a vertex could still
+    // carry >1 star edge there); at a true fixpoint it's a no-op.
+    val labels = vertices
+      .join(e.select(col("v").as("doc_id"), col("u").as("component")), Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(min(coalesce(col("component"), col("doc_id"))).as("component"))
+      .orderBy("doc_id")
+    (labels, rounds)
+  }
+
+  def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
+                              maxIters: Int = 40): DataFrame =
+    connectedComponentsStarRounds(vertices, edges, maxIters)._1
+
   /** Exact n-gram Jaccard over all pairs (brute-force oracle for the
     * LSH path in tests; the verification kernel shares `jaccard`).
     * Same hashed-shingle currency as minhashPairs so the two agree

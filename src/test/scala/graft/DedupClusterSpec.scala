@@ -35,6 +35,40 @@ class DedupClusterSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("large-star/small-star CC matches plain CC on a hand-built graph") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val vertices = (1L to 7L).toDF("doc_id")
+    val got = Dedup.connectedComponentsStar(vertices, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("star CC converges in O(log n) rounds on a 500-vertex chain") {
+    import spark.implicits._
+    // Adversarial diameter: a path 0-1-2-...-499. Plain min-label
+    // propagation needs ~n rounds here; the star rounds contract
+    // doubly-logarithmically-fast paths, so a handful suffice.
+    val n = 500
+    val edges = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val vertices = (0L until n.toLong).toDF("doc_id")
+    val (labels, rounds) = Dedup.connectedComponentsStarRounds(vertices, edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n)
+    got.foreach { case (id, comp) => assert(comp == 0L, s"vertex $id -> $comp") }
+    assert(rounds <= 15, s"chain took $rounds star rounds — not O(log n)")
+  }
+
+  test("star CC agrees with plain CC on the fixture near-dup graph") {
+    val pairs = Dedup.ngramJaccardPairs(docs)
+    val plain = Dedup.connectedComponents(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponentsStar(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == plain)
+  }
+
   test("cluster labels are consistent with the pair list on the fixture") {
     val pairs = Dedup.ngramJaccardPairs(docs)
     val labels = Dedup.connectedComponents(docs, pairs).collect()
