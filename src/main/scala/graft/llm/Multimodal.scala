@@ -104,7 +104,12 @@ object Multimodal {
     * descriptor shape, and exactly recomputable by the SQL oracle. */
   def extractFeatures(spark: SparkSession, documents: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // Sort the 1-column id input BEFORE the decode stage: a Sort above
+    // the decode would re-run the whole codec chain in the range-
+    // boundary sampling job (2x decode per query). Range partitions are
+    // emitted in order and mapPartitions preserves intra-partition
+    // order, so the output is still deterministically doc_id-ordered.
+    documents.select(col("doc_id")).orderBy("doc_id").as[Long].mapPartitions { ids =>
       ids.flatMap { id =>
         decodeImage(pngFor(id)).map { img =>
           val w = img.getWidth
@@ -142,7 +147,6 @@ object Multimodal {
       (Seq(col("doc_id"), col("width"), col("height"), col("n_pixels"),
         col("pixel_sum"), col("pixel_max")) ++
         (0 until NumBands).map(b => col("features").getItem(b).as(s"f$b"))): _*)
-      .orderBy("doc_id")
   }
 
   case class ResizedMedia(doc_id: Long, mime: String, width: Int, height: Int,
@@ -155,7 +159,8 @@ object Multimodal {
     * every downstream relational op treats it like any other column. */
   def resize(spark: SparkSession, documents: DataFrame, w: Int = 8, h: Int = 8): Dataset[ResizedMedia] = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // id input sorted pre-decode for the same reason as extractFeatures
+    documents.select(col("doc_id")).orderBy("doc_id").as[Long].mapPartitions { ids =>
       ids.flatMap { id =>
         decodeImage(pngFor(id)).map { img =>
           val srcW = img.getWidth
@@ -205,7 +210,6 @@ object Multimodal {
         }
       }
     }.toDF("doc_id", "width", "height", "thumb_sum", "thumb_max")
-      .orderBy("doc_id")
   }
 
   case class Frame(doc_id: Long, frame_idx: Int, n_px: Int, row_sum: Long)
@@ -217,7 +221,10 @@ object Multimodal {
   def frameSample(spark: SparkSession, documents: DataFrame,
                   stride: Int = 4): Dataset[Frame] = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // id input sorted pre-decode for the same reason as extractFeatures;
+    // frames emit per doc in ascending y, so output order is
+    // (doc_id, frame_idx) without a post-decode sort.
+    documents.select(col("doc_id")).orderBy("doc_id").as[Long].mapPartitions { ids =>
       ids.flatMap { id =>
         decodeImage(pngFor(id)).iterator.flatMap { img =>
           val w = img.getWidth
@@ -233,7 +240,7 @@ object Multimodal {
   }
 
   def frameSampleQuery(spark: SparkSession, documents: DataFrame): DataFrame =
-    frameSample(spark, documents).toDF().orderBy("doc_id", "frame_idx")
+    frameSample(spark, documents).toDF()
 
   // ====================================================================
   // REAL codec path: binary PGM (Netpbm P5) — a production image format
@@ -307,7 +314,8 @@ object Multimodal {
     * the oracle checks. */
   def pgmStats(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // id input sorted pre-decode for the same reason as extractFeatures
+    documents.select(col("doc_id")).orderBy("doc_id").as[Long].mapPartitions { ids =>
       ids.flatMap { id =>
         decodePgm(pgmFor(id)).map { img =>
           var sum = 0L
@@ -322,6 +330,6 @@ object Multimodal {
           PgmStats(id, img.width, img.height, img.pixels.length.toLong, sum, max)
         }
       }
-    }.toDF().orderBy("doc_id")
+    }.toDF()
   }
 }

