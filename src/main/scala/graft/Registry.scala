@@ -1064,7 +1064,7 @@ object Registry {
     // Watermarked stream-stream join surfaced as a batch result under a
     // literal oracle (one reading inside the alert's +/-10min window).
     "q_stream_join" -> q(
-      (s, _) => graft.streaming.StreamJoins.joinDemo(s),
+      (s, _) => graft.streaming.StreamingDemos.streamJoin(s),
       """SELECT 'd1' AS device_id, TIMESTAMP '2024-01-01 00:05:00' AS r_time,
         |  CAST(30.0 AS FLOAT) AS temperature,
         |  TIMESTAMP '2024-01-01 00:10:00' AS a_time, 'high' AS level""".stripMargin),
@@ -1076,7 +1076,7 @@ object Registry {
     // is provably dropped — were it counted, avg would be 47.67/n=3)
     // and hour-2 flushes with n=1. The oracle pins that fixed point.
     "q_watermark_late" -> q(
-      (s, _) => graft.streaming.WatermarkDemo.lateDropDemo(s),
+      (s, _) => graft.streaming.StreamingDemos.lateDrop(s),
       """SELECT 'd1' AS device_id, CAST(1704067200 AS BIGINT) AS hour_bucket,
         |  CAST(22.0 AS FLOAT) AS avg_temperature, CAST(24.0 AS FLOAT) AS max_temperature,
         |  CAST(20.0 AS FLOAT) AS min_temperature, CAST(2 AS INT) AS event_count

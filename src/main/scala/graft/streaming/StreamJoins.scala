@@ -45,11 +45,19 @@ object StreamJoins {
     * falls inside an alert's +/-10min window. Same single-run +
     * few-state-partitions posture as WatermarkDemo. */
   def joinDemo(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try {
+    try joinDemoImpl(spark)
+    finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  /** Demo body with the state-partition setting assumed already pinned
+    * by the caller (see StreamingDemos, which runs this concurrently
+    * with the watermark demo under one shared conf window). */
+  private[streaming] def joinDemoImpl(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    locally {
       val base = 1704067200000L // 2024-01-01T00:00:00Z
       val readings = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WatermarkDemo.Ev]
       val alerts = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Alert]
@@ -72,7 +80,7 @@ object StreamJoins {
           col("a_time").cast("timestamp_ntz").as("a_time"),
           col("level"))
         .orderBy("device_id", "r_time")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
   }
 
   /** At-least-once -> effectively-once ingest: duplicate deliveries of

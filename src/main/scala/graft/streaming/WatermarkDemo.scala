@@ -34,7 +34,7 @@ object WatermarkDemo {
     finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
   }
 
-  private def lateDropDemoImpl(spark: SparkSession): DataFrame = {
+  private[streaming] def lateDropDemoImpl(spark: SparkSession): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
