@@ -36,6 +36,33 @@ object Registry {
   private def oneMinus(c: String) = s"CAST(1 - CAST($c AS DECIMAL(6,4)) AS DECIMAL(7,4))"
   private def onePlus(c: String)  = s"CAST(1 + CAST($c AS DECIMAL(6,4)) AS DECIMAL(7,4))"
 
+  /** DuckDB list literal of the generator's city fleet. */
+  private val citiesSql: String =
+    Generator.Cities.map(c => s"'$c'").mkString("[", ", ", "]")
+
+  /** DuckDB spelling of Generator.sensorEvents(numDevices, seconds):
+    * the portable PRF makes every column recomputable from range(n).
+    * The uniforms are integer hundredths / 100.0 and the float32 casts
+    * are IEEE round-to-nearest in both engines, so values match
+    * bit-for-bit. */
+  private def generatorSql(numDevices: Int, seconds: Int, extraCols: String = ""): String = {
+    val n = numDevices.toLong * seconds
+    s"""WITH g AS (SELECT range AS id FROM range(0, $n)),
+       |m AS (SELECT id,
+       |  (${Generator.mixSql("id", 1)}) % 2000 AS t_h,
+       |  (${Generator.mixSql("id", 2)}) % 6000 AS h_h,
+       |  (${Generator.mixSql(s"id % $numDevices", 3)}) % 7 AS city_i
+       |FROM g)
+       |SELECT
+       |  'device-' || lpad(CAST(id % $numDevices AS VARCHAR), 4, '0') AS device_id,
+       |  'Sensor-' || lpad(CAST(id % $numDevices AS VARCHAR), 3, '0') AS device_name,
+       |  1704067200000 + (id // $numDevices) * 1000 AS "timestamp",
+       |  CAST((t_h + 1500) / 100.0 AS FLOAT) AS temperature,
+       |  CAST((h_h + 3000) / 100.0 AS FLOAT) AS humidity,
+       |  $citiesSql[CAST(city_i + 1 AS INT)] AS location$extraCols
+       |FROM m ORDER BY device_id, "timestamp"""".stripMargin
+  }
+
   import Tables._
 
   val defs: Map[String, QueryDef] = Map(
@@ -752,13 +779,22 @@ object Registry {
          |  + (CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
          |  + (CASE WHEN stop_ratio > 0.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS quality
          |FROM t ORDER BY doc_id""".stripMargin),
-    "q_fingerprint" -> noOracle(
-      // winnow_fps rendered as a JSON string: the driver's comparator
-      // sorts output columns pandas-side and cannot hash raw arrays.
-      // The Scala API (TextOps.fingerprint) keeps the array form.
-      (s, d) => TextOps.fingerprint(documents(s, d)).withColumn(
-        "winnow_fps", org.apache.spark.sql.functions.to_json(
-          org.apache.spark.sql.functions.col("winnow_fps")))),
+    // Winnowing under the oracle via its deterministic guarantees: the
+    // k-gram/window counts are recomputed by DuckDB from byte lengths,
+    // and the selection-bound invariants (every window selects a
+    // position; a position heads <= w windows; distinct hashes form a
+    // nonempty subset of selected positions) ride along as a gate
+    // column. The raw fingerprint arrays stay a Scala-API concern
+    // (TextOps.fingerprint) — arrays crash the driver comparator.
+    "q_fingerprint" -> q(
+      (s, d) => TextOps.fingerprintStats(documents(s, d)),
+      """SELECT doc_id,
+        |  CAST(GREATEST(strlen(text) - 4, 0) AS BIGINT) AS n_grams,
+        |  CAST(CASE WHEN strlen(text) - 4 <= 0 THEN 0
+        |            WHEN strlen(text) - 4 < 4 THEN 1
+        |            ELSE strlen(text) - 7 END AS BIGINT) AS n_windows,
+        |  TRUE AS fp_bounds_ok
+        |FROM documents ORDER BY doc_id""".stripMargin),
     // PII redaction: the fixture text is digit-free, so the query
     // plants deterministic doc_id-derived contacts first — redaction
     // visibly fires and both engines construct identical inputs.
@@ -847,8 +883,31 @@ object Registry {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
-    "q_dedup_simhash" -> noOracle(
-      (s, d) => Dedup.simhashPairs(documents(s, d))),
+    // SimHash under the oracle via the recall-gate pattern (like
+    // q_ann_lsh): output = the EXACT prefix-filtered n-gram pairs at
+    // 0.7 (recomputable in SQL), plus a gate TRUE iff simhash
+    // chunk-blocking found >= 90% of them. The raw (doc_a, doc_b,
+    // hamming) pairs stay a Scala-API concern (Dedup.simhashPairs,
+    // spec-covered) since Hamming over a custom 64-bit simhash is not
+    // SQL-portable.
+    "q_dedup_simhash" -> q(
+      (s, d) => Dedup.simhashRecallGate(documents(s, d)),
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
+        |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
+        |  FROM toks WHERE len(t) > 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard,
+        |  TRUE AS simhash_recall_ok
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin),
     // Prefix-filtered exact n-gram Jaccard join: unlike the minhash
     // oracle above, NO recall caveat is needed — prefix filtering is
     // exact, so result equality with brute force is a theorem, not a
@@ -1040,12 +1099,33 @@ object Registry {
         .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")),
 
     // ---- generator + avro ingest chain (S13, S3/S4) ----
-    "q_generate" -> noOracle(
-      (s, _) => Generator.sensorEvents(s).orderBy("device_id", "timestamp")),
-    "q_generate_devices" -> noOracle(
-      (s, _) => Generator.devices(s).orderBy("device_id")),
-    "q_avro_roundtrip" -> noOracle(
-      (s, _) => graft.pipeline.AvroPipeline.roundTrip(s)),
+    // The generator's PRF is engine-portable (Lehmer rounds over
+    // 2^31-1 in exact BIGINT math, uniforms derived as integer
+    // hundredths — see Generator), so the oracle reproduces every
+    // generated row bit-for-bit from a bare range() scan: the
+    // generator ITSELF is under the hash gate, not just its consumers.
+    "q_generate" -> q(
+      (s, _) => Generator.sensorEvents(s).orderBy("device_id", "timestamp"),
+      generatorSql(numDevices = 100, seconds = 60)),
+    "q_generate_devices" -> q(
+      (s, _) => Generator.devices(s).orderBy("device_id"),
+      s"""SELECT
+         |  'device-' || lpad(CAST(id AS VARCHAR), 4, '0') AS device_id,
+         |  'Sensor-' || lpad(CAST(id AS VARCHAR), 3, '0') AS device_name,
+         |  $citiesSql[CAST((${Generator.mixSql("id", 3)}) % 7 + 1 AS INT)] AS location,
+         |  TIMESTAMP '2024-01-01 00:00:00' AS created_at,
+         |  TIMESTAMP '2024-01-01 00:00:00' AS last_updated
+         |FROM (SELECT range AS id FROM range(0, 100))
+         |ORDER BY device_id""".stripMargin),
+    // Full produce-side chain under the oracle: generate -> Avro
+    // encode (Confluent wire framing) -> decode -> flatten -> event
+    // time. The oracle recomputes the INPUT from the portable PRF; any
+    // corruption in the binary codec hop surfaces as a row mismatch.
+    "q_avro_roundtrip" -> q(
+      (s, _) => graft.pipeline.AvroPipeline.roundTrip(s)
+        .withColumn("event_time", ntz(org.apache.spark.sql.functions.col("event_time"))),
+      generatorSql(numDevices = 50, seconds = 20,
+        extraCols = ",\n  make_timestamp((1704067200 + id // 50) * 1000000) AS event_time")),
 
     // ORC: third batch source format through the same round-trip gate.
     "q_orc_roundtrip" -> q(

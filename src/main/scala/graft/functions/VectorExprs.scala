@@ -320,8 +320,83 @@ case class Winnow(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow"
 }
 
+/** `winnow_pos_count(string, k, w) -> long` — the number of distinct
+  * k-gram POSITIONS winnowing selects. This is the value with the
+  * deterministic guarantee (ceil(windows/w) <= count <= windows), which
+  * makes it the cross-engine-checkable face of the fingerprint path:
+  * the oracle recomputes the window count from byte lengths and pins
+  * the bounds. */
+case class WinnowPosCount(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"winnow_pos_count needs k >= 1 and w >= 1, got k=$k w=$w")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = child.dataType match {
+    case _: StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"winnow_pos_count expects STRING, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    Winnow.posCount(s.getBytes, k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowPosCount", this, classOf[WinnowPosCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "winnow_pos_count"
+}
+
 object Winnow {
   private final val Base = 1000003L
+
+  /** Number of DISTINCT k-gram positions selected by winnowing — the
+    * quantity the algorithm's guarantees speak about: with E emitted
+    * windows (window size win = min(w, n)), every window selects one
+    * position and a position can head at most win consecutive windows,
+    * so ceil(E / w) <= posCount <= E deterministically. (The distinct
+    * HASH count can legitimately drop below the position bound when the
+    * text repeats k-grams, so the correctness gate is on positions.)
+    * A selected position's reign is one contiguous run of windows — the
+    * deque evicts it permanently on a <= hash or on window exit — so
+    * counting head-index changes counts distinct positions exactly. */
+  def posCount(bytes: Array[Byte], k: Int, w: Int): Long = {
+    val n = bytes.length - k + 1
+    if (n <= 0) return 0L
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= Base; i += 1 }
+    val hs = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + (bytes(i) & 0xffL); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - (bytes(i - 1) & 0xffL) * pow) * Base + (bytes(i + k - 1) & 0xffL)
+      hs(i) = h
+      i += 1
+    }
+    val win = math.min(w, n)
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0
+    var cnt = 0L
+    var last = -1
+    i = 0
+    while (i < n) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      while (deque(head) <= i - win) head += 1
+      if (i >= win - 1 && deque(head) != last) { last = deque(head); cnt += 1 }
+      i += 1
+    }
+    cnt
+  }
 
   /** Sorted distinct window-min rolling hashes. */
   def fingerprints(bytes: Array[Byte], k: Int, w: Int): Array[Long] = {
@@ -446,6 +521,8 @@ object ZOrder2 {
 object VectorFns {
   def winnow(c: Column, k: Int = 5, w: Int = 4): Column =
     GraftBridge.column(Winnow(GraftBridge.expression(c), k, w))
+  def winnowPosCount(c: Column, k: Int = 5, w: Int = 4): Column =
+    GraftBridge.column(WinnowPosCount(GraftBridge.expression(c), k, w))
   def zorder2(a: Column, b: Column): Column =
     GraftBridge.column(ZOrder2(GraftBridge.expression(a), GraftBridge.expression(b)))
   def dot(a: Column, b: Column): Column =

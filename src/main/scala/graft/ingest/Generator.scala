@@ -8,9 +8,20 @@ import org.apache.spark.sql.types._
   * 116-129,153-193`) re-expressed as a distributed, deterministic
   * column program: `spark.range(n)` + hash-derived uniforms instead of
   * a single-process Python loop — the same statistical contract
-  * (temp U[15,35] 2dp, humidity U[30,90] 2dp, 7 fixed cities, epoch
+  * (temp U[15,35) 2dp, humidity U[30,90) 2dp, 7 fixed cities, epoch
   * millis, fixed device fleet) but embarrassingly parallel, so it can
   * synthesize test corpora at any scale without a driver bottleneck.
+  *
+  * The PRF is ENGINE-PORTABLE by design: an affine seed step followed
+  * by two Lehmer rounds over the Mersenne modulus 2^31-1, all in
+  * positive 63-bit-safe integer arithmetic (largest intermediate is
+  * (2^31)*48271 < 2^48, so Spark's ANSI mode never overflows and any
+  * SQL engine with exact BIGINT math — e.g. the DuckDB oracle —
+  * reproduces every row bit-for-bit. `mixSql` emits the same PRF as
+  * SQL text so the correctness harness can verify the generator
+  * itself, not just consumers of it. The 2-decimal-digit uniforms are
+  * derived as INTEGER hundredths then divided by 100.0, so no round()
+  * (whose tie behavior differs across engines) is ever involved.
   */
 object Generator {
   val Cities: Seq[String] =
@@ -19,24 +30,40 @@ object Generator {
   /** Base epoch millis: 2024-01-01T00:00:00Z, the fixtures' epoch. */
   val BaseMs: Long = 1704067200000L
 
-  /** Deterministic uniform in [0, 1) derived from (id, salt). */
-  private def u01(id: Column, salt: String): Column =
-    (pmod(xxhash64(id, lit(salt)), lit(1000000L)).cast(DoubleType) / 1000000.0)
+  private val M = 2147483647L // 2^31 - 1
 
-  private def round2(c: Column): Column = round(c, 2)
+  /** Portable PRF: uniform-ish value in [0, 2^31-1) from (id, salt). */
+  private def mix(id: Column, salt: Int): Column = {
+    val h1 = (id * lit(1000003L) + lit(salt.toLong * 8191L + 12345L)) % lit(M)
+    val h2 = (h1 * lit(48271L)) % lit(M)
+    (h2 * lit(16807L)) % lit(M)
+  }
+
+  /** The same PRF as SQL text (for the cross-engine oracle). */
+  def mixSql(id: String, salt: Int): String =
+    s"((((($id) * 1000003 + ${salt.toLong * 8191L + 12345L}) % $M) * 48271) % $M) * 16807 % $M"
+
+  private val SaltTemp = 1
+  private val SaltHum = 2
+  private val SaltCity = 3
 
   /** The device dimension (`cassandra/init.cql:63-74`): device_id,
-    * device_name "Sensor-NNN", home city, timestamps. */
+    * device_name "Sensor-NNN", home city, timestamps (NTZ — the
+    * fixtures' naive-timestamp convention). */
   def devices(spark: SparkSession, numDevices: Int = 100): DataFrame =
     spark.range(numDevices).select(
       concat(lit("device-"), lpad(col("id").cast(StringType), 4, "0")).as("device_id"),
       concat(lit("Sensor-"), lpad(col("id").cast(StringType), 3, "0")).as("device_name"),
-      element_at(
-        array(Cities.map(lit): _*),
-        (pmod(xxhash64(col("id"), lit("city")), lit(Cities.size.toLong)) + 1).cast(IntegerType))
-        .as("location"),
-      lit(new java.sql.Timestamp(BaseMs)).as("created_at"),
-      lit(new java.sql.Timestamp(BaseMs)).as("last_updated"))
+      cityOf(col("id")).as("location"),
+      lit("2024-01-01 00:00:00").cast(TimestampNTZType).as("created_at"),
+      lit("2024-01-01 00:00:00").cast(TimestampNTZType).as("last_updated"))
+
+  /** Per-device home city: hash the device INDEX (not the event id) so
+    * every event of a device agrees with the `devices` dimension. */
+  private def cityOf(devIdx: Column): Column =
+    element_at(
+      array(Cities.map(lit): _*),
+      ((mix(devIdx, SaltCity) % lit(Cities.size.toLong)) + lit(1L)).cast(IntegerType))
 
   /** Batch sensor-event stream: numDevices devices x 1 event/sec each,
     * mirroring the producer's pacing. Deterministic given (numDevices,
@@ -49,17 +76,21 @@ object Generator {
       concat(lit("Sensor-"), lpad(pmod(col("id"), lit(numDevices.toLong)).cast(StringType), 3, "0"))
         .as("device_name"),
       (lit(BaseMs) + expr(s"id div $numDevices") * 1000L).as("timestamp"),
-      round2(lit(15.0) + u01(col("id"), "temp") * 20.0).cast(FloatType).as("temperature"),
-      round2(lit(30.0) + u01(col("id"), "hum") * 60.0).cast(FloatType).as("humidity"),
-      // location is a fixed per-DEVICE attribute (producer carries the
-      // device's home city on every event) — hash the device index, not
-      // the event id, so it agrees with `devices` above.
-      element_at(
-        array(Cities.map(lit): _*),
-        (pmod(xxhash64(pmod(col("id"), lit(numDevices.toLong)), lit("city")),
-          lit(Cities.size.toLong)) + 1).cast(IntegerType))
-        .as("location"))
+      temperature(col("id")),
+      humidity(col("id")),
+      cityOf(pmod(col("id"), lit(numDevices.toLong))).as("location"))
   }
+
+  /** U[15.00, 34.99] in exact hundredths — integer PRF then /100.0, so
+    * both engines produce the identical float32. */
+  private def temperature(id: Column): Column =
+    (((mix(id, SaltTemp) % lit(2000L)) + lit(1500L)).cast(DoubleType) / lit(100.0))
+      .cast(FloatType).as("temperature")
+
+  /** U[30.00, 89.99] in exact hundredths. */
+  private def humidity(id: Column): Column =
+    (((mix(id, SaltHum) % lit(6000L)) + lit(3000L)).cast(DoubleType) / lit(100.0))
+      .cast(FloatType).as("humidity")
 
   /** Streaming variant: the `rate` source (rows/sec) mapped through the
     * same deterministic column exprs — the Kafka-producer stand-in for
@@ -75,13 +106,8 @@ object Generator {
         .as("device_id"),
       lit(null).cast(StringType).as("device_name"),
       unix_millis(col("timestamp")).as("timestamp"),
-      round2(lit(15.0) + u01(col("value"), "temp") * 20.0).cast(FloatType).as("temperature"),
-      round2(lit(30.0) + u01(col("value"), "hum") * 60.0).cast(FloatType).as("humidity"),
-      // per-device location, consistent with `devices` (see sensorEvents)
-      element_at(
-        array(Cities.map(lit): _*),
-        (pmod(xxhash64(pmod(col("value"), lit(numDevices.toLong)), lit("city")),
-          lit(Cities.size.toLong)) + 1).cast(IntegerType))
-        .as("location"))
+      temperature(col("value")),
+      humidity(col("value")),
+      cityOf(pmod(col("value"), lit(numDevices.toLong))).as("location"))
   }
 }

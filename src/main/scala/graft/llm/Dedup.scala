@@ -290,7 +290,25 @@ object Dedup {
     * (any pair within Hamming distance 3 shares at least one exact
     * 16-bit chunk — pigeonhole), verified with exact Hamming distance.
     */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashCandidates(documents)
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+
+  /** The chunk blocking stage of simhashPairs, pre-Hamming filter:
+    * every pair whose simhashes agree on some 16-bit chunk up to ONE
+    * differing bit. One side of the equality join probes each chunk's
+    * exact value plus its 16 Hamming-1 variants (the same multiprobe
+    * idiom as the embedding L-tables LSH), which upgrades the plain
+    * pigeonhole guarantee from Hamming <= 3 to Hamming <= 7: if every
+    * chunk of a pair differs in >= 2 bits, the total distance is >= 8.
+    * Token-level simhash on ~10^2-token docs flips ~4-8 bits for real
+    * near-dups (measured at sf0.01), so exact-chunk blocking alone
+    * misses them. Cost: 17x key fan-out on the probe side only —
+    * (chunk_idx, chunk_val, doc_id) tuples, not documents. */
+  def simhashCandidates(documents: DataFrame): DataFrame = {
     val sims = documents.select(
       col("doc_id"),
       ColumnFns.simhash64(TextOps.tokens(col("text"))).as("sim"))
@@ -300,18 +318,38 @@ object Dedup {
         shiftright(col("sim"), c * 16).bitwiseAND(lit(0xffffL))
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
 
-    val l = chunked.select(col("chunk_idx"), col("chunk_val"),
-      col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val probes = chunked.select(
+      col("doc_id").as("doc_a"), col("sim").as("sim_a"), col("chunk_idx"),
+      explode(array(
+        col("chunk_val") +:
+          (0 until 16).map(b => col("chunk_val").bitwiseXOR(lit(1L << b))): _*))
+        .as("chunk_val"))
     val r = chunked.select(col("chunk_idx"), col("chunk_val"),
       col("doc_id").as("doc_b"), col("sim").as("sim_b"))
 
-    l.join(r, Seq("chunk_idx", "chunk_val"))
+    probes.join(r, Seq("chunk_idx", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle gate for the simhash path (the annRecallGate pattern for
+    * non-SQL-portable internals): the OUTPUT rows are the exact
+    * prefix-filtered n-gram Jaccard pairs at `threshold` — fully
+    * recomputable by the SQL oracle — and the simhash blocking enters
+    * as a boolean `simhash_recall_ok` column, TRUE iff the chunk-join
+    * candidate set covers >= `bound` of the exact pairs. A blocking
+    * regression (bad hash, dropped chunk, broken join) flips the
+    * column on every row and breaks the hash match. */
+  def simhashRecallGate(documents: DataFrame, shingleSize: Int = 3,
+                        threshold: Double = 0.7, bound: Double = 0.9): DataFrame = {
+    val truth = ngramJaccardPairs(documents, shingleSize, threshold)
+      .localCheckpoint() // evaluated twice (count + output) — cut the join lineage
+    val total = truth.count()
+    val hits = truth.select(col("doc_a"), col("doc_b"))
+      .join(simhashCandidates(documents), Seq("doc_a", "doc_b"), "left_semi")
+      .count()
+    truth.withColumn("simhash_recall_ok",
+      lit(total == 0L || hits.toDouble / total >= bound))
   }
 }

@@ -142,6 +142,39 @@ object TextOps {
         graft.functions.VectorFns.winnow(col("text")).as("winnow_fps"))
       .orderBy("doc_id")
 
+  /** The oracle-checkable face of `fingerprint`: per-doc k-gram /
+    * window counts (recomputable from byte lengths by any SQL engine)
+    * plus a `fp_bounds_ok` gate pinning winnowing's deterministic
+    * guarantees — every emitted window selects a position, a position
+    * heads at most w windows, and the distinct-hash set is a nonempty
+    * subset of the selected positions:
+    *   ceil(n_windows / w) <= n_selected_positions <= n_windows
+    *   1 <= n_fingerprints <= n_selected_positions   (when windows > 0)
+    * A broken rolling hash, deque, or dedup flips the gate on the
+    * affected rows and breaks the driver's hash compare. */
+  def fingerprintStats(documents: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val nGrams = greatest(octet_length(col("text")).cast(LongType) - (k - 1), lit(0L))
+    // the kernel clamps the window to min(w, n): short-but-nonempty
+    // docs emit exactly one whole-doc window
+    val nWindows = when(nGrams === 0L, lit(0L))
+      .when(nGrams < w.toLong, lit(1L))
+      .otherwise(nGrams - (w - 1))
+    val nPos = graft.functions.VectorFns.winnowPosCount(col("text"), k, w)
+    val nFp = size(graft.functions.VectorFns.winnow(col("text"), k, w)).cast(LongType)
+    documents
+      .select(col("doc_id"), nGrams.as("n_grams"), nWindows.as("n_windows"),
+        nPos.as("n_pos"), nFp.as("n_fp"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_windows"),
+        when(col("n_windows") === 0L, col("n_pos") === 0L && col("n_fp") === 0L)
+          .otherwise(
+            col("n_pos") >= ceil(col("n_windows").cast(DoubleType) / w).cast(LongType) &&
+            col("n_pos") <= col("n_windows") &&
+            col("n_fp") >= 1L && col("n_fp") <= col("n_pos"))
+          .as("fp_bounds_ok"))
+      .orderBy("doc_id")
+  }
+
   /** BPE-ish regex tokenization (the GPT-2 pattern family, lookahead
     * dropped so the same pattern runs in RE2-based engines): runs of
     * letters/digits with an optional leading space, or punctuation
