@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ingest.Generator
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextOps}
 import graft.pipeline.EventPipeline
 import graft.query.{Analytics, ReadPath}
 
@@ -841,6 +841,65 @@ object Registry {
          |  CAST(len(regexp_extract_all(text, '${TextOps.BpeishPattern}')) AS INT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Benchmark decontamination (the n-gram overlap check run before
+    // training): the eval set is carved deterministically from the
+    // corpus (doc_id % 40 == 7, tokens 11..40), so both engines build
+    // the identical benchmark and the full flag column is exact.
+    "q_decontaminate" -> q(
+      (s, d) => Curation.decontaminate(documents(s, d)),
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bench AS (
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT unnest([array_to_string(s[i:i+7], ' ')
+        |                   FOR i IN range(1, greatest(len(s)-7, 0) + 1)]) AS gram
+        |    FROM (SELECT t[11:40] AS s FROM toks WHERE doc_id % 40 = 7))),
+        |grams AS (
+        |  SELECT doc_id, unnest([array_to_string(t[i:i+7], ' ')
+        |                         FOR i IN range(1, greatest(len(t)-7, 0) + 1)]) AS gram
+        |  FROM toks),
+        |leaked AS (
+        |  SELECT doc_id, COUNT(DISTINCT g.gram) AS n
+        |  FROM grams g JOIN bench b ON g.gram = b.gram GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(l.n, 0) AS BIGINT) AS n_leaked_grams,
+        |  COALESCE(l.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN leaked l ON d.doc_id = l.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+    // Within-doc repetition stats (Gopher/C4 repetition filters).
+    "q_repetition" -> q(
+      (s, d) => Curation.repetitionStats(documents(s, d)),
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, t,
+        |  CASE WHEN len(t) >= 2
+        |       THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+        |       ELSE [] END AS g2 FROM toks),
+        |cnt AS (SELECT doc_id, tok, COUNT(*) AS c
+        |        FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+        |top AS (SELECT doc_id, MAX(c) AS top_c FROM cnt GROUP BY doc_id)
+        |SELECT g.doc_id,
+        |  CASE WHEN len(g.t) > 0
+        |       THEN CAST(COALESCE(top.top_c, 0) AS DOUBLE) / len(g.t) ELSE 0.0 END AS top_tok_frac,
+        |  CASE WHEN len(g.g2) > 0
+        |       THEN 1.0 - CAST(len(list_distinct(g.g2)) AS DOUBLE) / len(g.g2) ELSE 0.0 END AS dup_bigram_frac,
+        |  (CASE WHEN len(g.t) > 0
+        |        THEN CAST(COALESCE(top.top_c, 0) AS DOUBLE) / len(g.t) ELSE 0.0 END) > 0.2
+        |   OR (CASE WHEN len(g.g2) > 0
+        |            THEN 1.0 - CAST(len(list_distinct(g.g2)) AS DOUBLE) / len(g.g2) ELSE 0.0 END) > 0.3
+        |   AS repetitive
+        |FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+        |ORDER BY g.doc_id""".stripMargin),
+    // Bloom-filter membership (runtime join pruning surfaced as an
+    // operator): exact membership is SQL-recomputable; the Bloom
+    // verdict enters through the no-false-negative theorem gate and a
+    // measured-FPR bound gate.
+    "q_bloom_filter" -> q(
+      (s, d) => graft.query.BloomMembership.membershipReport(orders(s, d), customer(s, d)),
+      """SELECT c.c_custkey,
+        |  EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS exact_member,
+        |  TRUE AS no_false_negative_ok,
+        |  TRUE AS fpr_ok
+        |FROM customer c ORDER BY c.c_custkey""".stripMargin),
+
     // ---- dedup (X1/X2) ----
     "q_dedup_exact" -> q(
       (s, d) => Dedup.exact(documents(s, d)),
@@ -1141,6 +1200,31 @@ object Registry {
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin),
 
+    // Size-tier compaction report (the SSTable-histogram analog): a
+    // deterministic append layout — 4 files of 500 rows, 2 of 2000,
+    // 1 of 4000 — yields a known before-histogram; flat compaction
+    // rewrites ~10k rows into one tier-2 file. Tiers key on footer ROW
+    // counts (deterministic across encoders), so the oracle is the
+    // literal fixed point.
+    "q_compaction_tiers" -> q(
+      (s, _) => {
+        val dir = tmpDir("graft_compaction_") + "/t"
+        // SF-independent synthetic batches (the fixture's row count
+        // varies with SF; the histogram fixed point must not)
+        Seq(500, 500, 500, 500, 2000, 2000, 4000).foreach { n =>
+          s.range(n).selectExpr("id AS event_id")
+            .coalesce(1).write.mode("append").parquet(dir)
+        }
+        val before = graft.sink.Compaction.tierHistogram(s, dir, "before")
+        graft.sink.Compaction.compactFlat(s, dir, "event_id")
+        val after = graft.sink.Compaction.tierHistogram(s, dir, "after")
+        before.unionByName(after).orderBy("phase", "tier")
+      },
+      """SELECT 'after' AS phase, CAST(2 AS INT) AS tier, CAST(1 AS BIGINT) AS n_files
+        |UNION ALL SELECT 'before', CAST(0 AS INT), CAST(4 AS BIGINT)
+        |UNION ALL SELECT 'before', CAST(1 AS INT), CAST(3 AS BIGINT)
+        |ORDER BY phase, tier""".stripMargin),
+
     // Watermarked stream-stream join surfaced as a batch result under a
     // literal oracle (one reading inside the alert's +/-10min window).
     "q_stream_join" -> q(
@@ -1164,6 +1248,18 @@ object Registry {
         |SELECT 'd1', CAST(1704074400 AS BIGINT), CAST(30.0 AS FLOAT),
         |  CAST(30.0 AS FLOAT), CAST(30.0 AS FLOAT), CAST(1 AS INT)
         |ORDER BY hour_bucket""".stripMargin),
+
+    // At-least-once -> effectively-once ingest dedup
+    // (dropDuplicatesWithinWatermark) as a fixed point: 5 deliveries,
+    // one in-batch dup and one cross-batch redelivery dropped, 3
+    // unique readings survive.
+    "q_stream_dedup" -> q(
+      (s, _) => graft.streaming.StreamingDemos.streamDedup(s),
+      """SELECT 'd1' AS device_id, CAST(1704067200000 AS BIGINT) AS "timestamp",
+        |  CAST(22.0 AS FLOAT) AS temperature
+        |UNION ALL SELECT 'd1', CAST(1704067202000 AS BIGINT), CAST(23.0 AS FLOAT)
+        |UNION ALL SELECT 'd2', CAST(1704067201000 AS BIGINT), CAST(25.0 AS FLOAT)
+        |ORDER BY device_id, "timestamp"""".stripMargin),
   )
 
   /** Fresh per-invocation scratch dir: concurrent verify + bench runs

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
@@ -79,6 +79,85 @@ object Curation {
         size(slice(col("t"), col("chunk_idx") * stride + 1, lit(size0))).as("n_chunk_tokens"),
         array_join(slice(col("t"), col("chunk_idx") * stride + 1, lit(size0)), " ").as("chunk_text"))
       .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Token n-gram strings (full n-grams only; empty array when the doc
+    * has fewer than n tokens — guarded because sequence(1, k) with k<1
+    * would count DOWN). */
+  private def tokenGrams(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Benchmark decontamination — the GPT-3/Llama-style n-gram overlap
+    * check run before training: flag every training document sharing
+    * any `gramSize`-token n-gram with an evaluation set, so benchmark
+    * answers don't leak into the corpus. The eval set here is carved
+    * deterministically from the corpus itself (every 40th doc
+    * contributes tokens 11..40 as a stand-in "benchmark prompt"), which
+    * makes the whole check reproducible in any engine.
+    *
+    * Scale shape: the eval side is tiny relative to the corpus (real
+    * benchmark suites are ~10^5 grams vs 100 TB of training text), so
+    * its distinct grams BROADCAST and the corpus-side probe is a
+    * map-side hash semi-join — the 100 TB scan never shuffles; only
+    * (doc_id, matched gram) survivors reach the count-distinct agg. */
+  def decontaminate(documents: DataFrame, gramSize: Int = 8): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val bench = documents
+      .filter(pmod(col("doc_id"), lit(40)) === 7)
+      .select(explode(tokenGrams(slice(toks, 11, 30), gramSize)).as("gram"))
+      .distinct()
+    val leaked = documents
+      .select(col("doc_id"), explode(tokenGrams(toks, gramSize)).as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_leaked_grams"))
+    documents.select(col("doc_id"))
+      .join(leaked, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+        (coalesce(col("n_leaked_grams"), lit(0L)) > 0L).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Within-document repetition stats (the Gopher/C4 repetition
+    * filters): the most-frequent-token share and the duplicate-bigram
+    * fraction, plus the composite "repetitive" drop flag. Boilerplate,
+    * keyword-stuffed, and degenerate generator output score high on
+    * both; clean prose stays low.
+    *
+    * Scale shape: the bigram stats are per-row HOFs (no shuffle); the
+    * top-token share is one (doc_id, token) count + a per-doc max —
+    * the same two-stage agg as TF-IDF, carrying only counters. */
+  def repetitionStats(documents: DataFrame,
+                      topTokThreshold: Double = 0.2,
+                      dupBigramThreshold: Double = 0.3): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val base = documents.select(col("doc_id"), toks.as("t"),
+      tokenGrams(toks, 2).as("g2"))
+    val topTok = base
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    base
+      .select(col("doc_id"), size(col("t")).as("n_tok"),
+        size(col("g2")).as("n_g2"),
+        size(array_distinct(col("g2"))).as("n_g2_distinct"))
+      .join(topTok, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("n_tok") > 0,
+          coalesce(col("top_c"), lit(0L)).cast(DoubleType) / col("n_tok").cast(DoubleType))
+          .otherwise(lit(0.0)).as("top_tok_frac"),
+        when(col("n_g2") > 0,
+          lit(1.0) - col("n_g2_distinct").cast(DoubleType) / col("n_g2").cast(DoubleType))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+      .withColumn("repetitive",
+        col("top_tok_frac") > topTokThreshold || col("dup_bigram_frac") > dupBigramThreshold)
+      .orderBy("doc_id")
   }
 
   /** Deterministic stratified sampling: per-language keep rates (e.g.

@@ -95,4 +95,39 @@ object StreamJoins {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("device_id", "timestamp")
       .drop("event_time")
+
+  /** The ingest dedup's semantics surfaced as a deterministic batch
+    * result (registered as `q_stream_dedup` under a literal oracle): a
+    * fixed sequence with one in-batch duplicate and one cross-batch
+    * redelivery, both provably dropped — 3 unique readings survive from
+    * 5 deliveries. */
+  private[streaming] def dedupDemoImpl(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    locally {
+      val base = 1704067200000L // 2024-01-01T00:00:00Z
+      val s = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WatermarkDemo.Ev]
+      val name = "sd_demo_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = dedupWithinWatermark(s.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+      try {
+        // batch 1: d1@0 delivered twice (in-batch dup), d2@+1s
+        s.addData(
+          WatermarkDemo.Ev("d1", base, 22f, 50f, "Rome"),
+          WatermarkDemo.Ev("d1", base, 22f, 50f, "Rome"),
+          WatermarkDemo.Ev("d2", base + 1000L, 25f, 50f, "Rome"))
+        q.processAllAvailable()
+        // batch 2: d1@0 redelivered (cross-batch dup, inside the
+        // 1-minute watermark horizon -> dropped), d1@+2s genuinely new
+        s.addData(
+          WatermarkDemo.Ev("d1", base, 22f, 50f, "Rome"),
+          WatermarkDemo.Ev("d1", base + 2000L, 23f, 50f, "Rome"))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name)
+        .select(col("device_id"), col("timestamp"), col("temperature"))
+        .orderBy("device_id", "timestamp")
+    }
+  }
 }

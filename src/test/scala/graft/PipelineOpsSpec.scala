@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Curation
+import graft.query.BloomMembership
+import graft.sink.Compaction
+
+/** Round-5 pipeline operators: decontamination, repetition stats,
+  * Bloom membership, compaction tier histogram. */
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("decontaminate flags exactly the docs sharing an 8-gram with the bench set") {
+    val out = Curation.decontaminate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // flags are consistent: contaminated <=> n_leaked_grams > 0
+    out.foreach { case (_, n, c) => assert(c == (n > 0)) }
+    // every bench-contributing doc with >= 18 tokens is self-contaminated
+    // (its own excerpt grams are in the corpus by construction)
+    val benchIds = docs.filter(col("doc_id") % 40 === 7)
+      .filter(size(split(col("text"), " ")) >= 18)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = out.collect { case (id, _, true) => id }.toSet
+    assert(benchIds.nonEmpty && benchIds.subsetOf(contaminated))
+    // docs sharing no tokens with any bench doc are clean
+    assert(out.length == docs.count())
+  }
+
+  test("repetition stats match a direct computation on a constructed doc") {
+    val df = Seq(
+      (1L, "a a a a b"),            // top 'a' 4/5, bigrams: "a a"x3,"a b" -> dup frac 1 - 2/4
+      (2L, "w x y z"),              // all distinct
+      (3L, "spam")                  // single token, no bigrams
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(df).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out(0) == ((1L, 4.0 / 5.0, 1.0 - 2.0 / 4.0, true)))
+    assert(out(1) == ((2L, 1.0 / 4.0, 0.0, true))) // 1/4 > 0.2 threshold
+    assert(out(2) == ((3L, 1.0, 0.0, true)))
+    // fixture prose stays mostly below the thresholds
+    val fixture = Curation.repetitionStats(docs).collect()
+    val flagged = fixture.count(_.getBoolean(3))
+    assert(flagged.toDouble / fixture.length < 0.5)
+  }
+
+  test("bloom membership: no false negatives ever, gates all true on fixture") {
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val out = BloomMembership.membershipReport(orders, customer).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(2)), "bloom false negative — impossible by theory")
+    assert(out.forall(_.getBoolean(3)), "measured FPR exceeded 3x configured fpp")
+    val exactTrue = out.count(_.getBoolean(1))
+    val oracleTrue = customer.join(orders,
+      col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(exactTrue.toLong == oracleTrue)
+  }
+
+  test("compaction tiers: appended small files land in the expected tiers and compact to one") {
+    val dir = tmpDir("ctier") + "/t"
+    Seq(500, 500, 2000).foreach { n =>
+      spark.range(n).selectExpr("id AS event_id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val before = Compaction.tierHistogram(spark, dir, "before").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(before == Map(0 -> 2L, 1 -> 1L))
+    val (nb, na) = Compaction.compactFlat(spark, dir, "event_id")
+    assert(nb == 3 && na == 1)
+    val after = Compaction.tierHistogram(spark, dir, "after").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(after == Map(1 -> 1L)) // 3000 rows -> tier floor(log4(6)) = 1
+  }
+
+  test("winnow position-count bounds hold on random repeat-heavy strings") {
+    val rnd = new scala.util.Random(7)
+    val k = 5; val w = 4
+    for (_ <- 1 to 300) {
+      val len = rnd.nextInt(200)
+      // tiny alphabet -> many repeated k-grams, the case where the
+      // distinct-HASH count can dip below the position bound
+      val bytes = Array.fill(len)(('a' + rnd.nextInt(4)).toByte)
+      val n = math.max(bytes.length - k + 1, 0)
+      val windows = if (n <= 0) 0 else math.max(n - math.min(w, n) + 1, 1)
+      val pos = graft.functions.Winnow.posCount(bytes, k, w)
+      val fps = graft.functions.Winnow.fingerprints(bytes, k, w).length
+      if (windows == 0) assert(pos == 0 && fps == 0)
+      else {
+        assert(pos >= (windows + w - 1) / w && pos <= windows)
+        assert(fps >= 1 && fps <= pos)
+      }
+    }
+  }
+
+  test("simhash multiprobe blocking finds every pair within hamming 7 (fixture)") {
+    import graft.llm.{Dedup, TextOps}
+    val sims = docs.select(col("doc_id"),
+      graft.functions.ColumnFns.simhash64(TextOps.tokens(col("text"))).as("sim"))
+    val within7 = sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("h"))
+      .filter(col("h") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.simhashCandidates(docs).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(within7.nonEmpty, "fixture should contain close simhash pairs")
+    // pigeonhole + hamming-1 probe: all-chunks >= 2 bits apart => total >= 8
+    assert(within7.subsetOf(cand))
+  }
+}
