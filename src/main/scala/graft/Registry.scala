@@ -433,6 +433,34 @@ object Registry {
          |  ${dsum(s"CAST(value AS $dec4)")} AS total
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // Salted equi-join on a pathologically hot key space: event_type
+    // has ~5 distinct values over the whole fact table, so a plain
+    // shuffle join lands each key on ONE reducer; salting spreads every
+    // key over 8 (the sort-merge hint keeps Catalyst from broadcasting
+    // the demo's tiny dim, which would hide the pattern). The oracle is
+    // the plain unsalted join — salting must be result-invariant.
+    "q_skew_join_salted" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, count, length, lit, sum}
+        import org.apache.spark.sql.types.{DecimalType, LongType}
+        val e = events(s, d).select(col("event_type"),
+          col("value").cast(DecimalType(18, 4)).as("v"))
+        val dim = events(s, d).select(col("event_type")).distinct()
+          .withColumn("type_weight", length(col("event_type")).cast(LongType))
+        graft.query.SkewJoin.saltedEquiJoin(e, dim, "event_type", forceShuffle = true)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("v") * col("type_weight")).as("wsum"))
+          .select(col("event_type"), col("cnt"),
+            decOut(col("wsum")).as("weighted_total"))
+          .orderBy("event_type")
+      },
+      s"""SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  ${dsum(s"CAST(e.value AS $dec4) * length(e.event_type)")} AS weighted_total
+         |FROM events e
+         |JOIN (SELECT DISTINCT event_type FROM events) d ON e.event_type = d.event_type
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
+
     // ---- sink layout (S6 write path + read routing) ----
     "q_sink_layout" -> q(
       (s, d) => graft.sink.Sinks.layoutRoundTrip(
@@ -1210,10 +1238,21 @@ object Registry {
       (s, _) => {
         val dir = tmpDir("graft_compaction_") + "/t"
         // SF-independent synthetic batches (the fixture's row count
-        // varies with SF; the histogram fixed point must not)
-        Seq(500, 500, 500, 500, 2000, 2000, 4000).foreach { n =>
-          s.range(n).selectExpr("id AS event_id")
-            .coalesce(1).write.mode("append").parquet(dir)
+        // varies with SF; the histogram fixed point must not). Writes
+        // run concurrently — parquet append commits are task-file
+        // atomic, and each "micro-batch" is independent by design.
+        locally {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration._
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          // one subdir per batch: concurrent jobs must not share one
+          // output path's _temporary staging dir
+          val writes = Seq(500, 500, 500, 500, 2000, 2000, 4000).zipWithIndex.map {
+            case (n, i) =>
+              Future(s.range(n).selectExpr("id AS event_id")
+                .coalesce(1).write.mode("overwrite").parquet(s"$dir/b$i"))
+          }
+          writes.foreach(Await.result(_, 120.seconds))
         }
         val before = graft.sink.Compaction.tierHistogram(s, dir, "before")
         graft.sink.Compaction.compactFlat(s, dir, "event_id")

@@ -438,6 +438,52 @@ object Winnow {
   }
 }
 
+/** `max_equal_run(array<string>) -> int` — longest run of equal
+  * adjacent elements. Over a SORTED array this is the maximum element
+  * multiplicity, which turns the "most frequent token count" of the
+  * repetition filter into a per-row kernel: sort_array + one fused
+  * scan, instead of an explode -> (doc_id, token) count -> per-doc max
+  * — i.e. zero shuffles on a 100 TB corpus scan. */
+case class MaxEqualRun(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(_: StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"max_equal_run expects ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    var best = 1
+    var run = 1
+    var prev = if (arr.isNullAt(0)) null else arr.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (cur != null && prev != null && cur.equals(prev)) {
+        run += 1
+        if (run > best) best = run
+      } else run = 1
+      prev = cur
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("maxEqualRun", this, classOf[MaxEqualRun].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "max_equal_run"
+}
+
 /** `zorder2(a, b) -> long` — Morton/Z-order interleave of the low 32
   * bits of two integer columns. Sorting (or range-partitioning) a table
   * by this value clusters BOTH dimensions at once, so parquet row-group
@@ -523,6 +569,8 @@ object VectorFns {
     GraftBridge.column(Winnow(GraftBridge.expression(c), k, w))
   def winnowPosCount(c: Column, k: Int = 5, w: Int = 4): Column =
     GraftBridge.column(WinnowPosCount(GraftBridge.expression(c), k, w))
+  def maxEqualRun(c: Column): Column =
+    GraftBridge.column(MaxEqualRun(GraftBridge.expression(c)))
   def zorder2(a: Column, b: Column): Column =
     GraftBridge.column(ZOrder2(GraftBridge.expression(a), GraftBridge.expression(b)))
   def dot(a: Column, b: Column): Column =

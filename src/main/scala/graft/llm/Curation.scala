@@ -129,28 +129,26 @@ object Curation {
     * keyword-stuffed, and degenerate generator output score high on
     * both; clean prose stays low.
     *
-    * Scale shape: the bigram stats are per-row HOFs (no shuffle); the
-    * top-token share is one (doc_id, token) count + a per-doc max —
-    * the same two-stage agg as TF-IDF, carrying only counters. */
+    * Scale shape: ZERO shuffles — the bigram stats are per-row HOFs,
+    * and the top-token share comes from the fused `max_equal_run`
+    * kernel over the sorted token array (max element multiplicity ==
+    * longest equal-adjacent run), replacing the explode -> (doc_id,
+    * token) count -> per-doc max two-shuffle plan. The whole filter is
+    * a scan-local projection at any corpus size. */
   def repetitionStats(documents: DataFrame,
                       topTokThreshold: Double = 0.2,
                       dupBigramThreshold: Double = 0.3): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val base = documents.select(col("doc_id"), toks.as("t"),
-      tokenGrams(toks, 2).as("g2"))
-    val topTok = base
-      .select(col("doc_id"), explode(col("t")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
-    base
+    documents
+      .select(col("doc_id"), toks.as("t"), tokenGrams(toks, 2).as("g2"))
       .select(col("doc_id"), size(col("t")).as("n_tok"),
+        graft.functions.VectorFns.maxEqualRun(sort_array(col("t"))).as("top_c"),
         size(col("g2")).as("n_g2"),
         size(array_distinct(col("g2"))).as("n_g2_distinct"))
-      .join(topTok, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         when(col("n_tok") > 0,
-          coalesce(col("top_c"), lit(0L)).cast(DoubleType) / col("n_tok").cast(DoubleType))
+          col("top_c").cast(DoubleType) / col("n_tok").cast(DoubleType))
           .otherwise(lit(0.0)).as("top_tok_frac"),
         when(col("n_g2") > 0,
           lit(1.0) - col("n_g2_distinct").cast(DoubleType) / col("n_g2").cast(DoubleType))

@@ -247,11 +247,13 @@ object Dedup {
 
     var rounds = 0
     var converged = false
+    var nCur = e.count() // carried across rounds: 1 count job per round, not 2
     while (!converged && rounds < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint()
       val nNext = next.count()
-      converged = nNext == e.count() &&
+      converged = nNext == nCur &&
         next.exceptAll(e).limit(1).count() == 0
+      nCur = nNext
       e = next
       rounds += 1
     }

@@ -17,12 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** @param forceShuffle pin a sort-merge join (hint) so the (key,
+    *   salt) exchange actually spreads the hot key across reducers —
+    *   for the demo/spec; in production leave Catalyst free to
+    *   broadcast when the replicated side is tiny (salting is then a
+    *   harmless no-op). */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
-                     saltFactor: Int = 8): DataFrame = {
+                     saltFactor: Int = 8, forceShuffle: Boolean = false): DataFrame = {
     val salted = big.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
-    val replicated = small
+    val replicated0 = small
       .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
+    val replicated = if (forceShuffle) replicated0.hint("merge") else replicated0
     salted
       .join(replicated, Seq(key, "__salt"))
       .drop("__salt")

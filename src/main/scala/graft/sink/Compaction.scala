@@ -66,7 +66,9 @@ object Compaction {
     val totalBytes = before.map(_.getLen).sum
     val targetFiles = math.max(1, (totalBytes / targetFileBytes).toInt)
 
-    val df = spark.read.parquet(path)
+    // recursive lookup: micro-batch appends may land in per-batch
+    // subdirectories (concurrent writers can't share one _temporary)
+    val df = spark.read.option("recursiveFileLookup", "true").parquet(path)
     val tmp = path + "__compacting"
     df.repartition(targetFiles).sortWithinPartitions(col(sortCol))
       .write.mode("overwrite").parquet(tmp)

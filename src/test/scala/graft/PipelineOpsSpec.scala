@@ -75,6 +75,39 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(after == Map(1 -> 1L)) // 3000 rows -> tier floor(log4(6)) = 1
   }
 
+  test("salted equi-join equals the plain join and spreads keys over salts") {
+    import graft.query.SkewJoin
+    val e = Tables.events(spark, sf).select(col("event_type"), col("value"))
+    val dim = e.select(col("event_type")).distinct()
+      .withColumn("w", length(col("event_type")))
+    val salted = SkewJoin.saltedEquiJoin(e, dim, "event_type", forceShuffle = true)
+      .groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val plain = e.join(dim, Seq("event_type"))
+      .groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == plain && salted.nonEmpty)
+    // the salt column actually fans each hot key out over many sub-keys
+    val fanout = e.withColumn("__salt",
+        pmod(hash(monotonically_increasing_id()), lit(8)))
+      .groupBy("event_type").agg(countDistinct(col("__salt")).as("n"))
+      .collect().map(_.getLong(1))
+    assert(fanout.forall(_ >= 4), "hot keys should hit most of the 8 salts")
+  }
+
+  test("max_equal_run over sorted tokens equals the explode-groupBy top-token count") {
+    val direct = docs
+      .select(col("doc_id"),
+        graft.functions.VectorFns.maxEqualRun(sort_array(split(col("text"), " "))).as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val viaShuffle = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(max("count").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt)).toMap
+    assert(direct == viaShuffle)
+  }
+
   test("winnow position-count bounds hold on random repeat-heavy strings") {
     val rnd = new scala.util.Random(7)
     val k = 5; val w = 4
