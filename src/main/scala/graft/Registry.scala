@@ -1046,6 +1046,83 @@ object Registry {
         |)
         |SELECT id AS doc_id, MIN(lbl) AS component FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin),
+    // The dedup pipeline APPLIED: surviving corpus after removing
+    // near-dup groups (keep each component's min doc_id), with group
+    // sizes — what actually ships to tokenization.
+    "q_dedup_apply" -> q(
+      (s, d) => Dedup.applyDedup(
+        documents(s, d), Dedup.ngramJaccardPairs(documents(s, d))),
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
+        |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
+        |  FROM toks WHERE len(t) > 0
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+        |), reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        |), labels AS (
+        |  SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id
+        |), sizes AS (
+        |  SELECT component, CAST(COUNT(*) AS BIGINT) AS group_size
+        |  FROM labels GROUP BY component
+        |)
+        |SELECT d.doc_id, d.lang, d.source, s.group_size
+        |FROM documents d
+        |JOIN labels l ON d.doc_id = l.doc_id AND d.doc_id = l.component
+        |JOIN sizes s ON l.component = s.component
+        |ORDER BY d.doc_id""".stripMargin),
+    // Incremental dedup: a simulated ingest batch (doc_id % 5 = 0)
+    // checked against the standing corpus — exact-dup semi-join +
+    // cross-set prefix-filtered near-dup join. The corpus is never
+    // self-joined: at 100 TB only the delta's shingles probe it.
+    "q_dedup_incremental" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val all = documents(s, d)
+        Dedup.incrementalDedup(
+          all.filter(col("doc_id") % 5 === 0),
+          all.filter(col("doc_id") % 5 =!= 0))
+      },
+      """WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |dt AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
+        |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM delta)
+        |  WHERE len(t) > 0
+        |), ct AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
+        |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+        |  WHERE len(t) > 0
+        |), near AS (
+        |  SELECT DISTINCT a.doc_id FROM dt a JOIN ct b
+        |  ON CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+        |), exact AS (
+        |  SELECT DISTINCT d.doc_id FROM delta d JOIN corpus c ON d.text = c.text
+        |)
+        |SELECT d.doc_id,
+        |  (e.doc_id IS NOT NULL) AS exact_dup,
+        |  (n.doc_id IS NOT NULL) AS near_dup
+        |FROM delta d
+        |LEFT JOIN exact e ON d.doc_id = e.doc_id
+        |LEFT JOIN near n ON d.doc_id = n.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
     // Star-rounds CC on an adversarial-diameter graph: 50-long doc_id
     // chains, the case where plain min-label propagation needs ~50
     // shuffle rounds and the large-star/small-star alternation needs

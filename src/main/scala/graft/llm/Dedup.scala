@@ -154,6 +154,86 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-set exact n-gram Jaccard join (delta vs corpus): the same
+    * positional prefix filter as ngramJaccardPairs, but across two
+    * DISJOINT document sets — the incremental-dedup shape, where a new
+    * ingest batch is checked against the standing corpus without ever
+    * re-joining the corpus to itself. 100% recall at the threshold by
+    * the same prefix-filter theorem; only (shingle, doc_id) prefix
+    * tuples of BOTH sides shuffle, and the candidate pair set is
+    * deduped before the wide hash-set arrays re-attach. */
+  def ngramJaccardAcross(left: DataFrame, right: DataFrame,
+                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def prefixed(df: DataFrame) = {
+      val sh = shingleHashSets(df, shingleSize)
+      val prefixLen = greatest(
+        lit(1),
+        (size(col("hs")).cast(DoubleType) -
+          ceil(size(col("hs")).cast(DoubleType) * lit(threshold)) + 1).cast(IntegerType))
+      (sh, sh.select(col("doc_id"), size(col("hs")).as("n"),
+        explode(slice(col("hs"), lit(1), prefixLen)).as("shingle")))
+    }
+    val (shL, prefL) = prefixed(left)
+    val (shR, prefR) = prefixed(right)
+
+    val candidates = prefL.as("l")
+      .join(prefR.as("r"),
+        col("l.shingle") === col("r.shingle") &&
+          least(col("l.n"), col("r.n")).cast(DoubleType) >=
+            lit(threshold) * greatest(col("l.n"), col("r.n")))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    candidates
+      .join(shL.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(shR.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Incremental dedup report: each document of the `delta` batch
+    * flagged for exact duplication (identical text) and near
+    * duplication (n-gram Jaccard >= `threshold`) AGAINST the standing
+    * corpus. The production cycle this models: dedupe each ingest
+    * batch against the corpus before appending, so the corpus is never
+    * self-joined again after its initial clean. Exact flag = 8-byte
+    * fingerprint semi-join; near flag = cross-set prefix join. */
+  def incrementalDedup(delta: DataFrame, corpus: DataFrame,
+                       threshold: Double = 0.7): DataFrame = {
+    val exactIds = delta.select(col("doc_id"), col("text"))
+      .join(corpus.select(col("text")).distinct(), Seq("text"), "left_semi")
+      .select(col("doc_id"))
+      .withColumn("exact_dup", lit(true))
+    val nearIds = ngramJaccardAcross(delta, corpus, threshold = threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    delta.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end dedup APPLY: the surviving corpus after near-dup
+    * removal — one canonical doc (the component's min doc_id) per
+    * near-dup group, with its metadata and the size of the group it
+    * represents. This is the operator a pipeline actually materializes
+    * between curation and tokenization; pairs/clusters are the
+    * intermediate evidence. */
+  def applyDedup(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(documents, pairs)
+    val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("group_size"))
+    documents.select(col("doc_id"), col("lang"), col("source"))
+      .join(labels, Seq("doc_id"))
+      .filter(col("doc_id") === col("component"))
+      .join(sizes, Seq("component"))
+      .select(col("doc_id"), col("lang"), col("source"), col("group_size"))
+      .orderBy("doc_id")
+  }
+
   /** Dedup clustering: connected components over a near-dup pair list,
     * so each group of mutually-similar docs keeps one canonical
     * survivor (the min doc_id of its component).

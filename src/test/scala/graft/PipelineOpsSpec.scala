@@ -75,6 +75,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(after == Map(1 -> 1L)) // 3000 rows -> tier floor(log4(6)) = 1
   }
 
+  test("incremental dedup flags match the brute-force cross-set check") {
+    import graft.llm.Dedup
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val out = Dedup.incrementalDedup(delta, corpus).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(out.length.toLong == delta.count())
+    // near flags == the cross-residue subset of the all-pairs truth
+    val allPairs = Dedup.ngramJaccardAllPairs(docs, 3, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expNear = (allPairs.collect { case (a, b) if a % 5 == 0 && b % 5 != 0 => a } ++
+      allPairs.collect { case (a, b) if b % 5 == 0 && a % 5 != 0 => b }).toSet
+    assert(out.filter(_._3).map(_._1).toSet == expNear)
+    assert(expNear.nonEmpty, "fixture should plant cross-residue near-dups")
+  }
+
+  test("applyDedup keeps one survivor per component; group sizes partition the corpus") {
+    import graft.llm.Dedup
+    val pairs = Dedup.ngramJaccardPairs(docs)
+    val out = Dedup.applyDedup(docs, pairs).collect()
+    assert(out.map(_.getLong(3)).sum == docs.count())
+    val comps = Dedup.connectedComponents(docs, pairs)
+      .select("component").distinct().count()
+    assert(out.length.toLong == comps)
+  }
+
   test("salted equi-join equals the plain join and spreads keys over salts") {
     import graft.query.SkewJoin
     val e = Tables.events(spark, sf).select(col("event_type"), col("value"))
