@@ -230,6 +230,31 @@ object Registry {
         |FROM events WHERE event_type = 'signup'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, valid_from""".stripMargin),
+    // FULL OUTER join of two independent aggregates (per-user event
+    // counts vs per-customer order counts over overlapping id spaces):
+    // unmatched rows from BOTH sides survive with zero-filled counts.
+    "q_full_outer" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+        val e = events(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        val o = orders(s, d).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        e.join(o, col("user_id") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("user_id"), col("o_custkey")).as("id"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .orderBy("id")
+      },
+      """SELECT COALESCE(e.user_id, o.o_custkey) AS id,
+        |  CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events,
+        |  CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+        |FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id) e
+        |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) o
+        |  ON e.user_id = o.o_custkey
+        |ORDER BY id""".stripMargin),
+
     "q_anti_join" -> q(
       (s, d) => Analytics.customersWithoutOrders(customer(s, d), orders(s, d)),
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
@@ -587,6 +612,45 @@ object Registry {
         |  ROUND(quantile_cont(value, 0.99), 4) AS p99,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    // approx_percentile (the mergeable quantile sketch) under its rank
+    // theorem, checked ON RANKS (value-band spellings break when a
+    // group is small enough that the eps-band is narrower than one
+    // rank step): the returned value must occupy some rank within
+    // n/accuracy (+1 tie slop) of the target rank. Exact p50 is
+    // value-compared; the sketch enters only via the gate.
+    "q_approx_percentile" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, sum, when}
+        val acc = 1000
+        val base = events(s, d).select(col("event_type"), col("value"))
+        val agg1 = base.groupBy(col("event_type")).agg(
+          expr("round(percentile(value, 0.5), 4)").as("p50_exact"),
+          expr(s"approx_percentile(value, 0.5, $acc)").as("pa"),
+          count(lit(1)).as("n"))
+        val ranks = base
+          .join(broadcast(agg1.select(col("event_type"), col("pa"))), Seq("event_type"))
+          .groupBy(col("event_type")).agg(
+            sum(when(col("value") <= col("pa"), 1L).otherwise(0L)).as("rank_le"),
+            sum(when(col("value") < col("pa"), 1L).otherwise(0L)).as("rank_lt"))
+        agg1.join(ranks, Seq("event_type"))
+          .select(col("event_type"), col("p50_exact"), col("n"),
+            (col("rank_lt") <= lit(0.5) * col("n") + col("n") / acc + 1 &&
+              col("rank_le") >= lit(0.5) * col("n") - col("n") / acc - 1)
+              .as("approx_within_rank_eps"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+        |  CAST(COUNT(*) AS BIGINT) AS n, TRUE AS approx_within_rank_eps
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    // Heavy hitters: exact frequent-token set value-compared; the
+    // one-pass distributed sketch enters via its superset theorem gate.
+    "q_heavy_hitters" -> q(
+      (s, d) => TextOps.heavyHitters(documents(s, d)),
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tk)
+        |SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS sketch_superset_ok
+        |FROM tk, tot GROUP BY tok, n HAVING COUNT(*) > 0.02 * n
+        |ORDER BY tok""".stripMargin),
     // The exact side is value-checked; the HLL estimate is checked as a
     // relative-error BOUND (rsd=0.02 sketch against a 5% gate) — the
     // sketch itself is deterministic in Spark but not replicable in

@@ -175,6 +175,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Heavy hitters (frequent tokens above a support threshold) — the
+    * vocabulary-pruning / stopword-discovery primitive. The OUTPUT is
+    * the exact frequent set (one (token) count shuffle + threshold
+    * filter); the single-pass distributed sketch (`stat.freqItems`,
+    * Karp-Shenker-Papadimitriou) enters through its theorem gate: the
+    * sketch result is a guaranteed SUPERSET of the truly-frequent set,
+    * so `sketch_superset_ok` flips if the sketch ever loses a frequent
+    * item. At 100 TB the sketch is the first pass (one scan, ~1/support
+    * driver memory) and the exact count runs only over its candidates. */
+  def heavyHitters(documents: DataFrame, support: Double = 0.02): DataFrame = {
+    val tk = documents.select(explode(tokens(col("text"))).as("tok"))
+    val total = tk.count()
+    val exact = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(support) * lit(total.toDouble))
+      .localCheckpoint() // used twice: gate probe + output
+    val sketch = tk.stat.freqItems(Array("tok"), support)
+      .head.getSeq[String](0).toSet
+    val ok = sketch.nonEmpty &&
+      exact.filter(!col("tok").isin(sketch.toSeq: _*)).limit(1).count() == 0
+    exact.withColumn("sketch_superset_ok", lit(ok)).orderBy("tok")
+  }
+
   /** BPE-ish regex tokenization (the GPT-2 pattern family, lookahead
     * dropped so the same pattern runs in RE2-based engines): runs of
     * letters/digits with an optional leading space, or punctuation

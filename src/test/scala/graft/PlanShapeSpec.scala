@@ -51,6 +51,33 @@ class PlanShapeSpec extends SparkTestBase {
     assert(s.contains("TakeOrderedAndProject"), s)
   }
 
+  test("decontamination probes the benchmark grams via broadcast join (no gram shuffle)") {
+    val p = planOf("q_decontaminate")
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.exists(_.leftKeys.exists(_.toString.contains("gram"))),
+      s"expected the gram probe to broadcast the bench side:\n$p")
+  }
+
+  test("repetition stats shuffle only for the final global sort") {
+    val p = planOf("q_repetition")
+    val ex = collectAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(ex.nonEmpty, "the orderBy needs one range exchange")
+    assert(ex.forall(_.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+      s"repetition must not hash-shuffle (scan-local kernels):\n$p")
+  }
+
+  test("salted skew join runs as a sort-merge join on (key, salt)") {
+    val p = planOf("q_skew_join_salted")
+    val smj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, s"merge hint must hold off the broadcast:\n$p")
+    assert(smj.exists(_.leftKeys.size == 2), "join keys must be (key, __salt)")
+  }
+
   test("no accidental cartesian products anywhere in the registry") {
     // crossJoin(broadcast(1-row q)) plans as BroadcastNestedLoopJoin,
     // which is fine; a CartesianProductExec would mean an unintended
