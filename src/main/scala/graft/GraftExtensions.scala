@@ -40,6 +40,12 @@ object GraftFunctions {
         ShingleMinHash(args(0), int(args(1), "n"), int(args(2), "k"), 42L)),
     ("winnow", "winnow(str, k, w) - winnowing rolling-hash fingerprints",
       (args: Seq[Expression]) => Winnow(args(0), int(args(1), "k"), int(args(2), "w"))),
+    ("winnow_pos_count",
+      "winnow_pos_count(str, k, w) - number of distinct winnow-selected k-gram positions",
+      (args: Seq[Expression]) => WinnowPosCount(args(0), int(args(1), "k"), int(args(2), "w"))),
+    ("max_equal_run",
+      "max_equal_run(array<string>) - longest equal-adjacent run (max multiplicity when sorted)",
+      (args: Seq[Expression]) => MaxEqualRun(args.head)),
     ("from_avro_confluent", "from_avro_confluent(binary, schemaJson) - decode Confluent-wire Avro",
       (args: Seq[Expression]) => FromAvro(args(0), str(args(1), "schemaJson"))),
     ("zorder2", "zorder2(a, b) - Morton interleave of the low 32 bits of two integers",

@@ -230,6 +230,34 @@ object Registry {
         |FROM events WHERE event_type = 'signup'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, valid_from""".stripMargin),
+    // The SQL entry point end-to-end: a spark.sql() text query over a
+    // registered view, calling an extension-registered custom function
+    // (fnv1a64). The hash itself is engine-internal, so it enters via
+    // an injectivity gate — distinct hashes must equal distinct texts
+    // (64-bit FNV collides on this corpus with probability ~n^2/2^65).
+    "q_sql_api" -> q(
+      (s, d) => {
+        documents(s, d).createOrReplaceTempView("graft_docs_v")
+        s.sql("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+                |  COUNT(DISTINCT fnv1a64(text)) = COUNT(DISTINCT text) AS hash_injective_ok
+                |FROM graft_docs_v GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+        |  TRUE AS hash_injective_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // The typed-Dataset UDAF surface: a custom Aggregator[IN,BUF,OUT]
+    // over Dataset[EvRow], same decimal discipline as decSum so the
+    // custom merge is bit-checked against DuckDB's plain aggregate.
+    "q_typed_agg" -> q(
+      (s, d) => graft.query.TypedAgg.typedStats(s, events(s, d)),
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${dsum(s"CAST(value AS $dec4)")} AS total,
+         |  MIN(value) AS vmin, MAX(value) AS vmax
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // FULL OUTER join of two independent aggregates (per-user event
     // counts vs per-customer order counts over overlapping id spaces):
     // unmatched rows from BOTH sides survive with zero-filled counts.
