@@ -388,9 +388,27 @@ object Dedup {
     * chunk of a pair differs in >= 2 bits, the total distance is >= 8.
     * Token-level simhash on ~10^2-token docs flips ~4-8 bits for real
     * near-dups (measured at sf0.01), so exact-chunk blocking alone
-    * misses them. Cost: 17x key fan-out on the probe side only —
-    * (chunk_idx, chunk_val, doc_id) tuples, not documents. */
-  def simhashCandidates(documents: DataFrame): DataFrame = {
+    * misses them.
+    *
+    * Bucket cap (the posting-list frequency cap of production simhash
+    * indexes): buckets larger than `maxBucket` on the build side are
+    * dropped — a chunk value shared by that many docs carries ~no
+    * signal, and real near-dups also agree on discriminative chunks.
+    * The cap bounds the worst case at n * 4 * 17 * maxBucket pairs.
+    * HONEST SCALE NOTE, measured on the fixture corpus: candidate
+    * density here is ~13% of all pairs at sf0.1 (1.6M for 5k docs,
+    * cheap at this scale, quadratic in spirit) and the cap does NOT
+    * bind — the density comes from the Hamming-1 NEIGHBORHOOD of many
+    * small buckets, because unigram simhashes of template-similar
+    * short docs cluster within a few bits corpus-wide. On such
+    * corpora, simhash blocking needs more distinctive features
+    * (weighted/shingled inputs) or wider chunks before it is the
+    * 100 TB tool; the prefix-filtered exact join (ngramJaccardPairs)
+    * is this engine's scale path for text near-dup, and this operator
+    * exists for the Hamming-keyed use cases where simhash distances
+    * ARE the contract. Blocking recall vs the 0.7-Jaccard truth:
+    * 1.0 / 1.0 / 0.988 at sf0.001/0.01/0.1 (gate bound 0.9). */
+  def simhashCandidates(documents: DataFrame, maxBucket: Int = 256): DataFrame = {
     val sims = documents.select(
       col("doc_id"),
       ColumnFns.simhash64(TextOps.tokens(col("text"))).as("sim"))
@@ -400,14 +418,20 @@ object Dedup {
         shiftright(col("sim"), c * 16).bitwiseAND(lit(0xffffL))
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
 
+    val bucketSizes = chunked.groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .select(col("chunk_idx"), col("chunk_val"))
+
     val probes = chunked.select(
       col("doc_id").as("doc_a"), col("sim").as("sim_a"), col("chunk_idx"),
       explode(array(
         col("chunk_val") +:
           (0 until 16).map(b => col("chunk_val").bitwiseXOR(lit(1L << b))): _*))
         .as("chunk_val"))
-    val r = chunked.select(col("chunk_idx"), col("chunk_val"),
-      col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    val r = chunked.join(bucketSizes, Seq("chunk_idx", "chunk_val"), "left_semi")
+      .select(col("chunk_idx"), col("chunk_val"),
+        col("doc_id").as("doc_b"), col("sim").as("sim_b"))
 
     probes.join(r, Seq("chunk_idx", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
