@@ -1383,6 +1383,22 @@ object Registry {
       generatorSql(numDevices = 50, seconds = 20,
         extraCols = ",\n  make_timestamp((1704067200 + id // 50) * 1000000) AS event_time")),
 
+    // XML: Spark 4 ships the (former spark-xml) data source built in;
+    // fourth interchange format through the same round-trip gate.
+    "q_xml_roundtrip" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val dir = tmpDir("graft_xml_demo_")
+        val e = events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        e.write.mode("overwrite").option("rowTag", "event").xml(dir)
+        s.read.schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+          .option("rowTag", "event").xml(dir)
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin),
+
     // ORC: third batch source format through the same round-trip gate.
     "q_orc_roundtrip" -> q(
       (s, d) => {

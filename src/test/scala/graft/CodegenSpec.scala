@@ -45,6 +45,21 @@ class CodegenSpec extends SparkTestBase {
     }
   }
 
+  test("winnow_pos_count and max_equal_run codegen match the direct kernels") {
+    val texts = Seq("the quick brown fox the quick brown fox", "abc", "")
+    val rows = texts.toDF("t").select(
+      col("t"),
+      VectorFns.winnowPosCount(col("t")).as("pos"),
+      VectorFns.maxEqualRun(sort_array(split(col("t"), " "))).as("run")).collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) == Winnow.posCount(t.getBytes, 5, 4))
+      val sorted = t.split(" ", -1).sorted
+      val direct = sorted.groupBy(identity).values.map(_.length).max
+      assert(r.getInt(2) == direct)
+    }
+  }
+
   test("winnow codegen matches the direct fingerprint computation") {
     val texts = Seq("the quick brown fox jumps over the lazy dog again", "abc")
     val rows = texts.toDF("t")
