@@ -1383,6 +1383,31 @@ object Registry {
       generatorSql(numDevices = 50, seconds = 20,
         extraCols = ",\n  make_timestamp((1704067200 + id // 50) * 1000000) AS event_time")),
 
+    // Malformed-input handling (the ingest reality of web-scale
+    // corpora): a JSON batch with three deliberately broken lines read
+    // in PERMISSIVE mode — broken records land in the corrupt-record
+    // column instead of failing the job or silently vanishing, and the
+    // good rows aggregate cleanly. Literal-oracle fixed point.
+    "q_bad_records" -> q(
+      (s, _) => {
+        import org.apache.spark.sql.functions.{col, sum, when, lit}
+        import s.implicits._
+        val dir = tmpDir("graft_badrec_")
+        val lines = (0 until 8).map(i => s"""{"id":$i,"v":${i * 10}}""") ++
+          Seq("{not json", """{"id":"x","v":}""", "garbage")
+        s.createDataset(lines).coalesce(1).write.mode("overwrite").text(dir)
+        s.read.schema("id LONG, v LONG, _corrupt STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(dir)
+          .agg(
+            sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+            sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+            sum(when(col("_corrupt").isNull, col("v")).otherwise(lit(0L))).as("v_total"))
+      },
+      """SELECT CAST(8 AS BIGINT) AS n_good, CAST(3 AS BIGINT) AS n_bad,
+        |  CAST(280 AS BIGINT) AS v_total""".stripMargin),
+
     // XML: Spark 4 ships the (former spark-xml) data source built in;
     // fourth interchange format through the same round-trip gate.
     "q_xml_roundtrip" -> q(
