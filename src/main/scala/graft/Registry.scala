@@ -921,15 +921,20 @@ object Registry {
     "q_pii_redact" -> q(
       (s, d) => {
         import org.apache.spark.sql.functions.{col, concat, lit, lpad, substring}
-        val base = documents(s, d).select(
-          col("doc_id"),
-          concat(
-            substring(col("text"), 1, 40),
-            lit(" contact user"), col("doc_id").cast("string"),
-            lit("@example.com or +1-555-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
-            lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
-            lit("."), ((col("doc_id") * 7) % 256).cast("string")).as("text"))
+        // narrow scan sorted BEFORE the concat + regex projections
+        // (2x-eval rule — see TextOps.sortedDocs)
+        val base = documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+          .select(
+            col("doc_id"),
+            concat(
+              substring(col("text"), 1, 40),
+              lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+              lit("."), ((col("doc_id") * 7) % 256).cast("string")).as("text"))
         TextOps.redactPii(base)
           .select(
             col("doc_id"),
@@ -937,7 +942,6 @@ object Registry {
             col("n_phones").cast("long").as("n_phones"),
             col("n_ips").cast("long").as("n_ips"),
             col("redacted"))
-          .orderBy("doc_id")
       },
       s"""WITH base AS (
          |  SELECT doc_id,

@@ -32,8 +32,14 @@ object Curation {
       when(avgWLen.between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)) +
       when(stopR > 0.0, lit(0.2)).otherwise(lit(0.0))
     val langPred = when(stopR > 0.05, lit("en")).otherwise(lit("other"))
+    // Window first, then the global sort on the still-narrow (doc_id,
+    // text, is_dup) rows; the tokenize/score projection sits ABOVE the
+    // sort so the range-boundary sampling pass never evaluates it
+    // (family-wide 2x-eval rule — see TextOps.sortedDocs).
     documents
-      .withColumn("is_dup", col("doc_id") =!= keeper)
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") =!= keeper).as("is_dup"))
+      .orderBy("doc_id")
       .withColumn("quality", quality)
       .withColumn("lang_pred", langPred)
       .withColumn("reason",
@@ -43,7 +49,6 @@ object Curation {
           .otherwise(lit("keep")))
       .select(col("doc_id"), col("is_dup"), col("lang_pred"),
         col("quality"), col("reason"), (col("reason") === "keep").as("kept"))
-      .orderBy("doc_id")
   }
 
   /** Deterministic, engine-independent train/val/test split on the
@@ -71,14 +76,20 @@ object Curation {
     val nChunksMinus1 = greatest(
       ceil((size(toks) - lit(size0)).cast(DoubleType) / stride).cast(IntegerType),
       lit(0))
+    // Sort the narrow (doc_id, text) input BEFORE tokenize + explode
+    // (2x-eval rule): range partitions emit in doc_id order and
+    // Generate preserves row order while emitting chunk_idx ascending,
+    // so the output is still deterministically (doc_id, chunk_idx)-
+    // ordered with no post-explode sort — the media frameSample shape.
     documents
       .filter(col("doc_id") < docLimit)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
       .select(col("doc_id"), toks.as("t"),
         explode(sequence(lit(0), nChunksMinus1)).as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),
         size(slice(col("t"), col("chunk_idx") * stride + 1, lit(size0))).as("n_chunk_tokens"),
         array_join(slice(col("t"), col("chunk_idx") * stride + 1, lit(size0)), " ").as("chunk_text"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   /** Token n-gram strings (full n-grams only; empty array when the doc
@@ -139,7 +150,10 @@ object Curation {
                       topTokThreshold: Double = 0.2,
                       dupBigramThreshold: Double = 0.3): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    documents
+    // Narrow input sorted BEFORE the kernel chain (2x-eval rule): the
+    // range-boundary sampling pass reads only (doc_id, text); tokenize,
+    // sort_array, bigrams, and max_equal_run each run exactly once.
+    TextOps.sortedDocs(documents)
       .select(col("doc_id"), toks.as("t"), tokenGrams(toks, 2).as("g2"))
       .select(col("doc_id"), size(col("t")).as("n_tok"),
         graft.functions.VectorFns.maxEqualRun(sort_array(col("t"))).as("top_c"),
@@ -155,7 +169,6 @@ object Curation {
           .otherwise(lit(0.0)).as("dup_bigram_frac"))
       .withColumn("repetitive",
         col("top_tok_frac") > topTokThreshold || col("dup_bigram_frac") > dupBigramThreshold)
-      .orderBy("doc_id")
   }
 
   /** Deterministic stratified sampling: per-language keep rates (e.g.

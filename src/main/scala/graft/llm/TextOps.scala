@@ -61,14 +61,22 @@ object TextOps {
           PhoneRe, "<PHONE>"))
   }
 
+  /** Narrow (doc_id, text) scan, range-sorted BEFORE any expensive
+    * projection: a projection under a global sort is evaluated twice
+    * (the range-boundary sampling job re-executes the child plan), so
+    * every per-row text operator below sorts the cheap input first and
+    * projects after — the `propsMap`/media pattern (2.7 -> 0.7 s
+    * measured there), applied family-wide. */
+  private[llm] def sortedDocs(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text")).orderBy("doc_id")
+
   /** Per-document token counting (whitespace tokens + chars). */
   def tokenCount(documents: DataFrame): DataFrame =
-    documents
+    sortedDocs(documents)
       .select(
         col("doc_id"),
         size(tokens(col("text"))).as("n_tokens"),
         length(col("text")).cast(LongType).as("n_chars"))
-      .orderBy("doc_id")
 
   /** Per-source corpus statistics. Decimal-exact average for the
     * cross-engine compare. */
@@ -99,12 +107,13 @@ object TextOps {
     val toks = tokens(col("text"))
     val ratio = stopwordCount(toks).cast(DoubleType) / size(toks).cast(DoubleType)
     documents
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy("doc_id")
       .select(
         col("doc_id"),
         col("lang").as("lang_declared"),
         ratio.as("en_stop_ratio"),
         when(ratio > 0.05, lit("en")).otherwise(lit("other")).as("lang_pred"))
-      .orderBy("doc_id")
   }
 
   /** Heuristic quality score: token count band + average word length
@@ -119,14 +128,13 @@ object TextOps {
       when(nTok.between(10, 2000), lit(0.5)).otherwise(lit(0.0)) +
       when(avgWLen.between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)) +
       when(stopR > 0.0, lit(0.2)).otherwise(lit(0.0))
-    documents
+    sortedDocs(documents)
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
         avgWLen.as("avg_word_len"),
         stopR.as("stop_ratio"),
         score.as("quality"))
-      .orderBy("doc_id")
   }
 
   /** Document fingerprints via the custom Catalyst expressions:
@@ -134,13 +142,12 @@ object TextOps {
     * (hamming-near-dup key), and the MOSS-style winnowing rolling-hash
     * fingerprint set (local-edit-robust overlap detection). */
   def fingerprint(documents: DataFrame): DataFrame =
-    documents
+    sortedDocs(documents)
       .select(
         col("doc_id"),
         ColumnFns.fnv1a64(col("text")).as("fp64"),
         ColumnFns.simhash64(tokens(col("text"))).as("simhash"),
         graft.functions.VectorFns.winnow(col("text")).as("winnow_fps"))
-      .orderBy("doc_id")
 
   /** The oracle-checkable face of `fingerprint`: per-doc k-gram /
     * window counts (recomputable from byte lengths by any SQL engine)
@@ -161,7 +168,7 @@ object TextOps {
       .otherwise(nGrams - (w - 1))
     val nPos = graft.functions.VectorFns.winnowPosCount(col("text"), k, w)
     val nFp = size(graft.functions.VectorFns.winnow(col("text"), k, w)).cast(LongType)
-    documents
+    sortedDocs(documents)
       .select(col("doc_id"), nGrams.as("n_grams"), nWindows.as("n_windows"),
         nPos.as("n_pos"), nFp.as("n_fp"))
       .select(
@@ -172,7 +179,6 @@ object TextOps {
             col("n_pos") <= col("n_windows") &&
             col("n_fp") >= 1L && col("n_fp") <= col("n_pos"))
           .as("fp_bounds_ok"))
-      .orderBy("doc_id")
   }
 
   /** Heavy hitters (frequent tokens above a support threshold) — the
@@ -204,12 +210,11 @@ object TextOps {
   val BpeishPattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
 
   def tokenCountBpe(documents: DataFrame): DataFrame =
-    documents
+    sortedDocs(documents)
       .select(
         col("doc_id"),
         size(split(col("text"), " ")).as("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))).as("n_bpe_tokens"))
-      .orderBy("doc_id")
 
   /** TF-IDF feature scores per (doc, token): tf = in-doc frequency /
     * doc length, idf = ln((1+N)/(1+df)). Every stage is an equality-key

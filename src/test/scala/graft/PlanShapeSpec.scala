@@ -154,6 +154,35 @@ class PlanShapeSpec extends SparkTestBase {
     assert(s.contains("HashAggregate(keys=[l_orderkey"), s)
   }
 
+  test("expensive per-row projections sit above the final range sort (no 2x-eval)") {
+    // The range-boundary sampling job re-executes the sort's child plan,
+    // so any tokenizer/regex/kernel below a global sort runs twice. The
+    // whole per-row text family sorts the narrow input FIRST and
+    // projects after; this guard fails if a refactor re-sinks one.
+    val expensiveMarkers = Seq(
+      "split(", "regexp", "from_json", "simhash", "winnow", "max_equal_run", "fnv1a")
+    val guarded = Seq(
+      "q_token_count", "q_lang_id", "q_quality_score", "q_fingerprint",
+      "q_pii_redact", "q_token_bpe", "q_repetition", "q_curation",
+      "q_chunk_docs", "q_props_map")
+    guarded.foreach { name =>
+      val p = planOf(name)
+      val rangeChildren = collectAll(p) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e.child
+      }
+      assert(rangeChildren.nonEmpty, s"$name lost its range sort entirely")
+      rangeChildren.foreach { c =>
+        val s = c.toString.toLowerCase
+        expensiveMarkers.foreach { m =>
+          assert(!s.contains(m.toLowerCase),
+            s"$name evaluates '$m' below the range sort (2x-eval):\n$c")
+        }
+      }
+    }
+  }
+
   test("stratified sample is a scan-local filter (no exchange before the sort)") {
     val s = planString("q_sample_stratified")
     assert("hashpartitioning".r.findAllIn(s).isEmpty,
