@@ -237,11 +237,17 @@ object Registry {
     // (64-bit FNV collides on this corpus with probability ~n^2/2^65).
     "q_sql_api" -> q(
       (s, d) => {
-        documents(s, d).createOrReplaceTempView("graft_docs_v")
-        s.sql("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        // Per-invocation view name: a fixed name would let concurrent
+        // verify+bench invocations with different data dirs race on the
+        // shared session catalog and read the wrong corpus.
+        val view = "graft_docs_v_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        documents(s, d).createOrReplaceTempView(view)
+        try s.sql(s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                 |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
                 |  COUNT(DISTINCT fnv1a64(text)) = COUNT(DISTINCT text) AS hash_injective_ok
-                |FROM graft_docs_v GROUP BY lang ORDER BY lang""".stripMargin)
+                |FROM $view GROUP BY lang ORDER BY lang""".stripMargin)
+          .localCheckpoint()
+        finally s.catalog.dropTempView(view)
       },
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
@@ -513,6 +519,44 @@ object Registry {
          |FROM events e
          |JOIN (SELECT DISTINCT event_type FROM events) d ON e.event_type = d.event_type
          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
+
+    // Two-tier salting on a MIXED key space: one manufactured hot key
+    // (~1/3 of the fact rows) among ~100 cold per-user keys. Only keys
+    // whose big-side count exceeds |big|/10 get salted — the small side
+    // replicates for the hot key alone (|small| + (f-1) x 1 rows, vs
+    // f x |small| under flat salting). The oracle is the plain join:
+    // tiering must be result-invariant.
+    "q_skew_join_twotier" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, concat, count, length, lit, sum, when}
+        import org.apache.spark.sql.types.{DecimalType, LongType}
+        val e = events(s, d).select(
+          when(col("user_id") % 3 === 0, lit("hot"))
+            .otherwise(concat(lit("u"), col("user_id"))).as("skew_key"),
+          col("value").cast(DecimalType(18, 4)).as("v"))
+        val dim = e.select(col("skew_key")).distinct()
+          .withColumn("key_weight", length(col("skew_key")).cast(LongType))
+        val hotThreshold = e.count() / 10
+        graft.query.SkewJoin
+          .saltedEquiJoinTwoTier(e, dim, "skew_key", saltFactor = 8,
+            hotThreshold = hotThreshold, forceShuffle = true)
+          .groupBy(col("skew_key"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("v") * col("key_weight")).as("wsum"))
+          .select(col("skew_key"), col("cnt"),
+            decOut(col("wsum")).as("weighted_total"))
+          .orderBy("skew_key")
+      },
+      s"""WITH e AS (
+         |  SELECT CASE WHEN user_id % 3 = 0 THEN 'hot'
+         |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS skew_key,
+         |    CAST(value AS $dec4) AS v
+         |  FROM events
+         |)
+         |SELECT e.skew_key, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  ${dsum("e.v * length(e.skew_key)")} AS weighted_total
+         |FROM e JOIN (SELECT DISTINCT skew_key FROM e) d ON e.skew_key = d.skew_key
+         |GROUP BY e.skew_key ORDER BY e.skew_key""".stripMargin),
 
     // ---- sink layout (S6 write path + read routing) ----
     "q_sink_layout" -> q(
@@ -790,6 +834,31 @@ object Registry {
         |  CAST(MAX((doc_id * 31 + i * 7) % 256) AS BIGINT) AS pixel_max
         |FROM px GROUP BY doc_id, width, height
         |ORDER BY doc_id""".stripMargin),
+    // REAL WAV/PCM decode under the oracle: the engine encodes actual
+    // RIFF/WAV bytes (JDK AudioSystem writer), decodes them with the
+    // JDK's WAV reader, and computes integer signal features from the
+    // DECODED 16-bit samples; the oracle replays the generating sample
+    // formula. A header, endianness, or sample-unpack defect breaks
+    // the hash match.
+    "q_media_audio" -> q(
+      (s, d) => Multimodal.audioFeatures(s, documents(s, d)),
+      """WITH d AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 33 AS INT) AS n_samples FROM documents
+        |), sm AS (
+        |  SELECT doc_id, n_samples, unnest(range(n_samples)) AS i FROM d
+        |), v AS (
+        |  SELECT doc_id, n_samples, i,
+        |    (doc_id * 37 + i * 11) % 4001 - 2000 AS v,
+        |    CASE WHEN i > 0 THEN (doc_id * 37 + (i - 1) * 11) % 4001 - 2000 END AS pv
+        |  FROM sm
+        |)
+        |SELECT doc_id, n_samples, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS n_channels,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+        |  CAST(COALESCE(SUM(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS zero_crossings
+        |FROM v GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin),
     // REAL ImageIO decode under the oracle: the engine encodes actual
     // PNG bytes, decodes them with the JDK's PNG reader, and pools the
     // DECODED raster into 8 horizontal-band means; the oracle replays
@@ -1513,6 +1582,26 @@ object Registry {
         |UNION ALL SELECT 'd1', CAST(1704067202000 AS BIGINT), CAST(23.0 AS FLOAT)
         |UNION ALL SELECT 'd2', CAST(1704067201000 AS BIGINT), CAST(25.0 AS FLOAT)
         |ORDER BY device_id, "timestamp"""".stripMargin),
+
+    // Checkpoint recovery (S8) as a literal fixed point: a file-source
+    // dedup stream is stopped and a NEW query restarted from the same
+    // checkpoint. 3 survivors from 4 deliveries across the restart:
+    // file 1 is not re-read (source offsets recovered) and file 2's
+    // redelivery of d1@base is dropped (dedup STATE recovered) — a
+    // fresh query would emit 5 rows, a replaying one 5-6; either
+    // breaks the hash.
+    "q_checkpoint_recovery" -> q(
+      (s, _) => {
+        import org.apache.spark.sql.functions.col
+        graft.streaming.StreamingDemos.checkpointRecovery(s)
+          .select(col("after_restart"), col("device_id"),
+            col("timestamp"), col("temperature"))
+      },
+      """SELECT FALSE AS after_restart, 'd1' AS device_id,
+        |  CAST(1704067200000 AS BIGINT) AS "timestamp", CAST(21.0 AS FLOAT) AS temperature
+        |UNION ALL SELECT FALSE, 'd2', CAST(1704067201000 AS BIGINT), CAST(22.0 AS FLOAT)
+        |UNION ALL SELECT TRUE, 'd1', CAST(1704067202000 AS BIGINT), CAST(23.0 AS FLOAT)
+        |ORDER BY after_restart, device_id, "timestamp"""".stripMargin),
   )
 
   /** Fresh per-invocation scratch dir: concurrent verify + bench runs

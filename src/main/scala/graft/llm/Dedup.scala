@@ -109,41 +109,93 @@ object Dedup {
     * bands/rows tuning.
     *
     * Theorem (prefix filter): order every shingle set by a global
-    * total order (here: the 31-bit shingle hash value — ShingleHashSet
-    * emits sorted sets). If J(A,B) >= t then |A∩B| >= ceil(t*max|A|,|B|),
+    * total order. If J(A,B) >= t then |A∩B| >= ceil(t*max|A|,|B|),
     * and two sets with overlap >= a share an element within the first
     * |S| - a + 1 elements of each. So joining only on each doc's first
     * |S| - ceil(t*|S|) + 1 shingles finds EVERY qualifying pair;
-    * exact Jaccard verification then removes false candidates.
+    * exact Jaccard verification then removes false candidates. The
+    * order in force is RAREST-FIRST (ascending global document
+    * frequency — see prefixTuples): the theorem holds for any common
+    * total order, but DF-ascending is the one that keeps hot
+    * boilerplate shingles out of prefixes, so candidate volume tracks
+    * true-pair density rather than hot-shingle density.
     *
     * Scale shape: the equality join carries (shingle, doc_id) for the
     * prefix only — ~(1-t)*|S| per doc; candidates are pair-deduped
     * before the wide hash-set arrays are re-attached. No cross join,
-    * no recall loss, and hot shingles are AQE-skew-join territory
-    * (or drop the globally-top-frequent shingles from prefixes: a
-    * shingle shared by half the corpus prunes nothing).
+    * no recall loss; residual hot prefix shingles (corpora where even
+    * the rare tail is shared) remain AQE-skew-join territory.
     */
-  def ngramJaccardPairs(documents: DataFrame, shingleSize: Int = 3,
-                        threshold: Double = 0.5): DataFrame = {
-    val sh = shingleHashSets(documents, shingleSize)
-    val prefixLen = greatest(
-      lit(1),
-      (size(col("hs")).cast(DoubleType) -
-        ceil(size(col("hs")).cast(DoubleType) * lit(threshold)) + 1).cast(IntegerType))
-    val prefix = sh
-      .select(col("doc_id"), size(col("hs")).as("n"),
+  /** Per-doc prefix tuples (doc_id, n, shingle) under the GLOBAL total
+    * order the prefix-filter theorem quantifies over. Two orders:
+    *
+    *  - `rarestFirst = true` (the production path): ascending global
+    *    document frequency, ties by shingle value — the PPJoin/AllPairs
+    *    ordering. Prefixes fill with the corpus's RAREST shingles, and
+    *    a df=1 shingle joins with nothing, so prefix slots spent on it
+    *    produce zero candidates; the globally-hot shingles (shared by
+    *    half a template-heavy corpus, each contributing O(n_s^2) pairs)
+    *    sort LAST and stay out of prefixes wherever the threshold
+    *    allows. One DF aggregate + one rank join — both ~ the shingle
+    *    volume the prefix explode already pays — buys candidate counts
+    *    that track true-pair density instead of hot-shingle density
+    *    (DedupSpec measures 34x on a boilerplate corpus).
+    *  - `rarestFirst = false`: the shingle-hash order the sets already
+    *    carry (ShingleHashSet emits sorted) — zero preprocessing,
+    *    random-uniform prefixes; kept for the spec's A/B measurement.
+    *
+    * Correctness is order-INVARIANT: the theorem only needs both sides
+    * to use the same total order, and exact verification follows. */
+  private def prefixTuples(sh: DataFrame, threshold: Double,
+                           rarestFirst: Boolean): DataFrame = {
+    if (!rarestFirst) {
+      val prefixLen = greatest(
+        lit(1),
+        (size(col("hs")).cast(DoubleType) -
+          ceil(size(col("hs")).cast(DoubleType) * lit(threshold)) + 1).cast(IntegerType))
+      sh.select(col("doc_id"), size(col("hs")).as("n"),
         explode(slice(col("hs"), lit(1), prefixLen)).as("shingle"))
+    } else {
+      val exploded = sh.select(col("doc_id"), size(col("hs")).as("n"),
+        explode(col("hs")).as("shingle"))
+      val df = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val prefixLen = greatest(
+        lit(1),
+        (col("n").cast(DoubleType) -
+          ceil(col("n").cast(DoubleType) * lit(threshold)) + 1).cast(IntegerType))
+      exploded
+        .join(df, Seq("shingle"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+        .filter(col("__rn") <= prefixLen)
+        .select(col("doc_id"), col("n"), col("shingle"))
+    }
+  }
 
+  /** Candidate (doc_a, doc_b) pairs from the prefix join, deduped —
+    * exposed for the spec's candidate-count A/B measurement. */
+  private[graft] def ngramCandidatePairs(documents: DataFrame, shingleSize: Int = 3,
+                                         threshold: Double = 0.5,
+                                         rarestFirst: Boolean = true): DataFrame = {
+    val sh = shingleHashSets(documents, shingleSize)
+    val prefix = prefixTuples(sh, threshold, rarestFirst)
     // Length filter rides the equality join: J(A,B) <= min/max of the
     // set sizes, so mismatched sizes can't clear the threshold — pairs
     // die before the pair-dedup shuffle (~24% of candidates at sf0.1).
-    val candidates = prefix.as("l")
+    prefix.as("l")
       .join(prefix.as("r"),
         col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id") &&
           least(col("l.n"), col("r.n")).cast(DoubleType) >=
             lit(threshold) * greatest(col("l.n"), col("r.n")))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  def ngramJaccardPairs(documents: DataFrame, shingleSize: Int = 3,
+                        threshold: Double = 0.5,
+                        rarestFirst: Boolean = true): DataFrame = {
+    val sh = shingleHashSets(documents, shingleSize)
+    val candidates = ngramCandidatePairs(documents, shingleSize, threshold, rarestFirst)
 
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
@@ -164,17 +216,29 @@ object Dedup {
     * deduped before the wide hash-set arrays re-attach. */
   def ngramJaccardAcross(left: DataFrame, right: DataFrame,
                          shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    def prefixed(df: DataFrame) = {
-      val sh = shingleHashSets(df, shingleSize)
+    val shL = shingleHashSets(left, shingleSize)
+    val shR = shingleHashSets(right, shingleSize)
+    // Rarest-first needs ONE total order common to both sides, so the
+    // document frequency is taken over the UNION of the two shingle
+    // populations (the delta side is tiny next to the corpus, so this
+    // costs ~the corpus DF pass the self-join pays anyway).
+    val unionDf = shL.unionByName(shR)
+      .select(explode(col("hs")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    def prefixed(sh: DataFrame): DataFrame = {
       val prefixLen = greatest(
         lit(1),
-        (size(col("hs")).cast(DoubleType) -
-          ceil(size(col("hs")).cast(DoubleType) * lit(threshold)) + 1).cast(IntegerType))
-      (sh, sh.select(col("doc_id"), size(col("hs")).as("n"),
-        explode(slice(col("hs"), lit(1), prefixLen)).as("shingle")))
+        (col("n").cast(DoubleType) -
+          ceil(col("n").cast(DoubleType) * lit(threshold)) + 1).cast(IntegerType))
+      sh.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("shingle"))
+        .join(unionDf, Seq("shingle"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+        .filter(col("__rn") <= prefixLen)
+        .select(col("doc_id"), col("n"), col("shingle"))
     }
-    val (shL, prefL) = prefixed(left)
-    val (shR, prefR) = prefixed(right)
+    val prefL = prefixed(shL)
+    val prefR = prefixed(shR)
 
     val candidates = prefL.as("l")
       .join(prefR.as("r"),
@@ -368,12 +432,29 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** X2 SimHash near-dup: 64-bit simhash, blocked on 4x16-bit chunks
-    * (any pair within Hamming distance 3 shares at least one exact
-    * 16-bit chunk — pigeonhole), verified with exact Hamming distance.
-    */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
-    simhashCandidates(documents)
+  /** Word n-gram strings as simhash FEATURES (shingled features): the
+    * unigram feature set of two template-similar docs overlaps heavily
+    * even when their content differs, which squeezes all simhashes of
+    * a template-heavy corpus into a few bits of each other and makes
+    * Hamming blocking near-quadratic. n-gram features change with
+    * every local edit, so unrelated docs' feature sets are near-
+    * disjoint and their simhashes near-independent — blocking density
+    * drops to ~the true-pair rate. Docs shorter than n tokens
+    * contribute one whole-doc feature (never an empty set, whose
+    * simhash 0 would collide corpus-wide). */
+  private def shingleFeatures(t: Column, n: Int): Column =
+    if (n <= 1) t
+    else when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+      .otherwise(array(array_join(t, " ")))
+
+  /** X2 SimHash near-dup: 64-bit simhash over shingled features,
+    * blocked on 4x16-bit chunks with Hamming-1 multiprobe, verified
+    * with exact Hamming distance. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
+                   featureShingle: Int = 3): DataFrame =
+    simhashCandidates(documents, featureShingle = featureShingle)
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -395,23 +476,32 @@ object Dedup {
     * dropped — a chunk value shared by that many docs carries ~no
     * signal, and real near-dups also agree on discriminative chunks.
     * The cap bounds the worst case at n * 4 * 17 * maxBucket pairs.
-    * HONEST SCALE NOTE, measured on the fixture corpus: candidate
-    * density here is ~13% of all pairs at sf0.1 (1.6M for 5k docs,
-    * cheap at this scale, quadratic in spirit) and the cap does NOT
-    * bind — the density comes from the Hamming-1 NEIGHBORHOOD of many
-    * small buckets, because unigram simhashes of template-similar
-    * short docs cluster within a few bits corpus-wide. On such
-    * corpora, simhash blocking needs more distinctive features
-    * (weighted/shingled inputs) or wider chunks before it is the
-    * 100 TB tool; the prefix-filtered exact join (ngramJaccardPairs)
-    * is this engine's scale path for text near-dup, and this operator
-    * exists for the Hamming-keyed use cases where simhash distances
-    * ARE the contract. Blocking recall vs the 0.7-Jaccard truth:
-    * 1.0 / 1.0 / 0.988 at sf0.001/0.01/0.1 (gate bound 0.9). */
-  def simhashCandidates(documents: DataFrame, maxBucket: Int = 256): DataFrame = {
-    val sims = documents.select(
+    *
+    * Feature choice is the scale lever, measured on the fixture
+    * corpus: UNIGRAM features (featureShingle=1) squeeze template-
+    * similar short docs within a few bits of each other corpus-wide,
+    * and the Hamming-1 neighborhood of many small buckets yields ~13%
+    * of ALL pairs as candidates at sf0.1 (1.6M for 5k docs —
+    * quadratic in spirit; the cap does not bind). SHINGLED features
+    * (the default, word 3-grams) make unrelated docs' feature sets
+    * near-disjoint, so their simhashes decorrelate: measured density
+    * 0.12% of all pairs at sf0.1 (14.5k candidates, 113x fewer) with
+    * blocking recall vs the 0.7-Jaccard truth 1.0 / 1.0 / 0.984 at
+    * sf0.001/0.01/0.1 (gate bound 0.9; DedupSpec pins both numbers).
+    * With density tracking the true-pair rate this IS a standalone
+    * 100 TB blocking path; the prefix-filtered exact join
+    * (ngramJaccardPairs) remains the zero-recall-loss alternative. */
+  /** (doc_id, sim) — the 64-bit simhash column the blocking operates
+    * on, under the chosen feature definition. */
+  def simhashes(documents: DataFrame, featureShingle: Int = 3): DataFrame =
+    documents.select(
       col("doc_id"),
-      ColumnFns.simhash64(TextOps.tokens(col("text"))).as("sim"))
+      ColumnFns.simhash64(shingleFeatures(TextOps.tokens(col("text")), featureShingle))
+        .as("sim"))
+
+  def simhashCandidates(documents: DataFrame, maxBucket: Int = 256,
+                        featureShingle: Int = 3): DataFrame = {
+    val sims = simhashes(documents, featureShingle)
     val chunked = sims.select(
       col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map { c =>
@@ -448,12 +538,14 @@ object Dedup {
     * regression (bad hash, dropped chunk, broken join) flips the
     * column on every row and breaks the hash match. */
   def simhashRecallGate(documents: DataFrame, shingleSize: Int = 3,
-                        threshold: Double = 0.7, bound: Double = 0.9): DataFrame = {
+                        threshold: Double = 0.7, bound: Double = 0.9,
+                        featureShingle: Int = 3): DataFrame = {
     val truth = ngramJaccardPairs(documents, shingleSize, threshold)
       .localCheckpoint() // evaluated twice (count + output) — cut the join lineage
     val total = truth.count()
     val hits = truth.select(col("doc_a"), col("doc_b"))
-      .join(simhashCandidates(documents), Seq("doc_a", "doc_b"), "left_semi")
+      .join(simhashCandidates(documents, featureShingle = featureShingle),
+        Seq("doc_a", "doc_b"), "left_semi")
       .count()
     truth.withColumn("simhash_recall_ok",
       lit(total == 0L || hits.toDouble / total >= bound))

@@ -243,6 +243,114 @@ object Multimodal {
     frameSample(spark, documents).toDF()
 
   // ====================================================================
+  // REAL codec path #3: WAV/PCM audio via javax.sound.sampled. The
+  // engine ENCODES a deterministic 16-bit mono PCM signal per document
+  // through the JDK's real WAV writer (RIFF container), then DECODES
+  // the bytes with AudioSystem's real WAV reader and computes signal
+  // features from the decoded samples. The DuckDB oracle replays the
+  // generating formula, so the RIFF header writer, the reader dispatch,
+  // and the little-endian sample unpacking are all on the hook for the
+  // hash match — same discipline as the PGM/PNG tiers.
+  // ====================================================================
+
+  private val WavSampleRate = 8000f
+
+  /** Deterministic sample formula shared with the DuckDB oracle:
+    * sample(doc, i) = (doc_id*37 + i*11) % 4001 - 2000 (int16-safe). */
+  @inline private[graft] def wavSample(docId: Long, i: Int): Int =
+    ((docId * 37 + i * 11) % 4001 - 2000).toInt
+
+  private[graft] def wavNumSamples(docId: Long): Int = (64 + docId % 33).toInt
+
+  /** Encode the deterministic signal as real WAV bytes (PCM_SIGNED,
+    * 16-bit little-endian, mono) through the JDK's RIFF writer. */
+  private[graft] def wavFor(docId: Long): Array[Byte] = {
+    val n = wavNumSamples(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = wavSample(docId, i)
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(WavSampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  final case class PcmAudio(sampleRate: Float, channels: Int, samples: Array[Int])
+
+  /** REAL audio decode — AudioSystem dispatches on the RIFF header and
+    * hands back the format + raw frames; samples are unpacked by the
+    * DECLARED format (endianness, width, signedness), not by
+    * assumption. None for undecodable blobs (permissive-decode
+    * discipline shared with decodeImage/decodePgm). */
+  private[graft] def decodeWav(bytes: Array[Byte]): Option[PcmAudio] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val raw = ais.readAllBytes()
+        val n = raw.length / (2 * fmt.getChannels)
+        val out = new Array[Int](n * fmt.getChannels)
+        var i = 0
+        while (i < out.length) {
+          val lo = raw(i * 2) & 0xff
+          val hi = raw(i * 2 + 1)
+          out(i) = if (fmt.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort.toInt
+                   else ((hi << 8) | lo).toShort.toInt
+          i += 1
+        }
+        Some(PcmAudio(fmt.getSampleRate, fmt.getChannels, out))
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  case class AudioFeatures(doc_id: Long, n_samples: Int, sample_rate: Int,
+                           n_channels: Int, abs_sum: Long, peak: Long,
+                           zero_crossings: Long)
+
+  /** Audio feature extraction: encode -> REAL WAV decode -> integer
+    * signal stats from the decoded samples (abs-sum, peak, strict
+    * sign-change zero crossings — all exactly recomputable by the SQL
+    * oracle; RMS-style doubles would not hash cross-engine). */
+  def audioFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    // id input sorted pre-decode for the same reason as extractFeatures
+    documents.select(col("doc_id")).orderBy("doc_id").as[Long].mapPartitions { ids =>
+      ids.flatMap { id =>
+        decodeWav(wavFor(id)).map { audio =>
+          val s = audio.samples
+          var absSum = 0L
+          var peak = 0L
+          var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val a = math.abs(s(i)).toLong
+            absSum += a
+            if (a > peak) peak = a
+            if (i > 0 && s(i).toLong * s(i - 1) < 0) zc += 1
+            i += 1
+          }
+          AudioFeatures(id, s.length, audio.sampleRate.toInt, audio.channels,
+            absSum, peak, zc)
+        }
+      }
+    }.toDF()
+  }
+
+  // ====================================================================
   // REAL codec path: binary PGM (Netpbm P5) — a production image format
   // simple enough to encode/decode in pure JVM, no codec libraries.
   // The engine builds actual P5 binaries (header + raw 8-bit pixels),

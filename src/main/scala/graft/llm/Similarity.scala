@@ -175,18 +175,64 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
+  /** Hash-sampled seeds + `lloydIters` distributed Lloyd refinement
+    * passes: assign every vector to its nearest seed (one scan, the
+    * same argmax-dot expression the index build uses), take the
+    * per-cell mean (one hash-agg; element sums go through
+    * DECIMAL(28,10) so the means are bit-stable under any partial-agg
+    * order), re-normalize, and use the means as the next centroids.
+    * Cells that captured no vectors keep their seed. Each pass is one
+    * scan + one k-row collect — the k-rows-to-driver is inherent to
+    * centroid training; everything else stays distributed. Refined
+    * centroids sit at their cells' centers instead of on arbitrary
+    * sample points, so cell radii shrink and a given nProbe covers
+    * more of the query's true neighborhood (SimilaritySpec pins the
+    * recall improvement on the clustered corpus). */
+  private[graft] def ivfCentroidsRefined(embeddings: DataFrame, nCells: Int,
+                                         lloydIters: Int = 1): Array[Array[Double]] = {
+    val dim = 64
+    var cents: Array[Array[Double]] = ivfCentroids(embeddings, nCells).map(_._2)
+    for (_ <- 0 until lloydIters) {
+      def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
+      val dots = array(cents.toIndexedSeq.map(c => dot(col("u"), centLit(c))): _*)
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("u"), i + 1)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast(DoubleType).as(s"s$i"))
+      val means = embeddings
+        .select(unitVector(col("embedding")).as("u"))
+        .withColumn("ds", dots)
+        .select(expr("array_position(ds, array_max(ds))").as("cell"), col("u"))
+        .groupBy(col("cell"))
+        .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(dim + 1).toDouble
+          r.getLong(0) -> Array.tabulate(dim)(i => r.getDouble(i + 1) / n)
+        }.toMap
+      cents = cents.zipWithIndex.map { case (seed, i) =>
+        means.get(i + 1L) match {
+          case Some(m) =>
+            val nrm = math.sqrt(m.map(x => x * x).sum)
+            if (nrm > 0) m.map(_ / nrm) else seed
+          case None => seed
+        }
+      }
+    }
+    cents
+  }
+
   /** X3 alternative scale path: IVF (inverted-file) ANN. "Training" =
-    * picking nCells centroid vectors (a deterministic hash-sample of
-    * the corpus, unit-normalized — the scale-safe stand-in for a
-    * k-means step, which is inherently a driver-side collect of k
-    * centroids). Every vector is assigned to its nearest centroid cell;
-    * the query probes its nProbe nearest cells and exact cosine
-    * re-ranks only those cells. At cluster scale the table is
-    * bucketed/partitioned by `cell`, so a probe reads nProbe partitions
-    * of the corpus. */
+    * a deterministic hash-sample of nCells corpus vectors refined by
+    * `lloydIters` distributed Lloyd passes (assign -> per-cell mean ->
+    * re-pick; see ivfCentroidsRefined). Every vector is assigned to
+    * its nearest centroid cell; the query probes its nProbe nearest
+    * cells and exact cosine re-ranks only those cells. At cluster
+    * scale the table is bucketed/partitioned by `cell`, so a probe
+    * reads nProbe partitions of the corpus. */
   def annIvfTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
-                 nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents: Array[Array[Double]] = ivfCentroids(embeddings, nCells).map(_._2)
+                 nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 1): DataFrame = {
+    val cents: Array[Array[Double]] = ivfCentroidsRefined(embeddings, nCells, lloydIters)
 
     def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
     // cell = argmax_i dot(emb, centroid_i); emb's own norm is constant
@@ -226,10 +272,15 @@ object Similarity {
     * hash match. The recall join is k rows — driver-side by nature. */
   def annRecallGate(embeddings: DataFrame, ann: DataFrame, queryId: Long = 0L,
                     k: Int = 10, bound: Double = 0.9): DataFrame = {
-    val brute = bruteForceTopK(embeddings, queryId, k)
+    val brute = bruteForceTopK(embeddings, queryId, k).localCheckpoint()
+    // Denominator = the ACHIEVABLE top-k (corpora with < k non-query
+    // vectors cap the brute-force result below k; dividing by the
+    // constant would then read recall < 1 even for a perfect index).
+    val denom = brute.count()
     val hits = brute.select(col("vec_id"))
       .join(ann.select(col("vec_id")), Seq("vec_id")).count()
-    brute.withColumn("recall_at_10_ok", lit(hits.toDouble / k >= bound))
+    brute.withColumn("recall_at_10_ok",
+      lit(denom == 0L || hits.toDouble / denom >= bound))
   }
 
   /** Per-label centroid + distance profile — the "cluster summary"

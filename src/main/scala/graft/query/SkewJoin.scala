@@ -34,6 +34,57 @@ object SkewJoin {
       .drop("__salt")
   }
 
+  /** Two-tier salted join: salt ONLY provably-hot keys. The flat
+    * saltedEquiJoin replicates the whole small side `saltFactor`x —
+    * fine when it is a handful of dims, a real cost when it is large.
+    * Here one count-aggregate over the big side finds the keys whose
+    * row count exceeds `hotThreshold` (there can be at most
+    * |big|/hotThreshold of them, so the hot-key list is tiny by
+    * construction and broadcasts); hot big-side rows get a real salt,
+    * cold rows salt 0, and the small side is replicated ONLY for hot
+    * keys — replication volume is |small| + (saltFactor-1)x|hot dims|,
+    * not saltFactor x |small|. Result is provably identical to the
+    * plain join: for every key, the (key, salt) pairs on both sides
+    * tile exactly the original key match (SkewJoinSpec pins both the
+    * invariance and the replication volume). */
+  def saltedEquiJoinTwoTier(big: DataFrame, small: DataFrame, key: String,
+                            saltFactor: Int = 8, hotThreshold: Long = 100000L,
+                            forceShuffle: Boolean = false): DataFrame = {
+    val hot = big.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(col(key), lit(true).as("__hot"))
+    val salted = big
+      .join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__hot"),
+          pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val replicated0 = small
+      .join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salt",
+        explode(when(col("__hot"), array((0 until saltFactor).map(lit): _*))
+          .otherwise(array(lit(0)))))
+      .drop("__hot")
+    val replicated = if (forceShuffle) replicated0.hint("merge") else replicated0
+    salted
+      .join(replicated, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** Replication volume of the two-tier small side — exposed for the
+    * spec's volume assertion and for capacity planning. */
+  private[graft] def twoTierReplicationCount(big: DataFrame, small: DataFrame,
+                                             key: String, saltFactor: Int,
+                                             hotThreshold: Long): Long = {
+    val hot = big.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(col(key))
+    val nHot = small.join(broadcast(hot), Seq(key), "left_semi").count()
+    val nAll = small.count()
+    nAll + (saltFactor - 1L) * nHot
+  }
+
   /** Two-phase (salted partial -> final) aggregation for skewed group
     * keys: count/sum-style aggregates pre-combine per (key, salt), then
     * combine per key — the map-side-combine pattern made explicit when

@@ -1,6 +1,6 @@
 package graft.query
 
-import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
@@ -28,8 +28,13 @@ object TypedAgg {
   case class Stats(n: Long, total: Double, vmin: Double, vmax: Double)
 
   object StatsAgg extends Aggregator[EvRow, StatsBuf, Stats] {
+    // Double.toString's shortest-representation decimal, NOT the exact
+    // binary expansion: Spark's double->DECIMAL(18,4) cast (and DuckDB's)
+    // round the printed value, so for tie-adjacent doubles (binary value
+    // just below a printed .5) the exact expansion would round the other
+    // way and diverge from the untyped decSum path this mirrors.
     private def dec4(v: Double): JBigDecimal =
-      new JBigDecimal(v, MathContext.UNLIMITED).setScale(4, RoundingMode.HALF_UP)
+      new JBigDecimal(java.lang.Double.toString(v)).setScale(4, RoundingMode.HALF_UP)
 
     override def zero: StatsBuf =
       StatsBuf(0L, JBigDecimal.ZERO.setScale(4), Double.MaxValue, Double.MinValue)

@@ -101,7 +101,7 @@ object StreamJoins {
     * fixed sequence with one in-batch duplicate and one cross-batch
     * redelivery, both provably dropped — 3 unique readings survive from
     * 5 deliveries. */
-  private[streaming] def dedupDemoImpl(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+  private[graft] def dedupDemoImpl(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     locally {

@@ -19,6 +19,43 @@ class DedupClusterSpec extends SparkTestBase {
     assert(brute.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("rarest-first prefix ordering collapses candidates on a boilerplate corpus") {
+    import spark.implicits._
+    // 200 docs all sharing a 10-word boilerplate template (its shingles
+    // have df=200 — the hot-shingle case), each with 12 unique content
+    // words; every i%20==1 doc is a planted near-dup of doc i-1.
+    val template = "the quick brown fox jumps over the lazy dog today".split(" ").toSeq
+    def content(i: Int) = (0 until 12).map(j => s"w${i}_$j")
+    val fixture = (0 until 200).map { i =>
+      val words =
+        if (i % 20 == 1) template ++ content(i - 1).updated(11, s"v$i")
+        else template ++ content(i)
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val cHash = Dedup.ngramCandidatePairs(fixture, 3, 0.5, rarestFirst = false).count()
+    val cDf = Dedup.ngramCandidatePairs(fixture, 3, 0.5, rarestFirst = true).count()
+    // Hash-ordered prefixes are a uniform sample, so the df=200
+    // template shingles land in ~every prefix and candidates approach
+    // all-pairs; df-ordered prefixes fill with df=1 content shingles
+    // first and candidates track the planted pairs.
+    assert(cDf * 10 <= cHash,
+      s"rarest-first should cut candidates >=10x here: df=$cDf hash=$cHash")
+    info(s"candidate pairs: positional/hash order = $cHash, rarest-first = $cDf " +
+      f"(${cHash.toDouble / cDf}%.0fx reduction)")
+
+    // The ordering is correctness-invariant: both equal brute force.
+    val brute = Dedup.ngramJaccardAllPairs(fixture, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaDf = Dedup.ngramJaccardPairs(fixture, 3, 0.5, rarestFirst = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaHash = Dedup.ngramJaccardPairs(fixture, 3, 0.5, rarestFirst = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaDf == brute, s"df-order lost pairs: ${brute -- viaDf}")
+    assert(viaHash == brute)
+    assert(brute.size >= 10, "fixture should plant >=10 near-dup pairs")
+  }
+
   test("no cross join in the prefix-filter plan") {
     val p = Dedup.ngramJaccardPairs(docs).queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

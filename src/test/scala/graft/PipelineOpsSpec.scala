@@ -155,18 +155,23 @@ class PipelineOpsSpec extends SparkTestBase {
   }
 
   test("simhash multiprobe blocking finds every pair within hamming 7 (fixture)") {
-    import graft.llm.{Dedup, TextOps}
-    val sims = docs.select(col("doc_id"),
-      graft.functions.ColumnFns.simhash64(TextOps.tokens(col("text"))).as("sim"))
-    val within7 = sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("h"))
-      .filter(col("h") <= 7)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val cand = Dedup.simhashCandidates(docs).select("doc_a", "doc_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(within7.nonEmpty, "fixture should contain close simhash pairs")
-    // pigeonhole + hamming-1 probe: all-chunks >= 2 bits apart => total >= 8
-    assert(within7.subsetOf(cand))
+    import graft.llm.Dedup
+    // The pigeonhole + hamming-1-probe guarantee holds for WHATEVER
+    // feature definition the simhash uses — check it for both the
+    // shingled default and the unigram variant, each against the
+    // brute-force hamming truth of ITS OWN simhash column.
+    for (fs <- Seq(3, 1)) {
+      val sims = Dedup.simhashes(docs, featureShingle = fs)
+      val within7 = sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("h"))
+        .filter(col("h") <= 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cand = Dedup.simhashCandidates(docs, featureShingle = fs).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(within7.nonEmpty, s"fixture should contain close simhash pairs (fs=$fs)")
+      // pigeonhole + hamming-1 probe: all-chunks >= 2 bits apart => total >= 8
+      assert(within7.subsetOf(cand), s"fs=$fs missing ${within7 -- cand}")
+    }
   }
 }

@@ -45,11 +45,11 @@ class SimilaritySpec extends SparkTestBase {
     assert(sims.toSeq == sims.sorted.reverse.toSeq)
   }
 
-  test("IVF centroid hash-sample spreads over an id-clustered corpus") {
-    // 200 vectors in 4 well-separated clusters, SORTED by cluster id —
-    // the adversarial layout where the old first-nCells pick put every
-    // centroid in cluster 0 (ids {0..15} = first quartile only) and
-    // probe recall cratered.
+  // 200 vectors in 4 well-separated clusters, SORTED by cluster id —
+  // the adversarial layout where a first-nCells pick put every centroid
+  // in cluster 0 (ids {0..15} = first quartile only) and probe recall
+  // cratered.
+  private lazy val clusteredCorpus = {
     val rows = (0 until 200).map { i =>
       val cluster = i / 50
       val v = Array.tabulate(64) { d =>
@@ -58,7 +58,11 @@ class SimilaritySpec extends SparkTestBase {
       }
       (i.toLong, v)
     }
-    val clustered = rows.toDF("vec_id", "embedding")
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("IVF centroid hash-sample spreads over an id-clustered corpus") {
+    val clustered = clusteredCorpus
     val centIds = Similarity.ivfCentroids(clustered, 16).map(_._1)
     assert(centIds.length == 16)
     assert(centIds.toSet != (0L until 16L).toSet, "degenerate first-n pick")
@@ -71,6 +75,31 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.9, s"clustered-corpus recall $recall; ivf=$ivf exact=$exact")
+  }
+
+  test("one Lloyd pass tightens IVF cells: clustered recall margin at a low nProbe") {
+    val clustered = clusteredCorpus
+    val exact = Similarity.bruteForceTopK(clustered, 199L, 10).collect().map(_.getLong(0)).toSet
+    def recallAt(iters: Int): Double = {
+      val ivf = Similarity.annIvfTopK(clustered, 199L, 10,
+        nCells = 16, nProbe = 2, lloydIters = iters)
+        .collect().map(_.getLong(0)).toSet
+      (exact & ivf).size.toDouble / exact.size
+    }
+    val raw = recallAt(0)
+    val refined = recallAt(1)
+    // Refined centroids sit at cell centers instead of on arbitrary
+    // sample points, so the 2 probed cells cover more of the query's
+    // cluster: the margin must not regress and must clear the gate on
+    // its own.
+    assert(refined >= raw, s"Lloyd pass regressed recall: $raw -> $refined")
+    assert(refined >= 0.9, s"refined nProbe=2 recall $refined below gate")
+
+    // The refinement is deterministic: two independent trainings agree
+    // element-for-element (decimal sums + fixed argmax tie-break).
+    val c1 = Similarity.ivfCentroidsRefined(clustered, 16, 1)
+    val c2 = Similarity.ivfCentroidsRefined(clustered, 16, 1)
+    assert(c1.length == 16 && c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
   }
 
   test("annRecallGate emits the exact top-10 plus a recall boolean") {

@@ -38,6 +38,43 @@ class SinkOpsSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("two-tier salted join: result-invariant, replication ~ hot keys only") {
+    // 1 provably-hot key (~4500 rows) + 500 cold keys (~1 row each);
+    // the dim covers every key.
+    val big = (1 to 5000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i.toDouble))
+      .toDF("k", "v")
+    val small = ("hot" +: (1 to 500).map(i => "cold" + i * 10))
+      .map(k => (k, "L" + k)).toDF("k", "label")
+
+    val plain = big.join(small, Seq("k")).groupBy("k", "label").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val twoTier = SkewJoin
+      .saltedEquiJoinTwoTier(big, small, "k", saltFactor = 8, hotThreshold = 100L)
+      .groupBy("k", "label").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(twoTier == plain)
+
+    // Volume: flat salting would ship 8 x 501 = 4008 small-side rows;
+    // two-tier ships 501 + 7 x 1 = 508 — replication rides ONLY the
+    // single hot key.
+    val vol = SkewJoin.twoTierReplicationCount(big, small, "k",
+      saltFactor = 8, hotThreshold = 100L)
+    assert(vol == 501L + 7L * 1L, s"replication volume $vol")
+
+    // Degenerate thresholds stay correct: everything hot == flat
+    // salting; nothing hot == plain join.
+    val allHot = SkewJoin
+      .saltedEquiJoinTwoTier(big, small, "k", saltFactor = 4, hotThreshold = 0L)
+      .groupBy("k", "label").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(allHot == plain)
+    val noneHot = SkewJoin
+      .saltedEquiJoinTwoTier(big, small, "k", saltFactor = 4, hotThreshold = Long.MaxValue)
+      .groupBy("k", "label").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(noneHot == plain)
+  }
+
   test("salted two-phase aggregation equals direct groupBy") {
     val big = (1 to 10000).map(i => (if (i % 100 == 0) s"k$i" else "hotkey", i.toDouble))
       .toDF("k", "v")

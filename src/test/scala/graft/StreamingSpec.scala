@@ -95,6 +95,44 @@ class StreamingSpec extends SparkTestBase {
     assert(persisted.columns.contains("bucket"))
   }
 
+  test("checkpoint-recovery fixed point: offsets AND dedup state survive a restart") {
+    val out = graft.streaming.RecoveryDemo.recoveryDemoImpl(spark)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2), r.getLong(3), r.getFloat(4)))
+    val base = 1704067200000L
+    // 3 rows total: file 1 NOT re-read after restart (else d1@base and
+    // d2 would appear twice) and the file-2 redelivery of d1@base
+    // dropped by the RECOVERED dedup state (else a 4th row).
+    assert(out.length == 3, s"recovery fixed point broken: ${out.toSeq}")
+    assert(out.map(t => (t._3, t._4, t._5, t._2)).toSet ==
+      Set(("d1", base, 21f, false), ("d2", base + 1000L, 22f, false),
+        ("d1", base + 2000L, 23f, true)))
+    // the genuinely-new reading arrives in a strictly later batch than
+    // the pre-restart rows — the restarted query RESUMED, not replayed
+    val batchOf = out.map(t => (t._3, t._4) -> t._1).toMap
+    assert(batchOf(("d1", base)) == batchOf(("d2", base + 1000L)))
+    assert(batchOf(("d1", base + 2000L)) > batchOf(("d1", base)),
+      s"restart did not advance the batch id: ${out.toSeq}")
+  }
+
+  test("stateful fixed points are invariant under the RocksDB state store provider") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.streaming.StreamingDemos.RocksDbProvider)
+    // ingest dedup (dropDuplicatesWithinWatermark state)
+    val dedup = graft.streaming.StreamJoins.dedupDemoImpl(s)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getFloat(2))).toSeq
+    val base = 1704067200000L
+    assert(dedup == Seq(("d1", base, 22f), ("d1", base + 2000L, 23f),
+      ("d2", base + 1000L, 25f)), s"rocksdb dedup fixed point: $dedup")
+    // checkpoint recovery: RocksDB state must ALSO rebuild from the
+    // checkpoint across the stop/restart boundary
+    val recov = graft.streaming.RecoveryDemo.recoveryDemoImpl(s)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getFloat(4))).toSet
+    assert(recov == Set(("d1", base, 21f), ("d2", base + 1000L, 22f),
+      ("d1", base + 2000L, 23f)), s"rocksdb recovery fixed point: $recov")
+  }
+
   test("file-stream source over parquet replays the batch plan identically") {
     // S1 offline impl: a directory of parquet files consumed as a
     // stream; same downstream plan as the Kafka source would feed.
