@@ -1354,11 +1354,13 @@ object Registry {
       (s, d) => {
         val e = embeddings(s, d)
         // The fixture corpus is cluster-weak, so IVF needs a high probe
-        // fraction for top-k recall: nProbe=14/16 measures 0.9/1.0/1.0
-        // at sf0.001/0.01/0.1. (On genuinely clustered data — the IVF
-        // use case — a small nProbe suffices; see SimilaritySpec's
-        // clustered-corpus test at nProbe=4.)
-        Similarity.annRecallGate(e, Similarity.annIvfTopK(e, nProbe = 14))
+        // fraction for top-k recall; one Lloyd refinement pass moves
+        // the hash-sampled seeds to cell centers, and nProbe=12/16
+        // measures recall 1.0 at ALL of sf0.001/0.01/0.1 (pre-Lloyd,
+        // even 14/16 read 0.9 at sf0.001). (On genuinely clustered
+        // data — the IVF use case — a small nProbe suffices; see
+        // SimilaritySpec's clustered-corpus tests at nProbe=2 and 4.)
+        Similarity.annRecallGate(e, Similarity.annIvfTopK(e, nProbe = 12))
       },
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0),
         |c AS (SELECT vec_id,

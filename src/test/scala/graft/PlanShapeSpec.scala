@@ -78,6 +78,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(smj.exists(_.leftKeys.size == 2), "join keys must be (key, __salt)")
   }
 
+  test("two-tier salted join: hot detection broadcasts, join is SMJ on (key, salt)") {
+    val p = planOf("q_skew_join_twotier")
+    val smj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.exists(_.leftKeys.size == 2),
+      s"main join must exchange on (key, __salt):\n$p")
+    // the two hot-key detection joins (big side + small side) must be
+    // broadcasts — the hot list is <= |big|/threshold rows by
+    // construction and must never shuffle the fact side to find out
+    val bcast = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bcast.size >= 2, s"hot-key detection must broadcast:\n$p")
+  }
+
+  test("rarest-first prefix join: ranked prefixes, no cartesian blow-up") {
+    val p = planOf("q_dedup_ngram")
+    // one row_number window per prefix side, ordered by (df, shingle)
+    val wins = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(wins.nonEmpty, s"DF-rank window missing — prefix order lost:\n$p")
+    val cart = collectAll(p) { case c: CartesianProductExec => c }
+    assert(cart.isEmpty, s"prefix join must stay an equality join:\n$p")
+  }
+
   test("no accidental cartesian products anywhere in the registry") {
     // crossJoin(broadcast(1-row q)) plans as BroadcastNestedLoopJoin,
     // which is fine; a CartesianProductExec would mean an unintended
