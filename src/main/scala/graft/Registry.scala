@@ -1370,6 +1370,37 @@ object Registry {
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim, TRUE AS recall_at_10_ok FROM c
         |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
+    // Batch ANN: top-5 corpus neighbors for EVERY query in a probe set
+    // (vec_id % 50 = 0 -> 10/10/40 queries across SFs) as ONE bucket
+    // join — the many-queries retrieval shape. Same error-bound
+    // pattern as q_ann_lsh: output = exact brute-force batch top-k
+    // (oracle recomputes it), ANN bucket-join recall enters as the
+    // batch_recall_ok gate column.
+    "q_ann_batch" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = embeddings(s, d)
+        Similarity.annBatchRecallGate(e, e.filter(col("vec_id") % 50 === 0))
+      },
+      """WITH u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), qy AS (
+        |  SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM u WHERE vec_id % 50 = 0
+        |), s AS (
+        |  SELECT qy.query_id, u.vec_id,
+        |    list_dot_product([y / qy.qn FOR y IN qy.qe], [x / u.nrm FOR x IN u.e]) AS raw_cos
+        |  FROM u JOIN qy ON u.vec_id <> qy.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id, raw_cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, vec_id) AS rnk
+        |  FROM s
+        |)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
+        |  ROUND(raw_cos, 4) AS cos_sim, TRUE AS batch_recall_ok
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     // Oracle = brute-force cosine over all pairs. Valid because the
     // L-tables sign-LSH blocking (3 independent families + Hamming-1
     // multiprobe) has ~1e-3 miss probability AT the 0.45 threshold and

@@ -159,6 +159,102 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Batch ANN: top-k corpus neighbors for EVERY query in a query SET,
+    * as one bucket join — the many-queries shape of training-data work
+    * (label every training doc with its nearest eval neighbors,
+    * retrieve per-prompt context). Per-query probing (annLshTopK) runs
+    * one job per query — fine for ad-hoc lookups, unusable for 10^6
+    * queries; here both sides are bucketed by the same L hyperplane
+    * families, the query side probes its bucket plus every Hamming-1
+    * neighbor, candidates are deduped as bare (query, corpus) ID pairs
+    * BEFORE the unit vectors re-attach, exact cosine re-ranks, and
+    * row_number()<=k per query plans through the TopKPerKey heap
+    * operator (no full sort before the key exchange).
+    *
+    * Scale shape: the join carries (table, bucket, id) tuples only —
+    * never vectors; candidate volume per query is L*(numPlanes+1)
+    * buckets of corpus-side occupancy, so total work is
+    * O(|Q| * bucketSize * L), not O(|Q| * |corpus|). */
+  def annBatchTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+                   numPlanes: Int = 4, numTables: Int = 3): DataFrame = {
+    val dim = 64
+    def withBuckets(df: DataFrame) = df.select(
+      col("vec_id"),
+      unitVector(col("embedding")).as("unit"),
+      array((0 until numTables).map(t =>
+        lshBucket(col("embedding"), hyperplanes(numPlanes, dim, seed = 42L + t))): _*)
+        .as("buckets"))
+
+    val corpus = withBuckets(embeddings)
+    val qs = withBuckets(queries)
+
+    val corpusKeys = corpus.select(col("vec_id"),
+      posexplode(col("buckets")).as(Seq("table", "bucket")))
+    val queryKeys = qs.select(col("vec_id").as("query_id"),
+      posexplode(col("buckets")).as(Seq("table", "qbucket")))
+      .select(col("query_id"), col("table"),
+        explode(probeKeys(col("qbucket"), numPlanes)).as("bucket"))
+
+    val candidates = queryKeys.join(corpusKeys, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+
+    val scored = candidates
+      .join(qs.select(col("vec_id").as("query_id"), col("unit").as("q_unit")), Seq("query_id"))
+      .join(corpus.select(col("vec_id"), col("unit").as("c_unit")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), dot(col("q_unit"), col("c_unit")).as("raw_cos"))
+
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("raw_cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("raw_cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Exact batch top-k (brute force): every query scored against the
+    * whole corpus, top-k per query — the oracle-recomputable truth the
+    * batch ANN gate compares against. The query side broadcasts (a
+    * probe set is small next to the corpus), so the corpus scan never
+    * shuffles; top-k per query again plans through TopKPerKey. */
+  def batchTopKExact(embeddings: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      unitVector(col("embedding")).as("q_unit")))
+    val scored = embeddings
+      .select(col("vec_id"), unitVector(col("embedding")).as("c_unit"))
+      .join(q, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), dot(col("q_unit"), col("c_unit")).as("raw_cos"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("raw_cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("raw_cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle gate for batch ANN (the annRecallGate pattern, batched):
+    * output = the exact brute-force batch top-k (fully SQL-
+    * recomputable), with `batch_recall_ok` TRUE iff the ANN bucket
+    * join found >= `bound` of all exact (query, neighbor) pairs. */
+  def annBatchRecallGate(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+                         bound: Double = 0.9): DataFrame = {
+    val exact = batchTopKExact(embeddings, queries, k).localCheckpoint()
+    val total = exact.count()
+    val hits = exact.select(col("query_id"), col("vec_id"))
+      .join(annBatchTopK(embeddings, queries, k, numPlanes = 4, numTables = 6)
+        .select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_semi")
+      .count()
+    exact.withColumn("batch_recall_ok",
+      lit(total == 0L || hits.toDouble / total >= bound))
+  }
+
   /** Deterministic seeded-sample centroid pick for IVF "training": the
     * nCells corpus vectors with the smallest murmur3(vec_id) — a
     * hash-sample, so the picks are spread uniformly over the corpus

@@ -102,6 +102,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(c1.length == 16 && c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("batch ANN: one bucket join serves every query, gated vs exact batch top-k") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val nQueries = queries.count()
+    val gated = Similarity.annBatchRecallGate(emb, queries).collect()
+    // exact k=5 rows per query, all carrying a TRUE recall gate
+    assert(gated.length == nQueries * 5, s"expected ${nQueries * 5} rows, got ${gated.length}")
+    assert(gated.map(_.getBoolean(4)).toSet == Set(true), "batch recall gate must hold")
+    // ranks are 1..5 per query
+    gated.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5), s"query $q ranks")
+    }
+    // the exact batch side agrees with the single-query brute force
+    val single = Similarity.bruteForceTopK(emb, 0L, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batchQ0 = gated.filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(batchQ0 == single, s"batch vs single brute force: $batchQ0 vs $single")
+  }
+
   test("annRecallGate emits the exact top-10 plus a recall boolean") {
     val gated = Similarity.annRecallGate(emb, Similarity.annLshTopK(emb)).collect()
     assert(gated.length == 10)
