@@ -154,7 +154,8 @@ object Dedup {
         (size(col("hs")).cast(DoubleType) -
           ceil(size(col("hs")).cast(DoubleType) * lit(threshold)) + 1).cast(IntegerType))
       sh.select(col("doc_id"), size(col("hs")).as("n"),
-        explode(slice(col("hs"), lit(1), prefixLen)).as("shingle"))
+        posexplode(slice(col("hs"), lit(1), prefixLen)).as(Seq("__p0", "shingle")))
+        .select(col("doc_id"), col("n"), col("shingle"), (col("__p0") + 1).as("pos"))
     } else {
       val exploded = sh.select(col("doc_id"), size(col("hs")).as("n"),
         explode(col("hs")).as("shingle"))
@@ -165,28 +166,52 @@ object Dedup {
           ceil(col("n").cast(DoubleType) * lit(threshold)) + 1).cast(IntegerType))
       exploded
         .join(df, Seq("shingle"))
-        .withColumn("__rn", row_number().over(
+        .withColumn("pos", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
-        .filter(col("__rn") <= prefixLen)
-        .select(col("doc_id"), col("n"), col("shingle"))
+        .filter(col("pos") <= prefixLen)
+        .select(col("doc_id"), col("n"), col("shingle"), col("pos"))
     }
   }
+
+  /** PPJoin positional filter, applied per colliding prefix element:
+    * J(A,B) >= t forces overlap >= ceil(t/(1+t) * (|A|+|B|)), and a
+    * collision at (posA, posB) in the COMMON total order caps the
+    * achievable overlap at 1 + min(|A|-posA, |B|-posB) (everything
+    * before the collision positions is disjoint by construction of the
+    * first match; later collisions only have less suffix left). A true
+    * pair's FIRST collision always satisfies the bound, so pruning
+    * collision rows that fail it loses no pair — it only stops
+    * low-position-overlap junk from reaching the pair-dedup shuffle. */
+  private def positionalBound(threshold: Double): Column =
+    lit(1) + least(col("l.n") - col("l.pos"), col("r.n") - col("r.pos")) >=
+      // required overlap alpha = ceil(t/(1+t) * (|A|+|B|)); the 1e-9
+      // slack keeps double rounding from pushing ceil ONE above the
+      // exact rational when t(|A|+|B|)/(1+t) is an exact integer —
+      // a too-strict alpha could prune a J == t pair; a too-loose one
+      // only lets junk through to exact verification.
+      ceil(lit(threshold / (1 + threshold)) *
+        (col("l.n") + col("r.n")).cast(DoubleType) - lit(1e-9)).cast(IntegerType)
 
   /** Candidate (doc_a, doc_b) pairs from the prefix join, deduped —
     * exposed for the spec's candidate-count A/B measurement. */
   private[graft] def ngramCandidatePairs(documents: DataFrame, shingleSize: Int = 3,
                                          threshold: Double = 0.5,
-                                         rarestFirst: Boolean = true): DataFrame = {
-    val sh = shingleHashSets(documents, shingleSize)
+                                         rarestFirst: Boolean = true): DataFrame =
+    ngramCandidatePairsFrom(shingleHashSets(documents, shingleSize), threshold, rarestFirst)
+
+  private def ngramCandidatePairsFrom(sh: DataFrame, threshold: Double,
+                                      rarestFirst: Boolean): DataFrame = {
     val prefix = prefixTuples(sh, threshold, rarestFirst)
     // Length filter rides the equality join: J(A,B) <= min/max of the
     // set sizes, so mismatched sizes can't clear the threshold — pairs
     // die before the pair-dedup shuffle (~24% of candidates at sf0.1).
+    // The positional filter then caps achievable overlap per collision.
     prefix.as("l")
       .join(prefix.as("r"),
         col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id") &&
           least(col("l.n"), col("r.n")).cast(DoubleType) >=
-            lit(threshold) * greatest(col("l.n"), col("r.n")))
+            lit(threshold) * greatest(col("l.n"), col("r.n")) &&
+          positionalBound(threshold))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
   }
@@ -194,8 +219,16 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, shingleSize: Int = 3,
                         threshold: Double = 0.5,
                         rarestFirst: Boolean = true): DataFrame = {
-    val sh = shingleHashSets(documents, shingleSize)
-    val candidates = ngramCandidatePairs(documents, shingleSize, threshold, rarestFirst)
+    // The hashed shingle sets feed FOUR consumers under rarest-first
+    // (the DF aggregate, the rank join, and both verification
+    // re-attaches); materialize them once instead of re-tokenizing and
+    // re-hashing the corpus per consumer. The checkpointed frame is
+    // (doc_id, int-array) — a fraction of the text it came from, and
+    // the same corpus-sized artifact a production run would persist
+    // between dedup stages anyway.
+    val sh0 = shingleHashSets(documents, shingleSize)
+    val sh = if (rarestFirst) sh0.localCheckpoint() else sh0
+    val candidates = ngramCandidatePairsFrom(sh, threshold, rarestFirst)
 
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
@@ -216,8 +249,10 @@ object Dedup {
     * deduped before the wide hash-set arrays re-attach. */
   def ngramJaccardAcross(left: DataFrame, right: DataFrame,
                          shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val shL = shingleHashSets(left, shingleSize)
-    val shR = shingleHashSets(right, shingleSize)
+    // materialized once for the same four-consumer reason as
+    // ngramJaccardPairs (union DF, rank join, verification re-attach)
+    val shL = shingleHashSets(left, shingleSize).localCheckpoint()
+    val shR = shingleHashSets(right, shingleSize).localCheckpoint()
     // Rarest-first needs ONE total order common to both sides, so the
     // document frequency is taken over the UNION of the two shingle
     // populations (the delta side is tiny next to the corpus, so this
@@ -232,10 +267,10 @@ object Dedup {
           ceil(col("n").cast(DoubleType) * lit(threshold)) + 1).cast(IntegerType))
       sh.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("shingle"))
         .join(unionDf, Seq("shingle"))
-        .withColumn("__rn", row_number().over(
+        .withColumn("pos", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
-        .filter(col("__rn") <= prefixLen)
-        .select(col("doc_id"), col("n"), col("shingle"))
+        .filter(col("pos") <= prefixLen)
+        .select(col("doc_id"), col("n"), col("shingle"), col("pos"))
     }
     val prefL = prefixed(shL)
     val prefR = prefixed(shR)
@@ -244,7 +279,8 @@ object Dedup {
       .join(prefR.as("r"),
         col("l.shingle") === col("r.shingle") &&
           least(col("l.n"), col("r.n")).cast(DoubleType) >=
-            lit(threshold) * greatest(col("l.n"), col("r.n")))
+            lit(threshold) * greatest(col("l.n"), col("r.n")) &&
+          positionalBound(threshold))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
