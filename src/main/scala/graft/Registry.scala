@@ -859,6 +859,25 @@ object Registry {
         |  CAST(COALESCE(SUM(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
         |    AS zero_crossings
         |FROM v GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin),
+    // Audio resample (the audio analog of image resize): decode ->
+    // decimate by 4 -> RE-ENCODE at 2000 Hz -> RE-DECODE, stats from
+    // the resampled container's samples. Oracle replays the formula at
+    // stride 4.
+    "q_media_audio_resample" -> q(
+      (s, d) => Multimodal.audioResampleQuery(s, documents(s, d)),
+      """WITH d AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 33 AS INT) AS n FROM documents
+        |), sm AS (
+        |  SELECT doc_id, n, unnest(range(n)) AS i FROM d
+        |), v AS (
+        |  SELECT doc_id, n, (doc_id * 37 + i * 11) % 4001 - 2000 AS v
+        |  FROM sm WHERE i % 4 = 0
+        |)
+        |SELECT doc_id, CAST(2000 AS INT) AS sample_rate,
+        |  CAST(COUNT(*) AS INT) AS n_samples,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // REAL ImageIO decode under the oracle: the engine encodes actual
     // PNG bytes, decodes them with the JDK's PNG reader, and pools the
     // DECODED raster into 8 horizontal-band means; the oracle replays

@@ -350,6 +350,55 @@ object Multimodal {
     }.toDF()
   }
 
+  case class ResampledAudio(doc_id: Long, sample_rate: Int, n_samples: Int,
+                            abs_sum: Long, peak: Long)
+
+  /** Audio resample stage (the audio analog of image `resize`):
+    * REAL WAV decode -> decimation by `factor` (keep samples
+    * 0, factor, 2*factor, ... — integer stride, so the oracle replays
+    * it exactly) -> REAL WAV re-encode at rate/factor -> REAL re-decode
+    * of the resampled container, stats from ITS samples. The full
+    * encode->resample->encode->decode chain is on the hook for the
+    * oracle hash, exactly like mediaResizeQuery's thumb stats. */
+  def audioResampleQuery(spark: SparkSession, documents: DataFrame,
+                         factor: Int = 4): DataFrame = {
+    import spark.implicits._
+    // id input sorted pre-decode for the same reason as extractFeatures
+    documents.select(col("doc_id")).orderBy("doc_id").as[Long].mapPartitions { ids =>
+      ids.flatMap { id =>
+        decodeWav(wavFor(id)).flatMap { audio =>
+          val kept = audio.samples.indices.collect {
+            case i if i % factor == 0 => audio.samples(i)
+          }
+          val pcm = new Array[Byte](kept.length * 2)
+          var i = 0
+          while (i < kept.length) {
+            pcm(i * 2) = (kept(i) & 0xff).toByte
+            pcm(i * 2 + 1) = ((kept(i) >> 8) & 0xff).toByte
+            i += 1
+          }
+          val outRate = audio.sampleRate / factor
+          val fmt = new javax.sound.sampled.AudioFormat(outRate, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, kept.length.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          decodeWav(bos.toByteArray).map { re =>
+            var absSum = 0L
+            var peak = 0L
+            re.samples.foreach { s =>
+              val a = math.abs(s).toLong
+              absSum += a
+              if (a > peak) peak = a
+            }
+            ResampledAudio(id, re.sampleRate.toInt, re.samples.length, absSum, peak)
+          }
+        }
+      }
+    }.toDF()
+  }
+
   // ====================================================================
   // REAL codec path: binary PGM (Netpbm P5) — a production image format
   // simple enough to encode/decode in pure JVM, no codec libraries.

@@ -178,11 +178,20 @@ object Similarity {
   def annBatchTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
                    numPlanes: Int = 4, numTables: Int = 3): DataFrame = {
     val dim = 64
+    // numPlanes <= 0 -> auto-size to ~500 corpus vectors per bucket,
+    // the same degeneracy guard as embeddingNearDupPairs: a FIXED
+    // plane count drifts toward scanning the whole corpus per query as
+    // it grows; k = log2(n/500) keeps per-bucket occupancy (and so
+    // per-query candidate work) flat at any scale. One count() job.
+    val planes0 =
+      if (numPlanes > 0) numPlanes
+      else math.max(2,
+        math.ceil(math.log(math.max(embeddings.count(), 1L) / 500.0) / math.log(2)).toInt)
     def withBuckets(df: DataFrame) = df.select(
       col("vec_id"),
       unitVector(col("embedding")).as("unit"),
       array((0 until numTables).map(t =>
-        lshBucket(col("embedding"), hyperplanes(numPlanes, dim, seed = 42L + t))): _*)
+        lshBucket(col("embedding"), hyperplanes(planes0, dim, seed = 42L + t))): _*)
         .as("buckets"))
 
     val corpus = withBuckets(embeddings)
@@ -193,7 +202,7 @@ object Similarity {
     val queryKeys = qs.select(col("vec_id").as("query_id"),
       posexplode(col("buckets")).as(Seq("table", "qbucket")))
       .select(col("query_id"), col("table"),
-        explode(probeKeys(col("qbucket"), numPlanes)).as("bucket"))
+        explode(probeKeys(col("qbucket"), planes0)).as("bucket"))
 
     val candidates = queryKeys.join(corpusKeys, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("vec_id"))

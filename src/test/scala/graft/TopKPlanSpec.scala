@@ -169,4 +169,17 @@ class TopKPlanSpec extends SparkTestBase {
     val nodes = flatten(executed(ReadPath.topkByType(Tables.events(spark, sf))))
     assert(nodes.exists(_.isInstanceOf[TopKPerKeyFinalExec]), s"${nodes.head}")
   }
+
+  test("batch ANN per-query top-k plans through TopKPerKey (no WindowExec)") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    for (df <- Seq(graft.llm.Similarity.annBatchTopK(e, q),
+                   graft.llm.Similarity.batchTopKExact(e, q))) {
+      val nodes = flatten(executed(df))
+      assert(nodes.exists(_.isInstanceOf[TopKPerKeyFinalExec]),
+        s"batch top-k lost the heap operator:\n${nodes.head}")
+      assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        s"WindowExec should be rewritten away:\n${nodes.head}")
+    }
+  }
 }

@@ -40,6 +40,21 @@ class WavCodecSpec extends SparkTestBase {
       "PGM bytes are not a RIFF container")
   }
 
+  test("resample decimates through a real re-encode/re-decode round trip") {
+    val rows = Multimodal.audioResampleQuery(spark, Tables.documents(spark, sf))
+      .collect()
+    assert(rows.length == 500)
+    rows.take(20).foreach { r =>
+      val id = r.getLong(0)
+      val n = (64 + id % 33).toInt
+      val kept = (0 until n).filter(_ % 4 == 0).map(i => Multimodal.wavSample(id, i))
+      assert(r.getInt(1) == 2000, s"doc $id resampled rate")
+      assert(r.getInt(2) == kept.length, s"doc $id resampled count")
+      assert(r.getLong(3) == kept.map(s => math.abs(s).toLong).sum, s"doc $id abs_sum")
+      assert(r.getLong(4) == kept.map(s => math.abs(s).toLong).max, s"doc $id peak")
+    }
+  }
+
   test("audioFeatures computes stats from the DECODED samples on the fixture") {
     val rows = Multimodal.audioFeatures(spark, Tables.documents(spark, sf)).collect()
     assert(rows.length == 500)
