@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
-/** Checkpoint recovery (SURVEY §2.1 S8) surfaced as a deterministic
-  * batch result: a file-source stream through the REAL ingest-dedup
+/** Checkpoint recovery (SURVEY §2.1 S8; the reference pins one
+  * checkpoint dir per query, `src/spark_consumer.py:159,209`, and its
+  * docs warn about stale-checkpoint recovery semantics) surfaced as a
+  * deterministic batch result: a file-source stream through the REAL ingest-dedup
   * operator (`dropDuplicatesWithinWatermark`) is STOPPED mid-run and a
   * NEW query object is started from the same checkpoint. The fixed
   * point proves the two recovery guarantees at once:
