@@ -71,7 +71,12 @@ object Dedup {
       rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val hashed = shingleHashSets(documents, shingleSize)
+    // Both the band self-join (two sides) and the verification
+    // re-attach (two sides) would otherwise re-run the fused
+    // shingle/minhash kernels over the corpus per consumer; the
+    // signature and hash-set tables are exactly what a production
+    // minhash index persists, so materialize each once.
+    val hashed = shingleHashSets(documents, shingleSize).localCheckpoint()
     val withSig = documents.select(
       col("doc_id"),
       graft.functions.VectorFns
@@ -87,6 +92,7 @@ object Dedup {
           ColumnFns.fnv1a64(
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast(StringType))
         }: _*)).as(Seq("band_idx", "band_hash")))
+      .localCheckpoint()
 
     val candidates = banded.as("l")
       .join(banded.as("r"), Seq("band_idx", "band_hash"))
@@ -537,7 +543,13 @@ object Dedup {
 
   def simhashCandidates(documents: DataFrame, maxBucket: Int = 256,
                         featureShingle: Int = 3): DataFrame = {
-    val sims = simhashes(documents, featureShingle)
+    // The simhash column feeds THREE consumers below (bucket-size agg,
+    // probe side, build side); with shingled features each evaluation
+    // re-builds every n-gram string and re-hashes it, so materialize
+    // the (doc_id, sim) pairs once — 16 bytes/doc, and the same
+    // signature table a production simhash index persists anyway
+    // (measured: blocking stage 6.0 s -> ~1 s at sf0.1).
+    val sims = simhashes(documents, featureShingle).localCheckpoint()
     val chunked = sims.select(
       col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map { c =>

@@ -129,12 +129,17 @@ object Similarity {
       if (numPlanes > 0) numPlanes
       else math.max(2,
         math.ceil(math.log(math.max(embeddings.count(), 1L) / 500.0) / math.log(2)).toInt)
+    // Four consumers below (both self-join sides + both verification
+    // re-attaches) would each re-run the numTables x numPlanes
+    // plane-projection arithmetic per row; the bucketed table is the
+    // LSH index itself — materialize it once.
     val base = embeddings.select(
       col("vec_id"),
       unitVector(col("embedding")).as("unit"),
       array((0 until numTables).map(t =>
         lshBucket(col("embedding"), hyperplanes(planes0, 64, seed = 42L + t))): _*)
         .as("buckets"))
+      .localCheckpoint()
 
     // (table, bucket) keys only — the unit vectors stay behind on
     // `base` and are re-attached per deduped pair, not per probe row.
@@ -187,12 +192,15 @@ object Similarity {
       if (numPlanes > 0) numPlanes
       else math.max(2,
         math.ceil(math.log(math.max(embeddings.count(), 1L) / 500.0) / math.log(2)).toInt)
+    // bucketed tables materialized once — each feeds a key explode AND
+    // a vector re-attach below (the LSH-index persistence pattern)
     def withBuckets(df: DataFrame) = df.select(
       col("vec_id"),
       unitVector(col("embedding")).as("unit"),
       array((0 until numTables).map(t =>
         lshBucket(col("embedding"), hyperplanes(planes0, dim, seed = 42L + t))): _*)
         .as("buckets"))
+      .localCheckpoint()
 
     val corpus = withBuckets(embeddings)
     val qs = withBuckets(queries)
