@@ -104,6 +104,50 @@ class PlanShapeSpec extends SparkTestBase {
     assert(cart.isEmpty, s"prefix join must stay an equality join:\n$p")
   }
 
+  test("AQE splits a skewed sort-merge join partition (the SCALE.md fallback path)") {
+    // SCALE.md routes residual hot keys (the ones explicit salting
+    // does not cover) to AQE's skew-join split; pin that the runtime
+    // actually does it. Child session: aggressive skew thresholds so
+    // a ~MB hot partition triggers the split at test scale.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import org.apache.spark.sql.functions.{col, concat, length, lit, when}
+    val big = s.range(0, 200000).select(
+      when(col("id") % 10 =!= 0, lit("hot"))
+        .otherwise(concat(lit("k"), col("id"))).as("k"),
+      concat(lit("payload-"), col("id")).as("payload"))
+    // Materialized dim: OptimizeSkewedJoin only matches
+    // SMJ(Sort(shuffle stage), Sort(shuffle stage)) — an aggregate
+    // sitting between the join and its exchange (e.g. a live
+    // distinct()) defeats the pattern and NO split happens. That
+    // boundary is exactly why the explicit salting operators exist;
+    // measured here and pinned so SCALE.md's "AQE covers residual
+    // skew" claim stays scoped to plain shuffle inputs.
+    val dim = big.select(col("k")).distinct()
+      .withColumn("w", length(col("k")))
+      .localCheckpoint()
+    // GLOBAL aggregate downstream: a same-key groupBy right above the
+    // join would pin hashpartitioning(k) as a required distribution,
+    // and AQE (correctly) refuses a skew split that would have to be
+    // re-shuffled away — the refusal itself is load-bearing behavior.
+    val joined = big.join(dim.hint("merge"), Seq("k"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(length(col("payload")) + col("w")).as("s"))
+    // execute THIS query (a .count() shortcut would finalize a
+    // different adaptive plan) and read the finalized plan
+    val row = joined.collect().head
+    assert(row.getLong(0) == 200000L, s"join lost rows: $row")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"plan not finalized:\n$plan")
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark the hot partition as skewed:\n$plan")
+  }
+
   test("no accidental cartesian products anywhere in the registry") {
     // crossJoin(broadcast(1-row q)) plans as BroadcastNestedLoopJoin,
     // which is fine; a CartesianProductExec would mean an unintended
