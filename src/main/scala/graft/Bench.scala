@@ -53,7 +53,14 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures a TRUNCATED stdout tail, which has made every
+    // round's BENCH_r{N}.json unparseable past ~60 queries; the full
+    // per-query map is also written to a file so the numbers are
+    // adjudicable without a solo re-run.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case t: Throwable => System.err.println(s"bench_last.json write failed: $t") }
     spark.stop()
   }
 }

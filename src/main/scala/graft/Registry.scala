@@ -860,9 +860,12 @@ object Registry {
         |    AS zero_crossings
         |FROM v GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin),
     // Audio resample (the audio analog of image resize): decode ->
-    // decimate by 4 -> RE-ENCODE at 2000 Hz -> RE-DECODE, stats from
-    // the resampled container's samples. Oracle replays the formula at
-    // stride 4.
+    // box-FIR low-pass fused with the stride (each output sample =
+    // floor-mean of its 4-sample block — anti-aliased decimation, not a
+    // bare stride) -> RE-ENCODE at 2000 Hz -> RE-DECODE, stats from the
+    // resampled container's samples. Oracle replays filter+stride:
+    // floor(SUM(block)/len(block)) is integer-exact in both engines
+    // (the double division is exact at these magnitudes).
     "q_media_audio_resample" -> q(
       (s, d) => Multimodal.audioResampleQuery(s, documents(s, d)),
       """WITH d AS (
@@ -870,14 +873,19 @@ object Registry {
         |), sm AS (
         |  SELECT doc_id, n, unnest(range(n)) AS i FROM d
         |), v AS (
-        |  SELECT doc_id, n, (doc_id * 37 + i * 11) % 4001 - 2000 AS v
-        |  FROM sm WHERE i % 4 = 0
+        |  SELECT doc_id, i // 4 AS blk,
+        |    (doc_id * 37 + i * 11) % 4001 - 2000 AS v
+        |  FROM sm
+        |), f AS (
+        |  SELECT doc_id, blk,
+        |    CAST(FLOOR(SUM(v) / COUNT(*)) AS BIGINT) AS fv
+        |  FROM v GROUP BY doc_id, blk
         |)
         |SELECT doc_id, CAST(2000 AS INT) AS sample_rate,
         |  CAST(COUNT(*) AS INT) AS n_samples,
-        |  CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum,
-        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak
-        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+        |  CAST(SUM(ABS(fv)) AS BIGINT) AS abs_sum,
+        |  CAST(MAX(ABS(fv)) AS BIGINT) AS peak
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // REAL ImageIO decode under the oracle: the engine encodes actual
     // PNG bytes, decodes them with the JDK's PNG reader, and pools the
     // DECODED raster into 8 horizontal-band means; the oracle replays

@@ -354,21 +354,33 @@ object Multimodal {
                             abs_sum: Long, peak: Long)
 
   /** Audio resample stage (the audio analog of image `resize`):
-    * REAL WAV decode -> decimation by `factor` (keep samples
-    * 0, factor, 2*factor, ... — integer stride, so the oracle replays
-    * it exactly) -> REAL WAV re-encode at rate/factor -> REAL re-decode
-    * of the resampled container, stats from ITS samples. The full
-    * encode->resample->encode->decode chain is on the hook for the
-    * oracle hash, exactly like mediaResizeQuery's thumb stats. */
+    * REAL WAV decode -> ANTI-ALIASED decimation by `factor` (each
+    * output sample is the floor-mean of its `factor`-sample block — a
+    * box-FIR low-pass fused with the stride, the textbook average-
+    * pooling decimator; a bare stride would alias every component above
+    * the new Nyquist into the output) -> REAL WAV re-encode at
+    * rate/factor -> REAL re-decode of the resampled container, stats
+    * from ITS samples. floor(sum/len) is integer-exact, so the oracle
+    * replays filter+stride verbatim and the full
+    * encode->filter->stride->encode->decode chain is on the hook for
+    * the hash, exactly like mediaResizeQuery's thumb stats.
+    * Mono only (None otherwise): block-pooling a flat interleaved
+    * array would mix channels — multi-channel needs per-frame strides. */
   def audioResampleQuery(spark: SparkSession, documents: DataFrame,
                          factor: Int = 4): DataFrame = {
     import spark.implicits._
     // id input sorted pre-decode for the same reason as extractFeatures
     documents.select(col("doc_id")).orderBy("doc_id").as[Long].mapPartitions { ids =>
       ids.flatMap { id =>
-        decodeWav(wavFor(id)).flatMap { audio =>
-          val kept = audio.samples.indices.collect {
-            case i if i % factor == 0 => audio.samples(i)
+        decodeWav(wavFor(id)).filter(_.channels == 1).flatMap { audio =>
+          val s = audio.samples
+          val kept = Array.tabulate((s.length + factor - 1) / factor) { j =>
+            val start = j * factor
+            val end = math.min(start + factor, s.length)
+            var sum = 0L
+            var i = start
+            while (i < end) { sum += s(i); i += 1 }
+            Math.floorDiv(sum, (end - start).toLong).toInt
           }
           val pcm = new Array[Byte](kept.length * 2)
           var i = 0

@@ -181,7 +181,11 @@ object Similarity {
     * buckets of corpus-side occupancy, so total work is
     * O(|Q| * bucketSize * L), not O(|Q| * |corpus|). */
   def annBatchTopK(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
-                   numPlanes: Int = 4, numTables: Int = 3): DataFrame = {
+                   numPlanes: Int = 4, numTables: Int = 6): DataFrame = {
+    // numTables default = 6, NOT 3: 6 is the configuration the batch
+    // recall gate certifies at >= 0.9 (3 tables measured ~0.5 batch
+    // recall at sf0.01) — the default config and the certified config
+    // must be the same thing, or the certificate is theater.
     val dim = 64
     // numPlanes <= 0 -> auto-size to ~500 corpus vectors per bucket,
     // the same degeneracy guard as embeddingNearDupPairs: a FIXED
@@ -259,13 +263,18 @@ object Similarity {
   /** Oracle gate for batch ANN (the annRecallGate pattern, batched):
     * output = the exact brute-force batch top-k (fully SQL-
     * recomputable), with `batch_recall_ok` TRUE iff the ANN bucket
-    * join found >= `bound` of all exact (query, neighbor) pairs. */
+    * join found >= `bound` of all exact (query, neighbor) pairs.
+    * numPlanes/numTables are forwarded to the gated annBatchTopK run
+    * (defaults = annBatchTopK's defaults), so the certificate covers
+    * EXACTLY the configuration the caller names — not a silently
+    * stronger one. */
   def annBatchRecallGate(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
-                         bound: Double = 0.9): DataFrame = {
+                         bound: Double = 0.9,
+                         numPlanes: Int = 4, numTables: Int = 6): DataFrame = {
     val exact = batchTopKExact(embeddings, queries, k).localCheckpoint()
     val total = exact.count()
     val hits = exact.select(col("query_id"), col("vec_id"))
-      .join(annBatchTopK(embeddings, queries, k, numPlanes = 4, numTables = 6)
+      .join(annBatchTopK(embeddings, queries, k, numPlanes, numTables)
         .select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_semi")
       .count()
     exact.withColumn("batch_recall_ok",

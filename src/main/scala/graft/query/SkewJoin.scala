@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Salted join for skewed keys (SURVEY §7 100 TB notes): when one join
@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Deterministic per-row salt: murmur3 of the row's CONTENT, not of
+    * `monotonically_increasing_id()` — the id is assigned by partition
+    * layout, so under task retries or a different upstream partitioning
+    * the same row could land on a different reducer run-to-run. A
+    * content hash gives the identical spread (the salt only routes
+    * rows; correctness never depended on it) while making reducer-level
+    * behavior reproducible. Caveat by construction: byte-identical
+    * duplicate rows share a salt — the skew this tool targets is a hot
+    * KEY with distinct payloads, where content hashing spreads fully. */
+  private[graft] def contentSalt(df: DataFrame, saltFactor: Int): Column =
+    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
+
   /** @param forceShuffle pin a sort-merge join (hint) so the (key,
     *   salt) exchange actually spreads the hot key across reducers —
     *   for the demo/spec; in production leave Catalyst free to
@@ -24,8 +36,7 @@ object SkewJoin {
     *   harmless no-op). */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
                      saltFactor: Int = 8, forceShuffle: Boolean = false): DataFrame = {
-    val salted = big.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+    val salted = big.withColumn("__salt", contentSalt(big, saltFactor))
     val replicated0 = small
       .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
     val replicated = if (forceShuffle) replicated0.hint("merge") else replicated0
@@ -56,8 +67,7 @@ object SkewJoin {
     val salted = big
       .join(broadcast(hot), Seq(key), "left")
       .withColumn("__salt",
-        when(col("__hot"),
-          pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+        when(col("__hot"), contentSalt(big, saltFactor))
           .otherwise(lit(0)))
       .drop("__hot")
     val replicated0 = small
@@ -92,7 +102,7 @@ object SkewJoin {
   def saltedCountSum(big: DataFrame, key: String, valueCol: String,
                      saltFactor: Int = 8): DataFrame = {
     big
-      .withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+      .withColumn("__salt", contentSalt(big, saltFactor))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__c"), sum(col(valueCol)).as("__s"))
       .groupBy(col(key))

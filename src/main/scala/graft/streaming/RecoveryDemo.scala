@@ -79,7 +79,19 @@ object RecoveryDemo {
 
     import scala.jdk.CollectionConverters._
     import spark.implicits._
-    collected.asScala.toSeq
+    val rows = collected.asScala.toSeq
+    // The result is a LOCAL Seq from here on — the source/checkpoint
+    // dirs carry no live dependency, so delete them now instead of
+    // leaking two temp trees per invocation (specs call this outside
+    // the memo cache).
+    Seq(src, ckpt).foreach { d =>
+      try
+        Files.walk(Paths.get(d))
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      catch { case _: java.io.IOException => () }
+    }
+    rows
       .toDF("batch_id", "after_restart", "device_id", "timestamp", "temperature")
       .orderBy("after_restart", "device_id", "timestamp")
   }

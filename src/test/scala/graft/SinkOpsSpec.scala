@@ -75,6 +75,18 @@ class SinkOpsSpec extends SparkTestBase {
     assert(noneHot == plain)
   }
 
+  test("salt assignment is deterministic: same row -> same salt across runs and partitionings") {
+    val big = (1 to 2000).map(i => ("hot", i.toDouble)).toDF("k", "v")
+    def saltMap(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__salt", SkewJoin.contentSalt(df, 8))
+        .collect().map(r => (r.getDouble(1), r.getInt(2))).toMap
+    val a = saltMap(big)
+    val b = saltMap(big.repartition(7)) // different physical layout, same content
+    assert(a == b, "salt must depend on row content only, not partition layout")
+    // and it actually spreads the hot key (not all rows on one salt)
+    assert(a.values.toSet.size > 1)
+  }
+
   test("salted two-phase aggregation equals direct groupBy") {
     val big = (1 to 10000).map(i => (if (i % 100 == 0) s"k$i" else "hotkey", i.toDouble))
       .toDF("k", "v")
