@@ -1366,8 +1366,12 @@ object Registry {
       (s, d) => {
         val e = embeddings(s, d)
         // 6 tables x (4 planes + Hamming-1): recall 1.0 measured at
-        // sf0.001/0.01/0.1 — comfortably above the 0.9 gate.
-        Similarity.annRecallGate(e, Similarity.annLshTopK(e, numTables = 6))
+        // sf0.001/0.01/0.1 — comfortably above the 0.9 gate. The probe
+        // reads the PERSISTED signature table (built once per session+SF,
+        // shared with q_ann_batch) instead of re-hashing the corpus.
+        val sig = graft.llm.AnnIndex.lshSignatures(s, d, e)
+        Similarity.annRecallGate(e,
+          Similarity.annLshTopKFromSignatures(sig, numTables = 6))
       },
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0),
         |c AS (SELECT vec_id,
@@ -1387,7 +1391,13 @@ object Registry {
         // even 14/16 read 0.9 at sf0.001). (On genuinely clustered
         // data — the IVF use case — a small nProbe suffices; see
         // SimilaritySpec's clustered-corpus tests at nProbe=2 and 4.)
-        Similarity.annRecallGate(e, Similarity.annIvfTopK(e, nProbe = 12))
+        // The index (broadcast centroid table + cell-partitioned
+        // corpus) is built ONCE per session+SF and reused by
+        // q_ann_ivf_probe; the probe partition-prunes to 12 of 16
+        // cells (AnnIndexSpec pins files-read == probed partitions).
+        val idx = graft.llm.AnnIndex.ivfDir(s, d, e)
+        Similarity.annRecallGate(e,
+          graft.llm.AnnIndex.probeIvf(s, idx, e, queryId = 0L, k = 10, nProbe = 12))
       },
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0),
         |c AS (SELECT vec_id,
@@ -1397,17 +1407,41 @@ object Registry {
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim, TRUE AS recall_at_10_ok FROM c
         |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
+    // The index-REUSE query: probe the SAME persisted IVF index
+    // q_ann_ivf built (memoized per session+SF) with a different query
+    // vector — the second probe pays zero training/assignment cost,
+    // which is the entire point of index-as-table. Same error-bound
+    // oracle pattern (exact brute-force top-10 for vec_id=7 + gate).
+    "q_ann_ivf_probe" -> q(
+      (s, d) => {
+        val e = embeddings(s, d)
+        val idx = graft.llm.AnnIndex.ivfDir(s, d, e)
+        Similarity.annRecallGate(e,
+          graft.llm.AnnIndex.probeIvf(s, idx, e, queryId = 7L, k = 10, nProbe = 12),
+          queryId = 7L)
+      },
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 7),
+        |c AS (SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), q_emb)
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(q_emb, q_emb))) AS raw_cos
+        |  FROM embeddings, q WHERE vec_id <> 7)
+        |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim, TRUE AS recall_at_10_ok FROM c
+        |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
     // Batch ANN: top-5 corpus neighbors for EVERY query in a probe set
     // (vec_id % 50 = 0 -> 10/10/40 queries across SFs) as ONE bucket
     // join — the many-queries retrieval shape. Same error-bound
     // pattern as q_ann_lsh: output = exact brute-force batch top-k
     // (oracle recomputes it), ANN bucket-join recall enters as the
-    // batch_recall_ok gate column.
+    // batch_recall_ok gate column. The corpus side reads the PERSISTED
+    // signature table shared with q_ann_lsh — only the (tiny) query
+    // side hashes fresh, and here even that is a filter of the index.
     "q_ann_batch" -> q(
       (s, d) => {
         import org.apache.spark.sql.functions.col
         val e = embeddings(s, d)
-        Similarity.annBatchRecallGate(e, e.filter(col("vec_id") % 50 === 0))
+        val sig = graft.llm.AnnIndex.lshSignatures(s, d, e)
+        Similarity.annBatchRecallGateFromSignatures(e, sig, col("vec_id") % 50 === 0)
       },
       """WITH u AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

@@ -57,6 +57,18 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** The LSH signature plan: numTables sign-LSH bucket ids per vector
+    * (hyperplane family t seeded 42+t). This IS the index schema —
+    * AnnIndex.buildLsh persists exactly this projection, and both the
+    * single-query and the batch probes consume it, so the corpus is
+    * hashed once per build, not once per query. */
+  def lshSignatureTable(embeddings: DataFrame, numPlanes: Int, numTables: Int): DataFrame =
+    embeddings.select(
+      col("vec_id"), col("embedding"),
+      array((0 until numTables).map(t =>
+        lshBucket(col("embedding"), hyperplanes(numPlanes, 64, seed = 42L + t))): _*)
+        .as("buckets"))
+
   /** X3 scale path: ANN via L-tables sign-LSH with Hamming-<=1
     * multiprobe — `numTables` INDEPENDENT hyperplane families each
     * contribute the query's bucket plus every bucket one sign flip
@@ -65,21 +77,25 @@ object Similarity {
     * recall compounds as 1-(1-r)^L while probe cost stays
     * L*(numPlanes+1) buckets of a bucketed table — never the corpus.
     * Recall/cost tunes with (numPlanes, numTables) without touching
-    * correctness (the re-rank is exact). */
+    * correctness (the re-rank is exact). Ad-hoc spelling: hashes the
+    * corpus inline; production probes go through the persisted
+    * signature table (AnnIndex.lshSignatures + FromSignatures). */
   def annLshTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
-                 numPlanes: Int = 4, numTables: Int = 3): DataFrame = {
-    val dim = 64
-    val bucketed = embeddings.select(
-      col("vec_id") +: col("embedding") +:
-        (0 until numTables).map(t =>
-          lshBucket(col("embedding"), hyperplanes(numPlanes, dim, seed = 42L + t)).as(s"b$t")): _*)
-    val q = bucketed.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb") +:
-        (0 until numTables).map(t => col(s"b$t").as(s"qb$t")): _*)
+                 numPlanes: Int = 4, numTables: Int = 3): DataFrame =
+    annLshTopKFromSignatures(
+      lshSignatureTable(embeddings, numPlanes, numTables), queryId, k, numTables)
+
+  /** Single-query ANN probe over a (vec_id, embedding, buckets)
+    * signature table (persisted or inline). */
+  def annLshTopKFromSignatures(sig: DataFrame, queryId: Long = 0L, k: Int = 10,
+                               numTables: Int = 3): DataFrame = {
+    val q = sig.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("buckets").as("q_buckets"))
     val anyTableHit = (0 until numTables)
-      .map(t => bit_count(col(s"b$t").bitwiseXOR(col(s"qb$t"))) <= 1)
+      .map(t => bit_count(element_at(col("buckets"), t + 1)
+        .bitwiseXOR(element_at(col("q_buckets"), t + 1))) <= 1)
       .reduce(_ || _)
-    bucketed
+    sig
       .join(broadcast(q), col("vec_id") =!= queryId && anyTableHit)
       .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("raw_cos"))
       .orderBy(col("raw_cos").desc, col("vec_id"))
@@ -186,7 +202,6 @@ object Similarity {
     // recall gate certifies at >= 0.9 (3 tables measured ~0.5 batch
     // recall at sf0.01) — the default config and the certified config
     // must be the same thing, or the certificate is theater.
-    val dim = 64
     // numPlanes <= 0 -> auto-size to ~500 corpus vectors per bucket,
     // the same degeneracy guard as embeddingNearDupPairs: a FIXED
     // plane count drifts toward scanning the whole corpus per query as
@@ -196,25 +211,28 @@ object Similarity {
       if (numPlanes > 0) numPlanes
       else math.max(2,
         math.ceil(math.log(math.max(embeddings.count(), 1L) / 500.0) / math.log(2)).toInt)
-    // bucketed tables materialized once — each feeds a key explode AND
-    // a vector re-attach below (the LSH-index persistence pattern)
-    def withBuckets(df: DataFrame) = df.select(
-      col("vec_id"),
-      unitVector(col("embedding")).as("unit"),
-      array((0 until numTables).map(t =>
-        lshBucket(col("embedding"), hyperplanes(planes0, dim, seed = 42L + t))): _*)
-        .as("buckets"))
-      .localCheckpoint()
+    // ad-hoc spelling: signature tables materialized once per call —
+    // each feeds a key explode AND a vector re-attach. Production runs
+    // read the PERSISTED corpus signatures (AnnIndex.lshSignatures) and
+    // only the query side is hashed fresh.
+    annBatchTopKFromSignatures(
+      lshSignatureTable(embeddings, planes0, numTables).localCheckpoint(),
+      lshSignatureTable(queries, planes0, numTables).localCheckpoint(),
+      k, planes0)
+  }
 
-    val corpus = withBuckets(embeddings)
-    val qs = withBuckets(queries)
-
-    val corpusKeys = corpus.select(col("vec_id"),
+  /** Batch ANN over (vec_id, embedding, buckets) signature tables: the
+    * bucket join carries (table, bucket, id) only, candidate ID pairs
+    * dedup BEFORE unit vectors re-attach, exact cosine re-ranks,
+    * row_number()<=k plans through the TopKPerKey heap operator. */
+  def annBatchTopKFromSignatures(corpusSig: DataFrame, querySig: DataFrame,
+                                 k: Int = 5, numPlanes: Int = 4): DataFrame = {
+    val corpusKeys = corpusSig.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("table", "bucket")))
-    val queryKeys = qs.select(col("vec_id").as("query_id"),
+    val queryKeys = querySig.select(col("vec_id").as("query_id"),
       posexplode(col("buckets")).as(Seq("table", "qbucket")))
       .select(col("query_id"), col("table"),
-        explode(probeKeys(col("qbucket"), planes0)).as("bucket"))
+        explode(probeKeys(col("qbucket"), numPlanes)).as("bucket"))
 
     val candidates = queryKeys.join(corpusKeys, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -222,8 +240,10 @@ object Similarity {
       .dropDuplicates("query_id", "vec_id")
 
     val scored = candidates
-      .join(qs.select(col("vec_id").as("query_id"), col("unit").as("q_unit")), Seq("query_id"))
-      .join(corpus.select(col("vec_id"), col("unit").as("c_unit")), Seq("vec_id"))
+      .join(querySig.select(col("vec_id").as("query_id"),
+        unitVector(col("embedding")).as("q_unit")), Seq("query_id"))
+      .join(corpusSig.select(col("vec_id"),
+        unitVector(col("embedding")).as("c_unit")), Seq("vec_id"))
       .select(col("query_id"), col("vec_id"), dot(col("q_unit"), col("c_unit")).as("raw_cos"))
 
     import org.apache.spark.sql.expressions.Window
@@ -281,6 +301,28 @@ object Similarity {
       lit(total == 0L || hits.toDouble / total >= bound))
   }
 
+  /** Batch recall gate over a PERSISTED corpus signature table: the
+    * query set is `corpusSig` filtered by `queryPredicate` (the
+    * retrieval-from-own-corpus shape), so the batch probe touches only
+    * the index artifact — the corpus is not re-hashed. Output rows are
+    * still the exact brute-force batch top-k (SQL-recomputable) from
+    * `embeddings`. */
+  def annBatchRecallGateFromSignatures(embeddings: DataFrame, corpusSig: DataFrame,
+                                       queryPredicate: Column, k: Int = 5,
+                                       bound: Double = 0.9, numPlanes: Int = 4): DataFrame = {
+    val exact = batchTopKExact(embeddings, embeddings.filter(queryPredicate), k)
+      .localCheckpoint()
+    val total = exact.count()
+    val ann = annBatchTopKFromSignatures(
+      corpusSig, corpusSig.filter(queryPredicate), k, numPlanes)
+    val hits = exact.select(col("query_id"), col("vec_id"))
+      .join(ann.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi")
+      .count()
+    exact.withColumn("batch_recall_ok",
+      lit(total == 0L || hits.toDouble / total >= bound))
+  }
+
   /** Deterministic seeded-sample centroid pick for IVF "training": the
     * nCells corpus vectors with the smallest murmur3(vec_id) — a
     * hash-sample, so the picks are spread uniformly over the corpus
@@ -298,91 +340,39 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
   /** Hash-sampled seeds + `lloydIters` distributed Lloyd refinement
-    * passes: assign every vector to its nearest seed (one scan, the
-    * same argmax-dot expression the index build uses), take the
-    * per-cell mean (one hash-agg; element sums go through
-    * DECIMAL(28,10) so the means are bit-stable under any partial-agg
-    * order), re-normalize, and use the means as the next centroids.
-    * Cells that captured no vectors keep their seed. Each pass is one
-    * scan + one k-row collect — the k-rows-to-driver is inherent to
-    * centroid training; everything else stays distributed. Refined
-    * centroids sit at their cells' centers instead of on arbitrary
-    * sample points, so cell radii shrink and a given nProbe covers
-    * more of the query's true neighborhood (SimilaritySpec pins the
-    * recall improvement on the clustered corpus). */
+    * passes (assign via broadcast-join argmax -> per-cell DECIMAL-exact
+    * mean -> re-normalize; fully distributed — see
+    * AnnIndex.trainCentroids). Returned in cell order (cell i =
+    * index i-1). Refined centroids sit at their cells' centers instead
+    * of on arbitrary sample points, so cell radii shrink and a given
+    * nProbe covers more of the query's true neighborhood
+    * (SimilaritySpec pins the recall improvement on the clustered
+    * corpus). */
   private[graft] def ivfCentroidsRefined(embeddings: DataFrame, nCells: Int,
                                          lloydIters: Int = 1): Array[Array[Double]] = {
-    val dim = 64
-    var cents: Array[Array[Double]] = ivfCentroids(embeddings, nCells).map(_._2)
-    for (_ <- 0 until lloydIters) {
-      def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
-      val dots = array(cents.toIndexedSeq.map(c => dot(col("u"), centLit(c))): _*)
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col("u"), i + 1)
-          .cast(org.apache.spark.sql.types.DecimalType(28, 10)))
-          .cast(DoubleType).as(s"s$i"))
-      val means = embeddings
-        .select(unitVector(col("embedding")).as("u"))
-        .withColumn("ds", dots)
-        .select(expr("array_position(ds, array_max(ds))").as("cell"), col("u"))
-        .groupBy(col("cell"))
-        .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
-        .collect()
-        .map { r =>
-          val n = r.getLong(dim + 1).toDouble
-          r.getLong(0) -> Array.tabulate(dim)(i => r.getDouble(i + 1) / n)
-        }.toMap
-      cents = cents.zipWithIndex.map { case (seed, i) =>
-        means.get(i + 1L) match {
-          case Some(m) =>
-            val nrm = math.sqrt(m.map(x => x * x).sum)
-            if (nrm > 0) m.map(_ / nrm) else seed
-          case None => seed
-        }
-      }
-    }
-    cents
+    val units = embeddings
+      .select(col("vec_id"), unitVector(col("embedding")).as("u"))
+      .localCheckpoint()
+    AnnIndex.trainCentroids(units, AnnIndex.seedCentroids(embeddings, nCells), lloydIters)
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
   }
 
   /** X3 alternative scale path: IVF (inverted-file) ANN. "Training" =
     * a deterministic hash-sample of nCells corpus vectors refined by
-    * `lloydIters` distributed Lloyd passes (assign -> per-cell mean ->
-    * re-pick; see ivfCentroidsRefined). Every vector is assigned to
-    * its nearest centroid cell; the query probes its nProbe nearest
-    * cells and exact cosine re-ranks only those cells. At cluster
-    * scale the table is bucketed/partitioned by `cell`, so a probe
-    * reads nProbe partitions of the corpus. */
+    * `lloydIters` distributed Lloyd passes. Ad-hoc spelling: builds a
+    * throwaway index (centroid table + cell-partitioned corpus) in a
+    * temp dir and probes it — ONE plan shape for demo and production
+    * (AnnIndex.ivfDir memoizes the build for reuse across queries);
+    * centroids are broadcast rows, never nCells x dim plan literals,
+    * and the probe reads only the nProbe nearest cell partitions. */
   def annIvfTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
                  nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 1): DataFrame = {
-    val cents: Array[Array[Double]] = ivfCentroidsRefined(embeddings, nCells, lloydIters)
-
-    def centLit(c: Array[Double]) = array(c.toIndexedSeq.map(lit): _*)
-    // cell = argmax_i dot(emb, centroid_i); emb's own norm is constant
-    // across the comparison so raw dot against unit centroids suffices.
-    val dots = array(cents.toIndexedSeq.map(c => dot(col("embedding"), centLit(c))): _*)
-    val celled = embeddings
-      .withColumn("cells_dots", dots)
-      .withColumn("cell", expr("array_position(cells_dots, array_max(cells_dots))"))
-      .drop("cells_dots")
-
-    // the query's nProbe nearest cells (driver-side: one k-dim argsort)
-    val qRows = embeddings.filter(col("vec_id") === queryId)
-      .select("embedding").collect()
-    require(qRows.nonEmpty, s"annIvfTopK: query vec_id=$queryId not found in corpus")
-    val qVec: Array[Float] = qRows.head.getSeq[Float](0).toArray
-    val probeCells: Seq[Long] = cents
-      .map(c => c.zip(qVec).map { case (a, b) => a * b.toDouble }.sum)
-      .zipWithIndex.sortBy(-_._1).take(nProbe).map(_._2.toLong + 1).toSeq
-
-    val q = embeddings.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"))
-    celled
-      .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("raw_cos"))
-      .orderBy(col("raw_cos").desc, col("vec_id"))
-      .limit(k)
-      .select(col("vec_id"), round(col("raw_cos"), 4).as("cos_sim"))
+    val spark = embeddings.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_adhoc_").toFile
+    dir.deleteOnExit()
+    AnnIndex.buildIvf(spark, embeddings, dir.toString, nCells, lloydIters)
+    AnnIndex.probeIvf(spark, dir.toString, embeddings, queryId, k, nProbe)
   }
 
   /** Oracle gate for the ANN paths (the q_approx_distinct pattern for

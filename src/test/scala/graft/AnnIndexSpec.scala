@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.llm.{AnnIndex, Similarity}
+
+/** The build-once ANN index: broadcast centroid table (no plan
+  * literals), cell-partitioned corpus layout, partition-pruned probes,
+  * persisted LSH signatures, per-session artifact reuse. */
+class AnnIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  private def parquetFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+  }
+
+  /** collect() that descends into AQE query stages (an executed
+    * adaptive plan wraps its scans in Result/BroadcastQueryStage nodes,
+    * which plain TreeNode.collect does not traverse). */
+  private def deepScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    p match {
+      case a: AdaptiveSparkPlanExec => deepScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => deepScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(deepScans)
+    }
+
+  test("IVF probe partition-prunes: files read == files in the nProbe probed cells") {
+    val dir = AnnIndex.ivfDir(spark, sf, emb)
+    val probe = AnnIndex.probeIvf(spark, dir, emb, queryId = 0L, k = 10, nProbe = 4)
+    probe.collect()
+
+    val plan = probe.queryExecution.executedPlan
+    val scans = deepScans(plan)
+      .filter(_.metadata.get("Location").exists(_.contains("cells")))
+    assert(scans.nonEmpty, s"no file scan over the cells layout:\n$plan")
+    // the pruning predicate reaches the PARTITION level, not the data level
+    assert(scans.head.metadata.get("PartitionFilters").exists(_.contains("cell")),
+      s"cell predicate must be a partition filter:\n${scans.head.metadata}")
+
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val qVec = emb.filter(col("vec_id") === 0L).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    val probed = AnnIndex.probeCellsFor(spark, dir, qVec, 4)
+    val probedFiles = probed.map(c => parquetFiles(s"$dir/cells/cell=$c").size).sum
+    val allFiles = parquetFiles(s"$dir/cells").size
+    assert(filesRead == probedFiles,
+      s"probe read $filesRead files, probed partitions hold $probedFiles")
+    assert(filesRead < allFiles,
+      s"probe must not touch all $allFiles files of the layout")
+  }
+
+  test("probe plan carries no array literals — size is O(nProbe), not O(nCells x dim)") {
+    val dir = AnnIndex.ivfDir(spark, sf, emb)
+    val probe = AnnIndex.probeIvf(spark, dir, emb, queryId = 0L, k = 10, nProbe = 4)
+    val arrayLits = probe.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => l
+    })
+    assert(arrayLits.isEmpty,
+      s"probe embeds ${arrayLits.size} array literals — centroids leaked into the plan")
+  }
+
+  test("nCells=256 builds and probes without plan blowup") {
+    // 256 cells x 64 dims = 16384 doubles. As literals this crushed
+    // codegen; as a broadcast table it is a 256-row join. The corpus
+    // has fewer vectors than cells at this SF for sf0.001 (500), which
+    // also exercises the empty-cell fallback.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf256_").toString
+    AnnIndex.buildIvf(spark, emb, dir, nCells = 256, lloydIters = 1)
+    val probe = AnnIndex.probeIvf(spark, dir, emb, queryId = 0L, k = 10, nProbe = 192)
+    val got = probe.collect()
+    assert(got.length == 10)
+    val planLen = probe.queryExecution.optimizedPlan.toString.length
+    assert(planLen < 50000, s"probe plan unexpectedly large: $planLen chars")
+    // probing 3/4 of 256 refined cells recovers the true top-10
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val recall = (exact & got.map(_.getLong(0)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"nCells=256 recall $recall")
+  }
+
+  test("join-based assignment matches the argmax definition on a hand corpus") {
+    // 3 orthogonal-ish clusters; every vector must land in the cell of
+    // the centroid it dots highest with (ties -> smallest cell).
+    val vecs = Seq(
+      (0L, Array.tabulate(64)(d => if (d < 4) 1f else 0f)),
+      (1L, Array.tabulate(64)(d => if (d >= 4 && d < 8) 1f else 0f)),
+      (2L, Array.tabulate(64)(d => if (d >= 8 && d < 12) 1f else 0f)),
+      (3L, Array.tabulate(64)(d => if (d < 4) 0.9f else if (d < 8) 0.1f else 0f))
+    ).toDF("vec_id", "embedding")
+    val units = vecs.select(col("vec_id"), Similarity.unitVector(col("embedding")).as("u"))
+    val cents = Seq(
+      (1, Array.tabulate(64)(d => if (d < 4) 0.5 else 0.0)),
+      (2, Array.tabulate(64)(d => if (d >= 4 && d < 8) 0.5 else 0.0)),
+      (3, Array.tabulate(64)(d => if (d >= 8 && d < 12) 0.5 else 0.0))
+    ).toDF("cell", "centroid")
+    val assigned = AnnIndex.assignCells(units, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned == Map(0L -> 1, 1L -> 2, 2L -> 3, 3L -> 1), s"$assigned")
+  }
+
+  test("index artifacts are memoized per (session, sf, params) and deterministic") {
+    val d1 = AnnIndex.ivfDir(spark, sf, emb)
+    val d2 = AnnIndex.ivfDir(spark, sf, emb)
+    assert(d1 == d2, "second touch must reuse the build")
+    assert(AnnIndex.ivfDir(spark, sf, emb, nCells = 8) != d1,
+      "different params are a different artifact")
+
+    // determinism: an INDEPENDENT build in a fresh dir probes identically
+    val fresh = java.nio.file.Files.createTempDirectory("graft_ivf_det_").toString
+    AnnIndex.buildIvf(spark, emb, fresh)
+    val a = AnnIndex.probeIvf(spark, d1, emb, 0L, 10, 12).collect().toSeq
+    val b = AnnIndex.probeIvf(spark, fresh, emb, 0L, 10, 12).collect().toSeq
+    assert(a == b, "two independent builds must probe bit-identically")
+  }
+
+  test("LSH signature table round-trips and serves the single-query probe") {
+    val sig = AnnIndex.lshSignatures(spark, sf, emb)
+    assert(sig.columns.toSeq == Seq("vec_id", "embedding", "buckets"))
+    assert(sig.count() == emb.count())
+    // persisted signatures give the same answer as inline hashing
+    val fromIndex = Similarity.annLshTopKFromSignatures(sig, 0L, 10, numTables = 6)
+      .collect().toSeq
+    val inline = Similarity.annLshTopK(emb, 0L, 10, numPlanes = 4, numTables = 6)
+      .collect().toSeq
+    assert(fromIndex == inline)
+  }
+}
