@@ -1428,6 +1428,28 @@ object Registry {
         |  FROM embeddings, q WHERE vec_id <> 7)
         |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim, TRUE AS recall_at_10_ok FROM c
         |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
+    // Quantized (int8 SQ) retrieval tier: the whole corpus is first
+    // ranked on 4x-smaller dequantized codes, then a rerank*k pool is
+    // exactly re-ranked in float — the standard IO lever when the
+    // float32 payload IS the 100 TB scan bill. Same error-bound oracle
+    // pattern: output = exact brute-force top-10, quantized recall
+    // enters as the gate column (measured 1.0 at all three SFs;
+    // AnnIndexSpec pins the on-disk compression ratio).
+    "q_ann_sq8" -> q(
+      (s, d) => {
+        val e = embeddings(s, d)
+        val idx = graft.llm.AnnIndex.sqDir(s, d, e)
+        Similarity.annRecallGate(e,
+          graft.llm.AnnIndex.sqTopK(s, idx, e, queryId = 0L, k = 10))
+      },
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), q_emb)
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(q_emb, q_emb))) AS raw_cos
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim, TRUE AS recall_at_10_ok FROM c
+        |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
     // Batch ANN: top-5 corpus neighbors for EVERY query in a probe set
     // (vec_id % 50 = 0 -> 10/10/40 queries across SFs) as ONE bucket
     // join — the many-queries retrieval shape. Same error-bound

@@ -165,6 +165,87 @@ object AnnIndex {
     Similarity.lshSignatureTable(embeddings, numPlanes, numTables)
       .write.mode("overwrite").parquet(path)
 
+  // ---- int8 scalar-quantized tier (the IO lever at 100 TB) ----
+  //
+  // A float32 embedding table's payload IS the scan bill at corpus
+  // scale; 8-bit scalar quantization cuts the first-pass bytes 4x
+  // (dim bytes/vector instead of 4*dim). The standard two-phase read:
+  // rank EVERYTHING on the quantized codes (cheap, slightly lossy),
+  // then exact-float re-rank only a rerank*k candidate pool — recall
+  // is gated, not assumed, exactly like the LSH/IVF tiers.
+  //
+  // Quantization grid: per-DIMENSION affine (min_d, scale_d) over the
+  // UNIT-normalized corpus, so dequantized dot products approximate
+  // cosine directly. Codes are exact integers from one deterministic
+  // rounding; params are min/max aggregates (no accumulation-order
+  // sensitivity), so the whole tier is bit-reproducible.
+
+  /** Build the SQ8 index under `dir`:
+    *   dir/sq_params — 1 row: per-dim mins + scales (array<double>);
+    *   dir/sq_codes  — (vec_id, codes array<int> in 0..255), the
+    *                   4x-smaller first-pass table. */
+  def buildSq(spark: SparkSession, embeddings: DataFrame, dir: String): Unit = {
+    val units = embeddings
+      .select(col("vec_id"), Similarity.unitVector(col("embedding")).as("u"))
+      .localCheckpoint()
+    val params = units.agg(
+      array((0 until Dim).map(i => min(element_at(col("u"), i + 1))): _*).as("mins"),
+      array((0 until Dim).map(i =>
+        (max(element_at(col("u"), i + 1)) - min(element_at(col("u"), i + 1))) / 255.0): _*)
+        .as("scales"))
+    params.coalesce(1).write.mode("overwrite").parquet(s"$dir/sq_params")
+    val p = spark.read.parquet(s"$dir/sq_params")
+    units.crossJoin(broadcast(p))
+      .select(col("vec_id"), quantize(col("u"), col("mins"), col("scales")).as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/sq_codes")
+  }
+
+  /** code_d = round((x_d - min_d) / scale_d), 0..255; constant dims
+    * (scale 0) land on code 0. */
+  private[graft] def quantize(u: org.apache.spark.sql.Column,
+                              mins: org.apache.spark.sql.Column,
+                              scales: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    zip_with(zip_with(u, mins, (x, m) => x - m), scales,
+      (d, s) => when(s > 0, round(d / s, 0)).otherwise(lit(0.0)).cast("int"))
+
+  /** dequant_d = code_d * scale_d + min_d — the first-pass vector. */
+  private[graft] def dequantize(codes: org.apache.spark.sql.Column,
+                                mins: org.apache.spark.sql.Column,
+                                scales: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    zip_with(zip_with(codes, scales, (c, s) => c * s), mins, (v, m) => v + m)
+
+  /** Two-phase quantized top-k: rank the WHOLE corpus on dequantized
+    * int8 codes (the 4x-cheaper scan), keep a rerank*k pool, exact
+    * float-cosine re-rank only the pool. Output schema matches the
+    * other ANN probes. */
+  def sqTopK(spark: SparkSession, dir: String, embeddings: DataFrame,
+             queryId: Long = 0L, k: Int = 10, rerank: Int = 4): DataFrame = {
+    val p = spark.read.parquet(s"$dir/sq_params")
+    val qCodes = embeddings.filter(col("vec_id") === queryId)
+      .select(Similarity.unitVector(col("embedding")).as("u"))
+      .crossJoin(broadcast(p))
+      .select(dequantize(quantize(col("u"), col("mins"), col("scales")),
+        col("mins"), col("scales")).as("q_dq"))
+    val pool = spark.read.parquet(s"$dir/sq_codes")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(p))
+      .crossJoin(broadcast(qCodes))
+      .select(col("vec_id"),
+        Similarity.dot(dequantize(col("codes"), col("mins"), col("scales")), col("q_dq"))
+          .as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(rerank * k)
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    pool.select(col("vec_id"))
+      .join(embeddings, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), Similarity.cosine(col("embedding"), col("q_emb")).as("raw_cos"))
+      .orderBy(col("raw_cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("raw_cos"), 4).as("cos_sim"))
+  }
+
   // ---- per-session artifact cache ----
 
   // Weak-keyed on the session (long-lived processes that cycle sessions
@@ -203,4 +284,8 @@ object AnnIndex {
       d => buildLsh(embeddings, s"$d/lsh", numPlanes, numTables))
     spark.read.parquet(s"$dir/lsh")
   }
+
+  /** Memoized SQ8 index dir for this session + fixture. */
+  def sqDir(spark: SparkSession, sfDir: String, embeddings: DataFrame): String =
+    artifact(spark, s"sq8:$sfDir")(buildSq(spark, embeddings, _))
 }

@@ -121,6 +121,40 @@ class AnnIndexSpec extends SparkTestBase {
     assert(a == b, "two independent builds must probe bit-identically")
   }
 
+  test("SQ8 tier: codes are int8-range, tier recalls the true top-10, 4x smaller on disk") {
+    val dir = AnnIndex.sqDir(spark, sf, emb)
+    val codes = spark.read.parquet(s"$dir/sq_codes")
+    assert(codes.count() == emb.count())
+    // every code in 0..255 (the int8 grid), every vector fully coded
+    val bounds = codes.select(
+      min(array_min(col("codes"))), max(array_max(col("codes"))),
+      min(size(col("codes"))), max(size(col("codes")))).collect().head
+    assert(bounds.getInt(0) >= 0 && bounds.getInt(1) <= 255, s"codes out of range: $bounds")
+    assert(bounds.getInt(2) == 64 && bounds.getInt(3) == 64)
+
+    // quantized-first-pass + exact re-rank finds the exact top-10
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val sq = AnnIndex.sqTopK(spark, dir, emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val recall = (exact & sq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"sq8 recall $recall; sq=$sq exact=$exact")
+
+    // the compression claim is measured, not asserted from theory:
+    // int8 codes must be well under half the float32 payload on disk
+    // (raw ratio is 4x; parquet encoding overhead eats some of it)
+    def bytesUnder(d: String): Long = parquetFiles(d).map(_.length()).sum
+    val floatBytes = bytesUnder(s"$sf/embeddings.parquet")
+    val codeBytes = bytesUnder(s"$dir/sq_codes")
+    assert(codeBytes * 2 < floatBytes,
+      s"sq_codes $codeBytes bytes vs float corpus $floatBytes — compression lost")
+
+    // deterministic: an independent build probes identically
+    val fresh = java.nio.file.Files.createTempDirectory("graft_sq_det_").toString
+    AnnIndex.buildSq(spark, emb, fresh)
+    val a = AnnIndex.sqTopK(spark, dir, emb, 0L, 10).collect().toSeq
+    val b = AnnIndex.sqTopK(spark, fresh, emb, 0L, 10).collect().toSeq
+    assert(a == b)
+  }
+
   test("LSH signature table round-trips and serves the single-query probe") {
     val sig = AnnIndex.lshSignatures(spark, sf, emb)
     assert(sig.columns.toSeq == Seq("vec_id", "embedding", "buckets"))
