@@ -36,6 +36,52 @@ object Registry {
   private def oneMinus(c: String) = s"CAST(1 - CAST($c AS DECIMAL(6,4)) AS DECIMAL(7,4))"
   private def onePlus(c: String)  = s"CAST(1 + CAST($c AS DECIMAL(6,4)) AS DECIMAL(7,4))"
 
+  /** DuckDB CTE chain spelling the SAME prefix-filter theorem the
+    * engine's n-gram join uses (rarest-first DF order, per-doc prefix
+    * of length |S| - ceil(t|S|) + 1, equality join on prefix shingles,
+    * exact Jaccard verification) — yielding `pairs(doc_a, doc_b,
+    * jaccard)`. Replaces the brute-force all-pairs spelling DuckDB
+    * cannot run at 5k docs (sf0.1): result equality with all-pairs is
+    * the first-collision THEOREM, not a tuning outcome, so the oracle
+    * stays an independent ground truth while becoming tractable at
+    * every fixture SF. The 1e-9 ceil slack only LENGTHENS prefixes
+    * (recall-safe); the length filter is exact-rational-safe because
+    * J >= t implies min|S| >= t*max|S| and the double t is <= the
+    * rational t. Callers prepend WITH or WITH RECURSIVE. */
+  private def prefixPairsCtes(t: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
+       |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
+       |  FROM toks WHERE len(t) > 0
+       |), ex AS (
+       |  SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh
+       |), dfreq AS (
+       |  SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle
+       |), pref AS (
+       |  SELECT doc_id, n, shingle FROM (
+       |    SELECT ex.doc_id, ex.n, ex.shingle,
+       |      ROW_NUMBER() OVER (PARTITION BY ex.doc_id
+       |                         ORDER BY dfreq.df, ex.shingle) AS pos
+       |    FROM ex JOIN dfreq USING (shingle))
+       |  WHERE pos <= greatest(1, n - CAST(ceil(n * $t - 1e-9) AS INT) + 1)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pref a JOIN pref b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  WHERE least(a.n, b.n) >= $t * greatest(a.n, b.n)
+       |), pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+       |  FROM cand c
+       |  JOIN sh sa ON c.doc_a = sa.doc_id
+       |  JOIN sh sb ON c.doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(sa.s, sb.s))) >= $t
+       |)""".stripMargin
+
   /** DuckDB list literal of the generator's city fleet. */
   private val citiesSql: String =
     Generator.Cities.map(c => s"'$c'").mkString("[", ", ", "]")
@@ -380,6 +426,97 @@ object Registry {
          |       WHEN quality < 0.7 THEN 'low_quality'
          |       ELSE 'keep' END) = 'keep' AS kept
          |FROM t2 ORDER BY doc_id""".stripMargin),
+    // The composed curation run as ONE query: dedup -> lang -> quality
+    // -> repetition -> decontamination -> chunk -> split, reported as
+    // a per-stage funnel. Each doc is charged to its FIRST failing
+    // stage; the oracle replays the whole gauntlet from the component
+    // oracles' spellings, so a drift in ANY stage (or in how they
+    // compose) breaks the hash.
+    "q_pipeline_e2e" -> q(
+      (s, d) => graft.llm.Curation.pipelineE2e(documents(s, d)),
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |    doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_dup,
+         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopwordsSql))) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+         |  FROM documents
+         |), qv AS (
+         |  SELECT doc_id, t, is_dup,
+         |    CASE WHEN stop_ratio > 0.05 THEN 'en' ELSE 'other' END AS lang_pred,
+         |    (CASE WHEN n_tokens BETWEEN 10 AND 2000 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |    + (CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |    + (CASE WHEN stop_ratio > 0.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS quality
+         |  FROM t
+         |), cnt AS (
+         |  SELECT doc_id, tok, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM t) GROUP BY doc_id, tok
+         |), top AS (SELECT doc_id, MAX(c) AS top_c FROM cnt GROUP BY doc_id
+         |), rep AS (
+         |  SELECT t.doc_id,
+         |    (CASE WHEN len(t.t) > 0
+         |          THEN CAST(COALESCE(top.top_c, 0) AS DOUBLE) / len(t.t) ELSE 0.0 END) > 0.2
+         |    OR (CASE WHEN len(t.t) >= 2
+         |             THEN 1.0 - CAST(len(list_distinct(
+         |                    [array_to_string(t.t[i:i+1], ' ') FOR i IN range(1, len(t.t))]
+         |                  )) AS DOUBLE) / (len(t.t) - 1) ELSE 0.0 END) > 0.3
+         |    AS repetitive
+         |  FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+         |), bench AS (
+         |  SELECT DISTINCT unnest([array_to_string(s[i:i+7], ' ')
+         |                          FOR i IN range(1, greatest(len(s)-7, 0) + 1)]) AS gram
+         |  FROM (SELECT t[11:40] AS s FROM t WHERE doc_id % 40 = 7)
+         |), grams AS (
+         |  SELECT doc_id, unnest([array_to_string(t[i:i+7], ' ')
+         |                         FOR i IN range(1, greatest(len(t)-7, 0) + 1)]) AS gram
+         |  FROM t
+         |), dec AS (
+         |  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b ON g.gram = b.gram
+         |), verdict AS (
+         |  SELECT qv.doc_id, len(qv.t) AS n_tok,
+         |    CASE WHEN qv.is_dup THEN 'exact_dup'
+         |         WHEN qv.lang_pred <> 'en' THEN 'lang'
+         |         WHEN qv.quality < 0.7 THEN 'quality'
+         |         WHEN rep.repetitive THEN 'repetition'
+         |         WHEN dec.doc_id IS NOT NULL THEN 'decontamination'
+         |         ELSE 'keep' END AS ff
+         |  FROM qv JOIN rep ON qv.doc_id = rep.doc_id
+         |          LEFT JOIN dec ON qv.doc_id = dec.doc_id
+         |), a AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         |    CAST(SUM(CASE WHEN ff = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |    CAST(SUM(CASE WHEN ff = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         |    CAST(SUM(CASE WHEN ff = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         |    CAST(SUM(CASE WHEN ff = 'repetition' THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+         |    CAST(SUM(CASE WHEN ff = 'decontamination' THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+         |    CAST(SUM(CASE WHEN ff = 'keep'
+         |         THEN greatest(CAST(ceil((n_tok - 50) / 40.0) AS BIGINT), 0) + 1
+         |         ELSE 0 END) AS BIGINT) AS n_chunks,
+         |    CAST(SUM(CASE WHEN ff = 'keep' AND doc_id % 10 < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |    CAST(SUM(CASE WHEN ff = 'keep' AND doc_id % 10 = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |    CAST(SUM(CASE WHEN ff = 'keep' AND doc_id % 10 > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         |  FROM verdict
+         |)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS INT) AS stage, 'exact_dup' AS stage_name,
+         |    total AS n_in, d1 AS n_dropped, total - d1 AS n_out FROM a
+         |  UNION ALL SELECT CAST(2 AS INT), 'lang', total - d1, d2, total - d1 - d2 FROM a
+         |  UNION ALL SELECT CAST(3 AS INT), 'quality', total - d1 - d2, d3, total - d1 - d2 - d3 FROM a
+         |  UNION ALL SELECT CAST(4 AS INT), 'repetition', total - d1 - d2 - d3, d4,
+         |    total - d1 - d2 - d3 - d4 FROM a
+         |  UNION ALL SELECT CAST(5 AS INT), 'decontamination', total - d1 - d2 - d3 - d4, d5,
+         |    total - d1 - d2 - d3 - d4 - d5 FROM a
+         |  UNION ALL SELECT CAST(6 AS INT), 'chunk', total - d1 - d2 - d3 - d4 - d5,
+         |    CAST(0 AS BIGINT), n_chunks FROM a
+         |  UNION ALL SELECT CAST(7 AS INT), 'split_train', total - d1 - d2 - d3 - d4 - d5,
+         |    CAST(0 AS BIGINT), n_train FROM a
+         |  UNION ALL SELECT CAST(8 AS INT), 'split_val', total - d1 - d2 - d3 - d4 - d5,
+         |    CAST(0 AS BIGINT), n_val FROM a
+         |  UNION ALL SELECT CAST(9 AS INT), 'split_test', total - d1 - d2 - d3 - d4 - d5,
+         |    CAST(0 AS BIGINT), n_test FROM a
+         |) ORDER BY stage""".stripMargin),
     "q_train_split" -> q(
       (s, d) => graft.llm.Curation.trainValTestSplit(documents(s, d)),
       """SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
@@ -1136,32 +1273,21 @@ object Registry {
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
         |ORDER BY user_id, event_type""".stripMargin),
-    // Oracle = brute-force STRING-shingle Jaccard over all pairs. Two
-    // facts make this a valid check of the LSH path: (a) the planted
-    // near-dup pairs sit at jaccard >= 0.85, far above the b=32/r=4
-    // recall cliff at the 0.5 threshold, and LSH + exact verification
-    // is deterministic under the fixed seed, so candidate-set equality
-    // with brute force holds at the fixture SFs (verified at sf0.001
-    // and sf0.01); (b) the engine's 31-bit hashed-shingle jaccard
-    // equals string-shingle jaccard whenever no within-pair collision
-    // occurs (none at fixture scale).
+    // MinHash under the recall-gate pattern (round 7): output = the
+    // EXACT string-shingle Jaccard pairs at 0.5, spelled with the
+    // prefix-filter theorem (prefixPairsCtes) so DuckDB runs it at
+    // every SF, plus `minhash_recall_ok` TRUE iff the b=32/r=4 LSH
+    // found >= 90% of them. Exact-equality was the old contract and it
+    // was only an artifact of small fixtures: minhash recall at the
+    // threshold is (1-J^r)^b-probabilistic, and sf0.1 plants pairs
+    // near the J=0.5 cliff (measured recall there: 0.98). The raw LSH
+    // pair list stays API-accessible (Dedup.minhashPairs, spec-covered
+    // including its band-join shape).
     "q_dedup_minhash" -> q(
-      (s, d) => Dedup.minhashPairs(documents(s, d)),
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
-        |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
-        |  FROM toks WHERE len(t) > 0
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, d) => Dedup.minhashRecallGate(documents(s, d)),
+      s"""WITH ${prefixPairsCtes("0.5")}
+         |SELECT doc_a, doc_b, jaccard, TRUE AS minhash_recall_ok FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin),
     // SimHash under the oracle via the recall-gate pattern (like
     // q_ann_lsh): output = the EXACT prefix-filtered n-gram pairs at
     // 0.7 (recomputable in SQL), plus a gate TRUE iff simhash
@@ -1171,22 +1297,9 @@ object Registry {
     // SQL-portable.
     "q_dedup_simhash" -> q(
       (s, d) => Dedup.simhashRecallGate(documents(s, d)),
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
-        |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
-        |  FROM toks WHERE len(t) > 0
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard,
-        |  TRUE AS simhash_recall_ok
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
-        |ORDER BY doc_a, doc_b""".stripMargin),
+      s"""WITH ${prefixPairsCtes("0.7")}
+         |SELECT doc_a, doc_b, jaccard, TRUE AS simhash_recall_ok FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin),
     // Prefix-filtered exact n-gram Jaccard join: unlike the minhash
     // oracle above, NO recall caveat is needed — prefix filtering is
     // exact, so result equality with brute force is a theorem, not a
@@ -1194,98 +1307,64 @@ object Registry {
     // equivalence note as q_dedup_minhash.
     "q_dedup_ngram" -> q(
       (s, d) => Dedup.ngramJaccardPairs(documents(s, d)),
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
-        |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
-        |  FROM toks WHERE len(t) > 0
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin),
+      s"""WITH ${prefixPairsCtes("0.5")}
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin),
     // Dedup clustering: min-label connected components over the exact
     // near-dup pair list; the oracle replays it as a recursive CTE
     // (min reachable doc_id per vertex == min id of its component).
     "q_dedup_cluster" -> q(
       (s, d) => Dedup.connectedComponents(
         documents(s, d), Dedup.ngramJaccardPairs(documents(s, d))),
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
-        |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
-        |  FROM toks WHERE len(t) > 0
-        |), pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-        |), edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
-        |), reach(id, lbl) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-        |)
-        |SELECT id AS doc_id, MIN(lbl) AS component FROM reach
-        |GROUP BY id ORDER BY doc_id""".stripMargin),
+      s"""WITH RECURSIVE ${prefixPairsCtes("0.5")}, edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT id AS doc_id, MIN(lbl) AS component FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin),
     // The dedup pipeline APPLIED: surviving corpus after removing
     // near-dup groups (keep each component's min doc_id), with group
     // sizes — what actually ships to tokenization.
     "q_dedup_apply" -> q(
       (s, d) => Dedup.applyDedup(
         documents(s, d), Dedup.ngramJaccardPairs(documents(s, d))),
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
-        |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
-        |  FROM toks WHERE len(t) > 0
-        |), pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-        |), edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
-        |), reach(id, lbl) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-        |), labels AS (
-        |  SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id
-        |), sizes AS (
-        |  SELECT component, CAST(COUNT(*) AS BIGINT) AS group_size
-        |  FROM labels GROUP BY component
-        |)
-        |SELECT d.doc_id, d.lang, d.source, s.group_size
-        |FROM documents d
-        |JOIN labels l ON d.doc_id = l.doc_id AND d.doc_id = l.component
-        |JOIN sizes s ON l.component = s.component
-        |ORDER BY d.doc_id""".stripMargin),
+      s"""WITH RECURSIVE ${prefixPairsCtes("0.5")}, edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         |), labels AS (
+         |  SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id
+         |), sizes AS (
+         |  SELECT component, CAST(COUNT(*) AS BIGINT) AS group_size
+         |  FROM labels GROUP BY component
+         |)
+         |SELECT d.doc_id, d.lang, d.source, s.group_size
+         |FROM documents d
+         |JOIN labels l ON d.doc_id = l.doc_id AND d.doc_id = l.component
+         |JOIN sizes s ON l.component = s.component
+         |ORDER BY d.doc_id""".stripMargin),
     // Incremental dedup: a simulated ingest batch (doc_id % 5 = 0)
     // checked against the standing corpus — exact-dup semi-join +
     // cross-set prefix-filtered near-dup join. The corpus is never
-    // self-joined: at 100 TB only the delta's shingles probe it.
+    // self-joined: at 100 TB only the delta's shingles probe it. The
+    // session object scans/hashes the corpus ONCE at init and merges
+    // delta DF counts into the maintained table per batch (round 7 —
+    // DedupSpec pins the batch plan touches no corpus source).
     "q_dedup_incremental" -> q(
       (s, d) => {
         import org.apache.spark.sql.functions.col
         val all = documents(s, d)
-        Dedup.incrementalDedup(
-          all.filter(col("doc_id") % 5 === 0),
-          all.filter(col("doc_id") % 5 =!= 0))
+        new Dedup.IncrementalDeduper(all.filter(col("doc_id") % 5 =!= 0))
+          .dedupBatch(all.filter(col("doc_id") % 5 === 0))
       },
       """WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
@@ -1301,10 +1380,40 @@ object Registry {
         |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
         |  WHERE len(t) > 0
+        |-- Cross-set prefix filter (same theorem as the self-join
+        |-- spelling): document frequency over the UNION gives the common
+        |-- total order; each side keeps its |S| - ceil(0.7|S|) + 1
+        |-- rarest shingles; equality join + exact Jaccard verify. The
+        |-- all-pairs join this replaces cannot run at 5k docs.
+        |), exd AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM dt
+        |), exc AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM ct
+        |), dfreq AS (
+        |  SELECT shingle, COUNT(*) AS df
+        |  FROM (SELECT shingle FROM exd UNION ALL SELECT shingle FROM exc)
+        |  GROUP BY shingle
+        |), prefd AS (
+        |  SELECT doc_id, n, shingle FROM (
+        |    SELECT exd.doc_id, exd.n, exd.shingle,
+        |      ROW_NUMBER() OVER (PARTITION BY exd.doc_id
+        |                         ORDER BY dfreq.df, exd.shingle) AS pos
+        |    FROM exd JOIN dfreq USING (shingle))
+        |  WHERE pos <= greatest(1, n - CAST(ceil(n * 0.7 - 1e-9) AS INT) + 1)
+        |), prefc AS (
+        |  SELECT doc_id, n, shingle FROM (
+        |    SELECT exc.doc_id, exc.n, exc.shingle,
+        |      ROW_NUMBER() OVER (PARTITION BY exc.doc_id
+        |                         ORDER BY dfreq.df, exc.shingle) AS pos
+        |    FROM exc JOIN dfreq USING (shingle))
+        |  WHERE pos <= greatest(1, n - CAST(ceil(n * 0.7 - 1e-9) AS INT) + 1)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM prefd a JOIN prefc b ON a.shingle = b.shingle
+        |  WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
         |), near AS (
-        |  SELECT DISTINCT a.doc_id FROM dt a JOIN ct b
-        |  ON CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |     / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+        |  SELECT DISTINCT c.doc_a AS doc_id
+        |  FROM cand c JOIN dt a ON c.doc_a = a.doc_id JOIN ct b ON c.doc_b = b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
         |), exact AS (
         |  SELECT DISTINCT d.doc_id FROM delta d JOIN corpus c ON d.text = c.text
         |)
@@ -1484,15 +1593,18 @@ object Registry {
         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
         |  ROUND(raw_cos, 4) AS cos_sim, TRUE AS batch_recall_ok
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
-    // Oracle = brute-force cosine over all pairs. Valid because the
-    // L-tables sign-LSH blocking (3 independent families + Hamming-1
-    // multiprobe) has ~1e-3 miss probability AT the 0.45 threshold and
-    // far less for real near-dups, and the run is deterministic under
-    // the fixed seeds — exact-parity verified at sf0.001 and sf0.01.
-    // Both engines normalize each vector first, then dot, then ROUND
-    // to 4 dp, so the doubles agree bit-for-bit.
+    // Oracle = brute-force cosine over all pairs (tractable in DuckDB
+    // even at sf0.1 — 2M pairs of 64-dim dots). Valid because the
+    // L-tables sign-LSH blocking with SIX independent families +
+    // Hamming-1 multiprobe has ~1e-6 miss probability AT the 0.45
+    // threshold (3 tables measured one miss in 144 pairs at sf0.1 —
+    // a pair at cosine 0.491 slipped all three; 6 tables close it),
+    // and the run is deterministic under the fixed seeds —
+    // exact-parity verified at sf0.001/0.01/0.1. Both engines
+    // normalize each vector first, then dot, then ROUND to 4 dp, so
+    // the doubles agree bit-for-bit.
     "q_dedup_embedding" -> q(
-      (s, d) => Similarity.embeddingNearDupPairs(embeddings(s, d)),
+      (s, d) => Similarity.embeddingNearDupPairs(embeddings(s, d), numTables = 6),
       """WITH u AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

