@@ -16,22 +16,50 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
+  /** Scan-local quality/language expressions over `col("text")` — ONE
+    * spelling shared by `curate` and `pipelineE2e`, so the composed
+    * pipeline inlines the gates into a single corpus scan with no
+    * possibility of drift (CurationSpec reconciles the two anyway). */
+  private[llm] def qualityExpr: Column = {
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks)
+    val avgWLen = (length(col("text")) - nTok + 1).cast(DoubleType) / nTok.cast(DoubleType)
+    val stopR = size(filter(toks, t => t.isin(TextOps.EnStopwords: _*)))
+      .cast(DoubleType) / nTok.cast(DoubleType)
+    when(nTok.between(10, 2000), lit(0.5)).otherwise(lit(0.0)) +
+      when(avgWLen.between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)) +
+      when(stopR > 0.0, lit(0.2)).otherwise(lit(0.0))
+  }
+
+  private[llm] def langPredExpr: Column = {
+    val toks = TextOps.tokens(col("text"))
+    val stopR = size(filter(toks, t => t.isin(TextOps.EnStopwords: _*)))
+      .cast(DoubleType) / size(toks).cast(DoubleType)
+    when(stopR > 0.05, lit("en")).otherwise(lit("other"))
+  }
+
+  /** The repetition drop flag as one scan-local expression (the same
+    * arithmetic repetitionStats stages through named columns). */
+  private[llm] def repetitiveExpr(topTokThreshold: Double = 0.2,
+                                  dupBigramThreshold: Double = 0.3): Column = {
+    val toks = TextOps.tokens(col("text"))
+    val g2 = tokenGrams(toks, 2)
+    val nTok = size(toks)
+    val topFrac = when(nTok > 0,
+      graft.functions.VectorFns.maxEqualRun(sort_array(toks)).cast(DoubleType)
+        / nTok.cast(DoubleType)).otherwise(lit(0.0))
+    val dupFrac = when(size(g2) > 0,
+      lit(1.0) - size(array_distinct(g2)).cast(DoubleType) / size(g2).cast(DoubleType))
+      .otherwise(lit(0.0))
+    topFrac > topTokThreshold || dupFrac > dupBigramThreshold
+  }
+
   /** One pass of the standard curation gauntlet, every rule explicit:
     * exact-dup (keep the min doc_id per identical text), language, and
     * quality-score gates, with the FIRST failing rule as the recorded
     * drop reason — the auditability a 100 TB curation run needs. */
   def curate(documents: DataFrame, minQuality: Double = 0.7): DataFrame = {
     val keeper = min(col("doc_id")).over(Window.partitionBy(col("text")))
-    val toks = TextOps.tokens(col("text"))
-    val nTok = size(toks)
-    val avgWLen = (length(col("text")) - nTok + 1).cast(DoubleType) / nTok.cast(DoubleType)
-    val stopR = size(filter(toks, t => t.isin(TextOps.EnStopwords: _*)))
-      .cast(DoubleType) / nTok.cast(DoubleType)
-    val quality =
-      when(nTok.between(10, 2000), lit(0.5)).otherwise(lit(0.0)) +
-      when(avgWLen.between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)) +
-      when(stopR > 0.0, lit(0.2)).otherwise(lit(0.0))
-    val langPred = when(stopR > 0.05, lit("en")).otherwise(lit("other"))
     // Window first, then the global sort on the still-narrow (doc_id,
     // text, is_dup) rows; the tokenize/score projection sits ABOVE the
     // sort so the range-boundary sampling pass never evaluates it
@@ -40,8 +68,8 @@ object Curation {
       .select(col("doc_id"), col("text"),
         (col("doc_id") =!= keeper).as("is_dup"))
       .orderBy("doc_id")
-      .withColumn("quality", quality)
-      .withColumn("lang_pred", langPred)
+      .withColumn("quality", qualityExpr)
+      .withColumn("lang_pred", langPredExpr)
       .withColumn("reason",
         when(col("is_dup"), lit("exact_dup"))
           .when(col("lang_pred") =!= "en", lit("lang"))
@@ -114,25 +142,31 @@ object Curation {
     * its distinct grams BROADCAST and the corpus-side probe is a
     * map-side hash semi-join — the 100 TB scan never shuffles; only
     * (doc_id, matched gram) survivors reach the count-distinct agg. */
-  def decontaminate(documents: DataFrame, gramSize: Int = 8): DataFrame = {
+  /** The decontamination SPARSE side — (doc_id, n_leaked_grams) for
+    * docs with at least one benchmark-gram hit; two corpus reads (bench
+    * grams + probe grams). Exposed so pipelineE2e can left-join it onto
+    * its own doc spine instead of paying decontaminate's third scan. */
+  private[llm] def leakedGramCounts(documents: DataFrame, gramSize: Int = 8): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val bench = documents
       .filter(pmod(col("doc_id"), lit(40)) === 7)
       .select(explode(tokenGrams(slice(toks, 11, 30), gramSize)).as("gram"))
       .distinct()
-    val leaked = documents
+    documents
       .select(col("doc_id"), explode(tokenGrams(toks, gramSize)).as("gram"))
       .join(broadcast(bench), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_leaked_grams"))
+  }
+
+  def decontaminate(documents: DataFrame, gramSize: Int = 8): DataFrame =
     documents.select(col("doc_id"))
-      .join(leaked, Seq("doc_id"), "left")
+      .join(leakedGramCounts(documents, gramSize), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
         (coalesce(col("n_leaked_grams"), lit(0L)) > 0L).as("contaminated"))
       .orderBy("doc_id")
-  }
 
   /** Within-document repetition stats (the Gopher/C4 repetition
     * filters): the most-frequent-token share and the duplicate-bigram
@@ -180,23 +214,30 @@ object Curation {
     * the FIRST stage that drops it (the same precedence `curate` uses),
     * so the stage counts partition the corpus and the funnel telescopes.
     *
-    * Scale shape: the per-doc verdict is three scan-local projections
-    * (curate, repetition) plus the broadcast decontamination probe,
-    * joined on doc_id; the funnel itself is ONE aggregate row unpivoted
-    * with stack() — no stage materializes an intermediate corpus, and
-    * nothing widens beyond (doc_id, flags). Composing the stages in one
-    * plan is also what surfaces cross-operator materialization bugs:
-    * each stage's columns are live simultaneously under whole-stage
-    * codegen instead of in separate queries. */
+    * Scale shape: ONE corpus scan computes every per-row stage (the
+    * dup window plus the quality/lang/repetition flags and the token
+    * count, via the shared scan-local expressions) — not one scan per
+    * stage; decontamination joins in as its own broadcast-probe branch
+    * (its gram explode changes cardinality, so it cannot ride the flag
+    * projection). Three corpus reads total at any scale. The funnel
+    * itself is ONE aggregate row unpivoted with stack() — no stage
+    * materializes an intermediate corpus, and nothing widens beyond
+    * (doc_id, flags). Composing the stages in one plan is also what
+    * surfaces cross-operator materialization bugs: each stage's
+    * columns are live simultaneously under whole-stage codegen instead
+    * of in separate queries. */
   def pipelineE2e(documents: DataFrame, minQuality: Double = 0.7): DataFrame = {
-    val cur = curate(documents, minQuality)
-    val rep = repetitionStats(documents)
-    val dec = decontaminate(documents)
-    val nTok = documents.select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tok"))
-    val verdict = cur.select(col("doc_id"), col("is_dup"), col("lang_pred"), col("quality"))
-      .join(rep.select(col("doc_id"), col("repetitive")), Seq("doc_id"))
-      .join(dec.select(col("doc_id"), col("contaminated")), Seq("doc_id"))
-      .join(nTok, Seq("doc_id"))
+    val keeper = min(col("doc_id")).over(Window.partitionBy(col("text")))
+    val flags = documents
+      .select(col("doc_id"), col("text"), (col("doc_id") =!= keeper).as("is_dup"))
+      .select(col("doc_id"), col("is_dup"),
+        langPredExpr.as("lang_pred"),
+        qualityExpr.as("quality"),
+        repetitiveExpr().as("repetitive"),
+        size(TextOps.tokens(col("text"))).as("n_tok"))
+    val verdict = flags
+      .join(leakedGramCounts(documents), Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("n_leaked_grams"), lit(0L)) > 0L)
       .select(col("doc_id"), col("n_tok"),
         when(col("is_dup"), lit("exact_dup"))
           .when(col("lang_pred") =!= "en", lit("lang"))

@@ -53,6 +53,49 @@ class CurationSpec extends SparkTestBase {
     // the exact-dup drop count equals the dup set curate reports
     val curDups = Curation.curate(docs).filter(col("is_dup")).count()
     assert(funnel.head._4 == curDups)
+
+    // FULL reconciliation against the component operators (the inlined
+    // shared expressions must agree with curate/repetitionStats/
+    // decontaminate run stand-alone): recompute every doc's
+    // first-failing stage from the components and re-derive the drops
+    val cur = Curation.curate(docs)
+      .select(col("doc_id"), col("is_dup"), col("lang_pred"), col("quality"))
+    val rep = graft.llm.Curation.repetitionStats(docs)
+      .select(col("doc_id"), col("repetitive"))
+    val dec = Curation.decontaminate(docs).select(col("doc_id"), col("contaminated"))
+    val ff = cur.join(rep, Seq("doc_id")).join(dec, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("is_dup"), "exact_dup")
+          .when(col("lang_pred") =!= "en", "lang")
+          .when(col("quality") < 0.7, "quality")
+          .when(col("repetitive"), "repetition")
+          .when(col("contaminated"), "decontamination")
+          .otherwise("keep").as("ff"))
+      .groupBy("ff").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectedDrops = Seq("exact_dup", "lang", "quality", "repetition", "decontamination")
+      .map(s => ff.getOrElse(s, 0L))
+    assert(funnel.take(5).map(_._4).toSeq == expectedDrops,
+      s"funnel drops ${funnel.take(5).map(_._4).toSeq} != component-derived $expectedDrops")
+  }
+
+  test("e2e pipeline reads the corpus three times, not once per stage") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+        case q: QueryStageExec => fileScans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(fileScans)
+      }
+    val funnel = Curation.pipelineE2e(docs)
+    funnel.collect()
+    val scans = fileScans(funnel.queryExecution.executedPlan)
+    // 1 flag projection (dup window + all scan-local gates in one pass)
+    // + 2 decontamination branches (corpus grams, bench grams)
+    assert(scans.size <= 3,
+      s"pipeline re-scans the corpus per stage: ${scans.size} file scans")
   }
 
   test("split fractions are ~8/1/1 and partition the corpus") {
