@@ -524,6 +524,34 @@ object Registry {
         |            ELSE 'test' END AS split,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+    // Sequence packing (concat-then-split): each doc's chunk stream is
+    // cut into 128-token training sequences; a chunk belongs to the
+    // sequence its first token lands in. Document-respecting, so the
+    // running offset is a per-doc window — no global prefix sum.
+    "q_pack_sequences" -> q(
+      // seqLen=32 against the fixtures' 10-99-token docs so the packing
+      // actually multi-cuts (avg ~2 sequences/doc, max 4) — 128 would
+      // degenerate to one sequence per doc here.
+      (s, d) => graft.llm.Curation.packSequences(documents(s, d), seqLen = 32),
+      """WITH toks AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |    unnest(range(0, greatest(CAST(ceil((n_tok - 50) / 40.0) AS INT), 0) + 1)) AS ci
+        |  FROM toks
+        |), ch AS (
+        |  SELECT doc_id, ci, least(50, n_tok - ci * 40) AS n_chunk_tokens FROM c
+        |), cb AS (
+        |  SELECT doc_id, ci, n_chunk_tokens,
+        |    COALESCE(SUM(n_chunk_tokens) OVER (PARTITION BY doc_id ORDER BY ci
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM ch
+        |)
+        |SELECT doc_id, CAST(cum_before // 32 AS INT) AS seq_idx,
+        |  CAST(COUNT(*) AS INT) AS n_chunks,
+        |  CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_seq_tokens
+        |FROM cb GROUP BY doc_id, cum_before // 32
+        |ORDER BY doc_id, seq_idx""".stripMargin),
     "q_sample_stratified" -> q(
       (s, d) => graft.llm.Curation.stratifiedSample(documents(s, d)),
       """SELECT doc_id, lang, source FROM documents

@@ -120,6 +120,44 @@ object Curation {
         array_join(slice(col("t"), col("chunk_idx") * stride + 1, lit(size0)), " ").as("chunk_text"))
   }
 
+  /** Sequence PACKING — the step between chunking and tokenization: a
+    * document's chunk stream is concatenated and cut into fixed
+    * `seqLen`-token training sequences (each chunk assigned to the
+    * sequence its FIRST token lands in — the concat-then-split
+    * discipline; a straddling chunk belongs to the sequence it starts
+    * in). Packing is DOCUMENT-RESPECTING (sequences never mix
+    * documents), which is both the usual contamination-hygiene choice
+    * and what makes the operator scale: the running token offset is a
+    * per-doc window (partitioned by doc_id), never a global
+    * single-partition prefix sum.
+    *
+    * Output: one row per (doc_id, seq_idx) with the chunk count and
+    * token count landing in that sequence — the shape a packing audit
+    * reads (fill ratios, truncation tails). Pure window + hash agg;
+    * integer arithmetic only, so the oracle replays it exactly. */
+  def packSequences(documents: DataFrame, size0: Int = 50, stride: Int = 40,
+                    seqLen: Int = 128): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nChunksMinus1 = greatest(
+      ceil((size(toks) - lit(size0)).cast(DoubleType) / stride).cast(IntegerType),
+      lit(0))
+    val chunks = documents
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), size(toks).as("n_tok"),
+        explode(sequence(lit(0), nChunksMinus1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(size0), col("n_tok") - col("chunk_idx") * stride).as("n_chunk_tokens"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("cum_before", coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
+      .withColumn("seq_idx", floor(col("cum_before") / lit(seqLen)).cast(IntegerType))
+      .groupBy(col("doc_id"), col("seq_idx"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("n_seq_tokens"))
+      .orderBy("doc_id", "seq_idx")
+  }
+
   /** Token n-gram strings (full n-grams only; empty array when the doc
     * has fewer than n tokens — guarded because sequence(1, k) with k<1
     * would count DOWN). */

@@ -98,6 +98,35 @@ class CurationSpec extends SparkTestBase {
       s"pipeline re-scans the corpus per stage: ${scans.size} file scans")
   }
 
+  test("sequence packing conserves the chunk stream and cuts contiguously") {
+    val packed = Curation.packSequences(docs, seqLen = 32).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(packed.exists(_._2 > 0), "fixture must produce multi-sequence docs at L=32")
+    // recompute the chunk stream per doc straight from the text
+    val streams = docs.select("doc_id", "text").collect().map { r =>
+      val n = r.getString(1).split(" ", -1).length
+      val nChunks = math.max(math.ceil((n - 50) / 40.0).toInt, 0) + 1
+      val lens = (0 until nChunks).map(ci => math.min(50, n - ci * 40))
+      r.getLong(0) -> lens
+    }.toMap
+    packed.groupBy(_._1).foreach { case (doc, seqs) =>
+      val lens = streams(doc)
+      // conservation: every chunk in exactly one sequence, tokens intact
+      assert(seqs.map(_._3).sum == lens.length, s"doc $doc chunk count")
+      assert(seqs.map(_._4).sum == lens.map(_.toLong).sum, s"doc $doc token total")
+      // cut indices ascend from 0 (gaps are legitimate: a 50-token
+      // chunk spans >1 of the 32-token windows, so some windows
+      // contain no chunk START and emit no row)
+      assert(seqs.map(_._2).min == 0, s"doc $doc first seq id")
+      // replay the concat-then-split assignment exactly
+      var cum = 0L
+      val expect = lens.map { l => val s = (cum / 32).toInt; cum += l; s }
+      val gotCounts = seqs.map(s => s._2 -> s._3).toMap
+      assert(expect.groupBy(identity).map { case (k, v) => k -> v.size } == gotCounts,
+        s"doc $doc assignment")
+    }
+  }
+
   test("split fractions are ~8/1/1 and partition the corpus") {
     val rows = Curation.trainValTestSplit(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
