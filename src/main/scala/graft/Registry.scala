@@ -524,6 +524,46 @@ object Registry {
         |            ELSE 'test' END AS split,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+    // Domain-mixture resampling: per-language keep rates (integer ppm)
+    // that hit target token shares without upsampling — the binding
+    // domain keeps everything, others downsample deterministically.
+    // Availability, rates, and the ACTUAL kept docs/tokens are all
+    // integer-or-shared-double arithmetic, recomputable in DuckDB.
+    "q_domain_mix" -> q(
+      (s, d) => graft.llm.Curation.domainMixture(documents(s, d)),
+      """WITH d AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+        |), a AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY lang
+        |), t AS (
+        |  SELECT lang, n_docs, n_tokens,
+        |    CASE lang WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+        |              WHEN 'de' THEN CAST(0.15 AS DOUBLE)
+        |              WHEN 'es' THEN CAST(0.15 AS DOUBLE)
+        |              WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
+        |              WHEN 'zh' THEN CAST(0.15 AS DOUBLE)
+        |              ELSE CAST(0.0 AS DOUBLE) END AS target_share
+        |  FROM a
+        |), s AS (
+        |  SELECT *, MIN(CAST(n_tokens AS DOUBLE) / target_share) OVER () AS feas FROM t
+        |), r AS (
+        |  SELECT lang, n_docs, n_tokens, target_share,
+        |    CAST(ROUND(least(CAST(1.0 AS DOUBLE), target_share * feas / n_tokens)
+        |         * 1000000) AS BIGINT) AS rate_ppm
+        |  FROM s
+        |), k AS (
+        |  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+        |    CAST(SUM(d.n_tok) AS BIGINT) AS kept_tokens
+        |  FROM d JOIN r ON d.lang = r.lang
+        |  WHERE (d.doc_id * 2654435761) % 1000000007 % 1000000 < r.rate_ppm
+        |  GROUP BY d.lang
+        |)
+        |SELECT r.lang, r.n_docs, r.n_tokens, r.target_share, r.rate_ppm,
+        |  COALESCE(k.kept_docs, 0) AS kept_docs,
+        |  COALESCE(k.kept_tokens, 0) AS kept_tokens
+        |FROM r LEFT JOIN k ON r.lang = k.lang ORDER BY r.lang""".stripMargin),
     // Sequence packing (concat-then-split): each doc's chunk stream is
     // cut into 128-token training sequences; a chunk belongs to the
     // sequence its first token lands in. Document-respecting, so the

@@ -317,6 +317,60 @@ object Curation {
       .orderBy("stage")
   }
 
+  /** Domain-mixture resampling — the rebalancing pass that makes a
+    * corpus match TARGET token shares per domain (here: language).
+    * Given target shares, the largest achievable total without
+    * upsampling is bounded by the BINDING domain (min over k of
+    * available_k / share_k); every domain's keep rate is then
+    * share_k * feasible / available_k (= 1.0 for the binding domain).
+    * Rates are published as integer PARTS-PER-MILLION — the same bound
+    * the row filter uses — and the kept sets are chosen by the
+    * multiplicative-mix doc_id hash: no RNG, reproducible, and the
+    * whole report (availability, rates, ACTUAL kept docs/tokens) is
+    * exactly recomputable by the SQL oracle.
+    *
+    * Scale shape: one availability aggregate (k rows), a k-row global
+    * window for the binding minimum, a broadcast of the k rates onto
+    * the corpus scan, and one kept aggregate — the 100 TB pass is two
+    * scans and no wide shuffle. */
+  def domainMixture(documents: DataFrame,
+                    targets: Map[String, Double] = Map(
+                      "en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+                      "fr" -> 0.15, "zh" -> 0.15)): DataFrame = {
+    val nTok = size(TextOps.tokens(col("text")))
+    val share = targets.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    val avail = documents
+      .select(col("lang"), nTok.as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("target_share", share)
+    // binding-domain minimum over the k-row aggregate (k tiny — the
+    // empty-frame window is a k-row single partition, not a data sort)
+    val rated = avail
+      .withColumn("feas",
+        min(col("n_tokens").cast(DoubleType) / col("target_share"))
+          .over(Window.partitionBy()))
+      .withColumn("rate_ppm",
+        round(least(lit(1.0), col("target_share") * col("feas") / col("n_tokens"))
+          * 1000000, 0).cast(LongType))
+      .drop("feas")
+    val bucket = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(1000000L)
+    val kept = documents
+      .select(col("lang"), col("doc_id"), nTok.as("n_tok"))
+      .join(broadcast(rated.select(col("lang"), col("rate_ppm"))), Seq("lang"))
+      .filter(bucket < col("rate_ppm"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tok")).as("kept_tokens"))
+    rated.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("target_share"),
+        col("rate_ppm"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
   /** Deterministic stratified sampling: per-language keep rates (e.g.
     * downsample the dominant language, keep rare ones whole) decided by
     * a multiplicative-mix pseudo-hash of doc_id — pure projection, no

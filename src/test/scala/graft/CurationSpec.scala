@@ -127,6 +127,26 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("domain mixture: binding domain keeps all, kept shares track the targets") {
+    val rows = Curation.domainMixture(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == 5)
+    // exactly the binding domain(s) sit at rate 1.0 (1e6 ppm); nobody above
+    assert(rows.exists(_._5 == 1000000L), "one domain must bind")
+    assert(rows.forall(_._5 <= 1000000L), "no upsampling")
+    // kept is a subset of available
+    rows.foreach { r => assert(r._6 <= r._2 && r._7 <= r._3, s"$r") }
+    // realized token shares track the targets (hash sampling is exact
+    // in expectation; allow fixture-size noise)
+    val total = rows.map(_._7).sum.toDouble
+    rows.foreach { case (lang, _, _, share, _, _, keptTok) =>
+      val realized = keptTok / total
+      assert(math.abs(realized - share) < 0.06,
+        s"$lang realized $realized vs target $share")
+    }
+  }
+
   test("split fractions are ~8/1/1 and partition the corpus") {
     val rows = Curation.trainValTestSplit(docs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
