@@ -1627,6 +1627,30 @@ object Registry {
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim, TRUE AS recall_at_10_ok FROM c
         |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
+    // The composed IVF-SQ probe: partition pruning and quantization
+    // MULTIPLY — the first pass reads nProbe cell-partitions of the
+    // 4x-smaller code table, exact float re-rank touches a rerank*k
+    // pool only. Built on the SAME persisted ivf + sq artifacts the
+    // other ANN queries share; query vec_id=11 diversifies the gate.
+    "q_ann_ivf_sq" -> q(
+      (s, d) => {
+        val e = embeddings(s, d)
+        val ivf = graft.llm.AnnIndex.ivfDir(s, d, e)
+        val sq = graft.llm.AnnIndex.sqDir(s, d, e)
+        val csq = graft.llm.AnnIndex.ivfSqDir(s, d, e)
+        Similarity.annRecallGate(e,
+          graft.llm.AnnIndex.probeIvfSq(s, ivf, sq, csq, e,
+            queryId = 11L, k = 10, nProbe = 12),
+          queryId = 11L)
+      },
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 11),
+        |c AS (SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), q_emb)
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(q_emb, q_emb))) AS raw_cos
+        |  FROM embeddings, q WHERE vec_id <> 11)
+        |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim, TRUE AS recall_at_10_ok FROM c
+        |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
     // Batch ANN: top-5 corpus neighbors for EVERY query in a probe set
     // (vec_id % 50 = 0 -> 10/10/40 queries across SFs) as ONE bucket
     // join — the many-queries retrieval shape. Same error-bound

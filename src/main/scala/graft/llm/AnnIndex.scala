@@ -246,6 +246,58 @@ object AnnIndex {
       .select(col("vec_id"), round(col("raw_cos"), 4).as("cos_sim"))
   }
 
+  /** Compose the two index tiers (the classic IVF-SQ layout): the int8
+    * code table written PARTITIONED BY the IVF cell, so a probe reads
+    * nProbe partitions OF THE 4x-SMALLER table — partition pruning and
+    * quantization multiply. Builds on the persisted ivf + sq artifacts
+    * (assignment and codes are read back, not recomputed). */
+  def buildIvfSq(spark: SparkSession, ivfDir: String, sqDir: String,
+                 outDir: String): Unit =
+    spark.read.parquet(s"$ivfDir/cells").select(col("vec_id"), col("cell"))
+      .join(spark.read.parquet(s"$sqDir/sq_codes"), Seq("vec_id"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$outDir/cells_sq")
+
+  /** IVF-SQ probe: nProbe nearest cells chosen from the centroid table
+    * (as probeIvf), the first pass ranks ONLY those cells' int8 codes
+    * (dequantized dot), and the exact float re-rank touches just a
+    * rerank*k pool fetched by id via a broadcast join. At 100 TB the
+    * first pass reads nProbe partitions of the code table — the
+    * cheapest possible candidate scan this side of losing recall. */
+  def probeIvfSq(spark: SparkSession, ivfDir: String, sqDir: String,
+                 ivfSqDir: String, embeddings: DataFrame, queryId: Long = 0L,
+                 k: Int = 10, nProbe: Int = 4, rerank: Int = 4): DataFrame = {
+    val qRows = embeddings.filter(col("vec_id") === queryId)
+      .select("embedding").collect()
+    require(qRows.nonEmpty, s"probeIvfSq: query vec_id=$queryId not found")
+    val qVec: Array[Float] = qRows.head.getSeq[Float](0).toArray
+    val cells = probeCellsFor(spark, ivfDir, qVec, nProbe)
+
+    val p = spark.read.parquet(s"$sqDir/sq_params")
+    val qDq = embeddings.filter(col("vec_id") === queryId)
+      .select(Similarity.unitVector(col("embedding")).as("u"))
+      .crossJoin(broadcast(p))
+      .select(dequantize(quantize(col("u"), col("mins"), col("scales")),
+        col("mins"), col("scales")).as("q_dq"))
+    val pool = spark.read.parquet(s"$ivfSqDir/cells_sq")
+      .filter(col("cell").isin(cells: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(p))
+      .crossJoin(broadcast(qDq))
+      .select(col("vec_id"),
+        Similarity.dot(dequantize(col("codes"), col("mins"), col("scales")), col("q_dq"))
+          .as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(rerank * k)
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    broadcast(pool.select(col("vec_id")))
+      .join(embeddings, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), Similarity.cosine(col("embedding"), col("q_emb")).as("raw_cos"))
+      .orderBy(col("raw_cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("raw_cos"), 4).as("cos_sim"))
+  }
+
   // ---- per-session artifact cache ----
 
   // Weak-keyed on the session (long-lived processes that cycle sessions
@@ -288,4 +340,14 @@ object AnnIndex {
   /** Memoized SQ8 index dir for this session + fixture. */
   def sqDir(spark: SparkSession, sfDir: String, embeddings: DataFrame): String =
     artifact(spark, s"sq8:$sfDir")(buildSq(spark, embeddings, _))
+
+  /** Memoized IVF-SQ composed layout (built ON the ivf + sq artifacts,
+    * which it materializes first if needed). */
+  def ivfSqDir(spark: SparkSession, sfDir: String, embeddings: DataFrame,
+               nCells: Int = 16, lloydIters: Int = 1): String = {
+    val ivf = ivfDir(spark, sfDir, embeddings, nCells, lloydIters)
+    val sq = sqDir(spark, sfDir, embeddings)
+    artifact(spark, s"ivfsq:$sfDir:$nCells:$lloydIters")(
+      buildIvfSq(spark, ivf, sq, _))
+  }
 }

@@ -155,6 +155,28 @@ class AnnIndexSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("IVF-SQ composed probe: pruned partitions of the CODE table, float re-rank recalls top-10") {
+    val ivf = AnnIndex.ivfDir(spark, sf, emb)
+    val sq = AnnIndex.sqDir(spark, sf, emb)
+    val csq = AnnIndex.ivfSqDir(spark, sf, emb)
+    val probe = AnnIndex.probeIvfSq(spark, ivf, sq, csq, emb,
+      queryId = 0L, k = 10, nProbe = 12)
+    val got = probe.collect()
+    assert(got.length == 10)
+
+    // the first pass is partition-pruned over cells_sq (the small table)
+    val scans = deepScans(probe.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("cells_sq")))
+    assert(scans.nonEmpty, "no scan over the composed layout")
+    assert(scans.head.metadata.get("PartitionFilters").exists(_.contains("cell")),
+      s"cell predicate must partition-prune:\n${scans.head.metadata}")
+
+    // composed tiers preserve the exact answer at this nProbe
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val recall = (exact & got.map(_.getLong(0)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ivf-sq recall $recall")
+  }
+
   test("LSH signature table round-trips and serves the single-query probe") {
     val sig = AnnIndex.lshSignatures(spark, sf, emb)
     assert(sig.columns.toSeq == Seq("vec_id", "embedding", "buckets"))
