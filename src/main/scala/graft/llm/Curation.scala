@@ -16,14 +16,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Curation {
 
-  /** Scan-local quality/language expressions over `col("text")` — ONE
-    * spelling shared by `curate` and `pipelineE2e`, so the composed
-    * pipeline inlines the gates into a single corpus scan with no
-    * possibility of drift (CurationSpec reconciles the two anyway). */
-  private[llm] def qualityExpr: Column = {
-    val toks = TextOps.tokens(col("text"))
+  /** Scan-local quality/language expressions — ONE spelling shared by
+    * `curate` and `pipelineE2e`, so the composed pipeline inlines the
+    * gates into a single corpus scan with no possibility of drift
+    * (CurationSpec reconciles the two anyway). The `*From(text, toks)`
+    * variants take the TOKEN ARRAY as an attribute so a caller can
+    * tokenize ONCE and fan the flags out from the staged column —
+    * lambda-bearing HOFs defeat runtime subexpression elimination, so
+    * spelling `tokens(text)` inside every flag re-splits the text per
+    * flag (measured 2.5x on the composed pipeline). */
+  private[llm] def qualityFrom(text: Column, toks: Column): Column = {
     val nTok = size(toks)
-    val avgWLen = (length(col("text")) - nTok + 1).cast(DoubleType) / nTok.cast(DoubleType)
+    val avgWLen = (length(text) - nTok + 1).cast(DoubleType) / nTok.cast(DoubleType)
     val stopR = size(filter(toks, t => t.isin(TextOps.EnStopwords: _*)))
       .cast(DoubleType) / nTok.cast(DoubleType)
     when(nTok.between(10, 2000), lit(0.5)).otherwise(lit(0.0)) +
@@ -31,18 +35,22 @@ object Curation {
       when(stopR > 0.0, lit(0.2)).otherwise(lit(0.0))
   }
 
-  private[llm] def langPredExpr: Column = {
-    val toks = TextOps.tokens(col("text"))
+  private[llm] def qualityExpr: Column =
+    qualityFrom(col("text"), TextOps.tokens(col("text")))
+
+  private[llm] def langPredFrom(toks: Column): Column = {
     val stopR = size(filter(toks, t => t.isin(TextOps.EnStopwords: _*)))
       .cast(DoubleType) / size(toks).cast(DoubleType)
     when(stopR > 0.05, lit("en")).otherwise(lit("other"))
   }
 
+  private[llm] def langPredExpr: Column = langPredFrom(TextOps.tokens(col("text")))
+
   /** The repetition drop flag as one scan-local expression (the same
     * arithmetic repetitionStats stages through named columns). */
-  private[llm] def repetitiveExpr(topTokThreshold: Double = 0.2,
+  private[llm] def repetitiveFrom(toks: Column,
+                                  topTokThreshold: Double = 0.2,
                                   dupBigramThreshold: Double = 0.3): Column = {
-    val toks = TextOps.tokens(col("text"))
     val g2 = tokenGrams(toks, 2)
     val nTok = size(toks)
     val topFrac = when(nTok > 0,
@@ -266,13 +274,19 @@ object Curation {
     * of in separate queries. */
   def pipelineE2e(documents: DataFrame, minQuality: Double = 0.7): DataFrame = {
     val keeper = min(col("doc_id")).over(Window.partitionBy(col("text")))
+    // tokenize ONCE into a staged column; CollapseProject leaves the
+    // stage in place because the alias is expensive and multiply
+    // referenced, so every flag reads the array instead of re-running
+    // the split regex (the HOF lambdas are not CSE-eligible)
     val flags = documents
       .select(col("doc_id"), col("text"), (col("doc_id") =!= keeper).as("is_dup"))
+      .select(col("doc_id"), col("is_dup"), col("text"),
+        TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("is_dup"),
-        langPredExpr.as("lang_pred"),
-        qualityExpr.as("quality"),
-        repetitiveExpr().as("repetitive"),
-        size(TextOps.tokens(col("text"))).as("n_tok"))
+        langPredFrom(col("toks")).as("lang_pred"),
+        qualityFrom(col("text"), col("toks")).as("quality"),
+        repetitiveFrom(col("toks")).as("repetitive"),
+        size(col("toks")).as("n_tok"))
     val verdict = flags
       .join(leakedGramCounts(documents), Seq("doc_id"), "left")
       .withColumn("contaminated", coalesce(col("n_leaked_grams"), lit(0L)) > 0L)

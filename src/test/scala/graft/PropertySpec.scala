@@ -93,4 +93,39 @@ class PropertySpec extends SparkTestBase {
       twice.foreach(r => assert(r.getLong(1) == 1L))
     }
   }
+
+  test("SQ8 quantization: codes in-grid and dequantization error <= scale/2 per dim") {
+    import graft.llm.AnnIndex
+    val vecGen = Gen.listOfN(16, Gen.choose(-1000, 1000))
+    forSamples(Gen.listOfN(8, vecGen), 10) { rows =>
+      val df = rows.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(x => x / 250.0f).toArray) }
+        .toDF("vec_id", "u")
+      val p = df.agg(
+        array((0 until 16).map(i => min(element_at(col("u"), i + 1))): _*).as("mins"),
+        array((0 until 16).map(i =>
+          (max(element_at(col("u"), i + 1)) - min(element_at(col("u"), i + 1))) / 255.0): _*)
+          .as("scales"))
+      val out = df.crossJoin(p)
+        .select(col("u"),
+          AnnIndex.quantize(col("u"), col("mins"), col("scales")).as("codes"),
+          AnnIndex.dequantize(
+            AnnIndex.quantize(col("u"), col("mins"), col("scales")),
+            col("mins"), col("scales")).as("dq"),
+          col("scales"))
+        .collect()
+      out.foreach { r =>
+        val u = r.getSeq[Float](0)
+        val codes = r.getSeq[Int](1)
+        val dq = r.getSeq[Double](2)
+        val scales = r.getSeq[Double](3)
+        codes.foreach(c => assert(c >= 0 && c <= 255, s"code $c out of int8 grid"))
+        (0 until 16).foreach { i =>
+          val bound = math.max(scales(i) / 2, 1e-12) + 1e-9
+          assert(math.abs(dq(i) - u(i)) <= bound,
+            s"dim $i: |${dq(i)} - ${u(i)}| > $bound (scale ${scales(i)})")
+        }
+      }
+    }
+  }
 }
