@@ -1710,6 +1710,43 @@ object Registry {
         |)
         |SELECT id_a, id_b, ROUND(raw_cos, 4) AS cos_sim FROM p
         |WHERE raw_cos >= 0.45 ORDER BY id_a, id_b""".stripMargin),
+    // Embedding dedup APPLIED: LSH pairs -> connected components ->
+    // one survivor per near-dup group with label + group size (the
+    // vector-side q_dedup_apply). Oracle = brute-force pairs (2M
+    // 64-dim dots — DuckDB-tractable even at sf0.1) + the recursive-
+    // CTE clustering + survivor filter; the 6-table LSH blocking is
+    // exact-parity at all SFs (see q_dedup_embedding), so clusters
+    // and survivors match bit-for-bit.
+    "q_dedup_embedding_apply" -> q(
+      (s, d) => Similarity.embeddingDedupApply(embeddings(s, d)),
+      """WITH RECURSIVE u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product([x / a.nrm FOR x IN a.e], [y / b.nrm FOR y IN b.e]) >= 0.45
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM p
+        |), reach(id, lbl) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+        |), labels AS (
+        |  SELECT id AS vec_id, MIN(lbl) AS component FROM reach GROUP BY id
+        |), sizes AS (
+        |  SELECT component, CAST(COUNT(*) AS BIGINT) AS group_size
+        |  FROM labels GROUP BY component
+        |)
+        |SELECT em.vec_id, em.label, s.group_size
+        |FROM embeddings em
+        |JOIN labels l ON em.vec_id = l.vec_id AND em.vec_id = l.component
+        |JOIN sizes s ON l.component = s.component
+        |ORDER BY em.vec_id""".stripMargin),
     // centroid emitted as 64 double COLUMNS (c00..c63): value-compared
     // by the driver instead of JSON-string-compared, and each element
     // is the decimal-exact sum / count in BOTH engines (scale 10 keeps

@@ -19,12 +19,12 @@ object Curation {
   /** Scan-local quality/language expressions — ONE spelling shared by
     * `curate` and `pipelineE2e`, so the composed pipeline inlines the
     * gates into a single corpus scan with no possibility of drift
-    * (CurationSpec reconciles the two anyway). The `*From(text, toks)`
-    * variants take the TOKEN ARRAY as an attribute so a caller can
-    * tokenize ONCE and fan the flags out from the staged column —
-    * lambda-bearing HOFs defeat runtime subexpression elimination, so
-    * spelling `tokens(text)` inside every flag re-splits the text per
-    * flag (measured 2.5x on the composed pipeline). */
+    * (CurationSpec reconciles the two anyway). Every variant takes the
+    * TOKEN ARRAY as an attribute so callers tokenize ONCE and fan the
+    * flags out from the staged column — lambda-bearing HOFs defeat
+    * runtime subexpression elimination, so spelling `tokens(text)`
+    * inside every flag re-splits the text per flag (measured 2.5x on
+    * the composed pipeline). */
   private[llm] def qualityFrom(text: Column, toks: Column): Column = {
     val nTok = size(toks)
     val avgWLen = (length(text) - nTok + 1).cast(DoubleType) / nTok.cast(DoubleType)
@@ -35,16 +35,11 @@ object Curation {
       when(stopR > 0.0, lit(0.2)).otherwise(lit(0.0))
   }
 
-  private[llm] def qualityExpr: Column =
-    qualityFrom(col("text"), TextOps.tokens(col("text")))
-
   private[llm] def langPredFrom(toks: Column): Column = {
     val stopR = size(filter(toks, t => t.isin(TextOps.EnStopwords: _*)))
       .cast(DoubleType) / size(toks).cast(DoubleType)
     when(stopR > 0.05, lit("en")).otherwise(lit("other"))
   }
-
-  private[llm] def langPredExpr: Column = langPredFrom(TextOps.tokens(col("text")))
 
   /** The repetition drop flag as one scan-local expression (the same
     * arithmetic repetitionStats stages through named columns). */
@@ -71,13 +66,18 @@ object Curation {
     // Window first, then the global sort on the still-narrow (doc_id,
     // text, is_dup) rows; the tokenize/score projection sits ABOVE the
     // sort so the range-boundary sampling pass never evaluates it
-    // (family-wide 2x-eval rule — see TextOps.sortedDocs).
+    // (family-wide 2x-eval rule — see TextOps.sortedDocs). The token
+    // array is STAGED once above the sort (HOF lambdas defeat
+    // subexpression elimination — the quality + lang flags would
+    // otherwise re-split per flag).
     documents
       .select(col("doc_id"), col("text"),
         (col("doc_id") =!= keeper).as("is_dup"))
       .orderBy("doc_id")
-      .withColumn("quality", qualityExpr)
-      .withColumn("lang_pred", langPredExpr)
+      .select(col("doc_id"), col("text"), col("is_dup"),
+        TextOps.tokens(col("text")).as("__toks"))
+      .withColumn("quality", qualityFrom(col("text"), col("__toks")))
+      .withColumn("lang_pred", langPredFrom(col("__toks")))
       .withColumn("reason",
         when(col("is_dup"), lit("exact_dup"))
           .when(col("lang_pred") =!= "en", lit("lang"))

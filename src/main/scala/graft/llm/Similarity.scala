@@ -395,6 +395,28 @@ object Similarity {
       lit(denom == 0L || hits.toDouble / denom >= bound))
   }
 
+  /** Embedding dedup APPLIED — the vector-side sibling of
+    * Dedup.applyDedup: LSH-blocked near-dup pairs -> connected
+    * components -> one canonical survivor (the component's min vec_id)
+    * per near-dup group, with its label and group size. This is what a
+    * pipeline materializes before indexing/training on embeddings;
+    * pairs and clusters are the intermediate evidence. Reuses the
+    * text-side CC machinery verbatim (same join+min dataflow). */
+  def embeddingDedupApply(embeddings: DataFrame, threshold: Double = 0.45,
+                          numTables: Int = 6): DataFrame = {
+    val pairs = embeddingNearDupPairs(embeddings, threshold, numTables = numTables)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val labels = Dedup.connectedComponents(
+      embeddings.select(col("vec_id").as("doc_id")), pairs)
+    val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("group_size"))
+    embeddings.select(col("vec_id"), col("label"))
+      .join(labels.select(col("doc_id").as("vec_id"), col("component")), Seq("vec_id"))
+      .filter(col("vec_id") === col("component"))
+      .join(sizes, Seq("component"))
+      .select(col("vec_id"), col("label"), col("group_size"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label centroid + distance profile — the "cluster summary"
     * aggregation shape over vector columns. Element sums go through
     * DECIMAL(28,10) (a deterministic rounding of each float, summed

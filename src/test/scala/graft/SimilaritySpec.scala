@@ -139,6 +139,19 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("embedding dedup apply: one survivor per component, group sizes partition the corpus") {
+    val out = Similarity.embeddingDedupApply(emb).collect()
+    assert(out.map(_.getLong(2)).sum == emb.count(), "group sizes must partition")
+    val pairs = Similarity.embeddingNearDupPairs(emb, numTables = 6)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val comps = graft.llm.Dedup.connectedComponents(
+      emb.select(col("vec_id").as("doc_id")), pairs)
+      .select("component").distinct().count()
+    assert(out.length.toLong == comps, "exactly one survivor per component")
+    // survivors are their own component minimum (canonical = min id)
+    assert(out.forall(r => r.getLong(2) >= 1L))
+  }
+
   test("label centroids have unit count-weighted means") {
     val cents = Similarity.labelCentroids(emb).collect()
     assert(cents.length == 10) // labels 0..9
