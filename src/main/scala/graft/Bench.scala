@@ -8,9 +8,55 @@ import org.apache.spark.sql.SparkSession
   * evaluates every output column). One JSON line on stdout is the
   * contract. */
 object Bench {
+
+  /** Solo-environment guard: every round's recorded bench has been
+    * contaminated at least once by a concurrent sbt test/verify or an
+    * IDLE sbt console holding a local[32] SparkSession (~+10% on every
+    * query), costing a judge adjudication each time. Detect the two
+    * signals at start — OTHER JVMs on the box (excluding this process's
+    * own sbt ancestor chain) and a high pre-run load average — and
+    * surface them BOTH as a stderr warning and as an "env" field inside
+    * the emitted JSON line, so a contaminated capture is self-labeling.
+    */
+  private def envGuard(cpus: Int): (String, Boolean) = {
+    def slurp(p: String): String =
+      try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+      catch { case _: Throwable => "" }
+    // ancestor pids (this JVM, its sbt launcher, the shell, ...)
+    val ancestors = scala.collection.mutable.Set[String]()
+    var pid = slurp("/proc/self/stat").split(" ").headOption.getOrElse("")
+    var guard = 0
+    while (pid.nonEmpty && pid != "0" && guard < 32) {
+      ancestors += pid
+      val stat = slurp(s"/proc/$pid/stat")
+      // field 4 of /proc/pid/stat is the ppid; the comm field (2) is
+      // parenthesized and may contain spaces, so split after its ')'.
+      pid = stat.substring(stat.lastIndexOf(')') + 1).trim
+        .split(" ").drop(2).headOption.getOrElse("")
+      guard += 1
+    }
+    val others = Option(new java.io.File("/proc").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+      .filterNot(f => ancestors.contains(f.getName))
+      .map(f => slurp(s"/proc/${f.getName}/cmdline").map(c => if (c == 0) ' ' else c))
+      .filter(c => c.contains("java") && (c.contains("sbt") || c.contains("spark")))
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val clean = others.isEmpty && (load < 0 || load < cpus * 0.5)
+    if (!clean) {
+      System.err.println(
+        s"BENCH ENV WARNING: not a solo run — load_avg=$load, " +
+          s"${others.length} other JVM(s): ${others.map(_.take(120)).mkString(" | ")}")
+    }
+    val json = s"""{"load_avg":${if (load < 0) "null" else f"$load%.2f"},""" +
+      s""""other_jvms":${others.length},"clean":$clean}"""
+    (json, clean)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val (envJson, _) = envGuard(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,7 +99,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"env":$envJson,"sf":"$sfDir"}"""
     println(line)
     // The driver captures a TRUNCATED stdout tail, which has made every
     // round's BENCH_r{N}.json unparseable past ~60 queries; the full

@@ -592,6 +592,74 @@ object Registry {
         |  CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_seq_tokens
         |FROM cb GROUP BY doc_id, cum_before // 32
         |ORDER BY doc_id, seq_idx""".stripMargin),
+    // CROSS-document greedy packing (round 8): short docs concatenated
+    // into fixed 128-token training sequences — greedy next-fit in
+    // doc_id order within 32 deterministic hash buckets (next-fit =
+    // one open bin = O(1) streaming state per bucket; the scale choice
+    // over first-fit). Integer arithmetic over a deterministic order,
+    // so the oracle replays the fold exactly as a recursive CTE
+    // stepping per-bucket doc positions.
+    "q_pack_greedy" -> q(
+      (s, d) => Curation.packGreedy(documents(s, d)),
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CAST((doc_id * 2654435761) % 1000000007 % 32 AS INT) AS bucket,
+        |    least(len(string_split(text, ' ')), 128) AS n_tok
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, bucket, n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS pos
+        |  FROM d
+        |), step(bucket, pos, doc_id, n_tok, seq_idx, fill_after) AS (
+        |  SELECT bucket, pos, doc_id, n_tok, 0, n_tok FROM pos WHERE pos = 1
+        |  UNION ALL
+        |  SELECT p.bucket, p.pos, p.doc_id, p.n_tok,
+        |    CASE WHEN s.fill_after + p.n_tok > 128 THEN s.seq_idx + 1
+        |         ELSE s.seq_idx END,
+        |    CASE WHEN s.fill_after + p.n_tok > 128 THEN p.n_tok
+        |         ELSE s.fill_after + p.n_tok END
+        |  FROM step s JOIN pos p ON p.bucket = s.bucket AND p.pos = s.pos + 1
+        |)
+        |SELECT bucket, CAST(seq_idx AS INT) AS seq_idx,
+        |  CAST(COUNT(*) AS INT) AS n_docs,
+        |  CAST(SUM(n_tok) AS INT) AS n_seq_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  CAST(SUM(n_tok) * 1000000 // 128 AS BIGINT) AS fill_ppm
+        |FROM step GROUP BY bucket, seq_idx
+        |ORDER BY bucket, seq_idx""".stripMargin),
+    // The corpus-level packing audit: capacity vs packed tokens and
+    // the padding share a trainer would burn at these parameters.
+    "q_pack_report" -> q(
+      (s, d) => Curation.packGreedyReport(documents(s, d)),
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CAST((doc_id * 2654435761) % 1000000007 % 32 AS INT) AS bucket,
+        |    least(len(string_split(text, ' ')), 128) AS n_tok
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, bucket, n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS pos
+        |  FROM d
+        |), step(bucket, pos, doc_id, n_tok, seq_idx, fill_after) AS (
+        |  SELECT bucket, pos, doc_id, n_tok, 0, n_tok FROM pos WHERE pos = 1
+        |  UNION ALL
+        |  SELECT p.bucket, p.pos, p.doc_id, p.n_tok,
+        |    CASE WHEN s.fill_after + p.n_tok > 128 THEN s.seq_idx + 1
+        |         ELSE s.seq_idx END,
+        |    CASE WHEN s.fill_after + p.n_tok > 128 THEN p.n_tok
+        |         ELSE s.fill_after + p.n_tok END
+        |  FROM step s JOIN pos p ON p.bucket = s.bucket AND p.pos = s.pos + 1
+        |), seqs AS (
+        |  SELECT bucket, seq_idx, COUNT(*) AS nd, SUM(n_tok) AS toks
+        |  FROM step GROUP BY bucket, seq_idx
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sequences,
+        |  CAST(SUM(nd) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS packed_tokens,
+        |  CAST(COUNT(*) * 128 AS BIGINT) AS capacity_tokens,
+        |  CAST((COUNT(*) * 128 - SUM(toks)) * 1000000 // (COUNT(*) * 128) AS BIGINT)
+        |    AS waste_ppm
+        |FROM seqs""".stripMargin),
     "q_sample_stratified" -> q(
       (s, d) => graft.llm.Curation.stratifiedSample(documents(s, d)),
       """SELECT doc_id, lang, source FROM documents
@@ -1685,6 +1753,70 @@ object Registry {
         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
         |  ROUND(raw_cos, 4) AS cos_sim, TRUE AS batch_recall_ok
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    // BATCH probe of the persisted IVF-SQ index (round 8 — the
+    // production many-queries shape the index exists for): EVERY query
+    // of the probe set (vec_id % 50 = 1) gets its nProbe cells from
+    // the broadcast-centroid argmax join — zero per-query driver work,
+    // the r7-flagged probeCellsFor loop generalized into the plan —
+    // then ONE join of the (query_id, cell) probe set against the
+    // cell-partitioned int8 code table feeds per-query TopKPerKey
+    // pools and an exact float re-rank. Same error-bound contract as
+    // q_ann_batch: output = exact brute-force batch top-5 (oracle
+    // recomputes it), index recall enters as batch_recall_ok.
+    "q_ann_batch_ivf" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = embeddings(s, d)
+        val ivf = graft.llm.AnnIndex.ivfDir(s, d, e)
+        val sq = graft.llm.AnnIndex.sqDir(s, d, e)
+        val csq = graft.llm.AnnIndex.ivfSqDir(s, d, e)
+        graft.llm.AnnIndex.batchIvfSqRecallGate(s, ivf, sq, csq, e,
+          col("vec_id") % 50 === 1)
+      },
+      """WITH u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), qy AS (
+        |  SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM u WHERE vec_id % 50 = 1
+        |), s AS (
+        |  SELECT qy.query_id, u.vec_id,
+        |    list_dot_product([y / qy.qn FOR y IN qy.qe], [x / u.nrm FOR x IN u.e]) AS raw_cos
+        |  FROM u JOIN qy ON u.vec_id <> qy.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id, raw_cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, vec_id) AS rnk
+        |  FROM s
+        |)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
+        |  ROUND(raw_cos, 4) AS cos_sim, TRUE AS batch_recall_ok
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    // Incremental index maintenance (round 8): the corpus minus every
+    // 10th vector is indexed (ivf + sq + composed); the held-out tenth
+    // is APPENDED with the EXISTING centroid table and quantization
+    // grid — delta-only writes, no retrain/rebuild (AnnIndexSpec pins
+    // the centroid/params artifacts byte-unchanged). The probe then
+    // runs for an APPENDED vector (vec_id=29) over the composed layout:
+    // recalling its true top-10 requires both original and appended
+    // rows live in the index. Same error-bound oracle as q_ann_ivf.
+    "q_ann_ivf_append" -> q(
+      (s, d) => {
+        val e = embeddings(s, d)
+        val dir = graft.llm.AnnIndex.appendDemoDir(s, d, e)
+        Similarity.annRecallGate(e,
+          graft.llm.AnnIndex.probeIvfSq(s, s"$dir/ivf", s"$dir/sq", s"$dir/csq",
+            e, queryId = 29L, k = 10, nProbe = 12),
+          queryId = 29L)
+      },
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 29),
+        |c AS (SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), q_emb)
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(q_emb, q_emb))) AS raw_cos
+        |  FROM embeddings, q WHERE vec_id <> 29)
+        |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim, TRUE AS recall_at_10_ok FROM c
+        |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
     // Oracle = brute-force cosine over all pairs (tractable in DuckDB
     // even at sf0.1 — 2M pairs of 64-dim dots). Valid because the
     // L-tables sign-LSH blocking with SIX independent families +

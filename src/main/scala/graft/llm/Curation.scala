@@ -166,6 +166,87 @@ object Curation {
       .orderBy("doc_id", "seq_idx")
   }
 
+  /** CROSS-document sequence packing (greedy next-fit) — the
+    * padding-elimination pass every pre-training run executes: short
+    * documents are CONCATENATED into fixed `seqLen`-token training
+    * sequences (docs over seqLen truncate to it), the fill-rate lever
+    * the within-doc `packSequences` cut cannot pull.
+    *
+    * Packing discipline: docs are bucketed by the multiplicative-mix
+    * doc_id hash into `nBuckets` independent streams; within a bucket,
+    * docs are walked in doc_id order and a doc joins the OPEN sequence
+    * if it fits, else the sequence closes and a new one opens (greedy
+    * next-fit). Next-fit — one open bin — rather than first-fit over
+    * all open bins is the deliberate scale choice: it streams (O(1)
+    * state per bucket, one pass, no random access to closed bins), it
+    * is what production packers run, and its waste bound (each closed
+    * sequence is more than half full when docs <= seqLen/2 dominate)
+    * costs a few percent fill for an algorithm that never holds more
+    * than a counter. Everything is integer arithmetic over a
+    * deterministic order, so the DuckDB oracle replays the fold
+    * exactly (a recursive CTE over per-bucket positions).
+    *
+    * Scale shape: ONE corpus scan stages (doc_id, bucket, n_tok) —
+    * ~20 bytes/row, the text never shuffles — then one exchange on
+    * bucket and a SORTED group fold (flatMapSortedGroups: Spark sorts
+    * within partitions; no per-group in-memory buffering). Parallelism
+    * = nBuckets, so size nBuckets to the cluster, not the data; the
+    * per-bucket state is three integers regardless of corpus size. */
+  def packGreedy(documents: DataFrame, seqLen: Int = 128,
+                 nBuckets: Int = 32): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val docs = documents
+      .select(col("doc_id"),
+        ((col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(nBuckets.toLong))
+          .cast(IntegerType).as("bucket"),
+        least(size(TextOps.tokens(col("text"))), lit(seqLen)).as("n_tok"))
+      .as[(Long, Int, Int)]
+    docs.groupByKey(_._2)
+      .flatMapSortedGroups(col("doc_id")) { (bucket, it) =>
+        // the whole per-bucket state: current sequence's fill/docs/span
+        var seqIdx = 0; var fill = 0; var nDocs = 0
+        var firstDoc = -1L; var lastDoc = -1L
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Int, Int, Int, Long, Long, Long)]
+        def close(): Unit = {
+          out += ((bucket, seqIdx, nDocs, fill, firstDoc, lastDoc,
+            fill.toLong * 1000000L / seqLen))
+          seqIdx += 1; fill = 0; nDocs = 0; firstDoc = -1L
+        }
+        for ((docId, _, nTok) <- it) {
+          if (fill > 0 && fill + nTok > seqLen) close()
+          if (firstDoc < 0) firstDoc = docId
+          lastDoc = docId; fill += nTok; nDocs += 1
+        }
+        if (nDocs > 0) close()
+        out
+      }
+      .toDF("bucket", "seq_idx", "n_docs", "n_seq_tokens",
+        "first_doc", "last_doc", "fill_ppm")
+      .orderBy("bucket", "seq_idx")
+  }
+
+  /** Corpus-level waste report over the greedy packing: sequences,
+    * docs, packed vs capacity tokens, and the padding share (ppm) a
+    * trainer would burn — the one-row audit a packing pass publishes.
+    * Derived FROM packGreedy's per-sequence rows (same fold, one
+    * aggregate on top). */
+  def packGreedyReport(documents: DataFrame, seqLen: Int = 128,
+                       nBuckets: Int = 32): DataFrame =
+    packGreedy(documents, seqLen, nBuckets)
+      .agg(
+        count(lit(1)).as("n_sequences"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_seq_tokens")).as("packed_tokens"),
+        (count(lit(1)) * seqLen.toLong).as("capacity_tokens"))
+      .select(col("n_sequences"), col("n_docs"), col("packed_tokens"),
+        col("capacity_tokens"),
+        // `div` = exact integer division (Column./ is double division,
+        // whose truncating cast can land one off the oracle's floor)
+        expr("(capacity_tokens - packed_tokens) * 1000000 div capacity_tokens")
+          .as("waste_ppm"))
+
   /** Token n-gram strings (full n-grams only; empty array when the doc
     * has fewer than n tokens — guarded because sequence(1, k) with k<1
     * would count DOWN). */
@@ -343,20 +424,26 @@ object Curation {
     * whole report (availability, rates, ACTUAL kept docs/tokens) is
     * exactly recomputable by the SQL oracle.
     *
-    * Scale shape: one availability aggregate (k rows), a k-row global
+    * Scale shape: the corpus TEXT is tokenized exactly ONCE — the
+    * per-doc token count is staged into a narrow (lang, doc_id, n_tok)
+    * table (~20 bytes/row vs the text payload) that both the
+    * availability aggregate and the kept scan read; then a k-row global
     * window for the binding minimum, a broadcast of the k rates onto
-    * the corpus scan, and one kept aggregate — the 100 TB pass is two
-    * scans and no wide shuffle. */
+    * the staged table, and one kept aggregate. At 100 TB the tokenize
+    * IS the expensive part of the scan, so paying it twice (the
+    * pre-round-8 shape) doubled the operator's cost. */
   def domainMixture(documents: DataFrame,
                     targets: Map[String, Double] = Map(
                       "en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
                       "fr" -> 0.15, "zh" -> 0.15)): DataFrame = {
-    val nTok = size(TextOps.tokens(col("text")))
+    val tokCounts = documents
+      .select(col("lang"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tok"))
+      .localCheckpoint()
     val share = targets.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
       when(col("lang") === k, lit(v)).otherwise(acc)
     }
-    val avail = documents
-      .select(col("lang"), nTok.as("n_tok"))
+    val avail = tokCounts
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .withColumn("target_share", share)
@@ -371,8 +458,7 @@ object Curation {
           * 1000000, 0).cast(LongType))
       .drop("feas")
     val bucket = (col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(1000000L)
-    val kept = documents
-      .select(col("lang"), col("doc_id"), nTok.as("n_tok"))
+    val kept = tokCounts
       .join(broadcast(rated.select(col("lang"), col("rate_ppm"))), Seq("lang"))
       .filter(bucket < col("rate_ppm"))
       .groupBy(col("lang"))

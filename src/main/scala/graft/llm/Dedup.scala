@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -321,24 +321,28 @@ object Dedup {
     * ingest pipeline persists between batches; here they are
     * session-lived localCheckpoints with the same maintenance algebra
     * (count merge under full-outer join; set union for texts). */
-  final class IncrementalDeduper(corpus: DataFrame, shingleSize: Int = 3,
-                                 threshold: Double = 0.7) {
-    // the ONLY scans of the corpus source, paid at construction
-    private var corpusSh: DataFrame =
-      shingleHashSets(corpus, shingleSize).localCheckpoint()
-    private var corpusDf: DataFrame = corpusSh
-      .select(explode(col("hs")).as("shingle"))
-      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .localCheckpoint()
-    private var corpusTexts: DataFrame =
-      corpus.select(col("text")).distinct().localCheckpoint()
+  final class IncrementalDeduper private[llm] (
+      initState: IncrementalDeduper.State,
+      shingleSize: Int, threshold: Double,
+      stateDir: Option[String], initEpoch: Int) {
+
+    /** Session-lived state (localCheckpoints): the in-memory spelling —
+      * the ONLY scans of the corpus source are paid at construction.
+      * For state that must survive a job restart, use
+      * `IncrementalDeduper.init` / `.open` (parquet-backed epochs). */
+    def this(corpus: DataFrame, shingleSize: Int = 3, threshold: Double = 0.7) =
+      this(IncrementalDeduper.memoryState(corpus, shingleSize),
+        shingleSize, threshold, None, 0)
+
+    private var state = initState
+    private var epoch = initEpoch
 
     /** Delta-side shingle sets + the batch's DF merged into the
       * standing table (counts add under a full-outer join). */
     private def batchState(shD: DataFrame): DataFrame = {
       val deltaDf = shD.select(explode(col("hs")).as("shingle"))
         .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      corpusDf.select(col("shingle"), col("df").as("df_c"))
+      state.df.select(col("shingle"), col("df").as("df_c"))
         .join(deltaDf.select(col("shingle"), col("df").as("df_d")),
           Seq("shingle"), "full_outer")
         .select(col("shingle"),
@@ -352,10 +356,10 @@ object Dedup {
     def dedupBatch(delta: DataFrame): DataFrame = {
       val shD = shingleHashSets(delta, shingleSize).localCheckpoint()
       val exactIds = delta.select(col("doc_id"), col("text"))
-        .join(corpusTexts, Seq("text"), "left_semi")
+        .join(state.texts, Seq("text"), "left_semi")
         .select(col("doc_id"))
         .withColumn("exact_dup", lit(true))
-      val nearIds = crossPairsVerified(shD, corpusSh, batchState(shD), threshold)
+      val nearIds = crossPairsVerified(shD, state.sh, batchState(shD), threshold)
         .select(col("doc_a").as("doc_id")).distinct()
         .withColumn("near_dup", lit(true))
       delta.select(col("doc_id"))
@@ -368,14 +372,111 @@ object Dedup {
     }
 
     /** Accept a batch into the corpus: merge its shingle sets, DF
-      * counts, and texts into the standing state (each re-checkpointed
-      * so lineage stays flat across many batches). */
+      * counts, and texts into the standing state. In-memory mode
+      * re-checkpoints (lineage stays flat across many batches);
+      * persisted mode writes the merged state to the NEXT epoch's
+      * parquet dirs — reads of the current epoch feed writes of the
+      * next, never a self-overwrite — then flips the META marker
+      * atomically, so a crash mid-append leaves the previous epoch
+      * intact and reopenable. */
     def append(delta: DataFrame): Unit = {
       val shD = shingleHashSets(delta, shingleSize).localCheckpoint()
-      corpusDf = batchState(shD).localCheckpoint()
-      corpusSh = corpusSh.unionByName(shD).localCheckpoint()
-      corpusTexts = corpusTexts
-        .unionByName(delta.select(col("text"))).distinct().localCheckpoint()
+      stateDir match {
+        case None =>
+          // order matters: the DF merge reads the PRE-append state
+          state = IncrementalDeduper.State(
+            state.sh.unionByName(shD).localCheckpoint(),
+            batchState(shD).localCheckpoint(),
+            state.texts.unionByName(delta.select(col("text")))
+              .distinct().localCheckpoint())
+        case Some(dir) =>
+          val spark = delta.sparkSession
+          val next = epoch + 1
+          val e = s"$dir/epoch=$next"
+          state.sh.unionByName(shD)
+            .write.mode("overwrite").parquet(s"$e/shingles")
+          batchState(shD).write.mode("overwrite").parquet(s"$e/df")
+          state.texts.unionByName(delta.select(col("text"))).distinct()
+            .write.mode("overwrite").parquet(s"$e/texts")
+          IncrementalDeduper.writeMeta(dir, shingleSize, threshold, next)
+          epoch = next
+          state = IncrementalDeduper.readState(spark, dir, next)
+      }
+    }
+  }
+
+  /** Persistence for the standing dedup state (VERDICT r7 #3): the
+    * corpus shingle sets, global shingle-DF table, and distinct text
+    * set live as parquet under `stateDir/epoch=N/...` with an
+    * atomically-replaced META marker naming the current epoch — the
+    * artifact-dir discipline of AnnIndex applied to dedup state, so
+    * the production ingest cycle this models survives job restarts: a
+    * NEW session `open`s the dir and continues dedup/append WITHOUT
+    * ever rescanning the corpus. (The marker move uses the local FS
+    * here; on a cluster the same flip is an object-store conditional
+    * put or a metastore transaction.) */
+  object IncrementalDeduper {
+    private[llm] final case class State(sh: DataFrame, df: DataFrame, texts: DataFrame)
+
+    private[llm] def memoryState(corpus: DataFrame, shingleSize: Int): State = {
+      val sh = shingleHashSets(corpus, shingleSize).localCheckpoint()
+      val df = sh.select(explode(col("hs")).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .localCheckpoint()
+      State(sh, df, corpus.select(col("text")).distinct().localCheckpoint())
+    }
+
+    private[llm] def readState(spark: SparkSession, stateDir: String,
+                               epoch: Int): State = {
+      val e = s"$stateDir/epoch=$epoch"
+      State(spark.read.parquet(s"$e/shingles"), spark.read.parquet(s"$e/df"),
+        spark.read.parquet(s"$e/texts"))
+    }
+
+    /** Initialize persisted state from the corpus (the only corpus
+      * scans — same count as the in-memory constructor) and open it. */
+    def init(corpus: DataFrame, stateDir: String, shingleSize: Int = 3,
+             threshold: Double = 0.7): IncrementalDeduper = {
+      val spark = corpus.sparkSession
+      val e1 = s"$stateDir/epoch=1"
+      shingleHashSets(corpus, shingleSize)
+        .write.mode("overwrite").parquet(s"$e1/shingles")
+      // DF derives from the just-written shingle table, not a re-scan
+      spark.read.parquet(s"$e1/shingles")
+        .select(explode(col("hs")).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$e1/df")
+      corpus.select(col("text")).distinct()
+        .write.mode("overwrite").parquet(s"$e1/texts")
+      writeMeta(stateDir, shingleSize, threshold, 1)
+      open(spark, stateDir)
+    }
+
+    /** Reopen persisted state — NO corpus access: the restarted ingest
+      * job's entry point. Params travel with the state (META), so the
+      * reopened session dedups under the same contract it was built
+      * with. */
+    def open(spark: SparkSession, stateDir: String): IncrementalDeduper = {
+      val (shingleSize, threshold, epoch) = readMeta(stateDir)
+      new IncrementalDeduper(readState(spark, stateDir, epoch),
+        shingleSize, threshold, Some(stateDir), epoch)
+    }
+
+    private def writeMeta(stateDir: String, shingleSize: Int,
+                          threshold: Double, epoch: Int): Unit = {
+      val dir = java.nio.file.Paths.get(stateDir)
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = dir.resolve("META.tmp")
+      java.nio.file.Files.writeString(tmp, s"$shingleSize\n$threshold\n$epoch\n")
+      java.nio.file.Files.move(tmp, dir.resolve("META"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    private def readMeta(stateDir: String): (Int, Double, Int) = {
+      val ls = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(stateDir, "META"))
+      (ls.get(0).trim.toInt, ls.get(1).trim.toDouble, ls.get(2).trim.toInt)
     }
   }
 

@@ -369,10 +369,14 @@ object Similarity {
   def annIvfTopK(embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
                  nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 1): DataFrame = {
     val spark = embeddings.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_adhoc_").toFile
-    dir.deleteOnExit()
-    AnnIndex.buildIvf(spark, embeddings, dir.toString, nCells, lloydIters)
-    AnnIndex.probeIvf(spark, dir.toString, embeddings, queryId, k, nProbe)
+    // Memoized per (session, input plan, params) via the shared
+    // artifact cache — repeated ad-hoc calls on a long-lived driver pay
+    // the build once, and the temp tree is reclaimed by the cache's
+    // shutdown hook (deleteOnExit silently skips non-empty dirs).
+    val key = s"ivf-adhoc:${embeddings.queryExecution.analyzed.semanticHash()}:$nCells:$lloydIters"
+    val dir = AnnIndex.artifact(spark, key)(
+      AnnIndex.buildIvf(spark, embeddings, _, nCells, lloydIters))
+    AnnIndex.probeIvf(spark, dir, embeddings, queryId, k, nProbe)
   }
 
   /** Oracle gate for the ANN paths (the q_approx_distinct pattern for

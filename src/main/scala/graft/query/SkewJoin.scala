@@ -29,7 +29,16 @@ object SkewJoin {
   private[graft] def contentSalt(df: DataFrame, saltFactor: Int): Column =
     pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
 
-  /** @param forceShuffle pin a sort-merge join (hint) so the (key,
+  /** Salt limitation (applies to every salted op here): the salt is a
+    * hash of the row's full CONTENT, so BYTE-IDENTICAL duplicate rows
+    * share a salt and still land on one reducer. The tool targets the
+    * common skew shape — a hot key with distinct payloads; if your
+    * skew is literally repeated rows, dedup-with-count first (the
+    * duplicates collapse to one weighted row) or mix a per-partition
+    * counter into the salt at the cost of run-to-run reducer
+    * reproducibility.
+    *
+    * @param forceShuffle pin a sort-merge join (hint) so the (key,
     *   salt) exchange actually spreads the hot key across reducers —
     *   for the demo/spec; in production leave Catalyst free to
     *   broadcast when the replicated side is tiny (salting is then a
@@ -57,7 +66,8 @@ object SkewJoin {
     * not saltFactor x |small|. Result is provably identical to the
     * plain join: for every key, the (key, salt) pairs on both sides
     * tile exactly the original key match (SkewJoinSpec pins both the
-    * invariance and the replication volume). */
+    * invariance and the replication volume). Byte-identical duplicate
+    * rows share a salt — see saltedEquiJoin's salt limitation note. */
   def saltedEquiJoinTwoTier(big: DataFrame, small: DataFrame, key: String,
                             saltFactor: Int = 8, hotThreshold: Long = 100000L,
                             forceShuffle: Boolean = false): DataFrame = {
@@ -98,7 +108,9 @@ object SkewJoin {
   /** Two-phase (salted partial -> final) aggregation for skewed group
     * keys: count/sum-style aggregates pre-combine per (key, salt), then
     * combine per key — the map-side-combine pattern made explicit when
-    * a single group would overwhelm one reducer. */
+    * a single group would overwhelm one reducer. Byte-identical
+    * duplicate rows share a salt — see saltedEquiJoin's salt
+    * limitation note. */
   def saltedCountSum(big: DataFrame, key: String, valueCol: String,
                      saltFactor: Int = 8): DataFrame = {
     big

@@ -89,7 +89,10 @@ object RecoveryDemo {
         Files.walk(Paths.get(d))
           .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(p => Files.deleteIfExists(p))
-      catch { case _: java.io.IOException => () }
+      // Files.walk surfaces traversal errors as UncheckedIOException (a
+      // RuntimeException) — best-effort cleanup must swallow those too,
+      // not fail the recovery query on a transient FS hiccup.
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     rows
       .toDF("batch_id", "after_restart", "device_id", "timestamp", "temperature")

@@ -177,6 +177,97 @@ class AnnIndexSpec extends SparkTestBase {
     assert(recall >= 0.9, s"ivf-sq recall $recall")
   }
 
+  test("batch IVF-SQ probe prunes to the probed-cell union and matches the single-query probes") {
+    val ivf = AnnIndex.ivfDir(spark, sf, emb)
+    val sq = AnnIndex.sqDir(spark, sf, emb)
+    val csq = AnnIndex.ivfSqDir(spark, sf, emb)
+    val pred = col("vec_id") % 50 === 1
+    val batch = AnnIndex.batchProbeIvfSq(spark, ivf, sq, csq, emb, pred,
+      k = 5, nProbe = 12)
+    val rows = batch.collect()
+    val nQueries = emb.filter(pred).count()
+    assert(rows.map(_.getLong(0)).distinct.length == nQueries,
+      "every query must come back with results")
+
+    // the code-table scan partition-prunes to the UNION of all
+    // queries' probed cells — no batch-wide full scan
+    val scans = deepScans(batch.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("cells_sq")))
+    assert(scans.nonEmpty, "no scan over the composed layout")
+    assert(scans.head.metadata.get("PartitionFilters").exists(_.contains("cell")),
+      s"cell predicate must partition-prune:\n${scans.head.metadata}")
+    val probe = AnnIndex.assignProbeCells(
+      emb.filter(pred).select(col("vec_id"),
+        Similarity.unitVector(col("embedding")).as("u")),
+      spark.read.parquet(s"$ivf/centroids"), 12)
+    val union = probe.select("cell").distinct().collect().map(_.getInt(0))
+    val probedFiles = union.map(c => parquetFiles(s"$csq/cells_sq/cell=$c").size).sum
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    assert(filesRead == probedFiles,
+      s"batch probe read $filesRead files, probed-cell union holds $probedFiles")
+
+    // per-query results equal the single-query probe (same params) —
+    // the batch spelling changes the orchestration, not the answer
+    for (qid <- rows.map(_.getLong(0)).distinct.take(3)) {
+      val single = AnnIndex.probeIvfSq(spark, ivf, sq, csq, emb,
+        queryId = qid, k = 5, nProbe = 12).collect().map(_.getLong(0)).toSeq
+      val ofBatch = rows.filter(_.getLong(0) == qid).sortBy(_.getInt(1))
+        .map(_.getLong(2)).toSeq
+      assert(ofBatch == single, s"query $qid: batch $ofBatch vs single $single")
+    }
+  }
+
+  test("append maintains the index without rebuild: centroids/grid byte-identical, delta rows live") {
+    import spark.implicits._
+    // synthetic clustered corpus: 3 tight clusters of 8, ids 0..23
+    def v(base: Int, jitter: Float): Array[Float] =
+      Array.tabulate(64)(d => (if (d / 8 == base) 1f else 0f) + (if (d == 63) jitter else 0f))
+    val corpus = (0 until 24).map(i => (i.toLong, v(i % 3, i * 0.001f))).toDF("vec_id", "embedding")
+    // delta: a NEW vector nearly collinear with vec 0 — after append,
+    // a probe for vec 0 must return it as the nearest neighbor
+    val delta = Seq((100L, v(0, 0.0011f))).toDF("vec_id", "embedding")
+    val dir = tmpDir("graft_append_spec_")
+    AnnIndex.buildIvf(spark, corpus, s"$dir/ivf", nCells = 3)
+    AnnIndex.buildSq(spark, corpus, s"$dir/sq")
+    AnnIndex.buildIvfSq(spark, s"$dir/ivf", s"$dir/sq", s"$dir/csq")
+
+    def bytesOf(d: String): Map[String, Seq[Byte]] =
+      parquetFiles(d).map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val centBefore = bytesOf(s"$dir/ivf/centroids")
+    val paramsBefore = bytesOf(s"$dir/sq/sq_params")
+    val cellFilesBefore = parquetFiles(s"$dir/ivf/cells").map(_.getPath).toSet
+
+    AnnIndex.appendIvf(spark, s"$dir/ivf", delta)
+    AnnIndex.appendSq(spark, s"$dir/sq", delta)
+    AnnIndex.appendIvfSq(spark, s"$dir/ivf", s"$dir/sq", s"$dir/csq", delta)
+
+    // NO rebuild: the centroid table and quantization grid are
+    // byte-identical, and every pre-append cell file is still present
+    // (append added files, never rewrote)
+    assert(bytesOf(s"$dir/ivf/centroids") == centBefore, "centroids changed")
+    assert(bytesOf(s"$dir/sq/sq_params") == paramsBefore, "sq grid changed")
+    assert(cellFilesBefore.subsetOf(parquetFiles(s"$dir/ivf/cells").map(_.getPath).toSet),
+      "append rewrote existing cell files")
+
+    // delta-only writes: exactly corpus+delta rows in every layout
+    val all = corpus.unionByName(delta)
+    assert(spark.read.parquet(s"$dir/ivf/cells").count() == 25)
+    assert(spark.read.parquet(s"$dir/sq/sq_codes").count() == 25)
+    assert(spark.read.parquet(s"$dir/csq/cells_sq").count() == 25)
+
+    // the appended vector is LIVE: nearest neighbor of vec 0 is 100.
+    // rerank=12 >= the cluster size: the synthetic cluster members
+    // quantize to IDENTICAL codes (their differences sit below one
+    // int8 step), so the first-pass pool is tie-broken by vec_id and
+    // must be wide enough to carry the whole cluster into the exact
+    // float re-rank that separates them.
+    val got = AnnIndex.probeIvfSq(spark, s"$dir/ivf", s"$dir/sq", s"$dir/csq",
+      all, queryId = 0L, k = 1, nProbe = 2, rerank = 12).collect()
+    assert(got.head.getLong(0) == 100L,
+      s"appended neighbor not found: ${got.mkString(",")}")
+  }
+
   test("LSH signature table round-trips and serves the single-query probe") {
     val sig = AnnIndex.lshSignatures(spark, sf, emb)
     assert(sig.columns.toSeq == Seq("vec_id", "embedding", "buckets"))

@@ -127,6 +127,55 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("greedy cross-doc packing conserves docs/tokens, respects capacity, replays deterministically") {
+    val seqLen = 128
+    val packed = Curation.packGreedy(docs, seqLen = seqLen, nBuckets = 32).collect()
+    assert(packed.nonEmpty)
+    // conservation: every doc lands in exactly one sequence
+    assert(packed.map(_.getAs[Int]("n_docs").toLong).sum == docs.count())
+    // token conservation against the capped per-doc counts
+    val totTok = docs
+      .select(sum(least(size(split(col("text"), " ")), lit(seqLen)))).collect()
+      .head.getLong(0)
+    assert(packed.map(_.getAs[Int]("n_seq_tokens").toLong).sum == totTok)
+    // capacity is a hard bound; fill_ppm is the exact integer ratio
+    packed.foreach { r =>
+      val fill = r.getAs[Int]("n_seq_tokens")
+      assert(fill <= seqLen, r.toString)
+      assert(r.getAs[Long]("fill_ppm") == fill.toLong * 1000000L / seqLen)
+      assert(r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc"))
+    }
+    // the pass actually packs: multi-doc sequences must dominate over
+    // one-doc fallbacks on the 10-99-token fixture docs at L=128
+    assert(packed.count(_.getAs[Int]("n_docs") >= 2) > packed.length / 2)
+    // next-fit invariant: within a bucket every non-final sequence
+    // closed because the NEXT doc did not fit
+    val docTok = docs
+      .select(col("doc_id"), least(size(split(col("text"), " ")), lit(seqLen)))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    packed.groupBy(_.getAs[Int]("bucket")).foreach { case (_, seqs) =>
+      val ordered = seqs.sortBy(_.getAs[Int]("seq_idx"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val nextFirst = docTok(b.getAs[Long]("first_doc"))
+          assert(a.getAs[Int]("n_seq_tokens") + nextFirst > seqLen,
+            s"sequence closed early: $a then $b")
+        case _ => ()
+      }
+    }
+    // deterministic: a second run is bit-identical
+    val again = Curation.packGreedy(docs, seqLen = seqLen, nBuckets = 32).collect()
+    assert(packed.toSeq == again.toSeq)
+    // the corpus report aggregates the same fold
+    val rep = Curation.packGreedyReport(docs, seqLen = seqLen, nBuckets = 32)
+      .collect().head
+    assert(rep.getAs[Long]("n_sequences") == packed.length.toLong)
+    assert(rep.getAs[Long]("packed_tokens") == totTok)
+    assert(rep.getAs[Long]("capacity_tokens") == packed.length.toLong * seqLen)
+    val waste = rep.getAs[Long]("waste_ppm")
+    assert(waste >= 0 && waste < 1000000)
+  }
+
   test("domain mixture: binding domain keeps all, kept shares track the targets") {
     val rows = Curation.domainMixture(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),

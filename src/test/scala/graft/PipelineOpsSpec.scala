@@ -138,6 +138,72 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(incremental.nonEmpty)
   }
 
+  test("IncrementalDeduper persisted state: a NEW session reopens and continues with no corpus rescan") {
+    import graft.llm.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+        case q: QueryStageExec => fileScans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(fileScans)
+      }
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val stateDir = tmpDir("graft_dedup_state_")
+    Dedup.IncrementalDeduper.init(corpus, stateDir)
+
+    // a FRESH session (new session state, no cached plans/lineage from
+    // the builder session) reopens the artifact dir: flags must equal
+    // the in-memory spelling bit for bit
+    val s2 = spark.newSession()
+    val reopened = Dedup.IncrementalDeduper.open(s2, stateDir)
+    val delta2 = Tables.documents(s2, sf).filter(col("doc_id") % 5 === 0)
+    val fromDisk = reopened.dedupBatch(delta2).collect().toSeq
+    val inMem = new Dedup.IncrementalDeduper(corpus).dedupBatch(delta).collect().toSeq
+    assert(fromDisk == inMem)
+
+    // corpus-rescan pin: with an in-memory delta, every file scan in
+    // the batch plan must read the STATE DIR, never the corpus fixture.
+    // The delta texts are COPIES of corpus texts (exact dups) so every
+    // join is non-empty — AQE's empty-relation propagation would
+    // otherwise fold the state-scan branches clean out of the final
+    // plan and the pin would vacuously pass.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val corpusTexts = corpus.orderBy(col("doc_id")).limit(2)
+      .select("text").collect().map(_.getString(0))
+    val deltaMem = s2.createDataFrame(
+      java.util.Arrays.asList(
+        Row(200000L, corpusTexts(0)),
+        Row(200001L, corpusTexts(1))),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val report = reopened.dedupBatch(deltaMem)
+    val flags = report.collect()
+    assert(flags.forall(_.getBoolean(1)), "copied texts must flag exact_dup")
+    val scans = fileScans(report.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "persisted state must be parquet-backed")
+    scans.foreach { s =>
+      val loc = s.metadata.getOrElse("Location", "")
+      assert(loc.contains(new java.io.File(stateDir).getName),
+        s"batch plan scanned outside the state dir: $loc")
+    }
+
+    // append writes the NEXT epoch and a THIRD session's reopen
+    // continues from it: batch-2 flags equal a fresh recompute over
+    // corpus + batch-1
+    val b1 = docs.filter(col("doc_id") % 10 === 0)
+    val b2 = docs.filter(col("doc_id") % 10 === 5)
+    reopened.append(Tables.documents(s2, sf).filter(col("doc_id") % 10 === 0))
+    val s3 = spark.newSession()
+    val reopened2 = Dedup.IncrementalDeduper.open(s3, stateDir)
+    val incr = reopened2.dedupBatch(
+      Tables.documents(s3, sf).filter(col("doc_id") % 10 === 5)).collect().toSeq
+    val fresh = Dedup.incrementalDedup(b2, corpus.unionByName(b1)).collect().toSeq
+    assert(incr == fresh)
+  }
+
   test("applyDedup keeps one survivor per component; group sizes partition the corpus") {
     import graft.llm.Dedup
     val pairs = Dedup.ngramJaccardPairs(docs)
