@@ -699,6 +699,60 @@ object Registry {
         |FROM tf t JOIN len USING (doc_id) JOIN dfq USING (token), n
         |WHERE t.doc_id < 20 ORDER BY doc_id, token""".stripMargin),
 
+    // Unigram LM quality proxy (round 8): mean token log-probability
+    // under the corpus's own unigram distribution — the CCNet-style
+    // perplexity filter with the LM reduced to corpus frequencies.
+    // Cross-engine ln discipline: each ln rounds into DECIMAL(28,10)
+    // (Spark cast = HALF_UP = DuckDB ROUND-then-cast), exact decimal
+    // sum, final mean rounds to 6 dp.
+    "q_unigram_logprob" -> q(
+      (s, d) => TextOps.unigramLogProb(documents(s, d)),
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok
+        |), freq AS (
+        |  SELECT token, COUNT(*) AS tok_count FROM tok GROUP BY token
+        |)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  ROUND(CAST(CAST(SUM(CAST(ROUND(ln(CAST(f.tok_count AS DOUBLE) / tot.n), 10)
+        |          AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS DOUBLE) / COUNT(*), 6)
+        |    AS mean_logprob
+        |FROM tok t JOIN freq f USING (token), tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+    // Substring-level dedup (round 8): every 20-token window
+    // fingerprinted; a window in >= 2 DISTINCT docs marks its
+    // occurrences duplicated — the repeated-passage shape doc-level
+    // dedup misses. Engine groups 64-bit window fingerprints (strings
+    // never shuffle); the oracle groups the window strings themselves
+    // — equality is the no-collision event (~1e-9 at fixture volume).
+    "q_dedup_substring" -> q(
+      (s, d) => Dedup.substringDupStats(documents(s, d)),
+      """WITH tt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), wins AS (
+        |  SELECT doc_id, array_to_string(tk[i:i+19], ' ') AS win
+        |  FROM tt, LATERAL unnest(range(1, len(tk) - 19 + 1)) AS u(i)
+        |  WHERE len(tk) >= 20
+        |), d AS (
+        |  SELECT win FROM wins GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+        |), pd AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM wins GROUP BY doc_id
+        |), dd AS (
+        |  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+        |  FROM wins w JOIN d USING (win) GROUP BY w.doc_id
+        |)
+        |SELECT doc.doc_id,
+        |  COALESCE(pd.n_windows, 0) AS n_windows,
+        |  COALESCE(dd.n_dup_windows, 0) AS n_dup_windows,
+        |  CASE WHEN COALESCE(pd.n_windows, 0) > 0
+        |       THEN ROUND(CAST(COALESCE(dd.n_dup_windows, 0) AS DOUBLE) / pd.n_windows, 6)
+        |       ELSE 0.0 END AS dup_frac
+        |FROM documents doc
+        |LEFT JOIN pd ON doc.doc_id = pd.doc_id
+        |LEFT JOIN dd ON doc.doc_id = dd.doc_id
+        |ORDER BY doc.doc_id""".stripMargin),
+
     // ---- upsert / reshape / interval join / skew agg ----
     // Cassandra-semantics LWW merge: base snapshot + update batch,
     // newest write per key wins under an explicit total order.
@@ -1693,6 +1747,31 @@ object Registry {
         |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
         |         * sqrt(list_dot_product(q_emb, q_emb))) AS raw_cos
         |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim, TRUE AS recall_at_10_ok FROM c
+        |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
+    // Product-quantized retrieval tier (round 8 — the byte-budget end
+    // of the ANN ladder past SQ8): unit vectors cut into 16 subspaces,
+    // each coded by its nearest of 32 per-subspace centroids (~10 B
+    // packed vs 64 B SQ8 vs 256 B raw). First pass = ADC: the query's
+    // dot against every (subspace, centroid) is ONE broadcast m*k
+    // lookup row; a corpus row scores with m array lookups + a sum —
+    // no float touched until the exact re-rank of the rerank*k pool.
+    // Same error-bound oracle as the other ANN tiers (recall gate,
+    // measured 1.0 at all SFs for this query at m=16, nCents=32).
+    "q_ann_pq" -> q(
+      (s, d) => {
+        val e = embeddings(s, d)
+        val idx = graft.llm.AnnIndex.pqDir(s, d, e)
+        Similarity.annRecallGate(e,
+          graft.llm.AnnIndex.pqTopK(s, idx, e, queryId = 3L, k = 10),
+          queryId = 3L)
+      },
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 3),
+        |c AS (SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), q_emb)
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(q_emb, q_emb))) AS raw_cos
+        |  FROM embeddings, q WHERE vec_id <> 3)
         |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim, TRUE AS recall_at_10_ok FROM c
         |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
     // The composed IVF-SQ probe: partition pruning and quantization

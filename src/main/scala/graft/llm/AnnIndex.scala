@@ -318,6 +318,151 @@ object AnnIndex {
       .select(col("vec_id"), round(col("raw_cos"), 4).as("cos_sim"))
   }
 
+  // ---- product-quantized tier (the byte-budget end of the ladder) ----
+  //
+  // PQ is the standard step past scalar quantization: the unit vector
+  // is cut into m subvectors and each subvector is replaced by the id
+  // of its nearest per-SUBSPACE centroid — m small codes instead of
+  // dim scalars. At the default m=16 subspaces x 32 cells the code
+  // payload is 16 x 5-bit ids (~10 B/vector packed, vs 64 int8 codes
+  // for SQ8, vs 256 B of float32 raw): the first-pass scan bill drops
+  // ~6x below SQ8 and ~26x below raw. Scoring uses the
+  // classic ADC table: the query's dot product against every
+  // (subspace, centroid) pair is precomputed ONCE into an m*k lookup
+  // array (one broadcast row), and a corpus row's approximate cosine
+  // is m array lookups + a sum — no float vector is touched until the
+  // exact re-rank of the rerank*k pool. Like the SQ tier, recall is
+  // GATED, not assumed.
+
+  /** (vec_id, sub, sv): unit vectors cut into m contiguous
+    * subvectors of Dim/m dims; sub is 0-based. */
+  private def subvectors(units: DataFrame, m: Int): DataFrame = {
+    val subDim = Dim / m
+    units.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s0 => slice(col("u"), s0 * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
+  }
+
+  /** Nearest-centroid assignment per (vector, subspace): one broadcast
+    * join on sub + the struct-min argmax — assignCells generalized to
+    * the (sub, cell) key. Ranking by (-2 sv·c + c·c) is rank-identical
+    * to the true L2 distance (sv·sv is constant per row). */
+  private def assignPqCells(sv: DataFrame, cents: DataFrame): DataFrame = {
+    val d = graft.functions.VectorFns.dot(col("centroid"), col("centroid")) -
+      lit(2.0) * graft.functions.VectorFns.dot(col("sv"), col("centroid"))
+    sv.join(broadcast(cents), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        struct(d.as("d"), col("cell").as("c")).as("sc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("sc")).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.c").as("cell"))
+  }
+
+  /** All m subspace codebooks trained in ONE dataflow per Lloyd pass:
+    * seeds are the nCents hash-sampled vectors' subvectors (numbered
+    * 1..nCents per subspace), each pass is assign -> per-(sub, cell)
+    * DECIMAL-exact mean; empty cells keep their previous centroid.
+    * Same bit-stability discipline as trainCentroids. */
+  private[graft] def trainPqCentroids(units: DataFrame, m: Int, nCents: Int,
+                                      iters: Int): DataFrame = {
+    val sv = subvectors(units, m).localCheckpoint()
+    val seedIds = units
+      .orderBy(hash(col("vec_id")), col("vec_id"))
+      .limit(nCents)
+      .withColumn("cell",
+        row_number().over(Window.orderBy(hash(col("vec_id")), col("vec_id"))))
+      .select(col("vec_id"), col("cell"))
+    var cents = sv.join(seedIds, Seq("vec_id"))
+      .select(col("sub"), col("cell"), col("sv").as("centroid"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = assignPqCells(sv, cents)
+      val sums = (0 until Dim / m).map(i =>
+        sum(element_at(col("sv"), i + 1).cast(DecimalType(28, 10)))
+          .cast(DoubleType).as(s"s$i"))
+      val refined = sv.join(assigned, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(sums.head, sums.tail :+ count(lit(1)).as("n"): _*)
+        .select(col("sub"), col("cell"),
+          array((0 until Dim / m).map(i => col(s"s$i") / col("n")): _*).as("refined"))
+      cents = cents.join(refined, Seq("sub", "cell"), "left")
+        .select(col("sub"), col("cell"),
+          coalesce(col("refined"), col("centroid")).as("centroid"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Build the PQ index under `dir`:
+    *   dir/pq_centroids — (sub, cell, centroid[PqSub]), m*nCents rows;
+    *   dir/pq_codes     — (vec_id, codes array<int> of length m,
+    *                      cell ids 1..nCents in subspace order).
+    * Codes are assigned from the PERSISTED centroids (the artifact is
+    * the contract, as buildIvf). */
+  def buildPq(spark: SparkSession, embeddings: DataFrame, dir: String,
+              m: Int = 16, nCents: Int = 32, iters: Int = 2): Unit = {
+    val units = embeddings
+      .select(col("vec_id"), Similarity.unitVector(col("embedding")).as("u"))
+      .localCheckpoint()
+    trainPqCentroids(units, m, nCents, iters)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_centroids")
+    val cback = spark.read.parquet(s"$dir/pq_centroids")
+    assignPqCells(subvectors(units, m), cback)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("cell")))).as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), e => e.getField("cell")).as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/pq_codes")
+  }
+
+  /** PQ top-k: ADC first pass over the m-code table (one broadcast
+    * m*nCents LUT row; score = m array lookups + sequential sum —
+    * codegen'd HOFs, bit-stable order), exact float re-rank of the
+    * rerank*k pool only. Output schema matches the other ANN probes. */
+  def pqTopK(spark: SparkSession, dir: String, embeddings: DataFrame,
+             queryId: Long = 0L, k: Int = 10, rerank: Int = 8,
+             m: Int = 16, nCents: Int = 32): DataFrame = {
+    val subDim = Dim / m
+    val cents = spark.read.parquet(s"$dir/pq_centroids")
+    val qsv = embeddings.filter(col("vec_id") === queryId)
+      .select(Similarity.unitVector(col("embedding")).as("u"))
+      .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s0 => slice(col("u"), s0 * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
+    // LUT entry (sub, cell) lands at array position sub*nCents + cell
+    // (1-based after the idx sort) — a corpus row's lookup needs no
+    // arithmetic beyond its own code.
+    val lutRow = qsv.join(broadcast(cents), Seq("sub"))
+      .select(struct((col("sub") * nCents + col("cell")).as("idx"),
+        graft.functions.VectorFns.dot(col("sv"), col("centroid")).as("d")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(transform(col("es"), e => e.getField("d")).as("lut"))
+    val score = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (code, s0) => element_at(col("lut"), s0 * nCents + code)),
+      lit(0.0), (acc, x) => acc + x)
+    val pool = spark.read.parquet(s"$dir/pq_codes")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(lutRow))
+      .select(col("vec_id"), score.as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(rerank * k)
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    pool.select(col("vec_id"))
+      .join(embeddings, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), Similarity.cosine(col("embedding"), col("q_emb")).as("raw_cos"))
+      .orderBy(col("raw_cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("raw_cos"), 4).as("cos_sim"))
+  }
+
+  /** Memoized PQ index dir for this session + fixture. */
+  def pqDir(spark: SparkSession, sfDir: String, embeddings: DataFrame,
+            m: Int = 16, nCents: Int = 32, iters: Int = 2): String =
+    artifact(spark, s"pq:$sfDir:$m:$nCents:$iters")(
+      buildPq(spark, embeddings, _, m, nCents, iters))
+
   // ---- batch probe (the production many-queries shape) ----
 
   /** Every query's nProbe nearest cells, computed IN THE PLAN — the

@@ -480,6 +480,52 @@ object Dedup {
     }
   }
 
+  /** SUBSTRING-level dedup report — the repeated-passage shape
+    * doc-level dedup misses entirely (boilerplate headers, license
+    * blocks, templated paragraphs shared across otherwise-distinct
+    * docs; the "deduplicating training data" ExactSubstr discipline
+    * bounded to fixed windows): every `w`-token window of every doc is
+    * fingerprinted, a window seen in >= 2 DISTINCT docs marks its
+    * occurrences duplicated, and each doc reports its duplicated-
+    * window share — the removal/trim decision input.
+    *
+    * Scale shape: the window explode is ~corpusTokens rows but carries
+    * only (doc_id, hash8) — the window STRINGS die inside the scan
+    * projection, so the two aggregations shuffle 16-byte rows. At
+    * 100 TB add a stride and/or a Bloom prefilter of repeated hashes;
+    * the dataflow is unchanged. The cross-doc test is countDistinct
+    * over doc_id, so a window repeated only WITHIN one doc (already
+    * covered by the repetition filters) does not flag. 64-bit
+    * fingerprint collisions (~1e-9 at 10^5.5 windows) trade exactness
+    * for never shuffling strings — the minhash bargain. */
+  def substringDupStats(documents: DataFrame, w: Int = 20): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val wins = documents
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - (w - 1)),
+          i => xxhash64(array_join(slice(col("t"), i, lit(w)), " ")))).as("h"))
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val perDoc = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val dupPerDoc = wins.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        when(col("n_windows") > 0,
+          round(col("n_dup_windows").cast(DoubleType) / col("n_windows"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
   /** Incremental dedup report: each document of the `delta` batch
     * flagged for exact duplication (identical text) and near
     * duplication (n-gram Jaccard >= `threshold`) AGAINST the standing

@@ -238,4 +238,38 @@ object TextOps {
         col("df"), col("tfidf"))
       .orderBy("doc_id", "token")
   }
+
+  /** Unigram LM quality proxy — the CCNet/RefinedWeb-style "perplexity
+    * filter" with the LM reduced to the corpus's own unigram
+    * distribution: each doc scored by the mean log-probability of its
+    * tokens. Rare-token gibberish scores very low; degenerate
+    * high-frequency repetition scores implausibly high — the standard
+    * two-sided cut applied before tokenization when no external LM is
+    * available.
+    *
+    * Scale shape: one (doc_id, token) explode feeds both the frequency
+    * table and the scoring join; the frequency table is VOCAB-sized
+    * (Zipf — tiny next to the corpus), so it broadcasts and the 100 TB
+    * side never shuffles for the join; per-doc aggregation is the only
+    * exchange. Open-vocab web corpora would drop the broadcast hint
+    * and let AQE pick. Cross-engine float discipline: each ln is
+    * rounded deterministically into DECIMAL(28,10) (Spark's
+    * double->decimal cast = HALF_UP = DuckDB's ROUND-then-cast), the
+    * sum is exact decimal, and only the final mean rounds to 6 dp —
+    * accumulation order cannot move the hash. */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    // the corpus token count is the one driver scalar the score needs
+    val total = tok.count()
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tok_count"))
+    tok.join(broadcast(freq), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(log(col("tok_count").cast(DoubleType) / total.toDouble)
+          .cast(DecimalType(28, 10))).cast(DecimalType(38, 10)).cast(DoubleType)
+          .as("__s"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("__s") / col("n_tok"), 6).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
 }

@@ -268,6 +268,44 @@ class AnnIndexSpec extends SparkTestBase {
       s"appended neighbor not found: ${got.mkString(",")}")
   }
 
+  test("PQ tier: m codes per vector in 1..nCents, smaller than SQ8 on disk, recalls top-10, deterministic") {
+    val dir = AnnIndex.pqDir(spark, sf, emb)
+    val codes = spark.read.parquet(s"$dir/pq_codes")
+    assert(codes.count() == emb.count())
+    val bounds = codes.select(
+      min(size(col("codes"))), max(size(col("codes"))),
+      min(array_min(col("codes"))), max(array_max(col("codes")))).collect().head
+    assert(bounds.getInt(0) == 16 && bounds.getInt(1) == 16, s"code length: $bounds")
+    assert(bounds.getInt(2) >= 1 && bounds.getInt(3) <= 32, s"cell ids out of range: $bounds")
+    // the codebook is m*nCents rows of subDim-dim centroids
+    val cents = spark.read.parquet(s"$dir/pq_centroids")
+    assert(cents.count() == 16L * 32L)
+    assert(cents.select(min(size(col("centroid"))), max(size(col("centroid"))))
+      .collect().head == org.apache.spark.sql.Row(4, 4))
+
+    // the byte-budget claim is measured: PQ codes well under the SQ8
+    // code table, which is itself well under the float corpus
+    def bytesUnder(d: String): Long = parquetFiles(d).map(_.length()).sum
+    val pqBytes = bytesUnder(s"$dir/pq_codes")
+    val sqBytes = bytesUnder(s"${AnnIndex.sqDir(spark, sf, emb)}/sq_codes")
+    val floatBytes = bytesUnder(s"$sf/embeddings.parquet")
+    assert(pqBytes < sqBytes, s"pq_codes $pqBytes !< sq_codes $sqBytes")
+    assert(pqBytes * 3 < floatBytes, s"pq_codes $pqBytes vs floats $floatBytes")
+
+    // ADC first pass + exact re-rank recovers the true top-10
+    val exact = Similarity.bruteForceTopK(emb, 3L, 10).collect().map(_.getLong(0)).toSet
+    val got = AnnIndex.pqTopK(spark, dir, emb, 3L, 10).collect().map(_.getLong(0)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"pq recall $recall; got=$got exact=$exact")
+
+    // deterministic: an independent build probes identically
+    val fresh = java.nio.file.Files.createTempDirectory("graft_pq_det_").toString
+    AnnIndex.buildPq(spark, emb, fresh)
+    val a = AnnIndex.pqTopK(spark, dir, emb, 3L, 10).collect().toSeq
+    val b = AnnIndex.pqTopK(spark, fresh, emb, 3L, 10).collect().toSeq
+    assert(a == b)
+  }
+
   test("LSH signature table round-trips and serves the single-query probe") {
     val sig = AnnIndex.lshSignatures(spark, sf, emb)
     assert(sig.columns.toSeq == Seq("vec_id", "embedding", "buckets"))
