@@ -1774,6 +1774,30 @@ object Registry {
         |  FROM embeddings, q WHERE vec_id <> 3)
         |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim, TRUE AS recall_at_10_ok FROM c
         |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
+    // The composed IVFPQ probe (round 8): the m-code PQ table written
+    // PARTITIONED BY the IVF cell — partition pruning and product
+    // quantization multiply, so the first pass ADC-scans nProbe
+    // partitions of the SMALLEST code tier (~10 B/vector). Built on
+    // the same persisted ivf + pq artifacts the other queries share.
+    "q_ann_ivf_pq" -> q(
+      (s, d) => {
+        val e = embeddings(s, d)
+        val ivf = graft.llm.AnnIndex.ivfDir(s, d, e)
+        val pq = graft.llm.AnnIndex.pqDir(s, d, e)
+        val cpq = graft.llm.AnnIndex.ivfPqDir(s, d, e)
+        Similarity.annRecallGate(e,
+          graft.llm.AnnIndex.probeIvfPq(s, ivf, pq, cpq, e,
+            queryId = 13L, k = 10, nProbe = 12),
+          queryId = 13L)
+      },
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 13),
+        |c AS (SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), q_emb)
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(q_emb, q_emb))) AS raw_cos
+        |  FROM embeddings, q WHERE vec_id <> 13)
+        |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim, TRUE AS recall_at_10_ok FROM c
+        |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
     // The composed IVF-SQ probe: partition pruning and quantization
     // MULTIPLY — the first pass reads nProbe cell-partitions of the
     // 4x-smaller code table, exact float re-rank touches a rerank*k

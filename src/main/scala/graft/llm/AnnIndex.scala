@@ -419,33 +419,36 @@ object AnnIndex {
     * m*nCents LUT row; score = m array lookups + sequential sum —
     * codegen'd HOFs, bit-stable order), exact float re-rank of the
     * rerank*k pool only. Output schema matches the other ANN probes. */
-  def pqTopK(spark: SparkSession, dir: String, embeddings: DataFrame,
-             queryId: Long = 0L, k: Int = 10, rerank: Int = 8,
-             m: Int = 16, nCents: Int = 32): DataFrame = {
+  /** The query's ADC lookup table as ONE broadcast row: entry
+    * (sub, cell) = query-subvector · centroid, landing at array
+    * position sub*nCents + cell (1-based after the idx sort) — a
+    * corpus row's lookup needs no arithmetic beyond its own code. */
+  private def pqLutRow(cents: DataFrame, embeddings: DataFrame, queryId: Long,
+                       m: Int, nCents: Int): DataFrame = {
     val subDim = Dim / m
-    val cents = spark.read.parquet(s"$dir/pq_centroids")
     val qsv = embeddings.filter(col("vec_id") === queryId)
       .select(Similarity.unitVector(col("embedding")).as("u"))
       .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
         s0 => slice(col("u"), s0 * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
-    // LUT entry (sub, cell) lands at array position sub*nCents + cell
-    // (1-based after the idx sort) — a corpus row's lookup needs no
-    // arithmetic beyond its own code.
-    val lutRow = qsv.join(broadcast(cents), Seq("sub"))
+    qsv.join(broadcast(cents), Seq("sub"))
       .select(struct((col("sub") * nCents + col("cell")).as("idx"),
         graft.functions.VectorFns.dot(col("sv"), col("centroid")).as("d")).as("e"))
       .agg(sort_array(collect_list(col("e"))).as("es"))
       .select(transform(col("es"), e => e.getField("d")).as("lut"))
-    val score = aggregate(
+  }
+
+  /** ADC score of a `codes` row against the broadcast `lut` column:
+    * m array lookups + a sequential sum (codegen'd HOFs). */
+  private def pqScore(m: Int, nCents: Int): org.apache.spark.sql.Column =
+    aggregate(
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (code, s0) => element_at(col("lut"), s0 * nCents + code)),
       lit(0.0), (acc, x) => acc + x)
-    val pool = spark.read.parquet(s"$dir/pq_codes")
-      .filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(lutRow))
-      .select(col("vec_id"), score.as("approx"))
-      .orderBy(col("approx").desc, col("vec_id"))
-      .limit(rerank * k)
+
+  /** Exact float-cosine re-rank of a (vec_id) candidate pool — the
+    * shared tail of every quantized probe. */
+  private def exactRerank(pool: DataFrame, embeddings: DataFrame,
+                          queryId: Long, k: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     pool.select(col("vec_id"))
@@ -455,6 +458,62 @@ object AnnIndex {
       .orderBy(col("raw_cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("raw_cos"), 4).as("cos_sim"))
+  }
+
+  def pqTopK(spark: SparkSession, dir: String, embeddings: DataFrame,
+             queryId: Long = 0L, k: Int = 10, rerank: Int = 8,
+             m: Int = 16, nCents: Int = 32): DataFrame = {
+    val lutRow = pqLutRow(spark.read.parquet(s"$dir/pq_centroids"),
+      embeddings, queryId, m, nCents)
+    val pool = spark.read.parquet(s"$dir/pq_codes")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(lutRow))
+      .select(col("vec_id"), pqScore(m, nCents).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(rerank * k)
+    exactRerank(pool, embeddings, queryId, k)
+  }
+
+  /** Compose IVF partition pruning with PQ codes — the classic IVFPQ
+    * layout: the m-code table written PARTITIONED BY the IVF cell, so
+    * a probe ADC-scans nProbe partitions OF the smallest code tier.
+    * Pruning and product quantization multiply: at 100 TB the first
+    * pass reads nProbe directories of a ~10 B/vector table. */
+  def buildIvfPq(spark: SparkSession, ivfDir: String, pqDir: String,
+                 outDir: String): Unit =
+    spark.read.parquet(s"$ivfDir/cells").select(col("vec_id"), col("cell"))
+      .join(spark.read.parquet(s"$pqDir/pq_codes"), Seq("vec_id"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$outDir/cells_pq")
+
+  /** IVFPQ probe: nProbe nearest cells from the IVF centroid table,
+    * ADC first pass over ONLY those cells' PQ codes, exact float
+    * re-rank of the rerank*k pool. */
+  def probeIvfPq(spark: SparkSession, ivfDir: String, pqDirS: String,
+                 ivfPqDir: String, embeddings: DataFrame, queryId: Long = 0L,
+                 k: Int = 10, nProbe: Int = 12, rerank: Int = 8,
+                 m: Int = 16, nCents: Int = 32): DataFrame = {
+    val cells = probeCellsForQuery(spark, ivfDir, embeddings, queryId, nProbe)
+    require(cells.nonEmpty, s"probeIvfPq: query vec_id=$queryId not found")
+    val lutRow = pqLutRow(spark.read.parquet(s"$pqDirS/pq_centroids"),
+      embeddings, queryId, m, nCents)
+    val pool = spark.read.parquet(s"$ivfPqDir/cells_pq")
+      .filter(col("cell").isin(cells: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(lutRow))
+      .select(col("vec_id"), pqScore(m, nCents).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(rerank * k)
+    exactRerank(pool, embeddings, queryId, k)
+  }
+
+  /** Memoized IVFPQ composed layout (built ON the ivf + pq artifacts,
+    * which it materializes first if needed). */
+  def ivfPqDir(spark: SparkSession, sfDir: String, embeddings: DataFrame,
+               nCellsIvf: Int = 16, lloydIters: Int = 1,
+               m: Int = 16, nCents: Int = 32, iters: Int = 2): String = {
+    val ivf = ivfDir(spark, sfDir, embeddings, nCellsIvf, lloydIters)
+    val pq = pqDir(spark, sfDir, embeddings, m, nCents, iters)
+    artifact(spark, s"ivfpq:$sfDir:$nCellsIvf:$lloydIters:$m:$nCents:$iters")(
+      buildIvfPq(spark, ivf, pq, _))
   }
 
   /** Memoized PQ index dir for this session + fixture. */

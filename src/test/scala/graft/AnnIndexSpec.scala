@@ -306,6 +306,27 @@ class AnnIndexSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("IVFPQ composed probe: pruned partitions of the PQ code table, recalls top-10") {
+    val ivf = AnnIndex.ivfDir(spark, sf, emb)
+    val pq = AnnIndex.pqDir(spark, sf, emb)
+    val cpq = AnnIndex.ivfPqDir(spark, sf, emb)
+    val probe = AnnIndex.probeIvfPq(spark, ivf, pq, cpq, emb,
+      queryId = 13L, k = 10, nProbe = 12)
+    val got = probe.collect()
+    assert(got.length == 10)
+
+    // the ADC first pass is partition-pruned over cells_pq
+    val scans = deepScans(probe.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("cells_pq")))
+    assert(scans.nonEmpty, "no scan over the composed layout")
+    assert(scans.head.metadata.get("PartitionFilters").exists(_.contains("cell")),
+      s"cell predicate must partition-prune:\n${scans.head.metadata}")
+
+    val exact = Similarity.bruteForceTopK(emb, 13L, 10).collect().map(_.getLong(0)).toSet
+    val recall = (exact & got.map(_.getLong(0)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ivfpq recall $recall")
+  }
+
   test("LSH signature table round-trips and serves the single-query probe") {
     val sig = AnnIndex.lshSignatures(spark, sf, emb)
     assert(sig.columns.toSeq == Seq("vec_id", "embedding", "buckets"))
