@@ -627,6 +627,49 @@ object Registry {
         |  CAST(SUM(n_tok) * 1000000 // 128 AS BIGINT) AS fill_ppm
         |FROM step GROUP BY bucket, seq_idx
         |ORDER BY bucket, seq_idx""".stripMargin),
+    // FIRST-fit decreasing (round 8): docs walk their bucket in
+    // (n_tok DESC, doc_id) order, each lands in the FIRST open
+    // sequence it fits (else opens one) — the classic fill upgrade
+    // (252 sequences vs greedy's 302 at sf0.001). The oracle replays
+    // the fold as a recursive CTE whose STATE is the open-bin fill
+    // LIST (first-fit = list_position of the first fitting bin).
+    "q_pack_ffd" -> q(
+      (s, d) => Curation.packFirstFitDecreasing(documents(s, d)),
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CAST((doc_id * 2654435761) % 1000000007 % 32 AS INT) AS bucket,
+        |    least(len(string_split(text, ' ')), 128) AS n_tok
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, bucket, n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket
+        |                       ORDER BY n_tok DESC, doc_id) AS pos
+        |  FROM d
+        |), step(bucket, pos, doc_id, n_tok, bin_idx, fills) AS (
+        |  SELECT bucket, pos, doc_id, n_tok, CAST(1 AS BIGINT), [n_tok]
+        |  FROM pos WHERE pos = 1
+        |  UNION ALL
+        |  SELECT bucket, pos, doc_id, n_tok,
+        |    COALESCE(fpos, len(fills) + 1),
+        |    CASE WHEN fpos IS NULL THEN list_append(fills, n_tok)
+        |         ELSE list_transform(range(1, len(fills) + 1),
+        |                i -> CASE WHEN i = fpos THEN fills[i] + n_tok
+        |                          ELSE fills[i] END)
+        |    END
+        |  FROM (
+        |    SELECT p.bucket, p.pos, p.doc_id, p.n_tok, s.fills,
+        |      NULLIF(list_position(
+        |        list_transform(s.fills, f -> f + p.n_tok <= 128), true), 0) AS fpos
+        |    FROM step s JOIN pos p ON p.bucket = s.bucket AND p.pos = s.pos + 1
+        |  )
+        |)
+        |SELECT bucket, CAST(bin_idx - 1 AS INT) AS seq_idx,
+        |  CAST(COUNT(*) AS INT) AS n_docs,
+        |  CAST(SUM(n_tok) AS INT) AS n_seq_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  CAST(SUM(n_tok) * 1000000 // 128 AS BIGINT) AS fill_ppm
+        |FROM step GROUP BY bucket, bin_idx
+        |ORDER BY bucket, seq_idx""".stripMargin),
     // The corpus-level packing audit: capacity vs packed tokens and
     // the padding share a trainer would burn at these parameters.
     "q_pack_report" -> q(

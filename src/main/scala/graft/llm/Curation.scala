@@ -192,8 +192,12 @@ object Curation {
     * within partitions; no per-group in-memory buffering). Parallelism
     * = nBuckets, so size nBuckets to the cluster, not the data; the
     * per-bucket state is three integers regardless of corpus size. */
-  def packGreedy(documents: DataFrame, seqLen: Int = 128,
-                 nBuckets: Int = 32): DataFrame = {
+  /** The shared per-bucket next-fit fold: docs arrive in `sortCols`
+    * order within their bucket, a doc joins the open sequence if it
+    * fits, else the sequence closes. Emits the doc_id SPAN as running
+    * min/max (== first/last packed for ascending-id order). */
+  private def packFold(documents: DataFrame, seqLen: Int, nBuckets: Int,
+                       sortCols: Seq[Column]): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val docs = documents
@@ -203,24 +207,80 @@ object Curation {
         least(size(TextOps.tokens(col("text"))), lit(seqLen)).as("n_tok"))
       .as[(Long, Int, Int)]
     docs.groupByKey(_._2)
-      .flatMapSortedGroups(col("doc_id")) { (bucket, it) =>
+      .flatMapSortedGroups(sortCols: _*) { (bucket, it) =>
         // the whole per-bucket state: current sequence's fill/docs/span
         var seqIdx = 0; var fill = 0; var nDocs = 0
-        var firstDoc = -1L; var lastDoc = -1L
+        var minDoc = Long.MaxValue; var maxDoc = Long.MinValue
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Int, Int, Int, Int, Long, Long, Long)]
         def close(): Unit = {
-          out += ((bucket, seqIdx, nDocs, fill, firstDoc, lastDoc,
+          out += ((bucket, seqIdx, nDocs, fill, minDoc, maxDoc,
             fill.toLong * 1000000L / seqLen))
-          seqIdx += 1; fill = 0; nDocs = 0; firstDoc = -1L
+          seqIdx += 1; fill = 0; nDocs = 0
+          minDoc = Long.MaxValue; maxDoc = Long.MinValue
         }
         for ((docId, _, nTok) <- it) {
           if (fill > 0 && fill + nTok > seqLen) close()
-          if (firstDoc < 0) firstDoc = docId
-          lastDoc = docId; fill += nTok; nDocs += 1
+          minDoc = math.min(minDoc, docId); maxDoc = math.max(maxDoc, docId)
+          fill += nTok; nDocs += 1
         }
         if (nDocs > 0) close()
         out
+      }
+      .toDF("bucket", "seq_idx", "n_docs", "n_seq_tokens",
+        "first_doc", "last_doc", "fill_ppm")
+      .orderBy("bucket", "seq_idx")
+  }
+
+  def packGreedy(documents: DataFrame, seqLen: Int = 128,
+                 nBuckets: Int = 32): DataFrame =
+    packFold(documents, seqLen, nBuckets, Seq(col("doc_id")))
+
+  /** FIRST-fit decreasing — the classic fill upgrade over streaming
+    * next-fit: docs walk their bucket in (n_tok DESC, doc_id) order
+    * and each lands in the FIRST already-open sequence it fits, else
+    * opens a new one. Big docs claim fresh sequences early and their
+    * leftover space stays OPEN for the small-doc tail — which is
+    * exactly what next-fit (one open bin) cannot do, and why a
+    * decreasing sort only helps first-fit (measured: next-fit
+    * decreasing packs WORSE than id-order greedy on this corpus —
+    * 310 vs 302 sequences at sf0.001 — while FFD beats both).
+    *
+    * The price is state: the open-bin list per bucket, O(sequences in
+    * the bucket) instead of O(1) — size nBuckets so a bucket's bins
+    * fit comfortably in memory (bins ≈ bucketTokens / seqLen; the
+    * per-bucket fold is still one pass). first_doc/last_doc are the
+    * doc_id SPAN (min/max — pack order is not id order). Integer
+    * fold over a deterministic order, so the DuckDB oracle replays it
+    * exactly: a recursive CTE carrying the open-bin fill LIST as
+    * state, first-fit = list_position of the first fitting bin. */
+  def packFirstFitDecreasing(documents: DataFrame, seqLen: Int = 128,
+                             nBuckets: Int = 32): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val docs = documents
+      .select(col("doc_id"),
+        ((col("doc_id") * lit(2654435761L)) % lit(1000000007L) % lit(nBuckets.toLong))
+          .cast(IntegerType).as("bucket"),
+        least(size(TextOps.tokens(col("text"))), lit(seqLen)).as("n_tok"))
+      .as[(Long, Int, Int)]
+    docs.groupByKey(_._2)
+      .flatMapSortedGroups(col("n_tok").desc, col("doc_id")) { (bucket, it) =>
+        final class Bin {
+          var fill = 0; var nDocs = 0
+          var minDoc = Long.MaxValue; var maxDoc = Long.MinValue
+        }
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Bin]
+        for ((docId, _, nTok) <- it) {
+          val i = bins.indexWhere(_.fill + nTok <= seqLen)
+          val b = if (i >= 0) bins(i) else { val nb = new Bin; bins += nb; nb }
+          b.fill += nTok; b.nDocs += 1
+          b.minDoc = math.min(b.minDoc, docId); b.maxDoc = math.max(b.maxDoc, docId)
+        }
+        bins.iterator.zipWithIndex.map { case (b, i) =>
+          (bucket, i, b.nDocs, b.fill, b.minDoc, b.maxDoc,
+            b.fill.toLong * 1000000L / seqLen)
+        }.toSeq
       }
       .toDF("bucket", "seq_idx", "n_docs", "n_seq_tokens",
         "first_doc", "last_doc", "fill_ppm")

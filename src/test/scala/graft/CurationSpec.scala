@@ -176,6 +176,32 @@ class CurationSpec extends SparkTestBase {
     assert(waste >= 0 && waste < 1000000)
   }
 
+  test("first-fit-decreasing packing conserves the corpus and packs strictly better than greedy") {
+    val seqLen = 128
+    val ffd = Curation.packFirstFitDecreasing(docs, seqLen = seqLen, nBuckets = 32).collect()
+    val greedy = Curation.packGreedy(docs, seqLen = seqLen, nBuckets = 32).collect()
+    // same corpus in, same tokens out — only the arrangement differs
+    assert(ffd.map(_.getAs[Int]("n_docs").toLong).sum ==
+      greedy.map(_.getAs[Int]("n_docs").toLong).sum)
+    assert(ffd.map(_.getAs[Int]("n_seq_tokens").toLong).sum ==
+      greedy.map(_.getAs[Int]("n_seq_tokens").toLong).sum)
+    ffd.foreach { r =>
+      assert(r.getAs[Int]("n_seq_tokens") <= seqLen)
+      assert(r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc"))
+      assert(r.getAs[Long]("fill_ppm") ==
+        r.getAs[Int]("n_seq_tokens").toLong * 1000000L / seqLen)
+    }
+    // the point of FFD: fewer sequences (less padding) than streaming
+    // next-fit — measured 252 vs 302 at sf0.001 (next-fit DECREASING
+    // read 310, i.e. the decreasing sort only helps when earlier bins
+    // stay open, which is exactly what first-fit adds)
+    assert(ffd.length < greedy.length,
+      s"ffd ${ffd.length} sequences vs greedy ${greedy.length}")
+    // deterministic replay
+    val again = Curation.packFirstFitDecreasing(docs, seqLen = seqLen, nBuckets = 32).collect()
+    assert(ffd.toSeq == again.toSeq)
+  }
+
   test("domain mixture: binding domain keeps all, kept shares track the targets") {
     val rows = Curation.domainMixture(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
