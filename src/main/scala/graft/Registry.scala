@@ -1963,6 +1963,70 @@ object Registry {
         |  FROM embeddings, q WHERE vec_id <> 29)
         |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim, TRUE AS recall_at_10_ok FROM c
         |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
+    // BATCH probe of the composed IVFPQ layout (round 8): per-query
+    // probe cells AND per-query ADC lookup tables both ride broadcast
+    // joins (the single-probe LUT generalized to a (query_id, lut)
+    // table), one join against the pruned cells_pq partitions scores
+    // every pair with m array lookups. The many-queries shape on the
+    // smallest (~10 B/vector) tier. Same error-bound contract as
+    // q_ann_batch: output = exact brute-force batch top-5 + gate.
+    "q_ann_batch_pq" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = embeddings(s, d)
+        val ivf = graft.llm.AnnIndex.ivfDir(s, d, e)
+        val pq = graft.llm.AnnIndex.pqDir(s, d, e)
+        val cpq = graft.llm.AnnIndex.ivfPqDir(s, d, e)
+        // nProbe=14, rerank=24: batch recall 1.0/0.94/0.94 across the
+        // three fixture SFs (PQ loses more of a BATCH's hardest
+        // queries than a single probe's, so the pool is deeper here)
+        graft.llm.AnnIndex.batchIvfPqRecallGate(s, ivf, pq, cpq, e,
+          col("vec_id") % 50 === 2, nProbe = 14, rerank = 24)
+      },
+      """WITH u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), qy AS (
+        |  SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM u WHERE vec_id % 50 = 2
+        |), s AS (
+        |  SELECT qy.query_id, u.vec_id,
+        |    list_dot_product([y / qy.qn FOR y IN qy.qe], [x / u.nrm FOR x IN u.e]) AS raw_cos
+        |  FROM u JOIN qy ON u.vec_id <> qy.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id, raw_cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, vec_id) AS rnk
+        |  FROM s
+        |)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
+        |  ROUND(raw_cos, 4) AS cos_sim, TRUE AS batch_recall_ok
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    // Semantic decontamination (round 8): flag training vectors whose
+    // cosine to ANY eval vector (every 40th, the text-side carve
+    // convention) clears 0.4 — paraphrased benchmark leakage n-gram
+    // overlap cannot see. Eval side broadcasts; the corpus scan is
+    // map-side; max/count aggregates are order-independent, so the
+    // report replays exactly.
+    "q_decontam_embedding" -> q(
+      (s, d) => Similarity.embeddingDecontaminate(embeddings(s, d)),
+      """WITH u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), ev AS (SELECT e, nrm FROM u WHERE vec_id % 40 = 0),
+        |tr AS (SELECT vec_id, e, nrm FROM u WHERE vec_id % 40 <> 0),
+        |p AS (
+        |  SELECT tr.vec_id,
+        |    list_dot_product([x / tr.nrm FOR x IN tr.e], [y / ev.nrm FOR y IN ev.e]) AS raw_cos
+        |  FROM tr, ev
+        |)
+        |SELECT vec_id,
+        |  CAST(SUM(CASE WHEN raw_cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits,
+        |  ROUND(MAX(raw_cos), 4) AS max_eval_cos,
+        |  (SUM(CASE WHEN raw_cos >= 0.4 THEN 1 ELSE 0 END) > 0) AS contaminated
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin),
     // Oracle = brute-force cosine over all pairs (tractable in DuckDB
     // even at sf0.1 — 2M pairs of 64-dim dots). Valid because the
     // L-tables sign-LSH blocking with SIX independent families +

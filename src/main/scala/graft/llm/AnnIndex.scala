@@ -630,6 +630,88 @@ object AnnIndex {
       lit(total == 0L || hits.toDouble / total >= bound))
   }
 
+  /** BATCH probe of the composed IVFPQ layout — the many-queries shape
+    * on the SMALLEST code tier: cells assigned per query by the
+    * broadcast-centroid argmax (assignProbeCells), each query's ADC
+    * lookup table built as ONE row of a broadcast (query_id, lut)
+    * table — the per-query LUT generalizes exactly like the probe-cell
+    * argmax did — then one join against the pruned cells_pq partitions
+    * scores every (query, candidate) pair with m array lookups. Zero
+    * per-query driver work; the only collect is the batch-level
+    * probed-cell union. */
+  def batchProbeIvfPq(spark: SparkSession, ivfDir: String, pqDirS: String,
+                      ivfPqDir: String, embeddings: DataFrame,
+                      queryPredicate: org.apache.spark.sql.Column, k: Int = 5,
+                      nProbe: Int = 12, rerank: Int = 8,
+                      m: Int = 16, nCents: Int = 32): DataFrame = {
+    val queries = embeddings.filter(queryPredicate)
+    val qUnits = queries
+      .select(col("vec_id"), Similarity.unitVector(col("embedding")).as("u"))
+    val probe = assignProbeCells(qUnits, spark.read.parquet(s"$ivfDir/centroids"), nProbe)
+      .localCheckpoint()
+    val cellUnion = probe.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+    val subDim = Dim / m
+    val cents = spark.read.parquet(s"$pqDirS/pq_centroids")
+    val qsv = qUnits.select(col("vec_id").as("query_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s0 => slice(col("u"), s0 * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
+    val luts = qsv.join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), struct((col("sub") * nCents + col("cell")).as("idx"),
+        graft.functions.VectorFns.dot(col("sv"), col("centroid")).as("d")).as("e"))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("query_id"), transform(col("es"), e => e.getField("d")).as("lut"))
+
+    val pool = spark.read.parquet(s"$ivfPqDir/cells_pq")
+      .filter(col("cell").isin(cellUnion: _*))
+      .join(broadcast(probe), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(luts), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), pqScore(m, nCents).as("approx"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("approx").desc, col("vec_id"))))
+      .filter(col("rnk") <= rerank * k)
+      .select(col("query_id"), col("vec_id"))
+
+    val qExact = queries.select(col("vec_id").as("query_id"),
+      Similarity.unitVector(col("embedding")).as("q_unit"))
+    pool
+      .join(embeddings.select(col("vec_id"),
+        Similarity.unitVector(col("embedding")).as("c_unit")), Seq("vec_id"))
+      .join(broadcast(qExact), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.dot(col("q_unit"), col("c_unit")).as("raw_cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("raw_cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("raw_cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Batch recall gate for the IVFPQ batch probe (annBatchRecallGate
+    * pattern): output = exact brute-force batch top-k, gate TRUE iff
+    * the batch probe found >= `bound` of all exact pairs. */
+  def batchIvfPqRecallGate(spark: SparkSession, ivfDir: String, pqDirS: String,
+                           ivfPqDir: String, embeddings: DataFrame,
+                           queryPredicate: org.apache.spark.sql.Column, k: Int = 5,
+                           bound: Double = 0.9, nProbe: Int = 12,
+                           rerank: Int = 8): DataFrame = {
+    val exact = Similarity.batchTopKExact(embeddings, embeddings.filter(queryPredicate), k)
+      .localCheckpoint()
+    val total = exact.count()
+    val ann = batchProbeIvfPq(spark, ivfDir, pqDirS, ivfPqDir, embeddings,
+      queryPredicate, k, nProbe, rerank)
+    val hits = exact.select(col("query_id"), col("vec_id"))
+      .join(ann.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi")
+      .count()
+    exact.withColumn("batch_recall_ok",
+      lit(total == 0L || hits.toDouble / total >= bound))
+  }
+
   // ---- incremental maintenance (append without rebuild) ----
 
   /** Append NEW vectors to a persisted IVF layout: assignment uses the

@@ -421,6 +421,37 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** SEMANTIC decontamination — the embedding-space sibling of the
+    * n-gram `Curation.decontaminate`: flag every training vector whose
+    * cosine to ANY eval vector clears `threshold` (paraphrased
+    * benchmark leakage that exact n-gram overlap cannot see). The eval
+    * set is carved deterministically from the corpus (every 40th
+    * vector), mirroring the text-side convention.
+    *
+    * Scale shape: the eval side is tiny next to the corpus (real
+    * benchmark suites are ~10^5 vectors vs 10^9+ training vectors), so
+    * it BROADCASTS and the corpus scan is map-side only — per-vector
+    * work is |eval| fused dot products, no shuffle but the per-vector
+    * aggregate. For 10^5+ eval vectors, route through the batch ANN
+    * index instead (annBatchTopK / batchProbeIvfSq) and threshold the
+    * results — same report, sublinear probe. max/count are
+    * order-independent aggregates, so the report is bit-stable. */
+  def embeddingDecontaminate(embeddings: DataFrame,
+                             threshold: Double = 0.4): DataFrame = {
+    val eval0 = embeddings.filter(col("vec_id") % 40 === 0)
+      .select(unitVector(col("embedding")).as("e_unit"))
+    embeddings.filter(col("vec_id") % 40 =!= 0)
+      .select(col("vec_id"), unitVector(col("embedding")).as("t_unit"))
+      .crossJoin(broadcast(eval0))
+      .select(col("vec_id"), dot(col("t_unit"), col("e_unit")).as("raw_cos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(when(col("raw_cos") >= threshold, 1L).otherwise(0L)).as("n_eval_hits"),
+        round(max(col("raw_cos")), 4).as("max_eval_cos"))
+      .withColumn("contaminated", col("n_eval_hits") > 0)
+      .orderBy("vec_id")
+  }
+
   /** Per-label centroid + distance profile — the "cluster summary"
     * aggregation shape over vector columns. Element sums go through
     * DECIMAL(28,10) (a deterministic rounding of each float, summed

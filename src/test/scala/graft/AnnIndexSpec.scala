@@ -327,6 +327,34 @@ class AnnIndexSpec extends SparkTestBase {
     assert(recall >= 0.9, s"ivfpq recall $recall")
   }
 
+  test("batch IVFPQ probe prunes the code table and matches the single-query probes") {
+    val ivf = AnnIndex.ivfDir(spark, sf, emb)
+    val pq = AnnIndex.pqDir(spark, sf, emb)
+    val cpq = AnnIndex.ivfPqDir(spark, sf, emb)
+    val pred = col("vec_id") % 50 === 2
+    val batch = AnnIndex.batchProbeIvfPq(spark, ivf, pq, cpq, emb, pred,
+      k = 5, nProbe = 14, rerank = 24)
+    val rows = batch.collect()
+    assert(rows.map(_.getLong(0)).distinct.length == emb.filter(pred).count())
+
+    val scans = deepScans(batch.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("cells_pq")))
+    assert(scans.nonEmpty, "no scan over the composed PQ layout")
+    assert(scans.head.metadata.get("PartitionFilters").exists(_.contains("cell")),
+      s"cell predicate must partition-prune:\n${scans.head.metadata}")
+
+    // per-query batch rows equal the single-query probe at the same
+    // (k, nProbe, rerank) — orchestration changes, the answer doesn't
+    for (qid <- rows.map(_.getLong(0)).distinct.take(3)) {
+      val single = AnnIndex.probeIvfPq(spark, ivf, pq, cpq, emb,
+        queryId = qid, k = 5, nProbe = 14, rerank = 24)
+        .collect().map(_.getLong(0)).toSeq
+      val ofBatch = rows.filter(_.getLong(0) == qid).sortBy(_.getInt(1))
+        .map(_.getLong(2)).toSeq
+      assert(ofBatch == single, s"query $qid: batch $ofBatch vs single $single")
+    }
+  }
+
   test("LSH signature table round-trips and serves the single-query probe") {
     val sig = AnnIndex.lshSignatures(spark, sf, emb)
     assert(sig.columns.toSeq == Seq("vec_id", "embedding", "buckets"))
