@@ -82,6 +82,42 @@ object Registry {
        |      / len(list_distinct(list_concat(sa.s, sb.s))) >= $t
        |)""".stripMargin
 
+  /** DuckDB CTE chain replaying distributed BPE training (Bpe.scala):
+    * `w0` is the spaced-symbol word histogram; round i counts adjacent
+    * pairs (LATERAL position unnest), picks the argmax under
+    * (freq DESC, lhs, rhs) — both engines compare strings by binary
+    * UTF-8 order — and applies the merge with single-pass `replace`,
+    * whose left-to-right non-overlapping semantics are identical in
+    * Spark and DuckDB (that shared semantic IS the operator contract).
+    * Yields `b1..b{n}` (the picked merges) and `w{n}` (final state). */
+  private def bpeCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """w0 AS (
+        |  SELECT concat(regexp_replace(w, '(.)', ' \1', 'g'), ' ') AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE len(w) > 0 GROUP BY 1
+        |)""".stripMargin)
+    for (i <- 1 to nMerges) {
+      sb.append(s""",
+        |x$i AS (
+        |  SELECT a[j] AS lhs, a[j+1] AS rhs, freq
+        |  FROM (SELECT string_split(trim(s), ' ') AS a, freq FROM w${i - 1}),
+        |       LATERAL unnest(range(1, len(a))) AS u(j)
+        |), b$i AS (
+        |  SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS pair_freq
+        |  FROM x$i GROUP BY 1, 2
+        |  ORDER BY pair_freq DESC, lhs, rhs LIMIT 1
+        |), w$i AS (
+        |  SELECT replace(s, ' ' || lhs || ' ' || rhs || ' ',
+        |                 ' ' || lhs || rhs || ' ') AS s, freq
+        |  FROM w${i - 1}, b$i
+        |)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** DuckDB list literal of the generator's city fleet. */
   private val citiesSql: String =
     Generator.Cities.map(c => s"'$c'").mkString("[", ", ", "]")
@@ -255,6 +291,15 @@ object Registry {
          |  CAST(2*GROUPING(c_mktsegment) + GROUPING(o_orderstatus) AS BIGINT) AS gid
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+         |ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin),
+    "q_grouping_sets" -> q(
+      (s, d) => graft.query.Windows.groupingSetsRevenue(orders(s, d), customer(s, d)),
+      s"""SELECT c_mktsegment, o_orderstatus,
+         |  ${dsum(s"CAST(o_totalprice AS $dec4)")} AS total_price,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(2*GROUPING(c_mktsegment) + GROUPING(o_orderstatus) AS BIGINT) AS gid
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
          |ORDER BY gid, c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin),
     "q_window_funcs" -> q(
       (s, d) => graft.query.Windows.windowFuncs(events(s, d)),
@@ -709,6 +754,34 @@ object Registry {
         |WHERE (doc_id * 2654435761) % 1000000007 % 100 <
         |  CASE WHEN lang = 'en' THEN 20 ELSE 50 END
         |ORDER BY doc_id""".stripMargin),
+    // Seeded epoch shuffle: the permutation key is pure integer
+    // arithmetic, so DuckDB replays the exact shard/order assignment.
+    "q_shuffle_train" -> q(
+      (s, d) => graft.llm.Curation.epochShuffle(documents(s, d)),
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST((doc_id + 17) * 2654435761 % 1000000007 AS BIGINT) AS shuffle_key
+        |  FROM documents
+        |)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(shuffle_key % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shuffle_key % 8
+        |    ORDER BY shuffle_key, doc_id) AS INT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin),
+    // Per-key fixed-size deterministic sample; the Spark side plans
+    // through the TopKPerKey heap operator (map-side k-bounded), the
+    // oracle through a window rank — same contract.
+    "q_sample_reservoir" -> q(
+      (s, d) => graft.llm.Curation.reservoirSample(documents(s, d)),
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    CAST(doc_id * 2654435761 % 1000000007 AS BIGINT) AS sample_rank
+        |  FROM documents
+        |)
+        |SELECT lang, doc_id, sample_rank,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY sample_rank, doc_id) AS INT) AS rn
+        |FROM r QUALIFY rn <= 40 ORDER BY lang, rn""".stripMargin),
     "q_chunk_docs" -> q(
       (s, d) => graft.llm.Curation.chunkDocs(documents(s, d)),
       """WITH toks AS (
@@ -763,6 +836,31 @@ object Registry {
         |    AS mean_logprob
         |FROM tok t JOIN freq f USING (token), tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+    // Distributed BPE vocabulary induction (round 8): k rounds of
+    // (pair-count hash-agg -> deterministic argmax -> single-pass
+    // replace merge) over the distinct-word histogram. The oracle
+    // replays the identical k rounds as unrolled CTE stages.
+    "q_bpe_train" -> q(
+      (s, d) => graft.llm.Bpe.trainMerges(documents(s, d)),
+      s"""WITH ${bpeCtes(6)}
+         |SELECT CAST(round AS INT) AS round, lhs, rhs, pair_freq FROM (
+         |  ${(1 to 6).map(i => s"SELECT $i AS round, lhs, rhs, pair_freq FROM b$i")
+              .mkString("\n         |  UNION ALL ")}
+         |) ORDER BY round""".stripMargin),
+    // Corpus compression after the learned merges: occurrence-weighted
+    // symbol counts before/after + final symbol-vocabulary size.
+    "q_bpe_compress" -> q(
+      (s, d) => graft.llm.Bpe.compressionReport(documents(s, d)),
+      s"""WITH ${bpeCtes(6)}
+         |SELECT
+         |  (SELECT CAST(SUM(freq) AS BIGINT) FROM w0) AS n_words,
+         |  (SELECT CAST(SUM(len(string_split(trim(s), ' ')) * freq) AS BIGINT) FROM w0)
+         |    AS symbols_before,
+         |  (SELECT CAST(SUM(len(string_split(trim(s), ' ')) * freq) AS BIGINT) FROM w6)
+         |    AS symbols_after,
+         |  (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
+         |   FROM (SELECT unnest(string_split(trim(s), ' ')) AS sym FROM w6) v)
+         |    AS vocab_symbols""".stripMargin),
     // Substring-level dedup (round 8): every 20-token window
     // fingerprinted; a window in >= 2 DISTINCT docs marks its
     // occurrences duplicated — the repeated-passage shape doc-level

@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed BPE vocabulary induction — the "train the tokenizer"
+  * pass of a pre-training pipeline, run over the corpus itself.
+  *
+  * Representation: each distinct word becomes a SPACED SYMBOL STRING
+  * (`"hello"` → `" h e l l o "`) carrying its corpus frequency. One
+  * merge round is then two relational steps:
+  *
+  *   1. pair counting — explode adjacent symbol pairs (a zip of the
+  *      symbol array with its own tail) weighted by word frequency,
+  *      and hash-aggregate `(left, right) → Σ freq`. This is the only
+  *      shuffle per round, and it shuffles PAIR COUNTS (vocabulary-
+  *      sized), never the corpus;
+  *   2. merge application — a single left-to-right non-overlapping
+  *      `replace(s, " l r ", " lr ")` over the spaced strings. Plain
+  *      string `replace` has identical semantics in Spark
+  *      (`UTF8String.replace`) and ANSI SQL engines, which is what
+  *      makes the whole training replayable as SQL — the operator's
+  *      contract is exactly that single-pass semantic.
+  *
+  * The driver holds ONE row per round (the argmax pair — ties broken
+  * by frequency desc, then binary string order), i.e. the learned
+  * merge table itself: the same O(nMerges) driver state a production
+  * distributed BPE trainer keeps. The working vocabulary is
+  * `localCheckpoint`ed between rounds so plans stay round-local
+  * instead of accreting `2^rounds` lineage.
+  *
+  * Scale shape: the corpus is scanned ONCE (word histogram); every
+  * round after that touches only the distinct-word table, which is
+  * orders of magnitude smaller than the corpus (Heaps' law) and
+  * shrinks as merges fuse symbols. At 100 TB the corpus scan
+  * dominates; rounds are vocabulary-sized hash-aggs.
+  *
+  * Reference scope: the reference pipeline has no tokenizer training;
+  * this extends SURVEY §2.5 (X4 text analysis) with the vocabulary-
+  * induction stage that precedes `token_bpe`-style application.
+  */
+object Bpe {
+
+  /** `"abc"` → `" a b c "` — one space-delimited symbol per codepoint,
+    * with sentinel spaces so every symbol (incl. first/last) matches
+    * the `" l r "` merge pattern uniformly. */
+  private def spacedSymbols(word: Column): Column =
+    concat(regexp_replace(word, "(.)", " $1"), lit(" "))
+
+  /** The distinct-word histogram in spaced-symbol form: `(s, freq)`. */
+  private def wordHistogram(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(spacedSymbols(col("w")).as("s"), col("freq"))
+
+  /** Adjacent-pair counts over the current vocabulary state, weighted
+    * by word frequency. */
+  private def pairCounts(words: DataFrame): DataFrame = {
+    val a = split(trim(col("s")), " ")
+    words
+      .select(col("freq"), a.as("a"))
+      .select(col("freq"), explode(zip_with(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), size(col("a")) - 1),
+        (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+      .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+      .agg(sum(col("freq")).as("pair_freq"))
+  }
+
+  /** Run `nMerges` rounds; returns (merge table rows, initial words,
+    * final words). The words frames are localCheckpointed (small:
+    * distinct-vocabulary-sized). */
+  private def trainCore(documents: DataFrame, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
+    val words0 = wordHistogram(documents).localCheckpoint()
+    var words = words0
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to nMerges) {
+      val best = pairCounts(words)
+        .orderBy(col("pair_freq").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()(0)
+      val (l, r, f) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((round, l, r, f))
+      words = words
+        .withColumn("s", org.apache.spark.sql.functions.replace(
+          col("s"), lit(s" $l $r "), lit(s" $l$r ")))
+        .localCheckpoint()
+    }
+    (merges.result(), words0, words)
+  }
+
+  /** Learned merge table: one row per round, `(round, lhs, rhs,
+    * pair_freq)` in merge order. */
+  def trainMerges(documents: DataFrame, nMerges: Int = 6): DataFrame = {
+    val spark = documents.sparkSession
+    val (merges, _, _) = trainCore(documents, nMerges)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.map {
+        case (i, l, r, f) => Row(i, l, r, f) }, 1),
+      StructType(Seq(
+        StructField("round", IntegerType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("pair_freq", LongType, nullable = false))))
+      .orderBy("round")
+  }
+
+  /** Corpus-level compression report after applying the learned
+    * merges: occurrence-weighted symbol counts before/after, plus the
+    * resulting symbol-vocabulary size — the metric a tokenizer-
+    * training run actually tracks (symbols/word ≈ bytes/token). */
+  def compressionReport(documents: DataFrame, nMerges: Int = 6): DataFrame = {
+    val (_, words0, wordsK) = trainCore(documents, nMerges)
+    def nSyms(s: Column): Column = size(split(trim(s), " ")).cast(LongType)
+    val before = words0.agg(
+      sum(col("freq")).as("n_words"),
+      sum(nSyms(col("s")) * col("freq")).as("symbols_before"))
+    val after = wordsK.agg(
+      sum(nSyms(col("s")) * col("freq")).as("symbols_after"))
+    val vocab = wordsK
+      .select(explode(split(trim(col("s")), " ")).as("sym"))
+      .agg(count_distinct(col("sym")).as("vocab_symbols"))
+    // Three 1-row aggregates; the crossJoins broadcast single rows.
+    before.crossJoin(after).crossJoin(vocab)
+  }
+}

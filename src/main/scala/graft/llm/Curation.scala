@@ -553,4 +553,44 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic epoch shuffle + shard assignment — the pass a
+    * pre-training run executes after packing: a seeded pseudo-random
+    * permutation of the corpus cut into `nShards` output shards. The
+    * permutation key is a Knuth multiplicative mix of (doc_id + seed):
+    * a pure column expression, so the same seed reproduces the same
+    * epoch order on any engine with no RNG state to checkpoint. Shard
+    * membership is the key's residue (uniform across shards) and the
+    * within-shard position is a per-shard window rank — the only
+    * shuffle is the nShards-way hash partition itself; each shard
+    * sorts locally and writes independently, so at 100 TB this scales
+    * with executor count, never a global sort. */
+  def epochShuffle(documents: DataFrame, seed: Long = 17L,
+                   nShards: Int = 8): DataFrame = {
+    val key = ((col("doc_id") + lit(seed)) * lit(2654435761L)) % lit(1000000007L)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    documents
+      .select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard", (col("shuffle_key") % nShards).cast(IntegerType))
+      .withColumn("pos", row_number().over(w))
+      .orderBy("shard", "pos")
+  }
+
+  /** Fixed-size per-key sample ("reservoir" shape): keep exactly `k`
+    * documents per language, chosen by rank under a deterministic
+    * per-doc hash — the same sample every run, insensitive to row
+    * order and partitioning (a seeded reservoir without the sequential
+    * state). Plans through the TopKPerKey heap operator, so every
+    * partition retains at most k candidates per key and the shuffle
+    * carries k·|keys| rows — never a full per-key sort; at 100 TB the
+    * map-side heap is what makes a bounded sample affordable. */
+  def reservoirSample(documents: DataFrame, k: Int = 40): DataFrame = {
+    val rank = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+    val ranked = documents
+      .select(col("lang"), col("doc_id"), rank.as("sample_rank"))
+    graft.plans.TopK.perKey(ranked, Seq("lang"),
+        Seq(col("sample_rank").asc, col("doc_id").asc), k)
+      .orderBy("lang", "rn")
+  }
 }

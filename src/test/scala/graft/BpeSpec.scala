@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.Bpe
+
+class BpeSpec extends SparkTestBase {
+
+  private def corpus(texts: String*): DataFrame = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  test("merge order matches hand-computed BPE on a known corpus") {
+    // hist: hug:3 pug:1 pun:1 bun:1
+    // r1 (u,g)=4; r2 (h,ug)=3; r3 (u,n)=2; r4 tie at 1 → (b,un) by order
+    val merges = Bpe.trainMerges(corpus("hug hug hug pug pun bun"), 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(
+      (1, "u", "g", 4L), (2, "h", "ug", 3L), (3, "u", "n", 2L), (4, "b", "un", 1L)))
+  }
+
+  test("overlapping pairs merge left-to-right single-pass (aaa → [aa, a])") {
+    // "aaa" ×2: pair (a,a) counts 4 (two overlapping per word), but the
+    // single-pass replace fuses only the first occurrence: " aa a ".
+    val m = Bpe.trainMerges(corpus("aaa aaa"), 1).collect()(0)
+    assert((m.getString(1), m.getString(2), m.getLong(3)) == ("a", "a", 4L))
+    val rep = Bpe.compressionReport(corpus("aaa aaa"), 1).collect()(0)
+    // 2 words, 3 symbols each before; one merge application per word → 2 after
+    assert(rep.getLong(0) == 2L && rep.getLong(1) == 6L && rep.getLong(2) == 4L)
+    // final state " aa a ": symbols {aa, a}
+    assert(rep.getLong(3) == 2L)
+  }
+
+  test("argmax max pair frequency is non-increasing across rounds") {
+    val docs = Tables.documents(spark, sf)
+    val freqs = Bpe.trainMerges(docs, 6).collect().map(_.getLong(3))
+    assert(freqs.length == 6)
+    freqs.sliding(2).foreach { w => assert(w(0) >= w(1), w.mkString(",")) }
+  }
+
+  test("compression report invariants hold on the fixture corpus") {
+    val docs = Tables.documents(spark, sf)
+    val r = Bpe.compressionReport(docs, 6).collect()(0)
+    val (nWords, before, after, vocab) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val expectWords = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    assert(nWords == expectWords)
+    // every word has >=1 symbol; merges strictly shrink the weighted count
+    assert(before >= nWords && after < before && after >= nWords)
+    assert(vocab > 0)
+  }
+
+  test("training is deterministic across independent runs") {
+    val docs = Tables.documents(spark, sf)
+    val a = Bpe.trainMerges(docs, 6).collect().toSeq
+    val b = Bpe.trainMerges(docs, 6).collect().toSeq
+    assert(a == b)
+  }
+
+  test("training is insensitive to input partitioning") {
+    val docs = Tables.documents(spark, sf)
+    val a = Bpe.trainMerges(docs, 4).collect().toSeq
+    val b = Bpe.trainMerges(docs.repartition(7), 4).collect().toSeq
+    assert(a == b)
+  }
+}

@@ -252,4 +252,52 @@ class CurationSpec extends SparkTestBase {
              full.length <= 50)
     }
   }
+
+  test("epoch shuffle is a permutation with contiguous per-shard positions") {
+    val out = Curation.epochShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // every doc exactly once
+    assert(out.map(_._1).toSet ==
+      docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(out.length == out.map(_._1).toSet.size)
+    // per-shard positions are 1..n with no gaps
+    out.groupBy(_._3).foreach { case (shard, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length), s"shard $shard")
+    }
+    // all shards populated at fixture size
+    assert(out.map(_._3).toSet == (0 until 8).toSet)
+  }
+
+  test("epoch shuffle is deterministic per seed and differs across seeds") {
+    val a = Curation.epochShuffle(docs, seed = 17L).collect().toSeq
+    val b = Curation.epochShuffle(docs.repartition(7), seed = 17L).collect().toSeq
+    assert(a == b)
+    val c = Curation.epochShuffle(docs, seed = 18L).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toMap
+    val aMap = a.map(r => (r.getLong(0), r.getInt(2))).toMap
+    // a different seed reshuffles: at least one doc changes shard
+    assert(aMap.exists { case (id, s) => c(id) != s })
+  }
+
+  test("reservoir sample keeps exactly min(k, |key|) rows per language") {
+    val k = 40
+    val out = Curation.reservoirSample(docs, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == math.min(k.toLong, perLang(lang)), lang)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length), lang)
+    }
+    assert(out.groupBy(_._1).keySet == perLang.keySet)
+  }
+
+  test("reservoir sample is deterministic and plans through TopKPerKey") {
+    val a = Curation.reservoirSample(docs).collect().toSeq
+    val b = Curation.reservoirSample(docs.repartition(5)).collect().toSeq
+    assert(a == b)
+    val plan = Curation.reservoirSample(docs).queryExecution.optimizedPlan
+    assert(plan.collect {
+      case n: graft.plans.TopKPerKeyNode => n }.nonEmpty, s"$plan")
+  }
 }

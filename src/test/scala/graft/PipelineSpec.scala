@@ -88,6 +88,28 @@ class PipelineSpec extends SparkTestBase {
     assert(sessions(1).getLong(3) == 1)
   }
 
+  test("grouping sets yields exactly the two marginals plus the grand total") {
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val out = graft.query.Windows.groupingSetsRevenue(orders, customer).collect()
+    // gid 1 = by-segment, 2 = by-status, 3 = grand total — NO gid 0
+    // (segment × status) cross cells, which is what separates this from cube
+    val byGid = out.groupBy(_.getLong(4))
+    assert(byGid.keySet == Set(1L, 2L, 3L))
+    val nSeg = orders.join(customer,
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment").distinct().count()
+    val nStat = orders.select("o_orderstatus").distinct().count()
+    assert(byGid(1L).length == nSeg && byGid(2L).length == nStat)
+    assert(byGid(3L).length == 1)
+    // every marginal sums to the grand total (decimal-exact agg, double out)
+    val total = byGid(3L).head.getDouble(2)
+    Seq(1L, 2L).foreach { g =>
+      val s = byGid(g).map(_.getDouble(2)).sum
+      assert(math.abs(s - total) / total < 1e-9, s"gid $g: $s != $total")
+    }
+  }
+
   test("HLL approx distinct lands within its error bound of exact") {
     val rows = graft.query.Analytics.approxDistinct(Tables.lineitem(spark, sf)).collect()
     rows.foreach { r =>
