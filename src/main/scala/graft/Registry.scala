@@ -94,7 +94,7 @@ object Registry {
     val sb = new StringBuilder
     sb.append(
       """w0 AS (
-        |  SELECT concat(regexp_replace(w, '(.)', ' \1', 'g'), ' ') AS s,
+        |  SELECT w, concat(regexp_replace(w, '(.)', ' \1', 'g'), ' ') AS s,
         |    CAST(COUNT(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
         |  WHERE len(w) > 0 GROUP BY 1
@@ -110,7 +110,7 @@ object Registry {
         |  FROM x$i GROUP BY 1, 2
         |  ORDER BY pair_freq DESC, lhs, rhs LIMIT 1
         |), w$i AS (
-        |  SELECT replace(s, ' ' || lhs || ' ' || rhs || ' ',
+        |  SELECT w, replace(s, ' ' || lhs || ' ' || rhs || ' ',
         |                 ' ' || lhs || rhs || ' ') AS s, freq
         |  FROM w${i - 1}, b$i
         |)""".stripMargin)
@@ -861,6 +861,19 @@ object Registry {
          |  (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
          |   FROM (SELECT unnest(string_split(trim(s), ' ')) AS sym FROM w6) v)
          |    AS vocab_symbols""".stripMargin),
+    // Tokenize the corpus under the learned BPE vocabulary: the
+    // trained word -> segmentation table joins (broadcast) onto the
+    // corpus word stream; per-doc word and piece counts.
+    "q_bpe_apply" -> q(
+      (s, d) => graft.llm.Bpe.applyBpe(documents(s, d)),
+      s"""WITH ${bpeCtes(6)}
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT) AS n_bpe_tokens
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |      FROM documents) t
+         |JOIN w6 USING (w)
+         |WHERE len(w) > 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // Substring-level dedup (round 8): every 20-token window
     // fingerprinted; a window in >= 2 DISTINCT docs marks its
     // occurrences duplicated — the repeated-passage shape doc-level

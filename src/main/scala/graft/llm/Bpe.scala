@@ -48,13 +48,15 @@ object Bpe {
   private def spacedSymbols(word: Column): Column =
     concat(regexp_replace(word, "(.)", " $1"), lit(" "))
 
-  /** The distinct-word histogram in spaced-symbol form: `(s, freq)`. */
+  /** The distinct-word histogram in spaced-symbol form: `(w, s, freq)`
+    * — the original word rides along so the trained state doubles as
+    * the word → segmentation lookup table `applyBpe` joins on. */
   private def wordHistogram(documents: DataFrame): DataFrame =
     documents
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(spacedSymbols(col("w")).as("s"), col("freq"))
+      .select(col("w"), spacedSymbols(col("w")).as("s"), col("freq"))
 
   /** Adjacent-pair counts over the current vocabulary state, weighted
     * by word frequency. */
@@ -106,6 +108,27 @@ object Bpe {
         StructField("rhs", StringType, nullable = false),
         StructField("pair_freq", LongType, nullable = false))))
       .orderBy("round")
+  }
+
+  /** Tokenize the corpus under the learned vocabulary — the APPLY half
+    * of tokenizer training: per-doc word and BPE-piece counts. The
+    * trained word table (distinct word → final segmentation) is
+    * vocabulary-sized, so it BROADCASTS onto the corpus scan: at
+    * 100 TB the apply is one map-side join + hash agg, the same shape
+    * a production tokenizer-apply job has (merge rules shipped to
+    * every worker, corpus never reshuffled). */
+  def applyBpe(documents: DataFrame, nMerges: Int = 6): DataFrame = {
+    val (_, _, wordsK) = trainCore(documents, nMerges)
+    val pieces = wordsK.select(col("w"),
+      size(split(trim(col("s")), " ")).as("n_p"))
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(pieces), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_p")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
   }
 
   /** Corpus-level compression report after applying the learned

@@ -55,6 +55,25 @@ class BpeSpec extends SparkTestBase {
     assert(vocab > 0)
   }
 
+  test("apply tokenizes with the learned segmentation (hand-computed)") {
+    // after 2 merges (u,g) then (h,ug): hug→[hug] pug→[p,ug]
+    // pun→[p,u,n] bun→[b,u,n]
+    val out = Bpe.applyBpe(corpus("hug pug pun bun hug hug"), 2).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 6L)           // words
+    assert(out(0).getLong(2) == 1 + 2 + 3 + 3 + 1 + 1)  // pieces
+  }
+
+  test("per-doc apply totals reconcile with the compression report") {
+    val docs = Tables.documents(spark, sf)
+    val applied = Bpe.applyBpe(docs, 4)
+      .agg(sum("n_words"), sum("n_bpe_tokens")).collect()(0)
+    val rep = Bpe.compressionReport(docs, 4).collect()(0)
+    // every corpus word occurrence contributes once to both spellings
+    assert(applied.getLong(0) == rep.getLong(0), "word totals")
+    assert(applied.getLong(1) == rep.getLong(2), "piece totals")
+  }
+
   test("training is deterministic across independent runs") {
     val docs = Tables.documents(spark, sf)
     val a = Bpe.trainMerges(docs, 6).collect().toSeq
