@@ -782,6 +782,39 @@ object Registry {
         |  CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY sample_rank, doc_id) AS INT) AS rn
         |FROM r QUALIFY rn <= 40 ORDER BY lang, rn""".stripMargin),
+    // Content-defined chunking: boundary where a 4-token rolling
+    // polynomial (pure integer arithmetic, engine-portable) hits
+    // 0 mod 16 — edit-local chunk boundaries for chunk-level dedup.
+    "q_chunk_cdc" -> q(
+      (s, d) => graft.llm.Curation.chunkCdc(documents(s, d)),
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), v AS (
+        |  SELECT doc_id, t,
+        |    list_transform(t, w -> (ascii(w[1:1]) * 31 + len(w)) % 64) AS v
+        |  FROM d
+        |), b AS (
+        |  SELECT doc_id, t,
+        |    list_filter(range(4, len(t) + 1), i ->
+        |      (v[i-3] * 2248091 + v[i-2] * 17161 + v[i-1] * 131 + v[i])
+        |        % 1000003 % 16 = 0) AS b
+        |  FROM v
+        |), c AS (
+        |  SELECT doc_id, t,
+        |    list_prepend(CAST(1 AS BIGINT), list_transform(b, p -> p + 1)) AS ss,
+        |    list_append(b, CAST(len(t) AS BIGINT)) AS ee
+        |  FROM b
+        |), e AS (
+        |  SELECT doc_id, t, u.k AS k, ss[u.k] AS s, ee[u.k] AS e
+        |  FROM c, LATERAL unnest(range(1, len(ss) + 1)) AS u(k)
+        |  WHERE ss[u.k] <= ee[u.k]
+        |)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS INT)
+        |    AS chunk_id,
+        |  CAST(s AS INT) AS start_pos, CAST(e - s + 1 AS INT) AS n_tokens,
+        |  array_to_string(t[s:e], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
     "q_chunk_docs" -> q(
       (s, d) => graft.llm.Curation.chunkDocs(documents(s, d)),
       """WITH toks AS (

