@@ -74,6 +74,34 @@ class BpeSpec extends SparkTestBase {
     assert(applied.getLong(1) == rep.getLong(2), "piece totals")
   }
 
+  test("train state is a memoized on-disk artifact shared across the BPE queries") {
+    val docs = Tables.documents(spark, sf)
+    val d1 = Bpe.trainedDir(docs, 6)
+    val d2 = Bpe.trainedDir(docs, 6)
+    // second touch reuses the artifact — train/compress/apply pay ONE training
+    assert(d1 == d2)
+    for (part <- Seq("merges", "words0", "wordsK"))
+      assert(new java.io.File(s"$d1/$part").isDirectory, part)
+    // the production hand-off: a reader with NO Bpe involvement reopens
+    // the persisted merge table and reproduces trainMerges exactly
+    val fresh = spark.read.parquet(s"$d1/merges").orderBy("round").collect().toSeq
+    assert(fresh == Bpe.trainMerges(docs, 6).collect().toSeq)
+  }
+
+  test("apply plans read the artifact, not a retraining dataflow") {
+    val docs = Tables.documents(spark, sf)
+    val dir = Bpe.trainedDir(docs, 6)
+    val scans = Bpe.applyBpe(docs, 6).queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(scans.exists(_.contains(dir)), s"no artifact scan in: $scans")
+  }
+
   test("training is deterministic across independent runs") {
     val docs = Tables.documents(spark, sf)
     val a = Bpe.trainMerges(docs, 6).collect().toSeq
