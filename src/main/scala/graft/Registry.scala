@@ -869,6 +869,38 @@ object Registry {
         |    AS mean_logprob
         |FROM tok t JOIN freq f USING (token), tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+    // Interpolated bigram LM score: ln(0.8 P(cur|prev) + 0.2 P(cur)),
+    // context counts = bigram marginals; identical literal constants
+    // and DECIMAL(28,10) ln-rounding in both engines.
+    "q_bigram_logprob" -> q(
+      (s, d) => TextOps.bigramLogProb(documents(s, d)),
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), pr AS (
+        |  SELECT doc_id, t[j] AS prev, t[j+1] AS cur
+        |  FROM tok, LATERAL unnest(range(1, len(t))) AS u(j)
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) FROM documents)
+        |), uni AS (
+        |  SELECT token, COUNT(*) AS uni_count
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1
+        |), big AS (
+        |  SELECT prev, cur, COUNT(*) AS big_count FROM pr GROUP BY 1, 2
+        |), ctx AS (
+        |  SELECT prev, CAST(SUM(big_count) AS BIGINT) AS ctx_count
+        |  FROM big GROUP BY 1
+        |)
+        |SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(CAST(CAST(SUM(CAST(ROUND(
+        |      ln(0.8 * big_count / ctx_count + 0.2 * uni_count / tot.n), 10)
+        |      AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS DOUBLE) / COUNT(*), 6)
+        |    AS mean_logprob2
+        |FROM pr p
+        |JOIN big USING (prev, cur) JOIN ctx USING (prev)
+        |JOIN uni ON uni.token = p.cur, tot
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin),
     // Distributed BPE vocabulary induction (round 8): k rounds of
     // (pair-count hash-agg -> deterministic argmax -> single-pass
     // replace merge) over the distinct-word histogram. The oracle
@@ -939,6 +971,38 @@ object Registry {
         |LEFT JOIN pd ON doc.doc_id = pd.doc_id
         |LEFT JOIN dd ON doc.doc_id = dd.doc_id
         |ORDER BY doc.doc_id""".stripMargin),
+
+    // Substring dedup APPLIED: keep-first passage removal — later
+    // cross-doc occurrences of a repeated 20-token window are cut
+    // from the text; the oracle replays removal on window STRINGS.
+    "q_dedup_substring_apply" -> q(
+      (s, d) => Dedup.substringDedupApply(documents(s, d)),
+      """WITH tt AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), wins AS (
+        |  SELECT doc_id, i AS pos, array_to_string(tk[i:i+19], ' ') AS win
+        |  FROM tt, LATERAL unnest(range(1, len(tk) - 19 + 1)) AS u(i)
+        |  WHERE len(tk) >= 20
+        |), dup AS (
+        |  SELECT win, MIN(doc_id) AS first_doc
+        |  FROM wins GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT w.doc_id, u.k
+        |  FROM wins w JOIN dup USING (win),
+        |       LATERAL unnest(range(w.pos, w.pos + 20)) AS u(k)
+        |  WHERE w.doc_id != dup.first_doc
+        |), covl AS (
+        |  SELECT doc_id, list(k ORDER BY k) AS cov FROM cov GROUP BY doc_id
+        |)
+        |SELECT tt.doc_id,
+        |  CAST(len(tk) AS INT) AS n_tokens,
+        |  CAST(COALESCE(len(cov), 0) AS INT) AS n_removed,
+        |  COALESCE(array_to_string(list_transform(
+        |    list_filter(range(1, len(tk) + 1),
+        |      k -> NOT list_contains(COALESCE(cov, []), k)),
+        |    k -> tk[k]), ' '), '') AS clean_text
+        |FROM tt LEFT JOIN covl USING (doc_id)
+        |ORDER BY tt.doc_id""".stripMargin),
 
     // ---- upsert / reshape / interval join / skew agg ----
     // Cassandra-semantics LWW merge: base snapshot + update batch,

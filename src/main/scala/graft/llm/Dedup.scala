@@ -526,6 +526,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Substring dedup APPLIED — passage REMOVAL with keep-first
+    * semantics (the ExactSubstr removal pass: later occurrences of a
+    * cross-doc-repeated window are cut, the first — smallest doc_id —
+    * survives, so shared boilerplate remains represented exactly once
+    * in the training corpus). A token is removed iff it lies inside
+    * any removable window of its doc; the cleaned text is the
+    * surviving tokens in order.
+    *
+    * Scale shape: the window explode carries (doc_id, pos, hash8)
+    * only; removable POSITIONS (not strings) shuffle back and are
+    * collected per doc — bounded by that doc's own window count — and
+    * the cut itself is row-local array arithmetic: covered =
+    * flatten(sequence(p, p+w-1)), kept = array_except(all positions,
+    * covered) (hash-based, O(n) per doc), tokens re-joined in order.
+    * The corpus text never reshuffles; only (doc_id, pos) pairs do.
+    * Same 64-bit-fingerprint bargain as the marker report; the oracle
+    * groups the window STRINGS, so equality is the no-collision
+    * event. */
+  def substringDedupApply(documents: DataFrame, w: Int = 20): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val wins = documents
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - (w - 1)),
+          i => xxhash64(array_join(slice(col("t"), i, lit(w)), " ")))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("first_doc"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("first_doc"))
+    val remPerDoc = wins.join(dup, Seq("h"))
+      .filter(col("doc_id") =!= col("first_doc"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("rpos"))
+    documents
+      .join(remPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), toks.as("t"),
+        coalesce(col("rpos"), array().cast("array<int>")).as("rpos"))
+      .select(col("doc_id"), col("t"),
+        array_except(sequence(lit(1), size(col("t"))),
+          array_distinct(flatten(transform(col("rpos"),
+            p => sequence(p, p + (w - 1)))))).as("keep"))
+      .select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        (size(col("t")) - size(col("keep"))).as("n_removed"),
+        array_join(transform(col("keep"),
+          k => element_at(col("t"), k)), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental dedup report: each document of the `delta` batch
     * flagged for exact duplication (identical text) and near
     * duplication (n-gram Jaccard >= `threshold`) AGAINST the standing

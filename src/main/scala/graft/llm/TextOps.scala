@@ -257,6 +257,51 @@ object TextOps {
     * double->decimal cast = HALF_UP = DuckDB's ROUND-then-cast), the
     * sum is exact decimal, and only the final mean rounds to 6 dp —
     * accumulation order cannot move the hash. */
+  /** Interpolated BIGRAM LM quality score — the conditional-probability
+    * upgrade of `unigramLogProb`: per-doc mean of
+    * ln(0.8·P(cur|prev) + 0.2·P(cur)), the Jelinek-Mercer smoothing a
+    * CCNet-style perplexity filter actually runs (a pure unigram score
+    * cannot see scrambled word order; the bigram term can). Context
+    * counts are the bigram table's own marginals, so the model is
+    * self-consistent (Σ_cur P(cur|prev) = 1 exactly).
+    *
+    * Scale shape: the unigram/context tables broadcast (Zipf); the
+    * BIGRAM table carries no hint — at fixture scale AQE promotes it
+    * to broadcast, on an open-vocab 100 TB corpus it becomes a shuffle
+    * join keyed on (prev, cur), which is the honest cost of a
+    * conditional model. Interpolation constants are spelled 0.8/0.2
+    * LITERALLY in both engines (1.0-0.8 in binary is a DIFFERENT
+    * double than the literal 0.2 — a 1-ULP trap that would flip the
+    * DECIMAL rounding); the per-pair ln rounds into DECIMAL(28,10)
+    * exactly like the unigram score, so sums are order-stable. */
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val pairs = documents.select(col("doc_id"),
+      explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (p, c) => struct(p.as("prev"), c.as("cur")))).as("pc"))
+      .select(col("doc_id"), col("pc.prev").as("prev"), col("pc.cur").as("cur"))
+    val uniTok = documents.select(explode(toks).as("token"))
+    val total = uniTok.count()
+    val uni = uniTok.groupBy(col("token")).agg(count(lit(1)).as("uni_count"))
+    val big = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("big_count"))
+    val ctx = big.groupBy(col("prev")).agg(sum(col("big_count")).as("ctx_count"))
+    pairs
+      .join(big, Seq("prev", "cur"))
+      .join(broadcast(ctx), Seq("prev"))
+      .join(broadcast(uni.withColumnRenamed("token", "cur")), Seq("cur"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log(lit(0.8) * col("big_count") / col("ctx_count") +
+            lit(0.2) * col("uni_count") / total.toDouble)
+          .cast(DecimalType(28, 10))).cast(DecimalType(38, 10)).cast(DoubleType)
+          .as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__s") / col("n_bigrams"), 6).as("mean_logprob2"))
+      .orderBy("doc_id")
+  }
+
   def unigramLogProb(documents: DataFrame): DataFrame = {
     val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     // the corpus token count is the one driver scalar the score needs

@@ -15,6 +15,48 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSet == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("substring apply removes only later occurrences of a planted shared passage") {
+    val passage = (1 to 25).map(i => s"p$i").mkString(" ")
+    def filler(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"${filler("a", 10)} $passage ${filler("b", 10)}"),
+      (1L, s"${filler("c", 10)} $passage ${filler("d", 10)}"),
+      (2L, s"${filler("e", 30)}")
+    ).toDF("doc_id", "text")
+    val byId = Dedup.substringDedupApply(corpus).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // keep-first: doc 0 (smallest id sharing the passage) loses nothing
+    assert(byId(0L)._2 == 0 && byId(0L)._3 == corpus.collect()(0).getString(1))
+    // doc 1 loses exactly the 25-token passage (window union re-covers it)
+    assert(byId(1L)._2 == 25, s"doc1 removed ${byId(1L)._2}")
+    assert(byId(1L)._3 == s"${filler("c", 10)} ${filler("d", 10)}")
+    // untouched doc
+    assert(byId(2L)._2 == 0)
+  }
+
+  test("substring apply is consistent on the fixture corpus") {
+    val out = Dedup.substringDedupApply(docs).collect()
+    val texts = docs.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.length == texts.size)
+    out.foreach { r =>
+      val (id, n, rem, clean) = (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
+      val cleanToks = if (clean.isEmpty) 0 else clean.split(" ", -1).length
+      assert(cleanToks == n - rem, s"doc $id")
+      if (rem == 0) assert(clean == texts(id), s"doc $id unchanged")
+      // surviving tokens are a subsequence of the original
+      val orig = texts(id).split(" ", -1)
+      val it = orig.iterator
+      assert(clean.split(" ", -1).filter(_.nonEmpty).forall(t => it.contains(t)),
+        s"doc $id not a subsequence")
+    }
+    // removal only strikes docs the marker report flags as duplicated
+    val marked = Dedup.substringDupStats(docs).collect()
+      .filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    out.filter(_.getInt(2) > 0).foreach { r =>
+      assert(marked.contains(r.getLong(0)), s"doc ${r.getLong(0)} removed but unmarked")
+    }
+  }
+
   test("keepFirst picks the row_number()=1 winner deterministically") {
     val df = Seq((1L, "u1", 10L), (2L, "u1", 5L), (3L, "u2", 7L))
       .toDF("id", "key", "ts")

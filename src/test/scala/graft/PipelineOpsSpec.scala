@@ -234,6 +234,45 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(fanout.forall(_ >= 4), "hot keys should hit most of the 8 salts")
   }
 
+  test("bigram logprob matches a hand-computed alternating doc") {
+    // corpus = one doc "a b a b a b": bigrams (a,b)x3 (b,a)x2,
+    // ctx a=3 b=2 (bigram marginals), uni a=3 b=3 of 6.
+    // Every pair scores ln(0.8*1.0 + 0.2*3/6) = ln(0.9).
+    val one = Seq((0L, "a b a b a b")).toDF("doc_id", "text")
+    val r = graft.llm.TextOps.bigramLogProb(one).collect()(0)
+    assert(r.getLong(1) == 5L)
+    assert(math.abs(r.getDouble(2) - math.log(0.9)) < 1e-6)
+  }
+
+  test("bigram logprob is order-sensitive where the unigram score is blind") {
+    // same token multiset, different order: unigram scores are equal
+    // BY CONSTRUCTION; the bigram score must separate them.
+    val two = Seq(
+      (0L, "a b a b a b a b"),   // regular alternation
+      (1L, "a a b b b a a b")    // scrambled — rare (a,a)/(b,b) pairs
+    ).toDF("doc_id", "text")
+    val uni = graft.llm.TextOps.unigramLogProb(two).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(uni(0L) == uni(1L), "unigram must be order-blind")
+    val big = graft.llm.TextOps.bigramLogProb(two).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(big(0L) > big(1L),
+      s"bigram should prefer the regular doc: $big")
+  }
+
+  test("bigram counts reconcile: n_bigrams = n_tok - 1 per doc") {
+    val nTok = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val out = graft.llm.TextOps.bigramLogProb(docs).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == nTok(r.getLong(0)) - 1L, s"doc ${r.getLong(0)}")
+      assert(r.getDouble(2) <= 0.0)
+    }
+    // every doc with >= 2 tokens scores
+    assert(out.length == nTok.count(_._2 >= 2))
+  }
+
   test("max_equal_run over sorted tokens equals the explode-groupBy top-token count") {
     val direct = docs
       .select(col("doc_id"),
