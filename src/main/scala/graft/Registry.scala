@@ -912,6 +912,34 @@ object Registry {
          |  ${(1 to 6).map(i => s"SELECT $i AS round, lhs, rhs, pair_freq FROM b$i")
               .mkString("\n         |  UNION ALL ")}
          |) ORDER BY round""".stripMargin),
+    // Encode the corpus to token-id sequences under the learned
+    // vocabulary (input_ids — the pre-training output format); symbol
+    // ids = rank by binary string order, replayed identically.
+    "q_bpe_encode" -> q(
+      (s, d) => graft.llm.Bpe.encodeBpe(documents(s, d)),
+      s"""WITH ${bpeCtes(6)}, vocab AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS INT) AS sym_id
+         |  FROM (SELECT DISTINCT unnest(string_split(trim(s), ' ')) AS sym
+         |        FROM w6)
+         |), wids AS (
+         |  SELECT w, list(sym_id ORDER BY i) AS ids
+         |  FROM (
+         |    SELECT w, u.i AS i, a[u.i] AS sym
+         |    FROM (SELECT w, string_split(trim(s), ' ') AS a FROM w6),
+         |         LATERAL unnest(range(1, len(a) + 1)) AS u(i)
+         |  ) JOIN vocab USING (sym)
+         |  GROUP BY w
+         |), tok AS (
+         |  SELECT doc_id, u.j AS pos, t[u.j] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |       LATERAL unnest(range(1, len(t) + 1)) AS u(j)
+         |  WHERE len(t[u.j]) > 0
+         |)
+         |SELECT doc_id, CAST(len(fids) AS INT) AS n_ids, fids AS input_ids
+         |FROM (
+         |  SELECT doc_id, flatten(list(ids ORDER BY pos)) AS fids
+         |  FROM tok JOIN wids USING (w) GROUP BY doc_id
+         |) ORDER BY doc_id""".stripMargin),
     // Corpus compression after the learned merges: occurrence-weighted
     // symbol counts before/after + final symbol-vocabulary size.
     "q_bpe_compress" -> q(

@@ -155,6 +155,38 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** ENCODE the corpus to token-id sequences — the actual pre-training
+    * output format (`input_ids`): every word maps to its learned
+    * segmentation's symbol ids, concatenated in document order. The
+    * symbol vocabulary is the distinct final symbols ranked by binary
+    * string order (a vocabulary-sized single-partition window —
+    * bounded by construction, the same budget as the merge table);
+    * the word → ids table broadcasts onto the corpus scan exactly
+    * like `applyBpe`. Ids are 1-based and contiguous. */
+  def encodeBpe(documents: DataFrame, nMerges: Int = 6): DataFrame = {
+    val spark = documents.sparkSession
+    val wordsK = spark.read.parquet(s"${trainedDir(documents, nMerges)}/wordsK")
+    val pieces = wordsK.select(col("w"), split(trim(col("s")), " ").as("a"))
+    val vocab = pieces.select(explode(col("a")).as("sym")).distinct()
+      .withColumn("sym_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("sym")))
+    val wids = pieces
+      .select(col("w"), posexplode(col("a")).as(Seq("i", "sym")))
+      .join(broadcast(vocab), Seq("sym"))
+      .groupBy(col("w"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("sym_id")))),
+        x => x("sym_id")).as("ids"))
+    documents
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(wids), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(sort_array(collect_list(struct(col("pos"), col("ids")))),
+        x => x("ids"))).as("input_ids"))
+      .select(col("doc_id"), size(col("input_ids")).as("n_ids"), col("input_ids"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level compression report after applying the learned
     * merges: occurrence-weighted symbol counts before/after, plus the
     * resulting symbol-vocabulary size — the metric a tokenizer-

@@ -74,6 +74,34 @@ class BpeSpec extends SparkTestBase {
     assert(applied.getLong(1) == rep.getLong(2), "piece totals")
   }
 
+  test("encode round-trips: ids decode back to the exact document text") {
+    val docs = corpus("hug pug pun bun hug hug", "bun pun hug")
+    val enc = Bpe.encodeBpe(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](2))).toMap
+    // rebuild the id -> symbol table the same way encode defines it
+    val dir = Bpe.trainedDir(docs, 2)
+    val syms = spark.read.parquet(s"$dir/wordsK")
+      .select(explode(split(trim(col("s")), " ")).as("sym"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val decode = syms.zipWithIndex.map { case (s, i) => (i + 1, s) }.toMap
+    val texts = docs.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // decoding concatenates symbols; word boundaries are the only loss
+    enc.foreach { case (id, ids) =>
+      assert(ids.map(decode).mkString == texts(id).replace(" ", ""), s"doc $id")
+    }
+    // ids are 1-based and within the vocabulary
+    assert(enc.values.flatten.forall(i => i >= 1 && i <= syms.length))
+  }
+
+  test("encode length reconciles with the apply piece counts") {
+    val docs = Tables.documents(spark, sf)
+    val nIds = Bpe.encodeBpe(docs, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    Bpe.applyBpe(docs, 4).collect().foreach { r =>
+      assert(nIds(r.getLong(0)) == r.getLong(2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("train state is a memoized on-disk artifact shared across the BPE queries") {
     val docs = Tables.documents(spark, sf)
     val d1 = Bpe.trainedDir(docs, 6)
