@@ -118,6 +118,35 @@ object Registry {
     sb.toString
   }
 
+  /** Shared DuckDB CTE chain replaying content-defined chunking
+    * (Curation.chunkCdc): portable token values, the 4-token rolling
+    * polynomial boundary rule, and the (start, end) chunk spans in
+    * `e` — used by both the q_chunk_cdc dump and the q_dedup_cdc
+    * chunk-dedup composition. */
+  private val cdcCtes: String =
+    """d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), v AS (
+      |  SELECT doc_id, t,
+      |    list_transform(t, w -> (ascii(w[1:1]) * 31 + len(w)) % 64) AS v
+      |  FROM d
+      |), b AS (
+      |  SELECT doc_id, t,
+      |    list_filter(range(4, len(t) + 1), i ->
+      |      (v[i-3] * 2248091 + v[i-2] * 17161 + v[i-1] * 131 + v[i])
+      |        % 1000003 % 16 = 0) AS b
+      |  FROM v
+      |), c AS (
+      |  SELECT doc_id, t,
+      |    list_prepend(CAST(1 AS BIGINT), list_transform(b, p -> p + 1)) AS ss,
+      |    list_append(b, CAST(len(t) AS BIGINT)) AS ee
+      |  FROM b
+      |), e AS (
+      |  SELECT doc_id, t, u.k AS k, ss[u.k] AS s, ee[u.k] AS e
+      |  FROM c, LATERAL unnest(range(1, len(ss) + 1)) AS u(k)
+      |  WHERE ss[u.k] <= ee[u.k]
+      |)""".stripMargin
+
   /** DuckDB list literal of the generator's city fleet. */
   private val citiesSql: String =
     Generator.Cities.map(c => s"'$c'").mkString("[", ", ", "]")
@@ -787,34 +816,41 @@ object Registry {
     // 0 mod 16 — edit-local chunk boundaries for chunk-level dedup.
     "q_chunk_cdc" -> q(
       (s, d) => graft.llm.Curation.chunkCdc(documents(s, d)),
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), v AS (
-        |  SELECT doc_id, t,
-        |    list_transform(t, w -> (ascii(w[1:1]) * 31 + len(w)) % 64) AS v
-        |  FROM d
-        |), b AS (
-        |  SELECT doc_id, t,
-        |    list_filter(range(4, len(t) + 1), i ->
-        |      (v[i-3] * 2248091 + v[i-2] * 17161 + v[i-1] * 131 + v[i])
-        |        % 1000003 % 16 = 0) AS b
-        |  FROM v
-        |), c AS (
-        |  SELECT doc_id, t,
-        |    list_prepend(CAST(1 AS BIGINT), list_transform(b, p -> p + 1)) AS ss,
-        |    list_append(b, CAST(len(t) AS BIGINT)) AS ee
-        |  FROM b
-        |), e AS (
-        |  SELECT doc_id, t, u.k AS k, ss[u.k] AS s, ee[u.k] AS e
-        |  FROM c, LATERAL unnest(range(1, len(ss) + 1)) AS u(k)
-        |  WHERE ss[u.k] <= ee[u.k]
-        |)
+      s"""WITH $cdcCtes
         |SELECT doc_id,
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS INT)
         |    AS chunk_id,
         |  CAST(s AS INT) AS start_pos, CAST(e - s + 1 AS INT) AS n_tokens,
         |  array_to_string(t[s:e], ' ') AS chunk_text
         |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
+    // CDC-chunk dedup — the payoff composition: fingerprint the
+    // content-defined chunks, a chunk in >= 2 distinct docs is
+    // duplicated; per-doc duplicated-chunk/token shares. The oracle
+    // groups chunk STRINGS (no-collision event, the substring bargain).
+    "q_dedup_cdc" -> q(
+      (s, d) => graft.llm.Dedup.cdcChunkDupStats(documents(s, d)),
+      s"""WITH $cdcCtes, ch AS (
+        |  SELECT doc_id, array_to_string(t[s:e], ' ') AS ctext,
+        |    e - s + 1 AS n_tok
+        |  FROM e
+        |), dup AS (
+        |  SELECT ctext FROM ch GROUP BY ctext
+        |  HAVING COUNT(DISTINCT doc_id) >= 2
+        |), pd AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tok FROM ch GROUP BY doc_id
+        |), dd AS (
+        |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_chunks,
+        |    CAST(SUM(c.n_tok) AS BIGINT) AS n_dup_tokens
+        |  FROM ch c JOIN dup USING (ctext) GROUP BY c.doc_id
+        |)
+        |SELECT pd.doc_id, pd.n_chunks,
+        |  COALESCE(dd.n_dup_chunks, 0) AS n_dup_chunks,
+        |  COALESCE(dd.n_dup_tokens, 0) AS n_dup_tokens,
+        |  ROUND(CAST(COALESCE(dd.n_dup_tokens, 0) AS DOUBLE) / pd.n_tok, 6)
+        |    AS dup_token_frac
+        |FROM pd LEFT JOIN dd USING (doc_id)
+        |ORDER BY pd.doc_id""".stripMargin),
     "q_chunk_docs" -> q(
       (s, d) => graft.llm.Curation.chunkDocs(documents(s, d)),
       """WITH toks AS (

@@ -526,6 +526,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Dedup over CONTENT-DEFINED chunks — the composition CDC exists
+    * for: `Curation.chunkCdc`'s edit-stable chunks are fingerprinted
+    * (64-bit; chunk strings die in the projection) and a chunk seen in
+    * >= 2 distinct docs is duplicated; per doc: chunk/duplicated-chunk
+    * counts, duplicated tokens, and the duplicated-token share. Where
+    * the fixed-window `substringDupStats` re-fingerprints every
+    * 20-token offset, CDC fingerprints each token ONCE (one chunk per
+    * token), and a local edit re-syncs — so an incremental corpus pays
+    * re-hashing only for edited chunks. Same two 16-byte-row
+    * aggregations as the substring report; oracle groups chunk
+    * STRINGS (the no-collision bargain). */
+  def cdcChunkDupStats(documents: DataFrame): DataFrame = {
+    val chunks = graft.llm.Curation.chunkCdc(documents)
+      .select(col("doc_id"), col("n_tokens"),
+        xxhash64(col("chunk_text")).as("h"))
+    val dup = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val perDoc = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("n_tok"))
+    val dupPerDoc = chunks.join(dup, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_chunks"), sum(col("n_tokens")).as("n_dup_tokens"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        round(coalesce(col("n_dup_tokens"), lit(0L)).cast(DoubleType) /
+          col("n_tok"), 6).as("dup_token_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Substring dedup APPLIED — passage REMOVAL with keep-first
     * semantics (the ExactSubstr removal pass: later occurrences of a
     * cross-doc-repeated window are cut, the first — smallest doc_id —

@@ -15,6 +15,45 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSet == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("CDC-chunk dedup flags the shared chunks of a planted passage") {
+    // an 80-token shared passage: interior CDC boundaries depend only
+    // on passage content, so both docs carve identical chunks inside
+    // it. First chars VARY (the token value mixes first-char codepoint
+    // and length — all-same-prefix tokens collapse the hash domain and
+    // can starve the boundary rule, a property of any content hash
+    // over low-diversity tokens).
+    val passage = (1 to 80).map(i =>
+      s"${('a' + (i * 7) % 26).toChar.toString}w$i").mkString(" ")
+    def filler(tag: String) = (1 to 15).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"${filler("a")} $passage ${filler("b")}"),
+      (1L, s"${filler("c")} $passage ${filler("d")}"),
+      (2L, filler("e"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkDupStats(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    val byId = out.map(t => (t._1, t)).toMap
+    assert(byId(0L)._3 > 0 && byId(1L)._3 > 0, s"shared chunks unflagged: $out")
+    assert(byId(2L)._3 == 0)
+    // the same chunks flag on both sides of the pair
+    assert(byId(0L)._4 == byId(1L)._4, "dup token counts differ across the pair")
+  }
+
+  test("CDC-chunk dedup reconciles with the chunker on the fixture") {
+    val stats = Dedup.cdcChunkDupStats(docs).collect()
+    val chunks = graft.llm.Curation.chunkCdc(docs).collect()
+      .groupBy(_.getLong(0))
+    stats.foreach { r =>
+      val (id, n, nd, ndTok, frac) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(n == chunks(id).length, s"doc $id chunk count")
+      assert(nd <= n && ndTok <= chunks(id).map(_.getInt(3).toLong).sum)
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (nd == 0) assert(ndTok == 0 && frac == 0.0)
+    }
+    assert(stats.length == chunks.size)
+  }
+
   test("substring apply removes only later occurrences of a planted shared passage") {
     val passage = (1 to 25).map(i => s"p$i").mkString(" ")
     def filler(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
