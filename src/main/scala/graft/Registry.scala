@@ -971,7 +971,8 @@ object Registry {
          |       LATERAL unnest(range(1, len(t) + 1)) AS u(j)
          |  WHERE len(t[u.j]) > 0
          |)
-         |SELECT doc_id, CAST(len(fids) AS INT) AS n_ids, fids AS input_ids
+         |SELECT doc_id, CAST(len(fids) AS INT) AS n_ids,
+         |  COALESCE(array_to_string(fids, ','), '') AS input_ids
          |FROM (
          |  SELECT doc_id, flatten(list(ids ORDER BY pos)) AS fids
          |  FROM tok JOIN wids USING (w) GROUP BY doc_id
@@ -2234,6 +2235,39 @@ object Registry {
         |         * sqrt(list_dot_product(q_emb, q_emb))) AS raw_cos
         |  FROM embeddings, q WHERE vec_id <> 29)
         |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim, TRUE AS recall_at_10_ok FROM c
+        |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
+    // IVF cell compaction (round 9): the append path leaves one delta
+    // file per append per cell; this query compacts a COPY of the
+    // append-demo index (per-cell file budgets, one shuffle,
+    // centroids/grid untouched) and gates on (a) recall vs exact as
+    // usual, (b) the probe answer surviving the rewrite bit-identical,
+    // (c) the data-file count actually dropping in BOTH
+    // cell-partitioned trees. Output = exact brute-force top-10 — the
+    // same contract as every recall-gated ANN row.
+    "q_ann_ivf_compact" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.lit
+        val e = embeddings(s, d)
+        val dir = graft.llm.AnnIndex.compactDemoDir(s, d, e)
+        val post = graft.llm.AnnIndex.probeIvfSq(s, s"$dir/ivf", s"$dir/sq",
+          s"$dir/csq", e, queryId = 17L, k = 10, nProbe = 12)
+        // 10-row probe answers: bounded collects, spec-class comparison
+        val parity = s.read.parquet(s"$dir/probe_pre").collect().toSet ==
+          post.collect().toSet
+        val r = s.read.parquet(s"$dir/report").collect()(0)
+        val reduced = r.getInt(1) < r.getInt(0) && r.getInt(3) < r.getInt(2)
+        Similarity.annRecallGate(e, post, queryId = 17L)
+          .withColumn("compact_parity_ok", lit(parity))
+          .withColumn("files_reduced_ok", lit(reduced))
+      },
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 17),
+        |c AS (SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), q_emb)
+        |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(q_emb, q_emb))) AS raw_cos
+        |  FROM embeddings, q WHERE vec_id <> 17)
+        |SELECT vec_id, ROUND(raw_cos, 4) AS cos_sim, TRUE AS recall_at_10_ok,
+        |  TRUE AS compact_parity_ok, TRUE AS files_reduced_ok FROM c
         |ORDER BY raw_cos DESC, vec_id LIMIT 10""".stripMargin),
     // BATCH probe of the composed IVFPQ layout (round 8): per-query
     // probe cells AND per-query ADC lookup tables both ride broadcast

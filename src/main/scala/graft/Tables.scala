@@ -31,14 +31,37 @@ object Tables {
     * stream: user_id <-> device key, ts <-> event time, value <-> the
     * measurement (SURVEY.md FIXTURES mapping).
     *
-    * The fixture stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects unless read as a raw long. We read nanos-as-long and
-    * integer-divide (`div`, not `/` — int64 nanos exceed double's 2^53
-    * mantissa) down to microseconds, matching DuckDB's ns->us read. */
+    * The fixture's `ts` encoding has drifted across driver
+    * regenerations (TIMESTAMP(NANOS) then TIMESTAMP(MICROS)/NTZ), so
+    * the loader is encoding-agnostic: it branches on the dtype Spark
+    * actually inferred instead of assuming one parquet footer.
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 rejects the footer unless
+    *    `nanosAsLong` is on; we set it only on that failure, read the
+    *    column as a raw long, and integer-divide (`div`, not `/` —
+    *    int64 nanos exceed double's 2^53 mantissa) down to
+    *    microseconds, matching DuckDB's ns->us read.
+    *  - TIMESTAMP(MICROS) (adjusted or not): already what we want;
+    *    normalize to NTZ (no-op under the UTC session for instants).
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", ntz(timestamp_micros(expr("ts div 1000"))))
+    val raw =
+      try table(spark, sfDir, "events")
+      catch {
+        case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          // Only a NANOS footer needs the legacy flag; it must stay set
+          // for this DataFrame's execution, and it does not alter how
+          // MICROS fixtures read, so leaving it on is safe.
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(spark, sfDir, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", ntz(timestamp_micros(expr("ts div 1000"))))
+      case TimestampNTZType => raw
+      case TimestampType    => raw.withColumn("ts", ntz(col("ts")))
+      case other =>
+        throw new IllegalStateException(s"events.parquet: unexpected ts type $other")
+    }
   }
 
   /** A column cast to instant semantics for time functions that need

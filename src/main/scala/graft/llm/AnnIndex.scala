@@ -772,6 +772,47 @@ object AnnIndex {
       appendIvfSq(spark, s"$d/ivf", s"$d/sq", s"$d/csq", delta)
     }
 
+  /** Compaction demo artifact (round-9 verdict task 5): the append
+    * demo leaves one delta file per append per cell, and at ingest
+    * cadence probe cost creeps with file count. This artifact COPIES
+    * the append-demo index (the shared append artifact keeps its
+    * fragmented shape for its own spec), records the pre-compaction
+    * probe answer and file counts, then compacts BOTH cell-partitioned
+    * trees via `Compaction.compactPartitioned` — per-cell file
+    * budgets, one shuffle, centroid/grid artifacts untouched. The
+    * registered query gates on (a) probe-vs-exact recall as usual,
+    * (b) bit-identical probe results across the rewrite, (c) the file
+    * count actually dropping. */
+  def compactDemoDir(spark: SparkSession, sfDir: String,
+                     embeddings: DataFrame): String =
+    artifact(spark, s"ivfcompact:$sfDir") { d =>
+      val src = appendDemoDir(spark, sfDir, embeddings)
+      copyTree(new java.io.File(src), new java.io.File(d))
+      probeIvfSq(spark, s"$d/ivf", s"$d/sq", s"$d/csq", embeddings,
+        queryId = 17L, k = 10, nProbe = 12)
+        .write.mode("overwrite").parquet(s"$d/probe_pre")
+      val (ib, ia) = graft.sink.Compaction.compactPartitioned(
+        spark, s"$d/ivf/cells", "cell", "vec_id")
+      val (cb, ca) = graft.sink.Compaction.compactPartitioned(
+        spark, s"$d/csq/cells_sq", "cell", "vec_id")
+      import spark.implicits._
+      Seq((ib, ia, cb, ca))
+        .toDF("ivf_files_before", "ivf_files_after",
+          "csq_files_before", "csq_files_after")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/report")
+    }
+
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      val children = src.listFiles()
+      if (children != null) children.foreach(c => copyTree(c, new java.io.File(dst, c.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+  }
+
   // ---- per-session artifact cache ----
 
   // Weak-keyed on the session (long-lived processes that cycle sessions

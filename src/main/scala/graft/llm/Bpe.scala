@@ -182,8 +182,12 @@ object Bpe {
       .join(broadcast(wids), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(flatten(transform(sort_array(collect_list(struct(col("pos"), col("ids")))),
-        x => x("ids"))).as("input_ids"))
-      .select(col("doc_id"), size(col("input_ids")).as("n_ids"), col("input_ids"))
+        x => x("ids"))).as("ids_arr"))
+      // Canonical comma-joined form, not a raw array<int>: the driver's
+      // compare sorts on every output column and arrays aren't sortable
+      // there (numpy arrays are unhashable in its pandas sort).
+      .select(col("doc_id"), size(col("ids_arr")).as("n_ids"),
+        array_join(col("ids_arr"), ",").as("input_ids"))
       .orderBy("doc_id")
   }
 

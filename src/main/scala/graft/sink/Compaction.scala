@@ -79,6 +79,62 @@ object Compaction {
     (before.size, dataFiles(path).size)
   }
 
+  /** Compact ANY hive-partitioned directory (partition column parsed
+    * from the `col=value` path segments) with a PER-PARTITION-VALUE
+    * file budget: partition value v gets max(1, ceil(bytes(v)/target))
+    * output files, so a hot cell that accumulated gigabytes splits
+    * while a cold cell collapses to one file. This is the IVF-cell
+    * sweep (round-9 verdict task 5): incremental appends
+    * (`AnnIndex.appendIvf`) leave one delta file per append per cell,
+    * and probe cost creeps with file count; the sweep restores
+    * one-file-per-small-cell without touching the index's centroid or
+    * grid artifacts, and probe results are bit-identical (same rows,
+    * same partition values — only the file layout changes).
+    *
+    * Scale shape: the only driver-side state is one (value, n_files)
+    * row per partition value (≤ nCells for an IVF index — bounded,
+    * same class as the probed-cell union); rows route to output files
+    * via a broadcast of that map + a salt, one shuffle total.
+    *
+    * @return (filesBefore, filesAfter). */
+  def compactPartitioned(spark: SparkSession, path: String, partitionCol: String,
+                         sortCol: String,
+                         targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val before = dataFiles(path)
+    if (before.isEmpty) return (0, 0)
+    val marker = partitionCol + "="
+    // per-partition-value byte totals from the listing (no data scan)
+    val filesPerValue: Map[String, Long] = before
+      .groupBy(_.getPath.toString.split('/')
+        .find(_.startsWith(marker)).map(_.stripPrefix(marker)).getOrElse(""))
+      .map { case (v, fs) =>
+        v -> math.max(1L, (fs.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes)
+      }
+    val totalFiles = filesPerValue.values.sum.toInt
+
+    import spark.implicits._
+    val budget = filesPerValue.toSeq.toDF("__pv", "__n_files")
+    val df = spark.read.parquet(path)
+    val tmp = path + "__compacting"
+    df.withColumn("__pv", col(partitionCol).cast(StringType))
+      .join(broadcast(budget), Seq("__pv"))
+      // salt splits an over-budget value across its n_files outputs
+      .withColumn("__salt", pmod(xxhash64(col(sortCol)), col("__n_files")))
+      .repartition(totalFiles, col(partitionCol), col("__salt"))
+      .drop("__pv", "__n_files", "__salt")
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
+
+    val (fs, root) = fsOf(path)
+    fs.delete(root, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), root)
+    (before.size, dataFiles(path).size)
+  }
+
+  /** Parquet data-file count under `path` (recursive) — the metric
+    * compaction moves; exposed for specs and reports. */
+  def fileCount(path: String): Int = dataFiles(path).size
+
   /** Size-tier histogram of a table's data files — the engine analog of
     * the reference's SSTable size-tier report
     * (`monitoring/cassandra_auto_flush.sh:22-78`): tier t holds files

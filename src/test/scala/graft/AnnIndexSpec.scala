@@ -366,4 +366,58 @@ class AnnIndexSpec extends SparkTestBase {
       .collect().toSeq
     assert(fromIndex == inline)
   }
+
+  test("compactPartitioned: fewer files per cell, identical rows, partition values preserved") {
+    import graft.sink.Compaction
+    val dir = tmpDir("compact-cells") + "/cells"
+    val df = (0 until 400).map(i => (i.toLong, i % 8, s"payload$i")).toDF("vec_id", "cell", "p")
+    // two appends = at least two files per populated cell dir
+    df.repartition(4).write.partitionBy("cell").mode("append").parquet(dir)
+    df.withColumn("vec_id", col("vec_id") + 1000)
+      .repartition(4).write.partitionBy("cell").mode("append").parquet(dir)
+    val beforeRows = spark.read.parquet(dir).collect().toSet
+    val perCellBefore = parquetFiles(dir).groupBy(_.getParentFile.getName).view.mapValues(_.size).toMap
+    assert(perCellBefore.values.forall(_ >= 2), s"fixture not fragmented: $perCellBefore")
+
+    val (nb, na) = Compaction.compactPartitioned(spark, dir, "cell", "vec_id")
+    assert(nb == perCellBefore.values.sum && na < nb)
+    val perCellAfter = parquetFiles(dir).groupBy(_.getParentFile.getName).view.mapValues(_.size).toMap
+    // default 128 MB budget: every small cell collapses to ONE file
+    assert(perCellAfter.keySet == perCellBefore.keySet)
+    assert(perCellAfter.values.forall(_ == 1), s"per-cell after: $perCellAfter")
+    assert(spark.read.parquet(dir).collect().toSet == beforeRows)
+  }
+
+  test("compactPartitioned honors a per-cell file budget (hot cell splits, stays within budget)") {
+    import graft.sink.Compaction
+    val dir = tmpDir("compact-budget") + "/cells"
+    (0 until 2000).map(i => (i.toLong, i % 2, "x" * 50)).toDF("vec_id", "cell", "p")
+      .repartition(8).write.partitionBy("cell").mode("append").parquet(dir)
+    val bytesPerCell = parquetFiles(dir).groupBy(_.getParentFile.getName)
+      .view.mapValues(_.map(_.length).sum).toMap
+    // target = half a cell's bytes -> every cell's budget is >= 2 files
+    val target = bytesPerCell.values.min / 2
+    val rows = spark.read.parquet(dir).collect().toSet
+    Compaction.compactPartitioned(spark, dir, "cell", "vec_id", targetFileBytes = target)
+    val perCellAfter = parquetFiles(dir).groupBy(_.getParentFile.getName).view.mapValues(_.size).toMap
+    perCellAfter.foreach { case (cell, n) =>
+      val budget = math.max(1L, (bytesPerCell(cell) + target - 1) / target)
+      assert(n >= 2 && n <= budget, s"$cell: $n files, budget $budget")
+    }
+    assert(spark.read.parquet(dir).collect().toSet == rows)
+  }
+
+  test("IVF compaction demo: file counts drop in both trees, probe answer survives bit-identical") {
+    val dir = AnnIndex.compactDemoDir(spark, sf, emb)
+    val r = spark.read.parquet(s"$dir/report").collect()(0)
+    assert(r.getInt(1) < r.getInt(0), s"ivf cells: ${r.getInt(0)} -> ${r.getInt(1)}")
+    assert(r.getInt(3) < r.getInt(2), s"csq cells: ${r.getInt(2)} -> ${r.getInt(3)}")
+    val pre = spark.read.parquet(s"$dir/probe_pre").collect().toSet
+    val post = AnnIndex.probeIvfSq(spark, s"$dir/ivf", s"$dir/sq", s"$dir/csq",
+      emb, queryId = 17L, k = 10, nProbe = 12).collect().toSet
+    assert(pre == post)
+    // compaction must not touch the shared append artifact's layout
+    val src = AnnIndex.appendDemoDir(spark, sf, emb)
+    assert(parquetFiles(s"$src/ivf/cells").nonEmpty)
+  }
 }

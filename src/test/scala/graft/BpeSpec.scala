@@ -77,7 +77,7 @@ class BpeSpec extends SparkTestBase {
   test("encode round-trips: ids decode back to the exact document text") {
     val docs = corpus("hug pug pun bun hug hug", "bun pun hug")
     val enc = Bpe.encodeBpe(docs, 2).collect()
-      .map(r => (r.getLong(0), r.getSeq[Int](2))).toMap
+      .map(r => (r.getLong(0), r.getString(2).split(',').map(_.toInt).toSeq)).toMap
     // rebuild the id -> symbol table the same way encode defines it
     val dir = Bpe.trainedDir(docs, 2)
     val syms = spark.read.parquet(s"$dir/wordsK")
