@@ -18,7 +18,7 @@ object Bench {
     * surface them BOTH as a stderr warning and as an "env" field inside
     * the emitted JSON line, so a contaminated capture is self-labeling.
     */
-  private def envGuard(cpus: Int): (String, Boolean) = {
+  private[graft] def envGuard(cpus: Int): (String, Boolean) = {
     def slurp(p: String): String =
       try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
       catch { case _: Throwable => "" }

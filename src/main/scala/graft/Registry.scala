@@ -2333,6 +2333,87 @@ object Registry {
         |  ROUND(MAX(raw_cos), 4) AS max_eval_cos,
         |  (SUM(CASE WHEN raw_cos >= 0.4 THEN 1 ELSE 0 END) > 0) AS contaminated
         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    // RAG context assembly (round 9): the serve-side composition the
+    // batch ANN index and the packing ops exist for — each query's
+    // top-5 neighbor docs packed in rank order into a 128-token
+    // context window (greedy prefix via a monotone window cumsum).
+    // Same contract as the batch-ANN rows: output computed over the
+    // exact batch top-k, gate = the persisted IVF-SQ probe recovering
+    // >= 0.9 of the exact pairs.
+    "q_rag_context" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = embeddings(s, d)
+        val ivf = graft.llm.AnnIndex.ivfDir(s, d, e)
+        val sq = graft.llm.AnnIndex.sqDir(s, d, e)
+        val csq = graft.llm.AnnIndex.ivfSqDir(s, d, e)
+        Curation.ragContext(s, ivf, sq, csq, e, documents(s, d),
+          col("vec_id") % 50 === 2, k = 5, tokenBudget = 128,
+          nProbe = 14, rerank = 24)
+      },
+      """WITH u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), qy AS (
+        |  SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM u WHERE vec_id % 50 = 2
+        |), s AS (
+        |  SELECT qy.query_id, u.vec_id,
+        |    list_dot_product([y / qy.qn FOR y IN qy.qe], [x / u.nrm FOR x IN u.e]) AS raw_cos
+        |  FROM u JOIN qy ON u.vec_id <> qy.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, vec_id) AS rnk
+        |  FROM s
+        |), t AS (
+        |  SELECT r.query_id, r.vec_id, r.rnk,
+        |    len(string_split(d.text, ' ')) AS n_tok
+        |  FROM r JOIN documents d ON d.doc_id = r.vec_id WHERE r.rnk <= 5
+        |), c AS (
+        |  SELECT *, SUM(n_tok) OVER (PARTITION BY query_id ORDER BY rnk) AS cum FROM t
+        |)
+        |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_context_tokens,
+        |  string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rnk) AS context_doc_ids,
+        |  TRUE AS batch_recall_ok
+        |FROM c WHERE cum <= 128 GROUP BY query_id ORDER BY query_id""".stripMargin),
+    // ANN-ROUTED decontamination (round 9): the 10^5+-eval scale path
+    // the broadcast spelling's docs point to — eval vectors probe the
+    // persisted IVF index (ONE broadcast-centroid assignment join,
+    // pruned cell scan, per-cell pair work) instead of pairing against
+    // every training vector. Range thresholds are harder than top-k
+    // for cell probing (a pair at cos 0.4 sits ~66 deg away), so the
+    // row follows the standard ANN contract: output = the EXACT
+    // contaminated report (restricted to contaminated rows — their
+    // global max IS a hit, so both spellings agree there), gate =
+    // routed pair-recall >= 0.9 at nProbe=14 (measured 44/46 at sf0.1,
+    // complete at sf0.001/0.01).
+    "q_decontam_ann" -> q(
+      (s, d) => {
+        val e = embeddings(s, d)
+        graft.llm.AnnIndex.decontaminateRoutedGate(
+          s, graft.llm.AnnIndex.ivfDir(s, d, e), e)
+      },
+      """WITH u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), ev AS (SELECT e, nrm FROM u WHERE vec_id % 40 = 0),
+        |tr AS (SELECT vec_id, e, nrm FROM u WHERE vec_id % 40 <> 0),
+        |p AS (
+        |  SELECT tr.vec_id,
+        |    list_dot_product([x / tr.nrm FOR x IN tr.e], [y / ev.nrm FOR y IN ev.e]) AS raw_cos
+        |  FROM tr, ev
+        |)
+        |SELECT vec_id,
+        |  CAST(SUM(CASE WHEN raw_cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits,
+        |  ROUND(MAX(raw_cos), 4) AS max_eval_cos, TRUE AS contaminated,
+        |  TRUE AS ann_routed_ok
+        |FROM p GROUP BY vec_id
+        |HAVING SUM(CASE WHEN raw_cos >= 0.4 THEN 1 ELSE 0 END) > 0
+        |ORDER BY vec_id""".stripMargin),
     // Oracle = brute-force cosine over all pairs (tractable in DuckDB
     // even at sf0.1 — 2M pairs of 64-dim dots). Valid because the
     // L-tables sign-LSH blocking with SIX independent families +

@@ -20,6 +20,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The correctness capture is as contaminable as the bench one
+    // (round-9 verdict task 8): self-label the run's environment so a
+    // driver capture taken next to another JVM is adjudicable. Sampled
+    // BEFORE the queries run, like Bench — our own executors would
+    // otherwise self-flag via load.
+    Files.writeString(Paths.get(s"$outDir/env.json"),
+      Bench.envGuard(cpus.toInt)._1)
     SparkEntry.queries
       .filter { case (name, _) => prefix.forall(name.startsWith) }
       .foreach { case (name, fn) =>

@@ -648,4 +648,57 @@ object Curation {
         Seq(col("sample_rank").asc, col("doc_id").asc), k)
       .orderBy("lang", "rn")
   }
+
+  /** RAG context assembly — the serve-side composition the ANN index
+    * and the packing ops exist for: every query retrieves its top-k
+    * neighbor documents and packs them, IN RANK ORDER, into a context
+    * window under a token budget (greedy prefix: cumulative tokens are
+    * monotone, so `cum <= budget` IS the stop-at-first-overflow rule —
+    * and is exactly replayable as a SQL window cumsum).
+    *
+    * Contract mirrors the batch-ANN rows: the assembled output is
+    * computed over the EXACT batch top-k (deterministic, oracle-
+    * recomputable), and `batch_recall_ok` gates that the persisted
+    * IVF-SQ index probe recovers >= `bound` of the exact pairs — on a
+    * production corpus the probe feeds the assembly directly and the
+    * exact side is the sampled validation harness.
+    *
+    * Scale shape: retrieval is the batch probe (one broadcast
+    * assignment join, pruned code-table scan); assembly adds ONE
+    * narrow join (doc token counts — a projection of the corpus scan,
+    * no text movement: the context carries doc IDS, the serving layer
+    * fetches bodies point-wise) and a k-row-per-query window cumsum
+    * partitioned by query — no global sort, no driver loop. */
+  def ragContext(spark: org.apache.spark.sql.SparkSession, ivfDir: String,
+                 sqDir: String, ivfSqDir: String, embeddings: DataFrame,
+                 documents: DataFrame, queryPredicate: Column, k: Int = 5,
+                 tokenBudget: Int = 128, nProbe: Int = 12, rerank: Int = 8,
+                 bound: Double = 0.9): DataFrame = {
+    val exact = Similarity.batchTopKExact(
+      embeddings, embeddings.filter(queryPredicate), k).localCheckpoint()
+    val total = exact.count()
+    val ann = AnnIndex.batchProbeIvfSq(spark, ivfDir, sqDir, ivfSqDir,
+      embeddings, queryPredicate, k, nProbe, rerank)
+    val hits = exact.select(col("query_id"), col("vec_id"))
+      .join(ann.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi").count()
+    val ok = total == 0L || hits.toDouble / total >= bound
+
+    val nTok = documents.select(col("doc_id").as("vec_id"),
+      size(TextOps.tokens(col("text"))).as("n_tok"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    exact
+      .join(nTok, Seq("vec_id"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .filter(col("cum") <= tokenBudget)
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("n_context_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("rank"), col("vec_id")))),
+          x => x("vec_id").cast(StringType)), ",").as("context_doc_ids"))
+      .withColumn("batch_recall_ok", lit(ok))
+      .orderBy("query_id")
+  }
 }

@@ -367,6 +367,41 @@ class AnnIndexSpec extends SparkTestBase {
     assert(fromIndex == inline)
   }
 
+  test("routed decontamination: subset of exact pairs, complete here, pruned partition scan") {
+    val dir = AnnIndex.ivfDir(spark, sf, emb)
+    // exact over-threshold pairs by brute force
+    val u = emb.select(col("vec_id"), Similarity.unitVector(col("embedding")).as("u"))
+    val ev = u.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("u").as("qu"))
+    val exact = u.filter(col("vec_id") % 40 =!= 0).crossJoin(broadcast(ev))
+      .select(col("vec_id"), Similarity.dot(col("u"), col("qu")).as("c"))
+      .filter(col("c") >= 0.4)
+      .groupBy("vec_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val routed = AnnIndex.decontaminateRouted(spark, dir, emb, 0.4, nProbe = 14)
+    val got = routed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // routed can only UNDER-report (candidate restriction), never invent
+    got.foreach { case (id, n) => assert(n <= exact.getOrElse(id, 0L), s"vec $id") }
+    // at this SF + nProbe the routed report is complete (measured contract)
+    assert(got == exact)
+    // gate row shape: exact report + TRUE gate at the default bound
+    val gated = AnnIndex.decontaminateRoutedGate(spark, dir, emb)
+    assert(gated.collect().forall(_.getAs[Boolean]("ann_routed_ok")))
+
+    // a tight probe (nProbe=1: union <= |eval| < nCells) must scan
+    // ONLY the probed-cell union
+    val tight = AnnIndex.decontaminateRouted(spark, dir, emb, 0.4, nProbe = 1)
+    tight.collect()
+    val scans = deepScans(tight.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("cells")))
+    assert(scans.nonEmpty)
+    assert(scans.head.metadata.get("PartitionFilters").exists(_.contains("cell")))
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    assert(filesRead < parquetFiles(s"$dir/cells").size,
+      s"tight probe read $filesRead files — no partition pruning")
+  }
+
   test("compactPartitioned: fewer files per cell, identical rows, partition values preserved") {
     import graft.sink.Compaction
     val dir = tmpDir("compact-cells") + "/cells"

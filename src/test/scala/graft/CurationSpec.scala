@@ -349,6 +349,41 @@ class CurationSpec extends SparkTestBase {
     assert(out.groupBy(_._1).keySet == perLang.keySet)
   }
 
+  test("RAG context assembly: rank-prefix packing under the token budget, recall gate true") {
+    import graft.llm.{AnnIndex, Similarity}
+    val emb = Tables.embeddings(spark, sf)
+    val ivf = AnnIndex.ivfDir(spark, sf, emb)
+    val sq = AnnIndex.sqDir(spark, sf, emb)
+    val csq = AnnIndex.ivfSqDir(spark, sf, emb)
+    val budget = 128
+    val out = Curation.ragContext(spark, ivf, sq, csq, emb, docs,
+      col("vec_id") % 50 === 2, k = 5, tokenBudget = budget,
+      nProbe = 14, rerank = 24).collect()
+    assert(out.nonEmpty)
+
+    val nTok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = Similarity.batchTopKExact(emb, emb.filter(col("vec_id") % 50 === 2), 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+
+    out.foreach { r =>
+      val (q, nDocs, tokens, ids) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val packed = ids.split(',').map(_.toLong).toSeq
+      assert(packed.size == nDocs)
+      // packed docs are EXACTLY the rank prefix of the exact top-k
+      assert(packed == exact(q).take(packed.size), s"query $q not a rank prefix")
+      // token accounting is real and the budget holds
+      assert(tokens == packed.map(nTok).sum && tokens <= budget, s"query $q tokens")
+      // prefix is maximal: the next-ranked doc would not have fit
+      if (packed.size < exact(q).size)
+        assert(tokens + nTok(exact(q)(packed.size)) > budget, s"query $q not maximal")
+      assert(r.getBoolean(4), s"query $q recall gate")
+    }
+  }
+
   test("reservoir sample is deterministic and plans through TopKPerKey") {
     val a = Curation.reservoirSample(docs).collect().toSeq
     val b = Curation.reservoirSample(docs.repartition(5)).collect().toSeq
