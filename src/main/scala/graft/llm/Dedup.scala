@@ -462,6 +462,38 @@ object Dedup {
         shingleSize, threshold, Some(stateDir), epoch)
     }
 
+    /** Retention sweep for the epoch chain (round-9 sibling of the
+      * IVF cell compaction): every `append` writes a FULL next-epoch
+      * state, so a long-running ingest cycle accumulates one complete
+      * state copy per batch — at production state sizes that is the
+      * dominant storage cost of the whole scheme. Drop every epoch
+      * older than the newest `keep` (default 1 = current only; keep=2
+      * preserves one rollback target). The CURRENT epoch is never
+      * eligible, and epochs NEWER than META's current (a crashed
+      * half-written append) are left alone — the next append
+      * overwrites them. Listing+deletes go through the Hadoop
+      * FileSystem API, so the same sweep works on HDFS/S3-style
+      * stores; on an object store, run it only after the META flip is
+      * visible to readers (same ordering contract as append itself).
+      *
+      * @return (droppedEpochs, remainingEpochs). */
+    def vacuum(spark: SparkSession, stateDir: String,
+               keep: Int = 1): (Seq[Int], Seq[Int]) = {
+      require(keep >= 1, s"keep must be >= 1, got $keep")
+      val (_, _, current) = readMeta(stateDir)
+      val root = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val epochs = fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+        .map(_.getPath.getName.stripPrefix("epoch=").toInt)
+        .sorted
+      val cut = current - keep + 1
+      val drop = epochs.filter(e => e < cut && e <= current)
+      drop.foreach(e =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/epoch=$e"), true))
+      (drop, epochs.filterNot(drop.contains))
+    }
+
     private def writeMeta(stateDir: String, shingleSize: Int,
                           threshold: Double, epoch: Int): Unit = {
       val dir = java.nio.file.Paths.get(stateDir)

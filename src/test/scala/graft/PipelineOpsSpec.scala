@@ -204,6 +204,50 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(incr == fresh)
   }
 
+  test("IncrementalDeduper.vacuum drops only stale epochs; reopen and flags survive") {
+    import graft.llm.Dedup
+    def epochs(dir: String): Seq[Int] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+        .map(_.getName.stripPrefix("epoch=").toInt).sorted
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val stateDir = tmpDir("graft_dedup_vacuum_")
+    val d = Dedup.IncrementalDeduper.init(corpus, stateDir)
+    d.append(docs.filter(col("doc_id") % 10 === 0))
+    d.append(docs.filter(col("doc_id") % 20 === 5))
+    assert(epochs(stateDir) == Seq(1, 2, 3), "one full state copy per append")
+
+    // keep=2: one rollback target stays; current epoch untouched
+    val (drop2, remain2) = Dedup.IncrementalDeduper.vacuum(spark, stateDir, keep = 2)
+    assert(drop2 == Seq(1) && remain2 == Seq(2, 3) && epochs(stateDir) == Seq(2, 3))
+
+    val delta = docs.filter(col("doc_id") % 10 === 5)
+    val before = Dedup.IncrementalDeduper.open(spark, stateDir)
+      .dedupBatch(delta).collect().toSeq
+
+    // keep=1: only the current epoch survives; a reopened session's
+    // flags are identical — retention never touches live state
+    val (drop1, remain1) = Dedup.IncrementalDeduper.vacuum(spark, stateDir)
+    assert(drop1 == Seq(2) && remain1 == Seq(3) && epochs(stateDir) == Seq(3))
+    val after = Dedup.IncrementalDeduper.open(spark, stateDir)
+      .dedupBatch(delta).collect().toSeq
+    assert(after == before)
+
+    // idempotent once clean
+    assert(Dedup.IncrementalDeduper.vacuum(spark, stateDir) == (Seq(), Seq(3)))
+
+    // a crashed half-written FUTURE epoch (no META flip) is never
+    // touched — the next append owns it
+    new java.io.File(s"$stateDir/epoch=4/shingles").mkdirs()
+    assert(Dedup.IncrementalDeduper.vacuum(spark, stateDir) == (Seq(), Seq(3, 4)))
+    assert(new java.io.File(s"$stateDir/epoch=4").isDirectory)
+    // and appending after a vacuum continues the chain normally
+    d.append(docs.filter(col("doc_id") % 20 === 15))
+    assert(epochs(stateDir).contains(4) &&
+      Dedup.IncrementalDeduper.open(spark, stateDir).dedupBatch(delta)
+        .collect().nonEmpty)
+  }
+
   test("applyDedup keeps one survivor per component; group sizes partition the corpus") {
     import graft.llm.Dedup
     val pairs = Dedup.ngramJaccardPairs(docs)
