@@ -991,6 +991,26 @@ object Registry {
          |  (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
          |   FROM (SELECT unnest(string_split(trim(s), ' ')) AS sym FROM w6) v)
          |    AS vocab_symbols""".stripMargin),
+    // Tokenizer fertility by language (round 9): pieces-per-word per
+    // lang under the learned vocabulary — the metric that decides
+    // whether the tokenizer serves every language it will see (a lang
+    // shredded into characters reads far above the corpus mean; the
+    // standard signal to rebalance the tokenizer training mix). Same
+    // broadcast word->pieces join as q_bpe_apply, group key swapped;
+    // the ratio is one long/long division per group (bit-identical
+    // cross-engine).
+    "q_bpe_fertility" -> q(
+      (s, d) => graft.llm.Bpe.fertilityByLang(documents(s, d)),
+      s"""WITH ${bpeCtes(6)}
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT) AS n_bpe_tokens,
+         |  ROUND(CAST(SUM(len(string_split(trim(s), ' '))) AS DOUBLE) / COUNT(*), 6)
+         |    AS fertility
+         |FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |      FROM documents) t
+         |JOIN w6 USING (w)
+         |WHERE len(w) > 0
+         |GROUP BY lang ORDER BY lang""".stripMargin),
     // Tokenize the corpus under the learned BPE vocabulary: the
     // trained word -> segmentation table joins (broadcast) onto the
     // corpus word stream; per-doc word and piece counts.
@@ -2333,6 +2353,37 @@ object Registry {
         |  ROUND(MAX(raw_cos), 4) AS max_eval_cos,
         |  (SUM(CASE WHEN raw_cos >= 0.4 THEN 1 ELSE 0 END) > 0) AS contaminated
         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    // Hard-negative mining (round 9): for every anchor, the top-5
+    // most-similar DIFFERENT-label vectors — the batch retrieval shape
+    // contrastive embedding training feeds on. The label-mismatch
+    // predicate rides the join (a post-filtered top-k would
+    // under-fill). Exact and deterministic (vec_id tie-break), so the
+    // oracle replays it fully.
+    "q_hard_negatives" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        Similarity.hardNegatives(embeddings(s, d), col("vec_id") % 50 === 2)
+      },
+      """WITH u AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), qy AS (
+        |  SELECT vec_id AS query_id, label AS q_label, e AS qe, nrm AS qn
+        |  FROM u WHERE vec_id % 50 = 2
+        |), s AS (
+        |  SELECT qy.query_id, u.vec_id, u.label,
+        |    list_dot_product([y / qy.qn FOR y IN qy.qe], [x / u.nrm FOR x IN u.e]) AS raw_cos
+        |  FROM u JOIN qy ON u.vec_id <> qy.query_id AND u.label <> qy.q_label
+        |), r AS (
+        |  SELECT query_id, vec_id, label, raw_cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, vec_id) AS rnk
+        |  FROM s
+        |)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
+        |  label AS neg_label, ROUND(raw_cos, 4) AS cos_sim
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     // RAG context assembly (round 9): the serve-side composition the
     // batch ANN index and the packing ops exist for — each query's
     // top-5 neighbor docs packed in rank order into a 128-token

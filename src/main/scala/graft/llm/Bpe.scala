@@ -155,6 +155,33 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer FERTILITY by language — the metric that decides whether
+    * a trained vocabulary serves every language it will tokenize:
+    * pieces-per-word (and its occurrence-weighted corpus share) per
+    * `lang`. A language with fertility far above the corpus mean is
+    * being shredded into characters (under-represented in training) —
+    * the standard signal to rebalance the tokenizer corpus mix. Same
+    * dataflow as `applyBpe` (broadcast word→piece-count join onto the
+    * corpus word stream, map-side) with the group key swapped to lang;
+    * the ratio is ONE long/long division per group, bit-identical
+    * cross-engine. */
+  def fertilityByLang(documents: DataFrame, nMerges: Int = 6): DataFrame = {
+    val spark = documents.sparkSession
+    val wordsK = spark.read.parquet(s"${trainedDir(documents, nMerges)}/wordsK")
+    val pieces = wordsK.select(col("w"),
+      size(split(trim(col("s")), " ")).as("n_p"))
+    documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(pieces), "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_p")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast(DoubleType) / col("n_words"), 6))
+      .orderBy("lang")
+  }
+
   /** ENCODE the corpus to token-id sequences — the actual pre-training
     * output format (`input_ids`): every word maps to its learned
     * segmentation's symbol ids, concatenated in document order. The

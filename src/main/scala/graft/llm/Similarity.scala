@@ -452,6 +452,38 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Hard-negative mining — the batch retrieval shape contrastive
+    * embedding training feeds on: for every anchor (query) vector, the
+    * top-k most-similar vectors with a DIFFERENT label. High-cosine
+    * different-label neighbors are exactly the pairs a contrastive
+    * loss learns most from (easy negatives contribute ~zero gradient).
+    * Same plan as `batchTopKExact` — one broadcast anchor join, per-
+    * anchor rank through the window-to-TopKPerKey rewrite — plus the
+    * label-mismatch predicate riding the join (no post-filter: a
+    * filtered top-k would under-fill). At corpus scale, route through
+    * the batch IVF probe with an expanded k and label-filter the
+    * candidate pool before the final rank — same recall-gate
+    * discipline as the other index rows. */
+  def hardNegatives(embeddings: DataFrame, queryPredicate: Column,
+                    k: Int = 5): DataFrame = {
+    val q = broadcast(embeddings.filter(queryPredicate)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        unitVector(col("embedding")).as("q_unit")))
+    import org.apache.spark.sql.expressions.Window
+    embeddings
+      .select(col("vec_id"), col("label"), unitVector(col("embedding")).as("c_unit"))
+      .join(q, col("query_id") =!= col("vec_id") && col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        dot(col("q_unit"), col("c_unit")).as("raw_cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("raw_cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("label").as("neg_label"), round(col("raw_cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label centroid + distance profile — the "cluster summary"
     * aggregation shape over vector columns. Element sums go through
     * DECIMAL(28,10) (a deterministic rounding of each float, summed

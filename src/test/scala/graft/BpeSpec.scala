@@ -102,6 +102,23 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("fertility by language reconciles with the per-doc apply totals") {
+    val docs = Tables.documents(spark, sf)
+    val fert = Bpe.fertilityByLang(docs, 4).collect()
+    assert(fert.nonEmpty)
+    // lang totals sum to the corpus totals the apply report carries
+    val applied = Bpe.applyBpe(docs, 4)
+      .agg(sum("n_words"), sum("n_bpe_tokens")).collect()(0)
+    assert(fert.map(_.getLong(1)).sum == applied.getLong(0), "word totals")
+    assert(fert.map(_.getLong(2)).sum == applied.getLong(1), "piece totals")
+    // fertility IS tokens/words, rounded; >= 1 (a word is >= 1 piece)
+    fert.foreach { r =>
+      val expect = BigDecimal(r.getLong(2).toDouble / r.getLong(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expect && r.getDouble(3) >= 1.0, s"lang ${r.getString(0)}")
+    }
+  }
+
   test("train state is a memoized on-disk artifact shared across the BPE queries") {
     val docs = Tables.documents(spark, sf)
     val d1 = Bpe.trainedDir(docs, 6)

@@ -152,6 +152,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.forall(r => r.getLong(2) >= 1L))
   }
 
+  test("hard negatives: different-label top-k, exact vs brute force, rank contiguity") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.hardNegatives(emb, col("vec_id") % 50 === 2, k = 5).collect()
+    assert(out.nonEmpty)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every negative's label differs from its anchor's
+    out.foreach { r =>
+      assert(labels(r.getLong(0)) != r.getInt(3),
+        s"anchor ${r.getLong(0)} got a same-label negative")
+      assert(r.getInt(3) == labels(r.getLong(2)), "neg_label must be the neighbor's label")
+    }
+    // ranks are 1..n contiguous per anchor
+    out.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length), s"anchor $q ranks")
+    }
+    // exactness: drop same-label rows from the unfiltered exact batch
+    // top-N and the hard-negative list must be its k-prefix
+    val wide = Similarity.batchTopKExact(emb, emb.filter(col("vec_id") % 50 === 2), 200)
+      .collect()
+      .filter(r => labels(r.getLong(2)) != labels(r.getLong(0)))
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).take(5).map(_.getLong(2)).toSeq }
+    out.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val got = rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      assert(got == wide(q).take(got.size), s"anchor $q differs from brute force")
+    }
+  }
+
   test("label centroids have unit count-weighted means") {
     val cents = Similarity.labelCentroids(emb).collect()
     assert(cents.length == 10) // labels 0..9
