@@ -36,6 +36,70 @@ object Registry {
   private def oneMinus(c: String) = s"CAST(1 - CAST($c AS DECIMAL(6,4)) AS DECIMAL(7,4))"
   private def onePlus(c: String)  = s"CAST(1 + CAST($c AS DECIMAL(6,4)) AS DECIMAL(7,4))"
 
+  /** Oracle spelling of one incremental-dedup stage: flags for every
+    * delta doc (chosen by `deltaWhere`) against the corpus chosen by
+    * `corpusWhere` — the cross-set prefix-filter join `Dedup
+    * .IncrementalDeduper.dedupBatch` runs (document frequency over the
+    * UNION gives the common total order; each side keeps its rarest
+    * |S| - ceil(0.7|S|) + 1 shingles; equality join + exact Jaccard
+    * verify — the all-pairs join this replaces cannot run at 5k docs).
+    * Parameterized (round 9) so the STREAMING ingest oracle can chain
+    * stages: batch k replays with corpusWhere = corpus + batches < k.
+    * Emits no ORDER BY — callers append or wrap. */
+  private def incrementalFlagsSql(deltaWhere: String, corpusWhere: String): String =
+    s"""WITH delta AS (SELECT doc_id, text FROM documents WHERE $deltaWhere),
+       |corpus AS (SELECT doc_id, text FROM documents WHERE $corpusWhere),
+       |dt AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
+       |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM delta)
+       |  WHERE len(t) > 0
+       |), ct AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
+       |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+       |  WHERE len(t) > 0
+       |), exd AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM dt
+       |), exc AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM ct
+       |), dfreq AS (
+       |  SELECT shingle, COUNT(*) AS df
+       |  FROM (SELECT shingle FROM exd UNION ALL SELECT shingle FROM exc)
+       |  GROUP BY shingle
+       |), prefd AS (
+       |  SELECT doc_id, n, shingle FROM (
+       |    SELECT exd.doc_id, exd.n, exd.shingle,
+       |      ROW_NUMBER() OVER (PARTITION BY exd.doc_id
+       |                         ORDER BY dfreq.df, exd.shingle) AS pos
+       |    FROM exd JOIN dfreq USING (shingle))
+       |  WHERE pos <= greatest(1, n - CAST(ceil(n * 0.7 - 1e-9) AS INT) + 1)
+       |), prefc AS (
+       |  SELECT doc_id, n, shingle FROM (
+       |    SELECT exc.doc_id, exc.n, exc.shingle,
+       |      ROW_NUMBER() OVER (PARTITION BY exc.doc_id
+       |                         ORDER BY dfreq.df, exc.shingle) AS pos
+       |    FROM exc JOIN dfreq USING (shingle))
+       |  WHERE pos <= greatest(1, n - CAST(ceil(n * 0.7 - 1e-9) AS INT) + 1)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM prefd a JOIN prefc b ON a.shingle = b.shingle
+       |  WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
+       |), near AS (
+       |  SELECT DISTINCT c.doc_a AS doc_id
+       |  FROM cand c JOIN dt a ON c.doc_a = a.doc_id JOIN ct b ON c.doc_b = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+       |), exact AS (
+       |  SELECT DISTINCT d.doc_id FROM delta d JOIN corpus c ON d.text = c.text
+       |)
+       |SELECT d.doc_id,
+       |  (e.doc_id IS NOT NULL) AS exact_dup,
+       |  (n.doc_id IS NOT NULL) AS near_dup
+       |FROM delta d
+       |LEFT JOIN exact e ON d.doc_id = e.doc_id
+       |LEFT JOIN near n ON d.doc_id = n.doc_id""".stripMargin
+
   /** DuckDB CTE chain spelling the SAME prefix-filter theorem the
     * engine's n-gram join uses (rarest-first DF order, per-doc prefix
     * of length |S| - ceil(t|S|) + 1, equality join on prefix shingles,
@@ -1892,64 +1956,25 @@ object Registry {
         new Dedup.IncrementalDeduper(all.filter(col("doc_id") % 5 =!= 0))
           .dedupBatch(all.filter(col("doc_id") % 5 === 0))
       },
-      """WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-        |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
-        |dt AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
-        |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM delta)
-        |  WHERE len(t) > 0
-        |), ct AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(t[i:least(i+2, len(t))], ' ')
-        |                   FOR i IN range(1, greatest(len(t)-2, 1) + 1)]) AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
-        |  WHERE len(t) > 0
-        |-- Cross-set prefix filter (same theorem as the self-join
-        |-- spelling): document frequency over the UNION gives the common
-        |-- total order; each side keeps its |S| - ceil(0.7|S|) + 1
-        |-- rarest shingles; equality join + exact Jaccard verify. The
-        |-- all-pairs join this replaces cannot run at 5k docs.
-        |), exd AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM dt
-        |), exc AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM ct
-        |), dfreq AS (
-        |  SELECT shingle, COUNT(*) AS df
-        |  FROM (SELECT shingle FROM exd UNION ALL SELECT shingle FROM exc)
-        |  GROUP BY shingle
-        |), prefd AS (
-        |  SELECT doc_id, n, shingle FROM (
-        |    SELECT exd.doc_id, exd.n, exd.shingle,
-        |      ROW_NUMBER() OVER (PARTITION BY exd.doc_id
-        |                         ORDER BY dfreq.df, exd.shingle) AS pos
-        |    FROM exd JOIN dfreq USING (shingle))
-        |  WHERE pos <= greatest(1, n - CAST(ceil(n * 0.7 - 1e-9) AS INT) + 1)
-        |), prefc AS (
-        |  SELECT doc_id, n, shingle FROM (
-        |    SELECT exc.doc_id, exc.n, exc.shingle,
-        |      ROW_NUMBER() OVER (PARTITION BY exc.doc_id
-        |                         ORDER BY dfreq.df, exc.shingle) AS pos
-        |    FROM exc JOIN dfreq USING (shingle))
-        |  WHERE pos <= greatest(1, n - CAST(ceil(n * 0.7 - 1e-9) AS INT) + 1)
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM prefd a JOIN prefc b ON a.shingle = b.shingle
-        |  WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
-        |), near AS (
-        |  SELECT DISTINCT c.doc_a AS doc_id
-        |  FROM cand c JOIN dt a ON c.doc_a = a.doc_id JOIN ct b ON c.doc_b = b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
-        |), exact AS (
-        |  SELECT DISTINCT d.doc_id FROM delta d JOIN corpus c ON d.text = c.text
-        |)
-        |SELECT d.doc_id,
-        |  (e.doc_id IS NOT NULL) AS exact_dup,
-        |  (n.doc_id IS NOT NULL) AS near_dup
-        |FROM delta d
-        |LEFT JOIN exact e ON d.doc_id = e.doc_id
-        |LEFT JOIN near n ON d.doc_id = n.doc_id
-        |ORDER BY d.doc_id""".stripMargin),
+      incrementalFlagsSql("doc_id % 5 = 0", "doc_id % 5 <> 0") +
+        "\nORDER BY d.doc_id"),
+    // Streaming ingest against the STANDING dedup state (round 9):
+    // micro-batches of new documents flow through foreachBatch — each
+    // batch is flagged against corpus + all PRIOR batches (the
+    // persisted epoch state, never a corpus rescan) and then absorbed.
+    // MemoryStream + explicit batch boundaries make the fixed point
+    // deterministic, so the oracle replays it as the two-stage batch
+    // recompute: batch-1 flags vs the corpus, batch-2 flags vs corpus
+    // UNION batch-1.
+    "q_stream_dedup_state" -> q(
+      (s, d) => graft.streaming.StateDedupIngest.demo(s, d),
+      s"""SELECT * FROM (
+         |  (${incrementalFlagsSql("doc_id % 10 = 0", "doc_id % 5 <> 0")})
+         |  UNION ALL
+         |  (${incrementalFlagsSql("doc_id % 10 = 5",
+                "doc_id % 5 <> 0 OR doc_id % 10 = 0")})
+         |) ORDER BY doc_id""".stripMargin),
+
     // Star-rounds CC on an adversarial-diameter graph: 50-long doc_id
     // chains, the case where plain min-label propagation needs ~50
     // shuffle rounds and the large-star/small-star alternation needs

@@ -253,6 +253,54 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("hard negatives: TopKPerKey rank, anchors broadcast, never a shuffled pair join") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions.col
+    val hn = Similarity.hardNegatives(
+      Tables.embeddings(spark, sf), col("vec_id") % 50 === 2)
+    // the window-rank spelling lowers to the bounded-heap operator
+    assert(hn.queryExecution.optimizedPlan.collect {
+      case n: graft.plans.TopKPerKeyNode => n }.size == 1)
+    hn.collect()
+    val s = hn.queryExecution.executedPlan.toString
+    // non-equi predicates (id and label mismatch) over a BROADCAST
+    // anchor side plan as BroadcastNestedLoopJoin — the corpus never
+    // shuffles for the pairing; SMJ/cartesian would mean it does
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+  }
+
+  test("RAG context assembly: one query-keyed window, token join broadcasts, no global sort before it") {
+    import graft.llm.{AnnIndex, Curation}
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val out = Curation.ragContext(spark,
+      AnnIndex.ivfDir(spark, sf, emb), AnnIndex.sqDir(spark, sf, emb),
+      AnnIndex.ivfSqDir(spark, sf, emb), emb,
+      Tables.documents(spark, sf), col("vec_id") % 50 === 2,
+      nProbe = 14, rerank = 24)
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    // executed adaptive plans hide joins inside QueryStageExec
+    // wrappers whose subplans are not TreeNode children — recurse
+    def deep[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      (if (f.isDefinedAt(p)) Seq(f(p)) else Nil) ++ kids.flatMap(deep(_)(f))
+    }
+    // the doc token-count side rides a broadcast join (doc ids only —
+    // no corpus text shuffle feeding the assembly)
+    assert(deep(plan) { case b: BroadcastHashJoinExec => b }.nonEmpty, plan.toString)
+    assert(deep(plan) { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+    // window cumsum partitions by query_id: the only range exchange is
+    // the output-contract orderBy, after aggregation
+    val s = plan.toString
+    assert(s.contains("windowspecdefinition(query_id"), s)
+  }
+
   test("stratified sample is a scan-local filter (no exchange before the sort)") {
     val s = planString("q_sample_stratified")
     assert("hashpartitioning".r.findAllIn(s).isEmpty,

@@ -181,6 +181,24 @@ class StreamingSpec extends SparkTestBase {
     assert(evPerSec > 1050, f"expected >=10x the reference's 105 ev/s, got $evPerSec%.0f")
   }
 
+  test("streaming ingest against standing dedup state equals the two-stage batch recompute") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Dedup
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val b1 = docs.filter(col("doc_id") % 10 === 0)
+    val b2 = docs.filter(col("doc_id") % 10 === 5)
+    val streamed = graft.streaming.StateDedupIngest.demo(spark, sf)
+      .collect().toSeq
+    // batch-k flags depend only on (corpus, batches < k)
+    val stage1 = Dedup.incrementalDedup(b1, corpus)
+    val stage2 = Dedup.incrementalDedup(b2, corpus.unionByName(b1))
+    val recomputed = stage1.unionByName(stage2).orderBy("doc_id").collect().toSeq
+    assert(streamed == recomputed)
+    // and every stream-side doc got exactly one flag row
+    assert(streamed.map(_.getLong(0)).distinct.size == b1.count() + b2.count())
+  }
+
   test("rate-source generator stream produces the contract schema") {
     val stream = graft.ingest.Generator.sensorEventStream(spark)
     assert(stream.isStreaming)
