@@ -154,6 +154,37 @@ object Registry {
     * whose left-to-right non-overlapping semantics are identical in
     * Spark and DuckDB (that shared semantic IS the operator contract).
     * Yields `b1..b{n}` (the picked merges) and `w{n}` (final state). */
+  /** Unrolled PageRank rounds for the DuckDB oracle — each stage
+    * replays graft.query.PageRank's round arithmetic exactly. All
+    * iteration arithmetic is INTEGER fixed-point at scale 10^-12
+    * (`//` here = Spark's `div`): no floating op exists inside the
+    * rounds, so there is no rounding mode for the engines to disagree
+    * on (the decimal-rounding spelling this replaces lost 4/500 nodes
+    * to genuine half-way ties). The single float op — the final
+    * r/10^12 — runs on exact sub-2^53 integers in both engines. */
+  private def pageRankCtes(iters: Int): String = {
+    val base =
+      """nn AS (SELECT COUNT(*) AS n FROM documents),
+        |ids AS (SELECT doc_id FROM documents),
+        |edges AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src, (doc_id+1) % (SELECT n FROM nn) AS dst FROM ids
+        |  UNION ALL
+        |  SELECT doc_id AS src, (doc_id*doc_id+3) % (SELECT n FROM nn) AS dst FROM ids)),
+        |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT doc_id, 1000000000000 // (SELECT n FROM nn) AS r FROM ids)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT i.doc_id,
+         |    (1000000000000 * 15 // 100 // (SELECT n FROM nn))
+         |      + (85 * COALESCE(c.s, 0)) // 100 AS r
+         |  FROM ids i LEFT JOIN (
+         |    SELECT e.dst AS doc_id, SUM(r.r // o.outdeg) AS s
+         |    FROM edges e JOIN outdeg o ON o.src = e.src JOIN r${k - 1} r ON r.doc_id = e.src
+         |    GROUP BY e.dst) c ON c.doc_id = i.doc_id)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
   private def bpeCtes(nMerges: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -1975,6 +2006,18 @@ object Registry {
                 "doc_id % 5 <> 0 OR doc_id % 10 = 0")})
          |) ORDER BY doc_id""".stripMargin),
 
+    // Distributed PageRank (round 9): the link-authority quality
+    // signal a crawl curation pipeline attaches to documents. Each
+    // round = one edge-rank join + one hash agg of DECIMAL(28,10)
+    // contributions (order-stable exact sums); the oracle unrolls the
+    // identical rounds as CTE stages, so a wrong iteration — not just
+    // a slow one — breaks the hash. Demo graph: (id+1) mod N and
+    // (id²+3) mod N out-edges — the chain rule keeps every node emitting (no dangling mass) while the quadratic rule is non-bijective, so in-degrees vary and iteration differentiates ranks.
+    "q_pagerank" -> q(
+      (s, d) => graft.query.PageRank.rank(documents(s, d)),
+      s"""WITH ${pageRankCtes(4)}
+         |SELECT doc_id, CAST(r AS DOUBLE) / 1000000000000 AS pagerank FROM r4
+         |ORDER BY doc_id""".stripMargin),
     // Star-rounds CC on an adversarial-diameter graph: 50-long doc_id
     // chains, the case where plain min-label propagation needs ~50
     // shuffle rounds and the large-star/small-star alternation needs

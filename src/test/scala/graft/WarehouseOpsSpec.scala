@@ -33,6 +33,27 @@ class WarehouseOpsSpec extends SparkTestBase {
     }
   }
 
+  test("pagerank conserves probability mass, differentiates nodes, and is partition-insensitive") {
+    import graft.query.PageRank
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val out = PageRank.rank(docs).collect()
+    val n = docs.count()
+    assert(out.length == n)
+    // mass conservation: no dangling nodes by construction, so the
+    // rank vector stays a probability distribution up to the per-node
+    // 1e-10 rounding (bounded by n * 1e-10 per round)
+    val mass = out.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < n * 5e-10 * 4, s"mass $mass")
+    assert(out.forall(_.getDouble(1) > 0))
+    // the (7id+3) rule gives some nodes in-degree 1 and others 3 —
+    // iteration must differentiate them from the uniform start
+    assert(out.map(_.getDouble(1)).distinct.length > 1)
+    // bit-identical under a different input partitioning
+    val re = PageRank.rank(docs.repartition(7)).collect()
+    assert(re.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      out.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("histogram buckets partition the rows and sums are decimal-exact") {
     val li = Tables.lineitem(spark, sf)
     val h = Analytics.histogram(li).collect()
