@@ -154,6 +154,43 @@ object Registry {
     * whose left-to-right non-overlapping semantics are identical in
     * Spark and DuckDB (that shared semantic IS the operator contract).
     * Yields `b1..b{n}` (the picked merges) and `w{n}` (final state). */
+  /** BM25 oracle CTE chain through the ranked list `r` (query_id,
+    * doc_id, exact decimal score s, rnk) — shared by q_bm25 and the
+    * RRF hybrid q_rag_fusion. Fractional literals CAST to DOUBLE
+    * (DuckDB parses bare 1.2 as DECIMAL and would fold constants
+    * differently from Spark's double arithmetic). */
+  private val bm25Ctes: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(text, ' '), x -> len(x) > 0)) > 0
+      |), dls AS (SELECT doc_id, len(t) AS dl FROM toks),
+      |postings AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      |  GROUP BY doc_id, term
+      |), dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings GROUP BY term),
+      |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dls),
+      |qt AS (
+      |  SELECT doc_id AS query_id, unnest(t[1:4]) AS term
+      |  FROM toks WHERE doc_id % 250 = 2
+      |), per AS (
+      |  SELECT q.query_id, p.doc_id,
+      |    CAST(ROUND(
+      |      ln((st.n - f.df + CAST(0.5 AS DOUBLE)) / (f.df + CAST(0.5 AS DOUBLE)) + 1)
+      |      * (p.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+      |      / (p.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |          + CAST(0.75 AS DOUBLE) * d.dl / st.avgdl)), 10) AS DECIMAL(28,10)) AS c
+      |  FROM postings p JOIN qt q USING (term) JOIN dfreq f USING (term)
+      |  JOIN dls d ON d.doc_id = p.doc_id, st
+      |), agg AS (
+      |  SELECT query_id, doc_id, SUM(c) AS s FROM per GROUP BY query_id, doc_id
+      |), r AS (
+      |  SELECT query_id, doc_id, s,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+      |  FROM agg
+      |)""".stripMargin
+
   /** Unrolled PageRank rounds for the DuckDB oracle — each stage
     * replays graft.query.PageRank's round arithmetic exactly. All
     * iteration arithmetic is INTEGER fixed-point at scale 10^-12
@@ -961,6 +998,66 @@ object Registry {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
 
     // ---- TF-IDF feature scores (X4) ----
+    // BM25 lexical retrieval (round 9): Okapi BM25 (k1=1.2, b=0.75)
+    // over a once-tokenized postings table; query bags = first 4
+    // tokens of every 250th doc. Query terms + the Zipf-sized df table
+    // broadcast; scoring touches only the queried terms' postings;
+    // per-term doubles round into DECIMAL(28,10) and RANKING uses the
+    // exact decimal sum, so order can't shift cross-engine. Fractional
+    // literals are CAST to DOUBLE in the oracle — DuckDB parses bare
+    // 1.2 as DECIMAL and would fold the constants differently.
+    "q_bm25" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        graft.llm.Bm25.score(documents(s, d), col("doc_id") % 250 === 2)
+      },
+      s"""WITH $bm25Ctes
+        |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id,
+        |  ROUND(CAST(s AS DOUBLE), 6) AS bm25
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
+    // Hybrid retrieval (round 9): reciprocal-rank fusion of the BM25
+    // lexical list and the exact vector top-10 for the same query
+    // docs — rrf = sum of 1/(60 + rank) over the lists a doc appears
+    // in. Pure rank arithmetic (identical doubles both engines),
+    // ranked on the raw double; queries missing the vector modality
+    // (embeddings cover a doc-id prefix at some SFs) fuse from the
+    // lexical list alone — the partial-modality production case.
+    "q_rag_fusion" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        graft.llm.Bm25.hybridRrf(documents(s, d), embeddings(s, d),
+          col("doc_id") % 250 === 2)
+      },
+      s"""WITH $bm25Ctes,
+        |lex AS (SELECT query_id, doc_id, rnk AS rl FROM r WHERE rnk <= 10),
+        |ue AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), qy AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM ue WHERE vec_id % 250 = 2),
+        |sv AS (
+        |  SELECT qy.query_id, ue.vec_id,
+        |    list_dot_product([y / qy.qn FOR y IN qy.qe], [x / ue.nrm FOR x IN ue.e]) AS raw_cos
+        |  FROM ue JOIN qy ON ue.vec_id <> qy.query_id
+        |), vr AS (
+        |  SELECT query_id, vec_id AS doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, vec_id) AS rv
+        |  FROM sv
+        |), vec AS (SELECT query_id, doc_id, rv FROM vr WHERE rv <= 10),
+        |u AS (
+        |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+        |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rl), 0)
+        |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.rv), 0) AS rrf
+        |  FROM lex l FULL JOIN vec v ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+        |), f AS (
+        |  SELECT query_id, doc_id, rrf,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+        |  FROM u
+        |)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, ROUND(rrf, 6) AS rrf
+        |FROM f WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     "q_tfidf" -> q(
       (s, d) => TextOps.tfidf(documents(s, d)),
       """WITH tok AS (
