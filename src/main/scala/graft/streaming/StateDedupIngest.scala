@@ -84,6 +84,12 @@ object StateDedupIngest {
       q.processAllAvailable()
     } finally q.stop()
 
+    // retention: the ingest cycle ends with the vacuum sweep — every
+    // append left a full prior-epoch state copy; only the current
+    // epoch survives (keep=1), completing the ingest -> flag ->
+    // append -> vacuum lifecycle a standing production stream runs
+    Dedup.IncrementalDeduper.vacuum(spark, stateDir)
+
     spark.read.parquet(outDir)
       .select(col("doc_id"), col("exact_dup"), col("near_dup"))
       .orderBy("doc_id")
