@@ -998,8 +998,11 @@ object Registry {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
 
     // ---- TF-IDF feature scores (X4) ----
-    // BM25 lexical retrieval (round 9): Okapi BM25 (k1=1.2, b=0.75)
-    // over a once-tokenized postings table; query bags = first 4
+    // BM25 lexical retrieval (round 9; round 10 moved the corpus side
+    // into a PERSISTED postings/dfreq/stats artifact, memoized per
+    // session+corpus and shared with the hybrid rows, and killed the
+    // corpus-sized doc-length join — dl rides the postings
+    // aggregation): Okapi BM25 (k1=1.2, b=0.75); query bags = first 4
     // tokens of every 250th doc. Query terms + the Zipf-sized df table
     // broadcast; scoring touches only the queried terms' postings;
     // per-term doubles round into DECIMAL(28,10) and RANKING uses the
@@ -1057,6 +1060,58 @@ object Registry {
         |  FROM u
         |)
         |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, ROUND(rrf, 6) AS rrf
+        |FROM f WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    // ANN-routed, artifact-backed hybrid retrieval (round 10 — verdict
+    // task 1): BOTH rank lists now come from persisted artifacts — the
+    // lexical list reads the memoized BM25 postings/dfreq/stats tables
+    // (built once per session+corpus; q_bm25 and q_rag_fusion share
+    // them), the vector list routes through the persisted batch IVF-SQ
+    // probe (broadcast-centroid cell assignment, pruned cells_sq
+    // partition scans — the production retrieval shape BENCH_NOTES
+    // promised). Standard ANN contract: output = the EXACT fusion
+    // (identical rows to q_rag_fusion, oracle recomputes it),
+    // batch_recall_ok = the routed probe recovering >= 0.9 of the
+    // exact vector pairs at nProbe=14/rerank=24.
+    "q_rag_fusion_ann" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = embeddings(s, d)
+        val ivf = graft.llm.AnnIndex.ivfDir(s, d, e)
+        val sq = graft.llm.AnnIndex.sqDir(s, d, e)
+        val csq = graft.llm.AnnIndex.ivfSqDir(s, d, e)
+        graft.llm.Bm25.hybridRrfAnn(s, ivf, sq, csq, documents(s, d), e,
+          col("doc_id") % 250 === 2, col("vec_id") % 250 === 2)
+      },
+      s"""WITH $bm25Ctes,
+        |lex AS (SELECT query_id, doc_id, rnk AS rl FROM r WHERE rnk <= 10),
+        |ue AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), qy AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM ue WHERE vec_id % 250 = 2),
+        |sv AS (
+        |  SELECT qy.query_id, ue.vec_id,
+        |    list_dot_product([y / qy.qn FOR y IN qy.qe], [x / ue.nrm FOR x IN ue.e]) AS raw_cos
+        |  FROM ue JOIN qy ON ue.vec_id <> qy.query_id
+        |), vr AS (
+        |  SELECT query_id, vec_id AS doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, vec_id) AS rv
+        |  FROM sv
+        |), vec AS (SELECT query_id, doc_id, rv FROM vr WHERE rv <= 10),
+        |u AS (
+        |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+        |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rl), 0)
+        |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.rv), 0) AS rrf
+        |  FROM lex l FULL JOIN vec v ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+        |), f AS (
+        |  SELECT query_id, doc_id, rrf,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+        |  FROM u
+        |)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, ROUND(rrf, 6) AS rrf,
+        |  TRUE AS batch_recall_ok
         |FROM f WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     "q_tfidf" -> q(
       (s, d) => TextOps.tfidf(documents(s, d)),

@@ -301,6 +301,61 @@ class PlanShapeSpec extends SparkTestBase {
     assert(s.contains("windowspecdefinition(query_id"), s)
   }
 
+  /** collectAll that also descends into executed AQE query stages. */
+  private def deepAll[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case o => o.children
+    }
+    (if (f.isDefinedAt(p)) Seq(f(p)) else Nil) ++ kids.flatMap(deepAll(_)(f))
+  }
+
+  test("bm25 scoring reads the persisted artifact: broadcast sides, one query-keyed shuffle pair, TopKPerKey") {
+    import graft.llm.Bm25
+    import org.apache.spark.sql.functions.col
+    val out = Bm25.score(Tables.documents(spark, sf).select("doc_id", "text"),
+      col("doc_id") % 250 === 2)
+    out.collect()
+    val p = out.queryExecution.executedPlan
+    // the query-term and document-frequency sides BROADCAST; the dl
+    // carried through the postings aggregation means there is NO
+    // corpus-sized doc-length join left to plan (VERDICT r9 finding 2)
+    assert(deepAll(p) { case j: BroadcastHashJoinExec => j }.size == 2, p.toString)
+    assert(deepAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, s"scoring must not plan a corpus-sized merge join:\n$p")
+    assert(deepAll(p) { case c: CartesianProductExec => c }.isEmpty, p.toString)
+    // hash shuffles: the (query_id, doc_id) agg pair + the TopKPerKey
+    // key exchange — both sized by the MATCHED postings, not the corpus
+    val hash = deepAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hash.size <= 2, s"bm25 scoring grew a shuffle:\n$p")
+    assert(p.toString.contains("TopKPerKey"), p.toString)
+  }
+
+  test("hybrid fusion: vector pairing broadcasts, fuse is an equi join, never a cartesian") {
+    val out = SparkEntry.queries("q_rag_fusion")(spark, sf)
+    out.collect()
+    val p = out.queryExecution.executedPlan
+    assert(deepAll(p) { case c: CartesianProductExec => c }.isEmpty, p.toString)
+    // exact batch top-k pairs corpus x broadcast(queries) — the one
+    // BroadcastNestedLoopJoin (non-equi self-exclusion predicate)
+    val nlj = deepAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nlj.size == 1, s"vector pairing must broadcast the query side:\n$p")
+    // the full-outer (query_id, doc_id) fuse is an equi join (SMJ/SHJ
+    // of two k-per-query rank lists — bounded inputs)
+    val smj = deepAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.size <= 1, s"only the full-outer fuse may merge-join:\n$p")
+  }
+
   test("stratified sample is a scan-local filter (no exchange before the sort)") {
     val s = planString("q_sample_stratified")
     assert("hashpartitioning".r.findAllIn(s).isEmpty,
