@@ -198,22 +198,29 @@ object Registry {
     * rounds, so there is no rounding mode for the engines to disagree
     * on (the decimal-rounding spelling this replaces lost 4/500 nodes
     * to genuine half-way ties). The single float op — the final
-    * r/10^12 — runs on exact sub-2^53 integers in both engines. */
-  private def pageRankCtes(iters: Int): String = {
+    * r/10^12 — runs on exact sub-2^53 integers in both engines.
+    * `edgesSql` supplies the demo edge derivation; with `dangling`
+    * set, each round adds the floored uniform share of the previous
+    * round's dangling mass (SUM over no-out-edge nodes `// n`) inside
+    * the damped term — the exact integer spelling of
+    * PageRank.rankCore's redistribution. */
+  private def pageRankCtes(iters: Int, edgesSql: String,
+                           dangling: Boolean): String = {
     val base =
-      """nn AS (SELECT COUNT(*) AS n FROM documents),
+      s"""nn AS (SELECT COUNT(*) AS n FROM documents),
         |ids AS (SELECT doc_id FROM documents),
-        |edges AS (SELECT DISTINCT src, dst FROM (
-        |  SELECT doc_id AS src, (doc_id+1) % (SELECT n FROM nn) AS dst FROM ids
-        |  UNION ALL
-        |  SELECT doc_id AS src, (doc_id*doc_id+3) % (SELECT n FROM nn) AS dst FROM ids)),
+        |edges AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
         |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
         |r0 AS (SELECT doc_id, 1000000000000 // (SELECT n FROM nn) AS r FROM ids)""".stripMargin
     val rounds = (1 to iters).map { k =>
+      val dterm = if (dangling)
+        s""" + (SELECT COALESCE(SUM(r), 0) // (SELECT n FROM nn) FROM r${k - 1}
+           |           WHERE doc_id NOT IN (SELECT src FROM edges))""".stripMargin
+      else ""
       s"""r$k AS (
          |  SELECT i.doc_id,
          |    (1000000000000 * 15 // 100 // (SELECT n FROM nn))
-         |      + (85 * COALESCE(c.s, 0)) // 100 AS r
+         |      + (85 * (COALESCE(c.s, 0)$dterm)) // 100 AS r
          |  FROM ids i LEFT JOIN (
          |    SELECT e.dst AS doc_id, SUM(r.r // o.outdeg) AS s
          |    FROM edges e JOIN outdeg o ON o.src = e.src JOIN r${k - 1} r ON r.doc_id = e.src
@@ -221,6 +228,18 @@ object Registry {
     }
     (base +: rounds).mkString(",\n")
   }
+
+  private val demoEdgesSql: String =
+    """SELECT doc_id AS src, (doc_id+1) % (SELECT n FROM nn) AS dst FROM ids
+      |  UNION ALL
+      |  SELECT doc_id AS src, (doc_id*doc_id+3) % (SELECT n FROM nn) AS dst FROM ids""".stripMargin
+
+  private val linkEdgesSql: String =
+    """SELECT doc_id AS src, (doc_id*3+5) % (SELECT n FROM nn) AS dst
+      |  FROM ids WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id AS src, (doc_id*doc_id+1) % (SELECT n FROM nn) AS dst
+      |  FROM ids WHERE doc_id % 3 = 1""".stripMargin
 
   private def bpeCtes(nMerges: Int): String = {
     val sb = new StringBuilder
@@ -2160,14 +2179,31 @@ object Registry {
 
     // Distributed PageRank (round 9): the link-authority quality
     // signal a crawl curation pipeline attaches to documents. Each
-    // round = one edge-rank join + one hash agg of DECIMAL(28,10)
-    // contributions (order-stable exact sums); the oracle unrolls the
-    // identical rounds as CTE stages, so a wrong iteration — not just
-    // a slow one — breaks the hash. Demo graph: (id+1) mod N and
+    // round = one edge-rank join + one hash agg of INTEGER fixed-point
+    // (scale 10^-12) BIGINT contributions — `div` splits, 85/100
+    // damping, exact integer sums, so no rounding mode exists for the
+    // engines to disagree on (the DECIMAL(28,10) first cut lost 4/500
+    // nodes to half-way ties). The oracle unrolls the identical
+    // integer rounds as CTE stages, so a wrong iteration — not just a
+    // slow one — breaks the hash. Demo graph: (id+1) mod N and
     // (id²+3) mod N out-edges — the chain rule keeps every node emitting (no dangling mass) while the quadratic rule is non-bijective, so in-degrees vary and iteration differentiates ranks.
     "q_pagerank" -> q(
       (s, d) => graft.query.PageRank.rank(documents(s, d)),
-      s"""WITH ${pageRankCtes(4)}
+      s"""WITH ${pageRankCtes(4, demoEdgesSql, dangling = false)}
+         |SELECT doc_id, CAST(r AS DOUBLE) / 1000000000000 AS pagerank FROM r4
+         |ORDER BY doc_id""".stripMargin),
+    // General-contract PageRank (round 10 — verdict task 4): an edge
+    // table derived from doc cross-references WITH DANGLING NODES —
+    // id%7==0 ∧ id%3!=1 docs (≈9.5%, id=0 among them) emit no edges,
+    // so each round redistributes their mass uniformly: the exact
+    // BIGINT dangling sum, floored per-node share (dsum // n), added
+    // inside the damped term. Same integer fixed-point discipline as
+    // q_pagerank — the share is one 1-row aggregate per round
+    // broadcast into the node join, and the oracle replays it as a
+    // scalar subquery over the previous round's no-out-edge rows.
+    "q_pagerank_links" -> q(
+      (s, d) => graft.query.PageRank.rankLinks(documents(s, d)),
+      s"""WITH ${pageRankCtes(4, linkEdgesSql, dangling = true)}
          |SELECT doc_id, CAST(r AS DOUBLE) / 1000000000000 AS pagerank FROM r4
          |ORDER BY doc_id""".stripMargin),
     // Star-rounds CC on an adversarial-diameter graph: 50-long doc_id

@@ -54,6 +54,43 @@ class WarehouseOpsSpec extends SparkTestBase {
       out.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("general pagerank: dangling mass redistributes uniformly (hand-replayed) and links demo conserves mass") {
+    import graft.query.PageRank
+    import spark.implicits._
+    // hand-built chain 0 -> 1 -> 2 with node 2 DANGLING: replay the
+    // integer fixed-point arithmetic (div splits, dsum div n share,
+    // 85/100 damping) by hand and demand bit-identity
+    val nodes = Seq(0L, 1L, 2L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val tiny = PageRank.rankGraph(nodes, edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val S = PageRank.Scale; val nn = 3L
+    val tel = S * 15 / 100 / nn
+    var r = Map(0L -> S / nn, 1L -> S / nn, 2L -> S / nn)
+    for (_ <- 1 to 2) {
+      val dsh = r(2L) / nn // node 2 is the only dangling node
+      val in = Map(0L -> 0L, 1L -> r(0L), 2L -> r(1L)) // outdegs are 1
+      r = (0L to 2L).map(i => i -> (tel + (85L * (in(i) + dsh)) / 100L)).toMap
+    }
+    assert(tiny == r.map { case (k, v) => k -> v.toDouble / S })
+
+    // the registered cross-reference demo: ~9.5% dangling nodes, rank
+    // stays a probability distribution up to the bounded flooring and
+    // iteration still differentiates nodes
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val out = PageRank.rankLinks(docs).collect()
+    val n = docs.count()
+    assert(out.length == n)
+    assert(out.forall(_.getDouble(1) > 0))
+    val mass = out.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < n * 5e-10 * 4, s"mass $mass")
+    assert(out.map(_.getDouble(1)).distinct.length > 1)
+    // bit-identical under a different input partitioning
+    val re = PageRank.rankLinks(docs.repartition(7)).collect()
+    assert(re.map(x => (x.getLong(0), x.getDouble(1))).toSeq ==
+      out.map(x => (x.getLong(0), x.getDouble(1))).toSeq)
+  }
+
   test("histogram buckets partition the rows and sums are decimal-exact") {
     val li = Tables.lineitem(spark, sf)
     val h = Analytics.histogram(li).collect()
