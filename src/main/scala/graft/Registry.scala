@@ -2176,6 +2176,50 @@ object Registry {
          |  (${incrementalFlagsSql("doc_id % 10 = 5",
                 "doc_id % 5 <> 0 OR doc_id % 10 = 0")})
          |) ORDER BY doc_id""".stripMargin),
+    // Streaming vector ingest against the STANDING ANN index (round
+    // 10 — the ANN twin of q_stream_dedup_state, closing the dedup/ANN
+    // state-lifecycle asymmetry): vector micro-batches flow through
+    // foreachBatch — each batch is flagged with its exact top-3
+    // neighbors among everything indexed BEFORE it (state at batch
+    // start), then appended into the persisted IVF/SQ/IVF-SQ layouts
+    // with the existing centroids/grid; the cycle ends with the
+    // per-cell compaction sweep. MemoryStream pins the batch
+    // boundaries, so the oracle replays the stream as the two-stage
+    // batch recompute: batch-1 (vec_id%10=3) vs the corpus
+    // (%10 NOT IN (3,7)), batch-2 (%10=7) vs corpus+batch-1 (%10<>7).
+    // The routed batch probe of the state enters as batch_recall_ok
+    // (>= 0.9 at nProbe=14/rerank=24) — the standard ANN contract.
+    "q_stream_ann_ingest" -> q(
+      (s, d) => graft.streaming.StreamAnnIngest.demo(s, d),
+      """WITH u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), s1 AS (
+        |  SELECT qy.vec_id AS query_id, c.vec_id,
+        |    list_dot_product([y / qy.nrm FOR y IN qy.e], [x / c.nrm FOR x IN c.e]) AS raw_cos
+        |  FROM u c JOIN u qy ON qy.vec_id % 10 = 3
+        |  WHERE c.vec_id % 10 NOT IN (3, 7)
+        |), r1 AS (
+        |  SELECT query_id, vec_id, raw_cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, vec_id) AS rnk
+        |  FROM s1
+        |), s2 AS (
+        |  SELECT qy.vec_id AS query_id, c.vec_id,
+        |    list_dot_product([y / qy.nrm FOR y IN qy.e], [x / c.nrm FOR x IN c.e]) AS raw_cos
+        |  FROM u c JOIN u qy ON qy.vec_id % 10 = 7
+        |  WHERE c.vec_id % 10 <> 7
+        |), r2 AS (
+        |  SELECT query_id, vec_id, raw_cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, vec_id) AS rnk
+        |  FROM s2
+        |)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
+        |  ROUND(raw_cos, 4) AS cos_sim, TRUE AS batch_recall_ok
+        |FROM (SELECT * FROM r1 WHERE rnk <= 3
+        |      UNION ALL SELECT * FROM r2 WHERE rnk <= 3)
+        |ORDER BY query_id, rank""".stripMargin),
 
     // Distributed PageRank (round 9): the link-authority quality
     // signal a crawl curation pipeline attaches to documents. Each

@@ -561,8 +561,20 @@ object AnnIndex {
   def batchProbeIvfSq(spark: SparkSession, ivfDir: String, sqDir: String,
                       ivfSqDir: String, embeddings: DataFrame,
                       queryPredicate: org.apache.spark.sql.Column, k: Int = 5,
-                      nProbe: Int = 12, rerank: Int = 4): DataFrame = {
-    val queries = embeddings.filter(queryPredicate)
+                      nProbe: Int = 12, rerank: Int = 4): DataFrame =
+    batchProbeIvfSqFrames(spark, ivfDir, sqDir, ivfSqDir, embeddings,
+      embeddings.filter(queryPredicate), k, nProbe, rerank)
+
+  /** Frame-shaped batch probe: `queries` need not be a predicate over
+    * `corpus` — the streaming ingest path probes the standing index
+    * with vectors that are NOT yet in it (they append right after).
+    * `corpus` serves only the exact re-rank lookups of pool candidate
+    * ids; candidates themselves come from the index partitions. */
+  def batchProbeIvfSqFrames(spark: SparkSession, ivfDir: String, sqDir: String,
+                            ivfSqDir: String, corpus: DataFrame,
+                            queries: DataFrame, k: Int = 5,
+                            nProbe: Int = 12, rerank: Int = 4): DataFrame = {
+    val embeddings = corpus
     val qUnits = queries
       .select(col("vec_id"), Similarity.unitVector(col("embedding")).as("u"))
     val probe = assignProbeCells(qUnits, spark.read.parquet(s"$ivfDir/centroids"), nProbe)

@@ -199,6 +199,40 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.map(_.getLong(0)).distinct.size == b1.count() + b2.count())
   }
 
+  test("streaming ANN ingest: flags equal the two-stage batch recompute, gates hold, compaction shrinks both trees") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val streamed = graft.streaming.StreamAnnIngest.demo(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed.forall(_.getBoolean(4)),
+      "routed batch probe must recall >= 0.9 of the exact pairs at nProbe=14")
+    // batch-k flags depend only on the state at batch start: replay
+    // the stream as the two-stage exact recompute
+    val state0 = emb.filter(col("vec_id") % 10 =!= 3 && col("vec_id") % 10 =!= 7)
+      .select(col("vec_id"), col("embedding"))
+    val q1 = emb.filter(col("vec_id") % 10 === 3)
+    val state1 = emb.filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id"), col("embedding"))
+    val q2 = emb.filter(col("vec_id") % 10 === 7)
+    val recomputed = (Similarity.batchTopKExact(state0, q1, 3).collect() ++
+        Similarity.batchTopKExact(state1, q2, 3).collect())
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      == recomputed)
+    // every streamed vector got exactly k=3 flag rows
+    assert(streamed.map(_.getLong(0)).distinct.size == q1.count() + q2.count())
+    streamed.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3), s"query $qid")
+    }
+    // the closing compaction sweep actually reduced the delta-file
+    // count the two appends accumulated, in BOTH cell-partitioned trees
+    val ((cB, cA), (sB, sA)) = graft.streaming.StreamAnnIngest.report(sf).get
+    assert(cA < cB, s"cells: $cB -> $cA")
+    assert(sA < sB, s"cells_sq: $sB -> $sA")
+  }
+
   test("rate-source generator stream produces the contract schema") {
     val stream = graft.ingest.Generator.sensorEventStream(spark)
     assert(stream.isStreaming)
