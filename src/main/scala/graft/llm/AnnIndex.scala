@@ -957,6 +957,39 @@ object AnnIndex {
     }
   }
 
+  /** Retention sweep for the memoized artifact cache (round-10 verdict
+    * task 5 — the vacuum discipline of the dedup epoch chain and the
+    * IVF cell compaction applied to the artifact store itself): drop
+    * every cached artifact of `spark` whose key does NOT satisfy
+    * `retain` — the parquet tree is deleted and the cache entry
+    * removed, so a later request REBUILDS on demand through the normal
+    * memoization path. Keys are the artifact identities
+    * (`bm25:<semanticHash>`, `bpe:<semanticHash>:<n>`,
+    * `ivf:<sfDir>:...`), so the standard sweep after a corpus version
+    * rolls over is `retain = _.contains(liveHash)` — artifacts whose
+    * source plan hash is no longer referenced reclaim their storage.
+    * A long-lived serving session otherwise accumulates one tree per
+    * corpus version it ever touched; this bounds that, exactly as
+    * `IncrementalDeduper.vacuum` bounds the epoch chain.
+    * @return (droppedKeys, keptKeys), each sorted. */
+  def vacuumArtifacts(spark: SparkSession,
+                      retain: String => Boolean): (Seq[String], Seq[String]) = {
+    val m = cache.synchronized { Option(cache.get(spark)) }
+    m match {
+      case None => (Nil, Nil)
+      case Some(mm) => mm.synchronized {
+        val (keep, drop) = mm.toSeq.partition { case (k, _) => retain(k) }
+        drop.foreach { case (k, dir) =>
+          mm.remove(k)
+          val f = new java.io.File(dir)
+          try deleteRecursively(f) catch { case _: Throwable => () }
+          tempDirs.remove(f): Unit
+        }
+        (drop.map(_._1).sorted, keep.map(_._1).sorted)
+      }
+    }
+  }
+
   /** Memoized IVF index dir for this session + fixture. */
   def ivfDir(spark: SparkSession, sfDir: String, embeddings: DataFrame,
              nCells: Int = 16, lloydIters: Int = 1): String =

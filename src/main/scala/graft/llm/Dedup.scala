@@ -398,7 +398,7 @@ object Dedup {
           batchState(shD).write.mode("overwrite").parquet(s"$e/df")
           state.texts.unionByName(delta.select(col("text"))).distinct()
             .write.mode("overwrite").parquet(s"$e/texts")
-          IncrementalDeduper.writeMeta(dir, shingleSize, threshold, next)
+          IncrementalDeduper.writeMeta(spark, dir, shingleSize, threshold, next)
           epoch = next
           state = IncrementalDeduper.readState(spark, dir, next)
       }
@@ -412,9 +412,11 @@ object Dedup {
     * artifact-dir discipline of AnnIndex applied to dedup state, so
     * the production ingest cycle this models survives job restarts: a
     * NEW session `open`s the dir and continues dedup/append WITHOUT
-    * ever rescanning the corpus. (The marker move uses the local FS
-    * here; on a cluster the same flip is an object-store conditional
-    * put or a metastore transaction.) */
+    * ever rescanning the corpus. All state + META I/O goes through the
+    * Hadoop FS API under the session's hadoop conf, so the chain lives
+    * wherever the session's warehouse does; on an object store without
+    * atomic rename, the META flip maps to a conditional put or a
+    * metastore transaction. */
   object IncrementalDeduper {
     private[llm] final case class State(sh: DataFrame, df: DataFrame, texts: DataFrame)
 
@@ -448,7 +450,7 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$e1/df")
       corpus.select(col("text")).distinct()
         .write.mode("overwrite").parquet(s"$e1/texts")
-      writeMeta(stateDir, shingleSize, threshold, 1)
+      writeMeta(spark, stateDir, shingleSize, threshold, 1)
       open(spark, stateDir)
     }
 
@@ -457,7 +459,7 @@ object Dedup {
       * reopened session dedups under the same contract it was built
       * with. */
     def open(spark: SparkSession, stateDir: String): IncrementalDeduper = {
-      val (shingleSize, threshold, epoch) = readMeta(stateDir)
+      val (shingleSize, threshold, epoch) = readMeta(spark, stateDir)
       new IncrementalDeduper(readState(spark, stateDir, epoch),
         shingleSize, threshold, Some(stateDir), epoch)
     }
@@ -480,9 +482,11 @@ object Dedup {
     def vacuum(spark: SparkSession, stateDir: String,
                keep: Int = 1): (Seq[Int], Seq[Int]) = {
       require(keep >= 1, s"keep must be >= 1, got $keep")
-      val (_, _, current) = readMeta(stateDir)
+      val (_, _, current) = readMeta(spark, stateDir)
       val root = new org.apache.hadoop.fs.Path(stateDir)
-      val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      // session conf, not a bare Configuration(): an hdfs/s3a session's
+      // credentials and fs impls must reach the sweep (ADVICE r9)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val epochs = fs.listStatus(root).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
         .map(_.getPath.getName.stripPrefix("epoch=").toInt)
@@ -494,21 +498,39 @@ object Dedup {
       (drop, epochs.filterNot(drop.contains))
     }
 
-    private def writeMeta(stateDir: String, shingleSize: Int,
-                          threshold: Double, epoch: Int): Unit = {
-      val dir = java.nio.file.Paths.get(stateDir)
-      java.nio.file.Files.createDirectories(dir)
-      val tmp = dir.resolve("META.tmp")
-      java.nio.file.Files.writeString(tmp, s"$shingleSize\n$threshold\n$epoch\n")
-      java.nio.file.Files.move(tmp, dir.resolve("META"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // META I/O goes through the Hadoop FS API with the SESSION's
+    // hadoop conf (ADVICE r9: the java.nio spelling was local-only and
+    // a bare `new Configuration()` would miss s3a/hdfs credentials),
+    // so the whole epoch-chain lifecycle — write, read, vacuum —
+    // ports to HDFS/S3-style stores together. The atomic-replace flip
+    // uses FileContext rename with OVERWRITE (plain FileSystem.rename
+    // refuses an existing destination on several implementations); on
+    // an object store without atomic rename the same flip is a
+    // conditional put or a metastore transaction.
+    private def writeMeta(spark: SparkSession, stateDir: String,
+                          shingleSize: Int, threshold: Double, epoch: Int): Unit = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dir = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = dir.getFileSystem(conf)
+      fs.mkdirs(dir)
+      val tmp = new org.apache.hadoop.fs.Path(dir, "META.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"$shingleSize\n$threshold\n$epoch\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+      fc.rename(tmp, new org.apache.hadoop.fs.Path(dir, "META"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
 
-    private def readMeta(stateDir: String): (Int, Double, Int) = {
-      val ls = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get(stateDir, "META"))
-      (ls.get(0).trim.toInt, ls.get(1).trim.toDouble, ls.get(2).trim.toInt)
+    private def readMeta(spark: SparkSession, stateDir: String): (Int, Double, Int) = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/META")
+      val in = p.getFileSystem(conf).open(p)
+      val ls =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      (ls(0).trim.toInt, ls(1).trim.toDouble, ls(2).trim.toInt)
     }
   }
 

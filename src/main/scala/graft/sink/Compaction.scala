@@ -23,6 +23,24 @@ object Compaction {
     (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
   }
 
+  /** Swap the rewritten `tmp` tree in for `path` via RENAME-ASIDE
+    * (ADVICE r9: the delete-then-rename first cut had a window where a
+    * failed second rename left the table deleted): path -> path__old,
+    * tmp -> path, then drop path__old. Every rename's boolean result
+    * is checked — a failure throws with the recovery copy still on
+    * disk (`__old` after step 1, `tmp` after a failed step 2). */
+  private def swapIn(path: String, tmp: String): Unit = {
+    val (fs, root) = fsOf(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(old, true)
+    if (!fs.rename(root, old))
+      throw new java.io.IOException(s"compaction swap: rename $path -> $old failed")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), root))
+      throw new java.io.IOException(
+        s"compaction swap: rename $tmp -> $path failed; original preserved at $old")
+    fs.delete(old, true): Unit
+  }
+
   private def dataFiles(path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val (fs, root) = fsOf(path)
     if (!fs.exists(root)) return Seq.empty
@@ -49,9 +67,7 @@ object Compaction {
       .sortWithinPartitions(col(keyCol), col(clusterCol).desc)
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
 
-    val (fs, root) = fsOf(path)
-    fs.delete(root, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), root)
+    swapIn(path, tmp)
     (before.size, dataFiles(path).size)
   }
 
@@ -73,9 +89,7 @@ object Compaction {
     df.repartition(targetFiles).sortWithinPartitions(col(sortCol))
       .write.mode("overwrite").parquet(tmp)
 
-    val (fs, root) = fsOf(path)
-    fs.delete(root, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), root)
+    swapIn(path, tmp)
     (before.size, dataFiles(path).size)
   }
 
@@ -95,6 +109,14 @@ object Compaction {
     * row per partition value (≤ nCells for an IVF index — bounded,
     * same class as the probed-cell union); rows route to output files
     * via a broadcast of that map + a salt, one shuffle total.
+    *
+    * The per-value budget is BEST-EFFORT, not exact (ADVICE r9): the
+    * router is `repartition(totalFiles, partitionCol, __salt)`, a hash
+    * partitioning, so distinct (value, salt) groups can collide into
+    * one task and a value may land in fewer (or shared) output files
+    * than its computed max(1, ceil(bytes/target)). Collisions only
+    * ever UNDER-shoot the file count — never oversize a cold cell —
+    * and the spec's bound is `1 <= files(v) <= budget(v)`.
     *
     * @return (filesBefore, filesAfter). */
   def compactPartitioned(spark: SparkSession, path: String, partitionCol: String,
@@ -125,9 +147,7 @@ object Compaction {
       .sortWithinPartitions(col(sortCol))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp)
 
-    val (fs, root) = fsOf(path)
-    fs.delete(root, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), root)
+    swapIn(path, tmp)
     (before.size, dataFiles(path).size)
   }
 

@@ -455,4 +455,30 @@ class AnnIndexSpec extends SparkTestBase {
     val src = AnnIndex.appendDemoDir(spark, sf, emb)
     assert(parquetFiles(s"$src/ivf/cells").nonEmpty)
   }
+
+  test("artifact cache vacuum: unreferenced trees reclaim, retained survive, rebuild on demand") {
+    import graft.llm.Bm25
+    val corpA = Seq((0L, "alpha beta"), (1L, "beta gamma")).toDF("doc_id", "text")
+    val corpB = Seq((0L, "delta epsilon")).toDF("doc_id", "text")
+    val dirA = Bm25.indexDir(corpA)
+    val dirB = Bm25.indexDir(corpB)
+    val keyA = s"bm25:${corpA.queryExecution.analyzed.semanticHash()}"
+    val keyB = s"bm25:${corpB.queryExecution.analyzed.semanticHash()}"
+    // corpus B's version rolled over: its source hash is no longer
+    // referenced — sweep everything that isn't keyB
+    val (dropped, kept) = AnnIndex.vacuumArtifacts(spark, k => k != keyB)
+    assert(dropped == Seq(keyB))
+    assert(kept.contains(keyA))
+    assert(!new java.io.File(dirB).exists, "dropped artifact tree must be reclaimed")
+    assert(new java.io.File(dirA).exists, "retained artifact must survive the sweep")
+    // retained key still memoizes (no rebuild) ...
+    assert(Bm25.indexDir(corpA) == dirA)
+    // ... and the dropped one rebuilds ON DEMAND into a fresh tree
+    val dirB2 = Bm25.indexDir(corpB)
+    assert(dirB2 != dirB, "rebuild must allocate a new artifact dir")
+    assert(new java.io.File(s"$dirB2/postings").exists)
+    val scored = Bm25.score(corpB, org.apache.spark.sql.functions.col("doc_id") === 0)
+      .collect()
+    assert(scored.nonEmpty, "scoring from the rebuilt artifact must work")
+  }
 }

@@ -106,6 +106,35 @@ class FixtureSchemaSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("nanosAsLong pre-set session-wide does not change a MICROS read (the loader's standing invariant)") {
+    // Tables.events leaves spark.sql.legacy.parquet.nanosAsLong SET
+    // for the rest of the session after it meets one NANOS footer
+    // (round-9 verdict finding 3). That is safe ONLY IF the flag is a
+    // no-op for every other encoding the loaders meet — this test pins
+    // that invariant explicitly in BOTH orders: with the flag forced
+    // on up front, a MICROS fixture must load with the identical
+    // schema and values it loads with the flag off.
+    val dir = tmpDir("fx-flagged")
+    writeMicros(dir)
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val flagged = normalized(dir)
+      assert(flagged.schema.map(f => (f.name, f.dataType)) ==
+        expectedEventsSchema.map(f => (f.name, f.dataType)),
+        "a MICROS fixture must ignore the legacy NANOS flag")
+      val a = flagged.orderBy("event_id").collect().toSeq
+      spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      val b = normalized(dir).orderBy("event_id").collect().toSeq
+      assert(a == b, "flag on/off must load identical values from MICROS")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    }
+  }
+
   test("live testdata: every Tables loader pins its schema (drift tripwire)") {
     // dtype map per fixture table as of the 2026-08-13 regeneration;
     // a driver regeneration that shifts any dtype fails HERE with a
