@@ -8,4 +8,12 @@ def full(name: String): Unit = { val df = graft.SparkEntry.queries(name)(spark, 
 audit("q_bm25")
 audit("q_rag_fusion")
 audit("q_rag_fusion_ann")
+audit("q_pagerank_links")
+audit("q_stream_ann_ingest")
+audit("q_triangles")
+audit("q_fuzzy_join")
+audit("q_phrase_search")
 full("q_bm25")
+full("q_triangles")
+full("q_fuzzy_join")
+full("q_phrase_search")

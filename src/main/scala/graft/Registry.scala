@@ -1132,6 +1132,43 @@ object Registry {
         |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, ROUND(rrf, 6) AS rrf,
         |  TRUE AS batch_recall_ok
         |FROM f WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    // Exact-phrase search (round 10) over the POSITIONAL postings
+    // artifact (bm25pos:*, one corpus tokenize pass into
+    // (doc_id, term, pos)): each query doc's tokens [2,3] form a
+    // bigram phrase; a doc matches at start s iff every phrase role r
+    // finds its token at s + r — matched postings carry
+    // (query, doc, pos - role, role) and an occurrence is a start
+    // where count(distinct role) = phraseLen (the role tag keeps
+    // repeated phrase terms — common under the Zipf vocabulary —
+    // exact). Ranked by (occurrences desc, doc_id), top 10. Phrase
+    // terms broadcast onto the postings scan; counts are exact
+    // integers, so there is no cross-engine numeric surface at all.
+    // The oracle recomputes occurrences from first principles: a
+    // per-(query, doc) list scan of token windows — not the postings
+    // join — so engine == oracle checks the positional-intersection
+    // identity, not two spellings of one plan.
+    "q_phrase_search" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        graft.llm.Bm25.phraseSearch(documents(s, d), col("doc_id") % 250 === 0)
+      },
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |q AS (
+        |  SELECT doc_id AS query_id, t[2] AS p1, t[3] AS p2 FROM toks
+        |  WHERE doc_id % 250 = 0 AND len(t) >= 3
+        |), occ AS (
+        |  SELECT q.query_id, d.doc_id,
+        |    CAST(len([i FOR i IN range(1, greatest(len(d.t) - 1, 0) + 1)
+        |              IF d.t[i] = q.p1 AND d.t[i+1] = q.p2]) AS BIGINT) AS n_occ
+        |  FROM q, toks d
+        |), ranked AS (
+        |  SELECT query_id, doc_id, n_occ,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY n_occ DESC, doc_id) AS rnk
+        |  FROM occ WHERE n_occ >= 1
+        |)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, n_occ
+        |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
     "q_tfidf" -> q(
       (s, d) => TextOps.tfidf(documents(s, d)),
       """WITH tok AS (
@@ -2250,6 +2287,82 @@ object Registry {
       s"""WITH ${pageRankCtes(4, linkEdgesSql, dangling = true)}
          |SELECT doc_id, CAST(r AS DOUBLE) / 1000000000000 AS pagerank FROM r4
          |ORDER BY doc_id""".stripMargin),
+    // Triangle counting (round 10) — degree-ordered orientation
+    // (node-iterator++): every edge directs low-(deg,id) -> high, each
+    // triangle has exactly one vertex out-adjacent to the other two,
+    // so it is found once; any node's out-degree is O(sqrt |E|), so
+    // the deliberate hub (node 0, degree |V|/25 + 4) receives its
+    // edges INBOUND and contributes ~no wedges — the skew case that
+    // kills unoriented wedge counting on power-law graphs. Exact
+    // integer counts + an engine-independent (deg, id) total order =
+    // zero cross-engine numeric surface; the oracle replays the same
+    // orientation in SQL row-comparisons.
+    "q_triangles" -> q(
+      (s, d) => graft.query.Graph.triangleDemo(documents(s, d)),
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM ids),
+        |raw AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst FROM ids, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % nn.n FROM ids, nn WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 3) % nn.n FROM ids, nn WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 0, doc_id FROM ids WHERE doc_id % 25 = 0 AND doc_id <> 0
+        |), canon AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst
+        |), deg AS (
+        |  SELECT id, COUNT(*) AS deg FROM (
+        |    SELECT a AS id FROM canon UNION ALL SELECT b FROM canon) GROUP BY id
+        |), o AS (
+        |  SELECT CASE WHEN (da.deg, c.a) < (db.deg, c.b) THEN c.a ELSE c.b END AS u,
+        |         CASE WHEN (da.deg, c.a) < (db.deg, c.b) THEN c.b ELSE c.a END AS v,
+        |         CASE WHEN (da.deg, c.a) < (db.deg, c.b) THEN db.deg ELSE da.deg END AS dv
+        |  FROM canon c JOIN deg da ON da.id = c.a JOIN deg db ON db.id = c.b
+        |), w AS (
+        |  SELECT o1.u AS u, o1.v AS v, o2.v AS w
+        |  FROM o o1 JOIN o o2 ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
+        |), t AS (SELECT w.u, w.v, w.w FROM w JOIN o ON o.u = w.v AND o.v = w.w
+        |), cnt AS (
+        |  SELECT id, COUNT(*) AS triangles FROM (
+        |    SELECT u AS id FROM t UNION ALL SELECT v FROM t
+        |    UNION ALL SELECT w FROM t) GROUP BY id
+        |)
+        |SELECT ids.doc_id, COALESCE(deg.deg, 0) AS degree,
+        |  COALESCE(cnt.triangles, 0) AS triangles
+        |FROM ids LEFT JOIN deg ON deg.id = ids.doc_id
+        |LEFT JOIN cnt ON cnt.id = ids.doc_id
+        |ORDER BY doc_id""".stripMargin),
+    // Blocked edit-distance entity resolution (round 10) — PassJoin
+    // segment blocking at tau=1 (VLDB'12, public literature): the
+    // clean titles (first 5 tokens) index 2 segments each; the dirty
+    // variants (every 5th doc, ONE char deleted at a position that
+    // walks the string) probe <= 18 shifted substrings; pigeonhole
+    // guarantees every true pair shares a (segment, slot, length) key.
+    // The ORACLE is deliberately a DIFFERENT algorithm — length-banded
+    // brute force over all (dirty, clean) pairs — so a green hash is
+    // the pigeonhole completeness theorem holding, not two spellings
+    // of one plan agreeing. Verification uses thresholded (banded-DP)
+    // levenshtein; distances are exact ints.
+    "q_fuzzy_join" -> q(
+      (s, d) => graft.llm.FuzzyJoin.titleResolution(documents(s, d)),
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |clean AS (
+        |  SELECT doc_id AS clean_id, array_to_string(t[1:5], ' ') AS s
+        |  FROM toks WHERE len(t) >= 5
+        |), dirty AS (
+        |  SELECT clean_id AS dirty_id,
+        |    substr(s, 1, CAST((clean_id // 5) % length(s) AS INT))
+        |      || substr(s, CAST((clean_id // 5) % length(s) AS INT) + 2) AS q
+        |  FROM clean WHERE clean_id % 5 = 0
+        |), cand AS (
+        |  SELECT d.dirty_id, c.clean_id, levenshtein(d.q, c.s) AS dist
+        |  FROM dirty d JOIN clean c
+        |    ON length(c.s) BETWEEN length(d.q) - 1 AND length(d.q) + 1
+        |)
+        |SELECT dirty_id, clean_id, CAST(dist AS INT) AS dist
+        |FROM cand WHERE dist <= 1 ORDER BY dirty_id, clean_id""".stripMargin),
     // Star-rounds CC on an adversarial-diameter graph: 50-long doc_id
     // chains, the case where plain min-label propagation needs ~50
     // shuffle rounds and the large-star/small-star alternation needs

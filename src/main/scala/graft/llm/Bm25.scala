@@ -209,4 +209,67 @@ object Bm25 {
         k, rrfBase)
       .withColumn("batch_recall_ok", lit(ok))
   }
+
+  /** POSITIONAL postings — the phrase-query extension of the BM25
+    * artifact (its own artifact tree, `bm25pos:*`, because the
+    * bag-of-words index deliberately discards positions and the two
+    * serve different query classes): one corpus tokenize pass into
+    * (doc_id, term, pos), 1-based. Corpus-token-sized, built once per
+    * session + corpus plan, and the production hand-off exactly like
+    * the scoring index. */
+  def buildPosIndex(documents: DataFrame, dir: String): Unit =
+    toks(documents)
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos0", "term")))
+      .select(col("doc_id"), col("term"), (col("pos0") + 1).as("pos"))
+      .write.mode("overwrite").parquet(s"$dir/positions")
+
+  def posIndexDir(documents: DataFrame): String = {
+    val spark = documents.sparkSession
+    val key = s"bm25pos:${documents.queryExecution.analyzed.semanticHash()}"
+    AnnIndex.artifact(spark, key)(buildPosIndex(documents, _))
+  }
+
+  /** Exact-phrase search over the positional index. Queries are corpus
+    * docs selected by `queryPredicate`; each query's phrase is tokens
+    * [phraseFrom, phraseFrom + phraseLen) of its own text. A document
+    * matches at start position s iff for EVERY role r in
+    * [0, phraseLen), its token at s + r equals phrase token r — the
+    * classic positional-intersection: matched postings rows carry
+    * (query, doc, pos - role, role) and a start is an occurrence iff
+    * all roles land on it (count(distinct role) = phraseLen; the role
+    * tag makes repeated phrase terms — common under a Zipf vocabulary
+    * — count correctly, since each role must match at its OWN offset).
+    * Ranking is (occurrence count desc, doc_id), top `k` per query.
+    *
+    * Scale shape: phrase terms (phraseLen * |queries| rows) BROADCAST
+    * onto the postings scan — only postings whose term appears in some
+    * phrase survive the join, so the one corpus-sized exchange is the
+    * (query, doc, start) aggregation of MATCHED rows only; with a
+    * realistic vocabulary the scan itself prunes to the queried
+    * terms' postings (the Zipf-df argument from BM25 scoring). */
+  def phraseSearch(documents: DataFrame, queryPredicate: org.apache.spark.sql.Column,
+                   phraseFrom: Int = 2, phraseLen: Int = 2, k: Int = 10): DataFrame = {
+    require(phraseLen >= 1, "phraseLen must be >= 1")
+    val spark = documents.sparkSession
+    val dir = posIndexDir(documents)
+    val positions = spark.read.parquet(s"$dir/positions")
+    val qterms = toks(documents.filter(queryPredicate))
+      .filter(size(col("t")) >= phraseFrom + phraseLen - 1)
+      .select(col("doc_id").as("query_id"),
+        posexplode(slice(col("t"), phraseFrom, phraseLen)).as(Seq("role", "term")))
+    val matched = positions.join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("role")).as("start"), col("role"))
+    matched
+      .groupBy(col("query_id"), col("doc_id"), col("start"))
+      .agg(countDistinct(col("role")).as("nr"))
+      .filter(col("nr") === phraseLen)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("n_occ").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_occ"))
+      .orderBy("query_id", "rank")
+  }
 }

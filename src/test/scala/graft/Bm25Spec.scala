@@ -27,6 +27,45 @@ class Bm25Spec extends SparkTestBase {
       case other => other.children.flatMap(deepScans)
     }
 
+  test("phrase search counts occurrences exactly, including repeated-term phrases") {
+    val corpus = Seq(
+      (0L, "x a a a a y"),     // query doc: phrase = tokens [2,3] = "a a"
+      (1L, "a a b a a b a a"), // 3 non-overlapping-role occurrences
+      (2L, "a b a b a"),       // zero "a a" occurrences
+      (3L, "a a")).toDF("doc_id", "text")
+    val out = Bm25.phraseSearch(corpus, col("doc_id") === 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc 0: "a a" at starts 2,3,4 -> 3; doc 1: starts 1,4,7 -> 3; doc 3: 1
+    assert(out == Seq((0L, 1, 0L, 3L), (0L, 2, 1L, 3L), (0L, 3, 3L, 1L)))
+  }
+
+  test("phrase search reuses the positional artifact: same dir, files untouched") {
+    val d1 = Bm25.posIndexDir(docs)
+    val files = parquetFiles(d1).map(f => (f.getPath, f.lastModified())).sorted
+    Bm25.phraseSearch(docs, col("doc_id") % 250 === 0).collect()
+    val d2 = Bm25.posIndexDir(docs)
+    assert(d1 == d2, "memoized artifact must be stable for the same corpus plan")
+    assert(parquetFiles(d2).map(f => (f.getPath, f.lastModified())).sorted == files,
+      "second touch must not rewrite the positional index")
+  }
+
+  test("phrase search fixture invariants: contiguous ranks, descending counts, query self-hit") {
+    val out = Bm25.phraseSearch(docs, col("doc_id") % 250 === 0).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length), s"ranks contiguous for $qid")
+      val occs = sorted.map(_.getLong(3)).toSeq
+      assert(occs == occs.sorted.reverse, s"occurrence-ordered for $qid")
+      assert(occs.forall(_ >= 1))
+      // the phrase comes from the query doc's own text, so the query
+      // doc itself contains it at least once — and must appear unless
+      // 10 other docs strictly beat it
+      val self = rs.exists(_.getLong(2) == qid)
+      assert(self || rs.length == 10, s"query doc missing from a short list for $qid")
+    }
+  }
+
   test("bm25 matches a hand-computed score on a known corpus") {
     val corpus = Seq(
       (0L, "spark runs fast"),
