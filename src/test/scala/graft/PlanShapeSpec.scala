@@ -356,6 +356,38 @@ class PlanShapeSpec extends SparkTestBase {
     assert(smj.size <= 1, s"only the full-outer fuse may merge-join:\n$p")
   }
 
+  test("triangles: equality joins only — the rank inequality rides the wedge join, never a cartesian") {
+    val df = SparkEntry.queries("q_triangles")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(deepAll(p) { case c: CartesianProductExec => c }.isEmpty, p.toString)
+    assert(deepAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"wedge/close joins must be equality-keyed:\n$p")
+  }
+
+  test("fuzzy join: segment blocking is an equality join; no cartesian, no corpus product") {
+    val df = SparkEntry.queries("q_fuzzy_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(deepAll(p) { case c: CartesianProductExec => c }.isEmpty, p.toString)
+    assert(deepAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"blocking must join on (seg, slot, len), never a product:\n$p")
+  }
+
+  test("phrase search: phrase terms broadcast onto the positional artifact, TopKPerKey ranks") {
+    val df = SparkEntry.queries("q_phrase_search")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(deepAll(p) { case j: BroadcastHashJoinExec => j }.size == 1, p.toString)
+    assert(deepAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, s"postings must meet phrase terms via broadcast:\n$p")
+    assert(deepAll(p) { case c: CartesianProductExec => c }.isEmpty, p.toString)
+    assert(p.toString.contains("TopKPerKey"), p.toString)
+  }
+
   test("stratified sample is a scan-local filter (no exchange before the sort)") {
     val s = planString("q_sample_stratified")
     assert("hashpartitioning".r.findAllIn(s).isEmpty,
