@@ -962,6 +962,57 @@ object Registry {
         |  CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY sample_rank, doc_id) AS INT) AS rn
         |FROM r QUALIFY rn <= 40 ORDER BY lang, rn""".stripMargin),
+    // Weighted sampling without replacement (round 10) — Efraimidis-
+    // Spirakis exponential sort keys: u from the reservoir row's
+    // integer hash, rank by ln(u)/w with w = n_chars (monotone
+    // equivalent of u^(1/w)), per-lang top-10. ONE fixed double
+    // expression rounded into DECIMAL(28,10) (ln outputs are
+    // non-terminating — no half-way ties), ranking on the exact
+    // decimal; TopKPerKey lowering, same plan as the reservoir.
+    "q_sample_weighted" -> q(
+      (s, d) => graft.llm.Curation.weightedSample(documents(s, d)),
+      """WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(ROUND(ln((1 + (doc_id * 2654435761) % 999999) / 1000000.0)
+        |         / n_chars, 10) AS DECIMAL(28,10)) AS wk
+        |  FROM documents WHERE n_chars > 0
+        |), t AS (
+        |  SELECT lang, doc_id, n_chars, wk,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY wk DESC, doc_id) AS INT) AS rn
+        |  FROM r
+        |)
+        |SELECT lang, doc_id, n_chars, CAST(wk AS DOUBLE) AS wkey, rn
+        |FROM t WHERE rn <= 10 ORDER BY lang, rn""".stripMargin),
+    // Corpus snapshot diff (round 10) — the versioning primitive
+    // between two pipeline epochs: added/removed/changed via a
+    // full-outer join of (doc_id, xxhash64(text)) FINGERPRINTS —
+    // 8-byte rows shuffle, text bodies never do (the dedup bargain:
+    // hash equality stands in for text equality under the no-collision
+    // event). Version B derives deterministically from the corpus;
+    // the oracle rebuilds B by the same rules and diffs TEXT directly,
+    // so the fingerprint bargain is exactly what the green hash
+    // certifies.
+    "q_snapshot_diff" -> q(
+      (s, d) => graft.llm.Curation.snapshotDiffDemo(documents(s, d)),
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM base WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'added ' || CAST(doc_id AS VARCHAR)
+        |  FROM base WHERE doc_id % 29 = 0
+        |), j AS (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.text <> b.text THEN 'changed'
+        |         ELSE 'same' END AS status
+        |  FROM base a FULL JOIN b ON a.doc_id = b.doc_id
+        |)
+        |SELECT doc_id, status FROM j WHERE status <> 'same'
+        |ORDER BY doc_id""".stripMargin),
     // Content-defined chunking: boundary where a 4-token rolling
     // polynomial (pure integer arithmetic, engine-portable) hits
     // 0 mod 16 — edit-local chunk boundaries for chunk-level dedup.
@@ -1919,6 +1970,46 @@ object Registry {
         |FROM px WHERE (i // width) % 4 = 0
         |GROUP BY doc_id, i // width, width
         |ORDER BY doc_id, frame_idx""".stripMargin),
+    // Perceptual-hash image dedup (round 10): dHash over the REAL PNG
+    // decode path — 9x8 nearest-neighbor grid, one bit per horizontal
+    // gradient sign, carried as FOUR 16-bit bands (no sign-bit
+    // surface; the bands ARE the LSH keys: distance <= 2 < 4 bands
+    // forces a shared band by pigeonhole, so the engine's banded
+    // candidate join is exact). The ORACLE is the opposite algorithm —
+    // all-pairs popcount over formula-replayed hashes — so the green
+    // hash certifies the pigeonhole theorem AND the full
+    // encode->ImageIO-decode->resize->gradient chain.
+    "q_media_dhash" -> q(
+      (s, d) => Multimodal.dhashNearDupPairs(s, documents(s, d)),
+      """WITH d AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 17 AS INT) AS sw,
+        |    CAST(16 + doc_id % 13 AS INT) AS sh
+        |  FROM documents
+        |), g AS (SELECT doc_id, sw, sh, unnest(range(72)) AS i FROM d
+        |), p AS (
+        |  SELECT doc_id, CAST(i // 9 AS INT) AS r, CAST(i % 9 AS INT) AS c,
+        |    (doc_id * 31 + (((i // 9) * sh // 8) * sw + ((i % 9) * sw // 9)) * 7) % 256 AS v
+        |  FROM g
+        |), b AS (
+        |  SELECT a.doc_id, a.r * 8 + a.c AS bit,
+        |    CASE WHEN a.v < n.v THEN 1 ELSE 0 END AS x
+        |  FROM p a JOIN p n ON n.doc_id = a.doc_id AND n.r = a.r AND n.c = a.c + 1
+        |  WHERE a.c < 8
+        |), h AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN bit // 16 = 0 THEN x * (1 << (bit % 16)) ELSE 0 END) AS b0,
+        |    SUM(CASE WHEN bit // 16 = 1 THEN x * (1 << (bit % 16)) ELSE 0 END) AS b1,
+        |    SUM(CASE WHEN bit // 16 = 2 THEN x * (1 << (bit % 16)) ELSE 0 END) AS b2,
+        |    SUM(CASE WHEN bit // 16 = 3 THEN x * (1 << (bit % 16)) ELSE 0 END) AS b3
+        |  FROM b GROUP BY doc_id
+        |), pr AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        |      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS dist
+        |  FROM h x JOIN h y ON x.doc_id < y.doc_id
+        |)
+        |SELECT doc_a, doc_b, CAST(dist AS INT) AS dist FROM pr
+        |WHERE dist <= 2 ORDER BY doc_a, doc_b""".stripMargin),
 
     // ---- text analysis (X4) ----
     "q_token_count" -> q(

@@ -701,4 +701,73 @@ object Curation {
       .withColumn("batch_recall_ok", lit(ok))
       .orderBy("query_id")
   }
+
+  /** Weighted sampling without replacement — Efraimidis–Spirakis
+    * exponential sort keys (public algorithm, IPL 2006): each doc draws
+    * u in (0,1) from a DETERMINISTIC integer hash (the reservoir row's
+    * Knuth multiplier) and ranks by u^(1/w) — realized as the monotone
+    * equivalent ln(u)/w, so heavier docs (w = n_chars) float up with
+    * exactly weight-proportional odds. The importance-sampling
+    * primitive of a curation pipeline ("sample 1% of the corpus,
+    * longer/higher-quality docs proportionally more often").
+    *
+    * Cross-engine: the integer hash is exact; ln(u)/w is ONE fixed
+    * double expression spelled identically in the oracle, rounded into
+    * DECIMAL(28,10) (ln outputs are non-terminating, so the half-way
+    * tie class cannot arise — the BM25/LM discipline), and RANKING
+    * uses the exact decimal. Per-lang top-k lowers to the TopKPerKey
+    * heap operator: bounded state per partition, one key exchange —
+    * the same plan as reservoirSample at any corpus size. */
+  def weightedSample(documents: DataFrame, k: Int = 10): DataFrame = {
+    val wkey = expr(
+      "cast(round(ln((1 + (doc_id * 2654435761) % 999999) / 1000000.0)" +
+        " / n_chars, 10) as decimal(28,10))")
+    val ranked = documents
+      .filter(col("n_chars") > 0)
+      .select(col("lang"), col("doc_id"), col("n_chars"), wkey.as("wkey"))
+    graft.plans.TopK.perKey(ranked, Seq("lang"),
+        Seq(col("wkey").desc, col("doc_id").asc), k)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        col("wkey").cast(DoubleType).as("wkey"), col("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  /** Corpus snapshot diff — the versioning primitive between two crawl
+    * or pipeline epochs: which docs were added, removed, or changed.
+    * The 100 TB shape: both sides reduce to (doc_id, fingerprint)
+    * BEFORE the full-outer join — 8-byte xxhash64 fingerprints shuffle,
+    * text bodies never do (the dedup-family bargain: hash equality
+    * stands in for text equality under the no-collision event). The
+    * changed/same verdict is a fingerprint compare; added/removed fall
+    * out of the join's null sides. */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val fa = a.select(col("doc_id"), xxhash64(col("text")).as("fp_a"))
+    val fb = b.select(col("doc_id"), xxhash64(col("text")).as("fp_b"))
+    fa.join(fb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") =!= col("fp_b"), lit("changed"))
+          .otherwise(lit("same")).as("status"))
+      .filter(col("status") =!= "same")
+      .orderBy("doc_id")
+  }
+
+  /** The registered diff row: version B derives deterministically from
+    * the corpus (drop id %% 17 == 0; append " rev2" to id %% 13 == 0;
+    * add one new doc per id %% 29 == 0 at id + 1000000) — the oracle
+    * rebuilds B by the same rules and diffs TEXT directly, so the
+    * fingerprint bargain is on the hook. */
+  def snapshotDiffDemo(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("text"))
+    val next = base
+      .filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(base.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("added "), col("doc_id").cast(StringType)).as("text")))
+    snapshotDiff(base, next)
+  }
 }

@@ -501,4 +501,94 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  // ====================================================================
+  // Perceptual-hash image dedup (round 10): dHash over the REAL PNG
+  // decode path + the SimHash band-blocking discipline applied to
+  // images. dHash (difference hash — public technique, e.g. the
+  // classic Hacker Factor description) is the standard cheap
+  // perceptual fingerprint: resize to a (w+1) x h grid, emit one bit
+  // per horizontal gradient sign. Gradients cancel global
+  // brightness/contrast shifts, which is exactly why two renditions of
+  // the same image land within a few bits of each other.
+  // ====================================================================
+
+  /** 64-bit dHash, carried as FOUR 16-bit band values rather than one
+    * long: (a) no sign-bit overflow surface in either engine, and
+    * (b) the bands ARE the LSH blocking keys — by pigeonhole, two
+    * hashes within Hamming distance d < 4 agree on at least one band,
+    * so the banded join below is exact for d <= 3, the same theorem
+    * the SimHash text path rides. Bit (r*8+c) = 1 iff the decoded
+    * 9x8-resized raster has px[r][c] < px[r][c+1]. */
+  case class ImageHash(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  def imageDHash(spark: SparkSession, documents: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    // id input sorted pre-decode for the same reason as extractFeatures
+    documents.select(col("doc_id")).orderBy("doc_id").as[Long].mapPartitions { ids =>
+      ids.flatMap { id =>
+        decodeImage(pngFor(id)).map { img =>
+          val sw = img.getWidth
+          val sh = img.getHeight
+          val px = Array.ofDim[Int](8, 9)
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 9) { px(r)(c) = sampleAt(img, c * sw / 9, r * sh / 8); c += 1 }
+            r += 1
+          }
+          val bands = new Array[Int](4)
+          r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              if (px(r)(c) < px(r)(c + 1)) {
+                val bit = r * 8 + c
+                bands(bit / 16) |= 1 << (bit % 16)
+              }
+              c += 1
+            }
+            r += 1
+          }
+          ImageHash(id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs within Hamming distance `maxDist`
+    * (default 2): band-blocked candidate join + exact popcount verify.
+    * The hash table is one narrow row per image; candidates come from
+    * an equality join on (band index, band value) — the all-pairs
+    * product never exists in the plan, the 100 TB shape shared with
+    * every similarity join in `Dedup`. The ORACLE is the opposite
+    * algorithm (all-pairs popcount over the formula-replayed hashes),
+    * so a green hash is the band-pigeonhole theorem + the full
+    * encode->decode->resize->gradient chain agreeing, not two copies
+    * of one plan. */
+  def dhashNearDupPairs(spark: SparkSession, documents: DataFrame,
+                        maxDist: Int = 2): DataFrame = {
+    require(maxDist <= 3, "4x16-bit banding is exact only for distance <= 3")
+    val hashes = imageDHash(spark, documents).toDF().localCheckpoint()
+    val banded = hashes.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band", "v")))
+    val cand = banded
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("v")),
+        Seq("band", "v"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val aSide = hashes.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val bSide = hashes.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(aSide, Seq("doc_a")).join(bSide, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3")))).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
 }

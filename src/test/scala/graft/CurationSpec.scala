@@ -392,4 +392,42 @@ class CurationSpec extends SparkTestBase {
     assert(plan.collect {
       case n: graft.plans.TopKPerKeyNode => n }.nonEmpty, s"$plan")
   }
+
+  test("weighted sample recomputes exactly: Efraimidis-Spirakis keys, per-lang top-10") {
+    val base = docs.select("lang", "doc_id", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = base.filter(_._3 > 0).groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.map { case (_, id, w) =>
+        val u = (1 + (id * 2654435761L) % 999999).toDouble / 1000000.0
+        val key = BigDecimal(math.log(u) / w)
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        (lang, id, w, key)
+      }.sortBy { case (_, id, _, key) => (-key.toDouble, id) }
+        .take(10).zipWithIndex
+        .map { case ((l, id, w, key), i) => (l, id, w, key.toDouble, i + 1) }
+    }.sortBy(t => (t._1, t._5))
+    val out = Curation.weightedSample(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    assert(out == expected)
+    // heavier docs are favored: the sampled mean length exceeds the
+    // corpus mean (weight-proportional odds, deterministic fixture)
+    val sampledMean = out.map(_._3).sum.toDouble / out.size
+    val corpusMean = base.map(_._3).sum.toDouble / base.length
+    assert(sampledMean > corpusMean,
+      s"weighted sample mean $sampledMean <= corpus mean $corpusMean")
+  }
+
+  test("snapshot diff statuses follow the derivation rules exactly") {
+    val out = Curation.snapshotDiffDemo(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = (
+      ids.filter(id => id % 17 == 0).map(id => (id, "removed")) ++
+      ids.filter(id => id % 17 != 0 && id % 13 == 0).map(id => (id, "changed")) ++
+      ids.filter(id => id % 29 == 0).map(id => (id + 1000000L, "added"))
+    ).toSeq.sortBy(_._1)
+    assert(out == expected)
+    assert(out.nonEmpty)
+  }
 }

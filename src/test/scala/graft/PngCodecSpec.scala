@@ -48,4 +48,47 @@ class PngCodecSpec extends SparkTestBase {
       }
     }
   }
+
+  test("dHash: banded candidate join equals all-pairs popcount (pigeonhole theorem)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val hashes = Multimodal.imageDHash(spark, docs).toDF()
+    val a = hashes.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val b = hashes.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3")))).as("dist"))
+      .filter(col("dist") <= 2).orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val banded = Multimodal.dhashNearDupPairs(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(banded == brute)
+    assert(banded.nonEmpty, "fixture images must yield near-dup pairs")
+    assert(banded.forall(p => p._1 < p._2 && p._3 <= 2))
+  }
+
+  test("dHash recomputes by hand from adjacent comparisons of the decoded raster") {
+    // the hash is a pure function of adjacent-pixel comparisons of
+    // the DECODED raster (gradients cancel global brightness — why
+    // dHash is a perceptual hash); recompute one id by hand
+    val id = 7L
+    val img = Multimodal.decodeImage(Multimodal.pngFor(id)).get
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    def px(r: Int, c: Int): Int =
+      img.getRaster.getSample(c * sw / 9, r * sh / 8, 0)
+    val bands = new Array[Int](4)
+    for (r <- 0 until 8; c <- 0 until 8)
+      if (px(r, c) < px(r, c + 1)) {
+        val bit = r * 8 + c
+        bands(bit / 16) |= 1 << (bit % 16)
+      }
+    val row = Multimodal.imageDHash(spark, Tables.documents(spark, sf))
+      .filter(_.doc_id == id).collect().head
+    assert((row.b0, row.b1, row.b2, row.b3) == (bands(0), bands(1), bands(2), bands(3)))
+  }
 }
