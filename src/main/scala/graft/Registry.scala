@@ -1220,6 +1220,32 @@ object Registry {
         |)
         |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id, n_occ
         |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
+    // PMI collocations (round 10) — pointwise mutual information over
+    // adjacent token pairs (Church & Hanks): the collocation signal
+    // for stop-phrase lists / tokenizer merge seeding. Vocab-sized
+    // count tables broadcast; ONE fixed double expression rounded into
+    // DECIMAL(28,10), ranked on the exact decimal.
+    "q_pmi" -> q(
+      (s, d) => TextOps.pmiCollocations(documents(s, d)),
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS term FROM tok),
+        |uc AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY term),
+        |ntot AS (SELECT COUNT(*) AS nt FROM uni),
+        |bg0 AS (SELECT t, unnest(range(1, len(t))) AS i FROM tok WHERE len(t) >= 2),
+        |bg AS (SELECT t[i] AS term_a, t[i+1] AS term_b FROM bg0),
+        |bc AS (SELECT term_a, term_b, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+        |nbig AS (SELECT COUNT(*) AS nb FROM bg),
+        |p AS (
+        |  SELECT term_a, term_b, n_ab,
+        |    CAST(ROUND(ln((CAST(n_ab AS DOUBLE) / nb) /
+        |      ((CAST(a.c AS DOUBLE) / nt) * (CAST(b.c AS DOUBLE) / nt))), 10)
+        |      AS DECIMAL(28,10)) AS pmi_d
+        |  FROM bc JOIN uc a ON a.term = bc.term_a
+        |  JOIN uc b ON b.term = bc.term_b, ntot, nbig
+        |  WHERE n_ab >= 5
+        |)
+        |SELECT term_a, term_b, n_ab, CAST(pmi_d AS DOUBLE) AS pmi
+        |FROM p ORDER BY pmi_d DESC, term_a, term_b LIMIT 20""".stripMargin),
     "q_tfidf" -> q(
       (s, d) => TextOps.tfidf(documents(s, d)),
       """WITH tok AS (
@@ -1607,6 +1633,39 @@ object Registry {
       },
       s"""SELECT event_id, ts, user_id, event_type, value FROM events
          |WHERE user_id = ${ReadPath.DeviceKey} ORDER BY event_id""".stripMargin),
+    // Write-audit-publish manifest commits (round 10): a multi-file
+    // batch write becomes ATOMIC via indirection — data files land in
+    // an epoch dir, a manifest names exactly the audited files, the
+    // MANIFEST pointer flips last (FileContext rename-OVERWRITE, the
+    // dedup-META discipline). The demo publishes two epochs, then
+    // PLANTS a crashed-writer orphan parquet INSIDE the live epoch
+    // dir; the manifest-resolved read returns exactly the published
+    // epoch-2 rows — a plain-listing read would include the orphan
+    // and break the hash. Old epochs stay pinned for time travel
+    // (spec covers travel + orphan accounting).
+    "q_manifest_publish" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val root = tmpDir("graft_manifest_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+        graft.sink.ManifestSink.publish(ev.filter(col("event_id") < 100), root, 1)
+        graft.sink.ManifestSink.publish(ev.filter(col("event_id") % 3 === 0), root, 2)
+        // a crashed writer's stray file inside the LIVE epoch dir
+        val stray = s"$root/__stray"
+        ev.filter(col("event_id") >= 100 && col("event_id") < 120)
+          .coalesce(1).write.mode("overwrite").parquet(stray)
+        val conf = s.sparkContext.hadoopConfiguration
+        val sp = new org.apache.hadoop.fs.Path(stray)
+        val fs = sp.getFileSystem(conf)
+        val part = fs.listStatus(sp).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).head
+        fs.rename(part, new org.apache.hadoop.fs.Path(
+          s"$root/data-epoch=2/part-99999-crashed-writer.parquet"))
+        graft.sink.ManifestSink.read(s, root).orderBy("event_id")
+      },
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_id % 3 = 0 ORDER BY event_id""".stripMargin),
 
     // ---- aggregation & windowing (A1-A4) ----
     "q_hourly_agg" -> q(
@@ -2454,6 +2513,34 @@ object Registry {
         |)
         |SELECT dirty_id, clean_id, CAST(dist AS INT) AS dist
         |FROM cand WHERE dist <= 1 ORDER BY dirty_id, clean_id""".stripMargin),
+    // PassJoin at tau=2 (round 10): TWO chained deletions per dirty
+    // variant, 3-segment blocking — two edits can hit two different
+    // segments and the third must still match verbatim (shifted <= 2).
+    // Same contract: the oracle is length-banded brute force, so the
+    // green hash is the 3-segment pigeonhole theorem.
+    "q_fuzzy_join2" -> q(
+      (s, d) => graft.llm.FuzzyJoin.titleResolution2(documents(s, d)),
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |clean AS (
+        |  SELECT doc_id AS clean_id, array_to_string(t[1:5], ' ') AS s
+        |  FROM toks WHERE len(t) >= 5
+        |), d1 AS (
+        |  SELECT clean_id AS dirty_id,
+        |    substr(s, 1, CAST((clean_id // 5) % length(s) AS INT))
+        |      || substr(s, CAST((clean_id // 5) % length(s) AS INT) + 2) AS q1
+        |  FROM clean WHERE clean_id % 5 = 0
+        |), dirty AS (
+        |  SELECT dirty_id,
+        |    substr(q1, 1, CAST((dirty_id // 7) % length(q1) AS INT))
+        |      || substr(q1, CAST((dirty_id // 7) % length(q1) AS INT) + 2) AS q
+        |  FROM d1
+        |), cand AS (
+        |  SELECT d.dirty_id, c.clean_id, levenshtein(d.q, c.s) AS dist
+        |  FROM dirty d JOIN clean c
+        |    ON length(c.s) BETWEEN length(d.q) - 2 AND length(d.q) + 2
+        |)
+        |SELECT dirty_id, clean_id, CAST(dist AS INT) AS dist
+        |FROM cand WHERE dist <= 2 ORDER BY dirty_id, clean_id""".stripMargin),
     // Star-rounds CC on an adversarial-diameter graph: 50-long doc_id
     // chains, the case where plain min-label propagation needs ~50
     // shuffle rounds and the large-star/small-star alternation needs

@@ -317,4 +317,49 @@ object TextOps {
         round(col("__s") / col("n_tok"), 6).as("mean_logprob"))
       .orderBy("doc_id")
   }
+
+  /** PMI collocations — pointwise mutual information over ADJACENT
+    * token pairs, the classic collocation-extraction signal (Church &
+    * Hanks 1990): pmi(a,b) = ln( p(ab) / (p(a) p(b)) ) with p from the
+    * corpus's own counts. High-PMI pairs are phrases that co-occur far
+    * above chance — a curation pipeline uses them for stop-phrase
+    * lists, tokenizer merge seeding, and boilerplate detection.
+    *
+    * Scale shape: bigram + unigram counts are two hash aggs over one
+    * tokenize pass; the count tables are VOCABULARY-sized (the Zipf
+    * argument), so the two enrichment joins broadcast and the final
+    * top-k orders a vocab^2-bounded table — no corpus-sized work after
+    * the aggregation. Cross-engine: one fixed double expression
+    * (identical operand order), rounded into DECIMAL(28,10), RANKED on
+    * the exact decimal (ln outputs non-terminating => no half-way
+    * ties); ties in the rational itself break on the term pair. */
+  def pmiCollocations(documents: DataFrame, minCount: Int = 5,
+                      k: Int = 20): DataFrame = {
+    val toks = documents.select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .localCheckpoint()
+    val uni = toks.select(explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nt = toks.select(coalesce(sum(size(col("t"))), lit(0L)).as("nt"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(element_at(col("t"), col("i")).as("term_a"),
+        element_at(col("t"), col("i") + 1).as("term_b"))
+      .localCheckpoint()
+    val bc = bg.groupBy(col("term_a"), col("term_b")).agg(count(lit(1)).as("n_ab"))
+    val nb = bg.select(count(lit(1)).as("nb"))
+    val pmiRaw = log(
+      (col("n_ab").cast(DoubleType) / col("nb")) /
+        ((col("ca").cast(DoubleType) / col("nt")) *
+          (col("cb").cast(DoubleType) / col("nt"))))
+    bc.filter(col("n_ab") >= minCount)
+      .join(broadcast(uni.select(col("term").as("term_a"), col("c").as("ca"))), Seq("term_a"))
+      .join(broadcast(uni.select(col("term").as("term_b"), col("c").as("cb"))), Seq("term_b"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+      .withColumn("pmi_d", round(pmiRaw, 10).cast(DecimalType(28, 10)))
+      .orderBy(col("pmi_d").desc, col("term_a"), col("term_b"))
+      .limit(k)
+      .select(col("term_a"), col("term_b"), col("n_ab"),
+        col("pmi_d").cast(DoubleType).as("pmi"))
+  }
 }

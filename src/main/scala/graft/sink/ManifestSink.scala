@@ -1,0 +1,120 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Write-audit-publish table commits — the manifest discipline the
+  * lakehouse formats (Iceberg/Delta — public designs) use to make a
+  * multi-file batch write ATOMIC on a store whose directory listings
+  * are not transactional. The reference's sink writes rely on
+  * Cassandra's per-row atomicity; a file-based 100 TB sink has no such
+  * luxury: a writer that dies after 500 of 800 task files leaves a
+  * directory that LISTS as half a table. The fix is indirection:
+  *
+  *   1. WRITE   — data files land under an epoch directory
+  *                (`data-epoch=N/`); files are immutable once written.
+  *   2. AUDIT   — the publisher lists exactly the files the Spark
+  *                write produced (post-write listing of the epoch dir:
+  *                the committed task outputs).
+  *   3. PUBLISH — a `manifest-N` file naming those files is written,
+  *                then the `MANIFEST` pointer flips to N via Hadoop
+  *                FileContext rename-OVERWRITE (the IncrementalDeduper
+  *                META discipline) — ONE atomic metadata operation.
+  *
+  * Readers resolve `MANIFEST` -> `manifest-N` -> file list and read
+  * ONLY listed files: a crashed writer's orphans, a concurrent
+  * in-flight epoch, or a stray temporary are all INVISIBLE until some
+  * later publish lists them. Old epochs stay readable by pinning their
+  * manifest (time travel) until a retention sweep drops them — the
+  * same lifecycle as the dedup epoch chain and the artifact cache.
+  * All I/O goes through the session's Hadoop conf, so the scheme
+  * ports to HDFS/S3a stores unchanged (object stores without atomic
+  * rename swap step 3 for a conditional put, as the META docs note).
+  */
+object ManifestSink {
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Publish `df` as epoch `epoch` of the table at `root`. Returns the
+    * number of data files committed to the manifest. */
+  def publish(df: DataFrame, root: String, epoch: Int): Int = {
+    val spark = df.sparkSession
+    val epochDir = s"$root/data-epoch=$epoch"
+    df.write.mode("overwrite").parquet(epochDir)
+    // AUDIT: exactly the parquet files the committed write produced
+    val dirPath = new org.apache.hadoop.fs.Path(epochDir)
+    val f = fs(spark, dirPath)
+    val files = f.listStatus(dirPath).toSeq
+      .map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(p => s"data-epoch=$epoch/${p.getName}")
+      .sorted
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val manifest = new org.apache.hadoop.fs.Path(rootPath, s"manifest-$epoch")
+    val out = f.create(manifest, true)
+    try out.write((files.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // PUBLISH: atomic pointer flip
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, "MANIFEST.tmp")
+    val o2 = f.create(tmp, true)
+    try o2.write(s"$epoch\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally o2.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(rootPath, "MANIFEST"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    files.size
+  }
+
+  /** The epoch the table currently publishes. */
+  def currentEpoch(spark: SparkSession, root: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/MANIFEST")
+    val in = fs(spark, p).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next().trim.toInt
+    finally in.close()
+  }
+
+  /** Manifest-resolved file list of `epoch` (absolute paths). */
+  def manifestFiles(spark: SparkSession, root: String, epoch: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/manifest-$epoch")
+    val in = fs(spark, p).open(p)
+    val names =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    names.map(n => s"$root/$n")
+  }
+
+  /** Read the table AS PUBLISHED: only manifest-listed files — orphans
+    * and unpublished epochs are invisible. Pass `epoch` to time-travel
+    * to a pinned manifest. */
+  def read(spark: SparkSession, root: String, epoch: Int = -1): DataFrame = {
+    val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
+    spark.read.parquet(manifestFiles(spark, root, e): _*)
+  }
+
+  /** Files under the table root that NO manifest references — the
+    * candidates a retention sweep deletes (crashed writers, replaced
+    * epochs). Listing only; deletion policy is the caller's. */
+  def orphanFiles(spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = fs(spark, rootPath)
+    val referenced = f.listStatus(rootPath).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("manifest-"))
+      .flatMap(m => manifestFiles(spark, root,
+        m.stripPrefix("manifest-").toInt))
+      .map(new org.apache.hadoop.fs.Path(_).toUri.getPath)
+      .toSet
+    val it = f.listFiles(rootPath, true)
+    val all = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (s.isFile && name.endsWith(".parquet"))
+        all += s.getPath.toUri.getPath
+    }
+    all.toSeq.filterNot(referenced).sorted
+  }
+}

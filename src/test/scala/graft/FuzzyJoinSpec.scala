@@ -73,4 +73,37 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(tiny == Seq((1L, 0L, 0), (2L, 0L, 1), (3L, 0L, 1)))
     assert(FuzzyJoin.editDistanceJoin(index, probes).count() == 1L)
   }
+
+  test("tau=2: fixture two-deletion resolution equals brute force; distance 3 rejected") {
+    val docs = Tables.documents(spark, sf)
+    val clean = docs
+      .select($"doc_id".as("clean_id"),
+        filter(split($"text", " "), t => length(t) > 0).as("t"))
+      .filter(size($"t") >= 5)
+      .select($"clean_id", array_join(slice($"t", 1, 5), " ").as("s"))
+    val d1 = clean.filter($"clean_id" % 5 === 0)
+      .select($"clean_id".as("dirty_id"),
+        expr("concat(substring(s, 1, (clean_id div 5) % length(s))," +
+          " substring(s, (clean_id div 5) % length(s) + 2))").as("q1"))
+    val dirty = d1.select($"dirty_id",
+      expr("concat(substring(q1, 1, (dirty_id div 7) % length(q1))," +
+        " substring(q1, (dirty_id div 7) % length(q1) + 2))").as("q"))
+    val brute = dirty.crossJoin(clean)
+      .filter(abs(length($"q") - length($"s")) <= 2)
+      .select($"dirty_id", $"clean_id", expr("levenshtein(q, s)").as("dist"))
+      .filter($"dist" <= 2)
+      .orderBy("dirty_id", "clean_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val passjoin = FuzzyJoin.titleResolution2(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(passjoin == brute)
+    assert(passjoin.nonEmpty)
+    // unit: three edits must NOT match at tau=2
+    val unit = FuzzyJoin.editDistanceJoin(
+      Seq((0L, "abcdefghijkl")).toDF("clean_id", "s"),
+      Seq((1L, "Xbcdefghijkl"), (2L, "XbcdefXhijkl"), (3L, "XbcXefXhijkl"))
+        .toDF("dirty_id", "q"), tau = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(unit == Seq((1L, 0L, 1), (2L, 0L, 2)))
+  }
 }

@@ -370,4 +370,36 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(within7.subsetOf(cand), s"fs=$fs missing ${within7 -- cand}")
     }
   }
+
+  test("PMI recomputes exactly on a known corpus and favors above-chance pairs") {
+    import spark.implicits._
+    // "x y" always adjacent (8x); "a" frequent but dispersed
+    val corpus = Seq(
+      (0L, "x y a x y a x y"),
+      (1L, "x y a a x y a a"),
+      (2L, "a x y a x y a a"),
+      (3L, "x y x y a a a a")).toDF("doc_id", "text")
+    val out = graft.llm.TextOps.pmiCollocations(corpus, minCount = 5, k = 20)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // hand recompute: per doc 7 bigrams -> 28 total; 32 tokens
+    val toks = Seq("x y a x y a x y", "x y a a x y a a",
+      "a x y a x y a a", "x y x y a a a a").map(_.split(" ").toSeq)
+    val nt = toks.map(_.size).sum
+    val bigs = toks.flatMap(t => t.zip(t.tail))
+    val nb = bigs.size
+    val uc = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = bigs.groupBy(identity).view.mapValues(_.size).toMap.toSeq
+      .filter(_._2 >= 5)
+      .map { case ((a, b), cab) =>
+        val pmi = BigDecimal(math.log((cab.toDouble / nb) /
+          ((uc(a).toDouble / nt) * (uc(b).toDouble / nt))))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        (a, b, cab.toLong, pmi)
+      }
+      .sortBy { case (a, b, _, p) => (-p.toDouble, a, b) }
+      .map { case (a, b, c, p) => (a, b, c, p.toDouble) }
+    assert(out.toSeq == expected)
+    // the always-adjacent pair ranks first, above chance (pmi > 0)
+    assert(out.head._1 == "x" && out.head._2 == "y" && out.head._4 > 0)
+  }
 }

@@ -96,4 +96,56 @@ class SinkOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(salted == direct)
   }
+
+  test("manifest sink: atomic publish, orphan invisibility, time travel, orphan accounting") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_manifest_spec_")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val n1 = ManifestSink.publish(ev.filter(col("event_id") < 50), root, 1)
+    assert(n1 >= 1)
+    assert(ManifestSink.currentEpoch(spark, root) == 1)
+    val r1 = ManifestSink.read(spark, root).count()
+    assert(r1 == ev.filter(col("event_id") < 50).count())
+
+    ManifestSink.publish(ev.filter(col("event_id") % 2 === 0), root, 2)
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+
+    // crashed-writer orphan INSIDE the live epoch dir
+    val stray = s"$root/__stray"
+    ev.filter(col("event_id") < 5).coalesce(1)
+      .write.mode("overwrite").parquet(stray)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(stray)
+    val hfs = sp.getFileSystem(conf)
+    val part = hfs.listStatus(sp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    val orphan = new org.apache.hadoop.fs.Path(
+      s"$root/data-epoch=2/part-99999-crashed.parquet")
+    assert(hfs.rename(part, orphan))
+
+    // manifest-resolved read: published rows only, orphan invisible
+    val cur = ManifestSink.read(spark, root)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val want = ev.filter(col("event_id") % 2 === 0)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(cur == want, "orphan leaked into the manifest-resolved read")
+    // a plain directory listing DOES see the orphan — the indirection
+    // is what hides it
+    val plain = spark.read.parquet(s"$root/data-epoch=2").count()
+    assert(plain > want.size, "orphan should be visible to a raw listing")
+
+    // time travel: epoch 1 still reads exactly its published content
+    val t1 = ManifestSink.read(spark, root, epoch = 1)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(t1 == ev.filter(col("event_id") < 50)
+      .select("event_id").as[Long].collect().sorted.toSeq)
+
+    // orphan accounting: exactly the crashed file (both epochs' data
+    // files are manifest-referenced and excluded)
+    val orphans = ManifestSink.orphanFiles(spark, root)
+    assert(orphans.size == 1 && orphans.head.endsWith("part-99999-crashed.parquet"),
+      s"orphans: $orphans")
+  }
 }
