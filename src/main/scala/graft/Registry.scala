@@ -159,8 +159,8 @@ object Registry {
     * RRF hybrid q_rag_fusion. Fractional literals CAST to DOUBLE
     * (DuckDB parses bare 1.2 as DECIMAL and would fold constants
     * differently from Spark's double arithmetic). */
-  private val bm25Ctes: String =
-    """toks AS (
+  private def bm25Ctes(qWhere: String = "doc_id % 250 = 2"): String =
+    s"""toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
       |  FROM documents
       |  WHERE len(list_filter(string_split(text, ' '), x -> len(x) > 0)) > 0
@@ -173,7 +173,7 @@ object Registry {
       |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dls),
       |qt AS (
       |  SELECT doc_id AS query_id, unnest(t[1:4]) AS term
-      |  FROM toks WHERE doc_id % 250 = 2
+      |  FROM toks WHERE $qWhere
       |), per AS (
       |  SELECT q.query_id, p.doc_id,
       |    CAST(ROUND(
@@ -1084,7 +1084,27 @@ object Registry {
         import org.apache.spark.sql.functions.col
         graft.llm.Bm25.score(documents(s, d), col("doc_id") % 250 === 2)
       },
-      s"""WITH $bm25Ctes
+      s"""WITH ${bm25Ctes()}
+        |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id,
+        |  ROUND(CAST(s AS DOUBLE), 6) AS bm25
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
+    // Incremental BM25 index append (round 10) — the ANN append
+    // discipline for text: the standing index covers docs >= 50, the
+    // ingest batch (docs < 50) APPENDS delta postings files, merges
+    // dfreq via one vocab-sized full-outer sum, and adds the 1-row
+    // stats. Scoring the composed index MUST equal a fresh full-corpus
+    // build — BM25's statistics (tf, dl, df, n, avgdl) are exactly
+    // mergeable — so the oracle is simply full-corpus BM25 over a
+    // disjoint query set: any double-count or missed merge shifts a
+    // df/avgdl and breaks the hash.
+    "q_bm25_append" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val docs = documents(s, d).select("doc_id", "text")
+        val dir = graft.llm.Bm25.appendDemoDir(docs)
+        graft.llm.Bm25.scoreWithIndex(docs, dir, col("doc_id") % 250 === 1)
+      },
+      s"""WITH ${bm25Ctes("doc_id % 250 = 1")}
         |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id,
         |  ROUND(CAST(s AS DOUBLE), 6) AS bm25
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
@@ -1101,7 +1121,7 @@ object Registry {
         graft.llm.Bm25.hybridRrf(documents(s, d), embeddings(s, d),
           col("doc_id") % 250 === 2)
       },
-      s"""WITH $bm25Ctes,
+      s"""WITH ${bm25Ctes()},
         |lex AS (SELECT query_id, doc_id, rnk AS rl FROM r WHERE rnk <= 10),
         |ue AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
@@ -1152,7 +1172,7 @@ object Registry {
         graft.llm.Bm25.hybridRrfAnn(s, ivf, sq, csq, documents(s, d), e,
           col("doc_id") % 250 === 2, col("vec_id") % 250 === 2)
       },
-      s"""WITH $bm25Ctes,
+      s"""WITH ${bm25Ctes()},
         |lex AS (SELECT query_id, doc_id, rnk AS rl FROM r WHERE rnk <= 10),
         |ue AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

@@ -176,4 +176,32 @@ class Bm25Spec extends SparkTestBase {
         sorted.map(_.getDouble(3)).sortBy(-_).toSeq, s"query $q")
     }
   }
+
+  test("index append equals a fresh full build; standing postings files untouched") {
+    val full = docs
+    val dirFull = tmpDir("bm25_full_")
+    Bm25.buildIndex(full, dirFull)
+    val dirApp = tmpDir("bm25_app_")
+    Bm25.buildIndex(full.filter(col("doc_id") >= 50), dirApp)
+    val before = parquetFiles(s"$dirApp/postings")
+      .map(f => (f.getPath, f.lastModified(), f.length())).sorted
+    Bm25.appendToIndex(full.filter(col("doc_id") < 50), dirApp)
+    // delta-only I/O: every pre-append postings file survives unchanged
+    val after = parquetFiles(s"$dirApp/postings")
+      .map(f => (f.getPath, f.lastModified(), f.length())).sorted
+    assert(before.forall(after.contains),
+      "append must not rewrite standing postings files")
+    assert(after.size > before.size, "append must add delta files")
+    // scoring parity with the fresh full build — every query, all ranks
+    val a = Bm25.scoreWithIndex(full, dirApp, col("doc_id") % 100 === 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val b = Bm25.scoreWithIndex(full, dirFull, col("doc_id") % 100 === 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(a == b, "appended index must score identically to a full rebuild")
+    assert(a.nonEmpty)
+    // merged stats equal the full build's
+    val sa = spark.read.parquet(s"$dirApp/stats").collect()(0)
+    val sb = spark.read.parquet(s"$dirFull/stats").collect()(0)
+    assert((sa.getLong(0), sa.getLong(1)) == (sb.getLong(0), sb.getLong(1)))
+  }
 }
