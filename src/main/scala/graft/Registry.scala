@@ -159,11 +159,13 @@ object Registry {
     * RRF hybrid q_rag_fusion. Fractional literals CAST to DOUBLE
     * (DuckDB parses bare 1.2 as DECIMAL and would fold constants
     * differently from Spark's double arithmetic). */
-  private def bm25Ctes(qWhere: String = "doc_id % 250 = 2"): String =
+  private def bm25Ctes(qWhere: String = "doc_id % 250 = 2",
+                       corpusWhere: String = "TRUE"): String =
     s"""toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
       |  FROM documents
-      |  WHERE len(list_filter(string_split(text, ' '), x -> len(x) > 0)) > 0
+      |  WHERE ($corpusWhere)
+      |    AND len(list_filter(string_split(text, ' '), x -> len(x) > 0)) > 0
       |), dls AS (SELECT doc_id, len(t) AS dl FROM toks),
       |postings AS (
       |  SELECT doc_id, term, COUNT(*) AS tf
@@ -190,6 +192,64 @@ object Registry {
       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
       |  FROM agg
       |)""".stripMargin
+
+  /** Unrolled k-core peel rounds for the DuckDB oracle — stage a{r} is
+    * the survivor set after round r of "drop survivors whose degree
+    * WITHIN a{r-1} is < k" over the community graph (citation edges +
+    * planted 6-cliques, mirroring Graph.communityEdges). `conv` is the
+    * one-more-round gate: TRUE iff every a{rounds} member keeps degree
+    * >= k inside a{rounds} — the same self-report the engine emits. */
+  private def kCoreCtes(rounds: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """ids AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM ids),
+        |raw AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst FROM ids, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % nn.n FROM ids, nn WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 3) % nn.n FROM ids, nn WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 0, doc_id FROM ids WHERE doc_id % 25 = 0 AND doc_id <> 0
+        |  UNION ALL
+        |  SELECT x.doc_id, y.doc_id FROM ids x JOIN ids y
+        |    ON x.doc_id // 100 = y.doc_id // 100
+        |   AND x.doc_id % 100 < 6 AND y.doc_id % 100 < 6
+        |   AND x.doc_id < y.doc_id
+        |), canon AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst
+        |), a0 AS MATERIALIZED (SELECT doc_id FROM ids)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |d$r AS (
+        |  SELECT id, COUNT(*) AS deg FROM (
+        |    SELECT c.a AS id FROM canon c
+        |      JOIN a${r - 1} x ON c.a = x.doc_id JOIN a${r - 1} y ON c.b = y.doc_id
+        |    UNION ALL
+        |    SELECT c.b FROM canon c
+        |      JOIN a${r - 1} x ON c.a = x.doc_id JOIN a${r - 1} y ON c.b = y.doc_id
+        |  ) GROUP BY id
+        |), a$r AS MATERIALIZED (
+        |  SELECT s.doc_id FROM a${r - 1} s JOIN d$r ON d$r.id = s.doc_id
+        |  WHERE d$r.deg >= $k)""".stripMargin)
+    }
+    sb.append(s""",
+      |dx AS (
+      |  SELECT id, COUNT(*) AS deg FROM (
+      |    SELECT c.a AS id FROM canon c
+      |      JOIN a$rounds x ON c.a = x.doc_id JOIN a$rounds y ON c.b = y.doc_id
+      |    UNION ALL
+      |    SELECT c.b FROM canon c
+      |      JOIN a$rounds x ON c.a = x.doc_id JOIN a$rounds y ON c.b = y.doc_id
+      |  ) GROUP BY id
+      |), conv AS (
+      |  SELECT COUNT(*) = 0 AS converged FROM a$rounds s
+      |  LEFT JOIN dx ON dx.id = s.doc_id
+      |  WHERE COALESCE(dx.deg, 0) < $k)""".stripMargin)
+    sb.toString
+  }
 
   /** Unrolled PageRank rounds for the DuckDB oracle — each stage
     * replays graft.query.PageRank's round arithmetic exactly. All
@@ -1108,6 +1168,30 @@ object Registry {
         |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id,
         |  ROUND(CAST(s AS DOUBLE), 6) AS bm25
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin),
+    // Streaming document ingest against the STANDING BM25 index
+    // (round 10) — the text twin of q_stream_ann_ingest: each
+    // micro-batch appends into the persisted index (delta postings,
+    // vocab-sized dfreq merge, 1-row stats add) and the fixed query
+    // set re-scores against the state at batch END — retrieval
+    // freshness without a rebuild. MemoryStream pins the batch
+    // boundaries, so the oracle replays the stream as per-stage
+    // full-prefix BM25 (batch 0 = everything but the %10==7 class;
+    // batch 1 = the full corpus): the append-maintains-exact-
+    // statistics identity, certified per stream stage.
+    "q_stream_bm25_ingest" -> q(
+      (s, d) => graft.streaming.StreamBm25Ingest.demo(s, d),
+      s"""SELECT 0 AS batch_id, * FROM (
+        |  WITH ${bm25Ctes(corpusWhere = "doc_id % 10 <> 7")}
+        |  SELECT query_id, CAST(rnk AS INT) AS rank, doc_id,
+        |    ROUND(CAST(s AS DOUBLE), 6) AS bm25
+        |  FROM r WHERE rnk <= 10)
+        |UNION ALL
+        |SELECT 1, * FROM (
+        |  WITH ${bm25Ctes()}
+        |  SELECT query_id, CAST(rnk AS INT) AS rank, doc_id,
+        |    ROUND(CAST(s AS DOUBLE), 6) AS bm25
+        |  FROM r WHERE rnk <= 10)
+        |ORDER BY batch_id, query_id, rank""".stripMargin),
     // Hybrid retrieval (round 9): reciprocal-rank fusion of the BM25
     // lexical list and the exact vector top-10 for the same query
     // docs — rrf = sum of 1/(60 + rank) over the lists a doc appears
@@ -2504,6 +2588,20 @@ object Registry {
         |FROM ids LEFT JOIN deg ON deg.id = ids.doc_id
         |LEFT JOIN cnt ON cnt.id = ids.doc_id
         |ORDER BY doc_id""".stripMargin),
+    // k-core by synchronized peeling (round 10): 5 unrolled rounds of
+    // "drop survivors with survivor-degree < 4" over the citation
+    // graph + planted 6-cliques; the chain fabric cascades out in 4
+    // rounds, the cliques are the 4-core. `converged` gates that one
+    // more round drops nothing — a too-small round budget self-reports
+    // instead of passing off a non-fixed-point. Monotone integer
+    // peeling => engine-independent fixed point; the oracle unrolls
+    // the identical rounds as CTE stages.
+    "q_kcore" -> q(
+      (s, d) => graft.query.Graph.kCoreDemo(documents(s, d)),
+      s"""WITH ${kCoreCtes(rounds = 5, k = 4)}
+        |SELECT ids.doc_id, (a5.doc_id IS NOT NULL) AS in_kcore, conv.converged
+        |FROM ids LEFT JOIN a5 ON a5.doc_id = ids.doc_id, conv
+        |ORDER BY ids.doc_id""".stripMargin),
     // Blocked edit-distance entity resolution (round 10) — PassJoin
     // segment blocking at tau=1 (VLDB'12, public literature): the
     // clean titles (first 5 tokens) index 2 segments each; the dirty

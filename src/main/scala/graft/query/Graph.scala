@@ -114,4 +114,73 @@ object Graph {
   /** The registered row: triangle counts over the citation graph. */
   def triangleDemo(documents: DataFrame): DataFrame =
     triangleCounts(documents, citationEdges(documents))
+
+  /** k-core membership by synchronized peeling (Seidman's k-core /
+    * the standard degeneracy sweep, bulk-synchronous form): `rounds`
+    * rounds of "drop every node whose degree WITHIN the surviving set
+    * is < k". The k-core is the fixed point; the returned `converged`
+    * gate is TRUE iff one further round would drop nothing, so a
+    * too-small `rounds` self-reports instead of silently returning a
+    * non-core. Community pages sit in deep cores; link-farm chains
+    * peel in the first rounds — the curation complement of the
+    * triangle signal.
+    *
+    * Per round: two semi-joins of the (narrowed) edge set against the
+    * survivor set + one degree hash-agg + one semi-join back — all
+    * equality-keyed on bare longs; `localCheckpoint` flattens lineage
+    * per round (the PageRank/CC discipline). Peeling is MONOTONE
+    * (survivor sets only shrink), so every quantity is an exact
+    * integer and the fixed point is engine-independent — the oracle
+    * unrolls the same rounds as CTE stages. */
+  def kCore(nodes: DataFrame, edges: DataFrame, k: Int,
+            rounds: Int): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    def survivorDegrees(alive: DataFrame): DataFrame = {
+      val e = canon
+        .join(alive.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      e.select(col("a").as("doc_id")).unionAll(e.select(col("b").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    }
+    var alive = nodes.select(col("doc_id")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keepers = survivorDegrees(alive).filter(col("deg") >= k)
+      alive = alive.join(keepers, Seq("doc_id"), "left_semi").localCheckpoint()
+    }
+    val wouldDrop = alive
+      .join(survivorDegrees(alive).filter(col("deg") >= k),
+        Seq("doc_id"), "left_anti")
+      .limit(1).count() > 0
+    nodes.select(col("doc_id"))
+      .join(alive.select(col("doc_id"), lit(true).as("flag")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("flag"), lit(false)).as("in_kcore"),
+        lit(!wouldDrop).as("converged"))
+      .orderBy("doc_id")
+  }
+
+  /** The k-core fixture graph: the citation edges PLUS planted
+    * 6-cliques (one per doc_id block of 100, members id % 100 < 6) —
+    * the chain/chord fabric peels out at k=4 within four rounds while
+    * the cliques (intra-degree 5) survive as the 4-core, so the row
+    * has a real non-empty fixed point AND a real cascade. */
+  def communityEdges(documents: DataFrame): DataFrame = {
+    val members = documents.filter(col("doc_id") % 100 < 6)
+      .select(col("doc_id"), expr("doc_id div 100").as("blk"))
+    val cliques = members.select(col("doc_id").as("src"), col("blk"))
+      .join(members.select(col("doc_id").as("dst"), col("blk")), Seq("blk"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    citationEdges(documents).unionByName(cliques)
+  }
+
+  /** The registered row: 4-core of the community graph, 5 peel rounds
+    * (fixture converges in 4; round 5 proves it and the gate pins it). */
+  def kCoreDemo(documents: DataFrame): DataFrame =
+    kCore(documents, communityEdges(documents), k = 4, rounds = 5)
 }

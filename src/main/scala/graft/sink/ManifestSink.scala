@@ -94,6 +94,43 @@ object ManifestSink {
     spark.read.parquet(manifestFiles(spark, root, e): _*)
   }
 
+  /** Retention sweep — the vacuum discipline of the dedup epoch chain
+    * / artifact cache applied to table epochs: keep the newest `keep`
+    * published epochs (the CURRENT epoch is always kept), drop older
+    * manifests + their now-unreferenced data files, and sweep orphans
+    * (crashed-writer strays referenced by NO surviving manifest).
+    * Time travel remains available across exactly the kept epochs.
+    * @return (droppedEpochs, keptEpochs), each sorted. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2): (Seq[Int], Seq[Int]) = {
+    require(keep >= 1, "must keep at least the current epoch")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = fs(spark, rootPath)
+    val cur = currentEpoch(spark, root)
+    val epochs = f.listStatus(rootPath).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("manifest-"))
+      .map(_.stripPrefix("manifest-").toInt)
+      .sorted
+    // newest `keep`, plus the current epoch unconditionally
+    val kept = (epochs.takeRight(keep) :+ cur).distinct.sorted
+    val dropped = epochs.filterNot(kept.contains)
+    val keptFiles = kept
+      .flatMap(e => manifestFiles(spark, root, e))
+      .map(new org.apache.hadoop.fs.Path(_).toUri.getPath)
+      .toSet
+    dropped.foreach { e =>
+      manifestFiles(spark, root, e)
+        .map(p => new org.apache.hadoop.fs.Path(p))
+        .filterNot(p => keptFiles.contains(p.toUri.getPath))
+        .foreach(p => f.delete(p, false))
+      f.delete(new org.apache.hadoop.fs.Path(rootPath, s"manifest-$e"), false)
+    }
+    // orphan sweep: data files no surviving manifest references
+    orphanFiles(spark, root).foreach(p =>
+      f.delete(new org.apache.hadoop.fs.Path(p), false))
+    (dropped, kept)
+  }
+
   /** Files under the table root that NO manifest references — the
     * candidates a retention sweep deletes (crashed writers, replaced
     * epochs). Listing only; deletion policy is the caller's. */

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.Bm25
+
+/** Streaming document ingest against the STANDING BM25 index — the
+  * text twin of `StreamAnnIngest`, and the composition
+  * `Bm25.appendToIndex` exists for: document micro-batches arrive on
+  * a stream; each batch APPENDS into the persisted index (delta
+  * postings files, vocab-sized dfreq merge, 1-row stats add) and the
+  * fixed query set is re-scored against the index state at the
+  * batch's END — the retrieval-freshness shape ("new docs are
+  * searchable as soon as their batch commits") that a rebuild-per-
+  * batch index cannot deliver at corpus scale.
+  *
+  * Determinism contract (the StateDedupIngest/StreamAnnIngest
+  * discipline): MemoryStream + processAllAvailable() pins batch
+  * boundaries, and the batch-k scores depend only on
+  * (standing corpus, batches <= k) — so the DuckDB oracle replays the
+  * stream as per-stage full-prefix BM25 (the bm25 CTE chain
+  * parameterized by the corpus prefix). Because `appendToIndex`
+  * maintains BM25's sufficient statistics exactly, the appended
+  * index's scores ARE full-rebuild scores — the same identity
+  * q_bm25_append gates batch-side, here certified per stream stage.
+  * Per-batch score frames land in per-batch sink dirs (flags never
+  * accumulate on the driver); query docs live in the standing corpus
+  * (id % 10 == 2 class), so every stage scores the same query set. */
+object StreamBm25Ingest {
+
+  final case class Doc(doc_id: Long, text: String)
+
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]())
+
+  def demo(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = cache.synchronized {
+      var mm = cache.get(spark)
+      if (mm == null) {
+        mm = scala.collection.mutable.Map.empty[String, DataFrame]
+        cache.put(spark, mm)
+      }
+      mm
+    }
+    m.synchronized { m.getOrElseUpdate(sfDir, runImpl(spark, sfDir)) }
+  }
+
+  private def runImpl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val standing = docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 10 =!= 7)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_bm25_").toString
+    Bm25.buildIndex(standing, dir)
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_bm25_out_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_bm25_ckpt_").toString
+
+    val batch1 = docs.filter(col("doc_id") % 10 === 3).as[Doc].collect().toSeq
+    val batch2 = docs.filter(col("doc_id") % 10 === 7).as[Doc].collect().toSeq
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val q = mem.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // absorb the batch (delta-only index maintenance), then score
+        // the fixed query set against the state at batch END — the
+        // freshness contract: this batch's docs are already rankable
+        Bm25.appendToIndex(batch, dir)
+        Bm25.scoreWithIndex(docs, dir, col("doc_id") % 250 === 2)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch=N dirs are hive-style: partition discovery yields `batch`
+    spark.read.parquet(outDir)
+      .select(col("batch").cast("int").as("batch_id"), col("query_id"),
+        col("rank"), col("doc_id"), col("bm25"))
+      .orderBy("batch_id", "query_id", "rank")
+  }
+}

@@ -66,4 +66,32 @@ class GraphSpec extends SparkTestBase {
     assert(base.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       shuffled.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
+
+  test("k-core peels a tail off a triangle; an insufficient round budget self-reports") {
+    val nodes = (0L to 4L).toDF("doc_id")
+    // triangle 0-1-2 with tail 2-3-4: k=2 core = the triangle
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.kCore(nodes, edges, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    assert(out == Seq((0L, true, true), (1L, true, true), (2L, true, true),
+      (3L, false, true), (4L, false, true)))
+    // the tail needs TWO cascade rounds (4 drops, then 3): rounds=1
+    // leaves node 3 alive with degree 1 — converged must be false
+    val short = Graph.kCore(nodes, edges, k = 2, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    assert(short.map(_._2) == Seq(true, true, true, true, false))
+    assert(short.forall(!_._3), "unconverged peel must self-report")
+  }
+
+  test("fixture 4-core is exactly the planted cliques; peel converges within budget") {
+    val docs = Tables.documents(spark, sf)
+    val out = Graph.kCoreDemo(docs).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(out.forall(_._3), "fixture must converge in 5 rounds")
+    val core = out.filter(_._2).map(_._1).toSet
+    val expected = out.map(_._1).filter(id => id % 100 < 6).toSet
+    assert(core == expected, s"core should be the planted cliques: ${core.size} vs ${expected.size}")
+    assert(core.nonEmpty)
+  }
 }

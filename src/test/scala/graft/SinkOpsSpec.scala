@@ -148,4 +148,37 @@ class SinkOpsSpec extends SparkTestBase {
     assert(orphans.size == 1 && orphans.head.endsWith("part-99999-crashed.parquet"),
       s"orphans: $orphans")
   }
+
+  test("manifest vacuum keeps newest epochs + current, reclaims old data and orphans") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_manifest_vac_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
+    ManifestSink.publish(ev.filter(col("event_id") < 10), root, 1)
+    ManifestSink.publish(ev.filter(col("event_id") < 20), root, 2)
+    ManifestSink.publish(ev.filter(col("event_id") < 30), root, 3)
+    // stray orphan in epoch-3's dir
+    val stray = s"$root/__stray"
+    ev.filter(col("event_id") < 3).coalesce(1).write.mode("overwrite").parquet(stray)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(stray)
+    val hfs = sp.getFileSystem(conf)
+    val part = hfs.listStatus(sp).map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    assert(hfs.rename(part, new org.apache.hadoop.fs.Path(
+      s"$root/data-epoch=3/part-88888-crashed.parquet")))
+
+    val (dropped, kept) = ManifestSink.vacuum(spark, root, keep = 2)
+    assert(dropped == Seq(1) && kept == Seq(2, 3), s"$dropped / $kept")
+    // epoch-1 manifest and data are gone; epochs 2 and 3 read intact
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$root/manifest-1")))
+    intercept[Exception](ManifestSink.read(spark, root, epoch = 1).collect())
+    assert(ManifestSink.read(spark, root, epoch = 2).count() ==
+      ev.filter(col("event_id") < 20).count())
+    assert(ManifestSink.read(spark, root).count() ==
+      ev.filter(col("event_id") < 30).count())
+    // orphan swept; surviving table has zero unreferenced files
+    assert(ManifestSink.orphanFiles(spark, root).isEmpty)
+    // idempotent
+    assert(ManifestSink.vacuum(spark, root, keep = 2) == (Seq(), Seq(2, 3)))
+  }
 }

@@ -239,4 +239,30 @@ class StreamingSpec extends SparkTestBase {
     assert(stream.schema.fieldNames.toSeq ==
       Seq("device_id", "device_name", "timestamp", "temperature", "humidity", "location"))
   }
+
+  test("streaming bm25 ingest: per-batch scores equal fresh prefix rebuilds") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.Bm25
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val streamed = graft.streaming.StreamBm25Ingest.demo(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(streamed.nonEmpty)
+    def rebuilt(pred: org.apache.spark.sql.Column): Seq[(Long, Int, Long, Double)] = {
+      val dir = java.nio.file.Files.createTempDirectory("bm25_prefix_").toString
+      Bm25.buildIndex(docs.filter(pred), dir)
+      Bm25.scoreWithIndex(docs, dir, col("doc_id") % 250 === 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    }
+    val stage0 = rebuilt(col("doc_id") % 10 =!= 7)
+    val stage1 = rebuilt(lit(true))
+    assert(streamed.filter(_._1 == 0).map(t => (t._2, t._3, t._4, t._5)) == stage0,
+      "batch-0 scores must equal a fresh rebuild of corpus minus the unseen class")
+    assert(streamed.filter(_._1 == 1).map(t => (t._2, t._3, t._4, t._5)) == stage1,
+      "batch-1 scores must equal a fresh full-corpus rebuild")
+    // freshness: batch-1 results can rank batch-1 docs (the %10==7
+    // class is searchable the moment its batch commits) — and stage-0
+    // results never contain them
+    assert(streamed.filter(_._1 == 0).forall(_._4 % 10 != 7))
+  }
 }
