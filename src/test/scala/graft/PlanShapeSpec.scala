@@ -388,6 +388,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.toString.contains("TopKPerKey"), p.toString)
   }
 
+  test("dhash and kcore plans: no cartesian, no nested-loop anywhere") {
+    for (name <- Seq("q_media_dhash", "q_kcore")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      assert(deepAll(p) { case c: CartesianProductExec => c }.isEmpty, s"$name:\n$p")
+      assert(deepAll(p) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"$name must stay equality-keyed:\n$p")
+    }
+  }
+
   test("stratified sample is a scan-local filter (no exchange before the sort)") {
     val s = planString("q_sample_stratified")
     assert("hashpartitioning".r.findAllIn(s).isEmpty,
