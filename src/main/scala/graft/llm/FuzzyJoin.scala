@@ -71,11 +71,17 @@ object FuzzyJoin {
       .filter(col("p") >= 1 && col("p") <= col("m") - col("li") + 1)
       .select(col("dirty_id"), col("q"), col("l"), col("slot"),
         expr("substring(q, p, li)").as("seg"))
+    // candidate DEDUP runs on bare id pairs — the strings join back
+    // only for the verify, AFTER the distinct (the family discipline:
+    // fingerprints/ids shuffle, payloads don't)
     val candidates = probeSubs
-      .join(segs, Seq("seg", "slot", "l"))
-      .select(col("dirty_id"), col("q"), col("clean_id"), col("s"))
+      .join(segs.select(col("seg"), col("slot"), col("l"), col("clean_id")),
+        Seq("seg", "slot", "l"))
+      .select(col("dirty_id"), col("clean_id"))
       .distinct()
     candidates
+      .join(probes.select(col("dirty_id"), col("q")), Seq("dirty_id"))
+      .join(index.select(col("clean_id"), col("s")), Seq("clean_id"))
       // thresholded levenshtein returns -1 above the bound: banded DP
       .select(col("dirty_id"), col("clean_id"),
         expr(s"levenshtein(q, s, $tau)").as("dist"))
