@@ -1770,6 +1770,58 @@ object Registry {
       },
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_id % 3 = 0 ORDER BY event_id""".stripMargin),
+    // Co-located bucketed fact-fact join (round 10): both tables
+    // bucketed + sorted on the join key at WRITE time, so the join
+    // AND the same-key aggregation plan with ZERO hash exchanges —
+    // the layout answer to repeated lineitem-orders joins at 100 TB
+    // (pay one bucketed write, then every join is exchange-free).
+    // PlanShapeSpec pins the no-hash-exchange property; the oracle is
+    // the plain join+agg under the decimal-sum discipline.
+    "q_bucketed_join" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, max}
+        val tag = Integer.toHexString(d.hashCode & 0x7fffffff)
+        val liT = s"li_bucketed_$tag"
+        val ordT = s"ord_bucketed_$tag"
+        // a FRESH session's catalog does not know a previous run's
+        // managed tables, but their warehouse dirs persist — drop both
+        // the entry and the location or saveAsTable refuses
+        for (t <- Seq(liT, ordT)) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(
+            s"${s.conf.get("spark.sql.warehouse.dir")}/$t")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        lineitem(s, d).select("l_orderkey", "l_quantity")
+          .write.mode("overwrite").bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey").saveAsTable(liT)
+        orders(s, d).select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey").saveAsTable(ordT)
+        s.table(liT)
+          .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey")
+          .agg(Tables.decSum(col("l_quantity")).as("qty"),
+            max(col("o_totalprice")).as("o_totalprice"))
+          .orderBy("l_orderkey")
+      },
+      s"""SELECT l_orderkey, ${dsum(s"CAST(l_quantity AS $dec4)")} AS qty,
+         |  MAX(o_totalprice) AS o_totalprice
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+    // Streaming writes through manifest commits (round 10): each
+    // micro-batch publishes a cumulative table EPOCH via the
+    // write-audit-publish flip, so readers always see a complete
+    // atomically-committed stream prefix — never a half-written
+    // batch's task files. MemoryStream pins batch boundaries; the
+    // final manifest-resolved read is the two batches' union, which
+    // the oracle spells directly. Spec pins each intermediate epoch
+    // against its exact stream prefix and the orphan-invisibility of
+    // in-flight files.
+    "q_stream_manifest" -> q(
+      (s, d) => graft.streaming.StreamManifestSink.demo(s, d),
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_id % 3 IN (0, 1) ORDER BY event_id""".stripMargin),
 
     // ---- aggregation & windowing (A1-A4) ----
     "q_hourly_agg" -> q(

@@ -388,6 +388,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.toString.contains("TopKPerKey"), p.toString)
   }
 
+  test("bucketed join row: the join AND the agg plan with zero hash exchanges") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val hash = deepAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hash.isEmpty,
+      s"bucketed layout must make the join+agg exchange-free:\n$p")
+  }
+
   test("dhash and kcore plans: no cartesian, no nested-loop anywhere") {
     for (name <- Seq("q_media_dhash", "q_kcore")) {
       val df = SparkEntry.queries(name)(spark, sf)

@@ -91,4 +91,17 @@ class PngCodecSpec extends SparkTestBase {
       .filter(_.doc_id == id).collect().head
     assert((row.b0, row.b1, row.b2, row.b3) == (bands(0), bands(1), bands(2), bands(3)))
   }
+
+  test("dHash table is a memoized artifact: second near-dup call re-decodes nothing") {
+    val docs = Tables.documents(spark, sf)
+    val d1 = Multimodal.dhashDir(spark, docs)
+    def files = new java.io.File(s"$d1/hashes").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getPath, f.lastModified())).sorted.toSeq
+    val before = files
+    assert(before.nonEmpty)
+    Multimodal.dhashNearDupPairs(spark, docs).collect()
+    assert(Multimodal.dhashDir(spark, docs) == d1,
+      "same session + corpus plan must reuse the hash artifact")
+    assert(files == before, "a second pass must not re-decode/rewrite the hashes")
+  }
 }

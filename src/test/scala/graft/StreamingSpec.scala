@@ -265,4 +265,32 @@ class StreamingSpec extends SparkTestBase {
     // results never contain them
     assert(streamed.filter(_._1 == 0).forall(_._4 % 10 != 7))
   }
+
+  test("streaming manifest sink: each epoch is an exact committed stream prefix") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    val (root, frame) = graft.streaming.StreamManifestSink.demoWithRoot(spark, sf)
+    // final epoch = both batches
+    val want = ev.filter(col("event_id") % 3 <= 1)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(frame.select("event_id").as[Long].collect().sorted.toSeq == want)
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+    // epoch 1 = exactly batch 1 (time travel into stream history)
+    val e1 = ManifestSink.read(spark, root, epoch = 1)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(e1 == ev.filter(col("event_id") % 3 === 0)
+      .select("event_id").as[Long].collect().sorted.toSeq)
+    // a stray in-flight file is invisible to the committed view
+    val stray = s"$root/__stray"
+    ev.limit(3).coalesce(1).write.mode("overwrite").parquet(stray)
+    val sp = new org.apache.hadoop.fs.Path(stray)
+    val hfs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = hfs.listStatus(sp).map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    assert(hfs.rename(part, new org.apache.hadoop.fs.Path(
+      s"$root/data-epoch=2/part-77777-inflight.parquet")))
+    assert(ManifestSink.read(spark, root)
+      .select("event_id").as[Long].collect().sorted.toSeq == want,
+      "in-flight file leaked into the committed stream view")
+  }
 }
