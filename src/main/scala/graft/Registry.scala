@@ -1822,6 +1822,33 @@ object Registry {
       (s, d) => graft.streaming.StreamManifestSink.demo(s, d),
       """SELECT event_id, user_id, value FROM events
         |WHERE event_id % 3 IN (0, 1) ORDER BY event_id""".stripMargin),
+    // Manifest zone maps / data skipping (round 10): the publish
+    // records per-file (min, max) of the cluster column in a stats
+    // sidecar; a range read prunes the FILE LIST before any scan is
+    // planned (the Iceberg/Delta skipping core — coarser but earlier
+    // than row-group stats). The write clusters by repartitionByRange
+    // so file ranges are disjoint and pruning bites; `files_pruned`
+    // rides the output as the evidence gate (TRUE iff the read
+    // touched strictly fewer files than the epoch holds), and the
+    // residual BETWEEN filter keeps correctness independent of the
+    // pruning. Spec pins the actual file counts.
+    "q_manifest_skipping" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val root = tmpDir("graft_skip_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        graft.sink.ManifestSink.publishWithStats(
+          ev.repartitionByRange(8, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          root, 1, "event_id")
+        val (df, hit, total) =
+          graft.sink.ManifestSink.readRangePruned(s, root, 100L, 599L)
+        df.filter(col("event_id").between(100L, 599L))
+          .withColumn("files_pruned", lit(hit < total))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value, TRUE AS files_pruned FROM events
+        |WHERE event_id BETWEEN 100 AND 599 ORDER BY event_id""".stripMargin),
 
     // ---- aggregation & windowing (A1-A4) ----
     "q_hourly_agg" -> q(

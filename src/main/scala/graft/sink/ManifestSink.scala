@@ -67,6 +67,63 @@ object ManifestSink {
     files.size
   }
 
+  /** Publish with per-file ZONE MAPS (the Iceberg/Delta data-skipping
+    * core): alongside `manifest-N`, a `stats-N` file records each data
+    * file's (min, max) of `statsCol`, computed in ONE pass over the
+    * just-written epoch (grouped by `input_file_name`). A range read
+    * then prunes the file LIST before any scan is planned — the
+    * manifest is a coarse secondary index, complementing row-group
+    * stats (which prune only after a file is opened). Callers cluster
+    * the write on the stats column (`repartitionByRange` + sort) so
+    * file ranges are disjoint and pruning actually bites. */
+  def publishWithStats(df: DataFrame, root: String, epoch: Int,
+                       statsCol: String): Int = {
+    val spark = df.sparkSession
+    val n = publish(df, root, epoch)
+    val epochDir = s"$root/data-epoch=$epoch"
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val stats = spark.read.parquet(epochDir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"))
+      .collect() // one row per data file — bounded by the file budget
+      .map { r =>
+        val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+        s"data-epoch=$epoch/$name|${r.get(1)}|${r.get(2)}"
+      }
+      .sorted
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = fs(spark, rootPath)
+    val out = f.create(new org.apache.hadoop.fs.Path(rootPath, s"stats-$epoch"), true)
+    try out.write((stats.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    n
+  }
+
+  /** Range read through the zone maps: scan ONLY files whose
+    * [lo, hi] overlaps [from, to]. Returns the pruned frame and the
+    * (selected, total) file counts as evidence. */
+  def readRangePruned(spark: SparkSession, root: String, from: Long,
+                      to: Long, epoch: Int = -1): (DataFrame, Int, Int) = {
+    val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/stats-$e")
+    val in = fs(spark, p).open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    val all = lines.map { l =>
+      val Array(name, lo, hi) = l.split('|')
+      (name, lo.toLong, hi.toLong)
+    }
+    val hit = all.filter { case (_, lo, hi) => hi >= from && lo <= to }
+    val files =
+      if (hit.isEmpty) Seq(s"$root/data-epoch=$e") // empty-range guard
+      else hit.map { case (name, _, _) => s"$root/$name" }
+    val df = spark.read.parquet(files: _*)
+    (df, hit.size, all.size)
+  }
+
   /** The epoch the table currently publishes. */
   def currentEpoch(spark: SparkSession, root: String): Int = {
     val p = new org.apache.hadoop.fs.Path(s"$root/MANIFEST")

@@ -181,4 +181,30 @@ class SinkOpsSpec extends SparkTestBase {
     // idempotent
     assert(ManifestSink.vacuum(spark, root, keep = 2) == (Seq(), Seq(2, 3)))
   }
+
+  test("manifest zone maps: range reads prune the file list; residual filter stays exact") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_skip_spec_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
+    ManifestSink.publishWithStats(
+      ev.repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"),
+      root, 1, "event_id")
+    // a narrow range hits a strict subset of the 8 clustered files
+    val (df, hit, total) = ManifestSink.readRangePruned(spark, root, 100L, 199L)
+    assert(total == 8, s"expected 8 data files, got $total")
+    assert(hit < total && hit >= 1, s"pruning must bite: $hit/$total")
+    val got = df.filter(col("event_id").between(100L, 199L))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val want = ev.filter(col("event_id").between(100L, 199L))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == want)
+    // a range off the end of the data: residual filter keeps it exact
+    val (df2, _, _) = ManifestSink.readRangePruned(spark, root, Long.MaxValue - 10, Long.MaxValue)
+    assert(df2.filter(col("event_id") > Long.MaxValue - 10).count() == 0)
+    // full-range read touches everything and equals the table
+    val (df3, hit3, total3) = ManifestSink.readRangePruned(spark, root, Long.MinValue, Long.MaxValue)
+    assert(hit3 == total3)
+    assert(df3.count() == ev.count())
+  }
 }
