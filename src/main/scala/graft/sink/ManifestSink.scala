@@ -67,6 +67,52 @@ object ManifestSink {
     files.size
   }
 
+  /** APPEND-publish: epoch N's manifest = epoch N-1's file list PLUS
+    * the new batch's files — the snapshot-append every lakehouse
+    * format builds on. Data files are written ONCE and shared across
+    * all later manifests; a batch append costs O(batch) data I/O +
+    * O(table files) metadata, never a table rewrite (the naive
+    * cumulative-republish alternative is O(total) data PER BATCH —
+    * quadratic over a stream's life). `vacuum` already accounts for
+    * sharing: a dropped epoch's files survive while ANY kept manifest
+    * references them. */
+  def publishAppend(df: DataFrame, root: String, epoch: Int): Int = {
+    val spark = df.sparkSession
+    val epochDir = s"$root/data-epoch=$epoch"
+    df.write.mode("overwrite").parquet(epochDir)
+    val dirPath = new org.apache.hadoop.fs.Path(epochDir)
+    val f = fs(spark, dirPath)
+    val fresh = f.listStatus(dirPath).toSeq
+      .map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(p => s"data-epoch=$epoch/${p.getName}")
+    val prior =
+      if (epoch <= 1) Seq.empty[String]
+      else {
+        val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+        manifestFiles(spark, root, epoch - 1).map { p =>
+          new org.apache.hadoop.fs.Path(p).toUri.getPath
+            .stripPrefix(rootUri).stripPrefix("/")
+        }
+      }
+    val files = (prior ++ fresh).sorted
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val manifest = new org.apache.hadoop.fs.Path(rootPath, s"manifest-$epoch")
+    val out = f.create(manifest, true)
+    try out.write((files.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, "MANIFEST.tmp")
+    val o2 = f.create(tmp, true)
+    try o2.write(s"$epoch\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally o2.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(rootPath, "MANIFEST"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    files.size
+  }
+
   /** Publish with per-file ZONE MAPS (the Iceberg/Delta data-skipping
     * core): alongside `manifest-N`, a `stats-N` file records each data
     * file's (min, max) of `statsCol`, computed in ONE pass over the

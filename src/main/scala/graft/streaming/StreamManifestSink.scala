@@ -6,17 +6,23 @@ import org.apache.spark.sql.functions._
 import graft.sink.ManifestSink
 
 /** Streaming writes through manifest commits — exactly-once VISIBILITY
-  * for a file-based streaming sink: each micro-batch publishes a new
-  * table EPOCH (cumulative content) through `ManifestSink.publish`, so
-  * a reader at any instant sees a complete, atomically-committed
+  * for a file-based streaming sink: each micro-batch commits a new
+  * table EPOCH through `ManifestSink.publishAppend`, so a reader at
+  * any instant sees a complete, atomically-committed
   * prefix of the stream — never a half-written batch. This closes the
   * gap the plain foreachBatch parquet sink leaves at 100 TB: a reader
   * listing the directory mid-batch sees partial task files; the
   * manifest pointer flips only after the batch's files are audited.
   *
-  * Epoch layout = WAP indirection, per batch: batch id -> epoch id;
-  * the previous epochs stay pinned (time travel across stream
-  * history) until `ManifestSink.vacuum` bounds them. Determinism:
+  * Epoch layout = WAP indirection, per batch: batch id -> epoch id,
+  * committed via `publishAppend` — each manifest references the prior
+  * epoch's data files plus the new batch's, so a commit costs
+  * O(batch) data I/O (data files are written once and shared across
+  * manifests; a cumulative republish would be quadratic over the
+  * stream's life). Previous epochs stay pinned (time travel across
+  * stream history) until `ManifestSink.vacuum` bounds them —
+  * file sharing is vacuum-safe: dropped epochs' files survive while
+  * any kept manifest references them. Determinism:
   * MemoryStream pins batch boundaries, cumulative content is a pure
   * prefix function, so the final manifest-resolved read replays in
   * SQL as the full expected content — and the spec additionally pins
@@ -57,17 +63,15 @@ object StreamManifestSink {
     val batch1 = ev.filter(col("event_id") % 3 === 0).as[Ev].collect().toSeq
     val batch2 = ev.filter(col("event_id") % 3 === 1).as[Ev].collect().toSeq
 
-    // accumulate batches into cumulative epochs; publish flips the
-    // pointer only after the epoch's files are audited
+    // APPEND-publish per batch: the new manifest references the prior
+    // epoch's files plus this batch's — O(batch) data I/O per commit,
+    // never a cumulative rewrite (quadratic over a stream's life);
+    // the pointer still flips only after the batch's files are audited
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
     val q = mem.toDF().writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val epoch = id.toInt + 1
-        val cumulative =
-          if (epoch == 1) batch
-          else ManifestSink.read(spark, root).unionByName(batch)
-        ManifestSink.publish(cumulative, root, epoch)
+        ManifestSink.publishAppend(batch, root, id.toInt + 1)
         ()
       }
       .start()

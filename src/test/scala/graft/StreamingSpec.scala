@@ -281,6 +281,15 @@ class StreamingSpec extends SparkTestBase {
       .select("event_id").as[Long].collect().sorted.toSeq
     assert(e1 == ev.filter(col("event_id") % 3 === 0)
       .select("event_id").as[Long].collect().sorted.toSeq)
+    // APPEND economics: epoch-2's manifest shares epoch-1's data files
+    // (no rewrite — O(batch) data I/O per commit), and every epoch-1
+    // file survives the second commit byte-identical
+    val m1 = ManifestSink.manifestFiles(spark, root, 1).toSet
+    val m2 = ManifestSink.manifestFiles(spark, root, 2).toSet
+    assert(m1.subsetOf(m2), "append manifest must reference prior files")
+    assert((m2 -- m1).nonEmpty, "append manifest must add the new batch's files")
+    assert(m1.forall(p => new java.io.File(
+      new org.apache.hadoop.fs.Path(p).toUri.getPath).exists()))
     // a stray in-flight file is invisible to the committed view
     val stray = s"$root/__stray"
     ev.limit(3).coalesce(1).write.mode("overwrite").parquet(stray)
