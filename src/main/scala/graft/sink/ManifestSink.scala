@@ -126,23 +126,59 @@ object ManifestSink {
                        statsCol: String): Int = {
     val spark = df.sparkSession
     val n = publish(df, root, epoch)
-    val epochDir = s"$root/data-epoch=$epoch"
+    writeSidecar(spark, root, epoch, epochStatsLines(df, root, epoch, statsCol))
+    n
+  }
+
+  /** Zone-map stats for the files of ONE epoch dir, as sidecar lines
+    * ("relpath|lo|hi") — one pass over the epoch grouped by
+    * input_file_name, one collected row per data file (bounded by the
+    * file budget). */
+  private def epochStatsLines(df: DataFrame, root: String, epoch: Int,
+                              statsCol: String): Seq[String] = {
+    val spark = df.sparkSession
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-    val stats = spark.read.parquet(epochDir)
+    spark.read.parquet(s"$root/data-epoch=$epoch")
       .groupBy(input_file_name().as("f"))
       .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"))
-      .collect() // one row per data file — bounded by the file budget
+      .collect()
       .map { r =>
         val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
         s"data-epoch=$epoch/$name|${r.get(1)}|${r.get(2)}"
       }
-      .sorted
+      .toSeq
+  }
+
+  private def writeSidecar(spark: SparkSession, root: String, epoch: Int,
+                           lines: Seq[String]): Unit = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val f = fs(spark, rootPath)
     val out = f.create(new org.apache.hadoop.fs.Path(rootPath, s"stats-$epoch"), true)
-    try out.write((stats.mkString("\n") + "\n")
+    try out.write((lines.sorted.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** APPEND-publish with zone maps: the stats sidecar composes the
+    * same way the manifest does — epoch N's sidecar = epoch N-1's
+    * lines + the new batch files' stats, so a STREAMING table keeps
+    * its data-skipping property at O(batch) stats work per commit.
+    * Requires the prior epoch to carry a sidecar (or be absent). */
+  def publishAppendWithStats(df: DataFrame, root: String, epoch: Int,
+                             statsCol: String): Int = {
+    val spark = df.sparkSession
+    val n = publishAppend(df, root, epoch)
+    val prior =
+      if (epoch <= 1) Seq.empty[String]
+      else {
+        val p = new org.apache.hadoop.fs.Path(s"$root/stats-${epoch - 1}")
+        val in = fs(spark, p).open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      }
+    writeSidecar(spark, root, epoch,
+      prior ++ epochStatsLines(df, root, epoch, statsCol))
     n
   }
 

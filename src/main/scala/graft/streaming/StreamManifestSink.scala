@@ -71,7 +71,12 @@ object StreamManifestSink {
     val q = mem.toDF().writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ManifestSink.publishAppend(batch, root, id.toInt + 1)
+        // range-cluster each batch on the zone-map column so the
+        // streamed table keeps its data-skipping property per commit
+        ManifestSink.publishAppendWithStats(
+          batch.repartitionByRange(4, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          root, id.toInt + 1, "event_id")
         ()
       }
       .start()

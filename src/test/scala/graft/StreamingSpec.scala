@@ -290,6 +290,14 @@ class StreamingSpec extends SparkTestBase {
     assert((m2 -- m1).nonEmpty, "append manifest must add the new batch's files")
     assert(m1.forall(p => new java.io.File(
       new org.apache.hadoop.fs.Path(p).toUri.getPath).exists()))
+    // zone maps survive the append chain: a narrow range read on the
+    // STREAMED table prunes the file list (each batch range-clustered)
+    val (pruned, hit, total) = ManifestSink.readRangePruned(spark, root, 100L, 199L)
+    assert(hit < total, s"streamed zone maps must prune: $hit/$total")
+    assert(pruned.filter(col("event_id").between(100L, 199L))
+      .select("event_id").as[Long].collect().sorted.toSeq ==
+      ev.filter(col("event_id") % 3 <= 1 && col("event_id").between(100L, 199L))
+        .select("event_id").as[Long].collect().sorted.toSeq)
     // a stray in-flight file is invisible to the committed view
     val stray = s"$root/__stray"
     ev.limit(3).coalesce(1).write.mode("overwrite").parquet(stray)
