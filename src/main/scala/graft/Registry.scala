@@ -1849,6 +1849,40 @@ object Registry {
       },
       """SELECT event_id, user_id, value, TRUE AS files_pruned FROM events
         |WHERE event_id BETWEEN 100 AND 599 ORDER BY event_id""".stripMargin),
+    // Manifest table compaction (round 10): append commits leave one
+    // file set per batch; `compact` reads the committed view, rewrites
+    // it range-clustered, and publishes the rewrite as a fresh epoch
+    // with fresh zone maps — readers never see an intermediate state,
+    // pre-compaction epochs stay pinned until vacuum. The row builds a
+    // 3-append table (12 small files), compacts to 4, and gates on the
+    // file count actually dropping AND the zone maps still pruning on
+    // the compacted epoch; content identity is the oracle's SELECT.
+    "q_manifest_compact" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val root = tmpDir("graft_mcompact_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        for ((m, e) <- Seq(0, 1, 2).zip(Seq(1, 2, 3)))
+          graft.sink.ManifestSink.publishAppendWithStats(
+            ev.filter(col("event_id") % 3 === m)
+              .repartitionByRange(4, col("event_id"))
+              .sortWithinPartitions("event_id"),
+            root, e, "event_id")
+        val before = graft.sink.ManifestSink
+          .manifestFiles(s, root, 3).size
+        graft.sink.ManifestSink.compact(s, root, "event_id", numFiles = 4)
+        val after = graft.sink.ManifestSink
+          .manifestFiles(s, root, graft.sink.ManifestSink.currentEpoch(s, root)).size
+        val (_, hit, total) =
+          graft.sink.ManifestSink.readRangePruned(s, root, 100L, 599L)
+        graft.sink.ManifestSink.read(s, root)
+          .withColumn("compacted", lit(after < before))
+          .withColumn("still_prunes", lit(hit < total))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value, TRUE AS compacted,
+        |  TRUE AS still_prunes
+        |FROM events ORDER BY event_id""".stripMargin),
 
     // ---- aggregation & windowing (A1-A4) ----
     "q_hourly_agg" -> q(

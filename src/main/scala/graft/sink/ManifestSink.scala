@@ -182,6 +182,28 @@ object ManifestSink {
     n
   }
 
+  /** Compact the CURRENT epoch into a new one — the "rewrite data
+    * files" maintenance op that closes the manifest lifecycle: an
+    * append-committed stream leaves one file set per batch; this
+    * reads the committed view, rewrites it range-clustered into
+    * `numFiles` files, and publishes the rewrite as epoch cur+1 WITH
+    * fresh zone maps. Readers never see an intermediate state (the
+    * pointer flips atomically, old epochs stay pinned for travel
+    * until `vacuum` reclaims them — which also deletes the
+    * now-unreferenced pre-compaction files). Returns the new epoch. */
+  def compact(spark: SparkSession, root: String, statsCol: String,
+              numFiles: Int = 4): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentEpoch(spark, root)
+    val next = cur + 1
+    publishWithStats(
+      read(spark, root)
+        .repartitionByRange(numFiles, col(statsCol))
+        .sortWithinPartitions(statsCol),
+      root, next, statsCol)
+    next
+  }
+
   /** Range read through the zone maps: scan ONLY files whose
     * [lo, hi] overlaps [from, to]. Returns the pruned frame and the
     * (selected, total) file counts as evidence. */

@@ -207,4 +207,39 @@ class SinkOpsSpec extends SparkTestBase {
     assert(hit3 == total3)
     assert(df3.count() == ev.count())
   }
+
+  test("manifest compaction: fewer files, identical content, travel + vacuum reclaim") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_mcompact_spec_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
+    for ((m, e) <- Seq(0, 1, 2).zip(Seq(1, 2, 3)))
+      ManifestSink.publishAppendWithStats(
+        ev.filter(col("event_id") % 3 === m)
+          .repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"),
+        root, e, "event_id")
+    val before = ManifestSink.manifestFiles(spark, root, 3)
+    val preContent = ManifestSink.read(spark, root)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val newEpoch = ManifestSink.compact(spark, root, "event_id", numFiles = 4)
+    assert(newEpoch == 4 && ManifestSink.currentEpoch(spark, root) == 4)
+    val after = ManifestSink.manifestFiles(spark, root, 4)
+    assert(after.size < before.size, s"${after.size} !< ${before.size}")
+    assert(ManifestSink.read(spark, root)
+      .select("event_id").as[Long].collect().sorted.toSeq == preContent)
+    // pre-compaction epoch still time-travels
+    assert(ManifestSink.read(spark, root, epoch = 3)
+      .select("event_id").as[Long].collect().sorted.toSeq == preContent)
+    // zone maps on the compacted epoch still prune
+    val (_, hit, total) = ManifestSink.readRangePruned(spark, root, 100L, 199L)
+    assert(hit < total && total == after.size)
+    // vacuum to the compacted epoch reclaims every pre-compaction file
+    ManifestSink.vacuum(spark, root, keep = 1)
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(before.forall(p => !hfs.exists(new org.apache.hadoop.fs.Path(p))),
+      "vacuum must reclaim the pre-compaction files")
+    assert(ManifestSink.read(spark, root)
+      .select("event_id").as[Long].collect().sorted.toSeq == preContent)
+  }
 }
