@@ -1840,15 +1840,41 @@ object Registry {
         graft.sink.ManifestSink.publishWithStats(
           ev.repartitionByRange(8, col("event_id"))
             .sortWithinPartitions("event_id"),
-          root, 1, "event_id")
+          root, 1, Seq("event_id"))
         val (df, hit, total) =
-          graft.sink.ManifestSink.readRangePruned(s, root, 100L, 599L)
+          graft.sink.ManifestSink.readRangePruned(s, root, "event_id", 100L, 599L)
         df.filter(col("event_id").between(100L, 599L))
           .withColumn("files_pruned", lit(hit < total))
           .orderBy("event_id")
       },
       """SELECT event_id, user_id, value, TRUE AS files_pruned FROM events
         |WHERE event_id BETWEEN 100 AND 599 ORDER BY event_id""".stripMargin),
+    // Multi-column zone maps, STRING pruning (round 11): the stats
+    // table (round-11 redesign — per-file per-COLUMN min/max rows in
+    // parquet, not a single-column driver-parsed text sidecar) carries
+    // both event_id and event_type for the same epoch; this row
+    // clusters the write on event_type and prunes a lexicographic
+    // range ['click','error'] to the files that can hold it, while the
+    // same commit still answers event_id range reads. The residual
+    // filter keeps correctness independent of the pruning;
+    // files_pruned gates that the skip actually bit.
+    "q_manifest_skip_string" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val root = tmpDir("graft_skipstr_")
+        val ev = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+        graft.sink.ManifestSink.publishWithStats(
+          ev.repartitionByRange(8, col("event_type"), col("event_id"))
+            .sortWithinPartitions("event_type", "event_id"),
+          root, 1, Seq("event_type", "event_id"))
+        val (df, hit, total) = graft.sink.ManifestSink
+          .readRangePrunedString(s, root, "event_type", "click", "error")
+        df.filter(col("event_type").between("click", "error"))
+          .withColumn("files_pruned", lit(hit < total))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, event_type, value, TRUE AS files_pruned FROM events
+        |WHERE event_type BETWEEN 'click' AND 'error' ORDER BY event_id""".stripMargin),
     // Manifest table compaction (round 10): append commits leave one
     // file set per batch; `compact` reads the committed view, rewrites
     // it range-clustered, and publishes the rewrite as a fresh epoch
@@ -1867,14 +1893,14 @@ object Registry {
             ev.filter(col("event_id") % 3 === m)
               .repartitionByRange(4, col("event_id"))
               .sortWithinPartitions("event_id"),
-            root, e, "event_id")
+            root, e, Seq("event_id"))
         val before = graft.sink.ManifestSink
           .manifestFiles(s, root, 3).size
-        graft.sink.ManifestSink.compact(s, root, "event_id", numFiles = 4)
+        graft.sink.ManifestSink.compact(s, root, Seq("event_id"), numFiles = 4)
         val after = graft.sink.ManifestSink
           .manifestFiles(s, root, graft.sink.ManifestSink.currentEpoch(s, root)).size
         val (_, hit, total) =
-          graft.sink.ManifestSink.readRangePruned(s, root, 100L, 599L)
+          graft.sink.ManifestSink.readRangePruned(s, root, "event_id", 100L, 599L)
         graft.sink.ManifestSink.read(s, root)
           .withColumn("compacted", lit(after < before))
           .withColumn("still_prunes", lit(hit < total))

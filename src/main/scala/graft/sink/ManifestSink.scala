@@ -11,255 +11,452 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * directory that LISTS as half a table. The fix is indirection:
   *
   *   1. WRITE   — data files land under an epoch directory
-  *                (`data-epoch=N/`); files are immutable once written.
+  *                (`data-epoch=N/`, or an attempt-unique
+  *                `data-epoch=N-aTOKEN/` on the concurrent-safe path);
+  *                files are immutable once written.
   *   2. AUDIT   — the publisher lists exactly the files the Spark
-  *                write produced (post-write listing of the epoch dir:
-  *                the committed task outputs).
-  *   3. PUBLISH — a `manifest-N` file naming those files is written,
-  *                then the `MANIFEST` pointer flips to N via Hadoop
-  *                FileContext rename-OVERWRITE (the IncrementalDeduper
-  *                META discipline) — ONE atomic metadata operation.
+  *                write produced (post-write listing of the staged
+  *                dir: the committed task outputs) and, when zone maps
+  *                are requested, computes per-file per-column min/max
+  *                into a parquet stats table.
+  *   3. PUBLISH — `manifest-N.TOKEN` (the file list) and
+  *                `stats-N.TOKEN/` (the zone maps) are written FIRST,
+  *                under an attempt-unique token so no concurrent
+  *                attempt can clobber them; then ONE commit marker
+  *                `commit-N` is created via rename-WITHOUT-overwrite —
+  *                a compare-and-swap: the rename fails if the marker
+  *                already exists, so exactly one attempt wins an epoch
+  *                and the loser gets a retryable
+  *                [[ManifestConflictException]], never a clobber.
   *
-  * Readers resolve `MANIFEST` -> `manifest-N` -> file list and read
-  * ONLY listed files: a crashed writer's orphans, a concurrent
-  * in-flight epoch, or a stray temporary are all INVISIBLE until some
-  * later publish lists them. Old epochs stay readable by pinning their
-  * manifest (time travel) until a retention sweep drops them — the
-  * same lifecycle as the dedup epoch chain and the artifact cache.
+  * Readers resolve max(`commit-*`) -> winning token -> `manifest-N.T`
+  * -> file list and read ONLY listed files: a crashed writer's
+  * orphans, a concurrent in-flight epoch, a losing attempt's metadata,
+  * or a stray temporary are all INVISIBLE until some later commit
+  * lists them. Because the commit marker is created strictly AFTER the
+  * manifest and stats of its token exist, there is no window in which
+  * a reader can resolve an epoch whose metadata is missing (the
+  * round-10 stats-after-flip hole is closed structurally, not by
+  * ordering convention). Old epochs stay readable by pinning their
+  * commit (time travel) until a retention sweep drops them — the same
+  * lifecycle as the dedup epoch chain and the artifact cache.
+  *
+  * Exactly-once under replay: a commit may carry a [[Txn]]
+  * (appId, version) — the Delta `txnAppId/txnVersion` discipline. A
+  * foreachBatch sink records its batchId as the version;
+  * [[commitIdempotentAppend]] no-ops when the version is already
+  * committed, so Spark's at-least-once batch replay (crash between
+  * sink commit and checkpoint commit) publishes each batch ONCE.
+  * `vacuum` rolls dropped epochs' txn records into a `TXNS` file so
+  * the idempotence memory survives retention.
+  *
   * All I/O goes through the session's Hadoop conf, so the scheme
-  * ports to HDFS/S3a stores unchanged (object stores without atomic
-  * rename swap step 3 for a conditional put, as the META docs note).
+  * ports to HDFS/S3a stores unchanged. The CAS rename is atomic on
+  * HDFS (server-side); on a raw local FS the existence check and
+  * rename are two steps inside FileContext — adequate for the local
+  * harness, and on object stores the marker creation swaps for a
+  * conditional put (if-none-match), exactly as Iceberg's catalog
+  * commit does.
   */
 object ManifestSink {
+
+  /** Transaction identity for idempotent commits (Delta's
+    * txnAppId/txnVersion): a replayed (appId, version) is a no-op. */
+  final case class Txn(appId: String, version: Long)
+
+  /** A staged-but-uncommitted epoch attempt: data files written,
+    * manifest lines audited, zone-map stats planned. Invisible to
+    * readers until [[commitStaged]] wins the epoch's commit marker. */
+  final case class Staged(root: String, epoch: Int, token: String,
+                          relFiles: Seq[String], stats: Option[DataFrame])
+
+  /** Retryable: another attempt won this epoch's commit marker (or the
+    * epoch is not above the current one). Re-read the current epoch
+    * and retry against the next. */
+  final class ManifestConflictException(root: String, epoch: Int, detail: String)
+    extends RuntimeException(
+      s"epoch $epoch at $root already committed or not ahead of current ($detail)")
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Publish `df` as epoch `epoch` of the table at `root`. Returns the
-    * number of data files committed to the manifest. */
-  def publish(df: DataFrame, root: String, epoch: Int): Int = {
-    val spark = df.sparkSession
-    val epochDir = s"$root/data-epoch=$epoch"
-    df.write.mode("overwrite").parquet(epochDir)
-    // AUDIT: exactly the parquet files the committed write produced
-    val dirPath = new org.apache.hadoop.fs.Path(epochDir)
-    val f = fs(spark, dirPath)
-    val files = f.listStatus(dirPath).toSeq
-      .map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-      .map(p => s"data-epoch=$epoch/${p.getName}")
-      .sorted
-    val conf = spark.sparkContext.hadoopConfiguration
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val manifest = new org.apache.hadoop.fs.Path(rootPath, s"manifest-$epoch")
-    val out = f.create(manifest, true)
-    try out.write((files.mkString("\n") + "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def newToken(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  private def writeFile(spark: SparkSession, p: org.apache.hadoop.fs.Path,
+                        content: String): Unit = {
+    val out = fs(spark, p).create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // PUBLISH: atomic pointer flip
-    val tmp = new org.apache.hadoop.fs.Path(rootPath, "MANIFEST.tmp")
-    val o2 = f.create(tmp, true)
-    try o2.write(s"$epoch\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally o2.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(rootPath, "MANIFEST"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    files.size
   }
 
-  /** APPEND-publish: epoch N's manifest = epoch N-1's file list PLUS
-    * the new batch's files — the snapshot-append every lakehouse
-    * format builds on. Data files are written ONCE and shared across
-    * all later manifests; a batch append costs O(batch) data I/O +
-    * O(table files) metadata, never a table rewrite (the naive
-    * cumulative-republish alternative is O(total) data PER BATCH —
-    * quadratic over a stream's life). `vacuum` already accounts for
-    * sharing: a dropped epoch's files survive while ANY kept manifest
-    * references them. */
-  def publishAppend(df: DataFrame, root: String, epoch: Int): Int = {
+  private def readLines(spark: SparkSession, p: org.apache.hadoop.fs.Path): List[String] = {
+    val in = fs(spark, p).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  // ---------------------------------------------------------------- write path
+
+  /** Stage `df` as epoch `epoch`: write the data files, audit the file
+    * list, plan the zone-map stats. Nothing is visible to readers.
+    * `unique = true` stages into an attempt-unique directory
+    * (`data-epoch=N-aTOKEN/`) so two concurrent publishers racing for
+    * the same epoch cannot clobber each other's DATA either — the
+    * loser's directory becomes vacuum-swept dead weight. The default
+    * shared directory (`data-epoch=N/`) is the single-writer
+    * convenience every registered row uses. */
+  def stage(df: DataFrame, root: String, epoch: Int,
+            statsCols: Seq[String] = Nil, unique: Boolean = false): Staged = {
     val spark = df.sparkSession
-    val epochDir = s"$root/data-epoch=$epoch"
+    val token = newToken()
+    val dirName = if (unique) s"data-epoch=$epoch-a$token" else s"data-epoch=$epoch"
+    val epochDir = s"$root/$dirName"
     df.write.mode("overwrite").parquet(epochDir)
     val dirPath = new org.apache.hadoop.fs.Path(epochDir)
-    val f = fs(spark, dirPath)
-    val fresh = f.listStatus(dirPath).toSeq
+    val relFiles = fs(spark, dirPath).listStatus(dirPath).toSeq
       .map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
-      .map(p => s"data-epoch=$epoch/${p.getName}")
-    val prior =
-      if (epoch <= 1) Seq.empty[String]
-      else {
-        val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-        manifestFiles(spark, root, epoch - 1).map { p =>
-          new org.apache.hadoop.fs.Path(p).toUri.getPath
-            .stripPrefix(rootUri).stripPrefix("/")
-        }
+      .map(p => s"$dirName/${p.getName}")
+      .sorted
+    val stats =
+      if (statsCols.isEmpty) None
+      else Some(fileStats(spark, root, relFiles, statsCols))
+    Staged(root, epoch, token, relFiles, stats)
+  }
+
+  /** Stage an APPEND: epoch N's file list = epoch N-1's PLUS the new
+    * batch's — the snapshot-append every lakehouse format builds on.
+    * Data files are written ONCE and shared across all later
+    * manifests; a batch append costs O(batch) data I/O + O(table
+    * files) metadata, never a table rewrite. Zone-map stats compose
+    * the same way: prior epoch's rows union the fresh files' rows, so
+    * a streamed table keeps its data-skipping property at O(batch)
+    * stats work per commit. */
+  def stageAppend(df: DataFrame, root: String, epoch: Int,
+                  statsCols: Seq[String] = Nil, unique: Boolean = false): Staged = {
+    val spark = df.sparkSession
+    val fresh = stage(df, root, epoch, statsCols, unique)
+    if (epoch <= 1) fresh
+    else {
+      val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+      val prior = manifestFiles(spark, root, epoch - 1).map { p =>
+        new org.apache.hadoop.fs.Path(p).toUri.getPath
+          .stripPrefix(rootUri).stripPrefix("/")
       }
-    val files = (prior ++ fresh).sorted
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val manifest = new org.apache.hadoop.fs.Path(rootPath, s"manifest-$epoch")
-    val out = f.create(manifest, true)
-    try out.write((files.mkString("\n") + "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val tmp = new org.apache.hadoop.fs.Path(rootPath, "MANIFEST.tmp")
-    val o2 = f.create(tmp, true)
-    try o2.write(s"$epoch\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally o2.close()
+      val stats =
+        if (statsCols.isEmpty) None
+        else Some(statsTable(spark, root, epoch - 1)
+          .unionByName(fresh.stats.get))
+      fresh.copy(relFiles = (prior ++ fresh.relFiles).sorted, stats = stats)
+    }
+  }
+
+  /** PUBLISH a staged epoch: write the attempt's manifest and stats
+    * (token-unique — un-clobberable), then compare-and-swap the commit
+    * marker. Epochs are monotonic: committing at or below the current
+    * epoch conflicts, which keeps max(commit-*) == newest table state
+    * and makes vacuum's epoch-bounded orphan sweep sound (an
+    * uncommitted staging at or below the current epoch can never
+    * commit later). Returns the manifest's file count. */
+  def commitStaged(spark: SparkSession, staged: Staged,
+                   txn: Option[Txn] = None): Int = {
+    val rootPath = new org.apache.hadoop.fs.Path(staged.root)
+    val f = fs(spark, rootPath)
+    if (currentEpochOpt(spark, staged.root).exists(_ >= staged.epoch))
+      throw new ManifestConflictException(staged.root, staged.epoch,
+        "current epoch is not below the staged epoch")
+    val manifest = new org.apache.hadoop.fs.Path(rootPath,
+      s"manifest-${staged.epoch}.${staged.token}")
+    writeFile(spark, manifest, staged.relFiles.mkString("\n") + "\n")
+    staged.stats.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(s"${staged.root}/stats-${staged.epoch}.${staged.token}"))
+    // CAS: rename WITHOUT overwrite — fails iff another attempt won
+    val content = s"token=${staged.token}\n" +
+      txn.map(t => s"txn=${t.appId}:${t.version}\n").getOrElse("")
+    val tmp = new org.apache.hadoop.fs.Path(rootPath,
+      s"commit-${staged.epoch}.tmp.${staged.token}")
+    writeFile(spark, tmp, content)
+    val marker = new org.apache.hadoop.fs.Path(rootPath, s"commit-${staged.epoch}")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri,
       spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(rootPath, "MANIFEST"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    files.size
+    try fc.rename(tmp, marker)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.PathExistsException =>
+        // loser cleanup: this attempt's metadata can never be read
+        f.delete(tmp, false)
+        f.delete(manifest, false)
+        f.delete(new org.apache.hadoop.fs.Path(rootPath,
+          s"stats-${staged.epoch}.${staged.token}"), true)
+        throw new ManifestConflictException(staged.root, staged.epoch,
+          s"commit marker exists; losing token ${staged.token}")
+    }
+    staged.relFiles.size
   }
+
+  /** Publish `df` as epoch `epoch` of the table at `root`. Returns the
+    * number of data files committed to the manifest. */
+  def publish(df: DataFrame, root: String, epoch: Int,
+              txn: Option[Txn] = None): Int =
+    commitStaged(df.sparkSession, stage(df, root, epoch), txn)
+
+  /** APPEND-publish (see [[stageAppend]] for the economics). */
+  def publishAppend(df: DataFrame, root: String, epoch: Int,
+                    txn: Option[Txn] = None): Int =
+    commitStaged(df.sparkSession, stageAppend(df, root, epoch), txn)
 
   /** Publish with per-file ZONE MAPS (the Iceberg/Delta data-skipping
-    * core): alongside `manifest-N`, a `stats-N` file records each data
-    * file's (min, max) of `statsCol`, computed in ONE pass over the
-    * just-written epoch (grouped by `input_file_name`). A range read
-    * then prunes the file LIST before any scan is planned — the
-    * manifest is a coarse secondary index, complementing row-group
-    * stats (which prune only after a file is opened). Callers cluster
-    * the write on the stats column (`repartitionByRange` + sort) so
-    * file ranges are disjoint and pruning actually bites. */
+    * core): alongside the manifest, a parquet stats table records each
+    * data file's (min, max) for EVERY column in `statsCols` (integral
+    * or string), computed in ONE pass over the just-written epoch
+    * (grouped by `input_file_name`). A range read then prunes the file
+    * LIST before any scan is planned — the manifest is a coarse
+    * secondary index, complementing row-group stats (which prune only
+    * after a file is opened). Callers cluster the write on the primary
+    * stats column (`repartitionByRange` + sort) so file ranges are
+    * disjoint and pruning actually bites. The stats live as parquet —
+    * itself prunable and mergeable — not a driver-parsed text sidecar,
+    * so planning stays sub-linear as the file count grows. */
   def publishWithStats(df: DataFrame, root: String, epoch: Int,
-                       statsCol: String): Int = {
-    val spark = df.sparkSession
-    val n = publish(df, root, epoch)
-    writeSidecar(spark, root, epoch, epochStatsLines(df, root, epoch, statsCol))
-    n
-  }
+                       statsCols: Seq[String], txn: Option[Txn] = None): Int =
+    commitStaged(df.sparkSession, stage(df, root, epoch, statsCols), txn)
 
-  /** Zone-map stats for the files of ONE epoch dir, as sidecar lines
-    * ("relpath|lo|hi") — one pass over the epoch grouped by
-    * input_file_name, one collected row per data file (bounded by the
-    * file budget). */
-  private def epochStatsLines(df: DataFrame, root: String, epoch: Int,
-                              statsCol: String): Seq[String] = {
-    val spark = df.sparkSession
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-    spark.read.parquet(s"$root/data-epoch=$epoch")
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"))
-      .collect()
-      .map { r =>
-        val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
-        s"data-epoch=$epoch/$name|${r.get(1)}|${r.get(2)}"
-      }
-      .toSeq
-  }
-
-  private def writeSidecar(spark: SparkSession, root: String, epoch: Int,
-                           lines: Seq[String]): Unit = {
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val f = fs(spark, rootPath)
-    val out = f.create(new org.apache.hadoop.fs.Path(rootPath, s"stats-$epoch"), true)
-    try out.write((lines.sorted.mkString("\n") + "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  /** APPEND-publish with zone maps: the stats sidecar composes the
-    * same way the manifest does — epoch N's sidecar = epoch N-1's
-    * lines + the new batch files' stats, so a STREAMING table keeps
-    * its data-skipping property at O(batch) stats work per commit.
-    * Requires the prior epoch to carry a sidecar (or be absent). */
+  /** APPEND-publish with zone maps (see [[stageAppend]]). */
   def publishAppendWithStats(df: DataFrame, root: String, epoch: Int,
-                             statsCol: String): Int = {
+                             statsCols: Seq[String], txn: Option[Txn] = None): Int =
+    commitStaged(df.sparkSession, stageAppend(df, root, epoch, statsCols), txn)
+
+  /** Idempotent streaming append-commit — the foreachBatch contract is
+    * at-least-once per batch (a crash between this sink's commit and
+    * Spark's checkpoint commit REPLAYS the batch; the reference's own
+    * contract doc warns on exactly this bookkeeping class,
+    * docs/data-contracts.md:296-298): record the batchId as the txn
+    * version and no-op any version already committed. Returns true iff
+    * this call published (false = replay skipped). Batch versions are
+    * monotonic per appId (Spark's batchId contract), so `>= version`
+    * is the committed test. */
+  def commitIdempotentAppend(df: DataFrame, root: String, appId: String,
+                             version: Long, statsCols: Seq[String] = Nil): Boolean = {
     val spark = df.sparkSession
-    val n = publishAppend(df, root, epoch)
-    val prior =
-      if (epoch <= 1) Seq.empty[String]
-      else {
-        val p = new org.apache.hadoop.fs.Path(s"$root/stats-${epoch - 1}")
-        val in = fs(spark, p).open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).toList
-        finally in.close()
+    if (lastCommittedVersion(spark, root, appId).exists(_ >= version)) false
+    else {
+      val next = currentEpochOpt(spark, root).getOrElse(0) + 1
+      try {
+        commitStaged(spark, stageAppend(df, root, next, statsCols),
+          Some(Txn(appId, version)))
+        true
+      } catch {
+        case c: ManifestConflictException =>
+          // lost a race — but if the winner WAS this (appId, version)
+          // (a concurrent replay of the same batch), that's still a
+          // clean no-op; any other winner is a real conflict
+          if (lastCommittedVersion(spark, root, appId).exists(_ >= version)) false
+          else throw c
       }
-    writeSidecar(spark, root, epoch,
-      prior ++ epochStatsLines(df, root, epoch, statsCol))
-    n
+    }
+  }
+
+  // ---------------------------------------------------------------- zone maps
+
+  /** Per-file per-column (min, max) rows for freshly staged files —
+    * one distributed pass grouped by input_file_name, one stats row
+    * per (file, column). Integral columns land in (lo_long, hi_long),
+    * strings in (lo_str, hi_str); anything else is rejected (floats
+    * would need NaN-ordering care; add when a caller needs them). */
+  private def fileStats(spark: SparkSession, root: String,
+                        relFiles: Seq[String], statsCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
+    val schema = df.schema
+    statsCols.foreach { c =>
+      schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"zone maps support integral and string columns; $c is $other")
+      }
+    }
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+    // relative path = last two segments (layout is always root/dir/file)
+    val parts = split(col("__f"), "/")
+    val rel = concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+    val base = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+    statsCols.map { c =>
+      val isStr = schema(c).dataType == StringType
+      base.select(
+        rel.as("file"), lit(c).as("col"),
+        (if (isStr) lit(null).cast(LongType) else col(s"__lo_$c").cast(LongType)).as("lo_long"),
+        (if (isStr) lit(null).cast(LongType) else col(s"__hi_$c").cast(LongType)).as("hi_long"),
+        (if (isStr) col(s"__lo_$c") else lit(null).cast(StringType)).as("lo_str"),
+        (if (isStr) col(s"__hi_$c") else lit(null).cast(StringType)).as("hi_str"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The committed zone-map stats table of `epoch`:
+    * (file, col, lo_long, hi_long, lo_str, hi_str). */
+  def statsTable(spark: SparkSession, root: String, epoch: Int): DataFrame = {
+    val (token, _) = commitInfo(spark, root, epoch)
+    spark.read.parquet(s"$root/stats-$epoch.$token")
+  }
+
+  private def prunedRead(spark: SparkSession, root: String, e: Int,
+                         statsCol: String,
+                         overlaps: org.apache.spark.sql.Row => Boolean): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.lit
+    val rows = statsTable(spark, root, e)
+      .filter(org.apache.spark.sql.functions.col("col") === statsCol)
+      .collect()
+    val hit = rows.filter(overlaps).map(_.getString(0)).sorted
+    val df =
+      if (hit.isEmpty)
+        // schema-preserving EMPTY frame (optimizes to an empty local
+        // relation — zero I/O), never an un-pruned fallback scan that
+        // could surface orphan rows or the wrong file set (ADVICE r10)
+        read(spark, root, e).filter(lit(false))
+      else spark.read.parquet(hit.map(n => s"$root/$n").toSeq: _*)
+    (df, hit.length, rows.length)
+  }
+
+  /** Range read through the zone maps of an integral column: scan ONLY
+    * files whose [lo, hi] overlaps [from, to]. Returns the pruned
+    * frame and the (selected, total) file counts as evidence. Files
+    * with null bounds (all-null column) are kept conservatively. */
+  def readRangePruned(spark: SparkSession, root: String, statsCol: String,
+                      from: Long, to: Long, epoch: Int = -1): (DataFrame, Int, Int) = {
+    val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
+    prunedRead(spark, root, e, statsCol, r =>
+      r.isNullAt(2) || r.isNullAt(3) || (r.getLong(3) >= from && r.getLong(2) <= to))
+  }
+
+  /** Range read through the zone maps of a STRING column ([from, to]
+    * inclusive, lexicographic). Pruning compares with Java string
+    * order, matching Spark's UTF8String order for the BMP/ASCII values
+    * the fixtures use; a full collation-aware comparator would slot in
+    * here for supplementary-plane data. */
+  def readRangePrunedString(spark: SparkSession, root: String, statsCol: String,
+                            from: String, to: String, epoch: Int = -1): (DataFrame, Int, Int) = {
+    val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
+    prunedRead(spark, root, e, statsCol, r =>
+      r.isNullAt(4) || r.isNullAt(5) ||
+        (r.getString(5) >= from && r.getString(4) <= to))
   }
 
   /** Compact the CURRENT epoch into a new one — the "rewrite data
     * files" maintenance op that closes the manifest lifecycle: an
     * append-committed stream leaves one file set per batch; this
-    * reads the committed view, rewrites it range-clustered into
-    * `numFiles` files, and publishes the rewrite as epoch cur+1 WITH
-    * fresh zone maps. Readers never see an intermediate state (the
-    * pointer flips atomically, old epochs stay pinned for travel
+    * reads the committed view, rewrites it range-clustered on the
+    * FIRST stats column into `numFiles` files, and publishes the
+    * rewrite as epoch cur+1 WITH fresh zone maps for ALL `statsCols`.
+    * Readers never see an intermediate state (the commit marker CAS
+    * is the only visibility flip; old epochs stay pinned for travel
     * until `vacuum` reclaims them — which also deletes the
     * now-unreferenced pre-compaction files). Returns the new epoch. */
-  def compact(spark: SparkSession, root: String, statsCol: String,
+  def compact(spark: SparkSession, root: String, statsCols: Seq[String],
               numFiles: Int = 4): Int = {
     import org.apache.spark.sql.functions.col
     val cur = currentEpoch(spark, root)
     val next = cur + 1
     publishWithStats(
       read(spark, root)
-        .repartitionByRange(numFiles, col(statsCol))
-        .sortWithinPartitions(statsCol),
-      root, next, statsCol)
+        .repartitionByRange(numFiles, col(statsCols.head))
+        .sortWithinPartitions(statsCols.head),
+      root, next, statsCols)
     next
   }
 
-  /** Range read through the zone maps: scan ONLY files whose
-    * [lo, hi] overlaps [from, to]. Returns the pruned frame and the
-    * (selected, total) file counts as evidence. */
-  def readRangePruned(spark: SparkSession, root: String, from: Long,
-                      to: Long, epoch: Int = -1): (DataFrame, Int, Int) = {
-    val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
-    val p = new org.apache.hadoop.fs.Path(s"$root/stats-$e")
-    val in = fs(spark, p).open(p)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toList
-      finally in.close()
-    val all = lines.map { l =>
-      val Array(name, lo, hi) = l.split('|')
-      (name, lo.toLong, hi.toLong)
-    }
-    val hit = all.filter { case (_, lo, hi) => hi >= from && lo <= to }
-    val files =
-      if (hit.isEmpty) Seq(s"$root/data-epoch=$e") // empty-range guard
-      else hit.map { case (name, _, _) => s"$root/$name" }
-    val df = spark.read.parquet(files: _*)
-    (df, hit.size, all.size)
+  // ---------------------------------------------------------------- read path
+
+  /** The epoch the table currently publishes: max committed marker. */
+  def currentEpochOpt(spark: SparkSession, root: String): Option[Int] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = fs(spark, rootPath)
+    if (!f.exists(rootPath)) None
+    else f.listStatus(rootPath).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("commit-\\d+"))
+      .map(_.stripPrefix("commit-").toInt)
+      .maxOption
   }
 
-  /** The epoch the table currently publishes. */
-  def currentEpoch(spark: SparkSession, root: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/MANIFEST")
-    val in = fs(spark, p).open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next().trim.toInt
-    finally in.close()
+  def currentEpoch(spark: SparkSession, root: String): Int =
+    currentEpochOpt(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed epoch at $root"))
+
+  /** The winning (token, txn) of a committed epoch. */
+  def commitInfo(spark: SparkSession, root: String, epoch: Int): (String, Option[Txn]) = {
+    val lines = readLines(spark,
+      new org.apache.hadoop.fs.Path(s"$root/commit-$epoch"))
+    val token = lines.collectFirst { case l if l.startsWith("token=") =>
+      l.stripPrefix("token=") }.getOrElse(
+      throw new IllegalStateException(s"commit-$epoch at $root has no token"))
+    val txn = lines.collectFirst { case l if l.startsWith("txn=") =>
+      val Array(app, v) = l.stripPrefix("txn=").split(":", 2)
+      Txn(app, v.toLong)
+    }
+    (token, txn)
+  }
+
+  /** Newest committed txn version for `appId`, across live commit
+    * markers AND the `TXNS` rollup vacuum leaves behind — the replay
+    * no-op test survives retention. */
+  def lastCommittedVersion(spark: SparkSession, root: String,
+                           appId: String): Option[Long] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = fs(spark, rootPath)
+    if (!f.exists(rootPath)) return None
+    val live = f.listStatus(rootPath).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("commit-\\d+"))
+      .flatMap(n => commitInfo(spark, root, n.stripPrefix("commit-").toInt)._2)
+      .collect { case Txn(a, v) if a == appId => v }
+    val rolled = {
+      val p = new org.apache.hadoop.fs.Path(rootPath, "TXNS")
+      if (!f.exists(p)) Nil
+      else readLines(spark, p).flatMap { l =>
+        val Array(a, v) = l.split(":", 2)
+        if (a == appId) Some(v.toLong) else None
+      }
+    }
+    (live ++ rolled).maxOption
   }
 
   /** Manifest-resolved file list of `epoch` (absolute paths). */
   def manifestFiles(spark: SparkSession, root: String, epoch: Int): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/manifest-$epoch")
-    val in = fs(spark, p).open(p)
-    val names =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toList
-      finally in.close()
-    names.map(n => s"$root/$n")
+    val (token, _) = commitInfo(spark, root, epoch)
+    readLines(spark,
+      new org.apache.hadoop.fs.Path(s"$root/manifest-$epoch.$token"))
+      .map(n => s"$root/$n")
   }
 
   /** Read the table AS PUBLISHED: only manifest-listed files — orphans
     * and unpublished epochs are invisible. Pass `epoch` to time-travel
-    * to a pinned manifest. */
+    * to a pinned commit. */
   def read(spark: SparkSession, root: String, epoch: Int = -1): DataFrame = {
     val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
     spark.read.parquet(manifestFiles(spark, root, e): _*)
   }
 
+  // ---------------------------------------------------------------- retention
+
   /** Retention sweep — the vacuum discipline of the dedup epoch chain
     * / artifact cache applied to table epochs: keep the newest `keep`
-    * published epochs (the CURRENT epoch is always kept), drop older
-    * manifests + their now-unreferenced data files, and sweep orphans
-    * (crashed-writer strays referenced by NO surviving manifest).
+    * committed epochs (the CURRENT epoch is always kept), drop older
+    * commits + their now-unreferenced data files + their manifest and
+    * stats metadata, sweep losing-attempt metadata, and sweep orphan
+    * data files (crashed or beaten writers) — but ONLY inside epoch
+    * dirs at or below the current epoch (the Iceberg
+    * remove_orphan_files grace discipline, keyed on epochs instead of
+    * age): a concurrent in-flight writer necessarily stages ABOVE the
+    * current epoch, and anything uncommitted at or below it can never
+    * commit (epochs are monotonic), so the bounded sweep cannot eat a
+    * publishable epoch. Dropped epochs' txn records roll into `TXNS`
+    * first, so replay idempotence survives retention. Single
+    * maintenance process assumed (as for compact) — vacuum itself is
+    * not CAS-protected.
     * Time travel remains available across exactly the kept epochs.
     * @return (droppedEpochs, keptEpochs), each sorted. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2): (Seq[Int], Seq[Int]) = {
@@ -267,42 +464,77 @@ object ManifestSink {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val f = fs(spark, rootPath)
     val cur = currentEpoch(spark, root)
-    val epochs = f.listStatus(rootPath).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("manifest-"))
-      .map(_.stripPrefix("manifest-").toInt)
-      .sorted
-    // newest `keep`, plus the current epoch unconditionally
+    val names = f.listStatus(rootPath).toSeq.map(_.getPath.getName)
+    val epochs = names.filter(_.matches("commit-\\d+"))
+      .map(_.stripPrefix("commit-").toInt).sorted
     val kept = (epochs.takeRight(keep) :+ cur).distinct.sorted
     val dropped = epochs.filterNot(kept.contains)
     val keptFiles = kept
       .flatMap(e => manifestFiles(spark, root, e))
       .map(new org.apache.hadoop.fs.Path(_).toUri.getPath)
       .toSet
+    // roll dropped txns into TXNS before their markers disappear
+    val droppedTxns = dropped.flatMap(e => commitInfo(spark, root, e)._2)
+    if (droppedTxns.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(rootPath, "TXNS")
+      val existing =
+        if (f.exists(p)) readLines(spark, p).map { l =>
+          val Array(a, v) = l.split(":", 2); (a, v.toLong)
+        } else Nil
+      val merged = (existing ++ droppedTxns.map(t => (t.appId, t.version)))
+        .groupBy(_._1).map { case (a, vs) => s"$a:${vs.map(_._2).max}" }
+        .toSeq.sorted
+      writeFile(spark, p, merged.mkString("\n") + "\n")
+    }
     dropped.foreach { e =>
       manifestFiles(spark, root, e)
         .map(p => new org.apache.hadoop.fs.Path(p))
         .filterNot(p => keptFiles.contains(p.toUri.getPath))
         .foreach(p => f.delete(p, false))
-      f.delete(new org.apache.hadoop.fs.Path(rootPath, s"manifest-$e"), false)
+      f.delete(new org.apache.hadoop.fs.Path(rootPath, s"commit-$e"), false)
     }
-    // orphan sweep: data files no surviving manifest references
-    orphanFiles(spark, root).foreach(p =>
-      f.delete(new org.apache.hadoop.fs.Path(p), false))
+    // metadata sweep: dropped epochs' manifests/stats (ALL attempts),
+    // plus losing-attempt metadata of kept epochs (ADVICE r10: stale
+    // stats referencing deleted files must not outlive their epoch)
+    val winners = kept.map(e => e -> commitInfo(spark, root, e)._1).toMap
+    f.listStatus(rootPath).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      val m = "^(manifest|stats)-(\\d+)\\.([0-9a-f]+)$".r
+      n match {
+        case m(_, e, token) =>
+          val ep = e.toInt
+          if (!kept.contains(ep) || winners.get(ep).exists(_ != token))
+            f.delete(p, true): Unit
+        case _ => ()
+      }
+    }
+    // epoch-bounded orphan data sweep (see scaladoc)
+    orphanFiles(spark, root)
+      .filter(p => dataEpochOf(p).exists(_ <= cur))
+      .foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), false))
     (dropped, kept)
   }
 
-  /** Files under the table root that NO manifest references — the
-    * candidates a retention sweep deletes (crashed writers, replaced
-    * epochs). Listing only; deletion policy is the caller's. */
+  /** The epoch a data file's directory belongs to, if it is an epoch
+    * dir (`data-epoch=N` or an attempt dir `data-epoch=N-aTOKEN`). */
+  private def dataEpochOf(path: String): Option[Int] = {
+    val parent = new org.apache.hadoop.fs.Path(path).getParent.getName
+    "^data-epoch=(\\d+)(-a[0-9a-f]+)?$".r.findFirstMatchIn(parent).map(_.group(1).toInt)
+  }
+
+  /** Data files under the table's epoch dirs that NO committed
+    * manifest references — the candidates a retention sweep deletes
+    * (crashed writers, beaten attempts, replaced epochs). Listing
+    * only; deletion policy is [[vacuum]]'s (which bounds the sweep to
+    * epochs at or below the current one). */
   def orphanFiles(spark: SparkSession, root: String): Seq[String] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val f = fs(spark, rootPath)
     val referenced = f.listStatus(rootPath).toSeq
       .map(_.getPath.getName)
-      .filter(_.startsWith("manifest-"))
+      .filter(_.matches("commit-\\d+"))
       .flatMap(m => manifestFiles(spark, root,
-        m.stripPrefix("manifest-").toInt))
+        m.stripPrefix("commit-").toInt))
       .map(new org.apache.hadoop.fs.Path(_).toUri.getPath)
       .toSet
     val it = f.listFiles(rootPath, true)
@@ -310,7 +542,8 @@ object ManifestSink {
     while (it.hasNext) {
       val s = it.next()
       val name = s.getPath.getName
-      if (s.isFile && name.endsWith(".parquet"))
+      if (s.isFile && name.endsWith(".parquet") &&
+          dataEpochOf(s.getPath.toUri.getPath).isDefined)
         all += s.getPath.toUri.getPath
     }
     all.toSeq.filterNot(referenced).sorted

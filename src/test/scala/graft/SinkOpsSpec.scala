@@ -169,8 +169,10 @@ class SinkOpsSpec extends SparkTestBase {
 
     val (dropped, kept) = ManifestSink.vacuum(spark, root, keep = 2)
     assert(dropped == Seq(1) && kept == Seq(2, 3), s"$dropped / $kept")
-    // epoch-1 manifest and data are gone; epochs 2 and 3 read intact
-    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$root/manifest-1")))
+    // epoch-1 commit/manifest and data are gone; epochs 2 and 3 intact
+    val names1 = hfs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName)
+    assert(!names1.exists(n => n == "commit-1" || n.startsWith("manifest-1.")))
     intercept[Exception](ManifestSink.read(spark, root, epoch = 1).collect())
     assert(ManifestSink.read(spark, root, epoch = 2).count() ==
       ev.filter(col("event_id") < 20).count())
@@ -189,9 +191,9 @@ class SinkOpsSpec extends SparkTestBase {
     val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
     ManifestSink.publishWithStats(
       ev.repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"),
-      root, 1, "event_id")
+      root, 1, Seq("event_id"))
     // a narrow range hits a strict subset of the 8 clustered files
-    val (df, hit, total) = ManifestSink.readRangePruned(spark, root, 100L, 199L)
+    val (df, hit, total) = ManifestSink.readRangePruned(spark, root, "event_id", 100L, 199L)
     assert(total == 8, s"expected 8 data files, got $total")
     assert(hit < total && hit >= 1, s"pruning must bite: $hit/$total")
     val got = df.filter(col("event_id").between(100L, 199L))
@@ -199,11 +201,16 @@ class SinkOpsSpec extends SparkTestBase {
     val want = ev.filter(col("event_id").between(100L, 199L))
       .select("event_id").as[Long].collect().sorted.toSeq
     assert(got == want)
-    // a range off the end of the data: residual filter keeps it exact
-    val (df2, _, _) = ManifestSink.readRangePruned(spark, root, Long.MaxValue - 10, Long.MaxValue)
-    assert(df2.filter(col("event_id") > Long.MaxValue - 10).count() == 0)
+    // a range off the end of the data: no file overlaps — the read
+    // returns a schema-preserving EMPTY frame (never an un-pruned
+    // fallback scan that could surface orphan rows — ADVICE r10)
+    val (df2, hit2, _) = ManifestSink.readRangePruned(spark, root, "event_id",
+      Long.MaxValue - 10, Long.MaxValue)
+    assert(hit2 == 0 && df2.count() == 0)
+    assert(df2.schema.fieldNames.toSeq == Seq("event_id", "value"))
     // full-range read touches everything and equals the table
-    val (df3, hit3, total3) = ManifestSink.readRangePruned(spark, root, Long.MinValue, Long.MaxValue)
+    val (df3, hit3, total3) = ManifestSink.readRangePruned(spark, root, "event_id",
+      Long.MinValue, Long.MaxValue)
     assert(hit3 == total3)
     assert(df3.count() == ev.count())
   }
@@ -217,11 +224,11 @@ class SinkOpsSpec extends SparkTestBase {
       ManifestSink.publishAppendWithStats(
         ev.filter(col("event_id") % 3 === m)
           .repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"),
-        root, e, "event_id")
+        root, e, Seq("event_id"))
     val before = ManifestSink.manifestFiles(spark, root, 3)
     val preContent = ManifestSink.read(spark, root)
       .select("event_id").as[Long].collect().sorted.toSeq
-    val newEpoch = ManifestSink.compact(spark, root, "event_id", numFiles = 4)
+    val newEpoch = ManifestSink.compact(spark, root, Seq("event_id"), numFiles = 4)
     assert(newEpoch == 4 && ManifestSink.currentEpoch(spark, root) == 4)
     val after = ManifestSink.manifestFiles(spark, root, 4)
     assert(after.size < before.size, s"${after.size} !< ${before.size}")
@@ -231,7 +238,7 @@ class SinkOpsSpec extends SparkTestBase {
     assert(ManifestSink.read(spark, root, epoch = 3)
       .select("event_id").as[Long].collect().sorted.toSeq == preContent)
     // zone maps on the compacted epoch still prune
-    val (_, hit, total) = ManifestSink.readRangePruned(spark, root, 100L, 199L)
+    val (_, hit, total) = ManifestSink.readRangePruned(spark, root, "event_id", 100L, 199L)
     assert(hit < total && total == after.size)
     // vacuum to the compacted epoch reclaims every pre-compaction file
     ManifestSink.vacuum(spark, root, keep = 1)
@@ -241,5 +248,121 @@ class SinkOpsSpec extends SparkTestBase {
       "vacuum must reclaim the pre-compaction files")
     assert(ManifestSink.read(spark, root)
       .select("event_id").as[Long].collect().sorted.toSeq == preContent)
+  }
+
+  test("manifest CAS: two racing publishers — exactly one wins, loser conflicts, never a clobber") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_mcas_spec_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
+    val a = ev.filter(col("event_id") < 40)
+    val b = ev.filter(col("event_id") >= 40 && col("event_id") < 90)
+    // interleaved: both stage epoch 1 (attempt-unique data dirs — no
+    // data clobber either), B commits first and wins
+    val stagedA = ManifestSink.stage(a, root, 1, Seq("event_id"), unique = true)
+    val stagedB = ManifestSink.stage(b, root, 1, Seq("event_id"), unique = true)
+    ManifestSink.commitStaged(spark, stagedB)
+    val loser = intercept[ManifestSink.ManifestConflictException](
+      ManifestSink.commitStaged(spark, stagedA))
+    assert(loser.getMessage.contains("epoch 1"))
+    // the table is exactly B's content — A clobbered nothing
+    assert(ManifestSink.read(spark, root)
+      .select("event_id").as[Long].collect().sorted.toSeq ==
+      b.select("event_id").as[Long].collect().sorted.toSeq)
+    // the loser's metadata is cleaned eagerly; its data files are
+    // orphan candidates, swept by vacuum (epoch 1 <= current epoch 1)
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = hfs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName)
+    assert(!names.contains(s"manifest-1.${stagedA.token}"))
+    val orphans = ManifestSink.orphanFiles(spark, root)
+    assert(orphans.nonEmpty && orphans.forall(_.contains(s"-a${stagedA.token}")))
+    ManifestSink.vacuum(spark, root, keep = 2)
+    assert(ManifestSink.orphanFiles(spark, root).isEmpty)
+    assert(ManifestSink.read(spark, root)
+      .select("event_id").as[Long].collect().sorted.toSeq ==
+      b.select("event_id").as[Long].collect().sorted.toSeq)
+    // the loser retries against the NEXT epoch and succeeds
+    ManifestSink.commitStaged(spark,
+      ManifestSink.stageAppend(a, root, ManifestSink.currentEpoch(spark, root) + 1,
+        Seq("event_id"), unique = true))
+    assert(ManifestSink.read(spark, root).count() == a.count() + b.count())
+  }
+
+  test("manifest txn idempotence: replayed versions no-op; txn memory survives vacuum") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_mtxn_spec_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
+    val b0 = ev.filter(col("event_id") < 30)
+    val b1 = ev.filter(col("event_id") >= 30 && col("event_id") < 60)
+    assert(ManifestSink.commitIdempotentAppend(b0, root, "app", 0L, Seq("event_id")))
+    // replay of version 0 — even with different data — publishes nothing
+    assert(!ManifestSink.commitIdempotentAppend(b1, root, "app", 0L, Seq("event_id")))
+    assert(ManifestSink.currentEpoch(spark, root) == 1)
+    assert(ManifestSink.read(spark, root).count() == b0.count())
+    // the next version commits normally
+    assert(ManifestSink.commitIdempotentAppend(b1, root, "app", 1L, Seq("event_id")))
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+    assert(ManifestSink.read(spark, root).count() == b0.count() + b1.count())
+    assert(ManifestSink.lastCommittedVersion(spark, root, "app").contains(1L))
+    // vacuum drops epoch 1 (which carried txn version 0) — the TXNS
+    // rollup keeps the replay no-op test intact across retention
+    val (dropped, _) = ManifestSink.vacuum(spark, root, keep = 1)
+    assert(dropped == Seq(1))
+    assert(!ManifestSink.commitIdempotentAppend(b0, root, "app", 0L, Seq("event_id")))
+    assert(!ManifestSink.commitIdempotentAppend(b1, root, "app", 1L, Seq("event_id")))
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+  }
+
+  test("multi-column zone maps: string + long pruning on one commit; compaction preserves both") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_mzone_spec_")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+    // three append batches, clustered on (event_type, event_id)
+    for ((m, e) <- Seq(0, 1, 2).zip(Seq(1, 2, 3)))
+      ManifestSink.publishAppendWithStats(
+        ev.filter(col("event_id") % 3 === m)
+          .repartitionByRange(4, col("event_type"), col("event_id"))
+          .sortWithinPartitions("event_type", "event_id"),
+        root, e, Seq("event_type", "event_id"))
+    // STRING pruning bites and stays exact under the residual filter
+    val (sdf, shit, stotal) = ManifestSink.readRangePrunedString(
+      spark, root, "event_type", "click", "error")
+    assert(shit < stotal && shit >= 1, s"string pruning must bite: $shit/$stotal")
+    assert(sdf.filter(col("event_type").between("click", "error")).count() ==
+      ev.filter(col("event_type").between("click", "error")).count())
+    // the SAME commit answers long-range reads too
+    val (ldf, lhit, ltotal) = ManifestSink.readRangePruned(
+      spark, root, "event_id", 0L, 99L)
+    assert(lhit <= ltotal)
+    assert(ldf.filter(col("event_id").between(0L, 99L)).count() ==
+      ev.filter(col("event_id").between(0L, 99L)).count())
+    // no-overlap string range: schema-preserving empty frame
+    val (edf, ehit, _) = ManifestSink.readRangePrunedString(
+      spark, root, "event_type", "zzz1", "zzz2")
+    assert(ehit == 0 && edf.count() == 0 &&
+      edf.schema.fieldNames.toSeq == Seq("event_id", "event_type", "value"))
+    // compact: fewer files, BOTH columns' zone maps still prune
+    val preFiles = ManifestSink.manifestFiles(spark, root, 3).size
+    ManifestSink.compact(spark, root, Seq("event_type", "event_id"), numFiles = 4)
+    val postFiles = ManifestSink
+      .manifestFiles(spark, root, ManifestSink.currentEpoch(spark, root)).size
+    assert(postFiles < preFiles)
+    val (_, shit2, stotal2) = ManifestSink.readRangePrunedString(
+      spark, root, "event_type", "click", "error")
+    assert(shit2 < stotal2 && shit2 <= shit,
+      s"compacted string pruning must not regress: $shit2/$stotal2 vs $shit/$stotal")
+    // stats metadata of dropped epochs is reclaimed with them
+    ManifestSink.vacuum(spark, root, keep = 1)
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = hfs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName)
+    assert(!names.exists(n => n.startsWith("stats-1.") || n.startsWith("stats-2.") ||
+      n.startsWith("stats-3.")), s"stale stats survived vacuum: ${names.mkString(",")}")
   }
 }

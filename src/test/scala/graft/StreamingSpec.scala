@@ -270,12 +270,19 @@ class StreamingSpec extends SparkTestBase {
     import org.apache.spark.sql.functions._
     import graft.sink.ManifestSink
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
-    val (root, frame) = graft.streaming.StreamManifestSink.demoWithRoot(spark, sf)
-    // final epoch = both batches
+    val (root, frame, attempts) =
+      graft.streaming.StreamManifestSink.demoWithRoot(spark, sf)
+    // final epoch = both batches — EXACTLY once, even though batch 1
+    // was replayed after the simulated crash (attempts > batches
+    // proves the replay actually ran and the txn no-op absorbed it)
     val want = ev.filter(col("event_id") % 3 <= 1)
       .select("event_id").as[Long].collect().sorted.toSeq
     assert(frame.select("event_id").as[Long].collect().sorted.toSeq == want)
-    assert(ManifestSink.currentEpoch(spark, root) == 2)
+    assert(attempts == 3, s"expected batch0 + crashed batch1 + replayed batch1, got $attempts")
+    assert(ManifestSink.currentEpoch(spark, root) == 2,
+      "replayed batch must not publish a third epoch")
+    assert(ManifestSink.lastCommittedVersion(spark, root,
+      "graft_stream_manifest_demo").contains(1L))
     // epoch 1 = exactly batch 1 (time travel into stream history)
     val e1 = ManifestSink.read(spark, root, epoch = 1)
       .select("event_id").as[Long].collect().sorted.toSeq
@@ -292,7 +299,7 @@ class StreamingSpec extends SparkTestBase {
       new org.apache.hadoop.fs.Path(p).toUri.getPath).exists()))
     // zone maps survive the append chain: a narrow range read on the
     // STREAMED table prunes the file list (each batch range-clustered)
-    val (pruned, hit, total) = ManifestSink.readRangePruned(spark, root, 100L, 199L)
+    val (pruned, hit, total) = ManifestSink.readRangePruned(spark, root, "event_id", 100L, 199L)
     assert(hit < total, s"streamed zone maps must prune: $hit/$total")
     assert(pruned.filter(col("event_id").between(100L, 199L))
       .select("event_id").as[Long].collect().sorted.toSeq ==
