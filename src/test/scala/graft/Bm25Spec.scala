@@ -129,7 +129,7 @@ class Bm25Spec extends SparkTestBase {
     // scan — corpus tokenization lives in the one-time build
     assert(locs.exists(_.contains(s"$dir/postings")),
       s"scoring must read the artifact postings:\n$locs")
-    assert(locs.exists(_.contains(s"$dir/dfreq")),
+    assert(locs.exists(_.contains(s"$dir/gen-1/dfreq")),
       s"scoring must read the artifact dfreq:\n$locs")
     assert(locs.count(_.contains("documents.parquet")) == 1,
       s"exactly one (query-side) documents scan expected:\n$locs")
@@ -200,8 +200,39 @@ class Bm25Spec extends SparkTestBase {
     assert(a == b, "appended index must score identically to a full rebuild")
     assert(a.nonEmpty)
     // merged stats equal the full build's
-    val sa = spark.read.parquet(s"$dirApp/stats").collect()(0)
-    val sb = spark.read.parquet(s"$dirFull/stats").collect()(0)
+    val sa = spark.read.parquet(s"${Bm25.genDir(spark, dirApp)}/stats").collect()(0)
+    val sb = spark.read.parquet(s"${Bm25.genDir(spark, dirFull)}/stats").collect()(0)
     assert((sa.getLong(0), sa.getLong(1)) == (sb.getLong(0), sb.getLong(1)))
+  }
+
+  test("torn append is invisible: a crash before the GEN flip leaves the prior generation intact") {
+    val full = docs
+    val standing = full.filter(col("doc_id") >= 50)
+    val dir = tmpDir("bm25_torn_")
+    Bm25.buildIndex(standing, dir)
+    assert(Bm25.currentGen(spark, dir) == 1)
+    val pre = Bm25.scoreWithIndex(full, dir, col("doc_id") % 100 === 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // the append writes delta postings AND the next generation's
+    // merged dfreq/stats, then dies before the pointer flip —
+    // the exact torn-append window ADVICE r10 flagged for the old
+    // in-place layout
+    intercept[RuntimeException](
+      Bm25.appendToIndex(full.filter(col("doc_id") < 50), dir, crashBeforeFlip = true))
+    assert(Bm25.currentGen(spark, dir) == 1, "crashed append must not advance GEN")
+    val during = Bm25.scoreWithIndex(full, dir, col("doc_id") % 100 === 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(during == pre,
+      "readers must see the prior generation unchanged after a torn append")
+    // the RETRY overwrites the crashed attempt's leftovers and lands
+    Bm25.appendToIndex(full.filter(col("doc_id") < 50), dir)
+    assert(Bm25.currentGen(spark, dir) == 2)
+    val dirFull = tmpDir("bm25_torn_full_")
+    Bm25.buildIndex(full, dirFull)
+    val a = Bm25.scoreWithIndex(full, dir, col("doc_id") % 100 === 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val b = Bm25.scoreWithIndex(full, dirFull, col("doc_id") % 100 === 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(a == b, "the retried append must equal a fresh full build")
   }
 }
