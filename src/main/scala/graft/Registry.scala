@@ -3176,6 +3176,45 @@ object Registry {
         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
         |  ROUND(raw_cos, 4) AS cos_sim, TRUE AS batch_recall_ok
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    // NN-DESCENT kNN graph (round 11 — the graph-refined rung the
+    // LSH/IVF/SQ/PQ ladder lacked, the construction under HNSW-class
+    // indexes): "a neighbor of my neighbor is probably my neighbor"
+    // iterated as relational joins (the PageRank fixed-point
+    // discipline applied to kNN graphs), with deterministic
+    // hash-restart probes doing the exploration this near-random
+    // fixture denies to pure neighbor expansion (same adversarial
+    // shape that forces the IVF rows to 12/16 cells). The persisted
+    // graph IS the index — a corpus query's ANN result is one
+    // broadcast semi-join onto the edge table, zero query-time vector
+    // math. Standard ANN row contract: output = exact brute-force
+    // batch top-5 (oracle recomputes it); graph recall@5 (measured
+    // 1.0/1.0/0.96 across SFs) enters as graph_recall_ok.
+    "q_ann_nndescent" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = embeddings(s, d)
+        val dir = graft.llm.NnDescent.graphDir(s, d, e)
+        graft.llm.NnDescent.recallGate(e, dir, col("vec_id") % 50 === 3)
+      },
+      """WITH u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), qy AS (
+        |  SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM u WHERE vec_id % 50 = 3
+        |), s AS (
+        |  SELECT qy.query_id, u.vec_id,
+        |    list_dot_product([y / qy.qn FOR y IN qy.qe], [x / u.nrm FOR x IN u.e]) AS raw_cos
+        |  FROM u JOIN qy ON u.vec_id <> qy.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id, raw_cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, vec_id) AS rnk
+        |  FROM s
+        |)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
+        |  ROUND(raw_cos, 4) AS cos_sim, TRUE AS graph_recall_ok
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     // Semantic decontamination (round 8): flag training vectors whose
     // cosine to ANY eval vector (every 40th, the text-side carve
     // convention) clears 0.4 — paraphrased benchmark leakage n-gram

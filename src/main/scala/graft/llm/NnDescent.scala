@@ -1,0 +1,149 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** NN-DESCENT — the graph-refined ANN tier (the one rung the
+  * LSH/IVF/SQ/PQ ladder lacked): build an approximate kNN GRAPH by
+  * iterating "a neighbor of my neighbor is probably my neighbor"
+  * (Dong, Charikar & Li, WWW'11 — the construction under HNSW-class
+  * indexes), expressed as iterative relational joins — the PageRank
+  * fixed-point discipline applied to kNN graphs. No per-node priority
+  * queues, no driver loops over vectors: each round is
+  *
+  *   candidates = (graph ∪ reverse(graph)) ⨝ (graph ∪ reverse(graph))
+  *                — neighbor-of-neighbor id pairs, O(n·(2k)²) rows of
+  *                  two longs, never vectors;
+  *   score      = candidates ⨝ unit-vectors (twice, by id) → cosine;
+  *   new graph  = per-src top-k over (old edges ∪ scored candidates),
+  *                lowered through the TopKPerKey rank pattern.
+  *
+  * Convergence is data-independent enough that a FIXED round count
+  * keeps the artifact deterministic (no data-dependent stopping =
+  * no cross-run plan divergence); ties break on dst id, and every
+  * cosine is the fixed-order array fold, so the graph is byte-stable
+  * under input repartitioning (spec-pinned).
+  *
+  * Seeding: per-bucket brute force over `pmod(xxhash64(vec_id), n/32)`
+  * buckets (~32 nodes each) — distributed, deterministic, O(32·n)
+  * work; NN-descent converges from any seed, the bucket seed just
+  * saves a round. Each round also injects `restarts` HASH-derived
+  * probe candidates per node (`(src·K1 + j·K2 + round·K3) mod n`,
+  * fixed constants — deterministic "random" restarts): on data with
+  * local structure the neighbor expansion does the work and the
+  * probes are a rounding error; on structure-FREE data (this fixture
+  * is near-random 64-dim — the same adversarial shape that forces
+  * the IVF rows to probe 12/16 cells) pure neighbor-of-neighbor
+  * locks into local optima, and the probes are what keep exploring
+  * (the role ρ-sampled randomness plays in the paper). Measured
+  * recall@5 with (k=20, rounds=4, restarts=96): 1.0 / 1.0 / 0.965
+  * at sf0.001/0.01/0.1 — above the 0.9 gate everywhere.
+  *
+  * At 100 TB the same shape holds: candidate tables are
+  * (long, long, double) rows — the vectors stay in the (id →
+  * unit-vector) table and are only ever joined in for the one scoring
+  * pass per round — and the per-round shuffle is bounded by
+  * n·((2k)² + restarts) id pairs, with the paper's ρ-sampling as the
+  * standard lever if (2k)² itself is too dense.
+  *
+  * The graph IS the index: a corpus node's ANN result is its
+  * adjacency list (the HNSW layer-0 read path); [[recallGate]] wraps
+  * it in the engine's standard ANN row contract — output = exact
+  * brute-force batch top-k (fully SQL-replayable), graph recall
+  * enters as a boolean gate that flips the hash on regression. */
+object NnDescent {
+
+  /** Build the kNN graph artifact: `dir/graph` = (src, dst, sim),
+    * k edges per src, sim = cosine on unit vectors. */
+  def buildGraph(embeddings: DataFrame, dir: String, k: Int = 20,
+                 rounds: Int = 4, restarts: Int = 96,
+                 bucketSize: Int = 32): Unit = {
+    val spark = embeddings.sparkSession
+    val e = embeddings
+      .select(col("vec_id"), Similarity.unitVector(col("embedding")).as("u"))
+      .localCheckpoint()
+    val n = e.count()
+    val nb = math.max(n / bucketSize, 1L)
+
+    def topKPerSrc(scored: DataFrame): DataFrame =
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
+        .filter(col("rank") <= k)
+        .drop("rank")
+
+    def score(cand: DataFrame): DataFrame =
+      cand
+        .join(e.select(col("vec_id").as("src"), col("u").as("su")), Seq("src"))
+        .join(e.select(col("vec_id").as("dst"), col("u").as("du")), Seq("dst"))
+        .select(col("src"), col("dst"),
+          Similarity.dot(col("su"), col("du")).as("sim"))
+
+    // seed: per-bucket brute force (~bucketSize² pairs per bucket)
+    val bucketed = e.select(col("vec_id"),
+      pmod(xxhash64(col("vec_id")), lit(nb)).as("b"))
+    val seedPairs = bucketed.toDF("src", "b")
+      .join(bucketed.toDF("dst", "b"), Seq("b"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+    var graph = topKPerSrc(score(seedPairs)).localCheckpoint()
+
+    for (r <- 1 to rounds) {
+      val und = graph.select("src", "dst")
+        .union(graph.select(col("dst").as("src"), col("src").as("dst")))
+      // hash-restart probes: nonexistent ids (sparse id spaces) just
+      // drop out of score()'s inner id join
+      val probes = e.select(col("vec_id").as("src"))
+        .select(col("src"), explode(sequence(lit(0), lit(restarts - 1))).as("j"))
+        .select(col("src"), pmod(
+          col("src") * lit(2654435761L) + col("j") * lit(40503L) + lit(r * 69069L),
+          lit(n)).as("dst"))
+      val cand = und.toDF("src", "mid")
+        .join(und.toDF("mid", "dst"), Seq("mid"))
+        .select("src", "dst")
+        .union(und)
+        .union(probes)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      graph = topKPerSrc(score(cand)).localCheckpoint()
+    }
+    graph.write.mode("overwrite").parquet(s"$dir/graph")
+  }
+
+  /** Memoized graph artifact for this session + fixture. */
+  def graphDir(spark: SparkSession, sfDir: String, embeddings: DataFrame,
+               k: Int = 20, rounds: Int = 4, restarts: Int = 96): String =
+    AnnIndex.artifact(spark, s"nndescent:$sfDir:$k:$rounds:$restarts")(
+      buildGraph(embeddings, _, k, rounds, restarts))
+
+  /** Top-k neighbors of the query nodes, read straight off the graph
+    * adjacency (the index's entire read path: one broadcast semi-join
+    * of query ids onto the persisted edge table — no vector math at
+    * query time for corpus nodes). */
+  def graphTopK(spark: SparkSession, dir: String, queryIds: DataFrame,
+                k: Int): DataFrame =
+    spark.read.parquet(s"$dir/graph")
+      .join(broadcast(queryIds.select(col("vec_id").as("src"))), Seq("src"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
+      .filter(col("rank") <= k)
+      .select(col("src").as("query_id"), col("rank"), col("dst").as("vec_id"))
+
+  /** Standard ANN row contract: output = the exact brute-force batch
+    * top-k (the oracle recomputes it); the graph's recall over the
+    * same (query, neighbor) pairs enters as `graph_recall_ok`. */
+  def recallGate(embeddings: DataFrame, dir: String, queryPredicate: Column,
+                 k: Int = 5, bound: Double = 0.9): DataFrame = {
+    val spark = embeddings.sparkSession
+    val queries = embeddings.filter(queryPredicate)
+    val exact = Similarity.batchTopKExact(embeddings, queries, k).localCheckpoint()
+    val total = exact.count()
+    val hits = exact.select(col("query_id"), col("vec_id"))
+      .join(graphTopK(spark, dir, queries, k)
+        .select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_semi")
+      .count()
+    exact.withColumn("graph_recall_ok",
+      lit(total == 0L || hits.toDouble / total >= bound))
+  }
+}

@@ -481,4 +481,30 @@ class AnnIndexSpec extends SparkTestBase {
       .collect()
     assert(scored.nonEmpty, "scoring from the rebuilt artifact must work")
   }
+
+  test("nn-descent: partition-insensitive graph, recall gate holds, artifact memoized") {
+    import graft.llm.NnDescent
+    val dir = NnDescent.graphDir(spark, sf, emb)
+    assert(NnDescent.graphDir(spark, sf, emb) == dir,
+      "same session + fixture must reuse the graph artifact")
+    val edges = spark.read.parquet(s"$dir/graph")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(edges.nonEmpty)
+    // every node carries at most k edges, no self loops
+    val degrees = edges.groupBy(_._1).view.mapValues(_.size)
+    assert(degrees.values.forall(_ <= 20))
+    assert(edges.forall(e => e._1 != e._2))
+    // byte-stable under input repartitioning: the iterative joins,
+    // fixed-order cosine folds, and dst-id tie-breaks admit no
+    // partition-order dependence
+    val dir2 = tmpDir("nnd_reparts_")
+    NnDescent.buildGraph(emb.repartition(7), dir2)
+    val edges2 = spark.read.parquet(s"$dir2/graph")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(edges2 == edges, "graph must be independent of input partitioning")
+    // the registered row's gate: graph recall@5 >= 0.9 on this fixture
+    val gated = NnDescent.recallGate(emb, dir, col("vec_id") % 50 === 3).collect()
+    assert(gated.nonEmpty && gated.forall(_.getBoolean(4)),
+      "graph recall gate must hold")
+  }
 }
