@@ -125,6 +125,13 @@ object Bench {
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"queries":$qs,"queries_cold":$cold,"errors":$errs,"env":$envJson,"sf":"$sfDir"}"""
     println(line)
+    // one self-explaining stderr line (round-10 verdict task 7): a
+    // contaminated capture shows up as cold-sum far above the min-sum
+    // (ambient load rarely hits both passes of the same query), so the
+    // diff makes the driver log interpretable without adjudication
+    val coldSum = results.map { case (_, _, _, t1, _) => t1 }.sum
+    System.err.println(
+      f"BENCH min-sum $total%.1f s vs cold-sum $coldSum%.1f s (cold includes one-time artifact/demo builds; a LARGE gap on repeat queries indicates ambient load absorbed by the best-of-2 protocol)")
     // The driver captures a TRUNCATED stdout tail, which has made every
     // round's BENCH_r{N}.json unparseable past ~60 queries; the full
     // per-query map is also written to a file so the numbers are

@@ -418,4 +418,67 @@ class PlanShapeSpec extends SparkTestBase {
     assert("hashpartitioning".r.findAllIn(s).isEmpty,
       s"sampling must not shuffle:\n$s")
   }
+
+  test("manifest compact row: read path is scan + one range exchange; rewrite is range-only") {
+    val df = SparkEntry.queries("q_manifest_compact")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    // the committed read of the compacted table: a plain
+    // manifest-resolved scan + the output range sort — the manifest
+    // and zone-map machinery is all metadata-side, zero plan cost
+    assert(deepAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.isEmpty, s"compacted read must not hash-shuffle:\n$p")
+    assert(deepAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size == 1, s"exactly the output range sort expected:\n$p")
+    assert(deepAll(p) { case j: BroadcastHashJoinExec => j }.isEmpty &&
+      deepAll(p) { case c: CartesianProductExec => c }.isEmpty, p.toString)
+    // the compaction REWRITE plan (read -> repartitionByRange ->
+    // sortWithinPartitions, exactly what compact() executes): one
+    // range exchange, no hash exchange — clustering without shuffling
+    // twice
+    val root = tmpDir("graft_planshape_compact_")
+    graft.sink.ManifestSink.publishWithStats(
+      Tables.events(spark, sf).select("event_id", "value"),
+      root, 1, Seq("event_id"))
+    val rewrite = graft.sink.ManifestSink.read(spark, root)
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("event_id"))
+      .sortWithinPartitions("event_id")
+    rewrite.collect()
+    val rp = rewrite.queryExecution.executedPlan
+    val shuffles = deepAll(rp) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size == 1 && shuffles.head.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+      s"rewrite must be one range exchange:\n$rp")
+  }
+
+  test("zone-map pruned reads plan scans over ONLY the pruned file list") {
+    val df = SparkEntry.queries("q_manifest_skip_string")(spark, sf)
+    df.collect()
+    // pruning happened in metadata BEFORE planning: the scan's input
+    // files are a strict subset of the epoch's committed files
+    val root = df.inputFiles.head.replaceAll("/data-epoch=.*", "")
+    val total = graft.sink.ManifestSink.manifestFiles(spark, root, 1).size
+    assert(df.inputFiles.length < total && df.inputFiles.nonEmpty,
+      s"expected a pruned scan: ${df.inputFiles.length} of $total files")
+    val p = df.queryExecution.executedPlan
+    assert(deepAll(p) { case j: BroadcastHashJoinExec => j }.isEmpty &&
+      deepAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      s"pruned read is a plain scan + filter + sort:\n$p")
+  }
+
+  test("nn-descent row: broadcast-only joins, no cartesian, top-k through the rank pattern") {
+    val df = SparkEntry.queries("q_ann_nndescent")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(deepAll(p) { case c: CartesianProductExec => c }.isEmpty, p.toString)
+    assert(deepAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, s"the query side must broadcast onto the corpus scan:\n$p")
+  }
 }
