@@ -1875,6 +1875,42 @@ object Registry {
       },
       """SELECT event_id, event_type, value, TRUE AS files_pruned FROM events
         |WHERE event_type BETWEEN 'click' AND 'error' ORDER BY event_id""".stripMargin),
+    // COPY-ON-WRITE MERGE (round 11): upsert into the manifest table
+    // with the Delta/Iceberg CoW economics — the zone maps bound the
+    // rewrite to the files whose key range an update touches; every
+    // other file carries into the new manifest as pure metadata (the
+    // entire point of per-file stats at 100 TB: a narrow-key upsert
+    // rewrites a handful of files, not the table). The row doubles
+    // value for a 100-key range (touches <=2 of the 8 clustered
+    // files) and inserts 20 brand-new keys (overlap nothing — no
+    // extra file touched); cow_ok gates that >=6 files carried.
+    "q_manifest_merge" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val root = tmpDir("graft_mmerge_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        graft.sink.ManifestSink.publishWithStats(
+          ev.repartitionByRange(8, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          root, 1, Seq("event_id"))
+        val upd = ev.filter(col("event_id").between(100, 199))
+          .select(col("event_id"), col("user_id"), (col("value") * 2).as("value"))
+          .union(ev.filter(col("event_id") < 20)
+            .select((col("event_id") + 1000000L).as("event_id"),
+              col("user_id"), col("value")))
+        val (_, _, carried) = graft.sink.ManifestSink
+          .mergeCow(s, root, upd, "event_id", Seq("event_id"))
+        graft.sink.ManifestSink.read(s, root)
+          .withColumn("cow_ok", lit(carried >= 6))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id BETWEEN 100 AND 199 THEN value * 2 ELSE value END AS value,
+        |  TRUE AS cow_ok
+        |FROM events
+        |UNION ALL
+        |SELECT event_id + 1000000, user_id, value, TRUE FROM events WHERE event_id < 20
+        |ORDER BY event_id""".stripMargin),
     // Manifest table compaction (round 10): append commits leave one
     // file set per batch; `compact` reads the committed view, rewrites
     // it range-clustered, and publishes the rewrite as a fresh epoch

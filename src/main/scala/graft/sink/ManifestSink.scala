@@ -368,6 +368,60 @@ object ManifestSink {
     next
   }
 
+  /** COPY-ON-WRITE MERGE (upsert) — the Delta/Iceberg MERGE economics
+    * on the manifest table: rows of `updates` replace current rows
+    * with the same `keyCol`, unmatched update rows insert, and the
+    * rewrite touches ONLY the files whose zone-map [lo, hi] overlaps
+    * an update key — every other file carries into the new manifest
+    * as pure metadata. At 100 TB this is the entire point of the
+    * stats table: a narrow-key upsert rewrites a handful of files,
+    * not the table (the naive merge is a full-table rewrite per
+    * batch). Overlap is decided distributively — the (file, lo, hi)
+    * ranges broadcast onto the update keys, so the update side never
+    * collects — and the touched list is bounded by the file count.
+    * Requires the current epoch to carry zone maps for `keyCol`;
+    * `statsCols` (must include `keyCol`) are rewritten for the fresh
+    * files and carried for the untouched ones.
+    * @return (newEpoch, rewrittenFiles, carriedFiles) */
+  def mergeCow(spark: SparkSession, root: String, updates: DataFrame,
+               keyCol: String, statsCols: Seq[String],
+               txn: Option[Txn] = None): (Int, Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(statsCols.contains(keyCol), "statsCols must include the merge key")
+    val cur = currentEpoch(spark, root)
+    val next = cur + 1
+    val stats = statsTable(spark, root, cur)
+    val keyRanges = stats.filter(col("col") === keyCol)
+      .select(col("file"), col("lo_long"), col("hi_long"))
+    // touched = files whose range contains at least one update key;
+    // ranges broadcast (file-count-bounded), update keys stay
+    // distributed
+    val touched = updates.select(col(keyCol).as("__k"))
+      .join(broadcast(keyRanges),
+        col("__k") >= col("lo_long") && col("__k") <= col("hi_long"))
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    val all = manifestFiles(spark, root, cur).map { p =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+    }
+    val carried = all.filterNot(touched)
+    // rewrite: touched rows that lose to an update key, plus every
+    // update row (replacements AND inserts)
+    val survivors =
+      if (touched.isEmpty) updates
+      else spark.read.parquet(touched.map(n => s"$root/$n").toSeq: _*)
+        .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(updates)
+    val fresh = stage(survivors, root, next, statsCols)
+    val carriedStats = stats
+      .filter(col("file").isin(carried: _*))
+    commitStaged(spark, fresh.copy(
+      relFiles = (carried ++ fresh.relFiles).sorted,
+      stats = Some(carriedStats.unionByName(fresh.stats.get))), txn)
+    (next, fresh.relFiles.size, carried.size)
+  }
+
   // ---------------------------------------------------------------- read path
 
   /** The epoch the table currently publishes: max committed marker. */

@@ -365,4 +365,63 @@ class SinkOpsSpec extends SparkTestBase {
     assert(!names.exists(n => n.startsWith("stats-1.") || n.startsWith("stats-2.") ||
       n.startsWith("stats-3.")), s"stale stats survived vacuum: ${names.mkString(",")}")
   }
+
+  test("copy-on-write merge: zone maps bound the rewrite; untouched files carry byte-identical") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_cow_spec_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
+    ManifestSink.publishWithStats(
+      ev.repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"),
+      root, 1, Seq("event_id"))
+    val m1 = ManifestSink.manifestFiles(spark, root, 1)
+    val mtimes = m1.map(p => p -> new java.io.File(
+      new org.apache.hadoop.fs.Path(p).toUri.getPath).lastModified()).toMap
+    // narrow-key update + disjoint inserts
+    val upd = ev.filter(col("event_id").between(100, 199))
+      .select(col("event_id"), (col("value") * 2).as("value"))
+      .union(ev.filter(col("event_id") < 10)
+        .select((col("event_id") + 500000L).as("event_id"), col("value")))
+    val (e2, rewritten, carried) =
+      ManifestSink.mergeCow(spark, root, upd, "event_id", Seq("event_id"))
+    assert(e2 == 2 && carried >= 6, s"narrow merge must carry most files: $carried")
+    assert(rewritten >= 1)
+    // content = merge semantics, exactly
+    val got = ManifestSink.read(spark, root)
+      .select("event_id", "value").as[(Long, Double)].collect().sorted.toSeq
+    val want = (ev.filter(!col("event_id").between(100, 199))
+        .select("event_id", "value").as[(Long, Double)].collect().toSeq ++
+      ev.filter(col("event_id").between(100, 199))
+        .select(col("event_id"), col("value") * 2).as[(Long, Double)].collect().toSeq ++
+      ev.filter(col("event_id") < 10)
+        .select(col("event_id") + 500000L, col("value")).as[(Long, Double)].collect().toSeq)
+      .sorted
+    assert(got == want)
+    // carried files untouched on disk; epoch 1 still time-travels
+    val m2 = ManifestSink.manifestFiles(spark, root, 2).toSet
+    val kept = m1.filter(m2)
+    assert(kept.size == carried)
+    assert(kept.forall(p => new java.io.File(
+      new org.apache.hadoop.fs.Path(p).toUri.getPath).lastModified() == mtimes(p)),
+      "carried files must not be rewritten")
+    assert(ManifestSink.read(spark, root, epoch = 1)
+      .select("event_id").as[Long].collect().sorted.toSeq ==
+      ev.select("event_id").as[Long].collect().sorted.toSeq)
+    // the merged epoch's zone maps stay live: pruning still bites and
+    // the rewritten region reads back doubled
+    val (pr, hit, total) = ManifestSink.readRangePruned(spark, root, "event_id", 100L, 199L)
+    assert(hit < total, s"post-merge pruning must bite: $hit/$total")
+    assert(pr.filter(col("event_id").between(100, 199))
+      .select("event_id", "value").as[(Long, Double)].collect().sorted.toSeq ==
+      ev.filter(col("event_id").between(100, 199))
+        .select(col("event_id"), col("value") * 2).as[(Long, Double)].collect().sorted.toSeq)
+    // insert-only merge: nothing overlaps, every file carries
+    val ins = ev.filter(col("event_id") < 5)
+      .select((col("event_id") + 900000L).as("event_id"), col("value"))
+    val (_, _, carried2) =
+      ManifestSink.mergeCow(spark, root, ins, "event_id", Seq("event_id"))
+    assert(carried2 == ManifestSink.manifestFiles(spark, root, 2).size,
+      "disjoint inserts must rewrite nothing")
+    assert(ManifestSink.read(spark, root).count() == want.size + 5)
+  }
 }
