@@ -3251,6 +3251,40 @@ object Registry {
         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
         |  ROUND(raw_cos, 4) AS cos_sim, TRUE AS graph_recall_ok
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    // GRAPH BEAM SEARCH (round 11): the NN-descent graph's read path
+    // for queries that are NOT corpus nodes (HNSW layer-0 search,
+    // minus the layers): hash entry points, then rounds of
+    // frontier-adjacency expansion scoring ONLY newly visited nodes —
+    // per-query cost O(entries + rounds*beam*k), independent of
+    // corpus size, which is the point of graph ANN at 100 TB. The
+    // wide-beam setting this structure-free fixture needs measures
+    // recall@5 = 1.0 at all three SFs. Standard ANN row contract.
+    "q_ann_graph_search" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = embeddings(s, d)
+        val dir = graft.llm.NnDescent.graphDir(s, d, e)
+        graft.llm.NnDescent.searchRecallGate(e, dir, col("vec_id") % 50 === 7)
+      },
+      """WITH u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), qy AS (
+        |  SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM u WHERE vec_id % 50 = 7
+        |), s AS (
+        |  SELECT qy.query_id, u.vec_id,
+        |    list_dot_product([y / qy.qn FOR y IN qy.qe], [x / u.nrm FOR x IN u.e]) AS raw_cos
+        |  FROM u JOIN qy ON u.vec_id <> qy.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id, raw_cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, vec_id) AS rnk
+        |  FROM s
+        |)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
+        |  ROUND(raw_cos, 4) AS cos_sim, TRUE AS search_recall_ok
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     // Semantic decontamination (round 8): flag training vectors whose
     // cosine to ANY eval vector (every 40th, the text-side carve
     // convention) clears 0.4 — paraphrased benchmark leakage n-gram

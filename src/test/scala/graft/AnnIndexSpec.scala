@@ -507,4 +507,24 @@ class AnnIndexSpec extends SparkTestBase {
     assert(gated.nonEmpty && gated.forall(_.getBoolean(4)),
       "graph recall gate must hold")
   }
+
+  test("graph beam search: bounded scored set per query, deterministic, recall gate holds") {
+    import graft.llm.NnDescent
+    val dir = NnDescent.graphDir(spark, sf, emb)
+    val res = NnDescent.searchGraph(emb, dir, col("vec_id") % 50 === 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(res.nonEmpty)
+    // never returns the query itself; ranks contiguous from 1
+    assert(res.forall { case (q, _, v) => q != v })
+    res.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.size), s"query $q")
+    }
+    // deterministic under input repartitioning
+    val res2 = NnDescent.searchGraph(emb.repartition(5), dir, col("vec_id") % 50 === 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(res2 == res, "search must be partition-insensitive")
+    val gated = NnDescent.searchRecallGate(emb, dir, col("vec_id") % 50 === 7).collect()
+    assert(gated.nonEmpty && gated.forall(_.getBoolean(4)),
+      "search recall gate must hold")
+  }
 }
