@@ -3285,6 +3285,43 @@ object Registry {
         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
         |  ROUND(raw_cos, 4) AS cos_sim, TRUE AS search_recall_ok
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
+    // INCREMENTAL graph insert (round 11): the append discipline every
+    // other index tier carries, for the NN-descent graph — delta
+    // nodes PLACE via beam search over the standing graph (O(beam*k)
+    // per node, independent of n), delta-internal pairs brute-force
+    // (batch-sized), and reverse refresh re-ranks the touched
+    // standing nodes (cosine symmetry recycles the placement scores).
+    // The rewrite is a ManifestSink COPY-ON-WRITE merge keyed on src:
+    // the index IS a manifest table, maintenance IS a zone-map-
+    // bounded merge with atomic visibility and time travel to the
+    // pre-append graph. Gate: the appended index must answer the
+    // delta queries like a full graph (exact output, recall gate).
+    "q_ann_graph_append" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val e = embeddings(s, d)
+        val dir = graft.llm.NnDescent.appendDemoDir(s, d, e)
+        graft.llm.NnDescent.recallGate(e, dir, col("vec_id") % 50 === 11)
+      },
+      """WITH u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), qy AS (
+        |  SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM u WHERE vec_id % 50 = 11
+        |), s AS (
+        |  SELECT qy.query_id, u.vec_id,
+        |    list_dot_product([y / qy.qn FOR y IN qy.qe], [x / u.nrm FOR x IN u.e]) AS raw_cos
+        |  FROM u JOIN qy ON u.vec_id <> qy.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id, raw_cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, vec_id) AS rnk
+        |  FROM s
+        |)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
+        |  ROUND(raw_cos, 4) AS cos_sim, TRUE AS graph_recall_ok
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin),
     // Semantic decontamination (round 8): flag training vectors whose
     // cosine to ANY eval vector (every 40th, the text-side carve
     // convention) clears 0.4 — paraphrased benchmark leakage n-gram

@@ -54,8 +54,19 @@ import org.apache.spark.sql.functions._
   * enters as a boolean gate that flips the hash on regression. */
 object NnDescent {
 
-  /** Build the kNN graph artifact: `dir/graph` = (src, dst, sim),
-    * k edges per src, sim = cosine on unit vectors. */
+  /** The edge table lives as a [[graft.sink.ManifestSink]] table at
+    * `dir/graphtab`, clustered + zone-mapped on `src` — so the index
+    * inherits the sink's whole lifecycle for free: atomic commits
+    * (a torn build/append is invisible), time travel across
+    * maintenance epochs, vacuum, and COPY-ON-WRITE merges for
+    * incremental inserts ([[appendToGraph]] rewrites only the files
+    * whose src-range a touched node falls in — the index IS a
+    * manifest table, maintenance IS a bounded merge). */
+  def graphEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.sink.ManifestSink.read(spark, s"$dir/graphtab")
+
+  /** Build the kNN graph artifact: (src, dst, sim) rows, k edges per
+    * src, sim = cosine on unit vectors. */
   def buildGraph(embeddings: DataFrame, dir: String, k: Int = 20,
                  rounds: Int = 4, restarts: Int = 96,
                  bucketSize: Int = 32): Unit = {
@@ -108,7 +119,10 @@ object NnDescent {
         .distinct()
       graph = topKPerSrc(score(cand)).localCheckpoint()
     }
-    graph.write.mode("overwrite").parquet(s"$dir/graph")
+    graft.sink.ManifestSink.publishWithStats(
+      graph.repartitionByRange(4, col("src")).sortWithinPartitions("src"),
+      s"$dir/graphtab", 1, Seq("src"))
+    ()
   }
 
   /** Memoized graph artifact for this session + fixture. */
@@ -123,7 +137,7 @@ object NnDescent {
     * query time for corpus nodes). */
   def graphTopK(spark: SparkSession, dir: String, queryIds: DataFrame,
                 k: Int): DataFrame =
-    spark.read.parquet(s"$dir/graph")
+    graphEdges(spark, dir)
       .join(broadcast(queryIds.select(col("vec_id").as("src"))), Seq("src"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
@@ -149,7 +163,17 @@ object NnDescent {
     * fixed-order cosine folds, id tie-breaks. */
   def searchGraph(embeddings: DataFrame, dir: String, queryPredicate: Column,
                   k: Int = 5, entries: Int = 48, beam: Int = 48,
-                  rounds: Int = 4): DataFrame = {
+                  rounds: Int = 4): DataFrame =
+    searchScored(embeddings, dir, queryPredicate, k, entries, beam, rounds)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("node"))))
+      .select(col("query_id"), col("rank"), col("node").as("vec_id"))
+
+  /** [[searchGraph]] keeping the cosine: (query_id, node, sim) top-k
+    * rows — the placement primitive [[appendToGraph]] builds on. */
+  private def searchScored(embeddings: DataFrame, dir: String,
+                           queryPredicate: Column, k: Int, entries: Int,
+                           beam: Int, rounds: Int): DataFrame = {
     val spark = embeddings.sparkSession
     val n = embeddings.count()
     val q = embeddings.filter(queryPredicate)
@@ -158,7 +182,7 @@ object NnDescent {
       .localCheckpoint()
     val corpus = embeddings
       .select(col("vec_id").as("node"), Similarity.unitVector(col("embedding")).as("u"))
-    val edges = spark.read.parquet(s"$dir/graph").select("src", "dst")
+    val edges = graphEdges(spark, dir).select("src", "dst")
 
     // score ONLY new (query, node) pairs: corpus vectors join by node
     // id, query vectors broadcast by query id
@@ -191,10 +215,79 @@ object NnDescent {
       visited = visited.unionByName(score(fresh)).localCheckpoint()
     }
     topBeam(visited, k)
+  }
+
+  /** INCREMENTAL graph insert — the append discipline every other
+    * index tier carries (IVF delta cells, BM25 generations), for the
+    * graph: a production corpus GROWS, and rebuilding an n-node graph
+    * for an m-node batch (m << n) re-scores the world. Instead:
+    *
+    *   1. PLACE — each delta node's standing neighbors come from a
+    *      beam search over the existing graph (O(beam·k) scored nodes
+    *      per delta, independent of n);
+    *   2. batch-local brute force — delta×delta pairs score directly
+    *      (m² bounded by the batch size; a batch's internal neighbors
+    *      are invisible to a search over the standing graph);
+    *   3. REVERSE refresh — cosine is symmetric, so every placement
+    *      edge (d → v, sim) is also v's candidate (v → d, sim);
+    *      touched standing nodes re-rank old adjacency ∪ delta
+    *      candidates. Touched set is bounded by m·k.
+    *
+    * The rewrite then goes through `ManifestSink.mergeCow` keyed on
+    * `src`: delta rows insert (their keys overlap no file range),
+    * touched standing rows replace, and the zone maps bound the file
+    * rewrite — graph maintenance IS a bounded CoW merge on the index
+    * table, with atomic visibility and time travel to the pre-append
+    * graph for free. `deltaPredicate` selects the batch out of
+    * `all` (standing = the rest, which the existing graph covers). */
+  def appendToGraph(all: DataFrame, dir: String, deltaPredicate: Column,
+                    k: Int = 20, entries: Int = 48, beam: Int = 48,
+                    rounds: Int = 4): Unit = {
+    val spark = all.sparkSession
+    val placed = searchScored(all, dir, deltaPredicate, k, entries, beam, rounds)
+      .localCheckpoint()
+    // delta×delta: the batch's internal pairs, brute-forced (m² rows)
+    val du = all.filter(deltaPredicate)
+      .select(col("vec_id"), Similarity.unitVector(col("embedding")).as("u"))
+    val dd = du.toDF("query_id", "qu").join(broadcast(du.toDF("node", "nu")),
+        col("query_id") =!= col("node"))
+      .select(col("query_id"), col("node"),
+        Similarity.dot(col("qu"), col("nu")).as("sim"))
+    val deltaAdj = placed.unionByName(dd)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("node"))))
-      .select(col("query_id"), col("rank"), col("node").as("vec_id"))
+      .filter(col("rank") <= k)
+      .select(col("query_id").as("src"), col("node").as("dst"), col("sim"))
+    // reverse candidates: standing nodes (and delta peers) that may
+    // now want a delta neighbor; re-rank their lists
+    val revCand = deltaAdj.select(col("dst").as("src"), col("src").as("dst"), col("sim"))
+    val touched = revCand.select("src").distinct()
+    val refreshed = graphEdges(spark, dir)
+      .join(broadcast(touched), Seq("src"), "left_semi")
+      .unionByName(revCand)
+      .dropDuplicates("src", "dst")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
+      .filter(col("rank") <= k)
+      .drop("rank")
+    graft.sink.ManifestSink.mergeCow(spark, s"$dir/graphtab",
+      deltaAdj.unionByName(refreshed).dropDuplicates("src", "dst")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
+        .filter(col("rank") <= k).drop("rank"),
+      "src", Seq("src"))
+    ()
   }
+
+  /** Memoized build-then-append demo graph: the standing corpus is
+    * everything but the `% 50 == 11` batch; after the append the
+    * composed index must gate exactly like a full graph. */
+  def appendDemoDir(spark: SparkSession, sfDir: String,
+                    embeddings: DataFrame): String =
+    AnnIndex.artifact(spark, s"nndappend:$sfDir") { dir =>
+      buildGraph(embeddings.filter(col("vec_id") % 50 =!= 11), dir)
+      appendToGraph(embeddings, dir, col("vec_id") % 50 === 11)
+    }
 
   /** [[searchGraph]] under the standard ANN row contract. */
   def searchRecallGate(embeddings: DataFrame, dir: String, queryPredicate: Column,

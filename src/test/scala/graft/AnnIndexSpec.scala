@@ -487,7 +487,7 @@ class AnnIndexSpec extends SparkTestBase {
     val dir = NnDescent.graphDir(spark, sf, emb)
     assert(NnDescent.graphDir(spark, sf, emb) == dir,
       "same session + fixture must reuse the graph artifact")
-    val edges = spark.read.parquet(s"$dir/graph")
+    val edges = NnDescent.graphEdges(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     assert(edges.nonEmpty)
     // every node carries at most k edges, no self loops
@@ -499,7 +499,7 @@ class AnnIndexSpec extends SparkTestBase {
     // partition-order dependence
     val dir2 = tmpDir("nnd_reparts_")
     NnDescent.buildGraph(emb.repartition(7), dir2)
-    val edges2 = spark.read.parquet(s"$dir2/graph")
+    val edges2 = NnDescent.graphEdges(spark, dir2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     assert(edges2 == edges, "graph must be independent of input partitioning")
     // the registered row's gate: graph recall@5 >= 0.9 on this fixture
@@ -526,5 +526,30 @@ class AnnIndexSpec extends SparkTestBase {
     val gated = NnDescent.searchRecallGate(emb, dir, col("vec_id") % 50 === 7).collect()
     assert(gated.nonEmpty && gated.forall(_.getBoolean(4)),
       "search recall gate must hold")
+  }
+
+  test("graph append: delta inserts via bounded CoW merge; both delta and standing queries gate") {
+    import graft.llm.NnDescent
+    import graft.sink.ManifestSink
+    val dir = NnDescent.appendDemoDir(spark, sf, emb)
+    val root = s"$dir/graphtab"
+    // the append committed as a CoW merge epoch on the index table:
+    // epoch 2 current, epoch 1 = the pre-append graph (time travel),
+    // and the delta src keys exist only in epoch 2
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+    val deltaIds = emb.filter(col("vec_id") % 50 === 11)
+      .select("vec_id").as[Long].collect().toSet
+    val pre = ManifestSink.read(spark, root, epoch = 1)
+      .select("src").as[Long].collect().toSet
+    assert(pre.intersect(deltaIds).isEmpty, "pre-append graph must not know the delta")
+    val post = ManifestSink.read(spark, root)
+      .select("src").as[Long].collect().toSet
+    assert(deltaIds.subsetOf(post), "every delta node must carry adjacency after append")
+    // the delta queries gate like a full graph; standing queries
+    // still gate (reverse refresh kept their lists current)
+    for (m <- Seq(11, 3)) {
+      val g = NnDescent.recallGate(emb, dir, col("vec_id") % 50 === m).collect()
+      assert(g.nonEmpty && g.forall(_.getBoolean(4)), s"gate failed for % 50 == $m")
+    }
   }
 }
