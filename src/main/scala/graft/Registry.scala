@@ -1911,6 +1911,39 @@ object Registry {
         |UNION ALL
         |SELECT event_id + 1000000, user_id, value, TRUE FROM events WHERE event_id < 20
         |ORDER BY event_id""".stripMargin),
+    // TIME TRAVEL (round 11): pin a historical epoch by its commit —
+    // the read resolves commit-1 -> its manifest -> exactly the files
+    // published then, regardless of the appends and merges that
+    // followed. The row publishes epoch 1, appends epoch 2, then
+    // CoW-merges epoch 3 (doubling a key range), and reads epoch 1
+    // back: the oracle is the original epoch-1 SELECT — any leakage
+    // from later epochs (the merge's doubled values would be the
+    // loudest) breaks the hash. travel_ok gates that the table really
+    // moved on (current epoch = 3).
+    "q_manifest_timetravel" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val root = tmpDir("graft_travel_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        graft.sink.ManifestSink.publishWithStats(
+          ev.filter(col("event_id") % 5 === 0)
+            .repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"),
+          root, 1, Seq("event_id"))
+        graft.sink.ManifestSink.publishAppendWithStats(
+          ev.filter(col("event_id") % 5 === 1)
+            .repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"),
+          root, 2, Seq("event_id"))
+        graft.sink.ManifestSink.mergeCow(s, root,
+          ev.filter(col("event_id").between(100, 199) && col("event_id") % 5 <= 1)
+            .select(col("event_id"), col("user_id"), (col("value") * 2).as("value")),
+          "event_id", Seq("event_id"))
+        val cur = graft.sink.ManifestSink.currentEpoch(s, root)
+        graft.sink.ManifestSink.read(s, root, epoch = 1)
+          .withColumn("travel_ok", lit(cur == 3))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value, TRUE AS travel_ok FROM events
+        |WHERE event_id % 5 = 0 ORDER BY event_id""".stripMargin),
     // Manifest table compaction (round 10): append commits leave one
     // file set per batch; `compact` reads the committed view, rewrites
     // it range-clustered, and publishes the rewrite as a fresh epoch
