@@ -1911,6 +1911,60 @@ object Registry {
         |UNION ALL
         |SELECT event_id + 1000000, user_id, value, TRUE FROM events WHERE event_id < 20
         |ORDER BY event_id""".stripMargin),
+    // COPY-ON-WRITE DELETE (round 11): the takedown / right-to-
+    // erasure primitive a training-data lakehouse needs — deleting a
+    // key range rewrites ONLY the files whose zone map overlaps it
+    // (cow_ok gates >=6 of 8 files carried untouched), atomically,
+    // with the pre-delete epoch pinned for audit until vacuum. Same
+    // CoW machinery as the merge, minus the insert.
+    "q_manifest_delete" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val root = tmpDir("graft_mdel_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        graft.sink.ManifestSink.publishWithStats(
+          ev.repartitionByRange(8, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          root, 1, Seq("event_id"))
+        val (_, _, carried) = graft.sink.ManifestSink.deleteCow(s, root,
+          ev.filter(col("event_id").between(100, 199)).select(col("event_id")),
+          "event_id", Seq("event_id"))
+        graft.sink.ManifestSink.read(s, root)
+          .withColumn("cow_ok", lit(carried >= 6))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value, TRUE AS cow_ok FROM events
+        |WHERE event_id NOT BETWEEN 100 AND 199 ORDER BY event_id""".stripMargin),
+    // ROLLBACK (round 11): restore a pre-mistake epoch as a NEW
+    // commit — history is never rewritten, the rollback itself is an
+    // auditable epoch (the Iceberg rollback-as-snapshot discipline),
+    // and it is pure metadata (data files are shared). The row
+    // publishes, CoW-deletes half the table ("the mistake"), rolls
+    // back, and the oracle is the ORIGINAL full table; rollback_ok
+    // gates that three epochs actually exist and zone maps survived
+    // the restore (the pruned read still bites).
+    "q_manifest_rollback" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val root = tmpDir("graft_mroll_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        graft.sink.ManifestSink.publishWithStats(
+          ev.repartitionByRange(8, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          root, 1, Seq("event_id"))
+        graft.sink.ManifestSink.deleteCow(s, root,
+          ev.filter(col("event_id") % 2 === 0).select(col("event_id")),
+          "event_id", Seq("event_id"))
+        graft.sink.ManifestSink.rollback(s, root, to = 1)
+        val cur = graft.sink.ManifestSink.currentEpoch(s, root)
+        val (_, hit, total) =
+          graft.sink.ManifestSink.readRangePruned(s, root, "event_id", 100L, 599L)
+        graft.sink.ManifestSink.read(s, root)
+          .withColumn("rollback_ok", lit(cur == 3 && hit < total))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value, TRUE AS rollback_ok FROM events
+        |ORDER BY event_id""".stripMargin),
     // TIME TRAVEL (round 11): pin a historical epoch by its commit —
     // the read resolves commit-1 -> its manifest -> exactly the files
     // published then, regardless of the appends and merges that

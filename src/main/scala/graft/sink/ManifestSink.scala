@@ -122,6 +122,7 @@ object ManifestSink {
       .sorted
     val stats =
       if (statsCols.isEmpty) None
+      else if (relFiles.isEmpty) Some(emptyStats(spark))
       else Some(fileStats(spark, root, relFiles, statsCols))
     Staged(root, epoch, token, relFiles, stats)
   }
@@ -385,7 +386,25 @@ object ManifestSink {
     * @return (newEpoch, rewrittenFiles, carriedFiles) */
   def mergeCow(spark: SparkSession, root: String, updates: DataFrame,
                keyCol: String, statsCols: Seq[String],
-               txn: Option[Txn] = None): (Int, Int, Int) = {
+               txn: Option[Txn] = None): (Int, Int, Int) =
+    cowRewrite(spark, root, updates, keyCol, statsCols, insert = true, txn)
+
+  /** COPY-ON-WRITE DELETE — the mergeCow machinery minus the insert:
+    * every row whose `keyCol` appears in `keys` is removed, and the
+    * rewrite touches only the files whose zone map overlaps a deleted
+    * key. This is the takedown/right-to-erasure primitive a
+    * training-data lakehouse needs at 100 TB: deleting one document's
+    * rows rewrites the handful of files that hold them, atomically,
+    * with the pre-delete epoch still pinned for audit until vacuum.
+    * @return (newEpoch, rewrittenFiles, carriedFiles) */
+  def deleteCow(spark: SparkSession, root: String, keys: DataFrame,
+                keyCol: String, statsCols: Seq[String],
+                txn: Option[Txn] = None): (Int, Int, Int) =
+    cowRewrite(spark, root, keys, keyCol, statsCols, insert = false, txn)
+
+  private def cowRewrite(spark: SparkSession, root: String, updates: DataFrame,
+                         keyCol: String, statsCols: Seq[String],
+                         insert: Boolean, txn: Option[Txn]): (Int, Int, Int) = {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(statsCols.contains(keyCol), "statsCols must include the merge key")
     val cur = currentEpoch(spark, root)
@@ -406,20 +425,62 @@ object ManifestSink {
         .stripPrefix(rootUri).stripPrefix("/")
     }
     val carried = all.filterNot(touched)
-    // rewrite: touched rows that lose to an update key, plus every
-    // update row (replacements AND inserts)
+    // rewrite: touched rows that lose to an update key, plus (merge
+    // only) every update row — replacements AND inserts
+    val carriedStats = stats.filter(col("file").isin(carried: _*))
+    if (touched.isEmpty && !insert) {
+      // delete with nothing to delete: a metadata-only new epoch —
+      // no data write at all, the manifest and stats carry verbatim
+      commitStaged(spark,
+        Staged(root, next, newToken(), carried.sorted, Some(carriedStats)), txn)
+      return (next, 0, carried.size)
+    }
     val survivors =
       if (touched.isEmpty) updates
-      else spark.read.parquet(touched.map(n => s"$root/$n").toSeq: _*)
-        .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(updates)
+      else {
+        val keep = spark.read.parquet(touched.map(n => s"$root/$n").toSeq: _*)
+          .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+        if (insert) keep.unionByName(updates) else keep
+      }
     val fresh = stage(survivors, root, next, statsCols)
-    val carriedStats = stats
-      .filter(col("file").isin(carried: _*))
     commitStaged(spark, fresh.copy(
       relFiles = (carried ++ fresh.relFiles).sorted,
-      stats = Some(carriedStats.unionByName(fresh.stats.get))), txn)
+      stats = Some(carriedStats.unionByName(fresh.stats.getOrElse(
+        emptyStats(spark))))), txn)
     (next, fresh.relFiles.size, carried.size)
+  }
+
+  private def emptyStats(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("file", StringType), StructField("col", StringType),
+        StructField("lo_long", LongType), StructField("hi_long", LongType),
+        StructField("lo_str", StringType), StructField("hi_str", StringType))))
+  }
+
+  /** ROLLBACK — restore epoch `to`'s content as a NEW epoch: history
+    * is never rewritten, the rollback itself is an auditable commit
+    * (the Iceberg rollback-as-snapshot discipline). The new manifest
+    * and stats are epoch `to`'s, verbatim; data files are shared, so
+    * the operation is pure metadata. */
+  def rollback(spark: SparkSession, root: String, to: Int,
+               txn: Option[Txn] = None): Int = {
+    val cur = currentEpoch(spark, root)
+    val next = cur + 1
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    val relFiles = manifestFiles(spark, root, to).map { p =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+    }
+    val (token, _) = commitInfo(spark, root, to)
+    val f = fs(spark, new org.apache.hadoop.fs.Path(root))
+    val stats =
+      if (f.exists(new org.apache.hadoop.fs.Path(s"$root/stats-$to.$token")))
+        Some(statsTable(spark, root, to))
+      else None
+    commitStaged(spark, Staged(root, next, newToken(), relFiles.sorted, stats), txn)
+    next
   }
 
   // ---------------------------------------------------------------- read path

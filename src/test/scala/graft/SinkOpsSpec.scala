@@ -424,4 +424,50 @@ class SinkOpsSpec extends SparkTestBase {
       "disjoint inserts must rewrite nothing")
     assert(ManifestSink.read(spark, root).count() == want.size + 5)
   }
+
+  test("copy-on-write delete and rollback: bounded erasure, audit pin, metadata-only restore") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_del_spec_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
+    ManifestSink.publishWithStats(
+      ev.repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"),
+      root, 1, Seq("event_id"))
+    // narrow delete: most files carry, the range is gone, the rest intact
+    val (e2, _, carried) = ManifestSink.deleteCow(spark, root,
+      ev.filter(col("event_id").between(100, 199)).select(col("event_id")),
+      "event_id", Seq("event_id"))
+    assert(e2 == 2 && carried >= 6, s"narrow delete must carry most files: $carried")
+    val got = ManifestSink.read(spark, root)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == ev.filter(!col("event_id").between(100, 199))
+      .select("event_id").as[Long].collect().sorted.toSeq)
+    // the pre-delete epoch stays pinned for audit
+    assert(ManifestSink.read(spark, root, epoch = 1).count() == ev.count())
+    // no-op delete (keys overlap nothing): a metadata-only epoch,
+    // zero rewritten files, content unchanged
+    val (e3, rewritten3, carried3) = ManifestSink.deleteCow(spark, root,
+      ev.limit(3).select((col("event_id") + 800000L).as("event_id")),
+      "event_id", Seq("event_id"))
+    assert(e3 == 3 && rewritten3 == 0 &&
+      carried3 == ManifestSink.manifestFiles(spark, root, 2).size)
+    assert(ManifestSink.read(spark, root)
+      .select("event_id").as[Long].collect().sorted.toSeq == got)
+    // rollback to the original: a NEW epoch with epoch-1's files —
+    // content restored, zone maps restored (pruned read bites),
+    // history intact (the delete epoch still readable)
+    val e4 = ManifestSink.rollback(spark, root, to = 1)
+    assert(e4 == 4 && ManifestSink.currentEpoch(spark, root) == 4)
+    assert(ManifestSink.read(spark, root)
+      .select("event_id").as[Long].collect().sorted.toSeq ==
+      ev.select("event_id").as[Long].collect().sorted.toSeq)
+    val (_, hit, total) = ManifestSink.readRangePruned(spark, root, "event_id", 100L, 199L)
+    assert(hit < total && hit >= 1)
+    assert(ManifestSink.read(spark, root, epoch = 2)
+      .select("event_id").as[Long].collect().sorted.toSeq == got,
+      "rollback must not rewrite history")
+    // rollback shares data files: epoch 4's manifest == epoch 1's
+    assert(ManifestSink.manifestFiles(spark, root, 4).toSet ==
+      ManifestSink.manifestFiles(spark, root, 1).toSet)
+  }
 }
