@@ -2619,6 +2619,45 @@ object Registry {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
         |ORDER BY user_id, event_type""".stripMargin),
     // MinHash under the recall-gate pattern (round 7): output = the
+    // Streaming GRAPH ingest (round 11): the graph twin of
+    // q_stream_ann_ingest — micro-batches of vectors flag against the
+    // NN-descent graph state at batch start (exact top-3, the beam
+    // search over the same state as the recall gate) and absorb via
+    // appendToGraph, one atomic CoW-merge epoch per batch on the edge
+    // table; the cycle closes with the manifest compaction sweep.
+    // MemoryStream pins batch boundaries so the oracle replays the
+    // stream as the two-stage exact recompute.
+    "q_stream_graph_ingest" -> q(
+      (s, d) => graft.streaming.StreamGraphIngest.demo(s, d),
+      """WITH u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), s1 AS (
+        |  SELECT qy.vec_id AS query_id, c.vec_id,
+        |    list_dot_product([y / qy.nrm FOR y IN qy.e], [x / c.nrm FOR x IN c.e]) AS raw_cos
+        |  FROM u c JOIN u qy ON qy.vec_id % 10 = 4
+        |  WHERE c.vec_id % 10 NOT IN (4, 9)
+        |), r1 AS (
+        |  SELECT query_id, vec_id, raw_cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, vec_id) AS rnk
+        |  FROM s1
+        |), s2 AS (
+        |  SELECT qy.vec_id AS query_id, c.vec_id,
+        |    list_dot_product([y / qy.nrm FOR y IN qy.e], [x / c.nrm FOR x IN c.e]) AS raw_cos
+        |  FROM u c JOIN u qy ON qy.vec_id % 10 = 9
+        |  WHERE c.vec_id % 10 <> 9
+        |), r2 AS (
+        |  SELECT query_id, vec_id, raw_cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY raw_cos DESC, vec_id) AS rnk
+        |  FROM s2
+        |)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id,
+        |  ROUND(raw_cos, 4) AS cos_sim, TRUE AS batch_recall_ok
+        |FROM (SELECT * FROM r1 WHERE rnk <= 3
+        |      UNION ALL SELECT * FROM r2 WHERE rnk <= 3)
+        |ORDER BY query_id, rank""".stripMargin),
     // EXACT string-shingle Jaccard pairs at 0.5, spelled with the
     // prefix-filter theorem (prefixPairsCtes) so DuckDB runs it at
     // every SF, plus `minhash_recall_ok` TRUE iff the b=32/r=4 LSH

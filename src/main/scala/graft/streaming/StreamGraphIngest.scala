@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{NnDescent, Similarity}
+import graft.sink.ManifestSink
+
+/** Streaming vector ingest against the STANDING NN-descent graph —
+  * the graph twin of `StreamAnnIngest` (which feeds the IVF ladder),
+  * closing the last index family without a streaming ingest path:
+  * micro-batches of new vectors arrive on a stream; each batch is
+  * (1) FLAGGED against the graph state at its start — every batch
+  * vector's exact top-3 among the nodes already carrying adjacency,
+  * with the graph BEAM SEARCH over the same state entering as the
+  * recall gate — and (2) ABSORBED via `NnDescent.appendToGraph`,
+  * i.e. a zone-map-bounded CoW merge on the edge table: each batch
+  * becomes one atomic epoch of the index, so a reader at any instant
+  * sees a complete graph, never a half-applied batch.
+  *
+  * Gate detail: the search runs over everything visible to the batch
+  * (state ∪ the batch itself — batch peers are legitimate search
+  * candidates the moment they share a micro-batch), so its raw top
+  * list can rank not-yet-indexed peers; the gate filters the search
+  * list to STATE nodes before comparing against the exact state
+  * top-3 — recall measures what the graph could have found, which is
+  * what the index promises.
+  *
+  * The cycle ends with the manifest-table lifecycle close:
+  * `ManifestSink.compact` rewrites the merge-accumulated edge files
+  * range-clustered on src (file counts recorded for the spec's pin).
+  *
+  * Determinism contract: MemoryStream + processAllAvailable pins the
+  * batch boundaries; batch-k flags depend only on (corpus,
+  * batches < k), so the fixed point equals the two-stage exact
+  * recompute the registered oracle spells in SQL. */
+object StreamGraphIngest {
+
+  final case class Vec(vec_id: Long, embedding: Seq[Float], label: Int)
+
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]())
+  private val reports = new scala.collection.concurrent.TrieMap[String, (Int, Int)]()
+
+  def demo(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = cache.synchronized {
+      var mm = cache.get(spark)
+      if (mm == null) {
+        mm = scala.collection.mutable.Map.empty[String, DataFrame]
+        cache.put(spark, mm)
+      }
+      mm
+    }
+    m.synchronized { m.getOrElseUpdate(sfDir, runImpl(spark, sfDir)) }
+  }
+
+  /** (filesBeforeCompact, filesAfterCompact) of the closing sweep. */
+  def report(sfDir: String): Option[(Int, Int)] = reports.get(sfDir)
+
+  private def runImpl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val standing = emb.filter(col("vec_id") % 10 =!= 4 && col("vec_id") % 10 =!= 9)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_graph_").toString
+    NnDescent.buildGraph(standing, dir)
+    val graphRoot = s"$dir/graphtab"
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_graph_out_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_graph_ckpt_").toString
+
+    val batch1 = emb.filter(col("vec_id") % 10 === 4).as[Vec].collect().toSeq
+    val batch2 = emb.filter(col("vec_id") % 10 === 9).as[Vec].collect().toSeq
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Vec]
+    val q = mem.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val mod = if (id == 0L) 4 else 9
+        // the state at batch start = the nodes carrying adjacency
+        val stateIds = NnDescent.graphEdges(spark, dir)
+          .select(col("src").as("vec_id")).distinct().localCheckpoint()
+        val state = emb.join(stateIds, Seq("vec_id"), "left_semi")
+        val visible = emb.filter(col("vec_id") % 10 =!= 9 || lit(mod == 9))
+        // exact top-3 against the state — the emitted, SQL-replayable rows
+        val exact = Similarity.batchTopKExact(state, batch, k = 3).localCheckpoint()
+        // gate: the beam search over the same state, filtered to
+        // state nodes (batch peers are searchable but not yet indexed)
+        val found = NnDescent.searchGraph(visible, dir,
+            col("vec_id") % 10 === mod, k = 10)
+          .join(stateIds, Seq("vec_id"), "left_semi")
+          .withColumn("r2", row_number().over(
+            Window.partitionBy(col("query_id")).orderBy(col("rank"))))
+          .filter(col("r2") <= 3)
+        val total = exact.count()
+        val hits = exact.select(col("query_id"), col("vec_id"))
+          .join(found.select(col("query_id"), col("vec_id")),
+            Seq("query_id", "vec_id"), "left_semi")
+          .count()
+        exact
+          .withColumn("batch_recall_ok",
+            lit(total == 0L || hits.toDouble / total >= 0.9))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        // absorb: one atomic CoW-merge epoch on the edge table
+        NnDescent.appendToGraph(visible, dir, col("vec_id") % 10 === mod)
+        ()
+      }
+      .start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // lifecycle close: compact the merge-accumulated edge files
+    val before = ManifestSink
+      .manifestFiles(spark, graphRoot, ManifestSink.currentEpoch(spark, graphRoot)).size
+    ManifestSink.compact(spark, graphRoot, Seq("src"), numFiles = 2)
+    val after = ManifestSink
+      .manifestFiles(spark, graphRoot, ManifestSink.currentEpoch(spark, graphRoot)).size
+    reports.put(sfDir, (before, after))
+
+    spark.read.parquet(s"$outDir/batch=0", s"$outDir/batch=1")
+      .orderBy("query_id", "rank")
+  }
+}

@@ -317,4 +317,24 @@ class StreamingSpec extends SparkTestBase {
       .select("event_id").as[Long].collect().sorted.toSeq == want,
       "in-flight file leaked into the committed stream view")
   }
+
+  test("streaming graph ingest: state-at-start flags, search gate, compaction close") {
+    val out = graft.streaming.StreamGraphIngest.demo(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(4)), "per-batch beam-search gate must hold")
+    // state-at-start: batch-0 flags (queries % 10 == 4) can only
+    // reference the standing corpus — neither their own batch nor the
+    // future batch-1 class
+    val b0 = out.filter(_.getLong(0) % 10 == 4)
+    assert(b0.nonEmpty && b0.forall(r => r.getLong(2) % 10 != 4 && r.getLong(2) % 10 != 9))
+    // batch-1 flags see the standing corpus PLUS batch 0 (freshness)
+    val b1 = out.filter(_.getLong(0) % 10 == 9)
+    assert(b1.nonEmpty && b1.forall(_.getLong(2) % 10 != 9))
+    // the closing compaction restored the edge-table file budget
+    // (merge epochs accumulate fresh files; the sweep caps them —
+    // at tiny SFs the table may already sit at the budget)
+    val Some((before, after)) = graft.streaming.StreamGraphIngest.report(sf)
+    assert(after <= before && after <= 2,
+      s"compaction must restore the file budget: $before -> $after")
+  }
 }
