@@ -1822,6 +1822,36 @@ object Registry {
       (s, d) => graft.streaming.StreamManifestSink.demo(s, d),
       """SELECT event_id, user_id, value FROM events
         |WHERE event_id % 3 IN (0, 1) ORDER BY event_id""".stripMargin),
+    // Streaming CDC apply (round 11): an upsert stream into the
+    // manifest table — each micro-batch of change rows (updates +
+    // inserts, upsert-resolved) applies via mergeCow as one atomic,
+    // zone-map-BOUNDED epoch carrying the batch's txn, so the
+    // foreachBatch at-least-once replay applies exactly once (batch
+    // 1 commits, crashes before the checkpoint, replays as a no-op —
+    // a double-applied merge would double-double the updated values
+    // and break the hash). Batch 1 also updates rows batch 0 only
+    // just inserted (real CDC feeds do this). cdc_ok gates the
+    // epoch count (base + 2 batches, no replay epoch) and that the
+    // crash really ran (attempts > batches).
+    "q_stream_cdc_upsert" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.lit
+        val (root, frame, attempts) =
+          graft.streaming.StreamCdcUpsert.demoWithRoot(s, d)
+        frame.withColumn("cdc_ok",
+          lit(graft.sink.ManifestSink.currentEpoch(s, root) == 3 && attempts == 3))
+      },
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id < 300 THEN value * 2 ELSE value END AS value,
+        |  TRUE AS cdc_ok
+        |FROM events WHERE event_id % 4 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, value * 2, TRUE FROM events
+        |WHERE event_id % 4 = 1 AND event_id < 300
+        |UNION ALL
+        |SELECT event_id, user_id, value, TRUE FROM events
+        |WHERE event_id % 4 = 2 AND event_id < 300
+        |ORDER BY event_id""".stripMargin),
     // Manifest zone maps / data skipping (round 10): the publish
     // records per-file (min, max) of the cluster column in a stats
     // sidecar; a range read prunes the FILE LIST before any scan is
@@ -1911,6 +1941,46 @@ object Registry {
         |UNION ALL
         |SELECT event_id + 1000000, user_id, value, TRUE FROM events WHERE event_id < 20
         |ORDER BY event_id""".stripMargin),
+    // Z-ORDER + MULTI-COLUMN ZONE MAPS (round 11): range-clustering
+    // serves ONE column's pruning; laying the write out on the Morton
+    // curve of (event_id, user_id) makes the per-file stats tight in
+    // BOTH dimensions at once — each file covers a compact rectangle
+    // of the key space, so a slab predicate on EITHER column prunes
+    // the file list (the lakehouse answer to multi-dimensional
+    // secondary indexes at 100 TB). The row gates on both dimensions'
+    // pruned reads touching strictly fewer files than the epoch holds.
+    "q_manifest_zorder" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit, min, max}
+        import org.apache.spark.sql.types.LongType
+        val root = tmpDir("graft_mzorder_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        val Array(eMin, eMax, uMin, uMax) =
+          ev.agg(min(col("event_id")), max(col("event_id")),
+              min(col("user_id")), max(col("user_id")))
+            .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+        def scale(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+          if (hi == lo) lit(0L)
+          else (c.cast(LongType) - lit(lo)) * 255L / lit(hi - lo)
+        graft.sink.ManifestSink.publishWithStats(
+          ev.withColumn("__z", graft.functions.VectorFns.zorder2(
+              scale(col("event_id"), eMin, eMax).cast(LongType),
+              scale(col("user_id"), uMin, uMax).cast(LongType)))
+            .repartitionByRange(16, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z"),
+          root, 1, Seq("event_id", "user_id"))
+        val (df, h1, t1) = graft.sink.ManifestSink
+          .readRangePruned(s, root, "event_id", 100L, 299L)
+        val (_, h2, t2) = graft.sink.ManifestSink
+          .readRangePruned(s, root, "user_id", uMin, uMin + (uMax - uMin) / 5)
+        df.filter(col("event_id").between(100L, 299L))
+          .withColumn("zorder_prunes_both", lit(h1 < t1 && h2 < t2))
+          .orderBy("event_id", "user_id")
+      },
+      """SELECT event_id, user_id, value, TRUE AS zorder_prunes_both
+        |FROM events WHERE event_id BETWEEN 100 AND 299
+        |ORDER BY event_id, user_id""".stripMargin),
     // COPY-ON-WRITE DELETE (round 11): the takedown / right-to-
     // erasure primitive a training-data lakehouse needs — deleting a
     // key range rewrites ONLY the files whose zone map overlaps it

@@ -337,4 +337,31 @@ class StreamingSpec extends SparkTestBase {
     assert(after <= before && after <= 2,
       s"compaction must restore the file budget: $before -> $after")
   }
+
+  test("streaming CDC upsert: exactly-once merge under replay, insert-then-update lands") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    val (root, frame, attempts) =
+      graft.streaming.StreamCdcUpsert.demoWithRoot(spark, sf)
+    // crash + replay happened; the replay merged nothing (3 epochs =
+    // base + two batches — a replayed merge would be a 4th)
+    assert(attempts == 3, s"expected batch0 + crashed batch1 + replay, got $attempts")
+    assert(ManifestSink.currentEpoch(spark, root) == 3)
+    // insert-then-update: the % 4 == 1 class arrived in batch 0 and
+    // was doubled by batch 1 — both must have landed exactly once
+    val got = frame.select("event_id", "value").as[(Long, Double)]
+      .collect().toMap
+    val ins = ev.filter(col("event_id") % 4 === 1 && col("event_id") < 300)
+      .select("event_id", "value").as[(Long, Double)].collect()
+    assert(ins.nonEmpty)
+    ins.foreach { case (id, v) => assert(got(id) == v * 2, s"event $id") }
+    // untouched base rows are byte-stable
+    val base = ev.filter(col("event_id") % 4 === 0 && col("event_id") >= 300)
+      .select("event_id", "value").as[(Long, Double)].collect()
+    base.foreach { case (id, v) => assert(got(id) == v, s"event $id") }
+    // pre-stream base epoch still time-travels
+    assert(ManifestSink.read(spark, root, epoch = 1).count() ==
+      ev.filter(col("event_id") % 4 === 0).count())
+  }
 }
