@@ -1941,6 +1941,34 @@ object Registry {
         |UNION ALL
         |SELECT event_id + 1000000, user_id, value, TRUE FROM events WHERE event_id < 20
         |ORDER BY event_id""".stripMargin),
+    // CATALYST-INTEGRATED data skipping (round 11): the Delta
+    // TahoeFileIndex pattern — ManifestFileIndex.table returns a PLAIN
+    // DataFrame backed by a custom FileIndex; an ordinary .filter()
+    // pushes its predicates into listFiles at PLANNING time and the
+    // index answers with only the zone-map-overlapping files. No side
+    // API: the idiomatic DataFrame program gets manifest resolution +
+    // file skipping transparently. planner_pruned gates that the
+    // planning pass selected strictly fewer files than the epoch
+    // holds; the residual filter keeps correctness independent of the
+    // skip (PlanShapeSpec pins the executed numFiles metric).
+    "q_manifest_table_skip" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val root = tmpDir("graft_mtbl_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        graft.sink.ManifestSink.publishWithStats(
+          ev.repartitionByRange(8, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          root, 1, Seq("event_id"))
+        val (t, idx) = graft.sink.ManifestFileIndex.tableWithIndex(s, root)
+        val f = t.filter(col("event_id").between(100L, 599L))
+        f.count() // force one planning pass to capture the selection
+        f.withColumn("planner_pruned",
+            lit(idx.lastSelectedCount < idx.inputFiles.length && idx.lastSelectedCount >= 1))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value, TRUE AS planner_pruned FROM events
+        |WHERE event_id BETWEEN 100 AND 599 ORDER BY event_id""".stripMargin),
     // Z-ORDER + MULTI-COLUMN ZONE MAPS (round 11): range-clustering
     // serves ONE column's pruning; laying the write out on the Morton
     // curve of (event_id, user_id) makes the per-file stats tight in

@@ -1,0 +1,168 @@
+package graft.sink
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Zone-map data skipping INSIDE Catalyst planning — the Delta
+  * TahoeFileIndex pattern: `ManifestSink.table(spark, root)` returns a
+  * plain DataFrame whose scan is backed by this custom [[FileIndex]];
+  * when the user writes an ordinary `.filter(col("event_id")
+  * .between(...))`, Spark pushes the data filters into
+  * `listFiles(partitionFilters, dataFilters)` at PLANNING time, and
+  * the index answers with only the files whose committed per-column
+  * (min, max) overlap the predicate. No side API, no special read
+  * call — the idiomatic DataFrame program gets manifest resolution,
+  * orphan invisibility, AND file skipping for free, which is the
+  * Spark-first spelling of "the manifest is a coarse secondary
+  * index". `readRangePruned` remains the explicit-evidence API (it
+  * returns the hit counts); this is the transparent one.
+  *
+  * Pruning is CONSERVATIVE: only And/Or trees of simple
+  * (column op literal) comparisons on stats-carrying columns prune;
+  * anything unrecognized keeps the file. Long and string bounds are
+  * both honored. The row-level filter still applies after the scan —
+  * skipping is an I/O optimization, never a correctness dependency
+  * (the same contract as parquet row-group stats one level down). */
+final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
+  extends FileIndex {
+
+  private val filePaths: Seq[Path] =
+    ManifestSink.manifestFiles(spark, root, epoch).map(new Path(_))
+
+  private val statuses: Seq[FileStatus] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    filePaths.map(p => p.getFileSystem(conf).getFileStatus(p))
+  }
+
+  /** relpath -> column -> (loLong, hiLong, loStr, hiStr), any null. */
+  private val zoneMaps: Map[String, Map[String, (Option[Long], Option[Long],
+      Option[String], Option[String])]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statsDir = new Path(
+      s"$root/stats-$epoch.${ManifestSink.commitInfo(spark, root, epoch)._1}")
+    if (!statsDir.getFileSystem(conf).exists(statsDir)) Map.empty
+    else ManifestSink.statsTable(spark, root, epoch).collect()
+      .groupBy(_.getString(0))
+      .map { case (file, rows) =>
+        file -> rows.map { r =>
+          r.getString(1) -> (
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            if (r.isNullAt(4)) None else Some(r.getString(4)),
+            if (r.isNullAt(5)) None else Some(r.getString(5)))
+        }.toMap
+      }
+  }
+
+  private def relOf(p: Path): String =
+    s"${p.getParent.getName}/${p.getName}"
+
+  /** Conservative may-match: false ONLY when the zone map proves no
+    * row of the file can satisfy `e`. */
+  private def mayMatch(rel: String, e: Expression): Boolean = {
+    def bounds(c: String) = zoneMaps.get(rel).flatMap(_.get(c))
+    def longCmp(c: String, test: (Long, Long) => Boolean): Boolean =
+      bounds(c) match {
+        case Some((Some(lo), Some(hi), _, _)) => test(lo, hi)
+        case _ => true
+      }
+    def strCmp(c: String, test: (String, String) => Boolean): Boolean =
+      bounds(c) match {
+        case Some((_, _, Some(lo), Some(hi))) => test(lo, hi)
+        case _ => true
+      }
+    def lit(l: Any): Option[scala.Either[Long, String]] = l match {
+      case i: Int => Some(scala.Left(i.toLong))
+      case i: Long => Some(scala.Left(i))
+      case i: Short => Some(scala.Left(i.toLong))
+      case i: Byte => Some(scala.Left(i.toLong))
+      case s: UTF8String => Some(scala.Right(s.toString))
+      case s: String => Some(scala.Right(s))
+      case _ => None
+    }
+    def cmp(col: String, v: Any,
+            onLong: (Long, Long, Long) => Boolean,
+            onStr: (String, String, String) => Boolean): Boolean =
+      lit(v) match {
+        case Some(scala.Left(l))  => longCmp(col, (lo, hi) => onLong(l, lo, hi))
+        case Some(scala.Right(s)) => strCmp(col, (lo, hi) => onStr(s, lo, hi))
+        case None => true
+      }
+    e match {
+      case And(a, b) => mayMatch(rel, a) && mayMatch(rel, b)
+      case Or(a, b)  => mayMatch(rel, a) || mayMatch(rel, b)
+      case EqualTo(a: AttributeReference, Literal(v, _)) =>
+        cmp(a.name, v, (x, lo, hi) => lo <= x && x <= hi,
+          (x, lo, hi) => lo <= x && x <= hi)
+      case EqualTo(Literal(v, _), a: AttributeReference) =>
+        cmp(a.name, v, (x, lo, hi) => lo <= x && x <= hi,
+          (x, lo, hi) => lo <= x && x <= hi)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+        cmp(a.name, v, (x, _, hi) => hi > x, (x, _, hi) => hi > x)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        cmp(a.name, v, (x, _, hi) => hi >= x, (x, _, hi) => hi >= x)
+      case LessThan(a: AttributeReference, Literal(v, _)) =>
+        cmp(a.name, v, (x, lo, _) => lo < x, (x, lo, _) => lo < x)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        cmp(a.name, v, (x, lo, _) => lo <= x, (x, lo, _) => lo <= x)
+      case GreaterThan(Literal(v, _), a: AttributeReference) =>
+        cmp(a.name, v, (x, lo, _) => lo < x, (x, lo, _) => lo < x)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        cmp(a.name, v, (x, lo, _) => lo <= x, (x, lo, _) => lo <= x)
+      case LessThan(Literal(v, _), a: AttributeReference) =>
+        cmp(a.name, v, (x, _, hi) => hi > x, (x, _, hi) => hi > x)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        cmp(a.name, v, (x, _, hi) => hi >= x, (x, _, hi) => hi >= x)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists { case Literal(v, _) =>
+          cmp(a.name, v, (x, lo, hi) => lo <= x && x <= hi,
+            (x, lo, hi) => lo <= x && x <= hi)
+        }
+      case _ => true
+    }
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val selected =
+      if (dataFilters.isEmpty || zoneMaps.isEmpty) statuses
+      else statuses.filter(s => dataFilters.forall(f => mayMatch(relOf(s.getPath), f)))
+    lastSelectedCount = selected.size
+    Seq(PartitionDirectory(InternalRow.empty, selected.toArray))
+  }
+
+  /** Planning evidence for specs: files the LAST listFiles selected. */
+  @volatile var lastSelectedCount: Int = -1
+
+  override def inputFiles: Array[String] = filePaths.map(_.toString).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+  override def partitionSchema: StructType = StructType(Nil)
+}
+
+object ManifestFileIndex {
+
+  /** The manifest table as a PLAIN DataFrame with planning-time zone-map
+    * skipping (see class doc). Pass `epoch` to time-travel. */
+  def table(spark: SparkSession, root: String, epoch: Int = -1): DataFrame =
+    tableWithIndex(spark, root, epoch)._1
+
+  /** Same, also returning the index (specs read its selection count). */
+  def tableWithIndex(spark: SparkSession, root: String,
+                     epoch: Int = -1): (DataFrame, ManifestFileIndex) = {
+    val e = if (epoch >= 0) epoch else ManifestSink.currentEpoch(spark, root)
+    val idx = new ManifestFileIndex(spark, root, e)
+    val schema = ManifestSink.read(spark, root, e).schema
+    val rel = HadoopFsRelation(idx, StructType(Nil), schema, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark)
+    (spark.baseRelationToDataFrame(rel), idx)
+  }
+}

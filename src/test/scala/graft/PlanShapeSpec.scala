@@ -472,6 +472,39 @@ class PlanShapeSpec extends SparkTestBase {
       s"pruned read is a plain scan + filter + sort:\n$p")
   }
 
+  test("manifest FileIndex: planning-time skipping reaches the executed scan's numFiles") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("graft_fidx_spec_")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.sink.ManifestSink.publishWithStats(
+      ev.repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"),
+      root, 1, Seq("event_id", "event_type"))
+    val (t, idx) = graft.sink.ManifestFileIndex.tableWithIndex(spark, root)
+    val total = idx.inputFiles.length
+
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      deepAll(df.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head.metrics("numFiles").value
+    }
+    // a narrow long range scans a strict subset of the epoch's files
+    val narrow = t.filter(col("event_id") < 50L)
+    val nf = scanFiles(narrow)
+    assert(nf < total && nf >= 1, s"pushed filter must prune the scan: $nf/$total")
+    assert(narrow.count() == ev.filter(col("event_id") < 50L).count())
+    // string predicates prune through the same stats rows
+    val sf2 = scanFiles(t.filter(col("event_type") === "zzz"))
+    assert(sf2 == 0, s"impossible string predicate must scan nothing: $sf2")
+    // unrecognized predicates are CONSERVATIVE: every file scans
+    val cons = scanFiles(t.filter(col("event_id") % 7 === 0))
+    assert(cons == total, s"unknown predicate must keep all files: $cons/$total")
+    // correctness never depends on the skip
+    assert(t.filter(col("event_id").between(100L, 599L)).count() ==
+      ev.filter(col("event_id").between(100L, 599L)).count())
+  }
+
   test("nn-descent row: broadcast-only joins, no cartesian, top-k through the rank pattern") {
     val df = SparkEntry.queries("q_ann_nndescent")(spark, sf)
     df.collect()
