@@ -609,17 +609,24 @@ object ManifestSink {
       f.delete(new org.apache.hadoop.fs.Path(rootPath, s"commit-$e"), false)
     }
     // metadata sweep: dropped epochs' manifests/stats (ALL attempts),
-    // plus losing-attempt metadata of kept epochs (ADVICE r10: stale
-    // stats referencing deleted files must not outlive their epoch)
+    // losing-attempt metadata of kept epochs (ADVICE r10: stale stats
+    // referencing deleted files must not outlive their epoch), and
+    // crashed attempts' commit tmp files (a writer that died between
+    // writing commit-N.tmp.T and the CAS rename leaves the tmp; any
+    // tmp at or below the current epoch can never commit — epochs are
+    // monotonic — so it is dead weight)
     val winners = kept.map(e => e -> commitInfo(spark, root, e)._1).toMap
     f.listStatus(rootPath).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
       val m = "^(manifest|stats)-(\\d+)\\.([0-9a-f]+)$".r
+      val tmp = "^commit-(\\d+)\\.tmp\\.([0-9a-f]+)$".r
       n match {
         case m(_, e, token) =>
           val ep = e.toInt
           if (!kept.contains(ep) || winners.get(ep).exists(_ != token))
             f.delete(p, true): Unit
+        case tmp(e, _) if e.toInt <= cur =>
+          f.delete(p, false): Unit
         case _ => ()
       }
     }

@@ -469,5 +469,22 @@ class SinkOpsSpec extends SparkTestBase {
     // rollback shares data files: epoch 4's manifest == epoch 1's
     assert(ManifestSink.manifestFiles(spark, root, 4).toSet ==
       ManifestSink.manifestFiles(spark, root, 1).toSet)
+    // a crashed attempt's commit tmp (died between tmp write and CAS
+    // rename) is dead weight at or below the current epoch — vacuum
+    // sweeps it; a tmp ABOVE current (an in-flight committer) survives
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (name <- Seq("commit-2.tmp.deadbeef0001", "commit-99.tmp.deadbeef0002")) {
+      val o = hfs.create(new org.apache.hadoop.fs.Path(s"$root/$name"), true)
+      o.write("token=dead\n".getBytes("UTF-8")); o.close()
+    }
+    ManifestSink.vacuum(spark, root, keep = 2)
+    val names = hfs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName)
+    assert(!names.contains("commit-2.tmp.deadbeef0001"),
+      "dead commit tmp must be swept")
+    assert(names.contains("commit-99.tmp.deadbeef0002"),
+      "an in-flight committer's tmp must survive vacuum")
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$root/commit-99.tmp.deadbeef0002"), false)
   }
 }
