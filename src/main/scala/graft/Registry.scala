@@ -1737,11 +1737,14 @@ object Registry {
       },
       s"""SELECT event_id, ts, user_id, event_type, value FROM events
          |WHERE user_id = ${ReadPath.DeviceKey} ORDER BY event_id""".stripMargin),
-    // Write-audit-publish manifest commits (round 10): a multi-file
-    // batch write becomes ATOMIC via indirection — data files land in
-    // an epoch dir, a manifest names exactly the audited files, the
-    // MANIFEST pointer flips last (FileContext rename-OVERWRITE, the
-    // dedup-META discipline). The demo publishes two epochs, then
+    // Write-audit-publish manifest commits (round 10; commit protocol
+    // reworked round 11): a multi-file batch write becomes ATOMIC via
+    // indirection — data files land in an epoch dir, a token-unique
+    // manifest names exactly the audited files, and the epoch's
+    // commit marker is created LAST via rename-without-overwrite (a
+    // compare-and-swap: exactly one attempt wins an epoch, and
+    // readers resolve max(commit-*) so no torn epoch is ever
+    // visible). The demo publishes two epochs, then
     // PLANTS a crashed-writer orphan parquet INSIDE the live epoch
     // dir; the manifest-resolved read returns exactly the published
     // epoch-2 rows — a plain-listing read would include the orphan
