@@ -555,6 +555,28 @@ object ManifestSink {
     spark.read.parquet(manifestFiles(spark, root, e): _*)
   }
 
+  /** Commit history of the table — the DESCRIBE HISTORY surface: one
+    * row per live epoch with its winning token, txn (if any), and
+    * manifest file count. Metadata-only (marker + manifest reads,
+    * bounded by retention); time-travel targets come straight off
+    * this frame. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = fs(spark, rootPath)
+    val rows = f.listStatus(rootPath).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("commit-\\d+"))
+      .map(_.stripPrefix("commit-").toInt)
+      .sorted
+      .map { e =>
+        val (token, txn) = commitInfo(spark, root, e)
+        (e, token, txn.map(_.appId), txn.map(_.version),
+          manifestFiles(spark, root, e).size)
+      }
+    rows.toDF("epoch", "token", "txn_app_id", "txn_version", "n_files")
+  }
+
   // ---------------------------------------------------------------- retention
 
   /** Retention sweep — the vacuum discipline of the dedup epoch chain

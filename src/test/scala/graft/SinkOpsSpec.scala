@@ -487,4 +487,24 @@ class SinkOpsSpec extends SparkTestBase {
       "an in-flight committer's tmp must survive vacuum")
     hfs.delete(new org.apache.hadoop.fs.Path(s"$root/commit-99.tmp.deadbeef0002"), false)
   }
+
+  test("manifest history: one row per live epoch, txns surfaced, retention-bounded") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_hist_spec_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
+    ManifestSink.publish(ev.filter(col("event_id") < 20), root, 1)
+    ManifestSink.publishAppend(ev.filter(col("event_id") >= 20 && col("event_id") < 40),
+      root, 2, txn = Some(ManifestSink.Txn("hist_app", 7L)))
+    val h = ManifestSink.history(spark, root)
+      .orderBy("epoch")
+      .collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(h(0).isNullAt(2) && h(0).isNullAt(3), "epoch 1 carried no txn")
+    assert(h(1).getString(2) == "hist_app" && h(1).getLong(3) == 7L)
+    assert(h(1).getInt(4) > h(0).getInt(4), "append history accumulates files")
+    // history shrinks with retention
+    ManifestSink.vacuum(spark, root, keep = 1)
+    assert(ManifestSink.history(spark, root).collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
 }
