@@ -1944,6 +1944,32 @@ object Registry {
         |UNION ALL
         |SELECT event_id + 1000000, user_id, value, TRUE FROM events WHERE event_id < 20
         |ORDER BY event_id""".stripMargin),
+    // COMMIT HISTORY (round 11): the DESCRIBE HISTORY surface — one
+    // row per live epoch with its txn identity and manifest file
+    // count, metadata-only. File counts are deterministic by
+    // construction (round-robin repartition(4) -> exactly 4 files per
+    // publish; the append manifest accumulates to 8), so the whole
+    // audit log sits under a VALUES-literal oracle. The winning
+    // tokens are random by design and excluded from the contract.
+    "q_manifest_history" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val root = tmpDir("graft_mhist_")
+        val ev = events(s, d).select(col("event_id"), col("value"))
+        graft.sink.ManifestSink.publish(
+          ev.filter(col("event_id") % 5 === 0).repartition(4), root, 1)
+        graft.sink.ManifestSink.publishAppend(
+          ev.filter(col("event_id") % 5 === 1).repartition(4), root, 2,
+          txn = Some(graft.sink.ManifestSink.Txn("cdc", 0L)))
+        graft.sink.ManifestSink.history(s, root)
+          .select("epoch", "txn_app_id", "txn_version", "n_files")
+          .orderBy("epoch")
+      },
+      """SELECT * FROM (VALUES
+        |  (1, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 4),
+        |  (2, 'cdc', CAST(0 AS BIGINT), 8))
+        |AS t(epoch, txn_app_id, txn_version, n_files)
+        |ORDER BY epoch""".stripMargin),
     // CATALYST-INTEGRATED data skipping (round 11): the Delta
     // TahoeFileIndex pattern — ManifestFileIndex.table returns a PLAIN
     // DataFrame backed by a custom FileIndex; an ordinary .filter()
