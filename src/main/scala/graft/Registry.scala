@@ -1970,6 +1970,55 @@ object Registry {
         |  (2, 'cdc', CAST(0 AS BIGINT), 8))
         |AS t(epoch, txn_app_id, txn_version, n_files)
         |ORDER BY epoch""".stripMargin),
+    // CHANGE DATA FEED (round 11): Delta's table_changes surface,
+    // computed from the manifest file delta — per epoch only the
+    // removed/added files are read (append = the batch, CoW = the
+    // zone-map-bounded touch set), keyed on the merge key. Epoch 2 is
+    // a mergeCow (value+1 on [100,199] — +1 so post ALWAYS differs
+    // from pre — plus <20 inserted at +1e6); epoch 3 a deleteCow of
+    // [50,99] and one inserted key. Survivors of rewritten files diff
+    // to nothing, so the oracle is exactly the construction's
+    // intended changes — any carried-row leak or missed change breaks
+    // the hash.
+    "q_manifest_cdf" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val root = tmpDir("graft_mcdf_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        graft.sink.ManifestSink.publishWithStats(
+          ev.repartitionByRange(8, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          root, 1, Seq("event_id"))
+        val upd = ev.filter(col("event_id").between(100, 199))
+          .select(col("event_id"), col("user_id"), (col("value") + 1).as("value"))
+          .union(ev.filter(col("event_id") < 20)
+            .select((col("event_id") + 1000000L).as("event_id"),
+              col("user_id"), col("value")))
+        graft.sink.ManifestSink.mergeCow(s, root, upd, "event_id", Seq("event_id"))
+        val dels = ev.filter(col("event_id").between(50, 99))
+          .select(col("event_id"))
+          .union(ev.filter(col("event_id") === 5)
+            .select((col("event_id") + 1000000L).as("event_id")))
+        graft.sink.ManifestSink.deleteCow(s, root, dels, "event_id", Seq("event_id"))
+        graft.sink.ManifestSink.tableChanges(s, root, "event_id", 1, 3)
+          .orderBy("_commit_epoch", "_change_type", "event_id")
+      },
+      """SELECT event_id + 1000000 AS event_id, user_id, value,
+        |  'insert' AS _change_type, 2 AS _commit_epoch
+        |FROM events WHERE event_id < 20
+        |UNION ALL
+        |SELECT event_id, user_id, value, 'update_preimage', 2
+        |FROM events WHERE event_id BETWEEN 100 AND 199
+        |UNION ALL
+        |SELECT event_id, user_id, value + 1, 'update_postimage', 2
+        |FROM events WHERE event_id BETWEEN 100 AND 199
+        |UNION ALL
+        |SELECT event_id, user_id, value, 'delete', 3
+        |FROM events WHERE event_id BETWEEN 50 AND 99
+        |UNION ALL
+        |SELECT event_id + 1000000, user_id, value, 'delete', 3
+        |FROM events WHERE event_id = 5
+        |ORDER BY _commit_epoch, _change_type, event_id""".stripMargin),
     // CATALYST-INTEGRATED data skipping (round 11): the Delta
     // TahoeFileIndex pattern — ManifestFileIndex.table returns a PLAIN
     // DataFrame backed by a custom FileIndex; an ordinary .filter()

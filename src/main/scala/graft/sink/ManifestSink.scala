@@ -459,6 +459,68 @@ object ManifestSink {
         StructField("lo_str", StringType), StructField("hi_str", StringType))))
   }
 
+  /** CHANGE DATA FEED — the row-level changes between two committed
+    * epochs (Delta's `table_changes` surface), computed from the
+    * MANIFEST DELTA rather than stored change files: for each epoch e
+    * in (fromEpoch, toEpoch], only the files e REMOVED from and ADDED
+    * to its predecessor's manifest are read — for an append epoch
+    * that is exactly the batch, for a CoW merge/delete it is the
+    * zone-map-bounded touch set, and for a compaction it is the
+    * rewrite (whose rows diff to NOTHING, so compaction emits an
+    * empty feed — the rewrite is physical, not semantic). The diff is
+    * keyed on `keyCol` (the table's merge key, unique per snapshot —
+    * the same contract [[mergeCow]] enforces): a key only in the
+    * added files is an `insert`, only in the removed files a
+    * `delete`, in both with different payload an `update_preimage` /
+    * `update_postimage` pair, and in both unchanged (a carried
+    * survivor of a rewritten file) no row at all. A rollback epoch
+    * therefore emits exactly the INVERSE of the feed it undoes.
+    *
+    * At 100 TB the economics mirror the CoW write path: per epoch the
+    * scan is the file delta (not the table), the one shuffle keys
+    * only those rows, and the epoch loop is retention-bounded. Output
+    * = table columns + `_change_type` + `_commit_epoch`. Both sides
+    * read under the toEpoch schema, so evolved tables feed old files
+    * with nulls in the added columns. */
+  def tableChanges(spark: SparkSession, root: String, keyCol: String,
+                   fromEpoch: Int, toEpoch: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromEpoch < toEpoch, s"need fromEpoch < toEpoch, got $fromEpoch >= $toEpoch")
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    def rel(e: Int): Seq[String] = manifestFiles(spark, root, e).map { p =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+    }
+    val schema = read(spark, root, toEpoch).schema
+    val cols = schema.fieldNames.toSeq
+    def readFiles(files: Seq[String]): DataFrame =
+      if (files.isEmpty) read(spark, root, toEpoch).filter(lit(false))
+      else spark.read.schema(schema).parquet(files.map(n => s"$root/$n"): _*)
+    (fromEpoch + 1 to toEpoch).map { e =>
+      val prev = rel(e - 1).toSet
+      val cur = rel(e).toSet
+      val pre = readFiles((prev -- cur).toSeq.sorted)
+        .select(struct(cols.map(col): _*).as("__pre"), col(keyCol).as("__pk"))
+      val post = readFiles((cur -- prev).toSeq.sorted)
+        .select(struct(cols.map(col): _*).as("__post"), col(keyCol).as("__ok"))
+      // one full-outer join, one pass: each outcome explodes to its
+      // 0/1/2 change rows so the join is never re-planned per branch
+      pre.join(post, col("__pk") === col("__ok"), "full_outer")
+        .select(explode(
+          when(col("__pk").isNull,
+            array(struct(lit("insert").as("t"), col("__post").as("r"))))
+          .when(col("__ok").isNull,
+            array(struct(lit("delete").as("t"), col("__pre").as("r"))))
+          .when(!(col("__pre") <=> col("__post")), array(
+            struct(lit("update_preimage").as("t"), col("__pre").as("r")),
+            struct(lit("update_postimage").as("t"), col("__post").as("r"))))
+          .otherwise(array().cast(
+            s"array<struct<t:string,r:struct<${schema.toDDL}>>>"))).as("__c"))
+        .select(col("__c.r.*") +: Seq(
+          col("__c.t").as("_change_type"), lit(e).as("_commit_epoch")): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** ROLLBACK — restore epoch `to`'s content as a NEW epoch: history
     * is never rewritten, the rollback itself is an auditable commit
     * (the Iceberg rollback-as-snapshot discipline). The new manifest

@@ -507,4 +507,46 @@ class SinkOpsSpec extends SparkTestBase {
     ManifestSink.vacuum(spark, root, keep = 1)
     assert(ManifestSink.history(spark, root).collect().map(_.getInt(0)).toSeq == Seq(2))
   }
+
+  test("change data feed: appends insert, CoW diffs, compaction silent, rollback inverts") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_cdf_spec_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
+    ManifestSink.publishWithStats(
+      ev.filter(col("event_id") < 100)
+        .repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"),
+      root, 1, Seq("event_id"))
+    // epoch 2: append — the feed is exactly the batch, all inserts
+    ManifestSink.publishAppendWithStats(
+      ev.filter(col("event_id").between(100, 119)), root, 2, Seq("event_id"))
+    val e2 = ManifestSink.tableChanges(spark, root, "event_id", 1, 2).collect()
+    assert(e2.length == 20 && e2.forall(_.getAs[String]("_change_type") == "insert"))
+    // epoch 3: merge rewriting a narrow key range; an update whose
+    // payload is IDENTICAL (key 10, value unchanged) must emit nothing
+    val upd = ev.filter(col("event_id") === 10)
+      .union(ev.filter(col("event_id") === 11)
+        .select(col("event_id"), (col("value") + 5).as("value")))
+    ManifestSink.mergeCow(spark, root, upd, "event_id", Seq("event_id"))
+    val e3 = ManifestSink.tableChanges(spark, root, "event_id", 2, 3)
+      .orderBy("_change_type").collect()
+    assert(e3.map(r => (r.getLong(0), r.getAs[String]("_change_type"))).toSeq ==
+      Seq((11L, "update_postimage"), (11L, "update_preimage")),
+      s"identical-payload rewrite must be silent; got ${e3.toSeq}")
+    // epoch 4: compaction — a physical rewrite, semantically empty feed
+    ManifestSink.compact(spark, root, Seq("event_id"), numFiles = 2)
+    assert(ManifestSink.tableChanges(spark, root, "event_id", 3, 4).isEmpty)
+    // epoch 5: rollback to 3 — the inverse of epoch 4's (empty) feed;
+    // rollback to 2 would invert the merge. Verify the inverse shape
+    // by rolling back to epoch 2: key 11 reverts, nothing else moves
+    ManifestSink.rollback(spark, root, 2)
+    val e5 = ManifestSink.tableChanges(spark, root, "event_id", 4, 5)
+      .orderBy("_change_type").collect()
+    assert(e5.map(r => (r.getLong(0), r.getAs[String]("_change_type"),
+      r.getDouble(1))).toSeq.map { case (k, t, _) => (k, t) } ==
+      Seq((11L, "update_postimage"), (11L, "update_preimage")))
+    val reverted = e5.find(_.getAs[String]("_change_type") == "update_postimage").get
+    val original = ev.filter(col("event_id") === 11).head().getDouble(1)
+    assert(reverted.getDouble(1) == original, "rollback postimage = pre-merge value")
+  }
 }
