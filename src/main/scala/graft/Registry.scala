@@ -2019,6 +2019,35 @@ object Registry {
         |SELECT event_id + 1000000, user_id, value, 'delete', 3
         |FROM events WHERE event_id = 5
         |ORDER BY _commit_epoch, _change_type, event_id""".stripMargin),
+    // WAP EXPECTATIONS (round 11): the audit step of
+    // write-audit-publish made real — expect-or-drop (DLT quarantine):
+    // rows failing a CHECK land in the sibling quarantine table tagged
+    // with the failed expectation names, passing rows publish. The
+    // output unions both dispositions, so a row leaking to the wrong
+    // side (or the tag misnaming its expectation) breaks the hash. The
+    // never-failing uid expectation pins that only FALSE violates
+    // (NULL passes, SQL CHECK semantics). The strict reject path
+    // (publishExpect) is spec-pinned: a violating batch throws and the
+    // table still reads the prior epoch.
+    "q_manifest_expect" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, concat, lit}
+        val root = tmpDir("graft_mexp_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        graft.sink.ManifestSink.publishQuarantine(ev, root, 1, Seq(
+          "no_mod3" -> (col("event_id") % 10 =!= 3),
+          "uid_present" -> col("user_id").isNotNull))
+        graft.sink.ManifestSink.read(s, root)
+          .withColumn("disposition", lit("published"))
+          .unionByName(graft.sink.ManifestSink.quarantine(s, root)
+            .select(col("event_id"), col("user_id"), col("value"),
+              concat(lit("quarantined:"), col("_violations")).as("disposition")))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value,
+        |  CASE WHEN event_id % 10 = 3 THEN 'quarantined:no_mod3'
+        |       ELSE 'published' END AS disposition
+        |FROM events ORDER BY event_id""".stripMargin),
     // CATALYST-INTEGRATED data skipping (round 11): the Delta
     // TahoeFileIndex pattern — ManifestFileIndex.table returns a PLAIN
     // DataFrame backed by a custom FileIndex; an ordinary .filter()

@@ -229,6 +229,94 @@ object ManifestSink {
                              statsCols: Seq[String], txn: Option[Txn] = None): Int =
     commitStaged(df.sparkSession, stageAppend(df, root, epoch, statsCols), txn)
 
+  /** One expectation's violation tally from a rejected publish. */
+  final case class ExpectationViolation(name: String, rows: Long)
+
+  /** A publish was rejected by its expectations: nothing was committed
+    * (the staged files are invisible orphans until vacuum). */
+  final class ExpectationFailedException(root: String, epoch: Int,
+                                         val violations: Seq[ExpectationViolation])
+    extends RuntimeException(
+      s"epoch $epoch at $root rejected: " +
+        violations.map(v => s"${v.name}=${v.rows}").mkString(", "))
+
+  /** CHECK-constrained publish — the AUDIT step of write-audit-publish
+    * made real (Delta's CHECK constraints / DLT expectations): the
+    * epoch is staged, then ONE aggregation pass over the just-written
+    * files tallies rows violating each expectation, and any violation
+    * aborts BEFORE the commit-marker CAS — readers never see a
+    * rejected epoch, and the staged files are ordinary vacuum-swept
+    * orphans. Auditing the STAGED files (not the input plan) certifies
+    * what a reader would actually scan. SQL CHECK semantics: a NULL
+    * expectation result passes; only `false` violates. Expectations
+    * are an ordered Seq so violation reports are deterministic. */
+  def publishExpect(df: DataFrame, root: String, epoch: Int,
+                    expectations: Seq[(String, org.apache.spark.sql.Column)],
+                    statsCols: Seq[String] = Nil, txn: Option[Txn] = None): Int = {
+    import org.apache.spark.sql.functions._
+    require(expectations.nonEmpty, "publishExpect needs at least one expectation")
+    val spark = df.sparkSession
+    val staged = stage(df, root, epoch, statsCols)
+    val bad =
+      if (staged.relFiles.isEmpty) Nil
+      else {
+        val audit = spark.read.schema(df.schema)
+          .parquet(staged.relFiles.map(r => s"$root/$r"): _*)
+        val counts = audit.select(expectations.map { case (n, e) =>
+          sum(when(not(coalesce(e, lit(true))), 1L).otherwise(0L)).as(n)
+        }: _*).head()
+        expectations.zipWithIndex.flatMap { case ((n, _), i) =>
+          val c = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+          if (c > 0) Some(ExpectationViolation(n, c)) else None
+        }
+      }
+    if (bad.nonEmpty) throw new ExpectationFailedException(root, epoch, bad)
+    commitStaged(spark, staged, txn)
+  }
+
+  /** Expect-or-DROP (DLT's quarantine pattern): rows passing every
+    * expectation publish as epoch `epoch`; violating rows land in the
+    * table's quarantine side-table (`<root>_quarantine` — a SIBLING
+    * manifest table, kept outside `root` so the parent's vacuum
+    * orphan sweep, which claims every `data-epoch=` dir under its
+    * root, can never eat quarantined data) tagged with the
+    * comma-joined names of the
+    * expectations they failed and the rejecting epoch — the triage
+    * surface a 100 TB ingest needs, because at that scale "reject the
+    * whole batch" (publishExpect) is only for contract breaches, not
+    * row-level dirt. Input is scanned twice (valid split + quarantine
+    * split), the same economics as DLT's drop policy.
+    * @return (published file count, quarantined row count) */
+  def publishQuarantine(df: DataFrame, root: String, epoch: Int,
+                        expectations: Seq[(String, org.apache.spark.sql.Column)],
+                        statsCols: Seq[String] = Nil,
+                        txn: Option[Txn] = None): (Int, Long) = {
+    import org.apache.spark.sql.functions._
+    require(expectations.nonEmpty, "publishQuarantine needs at least one expectation")
+    val spark = df.sparkSession
+    val viol = array(expectations.map { case (n, e) =>
+      when(not(coalesce(e, lit(true))), lit(n)) }: _*)
+    val tagged = df.withColumn("_violations",
+      filter(viol, v => v.isNotNull))
+    val valid = tagged.filter(size(col("_violations")) === 0).drop("_violations")
+    val invalid = tagged.filter(size(col("_violations")) > 0)
+      .withColumn("_violations", concat_ws(",", col("_violations")))
+      .withColumn("_epoch", lit(epoch))
+    val n = commitStaged(spark, stage(valid, root, epoch, statsCols), txn)
+    val nq = invalid.count()
+    if (nq > 0) {
+      val quarRoot = s"${root}_quarantine"
+      publishAppend(invalid, quarRoot,
+        currentEpochOpt(spark, quarRoot).getOrElse(0) + 1)
+    }
+    (n, nq)
+  }
+
+  /** The table's quarantine side-table (rows dropped by
+    * [[publishQuarantine]], newest committed epoch). */
+  def quarantine(spark: SparkSession, root: String): DataFrame =
+    read(spark, s"${root}_quarantine")
+
   /** Idempotent streaming append-commit — the foreachBatch contract is
     * at-least-once per batch (a crash between this sink's commit and
     * Spark's checkpoint commit REPLAYS the batch; the reference's own

@@ -549,4 +549,41 @@ class SinkOpsSpec extends SparkTestBase {
     val original = ev.filter(col("event_id") === 11).head().getDouble(1)
     assert(reverted.getDouble(1) == original, "rollback postimage = pre-merge value")
   }
+
+  test("expectations: strict reject leaves the table untouched; quarantine splits; NULL passes") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_exp_spec_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
+    ManifestSink.publish(ev.filter(col("event_id") < 50), root, 1)
+    // strict: a violating epoch-2 batch throws, commits nothing, and
+    // its staged files are ordinary orphans the sweep can reclaim
+    val bad = intercept[ManifestSink.ExpectationFailedException] {
+      ManifestSink.publishExpect(ev.filter(col("event_id").between(50, 99)),
+        root, 2, Seq("under_75" -> (col("event_id") < 75)))
+    }
+    assert(bad.violations == Seq(ManifestSink.ExpectationViolation("under_75", 25L)))
+    assert(ManifestSink.currentEpoch(spark, root) == 1)
+    assert(ManifestSink.read(spark, root).count() == 50)
+    assert(ManifestSink.orphanFiles(spark, root).nonEmpty,
+      "rejected epoch's staged files are visible to orphan accounting")
+    // NULL passes (SQL CHECK): an expectation that is null everywhere commits
+    ManifestSink.publishExpect(
+      ev.filter(col("event_id").between(50, 59))
+        .withColumn("maybe", lit(null).cast("boolean")),
+      root, 2, Seq("null_passes" -> col("maybe")))
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+    // quarantine: multi-expectation rows carry BOTH names, joined in order
+    val root2 = tmpDir("graft_exp_spec2_")
+    val (_, nq) = ManifestSink.publishQuarantine(ev.filter(col("event_id") < 40),
+      root2, 1, Seq(
+        "not_mod4" -> (col("event_id") % 4 =!= 0),
+        "not_mod5" -> (col("event_id") % 5 =!= 0)))
+    assert(nq == 10 + 8 - 2, "mod-4 + mod-5 violators, overlap once")
+    val both = ManifestSink.quarantine(spark, root2)
+      .filter(col("event_id") % 20 === 0)
+      .select("_violations").distinct().collect()
+    assert(both.map(_.getString(0)).toSeq == Seq("not_mod4,not_mod5"))
+    assert(ManifestSink.read(spark, root2).count() == 40 - 16)
+  }
 }
