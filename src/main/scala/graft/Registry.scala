@@ -2048,6 +2048,45 @@ object Registry {
         |  CASE WHEN event_id % 10 = 3 THEN 'quarantined:no_mod3'
         |       ELSE 'published' END AS disposition
         |FROM events ORDER BY event_id""".stripMargin),
+    // SCHEMA EVOLUTION (round 11): Delta's mergeSchema — the evolving
+    // append commits the UNION schema into its marker (schema-in-log:
+    // reads plan from metadata, no footer-inference job) and
+    // pre-evolution files surface the added column as NULL with zero
+    // rewrite. Epoch 3 then CoW-merges THROUGH the evolution — its
+    // survivor rewrite reads old files under the evolved schema — so
+    // the final table mixes null-filled, batch-written, and
+    // merge-updated rows in one frame.
+    "q_manifest_evolve" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val root = tmpDir("graft_mevo_")
+        val ev = events(s, d)
+        graft.sink.ManifestSink.publishWithStats(
+          ev.select(col("event_id"), col("value"))
+            .filter(col("event_id") % 5 === 0)
+            .repartitionByRange(4, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          root, 1, Seq("event_id"))
+        graft.sink.ManifestSink.publishAppendEvolve(
+          ev.select(col("event_id"), col("value"), col("user_id"))
+            .filter(col("event_id") % 5 === 1),
+          root, 2, Seq("event_id"))
+        graft.sink.ManifestSink.mergeCow(s,
+          root,
+          ev.select(col("event_id"), (col("value") + 10).as("value"), col("user_id"))
+            .filter(col("event_id") % 5 === 0 && col("event_id") < 100),
+          "event_id", Seq("event_id"))
+        graft.sink.ManifestSink.read(s, root).orderBy("event_id")
+      },
+      """SELECT event_id, value + 10 AS value, user_id
+        |FROM events WHERE event_id % 5 = 0 AND event_id < 100
+        |UNION ALL
+        |SELECT event_id, value, CAST(NULL AS BIGINT) AS user_id
+        |FROM events WHERE event_id % 5 = 0 AND event_id >= 100
+        |UNION ALL
+        |SELECT event_id, value, user_id
+        |FROM events WHERE event_id % 5 = 1
+        |ORDER BY event_id""".stripMargin),
     // CATALYST-INTEGRATED data skipping (round 11): the Delta
     // TahoeFileIndex pattern — ManifestFileIndex.table returns a PLAIN
     // DataFrame backed by a custom FileIndex; an ordinary .filter()

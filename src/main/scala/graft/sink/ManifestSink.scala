@@ -65,10 +65,13 @@ object ManifestSink {
   final case class Txn(appId: String, version: Long)
 
   /** A staged-but-uncommitted epoch attempt: data files written,
-    * manifest lines audited, zone-map stats planned. Invisible to
-    * readers until [[commitStaged]] wins the epoch's commit marker. */
+    * manifest lines audited, zone-map stats planned, table schema
+    * captured (nullable-normalized, committed into the marker so
+    * reads plan from metadata — see [[read]]). Invisible to readers
+    * until [[commitStaged]] wins the epoch's commit marker. */
   final case class Staged(root: String, epoch: Int, token: String,
-                          relFiles: Seq[String], stats: Option[DataFrame])
+                          relFiles: Seq[String], stats: Option[DataFrame],
+                          schemaJson: Option[String] = None)
 
   /** Retryable: another attempt won this epoch's commit marker (or the
     * epoch is not above the current one). Re-read the current epoch
@@ -124,7 +127,8 @@ object ManifestSink {
       if (statsCols.isEmpty) None
       else if (relFiles.isEmpty) Some(emptyStats(spark))
       else Some(fileStats(spark, root, relFiles, statsCols))
-    Staged(root, epoch, token, relFiles, stats)
+    Staged(root, epoch, token, relFiles, stats,
+      Some(asNullable(df.schema).json))
   }
 
   /** Stage an APPEND: epoch N's file list = epoch N-1's PLUS the new
@@ -136,7 +140,8 @@ object ManifestSink {
     * a streamed table keeps its data-skipping property at O(batch)
     * stats work per commit. */
   def stageAppend(df: DataFrame, root: String, epoch: Int,
-                  statsCols: Seq[String] = Nil, unique: Boolean = false): Staged = {
+                  statsCols: Seq[String] = Nil, unique: Boolean = false,
+                  evolve: Boolean = false): Staged = {
     val spark = df.sparkSession
     val fresh = stage(df, root, epoch, statsCols, unique)
     if (epoch <= 1) fresh
@@ -150,8 +155,60 @@ object ManifestSink {
         if (statsCols.isEmpty) None
         else Some(statsTable(spark, root, epoch - 1)
           .unionByName(fresh.stats.get))
-      fresh.copy(relFiles = (prior ++ fresh.relFiles).sorted, stats = stats)
+      // schema discipline (Delta's): a plain append REJECTS drift — a
+      // producer silently widening a 100 TB table is a contract
+      // breach, not a convenience; `evolve` merges (add-column only,
+      // same-name type conflicts rejected) and commits the union
+      val schemaJson = commitSchema(spark, root, epoch - 1) match {
+        case None => fresh.schemaJson // pre-schema-metadata table
+        case Some(p) =>
+          val n = asNullable(df.schema)
+          if (evolve) Some(mergeSchemas(p, n).json)
+          else {
+            require(p.fields.map(f => (f.name, f.dataType)).toSet ==
+                    n.fields.map(f => (f.name, f.dataType)).toSet,
+              s"append schema drift (use evolve): table ${p.simpleString} " +
+                s"vs batch ${n.simpleString}")
+            Some(p.json)
+          }
+      }
+      fresh.copy(relFiles = (prior ++ fresh.relFiles).sorted, stats = stats,
+        schemaJson = schemaJson)
     }
+  }
+
+  /** Add-column schema merge: prior fields keep their order and types
+    * (same-name type conflicts are rejected — this is evolution, not
+    * migration); genuinely new fields append after them. */
+  private def mergeSchemas(prior: org.apache.spark.sql.types.StructType,
+                           next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val byName = next.fields.map(f => f.name -> f).toMap
+    prior.fields.foreach { f =>
+      byName.get(f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"schema evolution type conflict on ${f.name}: ${f.dataType} vs ${g.dataType}")
+      }
+    }
+    org.apache.spark.sql.types.StructType(
+      prior.fields ++ next.fields.filterNot(f => prior.fieldNames.contains(f.name)))
+  }
+
+  /** Nullable-normalize for the committed schema: evolved reads fill
+    * absent columns of old files with null, so every field must admit
+    * it (the Delta normalization). */
+  private def asNullable(dt: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def loop(t: DataType): DataType = t match {
+      case s: StructType =>
+        StructType(s.fields.map(f =>
+          f.copy(dataType = loop(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = loop(a.elementType), containsNull = true)
+      case m: MapType => m.copy(valueType = loop(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    loop(dt).asInstanceOf[StructType]
   }
 
   /** PUBLISH a staged epoch: write the attempt's manifest and stats
@@ -175,7 +232,8 @@ object ManifestSink {
       .parquet(s"${staged.root}/stats-${staged.epoch}.${staged.token}"))
     // CAS: rename WITHOUT overwrite — fails iff another attempt won
     val content = s"token=${staged.token}\n" +
-      txn.map(t => s"txn=${t.appId}:${t.version}\n").getOrElse("")
+      txn.map(t => s"txn=${t.appId}:${t.version}\n").getOrElse("") +
+      staged.schemaJson.map(s => s"schema=$s\n").getOrElse("")
     val tmp = new org.apache.hadoop.fs.Path(rootPath,
       s"commit-${staged.epoch}.tmp.${staged.token}")
     writeFile(spark, tmp, content)
@@ -207,6 +265,19 @@ object ManifestSink {
   def publishAppend(df: DataFrame, root: String, epoch: Int,
                     txn: Option[Txn] = None): Int =
     commitStaged(df.sparkSession, stageAppend(df, root, epoch), txn)
+
+  /** SCHEMA-EVOLVING append (Delta's mergeSchema): the batch may ADD
+    * columns; the committed table schema becomes the union, and reads
+    * of any epoch plan under that epoch's committed schema, filling
+    * the added columns of pre-evolution files with null — a pure
+    * metadata change, no file is rewritten. Time travel to a
+    * pre-evolution epoch still reads the old shape: each commit pins
+    * its own schema. */
+  def publishAppendEvolve(df: DataFrame, root: String, epoch: Int,
+                          statsCols: Seq[String] = Nil,
+                          txn: Option[Txn] = None): Int =
+    commitStaged(df.sparkSession,
+      stageAppend(df, root, epoch, statsCols, evolve = true), txn)
 
   /** Publish with per-file ZONE MAPS (the Iceberg/Delta data-skipping
     * core): alongside the manifest, a parquet stats table records each
@@ -516,17 +587,22 @@ object ManifestSink {
     // rewrite: touched rows that lose to an update key, plus (merge
     // only) every update row — replacements AND inserts
     val carriedStats = stats.filter(col("file").isin(carried: _*))
+    val tableSchema = commitSchema(spark, root, cur)
     if (touched.isEmpty && !insert) {
       // delete with nothing to delete: a metadata-only new epoch —
       // no data write at all, the manifest and stats carry verbatim
       commitStaged(spark,
-        Staged(root, next, newToken(), carried.sorted, Some(carriedStats)), txn)
+        Staged(root, next, newToken(), carried.sorted, Some(carriedStats),
+          tableSchema.map(_.json)), txn)
       return (next, 0, carried.size)
     }
     val survivors =
       if (touched.isEmpty) updates
       else {
-        val keep = spark.read.parquet(touched.map(n => s"$root/$n").toSeq: _*)
+        // touched files read under the TABLE schema (an evolved
+        // table's pre-evolution files fill added columns with null)
+        val reader = tableSchema.fold(spark.read)(spark.read.schema)
+        val keep = reader.parquet(touched.map(n => s"$root/$n").toSeq: _*)
           .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
         if (insert) keep.unionByName(updates) else keep
       }
@@ -629,7 +705,8 @@ object ManifestSink {
       if (f.exists(new org.apache.hadoop.fs.Path(s"$root/stats-$to.$token")))
         Some(statsTable(spark, root, to))
       else None
-    commitStaged(spark, Staged(root, next, newToken(), relFiles.sorted, stats), txn)
+    commitStaged(spark, Staged(root, next, newToken(), relFiles.sorted, stats,
+      commitSchema(spark, root, to).map(_.json)), txn)
     next
   }
 
@@ -699,11 +776,28 @@ object ManifestSink {
 
   /** Read the table AS PUBLISHED: only manifest-listed files — orphans
     * and unpublished epochs are invisible. Pass `epoch` to time-travel
-    * to a pinned commit. */
+    * to a pinned commit. When the commit carries a schema (every
+    * commit since schema metadata landed), the scan PLANS under it —
+    * no footer-inference job, and files predating an evolution
+    * surface the added columns as null. */
   def read(spark: SparkSession, root: String, epoch: Int = -1): DataFrame = {
     val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
-    spark.read.parquet(manifestFiles(spark, root, e): _*)
+    val files = manifestFiles(spark, root, e)
+    commitSchema(spark, root, e) match {
+      case Some(sch) => spark.read.schema(sch).parquet(files: _*)
+      case None      => spark.read.parquet(files: _*)
+    }
   }
+
+  /** The schema a committed epoch pinned, if its marker carries one
+    * (markers from before schema metadata landed do not). */
+  def commitSchema(spark: SparkSession, root: String, epoch: Int)
+      : Option[org.apache.spark.sql.types.StructType] =
+    readLines(spark, new org.apache.hadoop.fs.Path(s"$root/commit-$epoch"))
+      .collectFirst { case l if l.startsWith("schema=") =>
+        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
 
   /** Commit history of the table — the DESCRIBE HISTORY surface: one
     * row per live epoch with its winning token, txn (if any), and

@@ -586,4 +586,36 @@ class SinkOpsSpec extends SparkTestBase {
     assert(both.map(_.getString(0)).toSeq == Seq("not_mod4,not_mod5"))
     assert(ManifestSink.read(spark, root2).count() == 40 - 16)
   }
+
+  test("schema evolution: add-column append, null fill, pinned travel, drift rejected") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_evo_spec_")
+    val ev = Tables.events(spark, sf)
+    ManifestSink.publish(
+      ev.select(col("event_id"), col("value")).filter(col("event_id") < 20), root, 1)
+    // plain append rejects drift — evolution must be asked for
+    intercept[IllegalArgumentException] {
+      ManifestSink.publishAppend(
+        ev.select(col("event_id"), col("value"), col("user_id"))
+          .filter(col("event_id").between(20, 29)), root, 2)
+    }
+    ManifestSink.publishAppendEvolve(
+      ev.select(col("event_id"), col("value"), col("user_id"))
+        .filter(col("event_id").between(20, 29)), root, 2)
+    val cur = ManifestSink.read(spark, root)
+    assert(cur.schema.fieldNames.toSeq == Seq("event_id", "value", "user_id"))
+    assert(cur.filter(col("event_id") < 20 && col("user_id").isNull).count() == 20,
+      "pre-evolution rows fill the added column with null")
+    assert(cur.filter(col("user_id").isNotNull).count() == 10)
+    // each commit pins its own schema: travel to epoch 1 = old shape
+    assert(ManifestSink.read(spark, root, epoch = 1).schema.fieldNames.toSeq ==
+      Seq("event_id", "value"))
+    // same-name type conflict is migration, not evolution — rejected
+    intercept[IllegalArgumentException] {
+      ManifestSink.publishAppendEvolve(
+        ev.select(col("event_id"), col("value").cast("string"), col("user_id"))
+          .filter(col("event_id").between(30, 39)), root, 3)
+    }
+  }
 }
