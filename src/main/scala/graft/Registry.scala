@@ -1825,6 +1825,28 @@ object Registry {
       (s, d) => graft.streaming.StreamManifestSink.demo(s, d),
       """SELECT event_id, user_id, value FROM events
         |WHERE event_id % 3 IN (0, 1) ORDER BY event_id""".stripMargin),
+    // MANIFEST TABLE AS STREAMING SOURCE (round 11): the medallion
+    // loop closed — a bronze manifest table is TAILED by
+    // format("graft-manifest") (offsets = committed epochs,
+    // per-batch plan = the newly appended files only), transformed,
+    // and idempotently committed into silver. tail_ok gates the
+    // recorded per-batch row counts: batch 0 = the initial snapshot
+    // of epoch 1, batch 1 = epoch 2's delta, batch 2 = epoch 3's
+    // delta read by a CHECKPOINT-RESTARTED query (epoch 3 landed
+    // while no query ran) — a cumulative re-read would inflate the
+    // counts AND double silver rows, both hash-fatal.
+    "q_stream_source_tail" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val (_, frame, batches) = graft.streaming.StreamMedallion.demoWithRoot(s, d)
+        val ev = events(s, d)
+        val want = (0 to 2).map(r =>
+          (r.toLong, ev.filter(col("event_id") % 3 === r).count()))
+        frame.withColumn("tail_ok",
+          lit(batches == want.filter(_._2 > 0)))
+      },
+      """SELECT event_id, user_id, value * 2 AS value, TRUE AS tail_ok
+        |FROM events ORDER BY event_id""".stripMargin),
     // Streaming CDC apply (round 11): an upsert stream into the
     // manifest table — each micro-batch of change rows (updates +
     // inserts, upsert-resolved) applies via mergeCow as one atomic,

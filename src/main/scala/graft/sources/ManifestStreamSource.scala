@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, GraftBridge, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Source, Offset => V1Offset}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.sink.ManifestSink
+
+/** The manifest table as a STREAMING SOURCE — the Delta
+  * streaming-source parity piece that closes the medallion loop: the
+  * same table a batch job reads (and the streaming sink commits into)
+  * can be TAILED incrementally by a downstream streaming query:
+  *
+  * {{{
+  *   spark.readStream.format("graft-manifest").option("root", root).load()
+  * }}}
+  *
+  * Offsets ARE committed epochs (one long — the commit marker sequence
+  * is already a totally-ordered log, so no separate offset bookkeeping
+  * exists to drift from the table). Each micro-batch (from, to] reads
+  * exactly the files epochs from+1..to ADDED to the manifest — the
+  * per-batch plan is the appended files, never the table, so a
+  * downstream query's per-trigger work is O(new data) regardless of
+  * table size (the property that makes bronze→silver tailing viable
+  * at 100 TB). The first batch with no checkpointed start (or
+  * `startEpoch` = 0) is the INITIAL SNAPSHOT: the full manifest of the
+  * first observed epoch, then tailing — Delta's snapshot-then-tail
+  * semantics. `option("startEpoch", N)` skips the snapshot and tails
+  * only epochs after N.
+  *
+  * Append-only contract (Delta's, too): if an epoch in the batch
+  * range REMOVED manifest files (CoW merge/delete, compaction), the
+  * source refuses by default — silently re-reading rewritten files
+  * would duplicate carried rows downstream. `option("allowRewrites",
+  * true)` opts into streaming the raw added files of such epochs
+  * (correct for consumers that key-deduplicate, e.g. a downstream
+  * CDC apply); the row-level change view stays available as the batch
+  * [[ManifestSink.tableChanges]] feed. Retention contract: the
+  * checkpointed epoch and its successors' manifests must outlive the
+  * stream's lag (vacuum `keep` ≥ consumer lag in epochs), or restart
+  * fails fast on the missing manifest — the same contract as Kafka
+  * retention vs consumer lag.
+  *
+  * Exactly-once: offsets are checkpointed by the engine; a replayed
+  * batch re-reads the same immutable files (manifests and data files
+  * never mutate — only the marker CAS advances), and a downstream
+  * [[ManifestSink.commitIdempotentAppend]] sink makes the whole
+  * bronze→silver hop exactly-once end to end. */
+final class ManifestStreamSource(spark: SparkSession, root: String,
+                                 override val schema: StructType,
+                                 startEpoch: Int, allowRewrites: Boolean)
+  extends Source {
+
+  private def epochOf(o: V1Offset): Int = o.json().trim.toLong.toInt
+
+  private val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+
+  private def relFiles(e: Int): Set[String] =
+    if (e <= 0) Set.empty
+    else ManifestSink.manifestFiles(spark, root, e).map { p =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+    }.toSet
+
+  override def getOffset: Option[V1Offset] =
+    ManifestSink.currentEpochOpt(spark, root)
+      .filter(_ > startEpoch).map(e => LongOffset(e.toLong))
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(epochOf).getOrElse(startEpoch)
+    val to = epochOf(end)
+    val prev = relFiles(from)
+    val cur = relFiles(to)
+    val removed = prev -- cur
+    if (removed.nonEmpty && !allowRewrites)
+      throw new IllegalStateException(
+        s"manifest stream at $root: epochs ($from, $to] removed " +
+          s"${removed.size} files (CoW rewrite or compaction); the source " +
+          "requires append-only epochs — set allowRewrites=true to stream " +
+          "raw added files, or consume ManifestSink.tableChanges in batch")
+    val added = (cur -- prev).toSeq.sorted
+    val batch =
+      if (added.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      else spark.read.schema(schema).parquet(added.map(n => s"$root/$n"): _*)
+    GraftBridge.asStreamingScan(spark, batch)
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** `format("graft-manifest")` registration (see [[ManifestStreamSource]]).
+  * Options: `root` (required), `startEpoch` (default 0 = initial
+  * snapshot), `allowRewrites` (default false). */
+final class ManifestStreamProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest"
+
+  private def resolve(sqlContext: SQLContext,
+                      schema: Option[StructType],
+                      parameters: Map[String, String]): (String, StructType) = {
+    val root = parameters.getOrElse("root",
+      throw new IllegalArgumentException("graft-manifest source needs option(\"root\", ...)"))
+    val spark = sqlContext.sparkSession
+    val sch = schema.getOrElse {
+      val e = ManifestSink.currentEpoch(spark, root)
+      ManifestSink.commitSchema(spark, root, e)
+        .getOrElse(ManifestSink.read(spark, root, e).schema)
+    }
+    (root, sch)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val (root, sch) = resolve(sqlContext, schema, parameters)
+    (s"graft-manifest[$root]", sch)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val (root, sch) = resolve(sqlContext, schema, parameters)
+    new ManifestStreamSource(sqlContext.sparkSession, root, sch,
+      startEpoch = parameters.get("startEpoch").map(_.toInt).getOrElse(0),
+      allowRewrites = parameters.get("allowRewrites").exists(_.toBoolean))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sink.ManifestSink
+
+/** The MEDALLION loop closed: a bronze manifest table is TAILED by a
+  * streaming query through [[graft.sources.ManifestStreamSource]]
+  * (offsets = committed epochs), transformed, and committed into a
+  * silver manifest table through the idempotent-txn sink — the
+  * bronze→silver hop every lakehouse pipeline runs, here end-to-end
+  * on the engine's own table format with exactly-once on BOTH sides
+  * (immutable epoch files upstream, batchId-txn commits downstream).
+  *
+  * The demo proves INCREMENTALITY, not just content: it records each
+  * micro-batch's row count — batch 0 is the initial snapshot of the
+  * epoch the stream found, later batches are exactly the newly
+  * committed epochs' rows (never a re-read of the table), including
+  * across a full stop/restart from the checkpoint (the restarted
+  * query resumes at the checkpointed epoch offset and reads only the
+  * epoch published while it was down). A cumulative re-read would
+  * inflate the counts and double silver rows — both hash-fatal. */
+object StreamMedallion {
+
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (String, DataFrame, Seq[(Long, Long)])]]())
+
+  def demoWithRoot(spark: SparkSession, sfDir: String)
+      : (String, DataFrame, Seq[(Long, Long)]) = {
+    val m = cache.synchronized {
+      var mm = cache.get(spark)
+      if (mm == null) {
+        mm = scala.collection.mutable.Map.empty[String, (String, DataFrame, Seq[(Long, Long)])]
+        cache.put(spark, mm)
+      }
+      mm
+    }
+    m.synchronized { m.getOrElseUpdate(sfDir, runImpl(spark, sfDir)) }
+  }
+
+  private def runImpl(spark: SparkSession, sfDir: String)
+      : (String, DataFrame, Seq[(Long, Long)]) = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val bronze = java.nio.file.Files.createTempDirectory("graft_medallion_bronze_").toString
+    val silver = java.nio.file.Files.createTempDirectory("graft_medallion_silver_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_medallion_ckpt_").toString
+
+    def slice(r: Int) = ev.filter(col("event_id") % 3 === r)
+    ManifestSink.publishAppend(slice(0), bronze, 1)
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val appId = "graft_medallion_demo"
+    def start() = spark.readStream
+      .format("graft-manifest").option("root", bronze).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val out = b.select(col("event_id"), col("user_id"),
+          (col("value") * 2).as("value"))
+        batches.synchronized { batches += ((id, out.count())) }
+        ManifestSink.commitIdempotentAppend(out, silver, appId, id)
+        ()
+      }.start()
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // batch 0: initial snapshot of epoch 1
+      ManifestSink.publishAppend(slice(1), bronze, 2)
+      q1.processAllAvailable() // batch 1: epoch 2's delta only
+    } finally q1.stop()
+    // epoch 3 lands while no query runs; the checkpoint-restarted
+    // query must resume at offset 2 and read ONLY epoch 3's files
+    ManifestSink.publishAppend(slice(2), bronze, 3)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    (silver, ManifestSink.read(spark, silver).orderBy("event_id"),
+      batches.synchronized(batches.toSeq))
+  }
+}

@@ -23,6 +23,23 @@ object GraftBridge {
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
+  /** Mark a batch DataFrame's leaf relations `isStreaming = true` — the
+    * contract MicroBatchExecution asserts on every v1
+    * `Source.getBatch` result (the engine splices the batch plan into
+    * the streaming query, and only streaming leaves survive its
+    * analysis check). FileStreamSource does exactly this with its
+    * per-batch file list; `LogicalRelation`/`LocalRelation` are
+    * sql-internal, hence bridged here. */
+  def asStreamingScan(spark: SparkSession, df: DataFrame): DataFrame = {
+    val plan = analyzed(df).transform {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.copy(isStreaming = true)
+      case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        loc.copy(isStreaming = true)
+    }
+    ofRows(spark, plan)
+  }
+
   /** Register a temp SQL function on a live session (the
     * SparkSessionExtensions path only applies at session build time;
     * this covers already-built sessions and tests). */

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sink.ManifestSink
+
+/** The manifest table as a streaming source (graft-manifest format):
+  * epoch offsets, snapshot-then-tail, per-batch plans bounded by the
+  * appended files, checkpoint restart, and the append-only contract. */
+class StreamSourceSpec extends SparkTestBase {
+
+  private def ev = Tables.events(spark, sf)
+    .select(col("event_id"), col("value"))
+
+  test("manifest stream source: snapshot then incremental tail, restart resumes at epoch offset") {
+    val bronze = tmpDir("graft_msrc_")
+    val ckpt = tmpDir("graft_msrc_ckpt_")
+    ManifestSink.publishAppend(ev.filter(col("event_id") < 100), bronze, 1)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def start() = spark.readStream
+      .format("graft-manifest").option("root", bronze).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized { batches += ((id, b.count())) }; ()
+      }.start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      ManifestSink.publishAppend(ev.filter(col("event_id").between(100, 149)), bronze, 2)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // an epoch lands while NO query runs; the restart must resume at
+    // the checkpointed epoch, reading only the missed delta
+    ManifestSink.publishAppend(ev.filter(col("event_id").between(150, 169)), bronze, 3)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches.toSeq == Seq((0L, 100L), (1L, 50L), (2L, 20L)),
+      s"snapshot + two deltas, never a re-read; got $batches")
+  }
+
+  test("manifest stream source: startEpoch skips the snapshot; rewrites are refused") {
+    val bronze = tmpDir("graft_msrc2_")
+    ManifestSink.publishWithStats(
+      ev.filter(col("event_id") < 50)
+        .repartitionByRange(2, col("event_id")).sortWithinPartitions("event_id"),
+      bronze, 1, Seq("event_id"))
+    ManifestSink.publishAppendWithStats(
+      ev.filter(col("event_id").between(50, 79)), bronze, 2, Seq("event_id"))
+    // startEpoch=1: tail only — epoch 2's 30 rows, not the snapshot
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .format("graft-manifest").option("root", bronze).option("startEpoch", "1").load()
+      .writeStream.option("checkpointLocation", tmpDir("graft_msrc2_ck_"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got += b.count() }; ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toSeq == Seq(30L))
+    // a CoW epoch removes manifest files -> the append-only source refuses
+    ManifestSink.mergeCow(spark, bronze,
+      ev.filter(col("event_id") === 10).select(col("event_id"), (col("value") + 1).as("value")),
+      "event_id", Seq("event_id"))
+    val q2 = spark.readStream
+      .format("graft-manifest").option("root", bronze).option("startEpoch", "2").load()
+      .writeStream.option("checkpointLocation", tmpDir("graft_msrc2_ck2_"))
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }.start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination()
+    }
+    val chain = Iterator.iterate[Throwable](failed)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("append-only")),
+      s"expected the append-only refusal, got: $chain")
+  }
+}
