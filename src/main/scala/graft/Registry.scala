@@ -367,6 +367,56 @@ object Registry {
     * The uniforms are integer hundredths / 100.0 and the float32 casts
     * are IEEE round-to-nearest in both engines, so values match
     * bit-for-bit. */
+  /** The deterministic 2-iteration Lloyd k-means as DuckDB CTEs ending
+    * in `g2(vec_id, cid)` — the oracle twin of
+    * `Clustering.kmeansAssign(k, iters = 2)`. Seeds = k lowest
+    * vec_ids; score = c.c - 2 e.c (the shared e.e term dropped on both
+    * engines); ties to the lowest cid; recentering through the
+    * ROUND-then-DECIMAL(28,10) element sums (the q_label_centroids
+    * cross-engine discipline). list_dot_product is the sequential fold
+    * DotProductExpr bit-matches (q_dedup_embedding parity). */
+  private def kmeansCtes(k: Int): String = {
+    val means = (0 until 64).map { i =>
+      s"CAST(CAST(SUM(CAST(ROUND(CAST(e.embedding[${i + 1}] AS DOUBLE), 10)" +
+        s" AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS DOUBLE) / COUNT(*)"
+    }.mkString("[", ",\n      ", "]")
+    s"""s0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+       |         CAST(embedding AS DOUBLE[]) AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)
+       |),
+       |s1 AS (SELECT cid, ce, list_dot_product(ce, ce) AS cc FROM s0),
+       |a1 AS (
+       |  SELECT e.vec_id, s.cid,
+       |         s.cc - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), s.ce) AS score
+       |  FROM embeddings e CROSS JOIN s1 s
+       |),
+       |g1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+       |    FROM a1) WHERE rn = 1
+       |),
+       |c2 AS (
+       |  SELECT g1.cid AS cid,
+       |    $means AS ce
+       |  FROM g1 JOIN embeddings e USING (vec_id)
+       |  GROUP BY g1.cid
+       |),
+       |s2 AS (SELECT cid, ce, list_dot_product(ce, ce) AS cc FROM c2),
+       |a2 AS (
+       |  SELECT e.vec_id, s.cid,
+       |         s.cc - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), s.ce) AS score
+       |  FROM embeddings e CROSS JOIN s2 s
+       |),
+       |g2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+       |    FROM a2) WHERE rn = 1
+       |)""".stripMargin
+  }
+
   private def generatorSql(numDevices: Int, seconds: Int, extraCols: String = ""): String = {
     val n = numDevices.toLong * seconds
     s"""WITH g AS (SELECT range AS id FROM range(0, $n)),
@@ -3940,6 +3990,46 @@ object Registry {
            |  $cols
            |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
       }),
+    // K-MEANS (round 11): deterministic 2-iteration Lloyd — seeds are
+    // the k lowest vec_ids, assignment is a ZERO-shuffle codegen'd
+    // projection (argmin via `least` over k broadcast-literal (score,
+    // cid) structs), recentering is one decimal-exact groupBy. The
+    // DuckDB oracle replays the SAME two iterations (unrolled CTEs),
+    // so every assignment decision — including ties and empty-cluster
+    // drops — must match bit-for-bit across engines.
+    "q_kmeans" -> q(
+      (s, d) => graft.llm.Clustering.kmeansAssign(embeddings(s, d), k = 8)
+        .orderBy("vec_id"),
+      s"""WITH ${kmeansCtes(8)}
+         |SELECT vec_id, cid AS cluster FROM g2 ORDER BY vec_id""".stripMargin),
+    // SEMDEDUP (round 11, published method: cluster the embedding
+    // space, then near-dup search only WITHIN clusters — pair work
+    // (n/k)^2 * k, never n^2): flag every vector with a lower-id
+    // unit-cosine >= 0.45 neighbor in its own k-means cluster. The
+    // oracle replicates the cluster-bounded search (SemDeDup's recall
+    // tradeoff is the algorithm, not an approximation), reusing the
+    // q_dedup_embedding unit-vector/list_dot_product parity.
+    "q_semdedup" -> q(
+      (s, d) => graft.llm.Clustering.semDedup(embeddings(s, d), k = 32, tau = 0.45),
+      s"""WITH ${kmeansCtes(32)},
+         |u AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings
+         |),
+         |un AS (SELECT vec_id, [x / nrm FOR x IN e] AS uu FROM u),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM g2 a JOIN g2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN un ua ON ua.vec_id = a.vec_id
+         |  JOIN un ub ON ub.vec_id = b.vec_id
+         |  WHERE list_dot_product(ua.uu, ub.uu) >= 0.45
+         |)
+         |SELECT g2.vec_id, g2.cid AS cluster,
+         |       (dropped.vec_id IS NOT NULL) AS is_dup
+         |FROM g2 LEFT JOIN dropped ON g2.vec_id = dropped.vec_id
+         |ORDER BY g2.vec_id""".stripMargin),
 
     // ---- ops/monitoring (monitor.sh row-count sweep analog) ----
     // Footer-based counts (no scan) checked against DuckDB COUNT(*).
