@@ -1439,6 +1439,42 @@ object Registry {
         |    AS mean_logprob
         |FROM tok t JOIN freq f USING (token), tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+    // DSIR importance scoring (round 11; Xie et al. 2023): every doc
+    // scored by Σ ln p_target/p_raw under two add-1-smoothed bag
+    // unigram models (target = lang 'en', raw = the pool), top 20%
+    // selected by (exact-decimal score, doc_id) rank. The ln-through-
+    // DECIMAL(28,10) discipline of the LM rows; ranking happens on the
+    // exact decimal so the selected frontier is cross-engine stable.
+    "q_dsir" -> q(
+      (s, d) => graft.llm.TextOps.dsirScore(documents(s, d)),
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+        |), v AS (
+        |  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab FROM tok
+        |), nt AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok WHERE lang = 'en'
+        |), nr AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok
+        |), tf AS (
+        |  SELECT token, COUNT(*) AS t_count FROM tok WHERE lang = 'en' GROUP BY token
+        |), rf AS (
+        |  SELECT token, COUNT(*) AS r_count FROM tok GROUP BY token
+        |), sc AS (
+        |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    CAST(SUM(CAST(ROUND(ln((COALESCE(tf.t_count, 0) + 1.0)
+        |            / CAST(nt.n + v.vocab AS DOUBLE)), 10) AS DECIMAL(28,10)))
+        |         AS DECIMAL(38,10))
+        |    - CAST(SUM(CAST(ROUND(ln((rf.r_count + 1.0)
+        |            / CAST(nr.n + v.vocab AS DOUBLE)), 10) AS DECIMAL(28,10)))
+        |         AS DECIMAL(38,10)) AS d
+        |  FROM tok t JOIN rf USING (token) LEFT JOIN tf USING (token), nt, nr, v
+        |  GROUP BY t.doc_id
+        |), k AS (
+        |  SELECT CAST(FLOOR(COUNT(*) * 0.2) AS BIGINT) AS k FROM documents
+        |)
+        |SELECT doc_id, n_tok, ROUND(CAST(d AS DOUBLE) / n_tok, 6) AS dsir_logratio,
+        |  (ROW_NUMBER() OVER (ORDER BY d DESC, doc_id) <= k.k) AS selected
+        |FROM sc, k ORDER BY doc_id""".stripMargin),
     // Interpolated bigram LM score: ln(0.8 P(cur|prev) + 0.2 P(cur)),
     // context counts = bigram marginals; identical literal constants
     // and DECIMAL(28,10) ln-rounding in both engines.

@@ -318,6 +318,67 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every raw document by how target-like it is under two bag
+    * unigram models — log w(x) = Σ_tok [ln p_t(tok) − ln p_r(tok)]
+    * with add-1 smoothing over the shared corpus vocabulary, p_t
+    * fitted on the docs matching `targetLang`, p_r on the whole pool —
+    * then select the top `selectFrac` by score (the deterministic
+    * rank-based variant; the randomized Gumbel top-k of the paper
+    * swaps in via the q_sample_weighted key machinery when sampling
+    * diversity matters more than reproducibility).
+    *
+    * Cross-engine ln discipline (the unigramLogProb recipe): each ln
+    * rounds into DECIMAL(28,10), both sums are exact decimals, their
+    * difference is exact, ranking happens ON the exact decimal (ln
+    * outputs are non-terminating — no half-way ties), and only the
+    * REPORTED score rounds to 6 dp.
+    *
+    * Scale shape: one tokenize pass; both count tables are
+    * vocabulary-sized (Zipf) so the enrichment joins broadcast; the
+    * per-doc score is one grouped decimal sum. The final rank is a
+    * global window — fine to the ~10^9-doc range; past that the
+    * selection threshold comes from a sampled score quantile instead
+    * (selection is a threshold either way, only its calibration
+    * changes). */
+  def dsirScore(documents: DataFrame, targetLang: String = "en",
+                selectFrac: Double = 0.2): DataFrame = {
+    val tok = documents.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("token"))
+    val vocab = tok.select(col("token")).distinct().count()
+    val nTarget = tok.filter(col("lang") === targetLang).count()
+    val nRaw = tok.count()
+    val tFreq = tok.filter(col("lang") === targetLang)
+      .groupBy(col("token")).agg(count(lit(1)).as("t_count"))
+    val rFreq = tok.groupBy(col("token")).agg(count(lit(1)).as("r_count"))
+    def lnDec(c: Column, n: Long): Column =
+      log((c.cast(DoubleType) + lit(1.0d)) / lit((n + vocab).toDouble))
+        .cast(DecimalType(28, 10))
+    val scored = tok
+      .join(broadcast(rFreq), Seq("token"))
+      .join(broadcast(tFreq), Seq("token"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        (sum(lnDec(coalesce(col("t_count"), lit(0L)), nTarget)).cast(DecimalType(38, 10)) -
+          sum(lnDec(col("r_count"), nRaw)).cast(DecimalType(38, 10)))
+          .cast(DecimalType(38, 10)).as("__d"))
+    val kSel = math.floor(documents.count() * selectFrac).toLong
+    scored
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__d").desc, col("doc_id"))))
+      .select(col("doc_id"), col("n_tok"),
+        // REPORT the per-token mean (the division's non-terminating
+        // quotient keeps the 6-dp round off half boundaries — the sum
+        // itself CAN land exactly on one, where the engines' double
+        // rounding splits); SELECTION ranked on the exact-decimal SUM
+        // (length-weighted, as in the paper)
+        round(col("__d").cast(DoubleType) / col("n_tok"), 6).as("dsir_logratio"),
+        (col("__rank") <= kSel).as("selected"))
+      .orderBy("doc_id")
+  }
+
   /** PMI collocations — pointwise mutual information over ADJACENT
     * token pairs, the classic collocation-extraction signal (Church &
     * Hanks 1990): pmi(a,b) = ln( p(ab) / (p(a) p(b)) ) with p from the

@@ -402,4 +402,24 @@ class PipelineOpsSpec extends SparkTestBase {
     // the always-adjacent pair ranks first, above chance (pmi > 0)
     assert(out.head._1 == "x" && out.head._2 == "y" && out.head._4 > 0)
   }
+
+  test("dsir: selection size is exact; target-language docs score higher on average") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val scored = graft.llm.TextOps.dsirScore(docs, targetLang = "en", selectFrac = 0.2)
+    val n = docs.count()
+    assert(scored.count() == n, "every doc is scored")
+    assert(scored.filter(col("selected")).count() == math.floor(n * 0.2).toLong)
+    val byLang = scored.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("dsir_logratio")).as("m"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    assert(byLang(true) > byLang(false),
+      s"importance weights must favor the target distribution: $byLang")
+    // partition-insensitive: the exact-decimal ranking is stable
+    val again = graft.llm.TextOps.dsirScore(docs.repartition(7), "en", 0.2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    val first = scored.collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(again == first)
+  }
 }
