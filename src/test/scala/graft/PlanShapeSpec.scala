@@ -514,4 +514,39 @@ class PlanShapeSpec extends SparkTestBase {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
     }.isEmpty, s"the query side must broadcast onto the corpus scan:\n$p")
   }
+
+  test("kmeans assignment is a pure projection: no joins, only the output-sort exchange") {
+    val df = SparkEntry.queries("q_kmeans")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(deepAll(p) { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+      .isEmpty, s"argmin over broadcast-literal centroids must not join:\n$p")
+    val hash = deepAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hash.isEmpty, s"assignment must be shuffle-free (range sort only):\n$p")
+  }
+
+  test("semdedup and cdf: cluster/key blocking stays equality-joined, never cartesian") {
+    for (name <- Seq("q_semdedup", "q_manifest_cdf")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      assert(deepAll(p) { case c: CartesianProductExec => c }.isEmpty, s"$name:\n$p")
+      assert(deepAll(p) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"$name must stay equality-keyed:\n$p")
+    }
+  }
+
+  test("dsir: both frequency joins broadcast onto the token stream") {
+    val df = SparkEntry.queries("q_dsir")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(deepAll(p) { case j: BroadcastHashJoinExec => j }.size >= 2,
+      s"vocab-sized freq tables must broadcast:\n$p")
+    assert(deepAll(p) { case c: CartesianProductExec => c }.isEmpty, p.toString)
+  }
 }
