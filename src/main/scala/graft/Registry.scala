@@ -2127,6 +2127,63 @@ object Registry {
         |SELECT event_id + 1000000, user_id, value, 'delete', 3
         |FROM events WHERE event_id = 5
         |ORDER BY _commit_epoch, _change_type, event_id""".stripMargin),
+    // STREAMING CHANGE FEED (round 11): Delta readChangeFeed parity —
+    // the same table construction as q_manifest_cdf, but CONSUMED
+    // through the streaming source in changeFeedKey mode: the opening
+    // batch is epoch 1's snapshot-as-inserts, CoW epochs arrive as
+    // update pairs / deletes, each batch bounded by its epoch's file
+    // delta. The feed lands in a parquet sink per micro-batch; the
+    // oracle is the full expected change log, so a dropped batch,
+    // duplicated batch, or carried-row leak all break the hash.
+    "q_stream_change_feed" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val root = tmpDir("graft_mscf_")
+        val out = tmpDir("graft_mscf_out_")
+        val ckpt = tmpDir("graft_mscf_ckpt_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        graft.sink.ManifestSink.publishWithStats(
+          ev.repartitionByRange(8, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          root, 1, Seq("event_id"))
+        val upd = ev.filter(col("event_id").between(100, 199))
+          .select(col("event_id"), col("user_id"), (col("value") + 1).as("value"))
+          .union(ev.filter(col("event_id") < 20)
+            .select((col("event_id") + 1000000L).as("event_id"),
+              col("user_id"), col("value")))
+        graft.sink.ManifestSink.mergeCow(s, root, upd, "event_id", Seq("event_id"))
+        val dels = ev.filter(col("event_id").between(50, 99))
+          .select(col("event_id"))
+          .union(ev.filter(col("event_id") === 5)
+            .select((col("event_id") + 1000000L).as("event_id")))
+        graft.sink.ManifestSink.deleteCow(s, root, dels, "event_id", Seq("event_id"))
+        val stream = s.readStream.format("graft-manifest")
+          .option("root", root).option("changeFeedKey", "event_id").load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out); ()
+          }.start()
+        try stream.processAllAvailable() finally stream.stop()
+        s.read.parquet(out)
+          .orderBy("_commit_epoch", "_change_type", "event_id")
+      },
+      """SELECT event_id, user_id, value, 'insert' AS _change_type, 1 AS _commit_epoch
+        |FROM events
+        |UNION ALL
+        |SELECT event_id + 1000000, user_id, value, 'insert', 2 FROM events WHERE event_id < 20
+        |UNION ALL
+        |SELECT event_id, user_id, value, 'update_preimage', 2
+        |FROM events WHERE event_id BETWEEN 100 AND 199
+        |UNION ALL
+        |SELECT event_id, user_id, value + 1, 'update_postimage', 2
+        |FROM events WHERE event_id BETWEEN 100 AND 199
+        |UNION ALL
+        |SELECT event_id, user_id, value, 'delete', 3
+        |FROM events WHERE event_id BETWEEN 50 AND 99
+        |UNION ALL
+        |SELECT event_id + 1000000, user_id, value, 'delete', 3
+        |FROM events WHERE event_id = 5
+        |ORDER BY _commit_epoch, _change_type, event_id""".stripMargin),
     // WAP EXPECTATIONS (round 11): the audit step of
     // write-audit-publish made real — expect-or-drop (DLT quarantine):
     // rows failing a CHECK land in the sibling quarantine table tagged

@@ -651,10 +651,14 @@ object ManifestSink {
     import org.apache.spark.sql.functions._
     require(fromEpoch < toEpoch, s"need fromEpoch < toEpoch, got $fromEpoch >= $toEpoch")
     val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-    def rel(e: Int): Seq[String] = manifestFiles(spark, root, e).map { p =>
-      new org.apache.hadoop.fs.Path(p).toUri.getPath
-        .stripPrefix(rootUri).stripPrefix("/")
-    }
+    // epoch 0 = the empty table, so a feed from 0 opens with the first
+    // epoch's snapshot-as-inserts (the streaming change-feed contract)
+    def rel(e: Int): Seq[String] =
+      if (e <= 0) Nil
+      else manifestFiles(spark, root, e).map { p =>
+        new org.apache.hadoop.fs.Path(p).toUri.getPath
+          .stripPrefix(rootUri).stripPrefix("/")
+      }
     val schema = read(spark, root, toEpoch).schema
     val cols = schema.fieldNames.toSeq
     def readFiles(files: Seq[String]): DataFrame =

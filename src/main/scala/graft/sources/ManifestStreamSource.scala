@@ -33,11 +33,15 @@ import graft.sink.ManifestSink
   * Append-only contract (Delta's, too): if an epoch in the batch
   * range REMOVED manifest files (CoW merge/delete, compaction), the
   * source refuses by default — silently re-reading rewritten files
-  * would duplicate carried rows downstream. `option("allowRewrites",
-  * true)` opts into streaming the raw added files of such epochs
-  * (correct for consumers that key-deduplicate, e.g. a downstream
-  * CDC apply); the row-level change view stays available as the batch
-  * [[ManifestSink.tableChanges]] feed. Retention contract: the
+  * would duplicate carried rows downstream. Two opt-outs:
+  * `option("allowRewrites", true)` streams the raw added files of
+  * such epochs (correct for consumers that key-deduplicate), and
+  * `option("changeFeedKey", <mergeKey>)` switches the source to
+  * CHANGE-FEED mode (Delta readChangeFeed): each batch is the
+  * row-level [[ManifestSink.tableChanges]] diff of its epoch range —
+  * CoW epochs stream as update pairs / deletes, appends as inserts,
+  * the opening batch as snapshot-as-inserts — still bounded by each
+  * epoch's file delta. Retention contract: the
   * checkpointed epoch and its successors' manifests must outlive the
   * stream's lag (vacuum `keep` ≥ consumer lag in epochs), or restart
   * fails fast on the missing manifest — the same contract as Kafka
@@ -50,7 +54,8 @@ import graft.sink.ManifestSink
   * bronze→silver hop exactly-once end to end. */
 final class ManifestStreamSource(spark: SparkSession, root: String,
                                  override val schema: StructType,
-                                 startEpoch: Int, allowRewrites: Boolean)
+                                 startEpoch: Int, allowRewrites: Boolean,
+                                 changeFeedKey: Option[String] = None)
   extends Source {
 
   private def epochOf(o: V1Offset): Int = o.json().trim.toLong.toInt
@@ -71,20 +76,31 @@ final class ManifestStreamSource(spark: SparkSession, root: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(epochOf).getOrElse(startEpoch)
     val to = epochOf(end)
-    val prev = relFiles(from)
-    val cur = relFiles(to)
-    val removed = prev -- cur
-    if (removed.nonEmpty && !allowRewrites)
-      throw new IllegalStateException(
-        s"manifest stream at $root: epochs ($from, $to] removed " +
-          s"${removed.size} files (CoW rewrite or compaction); the source " +
-          "requires append-only epochs — set allowRewrites=true to stream " +
-          "raw added files, or consume ManifestSink.tableChanges in batch")
-    val added = (cur -- prev).toSeq.sorted
-    val batch =
-      if (added.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      else spark.read.schema(schema).parquet(added.map(n => s"$root/$n"): _*)
+    val batch = changeFeedKey match {
+      case Some(key) =>
+        // CHANGE-FEED mode (Delta readChangeFeed): the batch is the
+        // row-level diff of the epoch range — CoW merges/deletes
+        // stream as update pairs / deletes instead of being refused,
+        // still bounded by each epoch's file delta. The initial batch
+        // (from = 0) is the snapshot-as-inserts: diff vs the empty
+        // table.
+        ManifestSink.tableChanges(spark, root, key, math.max(from, 0), to)
+      case None =>
+        val prev = relFiles(from)
+        val cur = relFiles(to)
+        val removed = prev -- cur
+        if (removed.nonEmpty && !allowRewrites)
+          throw new IllegalStateException(
+            s"manifest stream at $root: epochs ($from, $to] removed " +
+              s"${removed.size} files (CoW rewrite or compaction); the source " +
+              "requires append-only epochs — set allowRewrites=true to stream " +
+              "raw added files, or option(\"changeFeedKey\", <mergeKey>) to " +
+              "stream the row-level change feed")
+        val added = (cur -- prev).toSeq.sorted
+        if (added.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+        else spark.read.schema(schema).parquet(added.map(n => s"$root/$n"): _*)
+    }
     GraftBridge.asStreamingScan(spark, batch)
   }
 
@@ -105,11 +121,19 @@ final class ManifestStreamProvider extends StreamSourceProvider with DataSourceR
     val root = parameters.getOrElse("root",
       throw new IllegalArgumentException("graft-manifest source needs option(\"root\", ...)"))
     val spark = sqlContext.sparkSession
-    val sch = schema.getOrElse {
+    val base = schema.getOrElse {
       val e = ManifestSink.currentEpoch(spark, root)
       ManifestSink.commitSchema(spark, root, e)
         .getOrElse(ManifestSink.read(spark, root, e).schema)
     }
+    val sch =
+      if (parameters.contains("changeFeedKey"))
+        StructType(base.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_epoch",
+            org.apache.spark.sql.types.IntegerType, nullable = false)))
+      else base
     (root, sch)
   }
 
@@ -126,6 +150,7 @@ final class ManifestStreamProvider extends StreamSourceProvider with DataSourceR
     val (root, sch) = resolve(sqlContext, schema, parameters)
     new ManifestStreamSource(sqlContext.sparkSession, root, sch,
       startEpoch = parameters.get("startEpoch").map(_.toInt).getOrElse(0),
-      allowRewrites = parameters.get("allowRewrites").exists(_.toBoolean))
+      allowRewrites = parameters.get("allowRewrites").exists(_.toBoolean),
+      changeFeedKey = parameters.get("changeFeedKey"))
   }
 }

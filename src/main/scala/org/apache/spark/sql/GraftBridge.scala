@@ -23,18 +23,30 @@ object GraftBridge {
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
-  /** Mark a batch DataFrame's leaf relations `isStreaming = true` — the
-    * contract MicroBatchExecution asserts on every v1
+  /** Mark ONE leaf relation of a batch DataFrame `isStreaming = true` —
+    * the contract MicroBatchExecution asserts on every v1
     * `Source.getBatch` result (the engine splices the batch plan into
-    * the streaming query, and only streaming leaves survive its
-    * analysis check). FileStreamSource does exactly this with its
-    * per-batch file list; `LogicalRelation`/`LocalRelation` are
+    * the streaming query; `isStreaming` propagates up from any leaf).
+    * FileStreamSource does the same with its per-batch file list.
+    *
+    * Deliberately ONE leaf, not all: a getBatch plan that contains a
+    * join (the change-feed diff) must not present BOTH join sides as
+    * streaming, or IncrementalExecution's StreamingJoinStrategy would
+    * claim the join and demand watermark/state machinery the
+    * already-materialized per-batch diff neither has nor needs — with
+    * a single marked leaf the top-level flag holds and every join
+    * stays batch-planned. `LogicalRelation`/`LocalRelation` are
     * sql-internal, hence bridged here. */
   def asStreamingScan(spark: SparkSession, df: DataFrame): DataFrame = {
+    var marked = false
     val plan = analyzed(df).transform {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if !marked =>
+        marked = true
         lr.copy(isStreaming = true)
-      case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+      case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if !marked =>
+        marked = true
         loc.copy(isStreaming = true)
     }
     ofRows(spark, plan)

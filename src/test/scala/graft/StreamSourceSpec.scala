@@ -72,4 +72,40 @@ class StreamSourceSpec extends SparkTestBase {
     assert(chain.exists(_.contains("append-only")),
       s"expected the append-only refusal, got: $chain")
   }
+
+  test("change-feed mode: CoW epochs stream as update pairs; opening batch is snapshot-as-inserts") {
+    val bronze = tmpDir("graft_msrc3_")
+    ManifestSink.publishWithStats(
+      ev.filter(col("event_id") < 50)
+        .repartitionByRange(2, col("event_id")).sortWithinPartitions("event_id"),
+      bronze, 1, Seq("event_id"))
+    ManifestSink.mergeCow(spark, bronze,
+      ev.filter(col("event_id") === 7)
+        .select(col("event_id"), (col("value") + 2).as("value")),
+      "event_id", Seq("event_id"))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int)]
+    val q = spark.readStream
+      .format("graft-manifest").option("root", bronze)
+      .option("changeFeedKey", "event_id").load()
+      .writeStream.option("checkpointLocation", tmpDir("graft_msrc3_ck_"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized {
+          rows ++= b.collect().map(r => (r.getLong(0),
+            r.getAs[String]("_change_type"), r.getAs[Int]("_commit_epoch")))
+        }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // a delete lands mid-stream: the feed must carry it as deletes
+      ManifestSink.deleteCow(spark, bronze,
+        ev.filter(col("event_id").between(20, 24)).select(col("event_id")),
+        "event_id", Seq("event_id"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = rows.synchronized(rows.toSeq)
+    assert(got.count(_._2 == "insert") == 50, "snapshot-as-inserts for epoch 1")
+    assert(got.filter(r => r._2.startsWith("update")).map(_._1).toSet == Set(7L))
+    assert(got.filter(_._2 == "delete").map(_._1).toSet == (20L to 24L).toSet)
+    assert(got.filter(_._2 == "delete").forall(_._3 == 3), "deletes carry their epoch")
+  }
 }
