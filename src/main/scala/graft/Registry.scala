@@ -2184,6 +2184,52 @@ object Registry {
         |SELECT event_id + 1000000, user_id, value, 'delete', 3
         |FROM events WHERE event_id = 5
         |ORDER BY _commit_epoch, _change_type, event_id""".stripMargin),
+    // MERGE-ON-READ DELETES (round 11): Iceberg equality-delete
+    // parity — deleteMor commits the SAME file list plus a keys-only
+    // delete vector (pure metadata + a KB write; zero data I/O), read
+    // applies it as one broadcast anti join, appends CARRY the DV by
+    // reference, and compact MATERIALIZES it away (rewrite-data-files
+    // + drop-deletes). mor_ok gates epoch-pinned travel (epoch 2 sees
+    // only the first DV generation) and that the closing compaction
+    // really dropped the DV line while preserving content.
+    "q_manifest_mor" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val root = tmpDir("graft_mmor_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        graft.sink.ManifestSink.publishWithStats(
+          ev.repartitionByRange(8, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          root, 1, Seq("event_id"))
+        graft.sink.ManifestSink.deleteMor(s, root,
+          ev.filter(col("event_id").between(50, 99)).select(col("event_id")),
+          "event_id")
+        graft.sink.ManifestSink.deleteMor(s, root,
+          ev.filter(col("event_id") % 10 === 7).select(col("event_id")),
+          "event_id")
+        graft.sink.ManifestSink.publishAppendWithStats(
+          ev.filter(col("event_id") < 10)
+            .select((col("event_id") + 1000000L).as("event_id"),
+              col("user_id"), col("value")),
+          root, 4, Seq("event_id"))
+        val travel = graft.sink.ManifestSink.read(s, root, 2)
+        val travelOk =
+          travel.filter(col("event_id").between(50, 99)).count() == 0 &&
+            travel.filter(col("event_id") % 10 === 7 && col("event_id") < 50).count() > 0
+        val c4 = graft.sink.ManifestSink.read(s, root).count()
+        graft.sink.ManifestSink.compact(s, root, Seq("event_id"))
+        val matOk = graft.sink.ManifestSink.commitDv(s, root, 5).isEmpty &&
+          graft.sink.ManifestSink.read(s, root).count() == c4
+        graft.sink.ManifestSink.read(s, root)
+          .withColumn("mor_ok", lit(travelOk && matOk))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value, TRUE AS mor_ok FROM events
+        |WHERE event_id NOT BETWEEN 50 AND 99 AND event_id % 10 <> 7
+        |UNION ALL
+        |SELECT event_id + 1000000, user_id, value, TRUE FROM events
+        |WHERE event_id < 10
+        |ORDER BY event_id""".stripMargin),
     // WAP EXPECTATIONS (round 11): the audit step of
     // write-audit-publish made real — expect-or-drop (DLT quarantine):
     // rows failing a CHECK land in the sibling quarantine table tagged

@@ -163,6 +163,16 @@ object ManifestFileIndex {
     val schema = ManifestSink.read(spark, root, e).schema
     val rel = HadoopFsRelation(idx, StructType(Nil), schema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
-    (spark.baseRelationToDataFrame(rel), idx)
+    val base = spark.baseRelationToDataFrame(rel)
+    // merge-on-read deletes apply above the skipping scan (data
+    // filters still push through the join child into listFiles)
+    val df = ManifestSink.commitDv(spark, root, e) match {
+      case Some((dvRel, k)) =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        base.join(broadcast(spark.read.parquet(s"$root/$dvRel").select(col(k))),
+          Seq(k), "left_anti")
+      case None => base
+    }
+    (df, idx)
   }
 }

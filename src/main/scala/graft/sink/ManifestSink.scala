@@ -71,7 +71,8 @@ object ManifestSink {
     * until [[commitStaged]] wins the epoch's commit marker. */
   final case class Staged(root: String, epoch: Int, token: String,
                           relFiles: Seq[String], stats: Option[DataFrame],
-                          schemaJson: Option[String] = None)
+                          schemaJson: Option[String] = None,
+                          dv: Option[(String, String)] = None)
 
   /** Retryable: another attempt won this epoch's commit marker (or the
     * epoch is not above the current one). Re-read the current epoch
@@ -173,7 +174,10 @@ object ManifestSink {
           }
       }
       fresh.copy(relFiles = (prior ++ fresh.relFiles).sorted, stats = stats,
-        schemaJson = schemaJson)
+        schemaJson = schemaJson,
+        // a live DV keeps applying to the carried files — the line
+        // (an immutable file reference) rides every append
+        dv = commitDv(spark, root, epoch - 1))
     }
   }
 
@@ -233,7 +237,8 @@ object ManifestSink {
     // CAS: rename WITHOUT overwrite — fails iff another attempt won
     val content = s"token=${staged.token}\n" +
       txn.map(t => s"txn=${t.appId}:${t.version}\n").getOrElse("") +
-      staged.schemaJson.map(s => s"schema=$s\n").getOrElse("")
+      staged.schemaJson.map(s => s"schema=$s\n").getOrElse("") +
+      staged.dv.map { case (rel, k) => s"dv=$rel:$k\n" }.getOrElse("")
     val tmp = new org.apache.hadoop.fs.Path(rootPath,
       s"commit-${staged.epoch}.tmp.${staged.token}")
     writeFile(spark, tmp, content)
@@ -466,7 +471,7 @@ object ManifestSink {
   private def prunedRead(spark: SparkSession, root: String, e: Int,
                          statsCol: String,
                          overlaps: org.apache.spark.sql.Row => Boolean): (DataFrame, Int, Int) = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val rows = statsTable(spark, root, e)
       .filter(org.apache.spark.sql.functions.col("col") === statsCol)
       .collect()
@@ -477,7 +482,16 @@ object ManifestSink {
         // relation — zero I/O), never an un-pruned fallback scan that
         // could surface orphan rows or the wrong file set (ADVICE r10)
         read(spark, root, e).filter(lit(false))
-      else spark.read.parquet(hit.map(n => s"$root/$n").toSeq: _*)
+      else {
+        val scan = spark.read.parquet(hit.map(n => s"$root/$n").toSeq: _*)
+        // merge-on-read deletes apply to pruned reads too
+        commitDv(spark, root, e) match {
+          case Some((rel, k)) =>
+            scan.join(broadcast(spark.read.parquet(s"$root/$rel").select(col(k))),
+              Seq(k), "left_anti")
+          case None => scan
+        }
+      }
     (df, hit.length, rows.length)
   }
 
@@ -567,6 +581,9 @@ object ManifestSink {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(statsCols.contains(keyCol), "statsCols must include the merge key")
     val cur = currentEpoch(spark, root)
+    require(commitDv(spark, root, cur).isEmpty,
+      "CoW rewrite on a DV-carrying epoch would resurrect merge-on-read " +
+        "deletes; materialize them first (compact)")
     val next = cur + 1
     val stats = statsTable(spark, root, cur)
     val keyRanges = stats.filter(col("col") === keyCol)
@@ -673,7 +690,7 @@ object ManifestSink {
         .select(struct(cols.map(col): _*).as("__post"), col(keyCol).as("__ok"))
       // one full-outer join, one pass: each outcome explodes to its
       // 0/1/2 change rows so the join is never re-planned per branch
-      pre.join(post, col("__pk") === col("__ok"), "full_outer")
+      val fileDiff = pre.join(post, col("__pk") === col("__ok"), "full_outer")
         .select(explode(
           when(col("__pk").isNull,
             array(struct(lit("insert").as("t"), col("__post").as("r"))))
@@ -686,7 +703,91 @@ object ManifestSink {
             s"array<struct<t:string,r:struct<${schema.toDDL}>>>"))).as("__c"))
         .select(col("__c.r.*") +: Seq(
           col("__c.t").as("_change_type"), lit(e).as("_commit_epoch")): _*)
+      // merge-on-read epochs delete by DV DELTA, not file delta: the
+      // newly vectored keys emit as deletes with their pre-delete
+      // payload (one snapshot scan semi-joined by the broadcast key
+      // delta — DV batches are keys-only small by contract)
+      val dvCur = if (e <= 0) None else commitDv(spark, root, e)
+      val dvPrevOpt = if (e - 1 <= 0) None else commitDv(spark, root, e - 1)
+      dvCur match {
+        case Some((relDv, k)) if !dvPrevOpt.exists(_._1 == relDv) =>
+          val curKeys = spark.read.parquet(s"$root/$relDv")
+          val freshKeys = dvPrevOpt
+            .map { case (p, _) => curKeys.except(spark.read.parquet(s"$root/$p")) }
+            .getOrElse(curKeys)
+          val mor = read(spark, root, e - 1)
+            .join(broadcast(freshKeys), Seq(k), "left_semi")
+            .select(cols.map(col) :+ lit("delete").as("_change_type")
+              :+ lit(e).as("_commit_epoch"): _*)
+          fileDiff.unionByName(mor)
+        case _ => fileDiff
+      }
     }.reduce(_ unionByName _)
+  }
+
+  /** MERGE-ON-READ DELETE — the Iceberg equality-delete discipline,
+    * complementing [[deleteCow]]: instead of rewriting the touched
+    * files NOW, the new epoch carries the SAME data file list plus a
+    * small keys-only DELETE-VECTOR parquet (`dv-N.TOKEN/`); [[read]]
+    * applies it as one broadcast anti join. Deleting a handful of
+    * keys from a 100 TB table is then a pure-metadata commit + a
+    * KB-sized key write — zero data I/O — at the price of one
+    * broadcast anti join per read until [[compact]] MATERIALIZES the
+    * deletes (compact reads through the DV and publishes fresh
+    * DV-free files; that is the Iceberg rewrite-data-files +
+    * drop-deletes maintenance pass). The DV is cumulative (prior live
+    * keys union the new batch, deduped), so exactly one DV file is
+    * ever live per epoch and appends simply CARRY the line.
+    *
+    * Contracts: the DV is keys-only and broadcast — for bulk erasure
+    * use [[deleteCow]] (zone-map-bounded rewrite); CoW merges on a
+    * DV-carrying epoch are refused (the survivor rewrite would
+    * resurrect deleted rows) — compact first; appended batches must
+    * not re-insert deleted keys (single-key-space discipline — the
+    * same reason Iceberg scopes equality deletes by sequence number).
+    * @return the new epoch */
+  def deleteMor(spark: SparkSession, root: String, keys: DataFrame,
+                keyCol: String, txn: Option[Txn] = None): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentEpoch(spark, root)
+    val next = cur + 1
+    val token = newToken()
+    val prior = commitDv(spark, root, cur) match {
+      case Some((rel, k)) =>
+        require(k == keyCol, s"DV key mismatch: table has $k, delete on $keyCol")
+        spark.read.parquet(s"$root/$rel")
+      case None => keys.select(col(keyCol)).filter(org.apache.spark.sql.functions.lit(false))
+    }
+    val dvRel = s"dv-$next.$token"
+    prior.select(col(keyCol)).unionByName(keys.select(col(keyCol)))
+      .distinct().coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/$dvRel")
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    val carried = manifestFiles(spark, root, cur).map { p =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+    }
+    val stats =
+      if (statsExists(spark, root, cur)) Some(statsTable(spark, root, cur))
+      else None
+    commitStaged(spark, Staged(root, next, token, carried.sorted, stats,
+      commitSchema(spark, root, cur).map(_.json), Some((dvRel, keyCol))), txn)
+    next
+  }
+
+  /** The (dv relative path, key column) a committed epoch carries. */
+  def commitDv(spark: SparkSession, root: String, epoch: Int): Option[(String, String)] =
+    readLines(spark, new org.apache.hadoop.fs.Path(s"$root/commit-$epoch"))
+      .collectFirst { case l if l.startsWith("dv=") =>
+        val body = l.stripPrefix("dv=")
+        val i = body.lastIndexOf(':')
+        (body.take(i), body.drop(i + 1))
+      }
+
+  private def statsExists(spark: SparkSession, root: String, epoch: Int): Boolean = {
+    val (token, _) = commitInfo(spark, root, epoch)
+    fs(spark, new org.apache.hadoop.fs.Path(root))
+      .exists(new org.apache.hadoop.fs.Path(s"$root/stats-$epoch.$token"))
   }
 
   /** ROLLBACK — restore epoch `to`'s content as a NEW epoch: history
@@ -710,7 +811,8 @@ object ManifestSink {
         Some(statsTable(spark, root, to))
       else None
     commitStaged(spark, Staged(root, next, newToken(), relFiles.sorted, stats,
-      commitSchema(spark, root, to).map(_.json)), txn)
+      commitSchema(spark, root, to).map(_.json),
+      commitDv(spark, root, to)), txn)
     next
   }
 
@@ -785,11 +887,20 @@ object ManifestSink {
     * no footer-inference job, and files predating an evolution
     * surface the added columns as null. */
   def read(spark: SparkSession, root: String, epoch: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
     val files = manifestFiles(spark, root, e)
-    commitSchema(spark, root, e) match {
+    val base = commitSchema(spark, root, e) match {
       case Some(sch) => spark.read.schema(sch).parquet(files: _*)
       case None      => spark.read.parquet(files: _*)
+    }
+    commitDv(spark, root, e) match {
+      case Some((rel, k)) =>
+        // merge-on-read: one broadcast anti join against the keys-only
+        // delete vector (see deleteMor; compact materializes it away)
+        base.join(broadcast(spark.read.parquet(s"$root/$rel").select(col(k))),
+          Seq(k), "left_anti")
+      case None => base
     }
   }
 
@@ -886,15 +997,22 @@ object ManifestSink {
     // tmp at or below the current epoch can never commit — epochs are
     // monotonic — so it is dead weight)
     val winners = kept.map(e => e -> commitInfo(spark, root, e)._1).toMap
+    // DV files are carried ACROSS epochs by reference (appends ride the
+    // line), so a dv-N file may outlive epoch N: sweep only DVs no
+    // KEPT epoch references
+    val keptDvs = kept.flatMap(e => commitDv(spark, root, e)).map(_._1).toSet
     f.listStatus(rootPath).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
       val m = "^(manifest|stats)-(\\d+)\\.([0-9a-f]+)$".r
+      val dv = "^dv-(\\d+)\\.([0-9a-f]+)$".r
       val tmp = "^commit-(\\d+)\\.tmp\\.([0-9a-f]+)$".r
       n match {
         case m(_, e, token) =>
           val ep = e.toInt
           if (!kept.contains(ep) || winners.get(ep).exists(_ != token))
             f.delete(p, true): Unit
+        case dv(_, _) if !keptDvs.contains(n) =>
+          f.delete(p, true): Unit
         case tmp(e, _) if e.toInt <= cur =>
           f.delete(p, false): Unit
         case _ => ()

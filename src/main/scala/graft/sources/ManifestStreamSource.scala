@@ -89,10 +89,16 @@ final class ManifestStreamSource(spark: SparkSession, root: String,
         val prev = relFiles(from)
         val cur = relFiles(to)
         val removed = prev -- cur
-        if (removed.nonEmpty && !allowRewrites)
+        // a merge-on-read delete changes NO files — detect it via the
+        // DV line, or the tail would silently miss the deletion
+        val dvChanged =
+          (if (from <= 0) None else ManifestSink.commitDv(spark, root, from)) !=
+            ManifestSink.commitDv(spark, root, to)
+        if ((removed.nonEmpty || dvChanged) && !allowRewrites)
           throw new IllegalStateException(
             s"manifest stream at $root: epochs ($from, $to] removed " +
-              s"${removed.size} files (CoW rewrite or compaction); the source " +
+              s"${removed.size} files / changed delete vectors " +
+              "(CoW rewrite, compaction, or MoR delete); the source " +
               "requires append-only epochs — set allowRewrites=true to stream " +
               "raw added files, or option(\"changeFeedKey\", <mergeKey>) to " +
               "stream the row-level change feed")

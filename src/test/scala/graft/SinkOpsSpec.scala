@@ -587,6 +587,49 @@ class SinkOpsSpec extends SparkTestBase {
     assert(ManifestSink.read(spark, root2).count() == 40 - 16)
   }
 
+  test("merge-on-read deletes: metadata commit, cumulative DV, CDF deletes, vacuum keeps carried DV") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_mor_spec_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
+    ManifestSink.publishWithStats(
+      ev.filter(col("event_id") < 100)
+        .repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"),
+      root, 1, Seq("event_id"))
+    val files1 = ManifestSink.manifestFiles(spark, root, 1)
+    ManifestSink.deleteMor(spark, root,
+      ev.filter(col("event_id").between(10, 19)).select(col("event_id")), "event_id")
+    // pure metadata: epoch 2 lists the SAME data files
+    assert(ManifestSink.manifestFiles(spark, root, 2) == files1)
+    assert(ManifestSink.read(spark, root).count() == 90)
+    // pruned reads apply the DV too
+    val (pruned, _, _) = ManifestSink.readRangePruned(spark, root, "event_id", 0, 30)
+    assert(pruned.filter(col("event_id").between(10, 19)).count() == 0)
+    // CDF: the DV delta emits as deletes with pre-delete payload
+    val feed = ManifestSink.tableChanges(spark, root, "event_id", 1, 2).collect()
+    assert(feed.map(r => (r.getLong(0), r.getAs[String]("_change_type"))).sorted.toSeq ==
+      (10L to 19L).map((_, "delete")))
+    // cumulative second generation + CoW refusal while a DV is live
+    ManifestSink.deleteMor(spark, root,
+      ev.filter(col("event_id") === 42).select(col("event_id")), "event_id")
+    assert(ManifestSink.read(spark, root).count() == 89)
+    intercept[IllegalArgumentException] {
+      ManifestSink.mergeCow(spark, root,
+        ev.filter(col("event_id") === 5), "event_id", Seq("event_id"))
+    }
+    // an append CARRIES the DV by reference; vacuum must not sweep it
+    ManifestSink.publishAppendWithStats(
+      ev.filter(col("event_id").between(100, 119)), root, 4, Seq("event_id"))
+    assert(ManifestSink.commitDv(spark, root, 4) == ManifestSink.commitDv(spark, root, 3))
+    ManifestSink.vacuum(spark, root, keep = 1)
+    assert(ManifestSink.read(spark, root).count() == 89 + 20,
+      "the carried DV file must survive retention of its birth epoch")
+    // compaction materializes: DV line gone, content stable
+    val e = ManifestSink.compact(spark, root, Seq("event_id"))
+    assert(ManifestSink.commitDv(spark, root, e).isEmpty)
+    assert(ManifestSink.read(spark, root).count() == 109)
+  }
+
   test("schema evolution: add-column append, null fill, pinned travel, drift rejected") {
     import org.apache.spark.sql.functions._
     import graft.sink.ManifestSink
