@@ -2184,6 +2184,28 @@ object Registry {
         |SELECT event_id + 1000000, user_id, value, 'delete', 3
         |FROM events WHERE event_id = 5
         |ORDER BY _commit_epoch, _change_type, event_id""".stripMargin),
+    // BATCH format() READ (round 11): the same "graft-manifest"
+    // format string serves batch — spark.read.format(...).load()
+    // returns the ManifestFileIndex-backed relation, so the idiomatic
+    // batch read gets manifest resolution + planning-time zone-map
+    // skipping with no side API (the streaming twin is
+    // q_stream_source_tail; the explicit-API twin is
+    // q_manifest_table_skip, whose spec pins the numFiles metric).
+    "q_manifest_format" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val root = tmpDir("graft_mfmt_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        graft.sink.ManifestSink.publishWithStats(
+          ev.repartitionByRange(8, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          root, 1, Seq("event_id"))
+        s.read.format("graft-manifest").option("root", root).load()
+          .filter(col("event_id").between(100, 299))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_id BETWEEN 100 AND 299 ORDER BY event_id""".stripMargin),
     // MERGE-ON-READ DELETES (round 11): Iceberg equality-delete
     // parity — deleteMor commits the SAME file list plus a keys-only
     // delete vector (pure metadata + a KB write; zero data I/O), read

@@ -155,6 +155,16 @@ object ManifestFileIndex {
   def table(spark: SparkSession, root: String, epoch: Int = -1): DataFrame =
     tableWithIndex(spark, root, epoch)._1
 
+  /** The skipping-capable HadoopFsRelation over a committed epoch —
+    * shared by [[tableWithIndex]] and the batch `format()` path. */
+  def relation(spark: SparkSession, root: String, epoch: Int): HadoopFsRelation = {
+    val idx = new ManifestFileIndex(spark, root, epoch)
+    val schema = ManifestSink.commitSchema(spark, root, epoch)
+      .getOrElse(ManifestSink.read(spark, root, epoch).schema)
+    HadoopFsRelation(idx, StructType(Nil), schema, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark)
+  }
+
   /** Same, also returning the index (specs read its selection count). */
   def tableWithIndex(spark: SparkSession, root: String,
                      epoch: Int = -1): (DataFrame, ManifestFileIndex) = {

@@ -114,12 +114,36 @@ final class ManifestStreamSource(spark: SparkSession, root: String,
   override def stop(): Unit = ()
 }
 
-/** `format("graft-manifest")` registration (see [[ManifestStreamSource]]).
-  * Options: `root` (required), `startEpoch` (default 0 = initial
-  * snapshot), `allowRewrites` (default false). */
-final class ManifestStreamProvider extends StreamSourceProvider with DataSourceRegister {
+/** `format("graft-manifest")` registration — BOTH directions of the
+  * DataSource API over one format string:
+  *   - `spark.readStream.format("graft-manifest")` → the epoch-tailing
+  *     [[ManifestStreamSource]] (options: `root` required, `startEpoch`
+  *     default 0 = initial snapshot, `allowRewrites`, `changeFeedKey`);
+  *   - `spark.read.format("graft-manifest")` → a BATCH relation backed
+  *     by [[graft.sink.ManifestFileIndex]], so the idiomatic batch
+  *     read gets manifest resolution + planning-time zone-map file
+  *     skipping with no side API (options: `root` required, `epoch`
+  *     for time travel). MoR (DV-carrying) epochs are refused on this
+  *     path — a bare BaseRelation cannot carry the anti join; use
+  *     `ManifestSink.read` / `ManifestFileIndex.table`, which apply it. */
+final class ManifestStreamProvider extends StreamSourceProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.RelationProvider {
 
   override def shortName(): String = "graft-manifest"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val root = parameters.getOrElse("root",
+      throw new IllegalArgumentException("graft-manifest needs option(\"root\", ...)"))
+    val spark = sqlContext.sparkSession
+    val e = parameters.get("epoch").map(_.toInt)
+      .getOrElse(ManifestSink.currentEpoch(spark, root))
+    require(ManifestSink.commitDv(spark, root, e).isEmpty,
+      "batch format() read of a merge-on-read epoch would bypass its delete " +
+        "vector; use ManifestSink.read / ManifestFileIndex.table (or compact)")
+    graft.sink.ManifestFileIndex.relation(spark, root, e)
+  }
 
   private def resolve(sqlContext: SQLContext,
                       schema: Option[StructType],

@@ -108,4 +108,25 @@ class StreamSourceSpec extends SparkTestBase {
     assert(got.filter(_._2 == "delete").map(_._1).toSet == (20L to 24L).toSet)
     assert(got.filter(_._2 == "delete").forall(_._3 == 3), "deletes carry their epoch")
   }
+
+  test("batch format() read matches ManifestSink.read; MoR epochs are refused on that path") {
+    val root = tmpDir("graft_mfmt_spec_")
+    ManifestSink.publishWithStats(
+      ev.filter(col("event_id") < 80)
+        .repartitionByRange(2, col("event_id")).sortWithinPartitions("event_id"),
+      root, 1, Seq("event_id"))
+    val viaFormat = spark.read.format("graft-manifest").option("root", root).load()
+      .orderBy("event_id").collect().toSeq
+    val viaApi = ManifestSink.read(spark, root).orderBy("event_id").collect().toSeq
+    assert(viaFormat == viaApi)
+    ManifestSink.deleteMor(spark, root,
+      ev.filter(col("event_id") === 3).select(col("event_id")), "event_id")
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft-manifest").option("root", root).load()
+    }
+    assert(err.getMessage.contains("delete"), err.getMessage)
+    // epoch-pinned time travel still serves the pre-DV epoch
+    assert(spark.read.format("graft-manifest").option("root", root)
+      .option("epoch", "1").load().count() == 80)
+  }
 }
