@@ -2184,6 +2184,29 @@ object Registry {
         |SELECT event_id + 1000000, user_id, value, 'delete', 3
         |FROM events WHERE event_id = 5
         |ORDER BY _commit_epoch, _change_type, event_id""".stripMargin),
+    // FILE DICTIONARIES (round 11): point-lookup skipping where zone
+    // maps are blind — the layout is HASH-clustered on user_id, so
+    // every file's min/max range spans the key space, but each file's
+    // complete distinct-value dictionary (Parquet dictionary filtering
+    // lifted to the manifest level) prunes the point read to exactly
+    // the files containing the key. dict_ok gates the evidence (≥1
+    // file selected, strictly fewer than the manifest holds).
+    "q_manifest_dict" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val root = tmpDir("graft_mdict_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        graft.sink.ManifestSink.publishWithDict(
+          ev.repartition(16, col("user_id")), root, 1,
+          statsCols = Seq("user_id"), dictCols = Seq("user_id"))
+        val (df, hitN, total) =
+          graft.sink.ManifestSink.readPointPruned(s, root, "user_id", 13L)
+        df.filter(col("user_id") === 13)
+          .withColumn("dict_ok", lit(hitN >= 1 && hitN < total))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value, TRUE AS dict_ok FROM events
+        |WHERE user_id = 13 ORDER BY event_id""".stripMargin),
     // BATCH format() READ (round 11): the same "graft-manifest"
     // format string serves batch — spark.read.format(...).load()
     // returns the ManifestFileIndex-backed relation, so the idiomatic

@@ -40,14 +40,18 @@ final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
     filePaths.map(p => p.getFileSystem(conf).getFileStatus(p))
   }
 
-  /** relpath -> column -> (loLong, hiLong, loStr, hiStr), any null. */
-  private val zoneMaps: Map[String, Map[String, (Option[Long], Option[Long],
-      Option[String], Option[String])]] = {
+  private val statRows: Array[org.apache.spark.sql.Row] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val statsDir = new Path(
       s"$root/stats-$epoch.${ManifestSink.commitInfo(spark, root, epoch)._1}")
-    if (!statsDir.getFileSystem(conf).exists(statsDir)) Map.empty
+    if (!statsDir.getFileSystem(conf).exists(statsDir)) Array.empty
     else ManifestSink.statsTable(spark, root, epoch).collect()
+  }
+
+  /** relpath -> column -> (loLong, hiLong, loStr, hiStr), any null. */
+  private val zoneMaps: Map[String, Map[String, (Option[Long], Option[Long],
+      Option[String], Option[String])]] =
+    statRows.filterNot(_.getString(1).startsWith("__dict"))
       .groupBy(_.getString(0))
       .map { case (file, rows) =>
         file -> rows.map { r =>
@@ -58,7 +62,18 @@ final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
             if (r.isNullAt(5)) None else Some(r.getString(5)))
         }.toMap
       }
-  }
+
+  /** File dictionaries (see ManifestSink.dictStats): complete per-file
+    * value sets for point pruning; overflowed (file, col) pairs are
+    * never pruned by the dictionary. */
+  private val dictLong: Map[(String, String), Set[Long]] =
+    statRows.filter(r => r.getString(1).startsWith("__dict:") && !r.isNullAt(2))
+      .groupBy(r => (r.getString(0), r.getString(1).stripPrefix("__dict:")))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).toSet }
+  private val dictStr: Map[(String, String), Set[String]] =
+    statRows.filter(r => r.getString(1).startsWith("__dict:") && !r.isNullAt(4))
+      .groupBy(r => (r.getString(0), r.getString(1).stripPrefix("__dict:")))
+      .map { case (k, rs) => k -> rs.map(_.getString(4)).toSet }
 
   private def relOf(p: Path): String =
     s"${p.getParent.getName}/${p.getName}"
@@ -94,15 +109,25 @@ final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
         case Some(scala.Right(s)) => strCmp(col, (lo, hi) => onStr(s, lo, hi))
         case None => true
       }
+    // point predicates consult the file dictionary first (exact
+    // membership), falling back to the zone bounds
+    def point(colName: String, v: Any): Boolean =
+      lit(v) match {
+        case Some(scala.Left(l)) => dictLong.get((rel, colName)) match {
+          case Some(s) => s.contains(l)
+          case None => longCmp(colName, (lo, hi) => lo <= l && l <= hi)
+        }
+        case Some(scala.Right(sv)) => dictStr.get((rel, colName)) match {
+          case Some(s) => s.contains(sv)
+          case None => strCmp(colName, (lo, hi) => lo <= sv && sv <= hi)
+        }
+        case None => true
+      }
     e match {
       case And(a, b) => mayMatch(rel, a) && mayMatch(rel, b)
       case Or(a, b)  => mayMatch(rel, a) || mayMatch(rel, b)
-      case EqualTo(a: AttributeReference, Literal(v, _)) =>
-        cmp(a.name, v, (x, lo, hi) => lo <= x && x <= hi,
-          (x, lo, hi) => lo <= x && x <= hi)
-      case EqualTo(Literal(v, _), a: AttributeReference) =>
-        cmp(a.name, v, (x, lo, hi) => lo <= x && x <= hi,
-          (x, lo, hi) => lo <= x && x <= hi)
+      case EqualTo(a: AttributeReference, Literal(v, _)) => point(a.name, v)
+      case EqualTo(Literal(v, _), a: AttributeReference) => point(a.name, v)
       case GreaterThan(a: AttributeReference, Literal(v, _)) =>
         cmp(a.name, v, (x, _, hi) => hi > x, (x, _, hi) => hi > x)
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
@@ -120,10 +145,7 @@ final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
       case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
         cmp(a.name, v, (x, _, hi) => hi >= x, (x, _, hi) => hi >= x)
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists { case Literal(v, _) =>
-          cmp(a.name, v, (x, lo, hi) => lo <= x && x <= hi,
-            (x, lo, hi) => lo <= x && x <= hi)
-        }
+        vs.exists { case Literal(v, _) => point(a.name, v) }
       case _ => true
     }
   }

@@ -112,7 +112,8 @@ object ManifestSink {
     * shared directory (`data-epoch=N/`) is the single-writer
     * convenience every registered row uses. */
   def stage(df: DataFrame, root: String, epoch: Int,
-            statsCols: Seq[String] = Nil, unique: Boolean = false): Staged = {
+            statsCols: Seq[String] = Nil, unique: Boolean = false,
+            dictCols: Seq[String] = Nil, dictCap: Int = 256): Staged = {
     val spark = df.sparkSession
     val token = newToken()
     val dirName = if (unique) s"data-epoch=$epoch-a$token" else s"data-epoch=$epoch"
@@ -125,9 +126,17 @@ object ManifestSink {
       .map(p => s"$dirName/${p.getName}")
       .sorted
     val stats =
-      if (statsCols.isEmpty) None
+      if (statsCols.isEmpty && dictCols.isEmpty) None
       else if (relFiles.isEmpty) Some(emptyStats(spark))
-      else Some(fileStats(spark, root, relFiles, statsCols))
+      else {
+        val zone =
+          if (statsCols.isEmpty) emptyStats(spark)
+          else fileStats(spark, root, relFiles, statsCols)
+        val dict =
+          if (dictCols.isEmpty) emptyStats(spark)
+          else dictStats(spark, root, relFiles, dictCols, dictCap)
+        Some(zone.unionByName(dict))
+      }
     Staged(root, epoch, token, relFiles, stats,
       Some(asNullable(df.schema).json))
   }
@@ -305,6 +314,15 @@ object ManifestSink {
                              statsCols: Seq[String], txn: Option[Txn] = None): Int =
     commitStaged(df.sparkSession, stageAppend(df, root, epoch, statsCols), txn)
 
+  /** Publish with zone maps AND file dictionaries (see [[dictStats]]):
+    * `dictCols` get per-file complete distinct-value sets for
+    * point-lookup skipping, alongside `statsCols`' min/max ranges. */
+  def publishWithDict(df: DataFrame, root: String, epoch: Int,
+                      statsCols: Seq[String], dictCols: Seq[String],
+                      dictCap: Int = 256, txn: Option[Txn] = None): Int =
+    commitStaged(df.sparkSession,
+      stage(df, root, epoch, statsCols, unique = false, dictCols, dictCap), txn)
+
   /** One expectation's violation tally from a rejected publish. */
   final case class ExpectationViolation(name: String, rows: Long)
 
@@ -459,6 +477,115 @@ object ManifestSink {
         (if (isStr) col(s"__lo_$c") else lit(null).cast(StringType)).as("lo_str"),
         (if (isStr) col(s"__hi_$c") else lit(null).cast(StringType)).as("hi_str"))
     }.reduce(_ unionByName _)
+  }
+
+  /** FILE DICTIONARIES — the point-lookup complement of the zone maps
+    * (Parquet's dictionary-filtering idea lifted to the manifest
+    * level): for each dict column, every file contributes either its
+    * COMPLETE distinct-value set (≤ `cap` values, one stats row per
+    * value under the pseudo-column `__dict:c`) or an overflow
+    * sentinel (`__dictover:c` — high-cardinality file, never pruned).
+    * Where a hash-clustered layout makes min/max useless (every
+    * file's range spans the key space), the dictionary prunes a point
+    * lookup to exactly the files that CONTAIN the key. Rows share the
+    * zone-map stats schema (value in lo_long / lo_str), so they
+    * merge, carry, and compact through the same machinery.
+    * collect_set gathers a file's full distinct set before the cap
+    * test — dict columns are for bounded-cardinality keys (device
+    * ids, shards, enum-ish dimensions), which is also when the
+    * feature is useful. */
+  private def dictStats(spark: SparkSession, root: String,
+                        relFiles: Seq[String], dictCols: Seq[String],
+                        cap: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
+    val schema = df.schema
+    val parts = split(col("__f"), "/")
+    val rel = concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+    dictCols.map { c =>
+      val isStr = schema(c).dataType match {
+        case StringType => true
+        case LongType | IntegerType | ShortType | ByteType => false
+        case other => throw new IllegalArgumentException(
+          s"file dictionaries support integral and string columns; $c is $other")
+      }
+      val grouped = df.groupBy(input_file_name().as("__f"))
+        .agg(collect_set(col(c)).as("__s"))
+        .select(rel.as("file"), col("__s"), (size(col("__s")) > cap).as("__over"))
+      val values = grouped.filter(!col("__over"))
+        .select(col("file"), explode(col("__s")).as("__v"))
+        .select(col("file"), lit(s"__dict:$c").as("col"),
+          (if (isStr) lit(null).cast(LongType) else col("__v").cast(LongType)).as("lo_long"),
+          lit(null).cast(LongType).as("hi_long"),
+          (if (isStr) col("__v").cast(StringType) else lit(null).cast(StringType)).as("lo_str"),
+          lit(null).cast(StringType).as("hi_str"))
+      val over = grouped.filter(col("__over"))
+        .select(col("file"), lit(s"__dictover:$c").as("col"),
+          lit(null).cast(LongType).as("lo_long"), lit(null).cast(LongType).as("hi_long"),
+          lit(null).cast(StringType).as("lo_str"), lit(null).cast(StringType).as("hi_str"))
+      values.unionByName(over)
+    }.reduce(_ unionByName _)
+  }
+
+  /** POINT read through the file dictionaries (falling back to the
+    * zone map, then to conservative keep): scan only files that can
+    * contain `value`. Returns (frame, selected, total manifest files). */
+  def readPointPruned(spark: SparkSession, root: String, statsCol: String,
+                      value: Long, epoch: Int = -1): (DataFrame, Int, Int) =
+    pointPruned(spark, root, statsCol, epoch, r =>
+      if (r.isNullAt(2)) false else r.getLong(2) == value,
+      r => !r.isNullAt(2) && !r.isNullAt(3) &&
+        r.getLong(2) <= value && value <= r.getLong(3))
+
+  /** String variant of [[readPointPruned]]. */
+  def readPointPrunedString(spark: SparkSession, root: String, statsCol: String,
+                            value: String, epoch: Int = -1): (DataFrame, Int, Int) =
+    pointPruned(spark, root, statsCol, epoch, r =>
+      if (r.isNullAt(4)) false else r.getString(4) == value,
+      r => !r.isNullAt(4) && !r.isNullAt(5) &&
+        r.getString(4) <= value && value <= r.getString(5))
+
+  private def pointPruned(spark: SparkSession, root: String, c: String,
+                          epoch: Int,
+                          dictHit: org.apache.spark.sql.Row => Boolean,
+                          zoneHit: org.apache.spark.sql.Row => Boolean): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
+    val rows = statsTable(spark, root, e)
+      .filter(col("col").isin(c, s"__dict:$c", s"__dictover:$c"))
+      .collect()
+    val byFile = rows.groupBy(_.getString(0))
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    val all = manifestFiles(spark, root, e).map { p =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+    }
+    val hit = all.filter { f =>
+      byFile.get(f) match {
+        case None => true // no stats for this file: conservative keep
+        case Some(rs) =>
+          val dict = rs.filter(_.getString(1) == s"__dict:$c")
+          if (dict.nonEmpty) dict.exists(dictHit)
+          else if (rs.exists(_.getString(1) == s"__dictover:$c")) true
+          else rs.filter(_.getString(1) == c) match {
+            case zs if zs.nonEmpty => zs.exists(zoneHit)
+            case _ => true
+          }
+      }
+    }.sorted
+    val df =
+      if (hit.isEmpty) read(spark, root, e).filter(lit(false))
+      else {
+        val scan = spark.read.parquet(hit.map(n => s"$root/$n"): _*)
+        commitDv(spark, root, e) match {
+          case Some((rel, k)) =>
+            scan.join(broadcast(spark.read.parquet(s"$root/$rel").select(col(k))),
+              Seq(k), "left_anti")
+          case None => scan
+        }
+      }
+    (df, hit.length, all.length)
   }
 
   /** The committed zone-map stats table of `epoch`:

@@ -630,6 +630,37 @@ class SinkOpsSpec extends SparkTestBase {
     assert(ManifestSink.read(spark, root).count() == 109)
   }
 
+  test("file dictionaries: point skip where zone maps are blind; overflow stays conservative") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.{ManifestFileIndex, ManifestSink}
+    val root = tmpDir("graft_dict_spec_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("value"))
+    ManifestSink.publishWithDict(ev.repartition(8, col("user_id")), root, 1,
+      Seq("user_id"), Seq("user_id"))
+    val (df, hit, total) = ManifestSink.readPointPruned(spark, root, "user_id", 13L)
+    assert(hit >= 1 && hit < total, s"dict must prune the hash layout: $hit/$total")
+    assert(df.filter(col("user_id") === 13).count() ==
+      ev.filter(col("user_id") === 13).count())
+    // the dictionary is at least as selective as the range stats
+    val (_, zHit, _) = ManifestSink.readRangePruned(spark, root, "user_id", 13, 13)
+    assert(zHit >= hit)
+    // Catalyst path: an ordinary EqualTo filter plans over the dict selection
+    val (t, idx) = ManifestFileIndex.tableWithIndex(spark, root)
+    t.filter(col("user_id") === 13).collect()
+    assert(idx.lastSelectedCount == hit)
+    // a key nothing contains prunes to zero files
+    val (_, h0, _) = ManifestSink.readPointPruned(spark, root, "user_id", 999999L)
+    assert(h0 == 0)
+    // a cap overflow leaves the sentinel: conservative keep-everything
+    // (cap 0 forces the overflow on every non-empty file; any positive
+    // cap may legitimately complete on low-cardinality files and prune)
+    val root2 = tmpDir("graft_dict_spec2_")
+    ManifestSink.publishWithDict(ev.repartition(4, col("user_id")), root2, 1,
+      Seq("user_id"), Seq("user_id"), dictCap = 0)
+    val (_, h2, t2) = ManifestSink.readPointPruned(spark, root2, "user_id", 13L)
+    assert(h2 == t2, "overflowed dictionaries must never prune")
+  }
+
   test("schema evolution: add-column append, null fill, pinned travel, drift rejected") {
     import org.apache.spark.sql.functions._
     import graft.sink.ManifestSink
