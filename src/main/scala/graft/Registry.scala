@@ -2184,6 +2184,62 @@ object Registry {
         |SELECT event_id + 1000000, user_id, value, 'delete', 3
         |FROM events WHERE event_id = 5
         |ORDER BY _commit_epoch, _change_type, event_id""".stripMargin),
+    // INCREMENTAL VIEW MAINTENANCE (round 11): the change feed put to
+    // work — a per-user (count, sum) view refreshed from tableChanges
+    // deltas across a publish + CoW merge + CoW delete, never
+    // recomputed (refresh 1 covers the base epoch, refresh 2 folds
+    // epochs 2-3's file-delta-bounded changes into the keys-sized
+    // view). Exact-decimal increments cancel retractions bit-for-bit,
+    // so the oracle — a DIRECT aggregate of the final table state —
+    // certifies incremental == recompute. ivm_ok gates the refresh
+    // cursor txn bookkeeping (view epoch 2, cursor at source epoch 3,
+    // third refresh no-ops).
+    "q_manifest_ivm" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val root = tmpDir("graft_mivm_")
+        val view = tmpDir("graft_mivm_view_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        graft.sink.ManifestSink.publishWithStats(
+          ev.repartitionByRange(8, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          root, 1, Seq("event_id"))
+        graft.sink.IncrementalView.refresh(s, root, view, "event_id", "user_id", "value")
+        val upd = ev.filter(col("event_id").between(100, 199))
+          .select(col("event_id"), col("user_id"), (col("value") + 1).as("value"))
+          .union(ev.filter(col("event_id") < 20)
+            .select((col("event_id") + 1000000L).as("event_id"),
+              col("user_id"), col("value")))
+        graft.sink.ManifestSink.mergeCow(s, root, upd, "event_id", Seq("event_id"))
+        val dels = ev.filter(col("event_id").between(50, 99))
+          .select(col("event_id"))
+          .union(ev.filter(col("event_id") === 5)
+            .select((col("event_id") + 1000000L).as("event_id")))
+        graft.sink.ManifestSink.deleteCow(s, root, dels, "event_id", Seq("event_id"))
+        graft.sink.IncrementalView.refresh(s, root, view, "event_id", "user_id", "value")
+        val e3 = graft.sink.IncrementalView.refresh(s, root, view, "event_id", "user_id", "value")
+        val ok = e3 == 2 && graft.sink.ManifestSink
+          .lastCommittedVersion(s, view, graft.sink.IncrementalView.AppId)
+          .contains(3L)
+        graft.sink.ManifestSink.read(s, view)
+          .select(col("user_id"), col("cnt"),
+            col("sum_value").cast("double").as("sum_value"))
+          .withColumn("ivm_ok", lit(ok))
+          .orderBy("user_id")
+      },
+      """WITH final AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id BETWEEN 100 AND 199 THEN value + 1 ELSE value END AS value
+        |  FROM events WHERE event_id NOT BETWEEN 50 AND 99
+        |  UNION ALL
+        |  SELECT event_id + 1000000, user_id, value FROM events
+        |  WHERE event_id < 20 AND event_id <> 5
+        |)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DECIMAL(38,4)) AS DOUBLE)
+        |    AS sum_value,
+        |  TRUE AS ivm_ok
+        |FROM final GROUP BY user_id ORDER BY user_id""".stripMargin),
     // FILE DICTIONARIES (round 11): point-lookup skipping where zone
     // maps are blind — the layout is HASH-clustered on user_id, so
     // every file's min/max range spans the key space, but each file's

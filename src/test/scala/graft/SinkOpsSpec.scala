@@ -630,6 +630,42 @@ class SinkOpsSpec extends SparkTestBase {
     assert(ManifestSink.read(spark, root).count() == 109)
   }
 
+  test("incremental view: deltas equal recompute exactly; refresh cursor no-ops") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    import graft.sink.{IncrementalView, ManifestSink}
+    val root = tmpDir("graft_ivm_spec_")
+    val view = tmpDir("graft_ivm_spec_view_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("value"))
+    ManifestSink.publishWithStats(
+      ev.filter(col("event_id") < 200)
+        .repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"),
+      root, 1, Seq("event_id"))
+    IncrementalView.refresh(spark, root, view, "event_id", "user_id", "value")
+    ManifestSink.mergeCow(spark, root,
+      ev.filter(col("event_id") < 50)
+        .select(col("event_id"), col("user_id"), (col("value") + 5).as("value")),
+      "event_id", Seq("event_id"))
+    IncrementalView.refresh(spark, root, view, "event_id", "user_id", "value")
+    ManifestSink.deleteCow(spark, root,
+      ev.filter(col("event_id").between(100, 149)).select(col("event_id")),
+      "event_id", Seq("event_id"))
+    val e = IncrementalView.refresh(spark, root, view, "event_id", "user_id", "value")
+    // an up-to-date refresh publishes nothing
+    assert(IncrementalView.refresh(spark, root, view, "event_id", "user_id", "value") == e)
+    assert(ManifestSink.currentEpoch(spark, view) == e)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    val incremental = asMap(ManifestSink.read(spark, view)
+      .select(col("user_id"), col("cnt"), col("sum_value")))
+    val direct = asMap(ManifestSink.read(spark, root).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 4)))
+          .cast(DecimalType(38, 4)).as("sum_value")))
+    assert(incremental == direct,
+      "three refreshes of deltas must equal a direct aggregate bit-for-bit")
+  }
+
   test("file dictionaries: point skip where zone maps are blind; overflow stays conservative") {
     import org.apache.spark.sql.functions._
     import graft.sink.{ManifestFileIndex, ManifestSink}
