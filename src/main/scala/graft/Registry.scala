@@ -1439,6 +1439,30 @@ object Registry {
         |    AS mean_logprob
         |FROM tok t JOIN freq f USING (token), tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+    // GOPHER QUALITY RULES (round 11; Rae et al. 2021 §A1.1): the
+    // rule-based structural pre-filter — word-count bounds, mean word
+    // length in [3,10], stopword fraction >= 2%, top-word dominance
+    // <= 20% — every threshold evaluated in integer cross-multiplied
+    // form, so the operator has zero cross-engine float surface.
+    "q_gopher_rules" -> q(
+      (s, d) => graft.llm.TextOps.gopherRules(documents(s, d)),
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+         |), pt AS (
+         |  SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+         |), agg AS (
+         |  SELECT doc_id, SUM(c) AS n_words, SUM(c * length(token)) AS n_letters,
+         |    SUM(CASE WHEN token IN ($stopwordsSql) THEN c ELSE 0 END) AS stop_cnt,
+         |    MAX(c) AS top_cnt
+         |  FROM pt GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(stop_cnt AS BIGINT) AS stop_cnt, top_cnt,
+         |  (n_words BETWEEN 40 AND 10000
+         |   AND n_letters >= n_words * 3 AND n_letters <= n_words * 10
+         |   AND stop_cnt * 50 >= n_words
+         |   AND top_cnt * 5 <= n_words) AS passes
+         |FROM agg ORDER BY doc_id""".stripMargin),
     // DSIR importance scoring (round 11; Xie et al. 2023): every doc
     // scored by Σ ln p_target/p_raw under two add-1-smoothed bag
     // unigram models (target = lang 'en', raw = the pool), top 20%

@@ -318,6 +318,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style quality rules (Rae et al. 2021 §A1.1, the
+    * rule-based pre-filter every production corpus pass runs before
+    * the model-based ones): document-level structural gates —
+    * word-count bounds, mean-word-length bounds, minimum stopword
+    * presence, maximum single-word dominance. All four thresholds are
+    * evaluated in INTEGER cross-multiplied form (e.g. stopword
+    * fraction ≥ 2% as `stop_cnt * 50 >= n_words`), so the whole
+    * operator — counts, flags, verdict — is exact integer arithmetic
+    * with zero cross-engine float surface.
+    *
+    * Scale shape: one tokenize/explode pass, one (doc, token) count
+    * agg, one per-doc rollup — the same two-level aggregation shape
+    * as the repetition filter; no joins, no windows. */
+  def gopherRules(documents: DataFrame,
+                  minWords: Int = 40, maxWords: Int = 10000): DataFrame = {
+    val tok = documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val perTok = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val agg = perTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * length(col("token"))).as("n_letters"),
+        sum(when(col("token").isin(EnStopwords: _*), col("c"))
+          .otherwise(lit(0L))).as("stop_cnt"),
+        max(col("c")).as("top_cnt"))
+    agg.select(col("doc_id"), col("n_words"), col("stop_cnt"), col("top_cnt"),
+        (col("n_words").between(minWords, maxWords) &&
+          col("n_letters") >= col("n_words") * 3 &&
+          col("n_letters") <= col("n_words") * 10 &&
+          col("stop_cnt") * 50 >= col("n_words") &&
+          col("top_cnt") * 5 <= col("n_words")).as("passes"))
+      .orderBy("doc_id")
+  }
+
   /** DSIR importance scoring (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169):
     * score every raw document by how target-like it is under two bag
