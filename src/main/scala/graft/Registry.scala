@@ -2355,6 +2355,32 @@ object Registry {
         |SELECT event_id + 1000000, user_id, value, TRUE FROM events
         |WHERE event_id < 10
         |ORDER BY event_id""".stripMargin),
+    // CONTINUOUS MATERIALIZED VIEW (round 11): the change feed
+    // streams through the graft-manifest source and every micro-batch
+    // folds into the per-user (count, sum) view as one atomic epoch
+    // carrying the batchId txn — exactly-once under the demo's
+    // crash-after-view-commit replay (a double-applied delta would
+    // double-count every changed key and break the hash). ivm_ok
+    // gates epochs == 3 batches (no replay epoch) and attempts == 4
+    // (the crash really ran).
+    "q_stream_ivm" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val (frame, epochs, attempts) = graft.streaming.StreamIvm.demo(s, d)
+        frame.select(col("user_id"), col("cnt"),
+            col("sum_value").cast("double").as("sum_value"))
+          .withColumn("ivm_ok", lit(epochs == 3 && attempts == 4))
+      },
+      """WITH final AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_id < 100 THEN value + 2 ELSE value END AS value
+        |  FROM events WHERE event_id NOT BETWEEN 200 AND 299
+        |)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DECIMAL(38,4)) AS DOUBLE)
+        |    AS sum_value,
+        |  TRUE AS ivm_ok
+        |FROM final GROUP BY user_id ORDER BY user_id""".stripMargin),
     // WAP EXPECTATIONS (round 11): the audit step of
     // write-audit-publish made real — expect-or-drop (DLT quarantine):
     // rows failing a CHECK land in the sibling quarantine table tagged

@@ -53,17 +53,32 @@ object IncrementalView {
       .getOrElse(0L).toInt
     if (last >= cur) return ManifestSink.currentEpoch(spark, viewRoot)
     val changes = ManifestSink.tableChanges(spark, tableRoot, tableKey, last, cur)
+    applyDelta(spark, viewRoot, changes, viewKey, valCol,
+      ManifestSink.Txn(AppId, cur.toLong))
+  }
+
+  /** Fold a batch of change rows (`_change_type` + table columns) into
+    * the view as one atomic epoch carrying `txn` — the shared core of
+    * the batch cursor refresh above and the CONTINUOUS refresh
+    * ([[graft.streaming.StreamIvm]]), where each change-feed
+    * micro-batch applies with its batchId as the txn version and
+    * at-least-once replays no-op. */
+  def applyDelta(spark: SparkSession, viewRoot: String, changes: DataFrame,
+                 viewKey: String, valCol: String,
+                 txn: ManifestSink.Txn): Int = {
     val sign = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
     val delta = changes.groupBy(col(viewKey))
       .agg(sum(sign).as("d_cnt"),
         sum((col(valCol).cast(DecimalType(18, 4)) * sign)
           .cast(DecimalType(38, 4))).as("d_sum"))
-    val prior =
-      if (last == 0)
+    val priorEpoch = ManifestSink.currentEpochOpt(spark, viewRoot)
+    val prior = priorEpoch match {
+      case Some(_) => ManifestSink.read(spark, viewRoot)
+      case None =>
         delta.select(col(viewKey), lit(0L).as("cnt"),
           lit(0).cast(DecimalType(38, 4)).as("sum_value")).filter(lit(false))
-      else ManifestSink.read(spark, viewRoot)
+    }
     val merged = prior.join(delta, Seq(viewKey), "full_outer")
       .select(col(viewKey),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
@@ -72,9 +87,8 @@ object IncrementalView {
           + coalesce(col("d_sum"), lit(0).cast(DecimalType(38, 4))))
           .cast(DecimalType(38, 4)).as("sum_value"))
       .filter(col("cnt") > 0)
-    val next = ManifestSink.currentEpochOpt(spark, viewRoot).getOrElse(0) + 1
-    ManifestSink.publish(merged, viewRoot, next,
-      Some(ManifestSink.Txn(AppId, cur.toLong)))
+    val next = priorEpoch.getOrElse(0) + 1
+    ManifestSink.publish(merged, viewRoot, next, Some(txn))
     next
   }
 }
