@@ -75,6 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rewritten to the TopKPerKey logical node and planned as the
     // heap-partial + streaming-final physical pair (plans/TopKPerKey.scala).
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    // Materialized-view routing: matching aggregates over a registered
+    // base rewrite to the incrementally-maintained view's table
+    // (plans/MvRoute.scala).
+    ext.injectOptimizerRule(_ => graft.plans.MvRoute)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -2287,6 +2287,107 @@ object Registry {
       },
       """SELECT event_id, user_id, value, TRUE AS dict_ok FROM events
         |WHERE user_id = 13 ORDER BY event_id""".stripMargin),
+    // PER-FILE BLOOM FILTERS (round 11): the high-cardinality tier of
+    // the skipping ladder — the layout is HASH-clustered on user_id,
+    // so event_id zone maps are blind (every file's range spans the
+    // id space) and an event_id dictionary would overflow (thousands
+    // of distinct ids per file); the per-file bloom still prunes the
+    // point read to the files that MAY contain the key, with no false
+    // negatives (correctness rides the residual filter + oracle; the
+    // containing file is provably kept). bloom_ok gates the evidence:
+    // >=1 file selected, strictly fewer than the manifest holds.
+    "q_manifest_bloom" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val root = tmpDir("graft_mbloom_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        graft.sink.ManifestSink.publishWithBloom(
+          ev.repartition(16, col("user_id")), root, 1,
+          statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+        val (df, hitN, total) =
+          graft.sink.ManifestSink.readPointPruned(s, root, "event_id", 424L)
+        df.filter(col("event_id") === 424L)
+          .withColumn("bloom_ok", lit(hitN >= 1 && hitN < total))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value, TRUE AS bloom_ok FROM events
+        |WHERE event_id = 424 ORDER BY event_id""".stripMargin),
+    // METADATA-ONLY AGGREGATION (round 11): count(*) + min/max
+    // answered from the manifest's stats table alone — the __count
+    // row per file and the zone maps are mergeable statistics, so the
+    // fold is exact across a publish AND an append (two epochs' stats
+    // merged), and the returned plan is a local relation: ZERO data
+    // files opened (the spec pins no file scan in the plan). At
+    // 100 TB this is the difference between metadata bounded by the
+    // file count and a scan bounded by the row count.
+    "q_manifest_meta_agg" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val root = tmpDir("graft_magg_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        val half = ev.filter(col("event_id") % 2 === 0)
+        val rest = ev.filter(col("event_id") % 2 === 1)
+        graft.sink.ManifestSink.publishWithStats(
+          half.repartitionByRange(4, col("event_id"))
+            .sortWithinPartitions("event_id"), root, 1, Seq("event_id"))
+        graft.sink.ManifestSink.publishAppendWithStats(
+          rest.repartitionByRange(4, col("event_id"))
+            .sortWithinPartitions("event_id"), root, 2, Seq("event_id"))
+        graft.sink.ManifestSink.aggFromMetadata(s, root, Seq("event_id"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(event_id) AS BIGINT) AS min_event_id,
+        |  CAST(max(event_id) AS BIGINT) AS max_event_id
+        |FROM events""".stripMargin),
+    // MATERIALIZED-VIEW ROUTING (round 11): the optimizer half of
+    // IVM — the user writes the natural full-table aggregate over the
+    // BASE table; the registered view (maintained by IncrementalView
+    // from the change feed) is matched by the MvRoute Catalyst rule
+    // and the plan that executes scans the keys-sized VIEW instead.
+    // mv_ok gates the evidence: the optimized plan has NO Aggregate
+    // left and reads the view's files, not the base's. Values are the
+    // view's exact decimals, so routing is bit-stable against the
+    // recompute oracle.
+    "q_mv_route" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, count, lit, sum}
+        import org.apache.spark.sql.types.DecimalType
+        val root = tmpDir("graft_mvr_")
+        val view = tmpDir("graft_mvr_view_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        graft.sink.ManifestSink.publishWithStats(
+          ev.repartitionByRange(8, col("event_id"))
+            .sortWithinPartitions("event_id"), root, 1, Seq("event_id"))
+        graft.sink.IncrementalView.refresh(s, root, view, "event_id", "user_id", "value")
+        graft.plans.MatViews.register("mv_route_demo",
+          graft.sink.ManifestSink.read(s, root), Seq("user_id"),
+          Map(graft.plans.MatViews.AggKey("count", None) -> "cnt",
+            graft.plans.MatViews.AggKey("sum", Some("value")) -> "sum_value"),
+          () => graft.sink.ManifestSink.read(s, view))
+        val qdf = graft.sink.ManifestSink.read(s, root)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(DecimalType(18, 4))).as("sum_value"))
+        val opt = qdf.queryExecution.optimizedPlan
+        val routed = !opt.exists {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+          case _ => false
+        } && opt.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.forall(_.toString.contains("graft_mvr_view_"))
+        }.forall(identity)
+        qdf.select(col("user_id"), col("cnt"),
+            col("sum_value").cast("double").as("sum_value"))
+          .withColumn("mv_ok", lit(routed))
+          .orderBy("user_id")
+      },
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DECIMAL(38,4)) AS DOUBLE)
+        |    AS sum_value,
+        |  TRUE AS mv_ok
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
     // BATCH format() READ (round 11): the same "graft-manifest"
     // format string serves batch — spark.read.format(...).load()
     // returns the ManifestFileIndex-backed relation, so the idiomatic

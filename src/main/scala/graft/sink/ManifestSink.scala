@@ -113,7 +113,9 @@ object ManifestSink {
     * convenience every registered row uses. */
   def stage(df: DataFrame, root: String, epoch: Int,
             statsCols: Seq[String] = Nil, unique: Boolean = false,
-            dictCols: Seq[String] = Nil, dictCap: Int = 256): Staged = {
+            dictCols: Seq[String] = Nil, dictCap: Int = 256,
+            bloomCols: Seq[String] = Nil, bloomBits: Int = 16384,
+            bloomHashes: Int = 5): Staged = {
     val spark = df.sparkSession
     val token = newToken()
     val dirName = if (unique) s"data-epoch=$epoch-a$token" else s"data-epoch=$epoch"
@@ -126,7 +128,7 @@ object ManifestSink {
       .map(p => s"$dirName/${p.getName}")
       .sorted
     val stats =
-      if (statsCols.isEmpty && dictCols.isEmpty) None
+      if (statsCols.isEmpty && dictCols.isEmpty && bloomCols.isEmpty) None
       else if (relFiles.isEmpty) Some(emptyStats(spark))
       else {
         val zone =
@@ -135,7 +137,10 @@ object ManifestSink {
         val dict =
           if (dictCols.isEmpty) emptyStats(spark)
           else dictStats(spark, root, relFiles, dictCols, dictCap)
-        Some(zone.unionByName(dict))
+        val bloom =
+          if (bloomCols.isEmpty) emptyStats(spark)
+          else bloomStats(spark, root, relFiles, bloomCols, bloomBits, bloomHashes)
+        Some(zone.unionByName(dict).unionByName(bloom))
       }
     Staged(root, epoch, token, relFiles, stats,
       Some(asNullable(df.schema).json))
@@ -462,13 +467,24 @@ object ManifestSink {
       }
     }
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c"))) :+
+      count(lit(1)).as("__cnt")
     // relative path = last two segments (layout is always root/dir/file)
     val parts = split(col("__f"), "/")
     val rel = concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
     val base = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
-    statsCols.map { c =>
+    // one `__count` row per file rides every zone-map publish: it is
+    // what makes metadata-only aggregation ([[aggFromMetadata]])
+    // possible, and it merges/carries/compacts through the same
+    // machinery as the min/max rows (appends union it, CoW carries it)
+    val cnt = base.select(
+      rel.as("file"), lit("__count").as("col"),
+      col("__cnt").cast(LongType).as("lo_long"),
+      lit(null).cast(LongType).as("hi_long"),
+      lit(null).cast(StringType).as("lo_str"),
+      lit(null).cast(StringType).as("hi_str"))
+    (statsCols.map { c =>
       val isStr = schema(c).dataType == StringType
       base.select(
         rel.as("file"), lit(c).as("col"),
@@ -476,7 +492,7 @@ object ManifestSink {
         (if (isStr) lit(null).cast(LongType) else col(s"__hi_$c").cast(LongType)).as("hi_long"),
         (if (isStr) col(s"__lo_$c") else lit(null).cast(StringType)).as("lo_str"),
         (if (isStr) col(s"__hi_$c") else lit(null).cast(StringType)).as("hi_str"))
-    }.reduce(_ unionByName _)
+    } :+ cnt).reduce(_ unionByName _)
   }
 
   /** FILE DICTIONARIES — the point-lookup complement of the zone maps
@@ -528,6 +544,101 @@ object ManifestSink {
     }.reduce(_ unionByName _)
   }
 
+  /** PER-FILE BLOOM FILTERS — the high-cardinality point-lookup tier
+    * (Parquet's bloom filters lifted to the manifest level, as
+    * Iceberg/Delta do with puffin/deletion-adjacent sketches): where
+    * the file dictionary OVERFLOWS (too many distinct values to store
+    * exactly) and a hash-clustered layout blinds the zone map (every
+    * file's min/max spans the key space), a fixed-size bloom per
+    * (file, column) still prunes a point lookup to the files that MAY
+    * contain the key — no false negatives (the containing file is
+    * always kept), false positives bounded by (1-e^(-kn/m))^k. One
+    * stats row per (file, column) under pseudo-column `__bloom:c`:
+    * the bitmap as hex in `lo_str`, with m (bits) in `lo_long` and k
+    * (hashes) in `hi_long`, so the read side probes under the
+    * COMMITTED parameters even across epochs written with different
+    * settings. Bit positions are computed DISTRIBUTIVELY with the
+    * same Spark expression the probe side replays
+    * (`pmod(xxhash64(lit(seed), col), m)`), which removes any
+    * write/read hash-mismatch surface; only the per-file distinct
+    * position sets (≤ m bits per file — bounded metadata, the same
+    * class as the zone-map rows) reach the driver for bitmap
+    * assembly. Rows share the stats schema, so blooms merge, carry,
+    * and compact through the append/CoW machinery unchanged. */
+  private def bloomStats(spark: SparkSession, root: String,
+                         relFiles: Seq[String], bloomCols: Seq[String],
+                         m: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    require(m > 0 && m % 8 == 0, s"bloom bits must be a positive multiple of 8, got $m")
+    require(k >= 1, s"bloom needs at least one hash, got $k")
+    val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
+    val schema = df.schema
+    bloomCols.map { c =>
+      val probe: org.apache.spark.sql.Column = schema(c).dataType match {
+        case StringType => col(c)
+        case LongType | IntegerType | ShortType | ByteType => col(c).cast(LongType)
+        case other => throw new IllegalArgumentException(
+          s"bloom filters support integral and string columns; $c is $other")
+      }
+      val posCols = (0 until k).map(i =>
+        pmod(xxhash64(lit(i), probe), lit(m.toLong)).cast(IntegerType))
+      val perFile = df.filter(col(c).isNotNull)
+        .select(input_file_name().as("__f"),
+          explode(array(posCols: _*)).as("__p"))
+        .groupBy("__f").agg(collect_set(col("__p")).as("__ps"))
+        .collect()
+      val rows = perFile.map { r =>
+        val full = r.getString(0)
+        val segs = full.split("/")
+        val rel = segs(segs.length - 2) + "/" + segs(segs.length - 1)
+        val bytes = new Array[Byte](m / 8)
+        r.getSeq[Int](1).foreach { p =>
+          bytes(p / 8) = (bytes(p / 8) | (1 << (p % 8))).toByte
+        }
+        org.apache.spark.sql.Row(rel, s"__bloom:$c", m.toLong, k.toLong,
+          bytes.map("%02x".format(_)).mkString, null)
+      }
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(rows: _*)),
+        emptyStats(spark).schema)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Publish with zone maps AND per-file bloom filters (see
+    * [[bloomStats]]): `bloomCols` get probabilistic point-lookup
+    * skipping for high-cardinality keys where a dictionary would
+    * overflow and a hash layout blinds the min/max. */
+  def publishWithBloom(df: DataFrame, root: String, epoch: Int,
+                       statsCols: Seq[String], bloomCols: Seq[String],
+                       bloomBits: Int = 16384, bloomHashes: Int = 5,
+                       txn: Option[Txn] = None): Int =
+    commitStaged(df.sparkSession,
+      stage(df, root, epoch, statsCols, unique = false, Nil, 256,
+        bloomCols, bloomBits, bloomHashes), txn)
+
+  /** The probe side of [[bloomStats]]: the candidate value's k bit
+    * positions under (m, k), computed with the SAME Spark expression
+    * the write side used (a 1-row local plan — constant-folded, no
+    * job). */
+  private def bloomPositions(spark: SparkSession,
+                             value: org.apache.spark.sql.Column,
+                             m: Long, k: Long): Seq[Int] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.IntegerType
+    val row = spark.range(1).select((0 until k.toInt).map(i =>
+      pmod(xxhash64(lit(i), value), lit(m)).cast(IntegerType).as(s"p$i")): _*)
+      .head()
+    (0 until k.toInt).map(row.getInt)
+  }
+
+  private def bloomTest(hex: String, positions: Seq[Int]): Boolean =
+    positions.forall { p =>
+      val b = Integer.parseInt(hex.substring((p / 8) * 2, (p / 8) * 2 + 2), 16)
+      (b & (1 << (p % 8))) != 0
+    }
+
   /** POINT read through the file dictionaries (falling back to the
     * zone map, then to conservative keep): scan only files that can
     * contain `value`. Returns (frame, selected, total manifest files). */
@@ -536,7 +647,8 @@ object ManifestSink {
     pointPruned(spark, root, statsCol, epoch, r =>
       if (r.isNullAt(2)) false else r.getLong(2) == value,
       r => !r.isNullAt(2) && !r.isNullAt(3) &&
-        r.getLong(2) <= value && value <= r.getLong(3))
+        r.getLong(2) <= value && value <= r.getLong(3),
+      org.apache.spark.sql.functions.lit(value))
 
   /** String variant of [[readPointPruned]]. */
   def readPointPrunedString(spark: SparkSession, root: String, statsCol: String,
@@ -544,18 +656,28 @@ object ManifestSink {
     pointPruned(spark, root, statsCol, epoch, r =>
       if (r.isNullAt(4)) false else r.getString(4) == value,
       r => !r.isNullAt(4) && !r.isNullAt(5) &&
-        r.getString(4) <= value && value <= r.getString(5))
+        r.getString(4) <= value && value <= r.getString(5),
+      org.apache.spark.sql.functions.lit(value))
 
+  /** Skipping ladder per file: exact dictionary when present, bloom
+    * probe next (no false negatives, so it safely overrides the
+    * overflow sentinel), overflow sentinel -> keep, zone map last,
+    * conservative keep when nothing covers the file. */
   private def pointPruned(spark: SparkSession, root: String, c: String,
                           epoch: Int,
                           dictHit: org.apache.spark.sql.Row => Boolean,
-                          zoneHit: org.apache.spark.sql.Row => Boolean): (DataFrame, Int, Int) = {
+                          zoneHit: org.apache.spark.sql.Row => Boolean,
+                          probe: org.apache.spark.sql.Column): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
     val rows = statsTable(spark, root, e)
-      .filter(col("col").isin(c, s"__dict:$c", s"__dictover:$c"))
+      .filter(col("col").isin(c, s"__dict:$c", s"__dictover:$c", s"__bloom:$c"))
       .collect()
     val byFile = rows.groupBy(_.getString(0))
+    // the probe value's bit positions, once per committed (m, k)
+    val posCache = scala.collection.mutable.Map.empty[(Long, Long), Seq[Int]]
+    def positions(m: Long, k: Long): Seq[Int] =
+      posCache.getOrElseUpdate((m, k), bloomPositions(spark, probe, m, k))
     val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
     val all = manifestFiles(spark, root, e).map { p =>
       new org.apache.hadoop.fs.Path(p).toUri.getPath
@@ -566,7 +688,10 @@ object ManifestSink {
         case None => true // no stats for this file: conservative keep
         case Some(rs) =>
           val dict = rs.filter(_.getString(1) == s"__dict:$c")
+          val bloom = rs.filter(_.getString(1) == s"__bloom:$c")
           if (dict.nonEmpty) dict.exists(dictHit)
+          else if (bloom.nonEmpty) bloom.exists(r =>
+            bloomTest(r.getString(4), positions(r.getLong(2), r.getLong(3))))
           else if (rs.exists(_.getString(1) == s"__dictover:$c")) true
           else rs.filter(_.getString(1) == c) match {
             case zs if zs.nonEmpty => zs.exists(zoneHit)
@@ -593,6 +718,60 @@ object ManifestSink {
   def statsTable(spark: SparkSession, root: String, epoch: Int): DataFrame = {
     val (token, _) = commitInfo(spark, root, epoch)
     spark.read.parquet(s"$root/stats-$epoch.$token")
+  }
+
+  /** METADATA-ONLY AGGREGATION — answer `count(*)` and per-column
+    * min/max WITHOUT opening a single data file (Iceberg's
+    * manifest-stats aggregation): every stats-carrying commit records
+    * a `__count` row per file and (min, max) zone maps, and
+    * count/min/max are mergeable statistics, so the table-level answer
+    * is an exact fold over the stats table — at 100 TB the difference
+    * between a metadata read bounded by the FILE count and a full
+    * scan bounded by the ROW count. Returns a one-row frame
+    * (`cnt`, then `min_c`/`max_c` per requested column; integral
+    * columns surface as long — the zone maps' storage type — strings
+    * as string), planned from a local relation: ZERO data-file I/O,
+    * which the spec pins by asserting no file scan in the plan.
+    * Guards: refuses a DV-carrying epoch (deleted rows would count)
+    * and any manifest file not covered by the stats — falling back to
+    * a scan silently would defeat the contract, so incomplete
+    * metadata fails fast instead. min/max ignore all-null files
+    * (SQL semantics); a column null in EVERY file yields null. */
+  def aggFromMetadata(spark: SparkSession, root: String, cols: Seq[String],
+                      epoch: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
+    require(commitDv(spark, root, e).isEmpty,
+      "metadata aggregation on a DV-carrying epoch would count deleted rows; compact first")
+    val rows = statsTable(spark, root, e).collect()
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    val all = manifestFiles(spark, root, e).map { p =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+    }.toSet
+    val counts = rows.filter(r => r.getString(1) == "__count" && all(r.getString(0)))
+    require(counts.map(_.getString(0)).toSet == all,
+      s"epoch $e at $root: some manifest files carry no __count stats row " +
+        "(written before row counts landed, or without statsCols); recompute stats")
+    val cnt = counts.map(_.getLong(2)).sum
+    val aggCols = cols.flatMap { c =>
+      val zs = rows.filter(r => r.getString(1) == c && all(r.getString(0)))
+      require(zs.map(_.getString(0)).toSet == all,
+        s"epoch $e at $root: column $c lacks zone maps for every manifest file")
+      if (zs.exists(r => !r.isNullAt(4))) { // string zone maps
+        val los = zs.collect { case r if !r.isNullAt(4) => r.getString(4) }
+        val his = zs.collect { case r if !r.isNullAt(5) => r.getString(5) }
+        Seq(los.minOption.map(lit).getOrElse(lit(null).cast(StringType)).as(s"min_$c"),
+          his.maxOption.map(lit).getOrElse(lit(null).cast(StringType)).as(s"max_$c"))
+      } else {
+        val los = zs.collect { case r if !r.isNullAt(2) => r.getLong(2) }
+        val his = zs.collect { case r if !r.isNullAt(3) => r.getLong(3) }
+        Seq(los.minOption.map(lit).getOrElse(lit(null).cast(LongType)).as(s"min_$c"),
+          his.maxOption.map(lit).getOrElse(lit(null).cast(LongType)).as(s"max_$c"))
+      }
+    }
+    spark.range(1).select(lit(cnt).as("cnt") +: aggCols: _*)
   }
 
   private def prunedRead(spark: SparkSession, root: String, e: Int,

@@ -697,6 +697,76 @@ class SinkOpsSpec extends SparkTestBase {
     assert(h2 == t2, "overflowed dictionaries must never prune")
   }
 
+  test("bloom skipping: no false negatives, prunes hash layouts, params ride the stats row") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_bloom_spec_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("value"))
+    ManifestSink.publishWithBloom(ev.repartition(8, col("user_id")), root, 1,
+      statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+    // zone maps are blind on this layout: every file's event_id range
+    // spans the key space, so the range read keeps everything
+    val (_, zHit, zTotal) = ManifestSink.readRangePruned(spark, root, "event_id", 424L, 424L)
+    assert(zHit == zTotal, "hash layout must blind the zone map (else the bloom proves nothing)")
+    // the bloom prunes the same lookup, and NEVER drops the true file:
+    // every present key must come back complete through the pruned read
+    val (df, hit, total) = ManifestSink.readPointPruned(spark, root, "event_id", 424L)
+    assert(hit >= 1 && hit < total, s"bloom must prune: $hit/$total")
+    assert(df.filter(col("event_id") === 424L).count() == 1)
+    // exhaustive no-false-negative sweep over a key sample
+    (0L until 1000L by 97L).foreach { k =>
+      val (d, h, _) = ManifestSink.readPointPruned(spark, root, "event_id", k)
+      assert(h >= 1, s"key $k: containing file dropped")
+      assert(d.filter(col("event_id") === k).count() == 1, s"key $k lost")
+    }
+    // an absent key prunes hard (fpp bounded, usually to zero files)
+    val (_, hAbsent, tAbsent) = ManifestSink.readPointPruned(spark, root, "event_id", 99999999L)
+    assert(hAbsent < tAbsent, "absent key must prune below the full file list")
+    // committed (m, k) parameters ride the stats row
+    val br = ManifestSink.statsTable(spark, root, 1)
+      .filter(col("col") === "__bloom:event_id").collect()
+    assert(br.nonEmpty && br.forall(r => r.getLong(2) == 16384L && r.getLong(3) == 5L))
+    assert(br.forall(_.getString(4).length == 16384 / 8 * 2), "hex bitmap length = m/8 bytes")
+  }
+
+  test("metadata-only aggregation: exact across publish+append, zero data-file scan, guards") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_magg_spec_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("value"))
+    ManifestSink.publishWithStats(
+      ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"),
+      root, 1, Seq("event_id"))
+    ManifestSink.publishAppendWithStats(
+      ev.filter(col("event_id") % 2 === 1)
+        .repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"),
+      root, 2, Seq("event_id"))
+    val out = ManifestSink.aggFromMetadata(spark, root, Seq("event_id"))
+    val row = out.head()
+    val want = ev.agg(count(lit(1)), min("event_id"), max("event_id")).head()
+    assert(row.getLong(0) == want.getLong(0))
+    assert(row.getLong(1) == want.getLong(1) && row.getLong(2) == want.getLong(2))
+    // the whole point: the plan opens NO data file
+    val scans = out.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.isEmpty, "metadata aggregate must not plan a file scan")
+    // guard: a DV-carrying epoch refuses (deleted rows would count)
+    ManifestSink.deleteMor(spark, root,
+      ev.filter(col("event_id") < 5).select(col("event_id")), "event_id")
+    assertThrows[IllegalArgumentException] {
+      ManifestSink.aggFromMetadata(spark, root, Seq("event_id"))
+    }
+    // the pre-DV epoch still answers from its pinned stats
+    assert(ManifestSink.aggFromMetadata(spark, root, Seq("event_id"), epoch = 2)
+      .head().getLong(0) == want.getLong(0))
+    // guard: a column without zone maps refuses rather than scanning
+    assertThrows[IllegalArgumentException] {
+      ManifestSink.aggFromMetadata(spark, root, Seq("user_id"), epoch = 2)
+    }
+  }
+
   test("schema evolution: add-column append, null fill, pinned travel, drift rejected") {
     import org.apache.spark.sql.functions._
     import graft.sink.ManifestSink
