@@ -51,7 +51,7 @@ final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
   /** relpath -> column -> (loLong, hiLong, loStr, hiStr), any null. */
   private val zoneMaps: Map[String, Map[String, (Option[Long], Option[Long],
       Option[String], Option[String])]] =
-    statRows.filterNot(_.getString(1).startsWith("__dict"))
+    statRows.filterNot(_.getString(1).startsWith("__"))
       .groupBy(_.getString(0))
       .map { case (file, rows) =>
         file -> rows.map { r =>
@@ -74,6 +74,33 @@ final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
     statRows.filter(r => r.getString(1).startsWith("__dict:") && !r.isNullAt(4))
       .groupBy(r => (r.getString(0), r.getString(1).stripPrefix("__dict:")))
       .map { case (k, rs) => k -> rs.map(_.getString(4)).toSet }
+
+  /** Per-file bloom filters (see ManifestSink.bloomStats): the
+    * high-cardinality point tier — (rel, col) -> (m, k, hex bitmap).
+    * Probed for EqualTo/In where no dictionary covers the file. */
+  private val blooms: Map[(String, String), (Long, Long, String)] =
+    statRows.filter(r => r.getString(1).startsWith("__bloom:") && !r.isNullAt(4))
+      .groupBy(r => (r.getString(0), r.getString(1).stripPrefix("__bloom:")))
+      .map { case (k, rs) =>
+        k -> (rs.head.getLong(2), rs.head.getLong(3), rs.head.getString(4)) }
+
+  /** The probe value's bit positions, cached per (value, m, k) — one
+    * tiny local-plan evaluation per distinct probe, not per file. */
+  private val bloomPosCache =
+    scala.collection.mutable.Map.empty[(Any, Long, Long), Seq[Int]]
+  private def bloomMayContain(rel: String, colName: String,
+                              v: scala.Either[Long, String]): Option[Boolean] =
+    blooms.get((rel, colName)).map { case (m, k, hex) =>
+      val key = (v, m, k)
+      val pos = bloomPosCache.getOrElseUpdate(key, {
+        val probe = v match {
+          case scala.Left(l)  => org.apache.spark.sql.functions.lit(l)
+          case scala.Right(s) => org.apache.spark.sql.functions.lit(s)
+        }
+        ManifestSink.bloomProbePositions(spark, probe, m, k)
+      })
+      ManifestSink.bloomHexTest(hex, pos)
+    }
 
   private def relOf(p: Path): String =
     s"${p.getParent.getName}/${p.getName}"
@@ -109,17 +136,19 @@ final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
         case Some(scala.Right(s)) => strCmp(col, (lo, hi) => onStr(s, lo, hi))
         case None => true
       }
-    // point predicates consult the file dictionary first (exact
-    // membership), falling back to the zone bounds
+    // point predicates walk the skipping ladder: exact dictionary,
+    // then bloom probe (no false negatives), then the zone bounds
     def point(colName: String, v: Any): Boolean =
       lit(v) match {
         case Some(scala.Left(l)) => dictLong.get((rel, colName)) match {
           case Some(s) => s.contains(l)
-          case None => longCmp(colName, (lo, hi) => lo <= l && l <= hi)
+          case None => bloomMayContain(rel, colName, scala.Left(l)).getOrElse(
+            longCmp(colName, (lo, hi) => lo <= l && l <= hi))
         }
         case Some(scala.Right(sv)) => dictStr.get((rel, colName)) match {
           case Some(s) => s.contains(sv)
-          case None => strCmp(colName, (lo, hi) => lo <= sv && sv <= hi)
+          case None => bloomMayContain(rel, colName, scala.Right(sv)).getOrElse(
+            strCmp(colName, (lo, hi) => lo <= sv && sv <= hi))
         }
         case None => true
       }

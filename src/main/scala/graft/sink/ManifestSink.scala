@@ -622,7 +622,7 @@ object ManifestSink {
     * positions under (m, k), computed with the SAME Spark expression
     * the write side used (a 1-row local plan — constant-folded, no
     * job). */
-  private def bloomPositions(spark: SparkSession,
+  private[sink] def bloomProbePositions(spark: SparkSession,
                              value: org.apache.spark.sql.Column,
                              m: Long, k: Long): Seq[Int] = {
     import org.apache.spark.sql.functions._
@@ -633,7 +633,7 @@ object ManifestSink {
     (0 until k.toInt).map(row.getInt)
   }
 
-  private def bloomTest(hex: String, positions: Seq[Int]): Boolean =
+  private[sink] def bloomHexTest(hex: String, positions: Seq[Int]): Boolean =
     positions.forall { p =>
       val b = Integer.parseInt(hex.substring((p / 8) * 2, (p / 8) * 2 + 2), 16)
       (b & (1 << (p % 8))) != 0
@@ -677,7 +677,7 @@ object ManifestSink {
     // the probe value's bit positions, once per committed (m, k)
     val posCache = scala.collection.mutable.Map.empty[(Long, Long), Seq[Int]]
     def positions(m: Long, k: Long): Seq[Int] =
-      posCache.getOrElseUpdate((m, k), bloomPositions(spark, probe, m, k))
+      posCache.getOrElseUpdate((m, k), bloomProbePositions(spark, probe, m, k))
     val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
     val all = manifestFiles(spark, root, e).map { p =>
       new org.apache.hadoop.fs.Path(p).toUri.getPath
@@ -691,7 +691,7 @@ object ManifestSink {
           val bloom = rs.filter(_.getString(1) == s"__bloom:$c")
           if (dict.nonEmpty) dict.exists(dictHit)
           else if (bloom.nonEmpty) bloom.exists(r =>
-            bloomTest(r.getString(4), positions(r.getLong(2), r.getLong(3))))
+            bloomHexTest(r.getString(4), positions(r.getLong(2), r.getLong(3))))
           else if (rs.exists(_.getString(1) == s"__dictover:$c")) true
           else rs.filter(_.getString(1) == c) match {
             case zs if zs.nonEmpty => zs.exists(zoneHit)

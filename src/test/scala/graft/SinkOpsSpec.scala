@@ -727,6 +727,12 @@ class SinkOpsSpec extends SparkTestBase {
       .filter(col("col") === "__bloom:event_id").collect()
     assert(br.nonEmpty && br.forall(r => r.getLong(2) == 16384L && r.getLong(3) == 5L))
     assert(br.forall(_.getString(4).length == 16384 / 8 * 2), "hex bitmap length = m/8 bytes")
+    // Catalyst path: an ordinary EqualTo filter consults the bloom at
+    // planning time and scans exactly the probe's survivor set
+    val (t, idx) = graft.sink.ManifestFileIndex.tableWithIndex(spark, root)
+    assert(t.filter(col("event_id") === 424L).count() == 1)
+    assert(idx.lastSelectedCount == hit,
+      s"FileIndex bloom selection ${idx.lastSelectedCount} != explicit-API $hit")
   }
 
   test("metadata-only aggregation: exact across publish+append, zero data-file scan, guards") {
