@@ -66,6 +66,13 @@ object IncrementalView {
   def applyDelta(spark: SparkSession, viewRoot: String, changes: DataFrame,
                  viewKey: String, valCol: String,
                  txn: ManifestSink.Txn): Int = {
+    // replay guard at entry (the commitIdempotentAppend discipline):
+    // a refresh whose source version the view already committed must
+    // no-op, not fold the delta a second time — versions are
+    // monotonic per appId (source epochs / stream batchIds)
+    if (ManifestSink.lastCommittedVersion(spark, viewRoot, txn.appId)
+          .exists(_ >= txn.version))
+      return ManifestSink.currentEpoch(spark, viewRoot)
     val sign = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
     val delta = changes.groupBy(col(viewKey))
@@ -88,7 +95,26 @@ object IncrementalView {
           .cast(DecimalType(38, 4)).as("sum_value"))
       .filter(col("cnt") > 0)
     val next = priorEpoch.getOrElse(0) + 1
-    ManifestSink.publish(merged, viewRoot, next, Some(txn))
-    next
+    try {
+      // attempt-unique staging: concurrent refreshes racing for the
+      // same view epoch must not clobber each other's staged DATA
+      // either — the loser's directory becomes vacuum-swept dead
+      // weight, exactly the concurrent-publisher contract of stage()
+      ManifestSink.commitStaged(spark,
+        ManifestSink.stage(merged, viewRoot, next, unique = true), Some(txn))
+      next
+    } catch {
+      case c: ManifestSink.ManifestConflictException =>
+        // lost a publish race — but if the committed cursor already
+        // covers this source version (a concurrent refresh of the
+        // same epochs won), that is the promised no-op, not an error
+        // (the commitIdempotentAppend discipline; ADVICE r11). Any
+        // other winner is a real conflict: the view advanced past us
+        // with work we did not fold, so surface it.
+        if (ManifestSink.lastCommittedVersion(spark, viewRoot, txn.appId)
+              .exists(_ >= txn.version))
+          ManifestSink.currentEpoch(spark, viewRoot)
+        else throw c
+    }
   }
 }

@@ -105,6 +105,14 @@ final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
   private def relOf(p: Path): String =
     s"${p.getParent.getName}/${p.getName}"
 
+  /** String bound comparisons in UTF8String BINARY order — the order
+    * Spark's min/max produced the committed bounds in. Java String
+    * </<= is UTF-16 code-unit order, which diverges for
+    * supplementary-plane code points and would wrongly prune files
+    * (silent row loss) (ADVICE r11). */
+  private def u8cmp(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
   /** Conservative may-match: false ONLY when the zone map proves no
     * row of the file can satisfy `e`. */
   private def mayMatch(rel: String, e: Expression): Boolean = {
@@ -148,7 +156,7 @@ final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
         case Some(scala.Right(sv)) => dictStr.get((rel, colName)) match {
           case Some(s) => s.contains(sv)
           case None => bloomMayContain(rel, colName, scala.Right(sv)).getOrElse(
-            strCmp(colName, (lo, hi) => lo <= sv && sv <= hi))
+            strCmp(colName, (lo, hi) => u8cmp(lo, sv) <= 0 && u8cmp(sv, hi) <= 0))
         }
         case None => true
       }
@@ -158,21 +166,21 @@ final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
       case EqualTo(a: AttributeReference, Literal(v, _)) => point(a.name, v)
       case EqualTo(Literal(v, _), a: AttributeReference) => point(a.name, v)
       case GreaterThan(a: AttributeReference, Literal(v, _)) =>
-        cmp(a.name, v, (x, _, hi) => hi > x, (x, _, hi) => hi > x)
+        cmp(a.name, v, (x, _, hi) => hi > x, (x, _, hi) => u8cmp(hi, x) > 0)
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-        cmp(a.name, v, (x, _, hi) => hi >= x, (x, _, hi) => hi >= x)
+        cmp(a.name, v, (x, _, hi) => hi >= x, (x, _, hi) => u8cmp(hi, x) >= 0)
       case LessThan(a: AttributeReference, Literal(v, _)) =>
-        cmp(a.name, v, (x, lo, _) => lo < x, (x, lo, _) => lo < x)
+        cmp(a.name, v, (x, lo, _) => lo < x, (x, lo, _) => u8cmp(lo, x) < 0)
       case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-        cmp(a.name, v, (x, lo, _) => lo <= x, (x, lo, _) => lo <= x)
+        cmp(a.name, v, (x, lo, _) => lo <= x, (x, lo, _) => u8cmp(lo, x) <= 0)
       case GreaterThan(Literal(v, _), a: AttributeReference) =>
-        cmp(a.name, v, (x, lo, _) => lo < x, (x, lo, _) => lo < x)
+        cmp(a.name, v, (x, lo, _) => lo < x, (x, lo, _) => u8cmp(lo, x) < 0)
       case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
-        cmp(a.name, v, (x, lo, _) => lo <= x, (x, lo, _) => lo <= x)
+        cmp(a.name, v, (x, lo, _) => lo <= x, (x, lo, _) => u8cmp(lo, x) <= 0)
       case LessThan(Literal(v, _), a: AttributeReference) =>
-        cmp(a.name, v, (x, _, hi) => hi > x, (x, _, hi) => hi > x)
+        cmp(a.name, v, (x, _, hi) => hi > x, (x, _, hi) => u8cmp(hi, x) > 0)
       case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
-        cmp(a.name, v, (x, _, hi) => hi >= x, (x, _, hi) => hi >= x)
+        cmp(a.name, v, (x, _, hi) => hi >= x, (x, _, hi) => u8cmp(hi, x) >= 0)
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         vs.exists { case Literal(v, _) => point(a.name, v) }
       case _ => true

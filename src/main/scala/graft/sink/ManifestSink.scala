@@ -813,16 +813,20 @@ object ManifestSink {
   }
 
   /** Range read through the zone maps of a STRING column ([from, to]
-    * inclusive, lexicographic). Pruning compares with Java string
-    * order, matching Spark's UTF8String order for the BMP/ASCII values
-    * the fixtures use; a full collation-aware comparator would slot in
-    * here for supplementary-plane data. */
+    * inclusive). Pruning compares in UTF8String BINARY order — the
+    * order Spark's min/max produced the committed bounds in. (Java
+    * String order is UTF-16 code-unit order, which diverges for
+    * supplementary-plane code points and would wrongly prune files —
+    * ADVICE r11.) */
   def readRangePrunedString(spark: SparkSession, root: String, statsCol: String,
                             from: String, to: String, epoch: Int = -1): (DataFrame, Int, Int) = {
     val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
+    import org.apache.spark.unsafe.types.UTF8String
+    def u8(s: String) = UTF8String.fromString(s)
     prunedRead(spark, root, e, statsCol, r =>
       r.isNullAt(4) || r.isNullAt(5) ||
-        (r.getString(5) >= from && r.getString(4) <= to))
+        (u8(r.getString(5)).compareTo(u8(from)) >= 0 &&
+          u8(r.getString(4)).compareTo(u8(to)) <= 0))
   }
 
   /** Compact the CURRENT epoch into a new one — the "rewrite data
@@ -892,14 +896,33 @@ object ManifestSink {
         "deletes; materialize them first (compact)")
     val next = cur + 1
     val stats = statsTable(spark, root, cur)
-    val keyRanges = stats.filter(col("col") === keyCol)
-      .select(col("file"), col("lo_long"), col("hi_long"))
+    // type-aware overlap: string merge keys compare against
+    // (lo_str, hi_str), integral ones against (lo_long, hi_long) —
+    // comparing a string key to the always-null long bounds would make
+    // `touched` empty and silently corrupt the merge (inserts without
+    // replacement; deletes that delete nothing) (ADVICE r11). The
+    // comparison itself runs IN Spark, so string order is UTF8String
+    // binary order — the same order that produced the committed
+    // min/max.
+    val keyIsStr = {
+      import org.apache.spark.sql.types.{StringType, LongType, IntegerType, ShortType, ByteType}
+      updates.schema(keyCol).dataType match {
+        case StringType => true
+        case LongType | IntegerType | ShortType | ByteType => false
+        case other => throw new IllegalArgumentException(
+          s"CoW merge key must be integral or string; $keyCol is $other")
+      }
+    }
+    val keyRanges = stats.filter(col("col") === keyCol).select(
+      col("file"),
+      (if (keyIsStr) col("lo_str") else col("lo_long")).as("__lo"),
+      (if (keyIsStr) col("hi_str") else col("hi_long")).as("__hi"))
     // touched = files whose range contains at least one update key;
     // ranges broadcast (file-count-bounded), update keys stay
     // distributed
     val touched = updates.select(col(keyCol).as("__k"))
       .join(broadcast(keyRanges),
-        col("__k") >= col("lo_long") && col("__k") <= col("hi_long"))
+        col("__k") >= col("__lo") && col("__k") <= col("__hi"))
       .select("file").distinct().collect().map(_.getString(0)).toSet
     val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
     val all = manifestFiles(spark, root, cur).map { p =>
@@ -1314,10 +1337,19 @@ object ManifestSink {
       val tmp = "^commit-(\\d+)\\.tmp\\.([0-9a-f]+)$".r
       n match {
         case m(_, e, token) =>
+          // bounded to <= cur like the tmp and orphan sweeps: an
+          // in-flight commitStaged writes manifest/stats FIRST and
+          // CAS-renames the marker LAST, always at an epoch ABOVE the
+          // current one — sweeping above-current metadata here would
+          // race the writer (delete its manifest, then watch its CAS
+          // succeed → a committed epoch with no manifest, table
+          // unreadable). Above-current attempt metadata becomes
+          // sweepable only once a later vacuum observes a higher
+          // committed epoch (ADVICE r11).
           val ep = e.toInt
-          if (!kept.contains(ep) || winners.get(ep).exists(_ != token))
+          if (ep <= cur && (!kept.contains(ep) || winners.get(ep).exists(_ != token)))
             f.delete(p, true): Unit
-        case dv(_, _) if !keptDvs.contains(n) =>
+        case dv(e, _) if e.toInt <= cur && !keptDvs.contains(n) =>
           f.delete(p, true): Unit
         case tmp(e, _) if e.toInt <= cur =>
           f.delete(p, false): Unit
