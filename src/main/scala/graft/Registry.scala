@@ -2410,6 +2410,105 @@ object Registry {
       },
       """SELECT event_id, user_id, value FROM events
         |WHERE event_id BETWEEN 100 AND 299 ORDER BY event_id""".stripMargin),
+    // SQL CATALOG (round 12): the manifest lakehouse as a DSv2
+    // TableCatalog — CREATE TABLE AS / INSERT INTO / SELECT all in SQL
+    // text, path-table convention (graft.`/abs/path`, the Delta
+    // spelling). The WHERE range prunes through the same skipping
+    // ladder as the DataFrame path at PLANNING time (GraftScanBuilder
+    // → ManifestFileIndex), and the executed scan is Spark's V2
+    // ParquetScan over ONLY the surviving files; skip_ok gates that
+    // the planner really skipped (planned < total manifest files).
+    // Each INSERT commits one atomic stats-carrying epoch via the CAS
+    // machinery — SQL writes prune like API writes.
+    "q_catalog_sql" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_csql_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 200)
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("cat_src_a")
+        ev.filter(col("event_id").between(200, 399))
+          .repartitionByRange(4, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("cat_src_b")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cat_src_a")
+        s.sql(s"INSERT INTO graft.`$root` SELECT * FROM cat_src_b")
+        val out = s.sql(
+          s"""SELECT event_id, user_id, value FROM graft.`$root`
+             |WHERE event_id BETWEEN 150 AND 249 ORDER BY event_id""".stripMargin)
+        val rows = out.collect()  // bounded: a 100-key slice
+        val total = graft.sink.ManifestSink.manifestFiles(
+          s, root, graft.sink.ManifestSink.currentEpoch(s, root)).size
+        val planned = graft.catalog.GraftTable.lastPlannedFiles
+        val skipOk = planned >= 0 && planned < total
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .withColumn("skip_ok", lit(skipOk))
+      },
+      """SELECT event_id, user_id, value, TRUE AS skip_ok FROM events
+        |WHERE event_id BETWEEN 150 AND 249 ORDER BY event_id""".stripMargin),
+    // SQL TIME TRAVEL (round 12): VERSION AS OF <epoch> through the
+    // catalog — versions ARE committed epochs. The demo commits three
+    // epochs (CTAS, append, OVERWRITE-as-new-epoch) and reads epoch 2
+    // back: any leakage from the overwrite (epoch 3 replaced the
+    // content entirely) breaks the hash. travel_ok gates that the
+    // table really moved on (current epoch = 3 with the overwritten
+    // content).
+    "q_catalog_travel" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_ctrav_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 100).createOrReplaceTempView("trav_a")
+        ev.filter(col("event_id").between(100, 149)).createOrReplaceTempView("trav_b")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM trav_a")
+        s.sql(s"INSERT INTO graft.`$root` SELECT * FROM trav_b")
+        s.sql(s"INSERT OVERWRITE graft.`$root` " +
+          "SELECT event_id + 1000000 AS event_id, user_id, value FROM trav_a")
+        val cur = graft.sink.ManifestSink.currentEpoch(s, root)
+        val overwritten = s.sql(s"SELECT min(event_id) AS m FROM graft.`$root`")
+          .collect()(0).getLong(0)
+        val travelOk = cur == 3 && overwritten >= 1000000L
+        s.sql(s"""SELECT event_id, user_id, value FROM graft.`$root` VERSION AS OF 2
+                 |ORDER BY event_id""".stripMargin)
+          .withColumn("travel_ok", lit(travelOk))
+      },
+      """SELECT event_id, user_id, value, TRUE AS travel_ok FROM events
+        |WHERE event_id < 150 ORDER BY event_id""".stripMargin),
+    // SQL DELETE (round 12): DELETE FROM ... WHERE <key> IN (...)
+    // lowers onto the copy-on-write delete (SupportsDelete →
+    // ManifestSink.deleteCow) when the predicate column carries zone
+    // maps — only the overlapping files rewrite; the rest of the table
+    // carries as metadata. The pre-delete epoch stays pinned for audit
+    // (audit_ok gates VERSION AS OF 1 still seeing the deleted keys).
+    "q_catalog_delete" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cdel_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 400)
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("del_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM del_src")
+        s.sql(s"DELETE FROM graft.`$root` WHERE event_id IN (7, 42, 99, 256)")
+        val audit = s.sql(
+          s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 1 " +
+            "WHERE event_id IN (7, 42, 99, 256)").collect()(0).getLong(0)
+        s.sql(s"""SELECT event_id, user_id, value FROM graft.`$root`
+                 |WHERE event_id < 120 ORDER BY event_id""".stripMargin)
+          .withColumn("audit_ok", lit(audit == 4L))
+      },
+      """SELECT event_id, user_id, value, TRUE AS audit_ok FROM events
+        |WHERE event_id < 120 AND event_id NOT IN (7, 42, 99)
+        |ORDER BY event_id""".stripMargin),
     // MERGE-ON-READ DELETES (round 11): Iceberg equality-delete
     // parity — deleteMor commits the SAME file list plus a keys-only
     // delete vector (pure metadata + a KB write; zero data I/O), read

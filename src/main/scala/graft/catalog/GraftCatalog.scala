@@ -1,0 +1,437 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt, LessThanOrEqual => CLe, Literal, Or => COr}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sink.{ManifestFileIndex, ManifestSink}
+
+/** The manifest-table lakehouse as a Spark SQL CATALOG — the DataSource
+  * V2 `TableCatalog` integration that gives every [[ManifestSink]]
+  * table the idiomatic SQL surface (the Delta/Iceberg catalog parity
+  * piece):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.sql("SELECT * FROM graft.`/data/events` WHERE event_id BETWEEN 10 AND 99")
+  *   spark.sql("INSERT INTO graft.`/data/events` SELECT ...")
+  *   spark.sql("SELECT * FROM graft.`/data/events` VERSION AS OF 2")
+  *   spark.sql("DELETE FROM graft.`/data/events` WHERE event_id = 7")
+  * }}}
+  *
+  * Identifier resolution is Delta's path-table convention: a
+  * backquoted absolute path IS the table (no metastore indirection);
+  * with `spark.sql.catalog.graft.root=<warehouse>` set, bare names
+  * resolve to `<warehouse>/<ns...>/<name>` and `CREATE TABLE` /
+  * `SHOW TABLES` / `DROP TABLE` manage that directory tree.
+  *
+  * The read path plans through [[GraftScanBuilder]]: pushed-down SQL
+  * predicates walk the SAME skipping ladder as the DataFrame path
+  * (dictionary → bloom → zone map, [[ManifestFileIndex]]) at PLANNING
+  * time, and the scan Spark executes is its own V2 `ParquetScan` over
+  * only the surviving manifest files — SQL users get manifest
+  * resolution, orphan invisibility, and file skipping with zero side
+  * API, and parquet row-group pruning still applies below (the pushed
+  * filters are forwarded). Skipping stays an I/O optimization, never a
+  * correctness dependency: every pushed filter is ALSO returned as a
+  * post-scan filter for Spark to re-evaluate.
+  *
+  * Writes (`INSERT INTO` / `INSERT OVERWRITE`) commit through the CAS
+  * epoch machinery — each insert is one atomic manifest epoch carrying
+  * zone-map stats for every integral/string column, so SQL-written
+  * tables prune exactly like API-written ones; a lost commit race
+  * re-resolves the epoch and retries (bounded), mirroring Delta's
+  * optimistic-concurrency append. `DELETE FROM ... WHERE <key> = v`
+  * / `IN (...)` lowers onto the copy-on-write delete when the predicate
+  * column carries zone maps — the handful of overlapping files
+  * rewrite, everything else carries as metadata.
+  *
+  * At 100 TB the catalog adds NO new moving parts: it is a naming +
+  * planning veneer over the same committed manifests; all driver-side
+  * state remains bounded metadata (file lists and stats rows).
+  *
+  * Reference: the reference's read surface is CQL statements against
+  * Cassandra tables (`monitoring/cassandra_latency_check.py:13`,
+  * `monitoring/monitor.sh:83-84`) — a catalog-addressed SQL text
+  * entry point over the stored tables; this is the Spark-native
+  * spelling of that contract on the lakehouse layer. */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouseRoot: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouseRoot = Option(options.get("root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Path-table convention: a backquoted absolute path is its own
+    * table root; bare names resolve under the warehouse root. */
+  private[catalog] def dirOf(ident: Identifier): String =
+    if (ident.name.startsWith("/")) {
+      require(ident.namespace.isEmpty,
+        s"path tables take no namespace: ${ident.namespace.mkString(".")}")
+      ident.name
+    } else warehouseRoot match {
+      case Some(r) => (r +: ident.namespace :+ ident.name).mkString("/")
+      case None => throw new IllegalArgumentException(
+        s"catalog $catalogName has no warehouse root configured " +
+          s"(spark.sql.catalog.$catalogName.root); only backquoted " +
+          "absolute-path tables are addressable")
+    }
+
+  private def existsAsTable(dir: String): Boolean = {
+    val p = new Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p) && (ManifestSink.currentEpochOpt(spark, dir).isDefined ||
+      f.exists(new Path(dir, GraftTable.SchemaFile)))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!existsAsTable(dir)) throw new NoSuchTableException(ident)
+    new GraftTable(dir, ident.toString, None)
+  }
+
+  /** `VERSION AS OF <epoch>` time travel — the version string is the
+    * committed epoch number. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!existsAsTable(dir)) throw new NoSuchTableException(ident)
+    val epoch = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft table versions are epoch numbers; got '$version'")
+    }
+    new GraftTable(dir, ident.toString, Some(epoch))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "TIMESTAMP AS OF is not supported; use VERSION AS OF <epoch>")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    warehouseRoot match {
+      case None => Array.empty
+      case Some(r) =>
+        val ns = (r +: namespace.toSeq).mkString("/")
+        val p = new Path(ns)
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(p)) Array.empty
+        else f.listStatus(p).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .filter(n => existsAsTable(s"$ns/$n"))
+          .map(n => Identifier.of(namespace, n))
+          .toArray
+    }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables lay out via stats clustering, not hive partitions")
+    val dir = dirOf(ident)
+    if (existsAsTable(dir)) throw new TableAlreadyExistsException(ident)
+    val p = new Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(p)
+    // the pre-first-commit schema contract: once epoch 1 commits, the
+    // commit marker's pinned schema takes over (and evolves with it)
+    val out = f.create(new Path(dir, GraftTable.SchemaFile), false)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    new GraftTable(dir, ident.toString, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolution happens through " +
+        "evolving appends (publishAppendEvolve)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    val p = new Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p) && f.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new Path(dirOf(oldIdent))
+    val to = new Path(dirOf(newIdent))
+    val f = from.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(from)) throw new NoSuchTableException(oldIdent)
+    if (f.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    if (!f.rename(from, to)) throw new IllegalStateException(
+      s"rename $from -> $to failed")
+  }
+}
+
+object GraftTable {
+  /** Schema of a created-but-never-written table (replaced by the
+    * commit marker's pinned schema at the first commit). */
+  val SchemaFile = "_SCHEMA.json"
+
+  /** Planning evidence for specs: manifest files the LAST catalog scan
+    * planned over, after skipping. */
+  @volatile var lastPlannedFiles: Int = -1
+}
+
+/** One manifest table as a DSv2 [[Table]]: batch read with
+  * planning-time skipping, V1-bridged atomic writes, CoW deletes.
+  * `pinned` = Some(epoch) for VERSION AS OF reads (writes refused). */
+final class GraftTable(dir: String, ident: String, pinned: Option[Int])
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def currentOpt: Option[Int] = ManifestSink.currentEpochOpt(spark, dir)
+
+  private def resolvedEpoch: Option[Int] = pinned.orElse(currentOpt)
+
+  override def name(): String = ident
+
+  override def version(): String = resolvedEpoch.map(_.toString).orNull
+
+  override def schema(): StructType = resolvedEpoch match {
+    case Some(e) => ManifestSink.commitSchema(spark, dir, e)
+      .getOrElse(ManifestSink.read(spark, dir, e).schema)
+    case None =>
+      val p = new Path(dir, GraftTable.SchemaFile)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = f.open(p)
+      val json = try {
+        val sz = f.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](sz); in.readFully(buf); new String(buf, "UTF-8")
+      } finally in.close()
+      DataType.fromJson(json).asInstanceOf[StructType]
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val e = resolvedEpoch.getOrElse(throw new IllegalStateException(
+      s"graft table $dir has no committed epoch yet"))
+    if (ManifestSink.commitDv(spark, dir, e).isDefined)
+      throw new IllegalStateException(
+        s"graft table $dir epoch $e carries merge-on-read delete " +
+          "vectors; the catalog scan cannot apply the DV join — " +
+          "materialize first (compact) or read via ManifestSink.read")
+    new GraftScanBuilder(spark, dir, e, schema())
+  }
+
+  /** All-column zone maps for SQL-written epochs: every integral and
+    * string top-level column gets per-file (min, max), so catalog
+    * writes prune like API writes with explicit statsCols. */
+  private def statsColsOf(s: StructType): Seq[String] =
+    s.fields.toSeq.collect {
+      case f if Seq(LongType, IntegerType, ShortType, ByteType,
+        StringType).contains(f.dataType) => f.name
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty,
+      s"cannot write to $dir pinned at VERSION AS OF ${pinned.get}")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit =
+              insertImpl(data, overwrite)
+          }
+      }
+    }
+  }
+
+  /** One atomic stats-carrying epoch per INSERT; a lost CAS race
+    * re-resolves the current epoch and retries (Delta's
+    * optimistic-concurrency append). Overwrite = a fresh full-snapshot
+    * epoch (history preserved — time travel still reaches the
+    * pre-overwrite epochs until vacuum). */
+  private def insertImpl(data: DataFrame, overwrite: Boolean): Unit = {
+    val stats = statsColsOf(data.schema)
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val cur = currentOpt
+      val next = cur.getOrElse(0) + 1
+      val staged =
+        if (overwrite || cur.isEmpty)
+          ManifestSink.stage(data, dir, next, stats, unique = true)
+        else ManifestSink.stageAppend(data, dir, next, stats, unique = true)
+      try {
+        ManifestSink.commitStaged(spark, staged, None)
+        committed = true
+      } catch {
+        case c: ManifestSink.ManifestConflictException =>
+          attempts += 1
+          if (attempts >= 5) throw c
+      }
+    }
+  }
+
+  /** `DELETE FROM ... WHERE k = v` / `k IN (...)` lowers onto the
+    * copy-on-write delete when `k` carries zone maps in the current
+    * epoch — only overlapping files rewrite. Anything else (ranges,
+    * multi-column, stats-blind columns) is refused via canDeleteWhere
+    * and Spark reports the unsupported delete rather than silently
+    * scanning. */
+  private def deleteKeys(filters: Array[Filter]): Option[(String, Seq[Any])] =
+    filters match {
+      case Array(sources.EqualTo(c, v)) => Some((c, Seq(v)))
+      case Array(sources.In(c, vs)) if vs.nonEmpty => Some((c, vs.toSeq))
+      case _ => None
+    }
+
+  private def statsCover(colName: String): Boolean =
+    currentOpt.exists { e =>
+      try ManifestSink.statsTable(spark, dir, e)
+        .filter(org.apache.spark.sql.functions.col("col") === colName)
+        .limit(1).count() > 0
+      catch { case _: Throwable => false }
+    }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinned.isEmpty && currentOpt.isDefined &&
+      ManifestSink.commitDv(spark, dir, currentOpt.get).isEmpty &&
+      deleteKeys(filters).exists { case (c, vs) =>
+        statsCover(c) && vs.forall {
+          case _: Long | _: Int | _: Short | _: Byte | _: String => true
+          case _ => false
+        }
+      }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (colName, vs) = deleteKeys(filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"unsupported delete predicate: ${filters.mkString(", ")}"))
+    val ss = spark
+    import ss.implicits._
+    val keyDf = vs.head match {
+      case _: String => vs.map(_.asInstanceOf[String]).toDF(colName)
+      case _ => vs.map {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+      }.toDF(colName)
+    }
+    // rewrite preserves the FULL stats set of the current epoch so
+    // pruning survives the delete
+    val e = ManifestSink.currentEpoch(spark, dir)
+    val allStats = ManifestSink.statsTable(spark, dir, e)
+      .select("col").distinct().collect().map(_.getString(0))
+      .filterNot(_.startsWith("__")).toSeq
+    // align the key column's type with the table's (IN literals may
+    // arrive wider than the stored column)
+    val tableType = schema()(colName).dataType
+    val keys = keyDf.select(
+      org.apache.spark.sql.functions.col(colName).cast(tableType).as(colName))
+    ManifestSink.deleteCow(spark, dir, keys, colName, allStats): Unit
+  }
+}
+
+/** The catalog read path: pushed filters prune the manifest file list
+  * through the full skipping ladder (dictionary → bloom → zone map) at
+  * planning time; the built scan is Spark's own V2 ParquetScan over
+  * only the survivors, with the same filters forwarded for row-group
+  * pruning. All pushed filters are ALSO returned as residuals — Spark
+  * re-evaluates them, keeping skipping advisory (the parquet
+  * row-group-stats contract, one level up). */
+final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
+                             tableSchema: StructType)
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => toCatalyst(f).isDefined)
+    filters // every filter stays a residual: skipping is never load-bearing
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve table column order; requiredSchema arrives in query order
+    required = StructType(tableSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  /** V1 source filters → the catalyst shapes [[ManifestFileIndex]]'s
+    * mayMatch ladder understands. Unconvertible filters skip nothing
+    * (conservative). */
+  private def toCatalyst(f: Filter): Option[Expression] = {
+    def ref(c: String): Option[AttributeReference] =
+      tableSchema.fields.find(_.name == c)
+        .map(sf => AttributeReference(sf.name, sf.dataType, nullable = true)())
+    def lit(v: Any): Option[Literal] = v match {
+      case null => None
+      case _: Long | _: Int | _: Short | _: Byte | _: String =>
+        Some(Literal.create(v))
+      case _ => None
+    }
+    f match {
+      case sources.EqualTo(c, v) =>
+        for (a <- ref(c); l <- lit(v)) yield CEq(a, l)
+      case sources.GreaterThan(c, v) =>
+        for (a <- ref(c); l <- lit(v)) yield CGt(a, l)
+      case sources.GreaterThanOrEqual(c, v) =>
+        for (a <- ref(c); l <- lit(v)) yield CGe(a, l)
+      case sources.LessThan(c, v) =>
+        for (a <- ref(c); l <- lit(v)) yield CLt(a, l)
+      case sources.LessThanOrEqual(c, v) =>
+        for (a <- ref(c); l <- lit(v)) yield CLe(a, l)
+      case sources.In(c, vs) if vs.nonEmpty =>
+        val lits = vs.toSeq.map(lit)
+        if (lits.forall(_.isDefined))
+          ref(c).map(a => CIn(a, lits.map(_.get)))
+        else None
+      case sources.And(l, r) =>
+        for (a <- toCatalyst(l); b <- toCatalyst(r)) yield CAnd(a, b)
+      case sources.Or(l, r) =>
+        for (a <- toCatalyst(l); b <- toCatalyst(r)) yield COr(a, b)
+      case _ => None
+    }
+  }
+
+  override def build(): Scan = {
+    val idx = new ManifestFileIndex(spark, dir, epoch)
+    val exprs = pushed.flatMap(toCatalyst).toSeq
+    val survivors = idx.listFiles(Nil, exprs)
+      .flatMap(_.files).map(_.getPath)
+    GraftTable.lastPlannedFiles = survivors.size
+    val prunedIndex = new InMemoryFileIndex(spark, survivors,
+      Map.empty[String, String], Some(tableSchema),
+      FileStatusCache.getOrCreate(spark), None, None)
+    ParquetScan(spark,
+      spark.sessionState.newHadoopConfWithOptions(Map.empty),
+      prunedIndex,
+      dataSchema = tableSchema,
+      readDataSchema = required,
+      readPartitionSchema = StructType(Nil),
+      pushedFilters = pushed,
+      options = CaseInsensitiveStringMap.empty())
+  }
+}
