@@ -2480,6 +2480,90 @@ object Registry {
       },
       """SELECT event_id, user_id, value, TRUE AS travel_ok FROM events
         |WHERE event_id < 150 ORDER BY event_id""".stripMargin),
+    // DYNAMIC FILE PRUNING (round 12): the catalog scan implements
+    // SupportsRuntimeFiltering, so a dim-filtered join hands the
+    // build side's surviving keys to the scan AT EXECUTION TIME
+    // (Spark's dynamic partition pruning machinery) and the fact
+    // table re-prunes its manifest file list through the skipping
+    // ladder before any fact file opens — Delta's dynamic file
+    // pruning. At 100 TB this is the difference between reading the
+    // fact files the dim keys touch and reading the fact table.
+    // dfp_ok gates BOTH that the DynamicPruningExpression was planted
+    // and that the re-pruned plan read fewer files than the manifest
+    // holds.
+    "q_catalog_dfp" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cdfp_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 400)
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("dfp_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM dfp_src")
+        // the dim must be a real scan (a LocalRelation folds its
+        // filter away and DPP sees no selective predicate)
+        val dimPath = tmpDir("graft_cdfp_dim_")
+        ev.filter(col("event_id") % 50 === 0)
+          .select(col("event_id"),
+            org.apache.spark.sql.functions.when(col("event_id") < 300, "hit")
+              .otherwise("miss").as("flag"))
+          .write.mode("overwrite").parquet(dimPath)
+        s.read.parquet(dimPath).createOrReplaceTempView("dfp_dim")
+        val out = s.sql(
+          s"""SELECT t.event_id, t.user_id, d.flag FROM graft.`$root` t
+             |JOIN dfp_dim d ON t.event_id = d.event_id
+             |WHERE d.flag = 'hit' ORDER BY t.event_id""".stripMargin)
+        val rows = out.collect()
+        val total = graft.sink.ManifestSink.manifestFiles(s, root, 1).size
+        val dfpOk =
+          out.queryExecution.executedPlan.toString.contains("dynamicpruning") &&
+            graft.catalog.GraftTable.lastPlannedFiles >= 0 &&
+            graft.catalog.GraftTable.lastPlannedFiles < total
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .withColumn("dfp_ok", lit(dfpOk))
+      },
+      """SELECT event_id, user_id, 'hit' AS flag, TRUE AS dfp_ok FROM events
+        |WHERE event_id IN (0, 50, 100, 150, 200, 250)
+        |ORDER BY event_id""".stripMargin),
+    // SQL METADATA-ONLY AGGREGATION (round 12): a global
+    // count(*)/min/max through the catalog pushes COMPLETELY into the
+    // scan (SupportsPushDownAggregates) and answers from the committed
+    // stats table — the executed "scan" is a one-row replay, ZERO data
+    // files open, no partial-agg plan survives. meta_ok gates that the
+    // planner really took the metadata path (and planned 0 files).
+    // count(*) comes from the per-file __count rows, min/max from the
+    // zone maps (string bounds in UTF8 binary order).
+    "q_catalog_meta_agg" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.lit
+        import org.apache.spark.sql.functions.col
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cmagg_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          col("value"), col("event_type"))
+        ev.repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("magg_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM magg_src")
+        val out = s.sql(
+          s"""SELECT count(*) AS n, min(event_id) AS lo, max(event_id) AS hi,
+             |  min(event_type) AS t_lo, max(event_type) AS t_hi
+             |FROM graft.`$root`""".stripMargin)
+        val rows = out.collect()
+        val metaOk = graft.catalog.GraftTable.lastMetaAggOnly &&
+          graft.catalog.GraftTable.lastPlannedFiles == 0
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .withColumn("meta_ok", lit(metaOk))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(event_id) AS BIGINT) AS lo, CAST(MAX(event_id) AS BIGINT) AS hi,
+        |  MIN(event_type) AS t_lo, MAX(event_type) AS t_hi,
+        |  TRUE AS meta_ok
+        |FROM events""".stripMargin),
     // SQL DELETE (round 12): DELETE FROM ... WHERE <key> IN (...)
     // lowers onto the copy-on-write delete (SupportsDelete →
     // ManifestSink.deleteCow) when the predicate column carries zone

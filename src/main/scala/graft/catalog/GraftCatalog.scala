@@ -9,8 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt, LessThanOrEqual => CLe, Literal, Or => COr}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
@@ -192,6 +193,49 @@ object GraftTable {
   /** Planning evidence for specs: manifest files the LAST catalog scan
     * planned over, after skipping. */
   @volatile var lastPlannedFiles: Int = -1
+
+  /** Planning evidence: true iff the LAST catalog scan answered
+    * entirely from manifest metadata (aggregate pushdown — zero data
+    * files opened). */
+  @volatile var lastMetaAggOnly: Boolean = false
+}
+
+/** The metadata-only aggregate scan: one precomputed row, zero files.
+  * Values were resolved on the driver from the committed stats table
+  * at planning time; the "read" just replays them. */
+final class MetaAggScan(outSchema: StructType, values: Array[Any])
+  extends Scan with Batch with Serializable {
+
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftMetaAggScan(metadata-only, ${outSchema.fieldNames.mkString(", ")})"
+
+  // strings ship as java Strings and convert to UTF8String at read —
+  // keeps the partition payload plainly serializable
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(new MetaAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MetaAggReaderFactory
+}
+
+final class MetaAggPartition(val values: Array[Any]) extends InputPartition
+
+final class MetaAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private val vals = p.asInstanceOf[MetaAggPartition].values
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+        val conv = vals.map {
+          case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case v => v
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(conv)
+      }
+      override def close(): Unit = ()
+    }
 }
 
 /** One manifest table as a DSv2 [[Table]]: batch read with
@@ -362,13 +406,104 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
 final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
                              tableSchema: StructType)
   extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var metaAgg: Option[(StructType, Array[Any])] = None
+
+  /** Metadata-only aggregation (the Iceberg manifest-stats answer,
+    * planned INSIDE Spark's aggregate pushdown): a global
+    * count(*)/min/max over stats-covered columns is answered entirely
+    * from the committed stats table — ZERO data files open; the scan
+    * Spark executes is a one-row local read. Complete pushdown, so no
+    * partial-agg plan survives either. Refused (false → ordinary
+    * plan) whenever the stats cannot speak for the data: residual
+    * filters, GROUP BY, count(col) (null-blind stats), uncovered
+    * columns, or any manifest file without a __count row.
+    * count(*) is LongType; min/max answer in the column's own type
+    * (stats store integrals widened to long). String bounds compare
+    * in UTF8String binary order — the order that produced them. */
+  private def tryMetaAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
+        case _ => None
+      }
+    if (ManifestSink.commitDv(spark, dir, epoch).isDefined) return None
+    val stats = try ManifestSink.statsTable(spark, dir, epoch).collect()
+      catch { case _: Throwable => return None }
+    val rootUri = new Path(dir).toUri.getPath
+    val all = ManifestSink.manifestFiles(spark, dir, epoch).map { p =>
+      new Path(p).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+    }.toSet
+    def covered(c: String): Boolean =
+      stats.filter(r => r.getString(1) == c).map(_.getString(0)).toSet == all
+    val counts = stats.filter(r => r.getString(1) == "__count" && all(r.getString(0)))
+    if (counts.map(_.getString(0)).toSet != all) return None
+    val totalRows = counts.map(_.getLong(2)).sum
+    def u8min(a: String, b: String): String =
+      if (org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) <= 0) a else b
+    def u8max(a: String, b: String): String =
+      if (org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) >= 0) a else b
+    def bound(c: String, lo: Boolean): Option[Any] = {
+      // min of per-file los / max of per-file his; all-null files
+      // (null bounds) drop out, exactly as min/max ignore nulls
+      val zs = stats.filter(r => r.getString(1) == c && all(r.getString(0)))
+      val isStr = tableSchema(c).dataType == StringType
+      if (isStr) {
+        val vs = zs.collect { case r if !r.isNullAt(if (lo) 4 else 5) =>
+          r.getString(if (lo) 4 else 5) }
+        if (vs.isEmpty) Some(null)
+        else Some(if (lo) vs.reduce(u8min) else vs.reduce(u8max))
+      } else {
+        val vs = zs.collect { case r if !r.isNullAt(if (lo) 2 else 3) =>
+          r.getLong(if (lo) 2 else 3) }
+        if (vs.isEmpty) Some(null)
+        else {
+          val v = if (lo) vs.min else vs.max
+          tableSchema(c).dataType match {
+            case LongType => Some(v)
+            case IntegerType => Some(v.toInt)
+            case ShortType => Some(v.toShort)
+            case ByteType => Some(v.toByte)
+            case _ => None
+          }
+        }
+      }
+    }
+    val outs = agg.aggregateExpressions().map {
+      case _: CountStar =>
+        Some(("count_star", LongType: DataType, totalRows: Any))
+      case m: Min => colOf(m.column()).filter(covered).flatMap(c =>
+        bound(c, lo = true).map(v => (s"min_$c", tableSchema(c).dataType, v)))
+      case m: Max => colOf(m.column()).filter(covered).flatMap(c =>
+        bound(c, lo = false).map(v => (s"max_$c", tableSchema(c).dataType, v)))
+      case _: AggregateFunc => None
+    }
+    if (outs.exists(_.isEmpty)) None
+    else {
+      val fields = outs.flatten
+      Some((StructType(fields.map { case (n, t, _) =>
+        org.apache.spark.sql.types.StructField(n, t, nullable = true) }),
+        fields.map(_._3).toArray))
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    tryMetaAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    metaAgg = tryMetaAgg(agg)
+    metaAgg.isDefined
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => toCatalyst(f).isDefined)
+    pushed = filters.filter(f =>
+      GraftFileScan.toCatalyst(tableSchema, f).isDefined)
     filters // every filter stays a residual: skipping is never load-bearing
   }
 
@@ -379,10 +514,90 @@ final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
     required = StructType(tableSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
+  override def build(): Scan = metaAgg match {
+    case Some((outSchema, values)) =>
+      GraftTable.lastMetaAggOnly = true
+      GraftTable.lastPlannedFiles = 0
+      new MetaAggScan(outSchema, values)
+    case None =>
+      GraftTable.lastMetaAggOnly = false
+      new GraftFileScan(spark, dir, epoch, tableSchema, required, pushed)
+  }
+}
+
+/** The catalog's file scan: static pushed filters prune the manifest
+  * file list at build time, and — the dynamic half — join-driven
+  * RUNTIME filters ([[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]])
+  * re-prune it at execution time: when Spark's dynamic partition
+  * pruning collects the build side's join keys, the IN-list lands
+  * here via `filter()` and the next `toBatch` plans over only the
+  * files whose dictionary/bloom/zone-map entries may hold those keys.
+  * This is dynamic FILE pruning (Delta's DFP) — at 100 TB, a
+  * dim-filtered fact join reads the fact files the surviving dim keys
+  * touch, not the fact table. The actual reading delegates to Spark's
+  * own V2 ParquetScan over the survivor list, so row-group pruning,
+  * columnar batches, and vectorized decoding all apply unchanged. */
+final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
+                          tableSchema: StructType, required: StructType,
+                          pushed: Array[Filter])
+  extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  /** Runtime-filterable columns = those the skipping ladder can speak
+    * for, restricted to the scan's OUTPUT (Spark resolves these
+    * against the pruned read schema). */
+  override def filterAttributes(): Array[NamedReference] =
+    required.fields.collect {
+      case f if Seq(LongType, IntegerType, ShortType, ByteType,
+        StringType).contains(f.dataType) => Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[Filter]): Unit = { runtime = filters }
+
+  override def readSchema(): StructType = required
+
+  // toBatch is re-invoked by BatchScanExec AFTER runtime filters
+  // arrive — each call re-prunes with everything known so far
+  override def toBatch: Batch = this
+
+  private def delegate: Batch = {
+    val idx = new ManifestFileIndex(spark, dir, epoch)
+    val exprs = (pushed ++ runtime).flatMap(GraftFileScan.toCatalyst(tableSchema, _)).toSeq
+    val survivors = idx.listFiles(Nil, exprs)
+      .flatMap(_.files).map(_.getPath)
+    GraftTable.lastPlannedFiles = survivors.size
+    val prunedIndex = new InMemoryFileIndex(spark, survivors,
+      Map.empty[String, String], Some(tableSchema),
+      FileStatusCache.getOrCreate(spark), None, None)
+    ParquetScan(spark,
+      spark.sessionState.newHadoopConfWithOptions(Map.empty),
+      prunedIndex,
+      dataSchema = tableSchema,
+      readDataSchema = required,
+      readPartitionSchema = StructType(Nil),
+      pushedFilters = pushed,
+      options = CaseInsensitiveStringMap.empty()).toBatch
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    delegate.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    delegate.createReaderFactory()
+
+  override def description(): String =
+    s"GraftFileScan($dir@$epoch, pushed=${pushed.mkString(",")})"
+}
+
+object GraftFileScan {
   /** V1 source filters → the catalyst shapes [[ManifestFileIndex]]'s
     * mayMatch ladder understands. Unconvertible filters skip nothing
-    * (conservative). */
-  private def toCatalyst(f: Filter): Option[Expression] = {
+    * (conservative). Shared by the static (build-time) and runtime
+    * (join-driven) pruning paths. */
+  private[catalog] def toCatalyst(tableSchema: StructType, f: Filter): Option[Expression] = {
     def ref(c: String): Option[AttributeReference] =
       tableSchema.fields.find(_.name == c)
         .map(sf => AttributeReference(sf.name, sf.dataType, nullable = true)())
@@ -403,35 +618,16 @@ final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
         for (a <- ref(c); l <- lit(v)) yield CLt(a, l)
       case sources.LessThanOrEqual(c, v) =>
         for (a <- ref(c); l <- lit(v)) yield CLe(a, l)
-      case sources.In(c, vs) if vs.nonEmpty =>
+      case sources.In(c, vs) if vs.nonEmpty && vs.length <= 10000 =>
         val lits = vs.toSeq.map(lit)
         if (lits.forall(_.isDefined))
           ref(c).map(a => CIn(a, lits.map(_.get)))
         else None
       case sources.And(l, r) =>
-        for (a <- toCatalyst(l); b <- toCatalyst(r)) yield CAnd(a, b)
+        for (a <- toCatalyst(tableSchema, l); b <- toCatalyst(tableSchema, r)) yield CAnd(a, b)
       case sources.Or(l, r) =>
-        for (a <- toCatalyst(l); b <- toCatalyst(r)) yield COr(a, b)
+        for (a <- toCatalyst(tableSchema, l); b <- toCatalyst(tableSchema, r)) yield COr(a, b)
       case _ => None
     }
-  }
-
-  override def build(): Scan = {
-    val idx = new ManifestFileIndex(spark, dir, epoch)
-    val exprs = pushed.flatMap(toCatalyst).toSeq
-    val survivors = idx.listFiles(Nil, exprs)
-      .flatMap(_.files).map(_.getPath)
-    GraftTable.lastPlannedFiles = survivors.size
-    val prunedIndex = new InMemoryFileIndex(spark, survivors,
-      Map.empty[String, String], Some(tableSchema),
-      FileStatusCache.getOrCreate(spark), None, None)
-    ParquetScan(spark,
-      spark.sessionState.newHadoopConfWithOptions(Map.empty),
-      prunedIndex,
-      dataSchema = tableSchema,
-      readDataSchema = required,
-      readPartitionSchema = StructType(Nil),
-      pushedFilters = pushed,
-      options = CaseInsensitiveStringMap.empty())
   }
 }

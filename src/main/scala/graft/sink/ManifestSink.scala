@@ -760,10 +760,16 @@ object ManifestSink {
       require(zs.map(_.getString(0)).toSet == all,
         s"epoch $e at $root: column $c lacks zone maps for every manifest file")
       if (zs.exists(r => !r.isNullAt(4))) { // string zone maps
+        // fold in UTF8String BINARY order — the order Spark's min/max
+        // produced the bounds in (Java String order diverges for
+        // supplementary-plane code points; the ADVICE r11 class)
+        val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
         val los = zs.collect { case r if !r.isNullAt(4) => r.getString(4) }
         val his = zs.collect { case r if !r.isNullAt(5) => r.getString(5) }
-        Seq(los.minOption.map(lit).getOrElse(lit(null).cast(StringType)).as(s"min_$c"),
-          his.maxOption.map(lit).getOrElse(lit(null).cast(StringType)).as(s"max_$c"))
+        Seq(los.reduceOption((a, b) => if (u8(a).compareTo(u8(b)) <= 0) a else b)
+            .map(lit).getOrElse(lit(null).cast(StringType)).as(s"min_$c"),
+          his.reduceOption((a, b) => if (u8(a).compareTo(u8(b)) >= 0) a else b)
+            .map(lit).getOrElse(lit(null).cast(StringType)).as(s"max_$c"))
       } else {
         val los = zs.collect { case r if !r.isNullAt(2) => r.getLong(2) }
         val his = zs.collect { case r if !r.isNullAt(3) => r.getLong(3) }

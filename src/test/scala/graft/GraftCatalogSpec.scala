@@ -178,6 +178,91 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("join-driven runtime filters re-prune the planned file list (dynamic file pruning)") {
+    val root = mkTable("gcat_dfp_", n = 400)
+    val total = ManifestSink.manifestFiles(spark, root, 1).size
+    assert(total > 1)
+    // the dim must be a real scan (a LocalRelation folds its filter
+    // away and DPP sees no selective predicate to derive keys from)
+    val dimPath = tmpDir("gcat_dfp_dim_")
+    Seq((3L, "keep"), (5L, "keep"), (397L, "drop"))
+      .toDF("event_id", "tag").write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dfp_dim")
+    val out = spark.sql(
+      s"""SELECT t.event_id, d.tag FROM graft.`$root` t
+         |JOIN dfp_dim d ON t.event_id = d.event_id
+         |WHERE d.tag = 'keep'""".stripMargin)
+    val rows = out.collect()
+    // the planner really planted the runtime filter (not just a
+    // fortunate static prune)
+    assert(out.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "expected a DynamicPruningExpression on the catalog scan")
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L))
+    // the runtime IN-list (the dim side's surviving keys) reached the
+    // scan and re-pruned: with the table range-clustered on event_id,
+    // keys 3 and 5 live in one file
+    assert(GraftTable.lastPlannedFiles >= 0 && GraftTable.lastPlannedFiles < total,
+      s"expected dynamic file pruning: planned ${GraftTable.lastPlannedFiles} of $total")
+  }
+
+  test("global count/min/max answer from metadata only — zero data files planned") {
+    val root = mkTable("gcat_magg_")
+    val out = spark.sql(
+      s"""SELECT count(*) AS n, min(event_id) AS lo, max(event_id) AS hi,
+         |  min(user_id) AS ulo, max(user_id) AS uhi
+         |FROM graft.`$root`""".stripMargin)
+    val row = out.collect()(0)
+    assert(GraftTable.lastMetaAggOnly, "expected the metadata-only scan")
+    assert(GraftTable.lastPlannedFiles == 0)
+    // no parquet scan in the executed plan — the scan is the one-row replay
+    val scans = out.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.getClass.getSimpleName
+    }
+    assert(scans == Seq("MetaAggScan"), s"got $scans")
+    // exactness vs the real aggregate
+    val exact = ManifestSink.read(spark, root)
+      .agg(count(lit(1)), min(col("event_id")), max(col("event_id")),
+        min(col("user_id")), max(col("user_id"))).collect()(0)
+    assert(row.getLong(0) == exact.getLong(0) && row.getLong(1) == exact.getLong(1) &&
+      row.getLong(2) == exact.getLong(2) && row.getLong(3) == exact.getLong(3) &&
+      row.getLong(4) == exact.getLong(4))
+  }
+
+  test("metadata aggregate answers string min/max in UTF8 binary order") {
+    ensureCatalog()
+    val root = tmpDir("gcat_maggs_") + "/t"
+    // U+1D11E (supplementary plane) sorts ABOVE U+FFFD in UTF-8 binary
+    // order but BELOW it in Java's UTF-16 order — the max must be the
+    // supplementary-plane string (the ADVICE r11 ordering class)
+    Seq(("a", 1L), ("�", 2L), ("𝄞", 3L))
+      .toDF("s", "k").createOrReplaceTempView("maggs_src")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM maggs_src")
+    val row = spark.sql(s"SELECT min(s) AS lo, max(s) AS hi FROM graft.`$root`")
+      .collect()(0)
+    assert(GraftTable.lastMetaAggOnly)
+    assert(row.getString(0) == "a" && row.getString(1) == "𝄞")
+    // and it matches the real (scan-side) aggregate bit for bit
+    val exact = ManifestSink.read(spark, root).agg(min(col("s")), max(col("s"))).collect()(0)
+    assert(row.getString(0) == exact.getString(0) && row.getString(1) == exact.getString(1))
+  }
+
+  test("metadata aggregate refuses shapes stats cannot answer (filter, group, count(col))") {
+    val root = mkTable("gcat_maggref_")
+    // WHERE → residual filter → ordinary plan
+    spark.sql(s"SELECT count(*) AS n FROM graft.`$root` WHERE event_id < 10").collect()
+    assert(!GraftTable.lastMetaAggOnly)
+    // GROUP BY → per-group values are not in file stats
+    spark.sql(s"SELECT user_id, count(*) AS n FROM graft.`$root` GROUP BY user_id").collect()
+    assert(!GraftTable.lastMetaAggOnly)
+    // count(col) on a nullable column — stats are null-blind
+    spark.sql(s"SELECT count(user_id) AS n FROM graft.`$root`").collect()
+    assert(!GraftTable.lastMetaAggOnly)
+    // and all three still answer correctly through the ordinary plan
+    val n = spark.sql(s"SELECT count(*) AS n FROM graft.`$root` WHERE event_id < 10")
+      .collect()(0).getLong(0)
+    assert(n == 10)
+  }
+
   test("catalog scan refuses a merge-on-read DV epoch rather than resurrecting deletes") {
     ensureCatalog()
     val root = tmpDir("gcat_mor_") + "/t"
