@@ -80,5 +80,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (plans/MvRoute.scala).
     ext.injectOptimizerRule(_ => graft.plans.MvRoute)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // Maintenance SQL (VACUUM / OPTIMIZE / DESCRIBE HISTORY on
+    // manifest tables) — the Delta-style delegating parser
+    // (sql/GraftSqlParser.scala); all other SQL passes through.
+    ext.injectParser((_, parser) => new graft.sql.GraftSqlParser(parser))
   }
 }

@@ -2480,6 +2480,136 @@ object Registry {
       },
       """SELECT event_id, user_id, value, TRUE AS travel_ok FROM events
         |WHERE event_id < 150 ORDER BY event_id""".stripMargin),
+    // SQL MERGE INTO (round 12): the group-based copy-on-write
+    // row-level path — Spark rewrites the MERGE into ReplaceData over
+    // the catalog scan; runtime group filtering narrows the scan to
+    // the files the source keys touch, the replacement rows stage
+    // through Spark's distributed parquet committer, and ONE atomic
+    // epoch swaps exactly the scanned files (everything else carries
+    // as metadata with its stats rows). merge_ok gates the CoW
+    // economics: untouched files carried by name into the new epoch,
+    // and the pre-merge epoch still answers for audit.
+    "q_catalog_merge" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cmrg_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 400)
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("mrg_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM mrg_src")
+        val before = graft.sink.ManifestSink.manifestFiles(s, root, 1)
+          .map(_.split("/").last)
+        // source: ids 5,7 update in place (value -> -1); 9005, 9007 insert
+        val srcPath = tmpDir("graft_cmrg_src_")
+        val basis = ev.filter(col("event_id").isin(5L, 7L))
+        basis.unionByName(basis.withColumn("event_id", col("event_id") + 9000L))
+          .withColumn("value", lit(-1.0))
+          .write.mode("overwrite").parquet(srcPath)
+        s.read.parquet(srcPath).createOrReplaceTempView("mrg_updates")
+        s.sql(
+          s"""MERGE INTO graft.`$root` t USING mrg_updates u
+             |ON t.event_id = u.event_id
+             |WHEN MATCHED THEN UPDATE SET t.value = u.value
+             |WHEN NOT MATCHED THEN INSERT (event_id, user_id, value)
+             |  VALUES (u.event_id, u.user_id, u.value)""".stripMargin)
+        val after = graft.sink.ManifestSink.manifestFiles(s, root, 2)
+          .map(_.split("/").last)
+        val audit = s.sql(
+          s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 1 " +
+            "WHERE value = -1.0").collect()(0).getLong(0)
+        val mergeOk = after.intersect(before).nonEmpty && audit == 0L
+        s.sql(s"""SELECT event_id, user_id, value FROM graft.`$root`
+                 |WHERE event_id < 20 OR event_id > 8000 OR value = -1.0
+                 |ORDER BY event_id""".stripMargin)
+          .withColumn("merge_ok", lit(mergeOk))
+      },
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id IN (5, 7) THEN -1.0 ELSE value END AS value,
+        |  TRUE AS merge_ok
+        |FROM events WHERE event_id < 20
+        |UNION ALL
+        |SELECT event_id + 9000, user_id, -1.0, TRUE FROM events
+        |WHERE event_id IN (5, 7)
+        |ORDER BY event_id""".stripMargin),
+    // SQL UPDATE (round 12): same row-level CoW path, predicate form —
+    // only the zone-map-overlapping files rewrite (the WHERE prunes
+    // groups statically at file granularity; parquet row-group
+    // pruning is deliberately OFF inside a rewrite so unmatched rows
+    // of affected files are preserved). upd_ok gates carried files +
+    // pre-update audit + untouched-row stability.
+    "q_catalog_update" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cupd_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 400)
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("upd_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM upd_src")
+        val before = graft.sink.ManifestSink.manifestFiles(s, root, 1)
+          .map(_.split("/").last)
+        s.sql(s"UPDATE graft.`$root` SET value = value + 1000000.0 WHERE event_id < 30")
+        val after = graft.sink.ManifestSink.manifestFiles(s, root, 2)
+          .map(_.split("/").last)
+        val audit = s.sql(
+          s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 1 " +
+            "WHERE value >= 1000000.0").collect()(0).getLong(0)
+        val updOk = after.intersect(before).nonEmpty && audit == 0L
+        s.sql(s"""SELECT event_id, user_id, value FROM graft.`$root`
+                 |WHERE event_id < 60 ORDER BY event_id""".stripMargin)
+          .withColumn("upd_ok", lit(updOk))
+      },
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id < 30 THEN value + 1000000.0 ELSE value END AS value,
+        |  TRUE AS upd_ok
+        |FROM events WHERE event_id < 60 ORDER BY event_id""".stripMargin),
+    // MAINTENANCE SQL (round 12): the lakehouse ops surface as SQL
+    // text via a delegating parser extension (the Delta pattern) —
+    // OPTIMIZE compacts the current epoch under a file budget with
+    // fresh zone maps, DESCRIBE HISTORY is the commit audit log,
+    // VACUUM RETAIN reclaims dropped epochs (all three are
+    // driver-side metadata commands; OPTIMIZE adds one clustering
+    // rewrite job). maint_ok gates the full lifecycle: compaction
+    // halved the file count and kept all rows, history shows exactly
+    // the retained epoch afterwards, vacuum dropped exactly the two
+    // pre-compaction epochs, and the surviving table still prunes.
+    "q_catalog_maintenance" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cmnt_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 200)
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("mnt_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM mnt_src")
+        s.sql(s"INSERT INTO graft.`$root` " +
+          "SELECT event_id + 1000 AS event_id, user_id, value FROM mnt_src")
+        val opt = s.sql(s"OPTIMIZE graft.`$root` FILES 2").collect()(0)
+        val vac = s.sql(s"VACUUM graft.`$root` RETAIN 1 EPOCHS").collect()(0)
+        val hist = s.sql(s"DESCRIBE HISTORY graft.`$root`").collect()
+        val maintOk = opt.getInt(1) == 3 && opt.getInt(3) <= 2 &&
+          opt.getInt(2) > opt.getInt(3) && vac.getInt(1) == 2 &&
+          hist.map(_.getInt(0)).toSeq == Seq(3)
+        s.sql(s"""SELECT event_id, user_id, value FROM graft.`$root`
+                 |WHERE event_id < 120 OR event_id >= 1150 ORDER BY event_id""".stripMargin)
+          .withColumn("maint_ok", lit(maintOk))
+      },
+      """SELECT event_id, user_id, value, TRUE AS maint_ok FROM (
+        |  SELECT event_id, user_id, value FROM events WHERE event_id < 120
+        |  UNION ALL
+        |  SELECT event_id + 1000, user_id, value FROM events
+        |  WHERE event_id >= 150 AND event_id < 200
+        |) ORDER BY event_id""".stripMargin),
     // DYNAMIC FILE PRUNING (round 12): the catalog scan implements
     // SupportsRuntimeFiltering, so a dim-filtered join hands the
     // build side's surviving keys to the scan AT EXECUTION TIME

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources
@@ -242,7 +242,8 @@ final class MetaAggReaderFactory extends PartitionReaderFactory {
   * planning-time skipping, V1-bridged atomic writes, CoW deletes.
   * `pinned` = Some(epoch) for VERSION AS OF reads (writes refused). */
 final class GraftTable(dir: String, ident: String, pinned: Option[Int])
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -335,6 +336,34 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     }
   }
 
+  /** SQL MERGE INTO / UPDATE / arbitrary-predicate DELETE — the
+    * group-based copy-on-write row-level path (Delta/Iceberg CoW):
+    * Spark rewrites the DML into ReplaceData(scan, merged-rows query,
+    * write); the scan here is the catalog file scan with filters used
+    * ONLY for whole-file pruning (a file is the "group" — row-group
+    * or row-level filtering inside an affected file would silently
+    * drop the unmatched rows the rewrite must preserve), runtime
+    * group filtering narrows the affected set to the files the source
+    * keys actually touch, and the write stages replacement rows
+    * through Spark's own distributed parquet committer before one
+    * atomic [[ManifestSink.commitReplaceGroups]] swaps exactly the
+    * scanned files for the staged ones — every untouched file carries
+    * as metadata with its stats rows. A table that advanced while the
+    * operation ran fails the commit with a retryable conflict
+    * (optimistic concurrency). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinned.isEmpty,
+      s"cannot run ${info.command} against $dir pinned at VERSION AS OF ${pinned.get}")
+    val e = currentOpt.getOrElse(throw new IllegalStateException(
+      s"graft table $dir has no committed epoch yet"))
+    if (ManifestSink.commitDv(spark, dir, e).isDefined)
+      throw new IllegalStateException(
+        s"row-level operation on $dir epoch $e: the epoch carries " +
+          "merge-on-read delete vectors; materialize first (compact)")
+    () => new GraftRowLevelOperation(dir, e, schema(), info.command)
+  }
+
   /** `DELETE FROM ... WHERE k = v` / `k IN (...)` lowers onto the
     * copy-on-write delete when `k` carries zone maps in the current
     * epoch — only overlapping files rewrite. Anything else (ranges,
@@ -404,7 +433,8 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
   * re-evaluates them, keeping skipping advisory (the parquet
   * row-group-stats contract, one level up). */
 final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
-                             tableSchema: StructType)
+                             tableSchema: StructType,
+                             rowLevel: Option[GraftRowLevelOperation] = None)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -425,6 +455,7 @@ final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
     * (stats store integrals widened to long). String bounds compare
     * in UTF8String binary order — the order that produced them. */
   private def tryMetaAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (rowLevel.isDefined) return None
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -521,7 +552,7 @@ final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
       new MetaAggScan(outSchema, values)
     case None =>
       GraftTable.lastMetaAggOnly = false
-      new GraftFileScan(spark, dir, epoch, tableSchema, required, pushed)
+      new GraftFileScan(spark, dir, epoch, tableSchema, required, pushed, rowLevel)
   }
 }
 
@@ -539,7 +570,8 @@ final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
   * columnar batches, and vectorized decoding all apply unchanged. */
 final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
                           tableSchema: StructType, required: StructType,
-                          pushed: Array[Filter])
+                          pushed: Array[Filter],
+                          rowLevel: Option[GraftRowLevelOperation] = None)
   extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -549,12 +581,21 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
 
   /** Runtime-filterable columns = those the skipping ladder can speak
     * for, restricted to the scan's OUTPUT (Spark resolves these
-    * against the pruned read schema). */
-  override def filterAttributes(): Array[NamedReference] =
-    required.fields.collect {
+    * against the pruned read schema). For ROW-LEVEL scans, exactly ONE
+    * attribute: the group-filtering rule builds its dynamic predicate
+    * over ALL declared attributes as a single struct-IN, which the
+    * v1 filter bridge cannot convert — the filter would silently
+    * never arrive and every file would rewrite. One column (the first
+    * filterable in table order — the clustering column by this
+    * engine's stats convention) keeps the predicate a plain IN that
+    * reaches the scan and prunes the untouched files. */
+  override def filterAttributes(): Array[NamedReference] = {
+    val eligible = required.fields.collect {
       case f if Seq(LongType, IntegerType, ShortType, ByteType,
         StringType).contains(f.dataType) => Expressions.column(f.name)
     }
+    if (rowLevel.isDefined) eligible.take(1) else eligible
+  }
 
   override def filter(filters: Array[Filter]): Unit = { runtime = filters }
 
@@ -570,6 +611,10 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     val survivors = idx.listFiles(Nil, exprs)
       .flatMap(_.files).map(_.getPath)
     GraftTable.lastPlannedFiles = survivors.size
+    // row-level mode: the planned files ARE the replaced groups — the
+    // write's commit swaps exactly this set
+    rowLevel.foreach(_.recordScanned(survivors.map(p =>
+      s"${p.getParent.getName}/${p.getName}").toSet))
     val prunedIndex = new InMemoryFileIndex(spark, survivors,
       Map.empty[String, String], Some(tableSchema),
       FileStatusCache.getOrCreate(spark), None, None)
@@ -579,7 +624,12 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
       dataSchema = tableSchema,
       readDataSchema = required,
       readPartitionSchema = StructType(Nil),
-      pushedFilters = pushed,
+      // row-level scans read affected files WHOLE: parquet row-group
+      // pruning under a rewrite would silently drop the unmatched
+      // rows the replacement must preserve; filters prune at file
+      // granularity only (conservative zone maps — a pruned file
+      // provably holds no matching row and carries instead)
+      pushedFilters = if (rowLevel.isDefined) Array.empty else pushed,
       options = CaseInsensitiveStringMap.empty()).toBatch
   }
 
@@ -590,6 +640,128 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
 
   override def description(): String =
     s"GraftFileScan($dir@$epoch, pushed=${pushed.mkString(",")})"
+}
+
+/** One SQL MERGE / UPDATE / DELETE as a group-based copy-on-write
+  * operation (see [[GraftTable.newRowLevelOperationBuilder]]): the
+  * scan side records which manifest files it finally planned (after
+  * static AND runtime group pruning), and the write side — Spark's
+  * own distributed parquet batch write into an attempt-unique staged
+  * dir — commits by swapping exactly those files for the staged ones
+  * in one atomic epoch. */
+final class GraftRowLevelOperation(dir: String, baseEpoch: Int,
+                                   tableSchema: StructType,
+                                   cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  /** Rel paths of the files the LAST scan planning pass selected —
+    * the replaced-group set. BatchScanExec re-plans after runtime
+    * filters arrive, so the final recording wins. */
+  @volatile private var scanned: Option[Set[String]] = None
+  private[catalog] def recordScanned(files: Set[String]): Unit =
+    scanned = Some(files)
+  private[catalog] def scannedFiles: Set[String] =
+    scanned.getOrElse(throw new IllegalStateException(
+      "row-level write committed before its scan planned — no replaced-group set"))
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(SparkSession.active, dir, baseEpoch, tableSchema,
+      rowLevel = Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new GraftReplaceWrite(dir, baseEpoch,
+        GraftRowLevelOperation.this, info, tableSchema)
+    }
+
+  override def description(): String =
+    s"GraftRowLevelOperation($cmd, $dir@$baseEpoch)"
+}
+
+/** The replacement write: rows stage through Spark's V2 parquet
+  * FileBatchWrite (distributed, speculation-safe, committed by the
+  * file commit protocol) into `data-epoch=N-aTOKEN/`; the wrapping
+  * commit then runs [[ManifestSink.commitReplaceGroups]] — one CAS
+  * epoch that drops the scanned files, adds the staged ones with
+  * fresh stats, and carries the rest. An abort aborts the delegate
+  * and leaves only an invisible orphan dir for vacuum. */
+final class GraftReplaceWrite(dir: String, baseEpoch: Int,
+                              op: GraftRowLevelOperation,
+                              info: LogicalWriteInfo,
+                              tableSchema: StructType) extends Write {
+
+  private val token = ManifestSink.newAttemptToken()
+  private val stagedDirName = s"data-epoch=${baseEpoch + 1}-a$token"
+
+  override def description(): String =
+    s"GraftReplaceWrite($dir@$baseEpoch -> $stagedDirName)"
+
+  // the rows that reach the writer are the DATA projection of the
+  // ReplaceData query (table columns only — plan-side metadata
+  // columns are projected away by ReplaceDataExec), so the parquet
+  // write must be configured with the TABLE schema, not info.schema
+  private val dataInfo: LogicalWriteInfo = new LogicalWriteInfo {
+    override def options: CaseInsensitiveStringMap = info.options
+    override def queryId: String = info.queryId
+    override def schema: StructType = tableSchema
+  }
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val delegate =
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite(
+        Seq(s"$dir/$stagedDirName"), "parquet", _ => true, dataInfo).toBatch
+
+    override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory =
+      // ReplaceDataExec only applies its row projection when the
+      // operation declares metadata attributes; with none, the writer
+      // receives the raw query rows — a leading __row_operation int
+      // ahead of the data columns. Strip it here so the parquet write
+      // sees exactly the table schema (rows already in table shape
+      // pass through untouched).
+      new OpStrippingWriterFactory(delegate.createBatchWriterFactory(pInfo),
+        tableSchema.fields.map(_.dataType), tableSchema.fields.map(_.nullable))
+    override def useCommitCoordinator: Boolean = delegate.useCommitCoordinator
+    override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+      delegate.onDataWriterCommit(message)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      delegate.commit(messages)
+      ManifestSink.commitReplaceGroups(SparkSession.active, dir, baseEpoch,
+        stagedDirName, op.scannedFiles): Unit
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      delegate.abort(messages)
+  }
+}
+
+/** Strips the leading `__row_operation` column ReplaceData prepends
+  * to replacement rows when the table declares no metadata attributes
+  * (see [[GraftReplaceWrite.toBatch]]). Rows already in table shape
+  * pass through untouched. */
+final class OpStrippingWriterFactory(delegate: DataWriterFactory,
+                                     types: Array[DataType],
+                                     nullables: Array[Boolean])
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long):
+      org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val inner = delegate.createWriter(partitionId, taskId)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      types.zipWithIndex.map { case (dt, i) =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(i + 1, dt, nullables(i))
+      }.toSeq)
+    new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (row.numFields == types.length) inner.write(row)
+        else inner.write(proj(row))
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+  }
 }
 
 object GraftFileScan {

@@ -966,6 +966,78 @@ object ManifestSink {
     (next, fresh.relFiles.size, carried.size)
   }
 
+  /** Attempt token for writers that stage OUTSIDE [[stage]] (the SQL
+    * row-level write path stages through Spark's own distributed
+    * parquet committer into an attempt-unique dir, then commits via
+    * [[commitReplaceGroups]]). */
+  def newAttemptToken(): String = newToken()
+
+  /** Commit a REPLACE-GROUPS epoch — the commit half of SQL
+    * MERGE/UPDATE/DELETE (group-based copy-on-write): the files in
+    * `replaced` (rel paths) leave the manifest, every parquet file
+    * under `stagedDirName` (already written by the caller's
+    * distributed write, e.g. Spark's FileBatchWrite) enters it with
+    * fresh zone maps for the base epoch's stats columns, and every
+    * other file CARRIES with its stats rows as pure metadata. The
+    * caller's scan/write must have run against `baseEpoch`; if the
+    * table advanced meanwhile the commit fails with a retryable
+    * [[ManifestConflictException]] (optimistic concurrency — the
+    * replaced-group set is only valid against the epoch it was
+    * derived from). DV-carrying bases are refused (a CoW rewrite over
+    * merge-on-read deletes would resurrect them). */
+  def commitReplaceGroups(spark: SparkSession, root: String, baseEpoch: Int,
+                          stagedDirName: String, replaced: Set[String],
+                          txn: Option[Txn] = None): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentEpoch(spark, root)
+    if (cur != baseEpoch)
+      throw new ManifestConflictException(root, baseEpoch + 1,
+        s"table advanced to epoch $cur while a row-level operation ran " +
+          s"against epoch $baseEpoch; retry against the current epoch")
+    require(commitDv(spark, root, cur).isEmpty,
+      "row-level rewrite on a DV-carrying epoch would resurrect " +
+        "merge-on-read deletes; materialize them first (compact)")
+    val next = cur + 1
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    val all = manifestFiles(spark, root, cur).map { p =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+    }
+    require(replaced.subsetOf(all.toSet),
+      s"replaced files not in epoch $cur's manifest: ${replaced -- all.toSet}")
+    val carried = all.filterNot(replaced)
+    val stagedPath = new org.apache.hadoop.fs.Path(s"$root/$stagedDirName")
+    val f = fs(spark, stagedPath)
+    val newRel =
+      if (!f.exists(stagedPath)) Nil
+      else f.listStatus(stagedPath).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(p => s"$stagedDirName/${p.getName}").sorted
+    // a stats-less base commits a stats-less next epoch; a
+    // stats-carrying base keeps carried rows verbatim and computes
+    // fresh rows for the staged files over the same columns
+    val baseToken = commitInfo(spark, root, cur)._1
+    val hasStats = f.exists(new org.apache.hadoop.fs.Path(s"$root/stats-$cur.$baseToken"))
+    val mergedStats =
+      if (!hasStats) None
+      else {
+        val stats = statsTable(spark, root, cur)
+        val statsCols = stats.select("col").distinct().collect()
+          .map(_.getString(0)).filterNot(_.startsWith("__")).sorted.toSeq
+        val carriedStats = stats.filter(col("file").isin(carried: _*))
+        val freshStats =
+          if (newRel.isEmpty || statsCols.isEmpty) emptyStats(spark)
+          else fileStats(spark, root, newRel, statsCols)
+        Some(carriedStats.unionByName(freshStats))
+      }
+    val tableSchema = commitSchema(spark, root, cur)
+    commitStaged(spark,
+      Staged(root, next, stagedDirName.split("-a").last,
+        (carried ++ newRel).sorted, mergedStats,
+        tableSchema.map(_.json)), txn)
+    next
+  }
+
   private def emptyStats(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),

@@ -141,16 +141,74 @@ class GraftCatalogSpec extends SparkTestBase {
         "WHERE event_id IN (3, 77)").collect()(0).getLong(0) == 2)
   }
 
-  test("DELETE with an unsupported predicate shape is refused, not mis-applied") {
-    val root = mkTable("gcat_delrange_", n = 50)
-    // range deletes don't lower (only point/IN); Spark surfaces the
-    // unsupported delete instead of silently doing nothing
-    val e = intercept[AnalysisException] {
-      spark.sql(s"DELETE FROM graft.`$root` WHERE event_id < 10")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"))
+  test("range DELETE takes the group-based row-level path: bounded rewrite, rows preserved") {
+    val root = mkTable("gcat_delrange_")
+    val before = ManifestSink.manifestFiles(spark, root, 1).map(_.split("/").last)
+    // not expressible as a point/IN metadata delete -> Spark rewrites
+    // into ReplaceData over the row-level operation
+    spark.sql(s"DELETE FROM graft.`$root` WHERE event_id < 10")
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
     assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
-      .collect()(0).getLong(0) == 50)
+      .collect()(0).getLong(0) == 190)
+    assert(spark.sql(s"SELECT min(event_id) AS m FROM graft.`$root`")
+      .collect()(0).getLong(0) == 10)
+    // group granularity: the clustered layout keeps most files out of
+    // the rewrite — they carry by name into epoch 2
+    val after = ManifestSink.manifestFiles(spark, root, 2).map(_.split("/").last)
+    assert(after.intersect(before).nonEmpty, "untouched files must carry")
+  }
+
+  test("UPDATE rewrites only the affected groups; untouched rows bit-identical") {
+    val root = mkTable("gcat_upd_")
+    val before = ManifestSink.manifestFiles(spark, root, 1).map(_.split("/").last)
+    spark.sql(s"UPDATE graft.`$root` SET value = value + 1000.0 WHERE event_id < 20")
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+    val updated = spark.sql(
+      s"SELECT count(*) AS c FROM graft.`$root` WHERE value >= 1000.0 AND event_id < 20")
+      .collect()(0).getLong(0)
+    assert(updated == 20)
+    // untouched rows identical to the pre-update epoch
+    val pre = spark.sql(
+      s"SELECT event_id, value FROM graft.`$root` VERSION AS OF 1 WHERE event_id >= 20")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val post = spark.sql(
+      s"SELECT event_id, value FROM graft.`$root` WHERE event_id >= 20")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(pre == post)
+    val after = ManifestSink.manifestFiles(spark, root, 2).map(_.split("/").last)
+    assert(after.intersect(before).nonEmpty, "untouched files must carry")
+  }
+
+  test("MERGE INTO updates matches and inserts the rest in one atomic epoch") {
+    val root = mkTable("gcat_merge_")
+    // source: ids 5 and 7 exist in the table (matched -> update);
+    // ids 9005, 9007 do not (not matched -> insert)
+    val srcPath = tmpDir("gcat_merge_src_")
+    val base = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("event_id").isin(5L, 7L))
+    base.unionByName(base.withColumn("event_id", col("event_id") + 9000))
+      .withColumn("value", lit(-1.0))
+      .write.mode("overwrite").parquet(srcPath)
+    spark.read.parquet(srcPath).createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING merge_src s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET t.value = s.value
+         |WHEN NOT MATCHED THEN INSERT (event_id, user_id, value)
+         |  VALUES (s.event_id, s.user_id, s.value)""".stripMargin)
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+      .collect()(0).getLong(0) == 202, "200 rows + 2 inserts")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root` WHERE value = -1.0")
+      .collect()(0).getLong(0) == 4, "2 updates + 2 inserts carry the source value")
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft.`$root` WHERE event_id > 8000")
+      .collect()(0).getLong(0) == 2)
+    // pre-merge epoch still pinned
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 1 WHERE value = -1.0")
+      .collect()(0).getLong(0) == 0)
   }
 
   test("warehouse-rooted DDL: CREATE/SHOW/RENAME/DROP against a root catalog") {
@@ -261,6 +319,40 @@ class GraftCatalogSpec extends SparkTestBase {
     val n = spark.sql(s"SELECT count(*) AS n FROM graft.`$root` WHERE event_id < 10")
       .collect()(0).getLong(0)
     assert(n == 10)
+  }
+
+  test("maintenance SQL: OPTIMIZE compacts, DESCRIBE HISTORY audits, VACUUM reclaims") {
+    val root = mkTable("gcat_maint_", n = 400)
+    spark.sql(s"INSERT INTO graft.`$root` " +
+      "SELECT event_id + 1000 AS event_id, user_id, value FROM cat_spec_src")
+    val opt = spark.sql(s"OPTIMIZE graft.`$root` FILES 2").collect()(0)
+    assert(opt.getInt(1) == 3, "OPTIMIZE commits the next epoch")
+    assert(opt.getInt(3) <= 2 && opt.getInt(2) > opt.getInt(3),
+      s"file count must drop: ${opt.getInt(2)} -> ${opt.getInt(3)}")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+      .collect()(0).getLong(0) == 800, "compaction preserves content")
+    // compaction rewrote stats: pruning still bites through SQL (probe
+    // the extreme low range — with only 2 clustered files, any range
+    // split leaves ids 0..5 in the first file alone)
+    val total = ManifestSink.manifestFiles(spark, root, 3).size
+    spark.sql(s"SELECT * FROM graft.`$root` WHERE event_id <= 5").collect()
+    assert(GraftTable.lastPlannedFiles < total)
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$root`").collect()
+    assert(hist.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(hist.last.getInt(4) == opt.getInt(3), "history reports the compacted file count")
+    val vac = spark.sql(s"VACUUM graft.`$root` RETAIN 1 EPOCHS").collect()(0)
+    assert(vac.getInt(1) == 2, s"expected 2 dropped epochs, got ${vac.getInt(1)}")
+    assert(spark.sql(s"DESCRIBE HISTORY graft.`$root`").collect()
+      .map(_.getInt(0)).toSeq == Seq(3))
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+      .collect()(0).getLong(0) == 800, "vacuum never touches the live epoch")
+    // malformed maintenance text fails with the graft error, and
+    // ordinary SQL is untouched by the parser extension
+    val e = intercept[Exception] {
+      spark.sql(s"VACUUM graft.`$root` RETAIN many EPOCHS")
+    }
+    assert(e.getMessage.contains("malformed graft maintenance"))
+    assert(spark.sql("SELECT 1 AS one").collect()(0).getInt(0) == 1)
   }
 
   test("catalog scan refuses a merge-on-read DV epoch rather than resurrecting deletes") {
