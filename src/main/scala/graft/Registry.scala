@@ -2480,6 +2480,55 @@ object Registry {
       },
       """SELECT event_id, user_id, value, TRUE AS travel_ok FROM events
         |WHERE event_id < 150 ORDER BY event_id""".stripMargin),
+    // STREAMING SINK FORMAT (round 12): the manifest table as a
+    // first-class writeStream format — the idiomatic spelling of the
+    // foreachBatch + commitIdempotentAppend pattern (q_stream_manifest
+    // proves the replay semantics; this row proves the FORMAT path):
+    // each micro-batch commits one atomic (appId, batchId)-txn epoch
+    // with zone maps from option("statsCols"), so the streamed table
+    // keeps its skipping property with no user-written sink code.
+    // sink_ok gates epochs == batches, txn bookkeeping present, and a
+    // range read pruning through the streamed stats.
+    "q_stream_sink_format" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        import org.apache.spark.sql.streaming.Trigger
+        val root = tmpDir("graft_ssink_") + "/t"
+        val ck = tmpDir("graft_ssink_ck_")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+          .filter(col("event_id") < 200).collect()
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Double)]
+        def run(): Unit = {
+          val q = mem.toDF().toDF("event_id", "user_id", "value").writeStream
+            .format("graft-manifest")
+            .option("root", root).option("appId", "q_stream_sink_format")
+            .option("statsCols", "event_id")
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination(120000); q.stop()
+        }
+        mem.addData(ev.filter(_.getLong(0) < 100)
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq: _*)
+        run()
+        mem.addData(ev.filter(_.getLong(0) >= 100)
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq: _*)
+        run()
+        val epochs = graft.sink.ManifestSink.currentEpoch(s, root)
+        val txn = graft.sink.ManifestSink
+          .lastCommittedVersion(s, root, "q_stream_sink_format")
+        val (_, hit, all) = graft.sink.ManifestSink
+          .readRangePruned(s, root, "event_id", 0L, 49L)
+        val sinkOk = epochs == 2 && txn.contains(1L) && (hit < all || all == 1)
+        graft.sink.ManifestSink.read(s, root)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .withColumn("sink_ok", lit(sinkOk))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value, TRUE AS sink_ok FROM events
+        |WHERE event_id < 200 ORDER BY event_id""".stripMargin),
     // SQL MERGE INTO (round 12): the group-based copy-on-write
     // row-level path — Spark rewrites the MERGE into ReplaceData over
     // the catalog scan; runtime group filtering narrows the scan to

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReferenc
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
@@ -436,11 +436,27 @@ final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
                              tableSchema: StructType,
                              rowLevel: Option[GraftRowLevelOperation] = None)
   extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var metaAgg: Option[(StructType, Array[Any])] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown at FILE granularity: an unfiltered `LIMIT n` caps
+    * the planned file list at the shortest manifest prefix whose
+    * committed `__count` rows cover n — a bare `SELECT ... LIMIT 10`
+    * on a million-file table plans a handful of files, not the table.
+    * PARTIAL pushdown (Spark keeps its limit above; we only bound the
+    * I/O), and only when no filters ride the scan — a filter makes
+    * per-file surviving-row counts unknowable from metadata, and a
+    * short file list could then under-deliver. */
+  override def pushLimit(n: Int): Boolean = {
+    if (pushed.isEmpty && rowLevel.isEmpty && n >= 0) { limit = Some(n); true }
+    else false
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Metadata-only aggregation (the Iceberg manifest-stats answer,
     * planned INSIDE Spark's aggregate pushdown): a global
@@ -552,7 +568,8 @@ final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
       new MetaAggScan(outSchema, values)
     case None =>
       GraftTable.lastMetaAggOnly = false
-      new GraftFileScan(spark, dir, epoch, tableSchema, required, pushed, rowLevel)
+      new GraftFileScan(spark, dir, epoch, tableSchema, required, pushed,
+        rowLevel, limit)
   }
 }
 
@@ -571,8 +588,9 @@ final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
 final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
                           tableSchema: StructType, required: StructType,
                           pushed: Array[Filter],
-                          rowLevel: Option[GraftRowLevelOperation] = None)
-  extends Scan with Batch
+                          rowLevel: Option[GraftRowLevelOperation] = None,
+                          limit: Option[Int] = None)
+  extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -605,16 +623,46 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
   // arrive — each call re-prunes with everything known so far
   override def toBatch: Batch = this
 
-  private def delegate: Batch = {
+  /** Per-file committed row counts (rel path -> __count), when the
+    * epoch carries stats; empty map otherwise. */
+  private lazy val fileCounts: Map[String, Long] =
+    try ManifestSink.statsTable(spark, dir, epoch).collect()
+      .filter(r => r.getString(1) == "__count" && !r.isNullAt(2))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    catch { case _: Throwable => Map.empty }
+
+  /** The planned file set under everything known so far: static
+    * pushed filters, runtime (join-driven) filters, and — on an
+    * unfiltered scan — the LIMIT cap (shortest manifest prefix whose
+    * __count rows cover the limit). */
+  private def selectSurvivors(): Seq[org.apache.hadoop.fs.FileStatus] = {
     val idx = new ManifestFileIndex(spark, dir, epoch)
     val exprs = (pushed ++ runtime).flatMap(GraftFileScan.toCatalyst(tableSchema, _)).toSeq
-    val survivors = idx.listFiles(Nil, exprs)
-      .flatMap(_.files).map(_.getPath)
+    val all = idx.listFiles(Nil, exprs).flatMap(_.files).map(_.fileStatus)
+    limit match {
+      case Some(n) if exprs.isEmpty &&
+        all.forall(s => fileCounts.contains(relOf(s.getPath))) =>
+        // keep whole files until the committed counts cover n (Spark's
+        // own limit still applies above — this only bounds the I/O)
+        var acc = 0L
+        all.takeWhile { s =>
+          val take = acc < n
+          acc += fileCounts(relOf(s.getPath))
+          take
+        }
+      case _ => all
+    }
+  }
+
+  private def relOf(p: Path): String = s"${p.getParent.getName}/${p.getName}"
+
+  private def delegate: Batch = {
+    val survivorStatuses = selectSurvivors()
+    val survivors = survivorStatuses.map(_.getPath)
     GraftTable.lastPlannedFiles = survivors.size
     // row-level mode: the planned files ARE the replaced groups — the
     // write's commit swaps exactly this set
-    rowLevel.foreach(_.recordScanned(survivors.map(p =>
-      s"${p.getParent.getName}/${p.getName}").toSet))
+    rowLevel.foreach(_.recordScanned(survivors.map(relOf).toSet))
     val prunedIndex = new InMemoryFileIndex(spark, survivors,
       Map.empty[String, String], Some(tableSchema),
       FileStatusCache.getOrCreate(spark), None, None)
@@ -637,6 +685,28 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     delegate.planInputPartitions()
   override def createReaderFactory(): PartitionReaderFactory =
     delegate.createReaderFactory()
+
+  /** Planning statistics FROM THE MANIFEST: size = the pruned file
+    * list's byte sum, rows = its committed __count sum — so Spark's
+    * cost-based choices (auto-broadcast under the 10 MB threshold,
+    * join reorder) see a graft table's REAL post-pruning size instead
+    * of the unknown-source default that disables them. Bounded
+    * metadata work (the same selection the scan itself plans). */
+  override def estimateStatistics(): Statistics = {
+    val survivors = selectSurvivors()
+    val bytes = survivors.map(_.getLen).sum
+    val rels = survivors.map(s => relOf(s.getPath))
+    val rows: java.util.OptionalLong =
+      if (rels.nonEmpty && rels.forall(fileCounts.contains))
+        java.util.OptionalLong.of(rels.map(fileCounts).sum)
+      else if (rels.isEmpty) java.util.OptionalLong.of(0L)
+      else java.util.OptionalLong.empty()
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
 
   override def description(): String =
     s"GraftFileScan($dir@$epoch, pushed=${pushed.mkString(",")})"

@@ -127,9 +127,45 @@ final class ManifestStreamSource(spark: SparkSession, root: String,
   *     path — a bare BaseRelation cannot carry the anti join; use
   *     `ManifestSink.read` / `ManifestFileIndex.table`, which apply it. */
 final class ManifestStreamProvider extends StreamSourceProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.RelationProvider {
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-manifest"
+
+  /** `df.writeStream.format("graft-manifest")` — the manifest table as
+    * a first-class STREAMING SINK (the idiomatic spelling of the
+    * foreachBatch + commitIdempotentAppend pattern): each micro-batch
+    * appends ONE atomic epoch carrying the (appId, batchId) txn, so an
+    * at-least-once replay after a crash between the sink commit and
+    * Spark's checkpoint commit no-ops — exactly-once end to end.
+    * Options: `root` (required), `appId` (txn identity — defaults to
+    * a root-derived id; set it when several queries feed one table),
+    * `statsCols` (comma-separated zone-map columns, so a streamed
+    * table keeps its skipping property at O(batch) stats work per
+    * commit). Append output mode only. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = parameters.getOrElse("root",
+      throw new IllegalArgumentException("graft-manifest sink needs option(\"root\", ...)"))
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-manifest sink is append-only (epochs are immutable snapshots); got $outputMode")
+    require(partitionColumns.isEmpty,
+      "graft-manifest sink lays out via statsCols clustering, not partitionBy")
+    val appId = parameters.getOrElse("appId", s"graft-sink[$root]")
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val spark = sqlContext.sparkSession
+        ManifestSink.commitIdempotentAppend(
+          GraftBridge.asBatch(spark, data), root, appId, batchId, statsCols): Unit
+      }
+      override def toString: String = s"GraftManifestSink[$root]"
+    }
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String])

@@ -52,6 +52,17 @@ object GraftBridge {
     ofRows(spark, plan)
   }
 
+  /** Rebase a v1 `Sink.addBatch` micro-batch DataFrame onto its
+    * already-planned physical RDD as a plain BATCH frame — the same
+    * move FileStreamSink makes: re-planning `data` in a fresh query
+    * would re-execute the incremental plan (or refuse outright on a
+    * streaming leaf), while the RDD is the batch's materialized rows. */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val qe = df.asInstanceOf[classic.Dataset[Row]].queryExecution
+    cs.internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Register a temp SQL function on a live session (the
     * SparkSessionExtensions path only applies at session build time;
     * this covers already-built sessions and tests). */

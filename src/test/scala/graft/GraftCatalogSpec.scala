@@ -355,6 +355,81 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT 1 AS one").collect()(0).getInt(0) == 1)
   }
 
+  test("bare LIMIT caps the planned file list via committed __count rows") {
+    val root = mkTable("gcat_lim_")
+    val total = ManifestSink.manifestFiles(spark, root, 1).size
+    assert(total > 2)
+    val rows = spark.sql(s"SELECT * FROM graft.`$root` LIMIT 5").collect()
+    assert(rows.length == 5, "Spark's own limit still applies above the cap")
+    assert(GraftTable.lastPlannedFiles < total,
+      s"expected a file-list cap: ${GraftTable.lastPlannedFiles} of $total")
+    // a filtered LIMIT must NOT cap (per-file surviving counts are
+    // unknowable from metadata) — all zone-map-surviving files plan
+    val r2 = spark.sql(
+      s"SELECT * FROM graft.`$root` WHERE user_id >= 0 LIMIT 5").collect()
+    assert(r2.length == 5)
+    assert(GraftTable.lastPlannedFiles == total)
+  }
+
+  test("scan statistics come from the manifest; a small graft table auto-broadcasts") {
+    val root = mkTable("gcat_stats_")
+    val df = spark.sql(s"SELECT * FROM graft.`$root`")
+    val stats = df.queryExecution.optimizedPlan.stats
+    val realBytes = ManifestSink.manifestFiles(spark, root, 1).map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(hp).getLen
+    }.sum
+    assert(stats.sizeInBytes == BigInt(realBytes),
+      s"expected manifest-derived size $realBytes, got ${stats.sizeInBytes}")
+    assert(stats.rowCount.contains(BigInt(200)), s"got ${stats.rowCount}")
+    // a pruning filter shrinks the reported size pre-join-planning
+    val filtered = spark.sql(s"SELECT * FROM graft.`$root` WHERE event_id <= 5")
+    assert(filtered.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(realBytes))
+    // and the finite size makes the cost-based broadcast choice: a
+    // graft-graft join broadcasts the small side with NO hint
+    val big = mkTable("gcat_stats_big_", n = 400)
+    val joined = spark.sql(
+      s"""SELECT a.event_id FROM graft.`$big` a
+         |JOIN graft.`$root` b ON a.event_id = b.event_id""".stripMargin)
+    joined.collect()
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "manifest stats should enable the auto-broadcast")
+  }
+
+  test("writeStream.format(graft-manifest) commits one txn epoch per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val root = tmpDir("gcat_ssink_") + "/t"
+    val ck = tmpDir("gcat_ssink_ck_")
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .format("graft-manifest")
+      .option("root", root).option("appId", "ssink-spec")
+      .option("statsCols", "k")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.awaitTermination(60000); q.stop()
+    val q2 = mem.toDF().toDF("k", "v").writeStream
+      .format("graft-manifest")
+      .option("root", root).option("appId", "ssink-spec")
+      .option("statsCols", "k")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    mem.addData((3L, "c"))
+    q2.awaitTermination(60000); q2.stop()
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+    val content = ManifestSink.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(content == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // txn identity recorded (the replay no-op contract rides on it)
+    assert(ManifestSink.lastCommittedVersion(spark, root, "ssink-spec").isDefined)
+    // the streamed table prunes (statsCols flowed through the sink)
+    val (_, hit, all) = ManifestSink.readRangePruned(spark, root, "k", 3L, 3L)
+    assert(hit < all || all == 1)
+  }
+
   test("catalog scan refuses a merge-on-read DV epoch rather than resurrecting deletes") {
     ensureCatalog()
     val root = tmpDir("gcat_mor_") + "/t"
