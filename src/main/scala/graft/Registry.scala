@@ -2480,6 +2480,109 @@ object Registry {
       },
       """SELECT event_id, user_id, value, TRUE AS travel_ok FROM events
         |WHERE event_id < 150 ORDER BY event_id""".stripMargin),
+    // SQL CHANGE FEED (round 12): DESCRIBE CHANGES <tbl> KEY <col>
+    // FROM <e1> TO <e2> — Delta's table_changes as a maintenance
+    // command: the row-level diff of the epoch range computed from
+    // the manifest delta (append epochs = their batch as inserts, a
+    // SQL DELETE's CoW epoch = the removed rows as deletes), each row
+    // tagged with _change_type and _commit_epoch. The demo drives the
+    // whole SQL lifecycle: CTAS, INSERT, DELETE, then reads the feed.
+    "q_catalog_changes" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cchg_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 100)
+          .repartitionByRange(4, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("cchg_a")
+        ev.filter(col("event_id").between(100, 149))
+          .repartitionByRange(2, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("cchg_b")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cchg_a")
+        s.sql(s"INSERT INTO graft.`$root` SELECT * FROM cchg_b")
+        s.sql(s"DELETE FROM graft.`$root` WHERE event_id IN (5, 7)")
+        s.sql(s"DESCRIBE CHANGES graft.`$root` KEY event_id FROM 1 TO 3")
+          .orderBy(col("_commit_epoch"), col("_change_type"), col("event_id"))
+      },
+      """SELECT event_id, user_id, value, 'insert' AS _change_type,
+        |  CAST(2 AS INTEGER) AS _commit_epoch
+        |FROM events WHERE event_id BETWEEN 100 AND 149
+        |UNION ALL
+        |SELECT event_id, user_id, value, 'delete', CAST(3 AS INTEGER)
+        |FROM events WHERE event_id IN (5, 7)
+        |ORDER BY _commit_epoch, _change_type, event_id""".stripMargin),
+    // STORAGE-PARTITIONED JOIN (round 12): CREATE TABLE ...
+    // PARTITIONED BY (bucket(8, user_id)) persists the Iceberg-style
+    // bucket transform; INSERTs lay out single-bucket files (the
+    // committed per-file __bucket stats rows prove the layout), the
+    // catalog scan reports KeyGroupedPartitioning resolved through the
+    // catalog's V2 `bucket` function, and the fact-fact join plus the
+    // keyed aggregate plan with ZERO hash exchanges on either side —
+    // at 100 TB, the co-located join that never moves either table
+    // across the cluster (the one exchange left is the output ORDER
+    // BY's range sort, which any global ordering pays). spj_ok gates
+    // the executed plan, AQE stages included.
+    "q_catalog_spj" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val base = tmpDir("graft_cspj_")
+        val (r1, r2) = (s"$base/a", s"$base/b")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 600).createOrReplaceTempView("cspj_a")
+        ev.filter(col("event_id") >= 300 && col("event_id") < 900)
+          .createOrReplaceTempView("cspj_b")
+        s.sql(s"CREATE TABLE graft.`$r1` PARTITIONED BY (bucket(8, user_id)) " +
+          "AS SELECT * FROM cspj_a")
+        s.sql(s"CREATE TABLE graft.`$r2` PARTITIONED BY (bucket(8, user_id)) " +
+          "AS SELECT * FROM cspj_b")
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val out = s.sql(
+            s"""SELECT a.user_id, count(*) AS pairs,
+               |  min(b.event_id) AS lo_b, max(b.event_id) AS hi_b
+               |FROM graft.`$r1` a JOIN graft.`$r2` b ON a.user_id = b.user_id
+               |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin)
+          val rows = out.collect()
+          def hashShuffle(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+            val kids = p match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                Seq(a.executedPlan)
+              case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                Seq(qs.plan)
+              case o => o.children
+            }
+            (p match {
+              case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+                e.outputPartitioning.isInstanceOf[
+                  org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+              case _ => false
+            }) || kids.exists(hashShuffle)
+          }
+          val spjOk = !hashShuffle(out.queryExecution.executedPlan)
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+            .withColumn("spj_ok", lit(spjOk))
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      """SELECT a.user_id, count(*) AS pairs,
+        |  min(b.event_id) AS lo_b, max(b.event_id) AS hi_b, TRUE AS spj_ok
+        |FROM (SELECT * FROM events WHERE event_id < 600) a
+        |JOIN (SELECT * FROM events WHERE event_id >= 300 AND event_id < 900) b
+        |  ON a.user_id = b.user_id
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin),
     // STREAMING SINK FORMAT (round 12): the manifest table as a
     // first-class writeStream format — the idiomatic spelling of the
     // foreachBatch + commitIdempotentAppend pattern (q_stream_manifest

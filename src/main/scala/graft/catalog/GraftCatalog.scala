@@ -71,10 +71,22 @@ import graft.sink.{ManifestFileIndex, ManifestSink}
   * `monitoring/monitor.sh:83-84`) — a catalog-addressed SQL text
   * entry point over the stored tables; this is the Spark-native
   * spelling of that contract on the lakehouse layer. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouseRoot: Option[String] = None
+
+  /** The catalog's partition-transform functions — serving `bucket`
+    * here is what lets Spark resolve two scans'
+    * `KeyGroupedPartitioning(bucket(n, key))` to the SAME bound
+    * function and plan the join storage-partitioned (zero shuffles).
+    * See [[GraftBucketFunction]]. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -145,11 +157,36 @@ class GraftCatalog extends TableCatalog {
           .toArray
     }
 
+  /** `PARTITIONED BY (bucket(n, col))` is the ONE accepted partition
+    * transform (the Iceberg bucket-transform surface): the spec is
+    * persisted as a `_BUCKET.json` sidecar, every INSERT lays out
+    * into single-bucket files, and scans report the layout as
+    * `KeyGroupedPartitioning` — same-spec joins plan shuffle-free.
+    * Hive-style identity partitions stay rejected: this engine's
+    * range/point layout story is stats clustering. */
+  private def bucketOf(partitions: Array[Transform]): Option[(String, Int)] =
+    partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "bucket" && t.arguments.length == 2 =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
+        }
+        val c = t.arguments.collectFirst {
+          case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
+        }
+        val spec = for (nn <- n; cc <- c) yield (cc, nn)
+        Some(spec.getOrElse(throw new IllegalArgumentException(
+          s"unsupported bucket transform shape: $t (want bucket(n, col))")))
+      case other => throw new IllegalArgumentException(
+        "graft tables support PARTITIONED BY (bucket(n, col)) only; " +
+          s"got ${other.mkString(", ")} (range/point layout is stats clustering)")
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables lay out via stats clustering, not hive partitions")
+    val bucket = bucketOf(partitions)
     val dir = dirOf(ident)
     if (existsAsTable(dir)) throw new TableAlreadyExistsException(ident)
     val p = new Path(dir)
@@ -159,6 +196,11 @@ class GraftCatalog extends TableCatalog {
     // commit marker's pinned schema takes over (and evolves with it)
     val out = f.create(new Path(dir, GraftTable.SchemaFile), false)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    bucket.foreach { case (c, n) =>
+      val bo = f.create(new Path(dir, GraftTable.BucketFile), false)
+      try bo.write(s"""{"col":"$c","n":$n}""".getBytes("UTF-8"))
+      finally bo.close()
+    }
     new GraftTable(dir, ident.toString, None)
   }
 
@@ -189,6 +231,13 @@ object GraftTable {
   /** Schema of a created-but-never-written table (replaced by the
     * commit marker's pinned schema at the first commit). */
   val SchemaFile = "_SCHEMA.json"
+
+  /** The declared bucket layout (`PARTITIONED BY (bucket(n, col))`):
+    * `{"col":…,"n":…}`. Inserts lay out under it; scans verify the
+    * COMMITTED per-file bucket rows cover the manifest before
+    * reporting any partitioning (the sidecar declares intent, the
+    * stats table proves it). */
+  val BucketFile = "_BUCKET.json"
 
   /** Planning evidence for specs: manifest files the LAST catalog scan
     * planned over, after skipping. */
@@ -273,6 +322,33 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
+  /** The declared bucket layout, from the `_BUCKET.json` sidecar
+    * (CREATE TABLE PARTITIONED BY) — governs WRITES. Reads trust only
+    * the committed per-file bucket rows ([[ManifestSink.bucketSpec]]). */
+  private[catalog] def declaredBucket: Option[(String, Int)] = {
+    val p = new Path(dir, GraftTable.BucketFile)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val json = try {
+        val sz = f.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](sz); in.readFully(buf); new String(buf, "UTF-8")
+      } finally in.close()
+      val m = """\{"col":"([^"]+)","n":(\d+)\}""".r
+      json.trim match {
+        case m(c, n) => Some((c, n.toInt))
+        case _ => throw new IllegalStateException(
+          s"malformed ${GraftTable.BucketFile} at $dir: $json")
+      }
+    }
+  }
+
+  override def partitioning(): Array[Transform] =
+    declaredBucket.map { case (c, n) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+    }.toArray
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val e = resolvedEpoch.getOrElse(throw new IllegalStateException(
       s"graft table $dir has no committed epoch yet"))
@@ -316,6 +392,7 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     * pre-overwrite epochs until vacuum). */
   private def insertImpl(data: DataFrame, overwrite: Boolean): Unit = {
     val stats = statsColsOf(data.schema)
+    val bucket = declaredBucket
     var attempts = 0
     var committed = false
     while (!committed) {
@@ -323,8 +400,10 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
       val next = cur.getOrElse(0) + 1
       val staged =
         if (overwrite || cur.isEmpty)
-          ManifestSink.stage(data, dir, next, stats, unique = true)
-        else ManifestSink.stageAppend(data, dir, next, stats, unique = true)
+          ManifestSink.stage(data, dir, next, stats, unique = true,
+            bucket = bucket)
+        else ManifestSink.stageAppend(data, dir, next, stats, unique = true,
+          bucket = bucket)
       try {
         ManifestSink.commitStaged(spark, staged, None)
         committed = true
@@ -591,7 +670,8 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
                           rowLevel: Option[GraftRowLevelOperation] = None,
                           limit: Option[Int] = None)
   extends Scan with Batch with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 
@@ -656,14 +736,8 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
 
   private def relOf(p: Path): String = s"${p.getParent.getName}/${p.getName}"
 
-  private def delegate: Batch = {
-    val survivorStatuses = selectSurvivors()
-    val survivors = survivorStatuses.map(_.getPath)
-    GraftTable.lastPlannedFiles = survivors.size
-    // row-level mode: the planned files ARE the replaced groups — the
-    // write's commit swaps exactly this set
-    rowLevel.foreach(_.recordScanned(survivors.map(relOf).toSet))
-    val prunedIndex = new InMemoryFileIndex(spark, survivors,
+  private def parquetBatchOver(paths: Seq[Path]): Batch = {
+    val prunedIndex = new InMemoryFileIndex(spark, paths,
       Map.empty[String, String], Some(tableSchema),
       FileStatusCache.getOrCreate(spark), None, None)
     ParquetScan(spark,
@@ -681,10 +755,92 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
       options = CaseInsensitiveStringMap.empty()).toBatch
   }
 
+  private def delegate: Batch = {
+    val survivorStatuses = selectSurvivors()
+    val survivors = survivorStatuses.map(_.getPath)
+    GraftTable.lastPlannedFiles = survivors.size
+    // row-level mode: the planned files ARE the replaced groups — the
+    // write's commit swaps exactly this set
+    rowLevel.foreach(_.recordScanned(survivors.map(relOf).toSet))
+    parquetBatchOver(survivors)
+  }
+
+  // ------------------------------------------------- storage-partitioned scan
+
+  /** The committed bucket layout, when this scan may exploit it: not
+    * a row-level rewrite scan (groups are files, not buckets) and not
+    * a LIMIT-capped one (the cap would break the all-buckets-present
+    * contract). Fully-covered layouts only — see
+    * [[ManifestSink.bucketSpec]]. */
+  private lazy val bucketed: Option[ManifestSink.BucketSpec] =
+    if (rowLevel.isDefined || limit.isDefined) None
+    else ManifestSink.bucketSpec(spark, dir, epoch)
+
+  /** Key-grouped input partitions (the Iceberg SPJ shape): split
+    * planning stays at Spark's own per-file/maxPartitionBytes
+    * granularity, every split carries its bucket id as its partition
+    * key (`HasPartitionKey`), and EMPTY buckets still emit one
+    * zero-file partition so both join sides always expose the full
+    * key set 0..n-1 (exact alignment, no missing-value handling
+    * needed). The STRUCTURE is fixed at planning time — the physical
+    * KeyGroupedPartitioning pins numPartitions — so this path prunes
+    * with the static pushed filters only and deliberately ignores
+    * runtime (join-driven) filters: those arrive from the very join
+    * SPJ is removing the shuffle from, and skipping is advisory. */
+  private lazy val keyedPartitions: Option[Array[InputPartition]] =
+    bucketed.map { bs =>
+      val idx = new ManifestFileIndex(spark, dir, epoch)
+      val exprs = pushed.flatMap(GraftFileScan.toCatalyst(tableSchema, _)).toSeq
+      val survivors = idx.listFiles(Nil, exprs).flatMap(_.files).map(_.fileStatus)
+      GraftTable.lastPlannedFiles = survivors.size
+      val byBucket = survivors.groupBy(s => bs.fileBuckets(relOf(s.getPath)))
+      val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      (0 until bs.numBuckets).foreach { b =>
+        byBucket.get(b) match {
+          case None =>
+            parts += new GraftBucketPartition(
+              org.apache.spark.sql.execution.datasources.FilePartition(
+                parts.length, Array.empty), b)
+          case Some(fps) =>
+            parquetBatchOver(fps.map(_.getPath)).planInputPartitions().foreach {
+              case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                parts += new GraftBucketPartition(fp.copy(index = parts.length), b)
+              case other => throw new IllegalStateException(
+                s"unexpected parquet partition shape: ${other.getClass}")
+            }
+        }
+      }
+      parts.toArray
+    }
+
+  /** Report the bucketed layout to the planner: two graft scans with
+    * the same `bucket(n, key)` partitioning joined on `key` drop BOTH
+    * shuffles (`spark.sql.sources.v2.bucketing.enabled`), and a
+    * grouped aggregate on `key` needs no exchange either — at 100 TB
+    * the difference between a co-located fact-fact join and shuffling
+    * both tables across the cluster. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedPartitions match {
+      case Some(parts) =>
+        val bs = bucketed.get
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.bucket(bs.numBuckets, bs.keyCol)), parts.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
-    delegate.planInputPartitions()
+    keyedPartitions.getOrElse(delegate.planInputPartitions())
   override def createReaderFactory(): PartitionReaderFactory =
-    delegate.createReaderFactory()
+    if (keyedPartitions.isDefined)
+      // the factory is file-list-independent (each FilePartition
+      // carries its own files); built over the manifest so the keyed
+      // path never re-runs the delegate's survivor selection
+      new GraftBucketReaderFactory(parquetBatchOver(
+        ManifestSink.manifestFiles(spark, dir, epoch).map(new Path(_)))
+        .createReaderFactory())
+    else delegate.createReaderFactory()
 
   /** Planning statistics FROM THE MANIFEST: size = the pruned file
     * list's byte sum, rows = its committed __count sum — so Spark's
@@ -832,6 +988,39 @@ final class OpStrippingWriterFactory(delegate: DataWriterFactory,
       override def close(): Unit = inner.close()
     }
   }
+}
+
+/** One key-grouped split: a parquet [[org.apache.spark.sql.execution
+  * .datasources.FilePartition]] (possibly empty — a bucket with no
+  * surviving files) tagged with its bucket id as the partition key.
+  * All of a bucket's splits share the key; Spark's V2 bucketing
+  * groups them back for the join while scan parallelism stays at
+  * split granularity. */
+final class GraftBucketPartition(
+    val delegate: org.apache.spark.sql.execution.datasources.FilePartition,
+    bucket: Int)
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow(bucket)
+  override def preferredLocations(): Array[String] = delegate.preferredLocations()
+}
+
+/** Unwraps [[GraftBucketPartition]]s before delegating to Spark's own
+  * parquet reader factory — row and columnar paths both. */
+final class GraftBucketReaderFactory(delegate: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case b: GraftBucketPartition => b.delegate
+    case other => other
+  }
+  override def createReader(p: InputPartition):
+      PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    delegate.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition):
+      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    delegate.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    delegate.supportColumnarReads(unwrap(p))
 }
 
 object GraftFileScan {

@@ -1,0 +1,63 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+/** The catalog's `bucket(n, col)` partition-transform function — the
+  * DataSource V2 function identity that makes STORAGE-PARTITIONED
+  * JOINS plan (the Iceberg SPJ discipline): when two catalog scans
+  * both report `KeyGroupedPartitioning(bucket(n, key))`, Spark
+  * resolves `bucket` through the table's
+  * [[org.apache.spark.sql.connector.catalog.FunctionCatalog]] and
+  * compares the bound functions' `canonicalName` — equal names with
+  * equal arguments mean the sides are co-partitioned, and
+  * `EnsureRequirements` drops BOTH shuffles from the join.
+  *
+  * The function is `floorMod(key, n)` — kept in exact agreement with
+  * the write-side placement in `ManifestSink.bucketLayout` (a
+  * declared transform that differs from the physical layout would
+  * make SPJ silently join wrong partitions together).
+  *
+  * Reference: the reference co-locates rows by Cassandra partition
+  * key (`PRIMARY KEY ((device_id), timestamp)` —
+  * `cassandra/init.cql:25`); this is the Spark-native contract that
+  * makes such co-location visible to the JOIN PLANNER rather than
+  * just to the storage layer. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, col): floorMod(col, numBuckets) — the graft bucketed-layout transform"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (numBuckets, key); got ${inputType.simpleString}")
+    inputType.fields(1).dataType match {
+      case kt @ (LongType | IntegerType | ShortType | ByteType) =>
+        new GraftBucketBound(kt)
+      case other => throw new UnsupportedOperationException(
+        s"graft bucket keys are integral; got $other")
+    }
+  }
+}
+
+/** Bound form: one canonical name regardless of the key's integral
+  * width, so an int-keyed side co-partitions with a long-keyed one
+  * (both sides widen to long before the mod, exactly as the layout
+  * does). */
+final class GraftBucketBound(keyType: DataType) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def produceResult(input: InternalRow): Integer = {
+    if (input.isNullAt(1)) return null
+    val n = input.getInt(0)
+    val k = keyType match {
+      case LongType => input.getLong(1)
+      case IntegerType => input.getInt(1).toLong
+      case ShortType => input.getShort(1).toLong
+      case ByteType => input.getByte(1).toLong
+    }
+    java.lang.Math.floorMod(k, n.toLong).toInt
+  }
+}

@@ -115,12 +115,16 @@ object ManifestSink {
             statsCols: Seq[String] = Nil, unique: Boolean = false,
             dictCols: Seq[String] = Nil, dictCap: Int = 256,
             bloomCols: Seq[String] = Nil, bloomBits: Int = 16384,
-            bloomHashes: Int = 5): Staged = {
+            bloomHashes: Int = 5, bucket: Option[(String, Int)] = None): Staged = {
     val spark = df.sparkSession
     val token = newToken()
     val dirName = if (unique) s"data-epoch=$epoch-a$token" else s"data-epoch=$epoch"
     val epochDir = s"$root/$dirName"
-    df.write.mode("overwrite").parquet(epochDir)
+    val laid = bucket match {
+      case Some((k, n)) => bucketLayout(df, k, n)
+      case None => df
+    }
+    laid.write.mode("overwrite").parquet(epochDir)
     val dirPath = new org.apache.hadoop.fs.Path(epochDir)
     val relFiles = fs(spark, dirPath).listStatus(dirPath).toSeq
       .map(_.getPath)
@@ -128,7 +132,8 @@ object ManifestSink {
       .map(p => s"$dirName/${p.getName}")
       .sorted
     val stats =
-      if (statsCols.isEmpty && dictCols.isEmpty && bloomCols.isEmpty) None
+      if (statsCols.isEmpty && dictCols.isEmpty && bloomCols.isEmpty &&
+        bucket.isEmpty) None
       else if (relFiles.isEmpty) Some(emptyStats(spark))
       else {
         val zone =
@@ -140,7 +145,11 @@ object ManifestSink {
         val bloom =
           if (bloomCols.isEmpty) emptyStats(spark)
           else bloomStats(spark, root, relFiles, bloomCols, bloomBits, bloomHashes)
-        Some(zone.unionByName(dict).unionByName(bloom))
+        val buck = bucket match {
+          case Some((k, n)) => bucketStats(spark, root, relFiles, k, n)
+          case None => emptyStats(spark)
+        }
+        Some(zone.unionByName(dict).unionByName(bloom).unionByName(buck))
       }
     Staged(root, epoch, token, relFiles, stats,
       Some(asNullable(df.schema).json))
@@ -156,9 +165,10 @@ object ManifestSink {
     * stats work per commit. */
   def stageAppend(df: DataFrame, root: String, epoch: Int,
                   statsCols: Seq[String] = Nil, unique: Boolean = false,
-                  evolve: Boolean = false): Staged = {
+                  evolve: Boolean = false,
+                  bucket: Option[(String, Int)] = None): Staged = {
     val spark = df.sparkSession
-    val fresh = stage(df, root, epoch, statsCols, unique)
+    val fresh = stage(df, root, epoch, statsCols, unique, bucket = bucket)
     if (epoch <= 1) fresh
     else {
       val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
@@ -167,7 +177,7 @@ object ManifestSink {
           .stripPrefix(rootUri).stripPrefix("/")
       }
       val stats =
-        if (statsCols.isEmpty) None
+        if (statsCols.isEmpty && bucket.isEmpty) None
         else Some(statsTable(spark, root, epoch - 1)
           .unionByName(fresh.stats.get))
       // schema discipline (Delta's): a plain append REJECTS drift — a
@@ -327,6 +337,152 @@ object ManifestSink {
                       dictCap: Int = 256, txn: Option[Txn] = None): Int =
     commitStaged(df.sparkSession,
       stage(df, root, epoch, statsCols, unique = false, dictCols, dictCap), txn)
+
+  // ------------------------------------------------------------- bucketed layout
+
+  /** A committed BUCKETED layout (the Iceberg `bucket(n, col)`
+    * partition-transform analog): every data file holds exactly one
+    * bucket of `floorMod(key, numBuckets)`, recorded per file in the
+    * stats table (`__bucket:<col>:<n>` rows, lo == hi == the file's
+    * bucket id). `fileBuckets` maps each manifest rel path to its
+    * bucket. The spec is what lets the catalog scan report
+    * `KeyGroupedPartitioning` and plan STORAGE-PARTITIONED JOINS —
+    * two graft tables bucketed the same way join with ZERO shuffle
+    * on either side (see [[graft.catalog.GraftFileScan]]). */
+  final case class BucketSpec(keyCol: String, numBuckets: Int,
+                              fileBuckets: Map[String, Int])
+
+  /** floorMod(key, n) — the bucket id expression. Kept in exact
+    * agreement with [[graft.catalog.GraftBucketBound.produceResult]]
+    * (the V2 function form Spark compares join sides with): the
+    * write-side placement and the declared transform MUST be the
+    * same function or co-partitioning would silently lie. */
+  private def bucketIdCol(keyCol: String, n: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    pmod(col(keyCol).cast(LongType), lit(n.toLong)).cast(IntegerType)
+  }
+
+  /** Lay `df` out so each output PARTITION is exactly one bucket:
+    * partition i = the rows with floorMod(key, n) == i. Spark's own
+    * `repartition(n, expr)` hashes the bucket id again (two buckets
+    * can land in one partition, files stop being single-bucket), and
+    * `repartitionByRange` boundaries are sample-estimated — so the
+    * placement uses an explicit identity [[org.apache.spark.Partitioner]],
+    * the one case where dropping to the RDD layer is the correct tool
+    * (a deterministic partition-index contract the declarative API
+    * cannot state). Rows sort by key within each bucket so the zone
+    * maps of a bucketed file stay tight. Null keys are rejected: a
+    * null's transform value is null, and a row placed in any numbered
+    * bucket would break the key-grouping contract SPJ plans against. */
+  private def bucketLayout(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(n > 0, s"numBuckets must be positive; got $n")
+    val kt = df.schema(keyCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(kt),
+      s"bucketed layout needs an integral key; $keyCol is $kt")
+    val spark = df.sparkSession
+    val withB = df.withColumn("__b", bucketIdCol(keyCol, n))
+    val schema = withB.schema
+    val bIdx = schema.length - 1
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = n
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+    val placed = withB.rdd.map { r =>
+      if (r.isNullAt(bIdx)) throw new IllegalArgumentException(
+        s"bucketed layout: null bucket key $keyCol")
+      (r.getInt(bIdx), r)
+    }.partitionBy(part).values
+    spark.createDataFrame(placed, schema)
+      .sortWithinPartitions(keyCol).drop("__b")
+  }
+
+  /** One `__bucket:<col>:<n>` stats row per staged file (lo == hi ==
+    * the file's bucket id), verified single-bucket — the committed,
+    * append-carried, vacuum-swept record of the layout. A CoW rewrite
+    * drops these rows for the files it replaces, so a rewritten table
+    * degrades to unpartitioned scans instead of reporting a layout it
+    * no longer has. */
+  private def bucketStats(spark: SparkSession, root: String,
+                          relFiles: Seq[String], keyCol: String,
+                          n: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
+    val parts = split(col("__f"), "/")
+    val rel = concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+    val b = bucketIdCol(keyCol, n)
+    val base = df.groupBy(input_file_name().as("__f"))
+      .agg(min(b).as("__blo"), max(b).as("__bhi"))
+      .select(rel.as("file"), col("__blo"), col("__bhi"))
+      .collect()
+    base.foreach { r =>
+      require(!r.isNullAt(1) && r.getInt(1) == r.getInt(2),
+        s"bucketed stage produced a mixed-bucket file ${r.getString(0)}: " +
+          s"${r.get(1)}..${r.get(2)}")
+    }
+    import spark.implicits._
+    base.toSeq.map(r => (r.getString(0), s"__bucket:$keyCol:$n",
+        r.getInt(1).toLong)).toDF("file", "col", "lo_long")
+      .select(col("file"), col("col"),
+        col("lo_long").cast(LongType), col("lo_long").cast(LongType).as("hi_long"),
+        lit(null).cast(StringType).as("lo_str"),
+        lit(null).cast(StringType).as("hi_str"))
+  }
+
+  /** Publish `df` bucket-clustered on `keyCol` into `numBuckets`
+    * single-bucket files (plus all-column zone maps via `statsCols`).
+    * Two tables published this way with the same (key semantics, n)
+    * storage-partition-join through the SQL catalog: zero exchanges. */
+  def publishBucketed(df: DataFrame, root: String, epoch: Int,
+                      keyCol: String, numBuckets: Int,
+                      statsCols: Seq[String] = Nil,
+                      txn: Option[Txn] = None): Int =
+    commitStaged(df.sparkSession,
+      stage(df, root, epoch, statsCols, bucket = Some((keyCol, numBuckets))), txn)
+
+  /** APPEND-publish preserving the bucketed layout: the fresh batch
+    * lays out into single-bucket files; prior epochs' bucket rows
+    * carry, so the table stays SPJ-eligible at O(batch) write cost. */
+  def publishBucketedAppend(df: DataFrame, root: String, epoch: Int,
+                            keyCol: String, numBuckets: Int,
+                            statsCols: Seq[String] = Nil,
+                            txn: Option[Txn] = None): Int =
+    commitStaged(df.sparkSession,
+      stageAppend(df, root, epoch, statsCols,
+        bucket = Some((keyCol, numBuckets))), txn)
+
+  /** The committed bucket layout of an epoch, if it FULLY covers the
+    * manifest: exactly one single-bucket row per manifest file, all
+    * under one `__bucket:<col>:<n>` spec. Any gap (a CoW-rewritten
+    * file, a non-bucketed append, mixed specs) returns None — the
+    * scan degrades to unpartitioned rather than reporting a layout
+    * the files don't have. Metadata-only (one stats-table read). */
+  def bucketSpec(spark: SparkSession, root: String, epoch: Int): Option[BucketSpec] = {
+    val rows =
+      try statsTable(spark, root, epoch).collect()
+      catch { case _: Throwable => return None }
+    val brows = rows.filter(_.getString(1).startsWith("__bucket:"))
+    if (brows.isEmpty) return None
+    val specs = brows.map(_.getString(1)).distinct
+    if (specs.length != 1) return None
+    val Array(_, keyCol, nStr) = specs(0).split(":", 3)
+    val n = nStr.toInt
+    val fb = brows.flatMap { r =>
+      if (r.isNullAt(2) || r.isNullAt(3) || r.getLong(2) != r.getLong(3)) None
+      else Some(r.getString(0) -> r.getLong(2).toInt)
+    }.toMap
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    val all = manifestFiles(spark, root, epoch).map { p =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+    }
+    if (all.nonEmpty && all.forall(fb.contains) && brows.length == fb.size &&
+      fb.values.forall(b => b >= 0 && b < n))
+      Some(BucketSpec(keyCol, n, fb))
+    else None
+  }
 
   /** One expectation's violation tally from a rejected publish. */
   final case class ExpectationViolation(name: String, rows: Long)

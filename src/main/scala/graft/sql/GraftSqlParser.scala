@@ -74,26 +74,34 @@ object GraftSqlParser {
     ("(?is)^\\s*VACUUM\\s+" + Tbl + "(?:\\s+RETAIN\\s+(\\d+)\\s+EPOCHS)?\\s*;?\\s*$").r
   private val OptimizeRe =
     ("(?is)^\\s*OPTIMIZE\\s+" + Tbl +
-      "(?:\\s+CLUSTER\\s+BY\\s*\\(([^)]+)\\))?(?:\\s+FILES\\s+(\\d+))?\\s*;?\\s*$").r
+      "(?:\\s+(CLUSTER|ZORDER)\\s+BY\\s*\\(([^)]+)\\))?(?:\\s+FILES\\s+(\\d+))?\\s*;?\\s*$").r
   private val HistoryRe =
     ("(?is)^\\s*DESCRIBE\\s+HISTORY\\s+" + Tbl + "\\s*;?\\s*$").r
-  private val LeadRe = "(?is)^\\s*(VACUUM|OPTIMIZE|DESCRIBE\\s+HISTORY)\\b.*".r
+  private val ChangesRe =
+    ("(?is)^\\s*DESCRIBE\\s+CHANGES\\s+" + Tbl +
+      "\\s+KEY\\s+(\\w+)\\s+FROM\\s+(\\d+)\\s+TO\\s+(\\d+)\\s*;?\\s*$").r
+  private val LeadRe =
+    "(?is)^\\s*(VACUUM|OPTIMIZE|DESCRIBE\\s+HISTORY|DESCRIBE\\s+CHANGES)\\b.*".r
 
   private[sql] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case VacuumRe(bq, q, retain) =>
         Some(VacuumCommand(Option(bq).getOrElse(q),
           Option(retain).map(_.toInt).getOrElse(2)))
-      case OptimizeRe(bq, q, cols, files) =>
+      case OptimizeRe(bq, q, kind, cols, files) =>
         Some(OptimizeCommand(Option(bq).getOrElse(q),
           Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
-          Option(files).map(_.toInt).getOrElse(4)))
+          Option(files).map(_.toInt).getOrElse(4),
+          zorder = Option(kind).exists(_.equalsIgnoreCase("ZORDER"))))
       case HistoryRe(bq, q) =>
         Some(HistoryCommand(Option(bq).getOrElse(q)))
+      case ChangesRe(bq, q, key, from, to) =>
+        Some(ChangesCommand(Option(bq).getOrElse(q), key, from.toInt, to.toInt))
       case LeadRe(kw) => throw new IllegalArgumentException(
         s"malformed graft maintenance statement (keyword ${kw.toUpperCase}): " +
           s"$sqlText\nexpected: VACUUM <tbl> [RETAIN n EPOCHS] | OPTIMIZE <tbl> " +
-          "[CLUSTER BY (cols)] [FILES n] | DESCRIBE HISTORY <tbl> " +
+          "[CLUSTER BY (cols) | ZORDER BY (c1, c2)] [FILES n] | DESCRIBE " +
+          "HISTORY <tbl> | DESCRIBE CHANGES <tbl> KEY <col> FROM <e1> TO <e2> " +
           "where <tbl> = graft.`/path` | `/path` | '/path'")
       case _ => None
     }
@@ -120,27 +128,81 @@ object GraftSqlParser {
     * range-clustered on the first cluster column into `files` files,
     * with fresh zone maps for every cluster column (defaults to the
     * table's existing stats columns, so pruning always survives the
-    * rewrite). */
+    * rewrite). `ZORDER BY (c1, c2)` lays the rewrite out on the Morton
+    * interleave of the two (integral) columns instead, so each file's
+    * zone maps become a tight RECTANGLE — slab predicates on EITHER
+    * column prune the file list (the multi-dimensional clustering
+    * range order cannot give). */
   final case class OptimizeCommand(path: String, clusterBy: Option[Seq[String]],
-                                   files: Int) extends LeafRunnableCommand {
+                                   files: Int, zorder: Boolean = false)
+    extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       attr("path", StringType), attr("new_epoch", IntegerType),
       attr("files_before", IntegerType), attr("files_after", IntegerType))
     override def run(spark: SparkSession): Seq[Row] = {
       val cur = ManifestSink.currentEpoch(spark, path)
       val before = ManifestSink.manifestFiles(spark, path, cur).size
-      val cols = clusterBy.getOrElse {
-        val existing = ManifestSink.statsTable(spark, path, cur)
-          .select("col").distinct().collect().map(_.getString(0))
-          .filterNot(_.startsWith("__")).sorted.toSeq
-        require(existing.nonEmpty,
-          s"OPTIMIZE $path: no stats columns committed and no CLUSTER BY given")
-        existing
-      }
-      val next = ManifestSink.compact(spark, path, cols, files)
+      val existing = ManifestSink.statsTable(spark, path, cur)
+        .select("col").distinct().collect().map(_.getString(0))
+        .filterNot(_.startsWith("__")).sorted.toSeq
+      val next =
+        if (zorder) {
+          import org.apache.spark.sql.functions.{col, lit, max, min}
+          import org.apache.spark.sql.types.LongType
+          val zcols = clusterBy.getOrElse(throw new IllegalArgumentException(
+            "OPTIMIZE ... ZORDER BY needs exactly two columns"))
+          require(zcols.length == 2,
+            s"ZORDER BY takes exactly two integral columns; got $zcols")
+          val df = ManifestSink.read(spark, path)
+          val Seq(a, b) = zcols
+          val bounds = df.agg(min(col(a)).cast(LongType), max(col(a)).cast(LongType),
+            min(col(b)).cast(LongType), max(col(b)).cast(LongType)).collect().head
+          def scale(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+            if (hi == lo) lit(0L)
+            else (c.cast(LongType) - lit(lo)) * 255L / lit(hi - lo)
+          val laid = df.withColumn("__z", graft.functions.VectorFns.zorder2(
+              scale(col(a), bounds.getLong(0), bounds.getLong(1)).cast(LongType),
+              scale(col(b), bounds.getLong(2), bounds.getLong(3)).cast(LongType)))
+            .repartitionByRange(files, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+          val n = cur + 1
+          ManifestSink.publishWithStats(laid, path, n,
+            (zcols ++ existing).distinct)
+          n
+        } else {
+          val cols = clusterBy.getOrElse {
+            require(existing.nonEmpty,
+              s"OPTIMIZE $path: no stats columns committed and no CLUSTER BY given")
+            existing
+          }
+          ManifestSink.compact(spark, path, cols, files)
+        }
       val after = ManifestSink.manifestFiles(spark, path, next).size
       Seq(Row(path, next, before, after))
     }
+  }
+
+  /** `DESCRIBE CHANGES` — the change data feed as a command
+    * (Delta's `table_changes`): row-level insert/delete/update-pair
+    * changes of epochs (from, to], computed from the manifest delta
+    * (see [[ManifestSink.tableChanges]] — only removed/added files of
+    * each epoch are read). Output = the table's columns plus
+    * `_change_type` and `_commit_epoch`. */
+  final case class ChangesCommand(path: String, keyCol: String,
+                                  fromEpoch: Int, toEpoch: Int)
+    extends LeafRunnableCommand {
+    override lazy val output: Seq[Attribute] = {
+      val spark = SparkSession.active
+      val base = ManifestSink.commitSchema(spark, path,
+        ManifestSink.currentEpoch(spark, path))
+        .getOrElse(ManifestSink.read(spark, path).schema)
+      base.fields.toSeq.map(f => attr(f.name, f.dataType)) ++ Seq(
+        attr("_change_type", StringType), attr("_commit_epoch", IntegerType))
+    }
+    override def run(spark: SparkSession): Seq[Row] =
+      ManifestSink.tableChanges(spark, path, keyCol, fromEpoch, toEpoch)
+        .collect().toSeq
   }
 
   /** `DESCRIBE HISTORY` — the commit audit log (one row per live

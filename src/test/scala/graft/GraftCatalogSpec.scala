@@ -430,6 +430,166 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(hit < all || all == 1)
   }
 
+  test("OPTIMIZE ZORDER BY lays out Morton rectangles: both dimensions prune") {
+    ensureCatalog()
+    val root = tmpDir("gcat_zord_") + "/t"
+    // deliberately clustered on NEITHER column's own order
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("event_id") < 800)
+      .createOrReplaceTempView("zord_src")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM zord_src")
+    val r = spark.sql(
+      s"OPTIMIZE graft.`$root` ZORDER BY (event_id, user_id) FILES 16").collect()(0)
+    assert(r.getInt(1) == 2)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+      .collect()(0).getLong(0) == 800, "rewrite preserves content")
+    val (_, h1, t1) = ManifestSink.readRangePruned(spark, root, "event_id", 0L, 99L)
+    val uMax = Tables.events(spark, sf).agg(max(col("user_id"))).collect()(0).getLong(0)
+    val (_, h2, t2) = ManifestSink.readRangePruned(spark, root, "user_id", 0L, uMax / 5)
+    assert(h1 < t1, s"event_id slab should prune: $h1 of $t1")
+    assert(h2 < t2, s"user_id slab should prune: $h2 of $t2")
+  }
+
+  test("DESCRIBE CHANGES surfaces the epoch-range change feed in SQL") {
+    val root = mkTable("gcat_chg_", n = 50)
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("event_id").between(50, 59))
+      .createOrReplaceTempView("chg_ins")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM chg_ins")
+    val feed = spark.sql(
+      s"DESCRIBE CHANGES graft.`$root` KEY event_id FROM 1 TO 2").collect()
+    assert(feed.length == 10)
+    assert(feed.forall(_.getString(3) == "insert"))
+    assert(feed.forall(_.getInt(4) == 2))
+    assert(feed.map(_.getLong(0)).sorted.toSeq == (50L to 59L))
+  }
+
+  /** collectAll that also descends into executed AQE query stages. */
+  private def deepAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case o => o.children
+    }
+    (if (f.isDefinedAt(p)) Seq(f(p)) else Nil) ++ kids.flatMap(deepAll(_)(f))
+  }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame) =
+    deepAll(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+
+  private def withSpjConfs[T](body: => T): T = {
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // join keys may be a SUPERSET of the bucket key (equal bucket
+      // keys still co-locate the extra-key matches)
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("storage-partitioned join: same-bucket CTAS tables join with zero shuffles") {
+    ensureCatalog()
+    val base = tmpDir("gcat_spj_")
+    val (r1, r2) = (s"$base/a", s"$base/b")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    ev.filter(col("event_id") < 600).createOrReplaceTempView("spj_a")
+    ev.filter(col("event_id") >= 300 && col("event_id") < 900)
+      .createOrReplaceTempView("spj_b")
+    spark.sql(s"CREATE TABLE graft.`$r1` PARTITIONED BY (bucket(8, user_id)) " +
+      "AS SELECT * FROM spj_a")
+    spark.sql(s"CREATE TABLE graft.`$r2` PARTITIONED BY (bucket(8, user_id)) " +
+      "AS SELECT * FROM spj_b")
+    assert(ManifestSink.bucketSpec(spark, r1, 1).exists(_.numBuckets == 8))
+    // every committed file holds exactly one bucket
+    val bs = ManifestSink.bucketSpec(spark, r1, 1).get
+    assert(bs.fileBuckets.values.forall(b => b >= 0 && b < 8))
+
+    withSpjConfs {
+      val out = spark.sql(
+        s"""SELECT a.user_id, count(*) AS pairs, sum(a.value + b.value) AS v
+           |FROM graft.`$r1` a JOIN graft.`$r2` b ON a.user_id = b.user_id
+           |GROUP BY a.user_id""".stripMargin)
+      val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(shuffles(out).isEmpty,
+        s"SPJ must drop both join shuffles AND the agg exchange:\n" +
+          out.queryExecution.executedPlan)
+      // correctness parity with the plain recompute
+      val exp = ev.filter(col("event_id") < 600).as("a")
+        .join(ev.filter(col("event_id") >= 300 && col("event_id") < 900).as("b"),
+          "user_id")
+        .groupBy("user_id").agg(count(lit(1)).as("pairs"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == exp.toSeq)
+    }
+  }
+
+  test("SPJ survives bucketed appends; degrades to a shuffle join after a CoW rewrite") {
+    ensureCatalog()
+    val base = tmpDir("gcat_spjd_")
+    val (r1, r2) = (s"$base/a", s"$base/b")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    ev.filter(col("event_id") < 200).createOrReplaceTempView("spjd_a")
+    ev.filter(col("event_id") < 400).createOrReplaceTempView("spjd_b")
+    spark.sql(s"CREATE TABLE graft.`$r1` PARTITIONED BY (bucket(4, user_id)) " +
+      "AS SELECT * FROM spjd_a")
+    spark.sql(s"CREATE TABLE graft.`$r2` PARTITIONED BY (bucket(4, user_id)) " +
+      "AS SELECT * FROM spjd_b")
+    ev.filter(col("event_id").between(200, 299)).createOrReplaceTempView("spjd_a2")
+    spark.sql(s"INSERT INTO graft.`$r1` SELECT * FROM spjd_a2")
+    assert(ManifestSink.bucketSpec(spark, r1, 2).isDefined,
+      "append must carry the bucket layout")
+
+    withSpjConfs {
+      val q = s"SELECT a.event_id, a.user_id FROM graft.`$r1` a " +
+        s"JOIN graft.`$r2` b ON a.user_id = b.user_id AND a.event_id = b.event_id"
+      val out = spark.sql(q)
+      val n = out.collect().length
+      assert(n == 300, s"appended rows must join: $n")
+      assert(shuffles(out).isEmpty, s"post-append SPJ:\n${out.queryExecution.executedPlan}")
+
+      // a CoW rewrite drops the rewritten file's bucket row -> the
+      // layout no longer covers the manifest -> scans degrade to
+      // unpartitioned and the join shuffles (correctly)
+      spark.sql(s"DELETE FROM graft.`$r1` WHERE event_id IN (5)")
+      assert(ManifestSink.bucketSpec(spark, r1,
+        ManifestSink.currentEpoch(spark, r1)).isEmpty)
+      val out2 = spark.sql(q)
+      assert(out2.collect().length == 299)
+      assert(shuffles(out2).nonEmpty, "degraded table must shuffle again")
+    }
+  }
+
+  test("bucketed tables refuse null keys and non-bucket partition transforms") {
+    ensureCatalog()
+    val base = tmpDir("gcat_spjr_")
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE graft.`$base/h` (event_id BIGINT, d STRING) " +
+        "PARTITIONED BY (d)")
+    }
+    val r = s"$base/t"
+    spark.sql(s"CREATE TABLE graft.`$r` (event_id BIGINT, user_id BIGINT) " +
+      "PARTITIONED BY (bucket(4, user_id))")
+    Seq((1L, java.lang.Long.valueOf(7L)), (2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("event_id", "user_id").createOrReplaceTempView("spjr_null")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$r` SELECT * FROM spjr_null")
+    }
+    assert(e.getMessage != null)
+  }
+
   test("catalog scan refuses a merge-on-read DV epoch rather than resurrecting deletes") {
     ensureCatalog()
     val root = tmpDir("gcat_mor_") + "/t"
