@@ -2515,6 +2515,186 @@ object Registry {
         |SELECT event_id, user_id, value, 'delete', CAST(3 AS INTEGER)
         |FROM events WHERE event_id IN (5, 7)
         |ORDER BY _commit_epoch, _change_type, event_id""".stripMargin),
+    // CATALOG STREAMING SINK (round 12): writeStream.toTable against a
+    // graft catalog table — DSv2 STREAMING_WRITE: each micro-batch
+    // stages through Spark's own distributed parquet write, then
+    // commits ONE atomic append epoch carrying the (appId, batchId)
+    // txn (commitIdempotentAppendFiles), with zone maps from
+    // option("statsCols") so the streamed table keeps its skipping
+    // property. sink_ok gates epochs == batches across a checkpoint
+    // restart plus the txn bookkeeping.
+    "q_catalog_sink" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        import s.implicits._
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val base = tmpDir("graft_csnk_")
+        val root = s"$base/t"
+        val ckpt = s"$base/ckpt"
+        s.sql(s"CREATE TABLE graft.`$root` " +
+          "(event_id BIGINT, user_id BIGINT, value DOUBLE)")
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Double)]
+        val rows = events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .filter(col("event_id") < 120).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        def start() = mem.toDF().toDF("event_id", "user_id", "value")
+          .writeStream.option("checkpointLocation", ckpt)
+          .option("statsCols", "event_id")
+          .toTable(s"graft.`$root`")
+        mem.addData(rows.take(70).toSeq: _*)
+        val q1 = start()
+        try {
+          q1.processAllAvailable()
+          mem.addData(rows.slice(70, 100).toSeq: _*)
+          q1.processAllAvailable()
+        } finally q1.stop()
+        // a batch arrives while no query runs; the restarted query
+        // picks it up from the checkpoint — txn versions keep counting
+        mem.addData(rows.slice(100, 120).toSeq: _*)
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+        val sinkOk = graft.sink.ManifestSink.currentEpoch(s, root) == 3 &&
+          graft.sink.ManifestSink
+            .lastCommittedVersion(s, root, s"graft-sink[$root]").contains(2L)
+        s.sql(s"SELECT * FROM graft.`$root`")
+          .withColumn("sink_ok", lit(sinkOk)).orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value, TRUE AS sink_ok FROM events
+        |WHERE event_id < 120 ORDER BY event_id""".stripMargin),
+    // CATALOG STREAMING TAIL (round 12): spark.readStream.table over a
+    // graft catalog table — the DSv2 MICRO_BATCH_READ half of the
+    // streaming source (offsets are epochs, per-batch plan = the
+    // appended files only, snapshot-then-tail, checkpoint restart).
+    // The ledger gate pins the exact per-batch counts: the snapshot,
+    // the live delta, and the RESTARTED tail of an epoch that landed
+    // while no query ran — never a re-read.
+    "q_catalog_stream" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val base = tmpDir("graft_cstr_")
+        val root = s"$base/t"
+        val ckpt = s"$base/ckpt"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 100).createOrReplaceTempView("cstr_a")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cstr_a")
+        val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        def start() = s.readStream.table(s"graft.`$root`")
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            batches.synchronized { batches += ((id, b.count())) }; ()
+          }.start()
+        val q1 = start()
+        try {
+          q1.processAllAvailable()
+          ev.filter(col("event_id").between(100, 149))
+            .createOrReplaceTempView("cstr_b")
+          s.sql(s"INSERT INTO graft.`$root` SELECT * FROM cstr_b")
+          q1.processAllAvailable()
+        } finally q1.stop()
+        // an epoch lands while NO query runs; the restart resumes at
+        // the checkpointed epoch and reads only the missed delta
+        ev.filter(col("event_id").between(150, 169))
+          .createOrReplaceTempView("cstr_c")
+        s.sql(s"INSERT INTO graft.`$root` SELECT * FROM cstr_c")
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+        val ok = batches.toSeq == Seq((0L, 100L), (1L, 50L), (2L, 20L))
+        s.sql(s"SELECT * FROM graft.`$root`")
+          .withColumn("tail_ok", lit(ok)).orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value, TRUE AS tail_ok FROM events
+        |WHERE event_id < 170 ORDER BY event_id""".stripMargin),
+    // SQL MATERIALIZED VIEWS (round 12): CREATE MATERIALIZED VIEW
+    // persists the definition sidecar, seeds the view through one
+    // IncrementalView refresh, and registers it for transparent
+    // aggregate routing; REFRESH MATERIALIZED VIEW folds ONLY the
+    // source epochs committed since (change-feed-bounded work), and a
+    // replayed refresh no-ops through the view's txn cursor. mv_ok
+    // gates the whole lifecycle: one refresh epoch per source epoch,
+    // the no-op, and the routed plan losing its Aggregate node.
+    "q_catalog_mv" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, count, lit, sum}
+        import org.apache.spark.sql.types.DecimalType
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val base = tmpDir("graft_cmv_")
+        val (src, view) = (s"$base/src", s"$base/view")
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 100).createOrReplaceTempView("cmv_a")
+        ev.filter(col("event_id").between(100, 149))
+          .createOrReplaceTempView("cmv_b")
+        s.sql(s"CREATE TABLE graft.`$src` AS SELECT * FROM cmv_a")
+        s.sql(s"CREATE MATERIALIZED VIEW graft.`$view` KEY event_id " +
+          s"AS SELECT user_id, COUNT(*) AS cnt, SUM(value) AS sum_value " +
+          s"FROM graft.`$src` GROUP BY user_id")
+        s.sql(s"INSERT INTO graft.`$src` SELECT * FROM cmv_b")
+        val r = s.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()(0)
+        val noop = s.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()(0)
+        val routedPlan = graft.sink.ManifestSink.read(s, src).groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(DecimalType(18, 4))).as("sum_value"))
+          .queryExecution.optimizedPlan
+        val mvOk = r.getInt(1) == 2 && r.getInt(2) == 2 &&
+          noop.getInt(1) == 2 &&
+          !routedPlan.exists {
+            case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+            case _ => false
+          }
+        graft.plans.MatViews.deregister(s"mv:$view")
+        graft.sink.ManifestSink.read(s, view)
+          .select(col("user_id"), col("cnt"),
+            col("sum_value").cast("double").as("sum_value"))
+          .withColumn("mv_ok", lit(mvOk))
+          .orderBy("user_id")
+      },
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DECIMAL(38,4)) AS DOUBLE)
+        |    AS sum_value,
+        |  TRUE AS mv_ok
+        |FROM events WHERE event_id < 150
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    // SQL SCHEMA EVOLUTION (round 12): ALTER TABLE ... ADD COLUMNS is
+    // a PURE-METADATA epoch commit (same files/stats/DV, union schema
+    // pinned into the marker) — pre-evolution files read the added
+    // column as null, the evolved table accepts new-shape inserts, and
+    // VERSION AS OF keeps the old shape. The demo drives the whole
+    // lifecycle in SQL text; the oracle spells the null-filled union.
+    "q_catalog_evolve" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit, when}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cevo_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 80).createOrReplaceTempView("cevo_a")
+        ev.filter(col("event_id").between(80, 99))
+          .select(col("event_id"), col("user_id"), col("value"),
+            lit("tagged").as("flag"))
+          .createOrReplaceTempView("cevo_b")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cevo_a")
+        s.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (flag STRING)")
+        s.sql(s"INSERT INTO graft.`$root` SELECT * FROM cevo_b")
+        val travelOk = s.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 1")
+          .schema.fieldNames.toSeq == Seq("event_id", "user_id", "value")
+        s.sql(s"SELECT * FROM graft.`$root`")
+          .withColumn("travel_ok", lit(travelOk) && when(col("event_id") < 80,
+            col("flag").isNull).otherwise(col("flag") === "tagged"))
+          .orderBy(col("event_id"))
+      },
+      """SELECT event_id, user_id, value, CAST(NULL AS VARCHAR) AS flag,
+        |  TRUE AS travel_ok
+        |FROM events WHERE event_id < 80
+        |UNION ALL
+        |SELECT event_id, user_id, value, 'tagged', TRUE
+        |FROM events WHERE event_id BETWEEN 80 AND 99
+        |ORDER BY event_id""".stripMargin),
     // STORAGE-PARTITIONED JOIN (round 12): CREATE TABLE ...
     // PARTITIONED BY (bucket(8, user_id)) persists the Iceberg-style
     // bucket transform; INSERTs lay out single-bucket files (the

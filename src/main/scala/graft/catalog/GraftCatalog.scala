@@ -137,9 +137,29 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     new GraftTable(dir, ident.toString, Some(epoch))
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "TIMESTAMP AS OF is not supported; use VERSION AS OF <epoch>")
+  /** `TIMESTAMP AS OF <ts>` — resolves to the NEWEST epoch whose
+    * commit marker was created at or before the timestamp (Delta's
+    * timestamp-travel contract: marker creation time IS the commit
+    * instant, because the CAS rename is the commit). `timestamp`
+    * arrives in MICROseconds since the epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (!existsAsTable(dir)) throw new NoSuchTableException(ident)
+    val tsMillis = timestamp / 1000L
+    val p = new Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = "commit-(\\d+)".r
+    val epochs = f.listStatus(p).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case marker(n) if st.getModificationTime <= tsMillis => Some(n.toInt)
+        case _ => None
+      }
+    }
+    if (epochs.isEmpty) throw new IllegalArgumentException(
+      s"graft table $dir has no epoch committed at or before " +
+        s"${java.time.Instant.ofEpochMilli(tsMillis)}")
+    new GraftTable(dir, ident.toString, Some(epochs.max))
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     warehouseRoot match {
@@ -204,10 +224,43 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     new GraftTable(dir, ident.toString, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolution happens through " +
-        "evolving appends (publishAppendEvolve)")
+  /** `ALTER TABLE ... ADD COLUMNS (...)` — the SQL surface of the
+    * evolution machinery: a PURE-METADATA epoch commit (same files,
+    * stats, and DV; union schema pinned into the marker — see
+    * [[ManifestSink.evolveSchema]]). Pre-evolution files read the new
+    * columns as null; time travel to older epochs keeps the old
+    * shape. On a created-but-never-written table the sidecar schema
+    * evolves instead. Everything else (drop/rename/retype) is
+    * refused: those are migrations, not evolution. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!existsAsTable(dir)) throw new NoSuchTableException(ident)
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"graft ADD COLUMNS is top-level only; got ${a.fieldNames.mkString(".")}")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports ADD COLUMNS only; got $other")
+    }
+    val addedStruct = StructType(added.toArray)
+    ManifestSink.currentEpochOpt(spark, dir) match {
+      case Some(_) => ManifestSink.evolveSchema(spark, dir, addedStruct): Unit
+      case None =>
+        // pre-first-commit: evolve the sidecar (the only schema there is)
+        val t = new GraftTable(dir, ident.toString, None)
+        val prior = t.schema()
+        added.foreach(f => require(!prior.fieldNames.contains(f.name),
+          s"ALTER TABLE ADD COLUMNS: ${f.name} already exists"))
+        val p = new Path(dir, GraftTable.SchemaFile)
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = f.create(p, true)
+        try out.write(StructType(prior.fields ++ added).json.getBytes("UTF-8"))
+        finally out.close()
+    }
+    new GraftTable(dir, ident.toString, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
@@ -320,7 +373,8 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE).asJava
 
   /** The declared bucket layout, from the `_BUCKET.json` sidecar
     * (CREATE TABLE PARTITIONED BY) — governs WRITES. Reads trust only
@@ -357,7 +411,7 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
         s"graft table $dir epoch $e carries merge-on-read delete " +
           "vectors; the catalog scan cannot apply the DV join — " +
           "materialize first (compact) or read via ManifestSink.read")
-    new GraftScanBuilder(spark, dir, e, schema())
+    new GraftScanBuilder(spark, dir, e, schema(), readOptions = options)
   }
 
   /** All-column zone maps for SQL-written epochs: every integral and
@@ -381,6 +435,18 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
             override def insert(data: DataFrame, ignored: Boolean): Unit =
               insertImpl(data, overwrite)
           }
+        /** `df.writeStream.toTable("graft.`…`")` — each micro-batch
+          * stages through Spark's own distributed parquet write, then
+          * commits ONE atomic append epoch carrying the (appId,
+          * batchId) txn, so crash-replays no-op (exactly-once; see
+          * [[GraftStreamingWrite]]). Append output mode only. */
+        override def toStreaming:
+            org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(!overwrite,
+            s"graft streaming writes are append-only (epochs are " +
+              "immutable snapshots); complete/truncate mode is not supported")
+          new GraftStreamingWrite(dir, info, schema())
+        }
       }
     }
   }
@@ -513,7 +579,9 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
   * row-group-stats contract, one level up). */
 final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
                              tableSchema: StructType,
-                             rowLevel: Option[GraftRowLevelOperation] = None)
+                             rowLevel: Option[GraftRowLevelOperation] = None,
+                             readOptions: CaseInsensitiveStringMap =
+                               CaseInsensitiveStringMap.empty())
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -648,7 +716,7 @@ final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
     case None =>
       GraftTable.lastMetaAggOnly = false
       new GraftFileScan(spark, dir, epoch, tableSchema, required, pushed,
-        rowLevel, limit)
+        rowLevel, limit, readOptions)
   }
 }
 
@@ -668,10 +736,21 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
                           tableSchema: StructType, required: StructType,
                           pushed: Array[Filter],
                           rowLevel: Option[GraftRowLevelOperation] = None,
-                          limit: Option[Int] = None)
+                          limit: Option[Int] = None,
+                          readOptions: CaseInsensitiveStringMap =
+                            CaseInsensitiveStringMap.empty())
   extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** `spark.readStream.table(...)` — the epoch-tailing micro-batch
+    * stream (see [[GraftMicroBatchStream]]); `startEpoch` and
+    * `allowRewrites` arrive as read options. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(spark, dir, tableSchema, required,
+      startEpoch = Option(readOptions.get("startEpoch")).map(_.toInt).getOrElse(0),
+      allowRewrites = Option(readOptions.get("allowRewrites")).exists(_.toBoolean))
 
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 
@@ -988,6 +1067,71 @@ final class OpStrippingWriterFactory(delegate: DataWriterFactory,
       override def close(): Unit = inner.close()
     }
   }
+}
+
+/** The catalog's STREAMING SINK (`writeStream.toTable`): per
+  * micro-batch, Spark's own distributed parquet batch write stages
+  * the rows into an attempt-unique `data-stream-aTOKEN/` dir (the
+  * file commit protocol handles task retries and speculation), and
+  * the epoch commit assembles the staged files into one atomic
+  * manifest append carrying the (appId, batchId) txn —
+  * [[ManifestSink.commitIdempotentAppendFiles]] — so an at-least-once
+  * replay after a crash between sink commit and checkpoint commit
+  * no-ops: exactly-once end to end, the same discipline as the
+  * `format("graft-manifest")` V1 sink but through the catalog's table
+  * name. Options: `appId` (txn identity — defaults to a dir-derived
+  * id, matching the V1 sink's convention; set it when several queries
+  * feed one table), `statsCols` (comma-separated zone-map columns).
+  * One batch is in flight at a time per query, so the per-batch
+  * delegate/dir pair lives in volatile fields set by
+  * `createStreamingWriterFactory` (called once per micro-batch). */
+final class GraftStreamingWrite(dir: String, info: LogicalWriteInfo,
+                                tableSchema: StructType)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val appId = Option(info.options.get("appId"))
+    .getOrElse(s"graft-sink[$dir]")
+  private val statsCols = Option(info.options.get("statsCols"))
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  private val dataInfo: LogicalWriteInfo = new LogicalWriteInfo {
+    override def options: CaseInsensitiveStringMap = info.options
+    override def queryId: String = info.queryId
+    override def schema: StructType = tableSchema
+  }
+
+  @volatile private var stagedDir: String = _
+  @volatile private var delegate: BatchWrite = _
+
+  // the file commit protocol coordinates task commits itself
+  // (FileBatchWrite does the same) — a second coordinator pass would
+  // deny the inner committer's authorization
+  override def useCommitCoordinator(): Boolean = false
+
+  override def createStreamingWriterFactory(
+      pInfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    stagedDir = s"data-stream-a${ManifestSink.newAttemptToken()}"
+    delegate =
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite(
+        Seq(s"$dir/$stagedDir"), "parquet", _ => true, dataInfo).toBatch
+    val inner = delegate.createBatchWriterFactory(pInfo)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long, epochId: Long):
+          org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+        inner.createWriter(partitionId, taskId)
+    }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    delegate.commit(messages) // finalize the file commit protocol
+    ManifestSink.commitIdempotentAppendFiles(SparkSession.active, dir,
+      stagedDir, appId, epochId, statsCols): Unit
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    delegate.abort(messages)
 }
 
 /** One key-grouped split: a parquet [[org.apache.spark.sql.execution

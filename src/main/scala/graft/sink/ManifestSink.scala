@@ -484,6 +484,36 @@ object ManifestSink {
     else None
   }
 
+  /** ADD-COLUMN schema evolution as a PURE-METADATA commit (Delta's
+    * `ALTER TABLE ADD COLUMNS`): a new epoch carrying the SAME file
+    * list, stats, and DV as the current one, with the union schema
+    * pinned into its marker — zero data I/O; pre-evolution files fill
+    * the added columns with null at read, exactly as evolving appends
+    * do ([[publishAppendEvolve]]). Existing names are rejected (this
+    * is evolution, not migration). Returns the new epoch. */
+  def evolveSchema(spark: SparkSession, root: String,
+                   added: org.apache.spark.sql.types.StructType): Int = {
+    val cur = currentEpoch(spark, root)
+    val prior = commitSchema(spark, root, cur)
+      .getOrElse(read(spark, root, cur).schema)
+    added.fields.foreach(f => require(!prior.fieldNames.contains(f.name),
+      s"ALTER TABLE ADD COLUMNS: ${f.name} already exists in ${prior.simpleString}"))
+    val merged = org.apache.spark.sql.types.StructType(
+      prior.fields ++ added.fields.map(_.copy(nullable = true)))
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    val relFiles = manifestFiles(spark, root, cur).map { p =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+    }
+    val stats =
+      if (statsExists(spark, root, cur)) Some(statsTable(spark, root, cur))
+      else None
+    val staged = Staged(root, cur + 1, newToken(), relFiles, stats,
+      Some(asNullable(merged).json), dv = commitDv(spark, root, cur))
+    commitStaged(spark, staged)
+    cur + 1
+  }
+
   /** One expectation's violation tally from a rejected publish. */
   final case class ExpectationViolation(name: String, rows: Long)
 
@@ -599,6 +629,62 @@ object ManifestSink {
           if (lastCommittedVersion(spark, root, appId).exists(_ >= version)) false
           else throw c
       }
+    }
+  }
+
+  /** [[commitIdempotentAppend]] for files ALREADY WRITTEN by a
+    * distributed writer (the streaming `toTable` path: Spark's own
+    * parquet batch write stages the micro-batch into
+    * `root/dirName/`, then this assembles the append epoch from the
+    * staged files — no second write). Same txn discipline: a replayed
+    * (appId, version) no-ops and the staged dir becomes vacuum-swept
+    * debris. Schema is pinned from the prior epoch (the writer was
+    * configured with the table schema); the first epoch pins the
+    * staged files' own schema. */
+  def commitIdempotentAppendFiles(spark: SparkSession, root: String,
+                                  dirName: String, appId: String,
+                                  version: Long,
+                                  statsCols: Seq[String] = Nil): Boolean = {
+    if (lastCommittedVersion(spark, root, appId).exists(_ >= version)) return false
+    val dirPath = new org.apache.hadoop.fs.Path(s"$root/$dirName")
+    val f = fs(spark, dirPath)
+    val relFiles =
+      if (!f.exists(dirPath)) Nil
+      else f.listStatus(dirPath).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(p => s"$dirName/${p.getName}").sorted
+    val next = currentEpochOpt(spark, root).getOrElse(0) + 1
+    val freshStats =
+      if (statsCols.isEmpty) None
+      else if (relFiles.isEmpty) Some(emptyStats(spark))
+      else Some(fileStats(spark, root, relFiles, statsCols))
+    val fresh = Staged(root, next, newToken(), relFiles, freshStats)
+    val staged =
+      if (next <= 1) {
+        val sch =
+          if (relFiles.isEmpty) None
+          else Some(asNullable(spark.read
+            .parquet(relFiles.map(r => s"$root/$r"): _*).schema).json)
+        fresh.copy(schemaJson = sch)
+      } else {
+        val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+        val prior = manifestFiles(spark, root, next - 1).map { p =>
+          new org.apache.hadoop.fs.Path(p).toUri.getPath
+            .stripPrefix(rootUri).stripPrefix("/")
+        }
+        val stats =
+          if (statsCols.isEmpty) None
+          else Some(statsTable(spark, root, next - 1).unionByName(freshStats.get))
+        fresh.copy(relFiles = (prior ++ relFiles).sorted, stats = stats,
+          schemaJson = commitSchema(spark, root, next - 1).map(_.json)
+            .orElse(fresh.schemaJson),
+          dv = commitDv(spark, root, next - 1))
+      }
+    try { commitStaged(spark, staged, Some(Txn(appId, version))); true }
+    catch {
+      case c: ManifestConflictException =>
+        if (lastCommittedVersion(spark, root, appId).exists(_ >= version)) false
+        else throw c
     }
   }
 

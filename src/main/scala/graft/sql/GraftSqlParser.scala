@@ -80,8 +80,22 @@ object GraftSqlParser {
   private val ChangesRe =
     ("(?is)^\\s*DESCRIBE\\s+CHANGES\\s+" + Tbl +
       "\\s+KEY\\s+(\\w+)\\s+FROM\\s+(\\d+)\\s+TO\\s+(\\d+)\\s*;?\\s*$").r
+  // the ONE materialized-view shape IncrementalView maintains: a
+  // keyed (count, exact-decimal sum) — the SELECT list is pinned to
+  // it so the statement cannot promise more than the refresh delivers
+  private val CreateMvRe =
+    ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+" + Tbl +
+      "\\s+KEY\\s+(\\w+)\\s+AS\\s+SELECT\\s+(\\w+)\\s*,\\s*" +
+      "COUNT\\s*\\(\\s*\\*\\s*\\)\\s+AS\\s+cnt\\s*,\\s*" +
+      "SUM\\s*\\(\\s*(\\w+)\\s*\\)\\s+AS\\s+sum_value\\s+FROM\\s+" + Tbl +
+      "\\s+GROUP\\s+BY\\s+(\\w+)\\s*;?\\s*$").r
+  private val RefreshMvRe =
+    ("(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+" + Tbl + "\\s*;?\\s*$").r
+  private val DetailRe =
+    ("(?is)^\\s*DESCRIBE\\s+DETAIL\\s+" + Tbl + "\\s*;?\\s*$").r
   private val LeadRe =
-    "(?is)^\\s*(VACUUM|OPTIMIZE|DESCRIBE\\s+HISTORY|DESCRIBE\\s+CHANGES)\\b.*".r
+    ("(?is)^\\s*(VACUUM|OPTIMIZE|DESCRIBE\\s+HISTORY|DESCRIBE\\s+CHANGES" +
+      "|DESCRIBE\\s+DETAIL|CREATE\\s+MATERIALIZED|REFRESH\\s+MATERIALIZED)\\b.*").r
 
   private[sql] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -97,11 +111,24 @@ object GraftSqlParser {
         Some(HistoryCommand(Option(bq).getOrElse(q)))
       case ChangesRe(bq, q, key, from, to) =>
         Some(ChangesCommand(Option(bq).getOrElse(q), key, from.toInt, to.toInt))
+      case CreateMvRe(vbq, vq, tableKey, g, valCol, sbq, sq, g2) =>
+        val viewKey = g
+        require(g2.equalsIgnoreCase(g),
+          s"CREATE MATERIALIZED VIEW: SELECT column $g must equal GROUP BY $g2")
+        Some(CreateMvCommand(Option(vbq).getOrElse(vq),
+          Option(sbq).getOrElse(sq), tableKey, viewKey, valCol))
+      case RefreshMvRe(bq, q) =>
+        Some(RefreshMvCommand(Option(bq).getOrElse(q)))
+      case DetailRe(bq, q) =>
+        Some(DetailCommand(Option(bq).getOrElse(q)))
       case LeadRe(kw) => throw new IllegalArgumentException(
         s"malformed graft maintenance statement (keyword ${kw.toUpperCase}): " +
           s"$sqlText\nexpected: VACUUM <tbl> [RETAIN n EPOCHS] | OPTIMIZE <tbl> " +
           "[CLUSTER BY (cols) | ZORDER BY (c1, c2)] [FILES n] | DESCRIBE " +
-          "HISTORY <tbl> | DESCRIBE CHANGES <tbl> KEY <col> FROM <e1> TO <e2> " +
+          "HISTORY <tbl> | DESCRIBE CHANGES <tbl> KEY <col> FROM <e1> TO <e2> | " +
+          "CREATE MATERIALIZED VIEW <tbl> KEY <srcKey> AS SELECT <g>, COUNT(*) " +
+          "AS cnt, SUM(<v>) AS sum_value FROM <tbl> GROUP BY <g> | " +
+          "REFRESH MATERIALIZED VIEW <tbl> " +
           "where <tbl> = graft.`/path` | `/path` | '/path'")
       case _ => None
     }
@@ -214,5 +241,137 @@ object GraftSqlParser {
       attr("n_files", IntegerType))
     override def run(spark: SparkSession): Seq[Row] =
       ManifestSink.history(spark, path).collect().toSeq
+  }
+
+  /** `DESCRIBE DETAIL` — the table's one-row metadata summary
+    * (Delta's DESCRIBE DETAIL): current epoch, file count, byte size,
+    * committed row count (null unless every file carries a `__count`
+    * stats row), the stats-covered columns, the bucket layout if the
+    * whole manifest is single-bucket-per-file, and whether the epoch
+    * carries merge-on-read delete vectors. Pure metadata — no data
+    * file opens. */
+  final case class DetailCommand(path: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("path", StringType), attr("epoch", IntegerType),
+      attr("n_files", IntegerType), attr("size_bytes", LongType),
+      attr("n_rows", LongType), attr("stats_cols", StringType),
+      attr("bucket", StringType), attr("has_dv", StringType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val e = ManifestSink.currentEpoch(spark, path)
+      val files = ManifestSink.manifestFiles(spark, path, e)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val bytes = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+      val stats = try Some(ManifestSink.statsTable(spark, path, e).collect())
+        catch { case _: Throwable => None }
+      val rootUri = new org.apache.hadoop.fs.Path(path).toUri.getPath
+      val rels = files.map { f =>
+        new org.apache.hadoop.fs.Path(f).toUri.getPath
+          .stripPrefix(rootUri).stripPrefix("/")
+      }.toSet
+      val counts = stats.map(_.filter(r =>
+        r.getString(1) == "__count" && rels(r.getString(0))))
+      val nRows: Any = counts match {
+        case Some(cs) if cs.map(_.getString(0)).toSet == rels =>
+          cs.map(_.getLong(2)).sum
+        case _ => null
+      }
+      val statsCols = stats.map(_.map(_.getString(1))
+        .filterNot(_.startsWith("__")).distinct.sorted.mkString(","))
+        .filter(_.nonEmpty).orNull
+      val bucket = ManifestSink.bucketSpec(spark, path, e)
+        .map(b => s"${b.keyCol}:${b.numBuckets}").orNull
+      Seq(Row(path, e, files.size, bytes, nRows, statsCols, bucket,
+        ManifestSink.commitDv(spark, path, e).isDefined.toString))
+    }
+  }
+
+  /** The persisted MV definition: `_MV.json` at the view root. The
+    * definition is table state, not session state — any later session
+    * can `REFRESH` the view from the sidecar alone. */
+  private val MvFile = "_MV.json"
+  private val MvJsonRe =
+    """\{"src":"([^"]+)","tableKey":"([^"]+)","viewKey":"([^"]+)","valCol":"([^"]+)"\}""".r
+
+  private def readMvDef(spark: SparkSession,
+                        viewRoot: String): (String, String, String, String) = {
+    val p = new org.apache.hadoop.fs.Path(viewRoot, MvFile)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.exists(p), s"$viewRoot is not a materialized view (no $MvFile)")
+    val in = f.open(p)
+    val json = try {
+      val sz = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](sz); in.readFully(buf); new String(buf, "UTF-8")
+    } finally in.close()
+    json.trim match {
+      case MvJsonRe(src, tk, vk, vc) => (src, tk, vk, vc)
+      case other => throw new IllegalStateException(
+        s"malformed $MvFile at $viewRoot: $other")
+    }
+  }
+
+  /** Re-register the view for TRANSPARENT ROUTING ([[graft.plans
+    * .MatViews]] / MvRoute): after this, a plain
+    * `SELECT g, count(*), sum(v) FROM src GROUP BY g` rewrites onto
+    * the view table. Registration pins the source's CURRENT analyzed
+    * plan, so a source that advances past the view stops routing
+    * (freshness by construction) until the next REFRESH re-registers. */
+  private def registerMv(spark: SparkSession, viewRoot: String, src: String,
+                         viewKey: String, valCol: String): Unit =
+    graft.plans.MatViews.register(s"mv:$viewRoot",
+      ManifestSink.read(spark, src), Seq(viewKey),
+      Map(graft.plans.MatViews.AggKey("count", None) -> "cnt",
+        graft.plans.MatViews.AggKey("sum", Some(valCol)) -> "sum_value"),
+      () => ManifestSink.read(spark, viewRoot))
+
+  /** `CREATE MATERIALIZED VIEW <view> KEY <srcKey> AS SELECT <g>,
+    * COUNT(*) AS cnt, SUM(<v>) AS sum_value FROM <src> GROUP BY <g>`
+    * — the SQL surface of [[graft.sink.IncrementalView]]: persists the
+    * definition sidecar, runs the initial refresh (the view becomes a
+    * real manifest table), and registers the view for transparent
+    * aggregate routing. Later `REFRESH MATERIALIZED VIEW` calls fold
+    * only the source epochs committed since (change-feed-bounded
+    * work, never a recompute), and replayed refreshes no-op through
+    * the view's own txn cursor. */
+  final case class CreateMvCommand(viewPath: String, srcPath: String,
+                                   tableKey: String, viewKey: String,
+                                   valCol: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("view", StringType), attr("src", StringType),
+      attr("view_epoch", IntegerType), attr("src_epoch", IntegerType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val p = new org.apache.hadoop.fs.Path(viewPath, MvFile)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.mkdirs(new org.apache.hadoop.fs.Path(viewPath))
+      val out = f.create(p, false) // refuse to clobber an existing view
+      try out.write(
+        (s"""{"src":"$srcPath","tableKey":"$tableKey",""" +
+          s""""viewKey":"$viewKey","valCol":"$valCol"}""").getBytes("UTF-8"))
+      finally out.close()
+      val e = graft.sink.IncrementalView.refresh(spark, srcPath, viewPath,
+        tableKey, viewKey, valCol)
+      registerMv(spark, viewPath, srcPath, viewKey, valCol)
+      Seq(Row(viewPath, srcPath, e,
+        ManifestSink.currentEpoch(spark, srcPath)))
+    }
+  }
+
+  /** `REFRESH MATERIALIZED VIEW <view>` — fold the source epochs
+    * committed since the last refresh into the view (see
+    * [[CreateMvCommand]]); an up-to-date view returns its current
+    * epoch unchanged. */
+  final case class RefreshMvCommand(viewPath: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("view", StringType), attr("view_epoch", IntegerType),
+      attr("src_epoch", IntegerType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (src, tableKey, viewKey, valCol) = readMvDef(spark, viewPath)
+      val e = graft.sink.IncrementalView.refresh(spark, src, viewPath,
+        tableKey, viewKey, valCol)
+      registerMv(spark, viewPath, src, viewKey, valCol)
+      Seq(Row(viewPath, e, ManifestSink.currentEpoch(spark, src)))
+    }
   }
 }

@@ -572,6 +572,42 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("one-side-bucketed join shuffles ONLY the unbucketed side via the V2 bucket function") {
+    ensureCatalog()
+    val base = tmpDir("gcat_spj1_")
+    val r1 = s"$base/a"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    ev.filter(col("event_id") < 500).createOrReplaceTempView("spj1_a")
+    spark.sql(s"CREATE TABLE graft.`$r1` PARTITIONED BY (bucket(4, user_id)) " +
+      "AS SELECT * FROM spj1_a")
+    // the other side is a plain view — NOT storage-partitioned
+    ev.filter(col("event_id") < 100)
+      .select(col("user_id"), col("event_id").as("probe_id"))
+      .createOrReplaceTempView("spj1_dim")
+    withSpjConfs {
+      val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.shuffle.enabled")
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      try {
+        val out = spark.sql(
+          s"""SELECT a.user_id, count(*) AS pairs FROM graft.`$r1` a
+             |JOIN spj1_dim d ON a.user_id = d.user_id
+             |GROUP BY a.user_id""".stripMargin)
+        val n = out.collect().length
+        assert(n > 0)
+        val ex = shuffles(out)
+        // the 100 TB shape: the bucketed fact never moves; the small
+        // side re-shuffles by floorMod(user_id, 4) (our produceResult)
+        assert(ex.size == 1,
+          s"expected exactly the dim-side function shuffle:\n${out.queryExecution.executedPlan}")
+        assert(ex.head.outputPartitioning.numPartitions == 4)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+      }
+    }
+  }
+
   test("bucketed tables refuse null keys and non-bucket partition transforms") {
     ensureCatalog()
     val base = tmpDir("gcat_spjr_")
@@ -588,6 +624,210 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql(s"INSERT INTO graft.`$r` SELECT * FROM spjr_null")
     }
     assert(e.getMessage != null)
+  }
+
+  test("ALTER TABLE ADD COLUMNS: metadata-only evolution, null-filled reads, pinned travel") {
+    val root = mkTable("gcat_alter_", n = 40)
+    val filesBefore = ManifestSink.manifestFiles(spark, root, 1).toSet
+    spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (flag STRING, score BIGINT)")
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+    // pure metadata: epoch 2 shares epoch 1's files byte-for-byte
+    assert(ManifestSink.manifestFiles(spark, root, 2).toSet == filesBefore)
+    val out = spark.sql(
+      s"SELECT event_id, flag, score FROM graft.`$root` WHERE event_id < 3").collect()
+    assert(out.length == 3 && out.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+    // the evolved table accepts new-shape inserts; old rows stay null
+    spark.sql(s"INSERT INTO graft.`$root` " +
+      "SELECT 1000L AS event_id, 1L AS user_id, 0.5D AS value, 'new' AS flag, 7L AS score")
+    val got = spark.sql(
+      s"SELECT flag, score FROM graft.`$root` WHERE event_id = 1000").collect()
+    assert(got.length == 1 && got(0).getString(0) == "new" && got(0).getLong(1) == 7L)
+    // time travel to the pre-evolution epoch keeps the old shape
+    val pinned = spark.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 1")
+    assert(pinned.schema.fieldNames.toSeq == Seq("event_id", "user_id", "value"))
+    // refusals: existing name, nested field, non-add changes
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (flag STRING)")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN flag")
+    }
+  }
+
+  test("CREATE/REFRESH MATERIALIZED VIEW: SQL lifecycle, incremental cursor, routing") {
+    ensureCatalog()
+    val base = tmpDir("gcat_mvsql_")
+    val (src, view) = (s"$base/src", s"$base/view")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    ev.filter(col("event_id") < 100).createOrReplaceTempView("mvsql_a")
+    spark.sql(s"CREATE TABLE graft.`$src` AS SELECT * FROM mvsql_a")
+    val c = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$view` KEY event_id " +
+      s"AS SELECT user_id, COUNT(*) AS cnt, SUM(value) AS sum_value " +
+      s"FROM graft.`$src` GROUP BY user_id").collect()(0)
+    assert(c.getInt(2) == 1 && c.getInt(3) == 1)
+    // view content == recompute
+    def recompute(maxId: Int): Map[Long, Long] =
+      ev.filter(col("event_id") < maxId).groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def viewCounts(): Map[Long, Long] =
+      ManifestSink.read(spark, view).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viewCounts() == recompute(100))
+
+    ev.filter(col("event_id").between(100, 149)).createOrReplaceTempView("mvsql_b")
+    spark.sql(s"INSERT INTO graft.`$src` SELECT * FROM mvsql_b")
+    val r = spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()(0)
+    assert(r.getInt(1) == 2 && r.getInt(2) == 2, s"one refresh epoch: $r")
+    assert(viewCounts() == recompute(150))
+    // an up-to-date view no-ops (the txn cursor)
+    assert(spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`")
+      .collect()(0).getInt(1) == 2)
+    // transparent routing: the registered base is the manifest read —
+    // a matching aggregate's optimized plan loses its Aggregate node
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit, sum => fsum}
+    val routed = ManifestSink.read(spark, src).groupBy("user_id")
+      .agg(fcount(flit(1)).as("cnt"),
+        fsum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("sum_value"))
+    assert(!routed.queryExecution.optimizedPlan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      case _ => false
+    }, s"aggregate must route to the view:\n${routed.queryExecution.optimizedPlan}")
+    // a second CREATE refuses to clobber the existing view
+    intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.`$view` KEY event_id " +
+        s"AS SELECT user_id, COUNT(*) AS cnt, SUM(value) AS sum_value " +
+        s"FROM graft.`$src` GROUP BY user_id")
+    }
+    graft.plans.MatViews.deregister(s"mv:$view")
+  }
+
+  test("readStream.table tails a catalog table: snapshot then delta, restart resumes, rewrite refused") {
+    ensureCatalog()
+    val base = tmpDir("gcat_rst_")
+    val root = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    ev.filter(col("event_id") < 100).createOrReplaceTempView("rst_a")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM rst_a")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def start() = spark.readStream.table(s"graft.`$root`")
+      .select("event_id") // column pruning through the streaming scan
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized { batches += ((id, b.count())) }; ()
+      }.start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      ev.filter(col("event_id").between(100, 149)).createOrReplaceTempView("rst_b")
+      spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM rst_b")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // an epoch lands while no query runs; restart resumes at the
+    // checkpointed epoch offset and reads only the missed delta
+    ev.filter(col("event_id").between(150, 169)).createOrReplaceTempView("rst_c")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM rst_c")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches.toSeq == Seq((0L, 100L), (1L, 50L), (2L, 20L)),
+      s"snapshot + two deltas, never a re-read; got $batches")
+
+    // a CoW rewrite breaks the append-only contract: the tail fails
+    // fast instead of re-streaming carried rows
+    spark.sql(s"DELETE FROM graft.`$root` WHERE event_id IN (7)")
+    val q3 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")), e.getMessage)
+  }
+
+  test("DESCRIBE DETAIL and TIMESTAMP AS OF complete the audit surface") {
+    ensureCatalog()
+    val base = tmpDir("gcat_det_")
+    val root = s"$base/t"
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("event_id") < 100).createOrReplaceTempView("det_a")
+    spark.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (bucket(4, user_id)) " +
+      "AS SELECT * FROM det_a")
+    val d = spark.sql(s"DESCRIBE DETAIL graft.`$root`").collect()(0)
+    assert(d.getInt(1) == 1)
+    assert(d.getInt(2) == ManifestSink.manifestFiles(spark, root, 1).size)
+    assert(d.getLong(3) > 0L)
+    assert(d.getLong(4) == 100L, s"committed __count rows: $d")
+    // zone maps cover integral + string columns; `value` is a double
+    assert(d.getString(5).split(",").toSet == Set("event_id", "user_id"))
+    assert(d.getString(6) == "user_id:4")
+    assert(d.getString(7) == "false")
+
+    // TIMESTAMP AS OF: a timestamp after epoch 1 but before epoch 2
+    // resolves to epoch 1 (marker creation time is the commit instant)
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100) // fs mtime granularity is one second
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("event_id").between(100, 119)).createOrReplaceTempView("det_b")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM det_b")
+    val tsLit = new java.sql.Timestamp(between).toString
+    val pinned = spark.sql(
+      s"SELECT count(*) AS c FROM graft.`$root` TIMESTAMP AS OF '$tsLit'")
+      .collect()(0).getLong(0)
+    assert(pinned == 100L, s"timestamp travel must see epoch 1 only: $pinned")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+      .collect()(0).getLong(0) == 120L)
+    // a timestamp before any commit is refused
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$root` TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        .collect()
+    }
+  }
+
+  test("writeStream.toTable commits one txn epoch per micro-batch; restart accumulates") {
+    ensureCatalog()
+    val base = tmpDir("gcat_wst_")
+    val root = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    spark.sql(s"CREATE TABLE graft.`$root` (event_id BIGINT, value DOUBLE)")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    def start() = mem.toDF().toDF("event_id", "value")
+      .writeStream.option("checkpointLocation", ckpt)
+      .option("statsCols", "event_id")
+      .toTable(s"graft.`$root`")
+
+    val rows = ev.filter(col("event_id") < 60).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    mem.addData(rows.take(30).toSeq: _*)
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      mem.addData(rows.slice(30, 50).toSeq: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(ManifestSink.currentEpoch(spark, root) == 2, "one epoch per batch")
+    // txn bookkeeping carries the batch ids
+    assert(ManifestSink.lastCommittedVersion(spark, root, s"graft-sink[$root]")
+      .contains(1L))
+    // restart from the checkpoint: new data lands, nothing replays
+    mem.addData(rows.slice(50, 60).toSeq: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ManifestSink.currentEpoch(spark, root) == 3)
+    val got = spark.sql(s"SELECT event_id FROM graft.`$root`")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == rows.map(_._1).sorted.toSeq, "no duplicates, no losses")
+    // the streamed statsCols prune a range read
+    val (_, hit, total) = ManifestSink.readRangePruned(spark, root, "event_id", 0L, 5L)
+    assert(hit < total, s"streamed zone maps must prune: $hit of $total")
   }
 
   test("catalog scan refuses a merge-on-read DV epoch rather than resurrecting deletes") {
