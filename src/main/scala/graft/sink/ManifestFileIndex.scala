@@ -75,6 +75,27 @@ final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
       .groupBy(r => (r.getString(0), r.getString(1).stripPrefix("__dict:")))
       .map { case (k, rs) => k -> rs.map(_.getString(4)).toSet }
 
+  /** Bucketed layouts (see ManifestSink.bucketStats): column ->
+    * (numBuckets, rel -> bucket id). A point lookup on the bucket key
+    * keeps only the files of floorMod(v, n)'s bucket — the
+    * hash-layout point tier that needs no per-value state at all
+    * (where min/max are blind and dictionaries would overflow). */
+  private val bucketSpecs: Map[String, (Int, Map[String, Int])] =
+    statRows.filter(r => r.getString(1).startsWith("__bucket:") && !r.isNullAt(2))
+      .groupBy(_.getString(1))
+      .flatMap { case (spec, rs) =>
+        spec.split(":", 3) match {
+          case Array(_, c, n) =>
+            Some(c -> (n.toInt, rs.map(r => r.getString(0) -> r.getLong(2).toInt).toMap))
+          case _ => None
+        }
+      }
+
+  private def bucketMayMatch(rel: String, colName: String, v: Long): Boolean =
+    bucketSpecs.get(colName).forall { case (n, fb) =>
+      fb.get(rel).forall(_ == java.lang.Math.floorMod(v, n.toLong).toInt)
+    }
+
   /** Per-file bloom filters (see ManifestSink.bloomStats): the
     * high-cardinality point tier — (rel, col) -> (m, k, hex bitmap).
     * Probed for EqualTo/In where no dictionary covers the file. */
@@ -144,10 +165,13 @@ final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
         case Some(scala.Right(s)) => strCmp(col, (lo, hi) => onStr(s, lo, hi))
         case None => true
       }
-    // point predicates walk the skipping ladder: exact dictionary,
-    // then bloom probe (no false negatives), then the zone bounds
+    // point predicates walk the skipping ladder: the bucket layout
+    // first (integral keys — a file of the wrong bucket provably
+    // holds no match), then exact dictionary, then bloom probe (no
+    // false negatives), then the zone bounds
     def point(colName: String, v: Any): Boolean =
       lit(v) match {
+        case Some(scala.Left(l)) if !bucketMayMatch(rel, colName, l) => false
         case Some(scala.Left(l)) => dictLong.get((rel, colName)) match {
           case Some(s) => s.contains(l)
           case None => bloomMayContain(rel, colName, scala.Left(l)).getOrElse(

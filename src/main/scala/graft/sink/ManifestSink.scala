@@ -645,20 +645,37 @@ object ManifestSink {
                                   dirName: String, appId: String,
                                   version: Long,
                                   statsCols: Seq[String] = Nil): Boolean = {
-    if (lastCommittedVersion(spark, root, appId).exists(_ >= version)) return false
-    val dirPath = new org.apache.hadoop.fs.Path(s"$root/$dirName")
-    val f = fs(spark, dirPath)
-    val relFiles =
-      if (!f.exists(dirPath)) Nil
-      else f.listStatus(dirPath).toSeq.map(_.getPath)
-        .filter(_.getName.endsWith(".parquet"))
-        .map(p => s"$dirName/${p.getName}").sorted
+    val stagePath = new org.apache.hadoop.fs.Path(s"$root/$dirName")
+    val f = fs(spark, stagePath)
+    if (lastCommittedVersion(spark, root, appId).exists(_ >= version)) {
+      // replayed batch: its freshly staged files duplicate an already
+      // committed epoch's — drop them now or they leak (no manifest
+      // will ever reference them, and retention sweeps only epoch dirs)
+      f.delete(stagePath, true)
+      return false
+    }
     val next = currentEpochOpt(spark, root).getOrElse(0) + 1
+    val token = newToken()
+    // move the stage into the standard attempt-dir shape BEFORE the
+    // commit: data-epoch=N-aTOKEN is what every retention rule
+    // understands — an in-flight batch stages ABOVE the current epoch
+    // (protected from vacuum), a beaten or replaced attempt is ordinary
+    // epoch-bounded debris. A bespoke stream-dir name would sit outside
+    // those rules and either leak or race the sweeps.
+    val epochDirName = s"data-epoch=$next-a$token"
+    val epochDirPath = new org.apache.hadoop.fs.Path(s"$root/$epochDirName")
+    if (f.exists(stagePath) && !f.rename(stagePath, epochDirPath))
+      throw new IllegalStateException(s"rename $stagePath -> $epochDirPath failed")
+    val relFiles =
+      if (!f.exists(epochDirPath)) Nil
+      else f.listStatus(epochDirPath).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(p => s"$epochDirName/${p.getName}").sorted
     val freshStats =
       if (statsCols.isEmpty) None
       else if (relFiles.isEmpty) Some(emptyStats(spark))
       else Some(fileStats(spark, root, relFiles, statsCols))
-    val fresh = Staged(root, next, newToken(), relFiles, freshStats)
+    val fresh = Staged(root, next, token, relFiles, freshStats)
     val staged =
       if (next <= 1) {
         val sch =
@@ -683,8 +700,13 @@ object ManifestSink {
     try { commitStaged(spark, staged, Some(Txn(appId, version))); true }
     catch {
       case c: ManifestConflictException =>
-        if (lastCommittedVersion(spark, root, appId).exists(_ >= version)) false
-        else throw c
+        if (lastCommittedVersion(spark, root, appId).exists(_ >= version)) {
+          // a concurrent replay of the same batch won: clean no-op —
+          // this attempt's renamed dir is ordinary epoch-bounded
+          // debris for vacuum, but drop it now while we know
+          f.delete(epochDirPath, true)
+          false
+        } else throw c
     }
   }
 
@@ -1604,7 +1626,8 @@ object ManifestSink {
     * not CAS-protected.
     * Time travel remains available across exactly the kept epochs.
     * @return (droppedEpochs, keptEpochs), each sorted. */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 2): (Seq[Int], Seq[Int]) = {
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
+             streamStageGraceMs: Long = 600000L): (Seq[Int], Seq[Int]) = {
     require(keep >= 1, "must keep at least the current epoch")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val f = fs(spark, rootPath)
@@ -1680,6 +1703,19 @@ object ManifestSink {
     orphanFiles(spark, root)
       .filter(p => dataEpochOf(p).exists(_ <= cur))
       .foreach(p => f.delete(new org.apache.hadoop.fs.Path(p), false))
+    // crashed streaming stages: a toTable batch that died between its
+    // file write and its epoch commit leaves an un-renamed
+    // `data-stream-a*` dir no manifest can reference (a committed
+    // batch's dir was renamed into data-epoch=N-aTOKEN form). Those
+    // sit outside the epoch-bounded rules, so sweep by AGE: anything
+    // older than the grace window cannot be a live in-flight batch
+    // (the Delta tombstone-retention discipline).
+    val cutoff = System.currentTimeMillis() - streamStageGraceMs
+    f.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.matches("^data-stream-a[0-9a-f]+$") &&
+        s.getModificationTime < cutoff)
+      .foreach(s => f.delete(s.getPath, true))
     (dropped, kept)
   }
 

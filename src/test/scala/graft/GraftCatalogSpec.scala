@@ -830,6 +830,39 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(hit < total, s"streamed zone maps must prune: $hit of $total")
   }
 
+  test("bucket layout prunes point lookups; crashed stream stages sweep on grace") {
+    ensureCatalog()
+    val base = tmpDir("gcat_bpt_")
+    val root = s"$base/t"
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("event_id") < 800).createOrReplaceTempView("bpt_a")
+    spark.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (bucket(8, user_id)) " +
+      "AS SELECT * FROM bpt_a")
+    val total = ManifestSink.manifestFiles(spark, root, 1).size
+    val bs = ManifestSink.bucketSpec(spark, root, 1).get
+    val probe = Tables.events(spark, sf).agg(max(col("user_id")))
+      .collect()(0).getLong(0) / 2
+    val bucketFiles = bs.fileBuckets.values
+      .count(_ == java.lang.Math.floorMod(probe, 8L).toInt)
+    spark.sql(s"SELECT * FROM graft.`$root` WHERE user_id = $probe").collect()
+    assert(GraftTable.lastPlannedFiles <= bucketFiles && bucketFiles < total,
+      s"point lookup must plan only $probe's bucket: " +
+        s"${GraftTable.lastPlannedFiles} vs bucket=$bucketFiles total=$total")
+
+    // a crashed toTable batch leaves an un-renamed data-stream dir; the
+    // grace-bounded sweep reclaims it, a generous grace protects it
+    val crashed = new org.apache.hadoop.fs.Path(root, "data-stream-adeadbeef01")
+    val fs = crashed.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(crashed)
+    val out = fs.create(new org.apache.hadoop.fs.Path(crashed, "part-0.parquet"))
+    out.write(1); out.close()
+    ManifestSink.vacuum(spark, root, keep = 2, streamStageGraceMs = Long.MaxValue)
+    assert(fs.exists(crashed), "a dir younger than the grace window must survive")
+    ManifestSink.vacuum(spark, root, keep = 2, streamStageGraceMs = -1L)
+    assert(!fs.exists(crashed), "past the grace window the crashed stage sweeps")
+  }
+
   test("catalog scan refuses a merge-on-read DV epoch rather than resurrecting deletes") {
     ensureCatalog()
     val root = tmpDir("gcat_mor_") + "/t"
