@@ -75,6 +75,9 @@ object GraftSqlParser {
   private val OptimizeRe =
     ("(?is)^\\s*OPTIMIZE\\s+" + Tbl +
       "(?:\\s+(CLUSTER|ZORDER)\\s+BY\\s*\\(([^)]+)\\))?(?:\\s+FILES\\s+(\\d+))?\\s*;?\\s*$").r
+  private val OptimizeBucketRe =
+    ("(?is)^\\s*OPTIMIZE\\s+" + Tbl +
+      "\\s+BUCKET\\s+BY\\s*\\(\\s*(\\w+)\\s*\\)\\s+BUCKETS\\s+(\\d+)\\s*;?\\s*$").r
   private val HistoryRe =
     ("(?is)^\\s*DESCRIBE\\s+HISTORY\\s+" + Tbl + "\\s*;?\\s*$").r
   private val ChangesRe =
@@ -102,6 +105,8 @@ object GraftSqlParser {
       case VacuumRe(bq, q, retain) =>
         Some(VacuumCommand(Option(bq).getOrElse(q),
           Option(retain).map(_.toInt).getOrElse(2)))
+      case OptimizeBucketRe(bq, q, keyCol, n) =>
+        Some(OptimizeBucketCommand(Option(bq).getOrElse(q), keyCol, n.toInt))
       case OptimizeRe(bq, q, kind, cols, files) =>
         Some(OptimizeCommand(Option(bq).getOrElse(q),
           Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
@@ -124,7 +129,8 @@ object GraftSqlParser {
       case LeadRe(kw) => throw new IllegalArgumentException(
         s"malformed graft maintenance statement (keyword ${kw.toUpperCase}): " +
           s"$sqlText\nexpected: VACUUM <tbl> [RETAIN n EPOCHS] | OPTIMIZE <tbl> " +
-          "[CLUSTER BY (cols) | ZORDER BY (c1, c2)] [FILES n] | DESCRIBE " +
+          "[CLUSTER BY (cols) | ZORDER BY (c1, c2)] [FILES n] | OPTIMIZE <tbl> " +
+          "BUCKET BY (col) BUCKETS n | DESCRIBE " +
           "HISTORY <tbl> | DESCRIBE CHANGES <tbl> KEY <col> FROM <e1> TO <e2> | " +
           "CREATE MATERIALIZED VIEW <tbl> KEY <srcKey> AS SELECT <g>, COUNT(*) " +
           "AS cnt, SUM(<v>) AS sum_value FROM <tbl> GROUP BY <g> | " +
@@ -205,6 +211,39 @@ object GraftSqlParser {
           }
           ManifestSink.compact(spark, path, cols, files)
         }
+      val after = ManifestSink.manifestFiles(spark, path, next).size
+      Seq(Row(path, next, before, after))
+    }
+  }
+
+  /** `OPTIMIZE ... BUCKET BY (col) BUCKETS n` — RE-BUCKET an existing
+    * table into the storage-partitioned-join layout (the
+    * liquid-reclustering move): one full rewrite epoch laying every
+    * row into floorMod(col, n)'s single-bucket file, fresh zone maps
+    * for all prior stats columns, and the `_BUCKET.json` sidecar
+    * updated so FUTURE inserts keep the layout. After this, the table
+    * SPJ-joins against any same-spec table with zero shuffles. */
+  final case class OptimizeBucketCommand(path: String, keyCol: String,
+                                         buckets: Int)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("path", StringType), attr("new_epoch", IntegerType),
+      attr("files_before", IntegerType), attr("files_after", IntegerType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cur = ManifestSink.currentEpoch(spark, path)
+      val before = ManifestSink.manifestFiles(spark, path, cur).size
+      val existing = ManifestSink.statsTable(spark, path, cur)
+        .select("col").distinct().collect().map(_.getString(0))
+        .filterNot(_.startsWith("__")).sorted.toSeq
+      val next = cur + 1
+      ManifestSink.publishBucketed(ManifestSink.read(spark, path), path, next,
+        keyCol, buckets, (keyCol +: existing).distinct)
+      // future INSERTs through the catalog keep the layout
+      val p = new org.apache.hadoop.fs.Path(path, graft.catalog.GraftTable.BucketFile)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = f.create(p, true)
+      try out.write(s"""{"col":"$keyCol","n":$buckets}""".getBytes("UTF-8"))
+      finally out.close()
       val after = ManifestSink.manifestFiles(spark, path, next).size
       Seq(Row(path, next, before, after))
     }

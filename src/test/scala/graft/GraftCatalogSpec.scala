@@ -863,6 +863,42 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(!fs.exists(crashed), "past the grace window the crashed stage sweeps")
   }
 
+  test("OPTIMIZE BUCKET BY re-buckets a plain table into the SPJ layout") {
+    ensureCatalog()
+    val base = tmpDir("gcat_rebkt_")
+    val (r1, r2) = (s"$base/a", s"$base/b")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    // r1 starts as a PLAIN (range-clustered) table; r2 is born bucketed
+    ev.filter(col("event_id") < 500).createOrReplaceTempView("rebkt_a")
+    ev.filter(col("event_id") < 300).createOrReplaceTempView("rebkt_b")
+    spark.sql(s"CREATE TABLE graft.`$r1` AS SELECT * FROM rebkt_a")
+    spark.sql(s"CREATE TABLE graft.`$r2` PARTITIONED BY (bucket(4, user_id)) " +
+      "AS SELECT * FROM rebkt_b")
+    assert(ManifestSink.bucketSpec(spark, r1, 1).isEmpty)
+    val r = spark.sql(
+      s"OPTIMIZE graft.`$r1` BUCKET BY (user_id) BUCKETS 4").collect()(0)
+    assert(r.getInt(1) == 2)
+    assert(ManifestSink.bucketSpec(spark, r1, 2).exists(_.numBuckets == 4))
+    // content preserved
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$r1`")
+      .collect()(0).getLong(0) == 500)
+    // future inserts keep the layout (the sidecar was updated)
+    ev.filter(col("event_id").between(500, 539)).createOrReplaceTempView("rebkt_c")
+    spark.sql(s"INSERT INTO graft.`$r1` SELECT * FROM rebkt_c")
+    assert(ManifestSink.bucketSpec(spark, r1, 3).isDefined)
+    // and the re-bucketed table SPJ-joins the born-bucketed one
+    withSpjConfs {
+      val out = spark.sql(
+        s"""SELECT a.user_id, count(*) AS pairs FROM graft.`$r1` a
+           |JOIN graft.`$r2` b ON a.user_id = b.user_id
+           |GROUP BY a.user_id""".stripMargin)
+      out.collect()
+      assert(shuffles(out).isEmpty,
+        s"re-bucketed SPJ:\n${out.queryExecution.executedPlan}")
+    }
+  }
+
   test("catalog scan refuses a merge-on-read DV epoch rather than resurrecting deletes") {
     ensureCatalog()
     val root = tmpDir("gcat_mor_") + "/t"
