@@ -2515,6 +2515,40 @@ object Registry {
         |SELECT event_id, user_id, value, 'delete', CAST(3 AS INTEGER)
         |FROM events WHERE event_id IN (5, 7)
         |ORDER BY _commit_epoch, _change_type, event_id""".stripMargin),
+    // TIMESTAMP ZONE MAPS (round 12): time-range scans are the
+    // reference's primary access pattern (init.cql clusters rows by
+    // timestamp) — catalog writes now commit per-file (min, max) of
+    // timestamp columns AS MICROS (Spark's own literal encoding), so
+    // a SQL ts-range predicate prunes the FILE LIST at planning time
+    // on a time-clustered table, and global min(ts)/max(ts) answer
+    // from metadata alone. skip_ok gates planned < total.
+    "q_catalog_time_skip" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_ctsk_") + "/t"
+        events(s, d).select(col("event_id"), col("ts"), col("user_id"),
+            col("value"))
+          .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+          .createOrReplaceTempView("ctsk_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM ctsk_src")
+        val out = s.sql(
+          s"""SELECT event_id, ts, user_id, value FROM graft.`$root`
+             |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+             |ORDER BY event_id""".stripMargin)
+        val rows = out.collect()
+        val total = graft.sink.ManifestSink.manifestFiles(s, root, 1).size
+        val skipOk = graft.catalog.GraftTable.lastPlannedFiles >= 1 &&
+          graft.catalog.GraftTable.lastPlannedFiles < total
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .withColumn("skip_ok", lit(skipOk))
+      },
+      """SELECT event_id, ts, user_id, value, TRUE AS skip_ok FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY event_id""".stripMargin),
     // CATALOG STREAMING SINK (round 12): writeStream.toTable against a
     // graft catalog table — DSv2 STREAMING_WRITE: each micro-batch
     // stages through Spark's own distributed parquet write, then

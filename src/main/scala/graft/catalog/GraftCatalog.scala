@@ -414,13 +414,16 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     new GraftScanBuilder(spark, dir, e, schema(), readOptions = options)
   }
 
-  /** All-column zone maps for SQL-written epochs: every integral and
-    * string top-level column gets per-file (min, max), so catalog
-    * writes prune like API writes with explicit statsCols. */
+  /** All-column zone maps for SQL-written epochs: every integral,
+    * string, timestamp, and date top-level column gets per-file
+    * (min, max), so catalog writes prune like API writes with
+    * explicit statsCols — time-range scans included. */
   private def statsColsOf(s: StructType): Seq[String] =
     s.fields.toSeq.collect {
-      case f if Seq(LongType, IntegerType, ShortType, ByteType,
-        StringType).contains(f.dataType) => f.name
+      case f if Seq(LongType, IntegerType, ShortType, ByteType, StringType,
+        org.apache.spark.sql.types.TimestampType,
+        org.apache.spark.sql.types.TimestampNTZType,
+        org.apache.spark.sql.types.DateType).contains(f.dataType) => f.name
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -664,6 +667,10 @@ final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
             case IntegerType => Some(v.toInt)
             case ShortType => Some(v.toShort)
             case ByteType => Some(v.toByte)
+            // stats store micros/days — exactly the internal encoding
+            case org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.TimestampNTZType => Some(v)
+            case org.apache.spark.sql.types.DateType => Some(v.toInt)
             case _ => None
           }
         }
@@ -1179,6 +1186,13 @@ object GraftFileScan {
     def lit(v: Any): Option[Literal] = v match {
       case null => None
       case _: Long | _: Int | _: Short | _: Byte | _: String =>
+        Some(Literal.create(v))
+      // Literal.create converts to catalyst micros/days — the same
+      // encoding the committed stats store, so mayMatch compares
+      // like with like
+      case _: java.sql.Timestamp | _: java.time.Instant |
+           _: java.time.LocalDateTime | _: java.sql.Date |
+           _: java.time.LocalDate =>
         Some(Literal.create(v))
       case _ => None
     }

@@ -714,9 +714,29 @@ object ManifestSink {
 
   /** Per-file per-column (min, max) rows for freshly staged files —
     * one distributed pass grouped by input_file_name, one stats row
-    * per (file, column). Integral columns land in (lo_long, hi_long),
-    * strings in (lo_str, hi_str); anything else is rejected (floats
-    * would need NaN-ordering care; add when a caller needs them). */
+    * per (file, column). Integral, timestamp, and date columns land
+    * in (lo_long, hi_long) — timestamps as MICROS since the epoch
+    * (exactly Spark's own literal encoding, so pruning compares like
+    * with like; NTZ converts under the pinned-UTC session), dates as
+    * DAYS — strings in (lo_str, hi_str); anything else is rejected
+    * (floats would need NaN-ordering care; add when a caller needs
+    * them). Time-range scans are the reference's primary access
+    * pattern (`cassandra/init.cql:25` clusters by timestamp), so the
+    * ts column pruning the FILE LIST is the manifest-level spelling
+    * of that layout. */
+  private[sink] def statLongExpr(c: org.apache.spark.sql.Column,
+                                 dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType => unix_micros(c)
+      case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case DateType => datediff(c, lit(java.sql.Date.valueOf("1970-01-01")))
+      case _ => c
+    }
+  }
+
   private def fileStats(spark: SparkSession, root: String,
                         relFiles: Seq[String], statsCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -725,13 +745,17 @@ object ManifestSink {
     val schema = df.schema
     statsCols.foreach { c =>
       schema(c).dataType match {
-        case LongType | IntegerType | ShortType | ByteType | StringType => ()
+        case LongType | IntegerType | ShortType | ByteType | StringType |
+             TimestampType | TimestampNTZType | DateType => ()
         case other => throw new IllegalArgumentException(
-          s"zone maps support integral and string columns; $c is $other")
+          s"zone maps support integral, string, timestamp, and date " +
+            s"columns; $c is $other")
       }
     }
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c"))) :+
+    val aggs = statsCols.flatMap { c =>
+      val e = statLongExpr(col(c), schema(c).dataType)
+      Seq(min(e).as(s"__lo_$c"), max(e).as(s"__hi_$c"))
+    } :+
       count(lit(1)).as("__cnt")
     // relative path = last two segments (layout is always root/dir/file)
     val parts = split(col("__f"), "/")

@@ -608,6 +608,53 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("partially-clustered SPJ: a skewed bucket still joins shuffle-free") {
+    ensureCatalog()
+    val base = tmpDir("gcat_spjs_")
+    val (r1, r2) = (s"$base/fact", s"$base/dim")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    // fact: user_id skewed hard onto one bucket (all rows keyed 4 -> bucket 0)
+    ev.filter(col("event_id") < 600)
+      .withColumn("user_id",
+        when(col("event_id") < 500, lit(4L)).otherwise(col("user_id")))
+      .createOrReplaceTempView("spjs_fact")
+    ev.filter(col("event_id") < 200).createOrReplaceTempView("spjs_dim")
+    spark.sql(s"CREATE TABLE graft.`$r1` PARTITIONED BY (bucket(4, user_id)) " +
+      "AS SELECT * FROM spjs_fact")
+    spark.sql(s"CREATE TABLE graft.`$r2` PARTITIONED BY (bucket(4, user_id)) " +
+      "AS SELECT * FROM spjs_dim")
+    withSpjConfs {
+      val prev = spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      try {
+        // under partial clustering the replicated partitions are no
+        // longer key-grouped for DOWNSTREAM operators, so pin the
+        // JOIN itself: both inputs scan directly, zero exchanges
+        // below the join
+        val out = spark.sql(
+          s"""SELECT f.user_id, f.event_id, d.event_id AS d_event
+             |FROM graft.`$r1` f JOIN graft.`$r2` d ON f.user_id = d.user_id""".stripMargin)
+        val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sorted
+        assert(shuffles(out).isEmpty,
+          s"skewed SPJ must stay shuffle-free:\n${out.queryExecution.executedPlan}")
+        val exp = spark.sql(
+          """SELECT f.user_id, f.event_id, d.event_id AS d_event
+            |FROM spjs_fact f JOIN spjs_dim d ON f.user_id = d.user_id""".stripMargin)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+        assert(got.toSeq == exp.toSeq)
+      } finally prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      }
+    }
+  }
+
   test("bucketed tables refuse null keys and non-bucket partition transforms") {
     ensureCatalog()
     val base = tmpDir("gcat_spjr_")
@@ -897,6 +944,39 @@ class GraftCatalogSpec extends SparkTestBase {
       assert(shuffles(out).isEmpty,
         s"re-bucketed SPJ:\n${out.queryExecution.executedPlan}")
     }
+  }
+
+  test("timestamp zone maps: SQL time-range predicates prune the file list; meta-agg answers min/max ts") {
+    ensureCatalog()
+    val root = tmpDir("gcat_ts_") + "/t"
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+      .createOrReplaceTempView("ts_src")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM ts_src")
+    val total = ManifestSink.manifestFiles(spark, root, 1).size
+    assert(total > 1)
+    val got = spark.sql(
+      s"""SELECT count(*) AS c FROM graft.`$root`
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts <  TIMESTAMP '2024-01-12 00:00:00'""".stripMargin)
+      .collect()(0).getLong(0)
+    // NOTE: count(*) under a residual filter refuses the meta-agg path,
+    // so this is a real scan — planned-file evidence applies
+    val planned = GraftTable.lastPlannedFiles
+    assert(planned >= 1 && planned < total,
+      s"ts range must prune: $planned of $total")
+    val expect = Tables.events(spark, sf)
+      .filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-12").count()
+    assert(got == expect, s"pruning must stay advisory: $got vs $expect")
+    // metadata-only min/max over the ts column
+    val mm = spark.sql(s"SELECT min(ts) AS lo, max(ts) AS hi FROM graft.`$root`")
+      .collect()(0)
+    assert(GraftTable.lastMetaAggOnly, "global ts min/max answers from metadata")
+    val real = Tables.events(spark, sf)
+      .agg(min(col("ts")), max(col("ts"))).collect()(0)
+    assert(mm.get(0) == real.get(0) && mm.get(1) == real.get(1),
+      s"meta-agg ts bounds exact: $mm vs $real")
   }
 
   test("catalog scan refuses a merge-on-read DV epoch rather than resurrecting deletes") {
