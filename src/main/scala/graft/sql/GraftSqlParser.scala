@@ -96,9 +96,12 @@ object GraftSqlParser {
     ("(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+" + Tbl + "\\s*;?\\s*$").r
   private val DetailRe =
     ("(?is)^\\s*DESCRIBE\\s+DETAIL\\s+" + Tbl + "\\s*;?\\s*$").r
+  private val RestoreRe =
+    ("(?is)^\\s*RESTORE\\s+" + Tbl + "\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
   private val LeadRe =
     ("(?is)^\\s*(VACUUM|OPTIMIZE|DESCRIBE\\s+HISTORY|DESCRIBE\\s+CHANGES" +
-      "|DESCRIBE\\s+DETAIL|CREATE\\s+MATERIALIZED|REFRESH\\s+MATERIALIZED)\\b.*").r
+      "|DESCRIBE\\s+DETAIL|RESTORE|CREATE\\s+MATERIALIZED" +
+      "|REFRESH\\s+MATERIALIZED)\\b.*").r
 
   private[sql] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -126,12 +129,15 @@ object GraftSqlParser {
         Some(RefreshMvCommand(Option(bq).getOrElse(q)))
       case DetailRe(bq, q) =>
         Some(DetailCommand(Option(bq).getOrElse(q)))
+      case RestoreRe(bq, q, to) =>
+        Some(RestoreCommand(Option(bq).getOrElse(q), to.toInt))
       case LeadRe(kw) => throw new IllegalArgumentException(
         s"malformed graft maintenance statement (keyword ${kw.toUpperCase}): " +
           s"$sqlText\nexpected: VACUUM <tbl> [RETAIN n EPOCHS] | OPTIMIZE <tbl> " +
           "[CLUSTER BY (cols) | ZORDER BY (c1, c2)] [FILES n] | OPTIMIZE <tbl> " +
           "BUCKET BY (col) BUCKETS n | DESCRIBE " +
           "HISTORY <tbl> | DESCRIBE CHANGES <tbl> KEY <col> FROM <e1> TO <e2> | " +
+          "DESCRIBE DETAIL <tbl> | RESTORE <tbl> VERSION AS OF <n> | " +
           "CREATE MATERIALIZED VIEW <tbl> KEY <srcKey> AS SELECT <g>, COUNT(*) " +
           "AS cnt, SUM(<v>) AS sum_value FROM <tbl> GROUP BY <g> | " +
           "REFRESH MATERIALIZED VIEW <tbl> " +
@@ -213,6 +219,22 @@ object GraftSqlParser {
         }
       val after = ManifestSink.manifestFiles(spark, path, next).size
       Seq(Row(path, next, before, after))
+    }
+  }
+
+  /** `RESTORE <tbl> VERSION AS OF <n>` — rollback-as-commit (Delta's
+    * RESTORE, Iceberg's rollback-as-snapshot): a NEW epoch re-pins the
+    * target epoch's manifest, stats, schema, and DV — history is never
+    * rewritten, data files are shared, pure metadata (see
+    * [[ManifestSink.rollback]]). */
+  final case class RestoreCommand(path: String, to: Int)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("path", StringType), attr("restored_epoch", IntegerType),
+      attr("new_epoch", IntegerType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val next = ManifestSink.rollback(spark, path, to)
+      Seq(Row(path, to, next))
     }
   }
 

@@ -979,6 +979,20 @@ class GraftCatalogSpec extends SparkTestBase {
       s"meta-agg ts bounds exact: $mm vs $real")
   }
 
+  test("RESTORE VERSION AS OF re-pins a prior epoch as a new commit") {
+    val root = mkTable("gcat_rstr_", n = 50)
+    spark.sql(s"DELETE FROM graft.`$root` WHERE event_id IN (3, 4)")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+      .collect()(0).getLong(0) == 48)
+    val r = spark.sql(s"RESTORE graft.`$root` VERSION AS OF 1").collect()(0)
+    assert(r.getInt(1) == 1 && r.getInt(2) == 3)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+      .collect()(0).getLong(0) == 50, "restore undoes the delete")
+    // history preserved: the mistaken epoch is still pinned
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 2")
+      .collect()(0).getLong(0) == 48)
+  }
+
   test("catalog scan refuses a merge-on-read DV epoch rather than resurrecting deletes") {
     ensureCatalog()
     val root = tmpDir("gcat_mor_") + "/t"
