@@ -1134,7 +1134,8 @@ final class GraftStreamingWrite(dir: String, info: LogicalWriteInfo,
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     delegate.commit(messages) // finalize the file commit protocol
     ManifestSink.commitIdempotentAppendFiles(SparkSession.active, dir,
-      stagedDir, appId, epochId, statsCols): Unit
+      stagedDir, appId, epochId, statsCols,
+      schemaFallback = Some(tableSchema)): Unit
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

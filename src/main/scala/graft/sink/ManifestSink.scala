@@ -644,7 +644,8 @@ object ManifestSink {
   def commitIdempotentAppendFiles(spark: SparkSession, root: String,
                                   dirName: String, appId: String,
                                   version: Long,
-                                  statsCols: Seq[String] = Nil): Boolean = {
+                                  statsCols: Seq[String] = Nil,
+                                  schemaFallback: Option[org.apache.spark.sql.types.StructType] = None): Boolean = {
     val stagePath = new org.apache.hadoop.fs.Path(s"$root/$dirName")
     val f = fs(spark, stagePath)
     if (lastCommittedVersion(spark, root, appId).exists(_ >= version)) {
@@ -679,7 +680,7 @@ object ManifestSink {
     val staged =
       if (next <= 1) {
         val sch =
-          if (relFiles.isEmpty) None
+          if (relFiles.isEmpty) schemaFallback.map(s => asNullable(s).json)
           else Some(asNullable(spark.read
             .parquet(relFiles.map(r => s"$root/$r"): _*).schema).json)
         fresh.copy(schemaJson = sch)
