@@ -2515,6 +2515,49 @@ object Registry {
         |SELECT event_id, user_id, value, 'delete', CAST(3 AS INTEGER)
         |FROM events WHERE event_id IN (5, 7)
         |ORDER BY _commit_epoch, _change_type, event_id""".stripMargin),
+    // SQL CHECK CONSTRAINTS (round 12): ALTER TABLE ... ADD CONSTRAINT
+    // ... CHECK (Spark 4's ANSI-constraint DDL over the catalog) —
+    // persisted as table state, reported ENFORCED through the DSv2
+    // constraint surface, and enforced on EVERY write path
+    // (INSERT / streaming toTable / MERGE-UPDATE replacement files) by
+    // one staged-file audit pass BEFORE the commit CAS: a violating
+    // batch is never visible to readers (write-audit-publish).
+    // chk_ok gates the rejected insert (epoch unmoved) + the lifted
+    // gate after DROP CONSTRAINT.
+    "q_catalog_constraint" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cchk_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 100).createOrReplaceTempView("cchk_a")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cchk_a")
+        s.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT ev_bound " +
+          "CHECK (event_id < 100000)")
+        // valid insert passes the audit
+        s.sql(s"INSERT INTO graft.`$root` " +
+          "SELECT 99999L AS event_id, 1L AS user_id, 0.5D AS value")
+        // violating insert rejected BEFORE the commit — epoch unmoved
+        val rejected =
+          try { s.sql(s"INSERT INTO graft.`$root` " +
+            "SELECT 100001L AS event_id, 1L AS user_id, 0.5D AS value"); false }
+          catch { case e: Exception =>
+            (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+              .contains("ev_bound") }
+        val epochHeld = graft.sink.ManifestSink.currentEpoch(s, root) == 2
+        s.sql(s"ALTER TABLE graft.`$root` DROP CONSTRAINT ev_bound")
+        s.sql(s"INSERT INTO graft.`$root` " +
+          "SELECT 100001L AS event_id, 1L AS user_id, 0.5D AS value")
+        s.sql(s"SELECT * FROM graft.`$root`")
+          .withColumn("chk_ok", lit(rejected && epochHeld))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, value, TRUE AS chk_ok FROM events
+        |WHERE event_id < 100
+        |UNION ALL SELECT 99999, 1, 0.5, TRUE
+        |UNION ALL SELECT 100001, 1, 0.5, TRUE
+        |ORDER BY event_id""".stripMargin),
     // TIMESTAMP ZONE MAPS (round 12): time-range scans are the
     // reference's primary access pattern (init.cql clusters rows by
     // timestamp) — catalog writes now commit per-file (min, max) of

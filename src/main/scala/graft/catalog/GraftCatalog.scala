@@ -81,6 +81,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     * `KeyGroupedPartitioning(bucket(n, key))` to the SAME bound
     * function and plan the join storage-partitioned (zero shuffles).
     * See [[GraftBucketFunction]]. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
     else Array.empty
@@ -235,15 +238,49 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!existsAsTable(dir)) throw new NoSuchTableException(ident)
-    val added = changes.map {
+    // CHECK constraints (the Delta/DLT constraint surface through
+    // Spark 4's native ANSI-constraint DDL): ADD/DROP CONSTRAINT
+    // persists to the `_CONSTRAINTS.json` sidecar; the table REPORTS
+    // them via constraints(), and enforcement happens on every INSERT
+    // (see insertImpl — staged files audit before the commit CAS, the
+    // write-audit-publish discipline, so a violating batch is never
+    // visible to readers).
+    val constraintChanges = changes.collect {
+      case a: TableChange.AddConstraint => a
+      case d: TableChange.DropConstraint => d
+    }
+    constraintChanges.foreach {
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          val cur = GraftTable.readConstraints(spark, dir)
+          require(!cur.exists(_._1 == c.name),
+            s"constraint ${c.name} already exists on $dir")
+          GraftTable.writeConstraints(spark, dir, cur :+ (c.name, c.predicateSql))
+        case other => throw new UnsupportedOperationException(
+          s"graft tables support CHECK constraints only; got $other")
+      }
+      case d: TableChange.DropConstraint =>
+        val cur = GraftTable.readConstraints(spark, dir)
+        if (!d.ifExists) require(cur.exists(_._1 == d.name),
+          s"no constraint ${d.name} on $dir")
+        GraftTable.writeConstraints(spark, dir, cur.filterNot(_._1 == d.name))
+    }
+    val added = changes.collect {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"graft ADD COLUMNS is top-level only; got ${a.fieldNames.mkString(".")}")
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType, nullable = true)
-      case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports ADD COLUMNS only; got $other")
     }
+    val handled = changes.forall {
+      case _: TableChange.AddColumn | _: TableChange.AddConstraint |
+           _: TableChange.DropConstraint => true
+      case _ => false
+    }
+    if (!handled) throw new UnsupportedOperationException(
+      s"graft ALTER TABLE supports ADD COLUMNS and ADD/DROP CONSTRAINT " +
+        s"(CHECK) only; got ${changes.mkString(", ")}")
+    if (added.isEmpty) return new GraftTable(dir, ident.toString, None)
     val addedStruct = StructType(added.toArray)
     ManifestSink.currentEpochOpt(spark, dir) match {
       case Some(_) => ManifestSink.evolveSchema(spark, dir, addedStruct): Unit
@@ -291,6 +328,71 @@ object GraftTable {
     * reporting any partitioning (the sidecar declares intent, the
     * stats table proves it). */
   val BucketFile = "_BUCKET.json"
+
+  /** CHECK constraints: one `{"name":…,"sql":…}` JSON line per
+    * constraint. Table state, not session state — any session
+    * enforces them on its inserts after reading the sidecar. */
+  val ConstraintsFile = "_CONSTRAINTS.json"
+
+  private[catalog] def readConstraints(spark: SparkSession,
+                                       dir: String): Seq[(String, String)] = {
+    val p = new Path(dir, ConstraintsFile)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Nil
+    else {
+      val in = f.open(p)
+      val text = try {
+        val sz = f.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](sz); in.readFully(buf); new String(buf, "UTF-8")
+      } finally in.close()
+      val line = """\{"name":"([^"]+)","sql":"(.*)"\}""".r
+      text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map {
+        case line(n, s) => (n, s.replace("\\\"", "\"").replace("\\\\", "\\"))
+        case other => throw new IllegalStateException(
+          s"malformed $ConstraintsFile line at $dir: $other")
+      }
+    }
+  }
+
+  /** Write-audit-publish enforcement: ONE aggregation pass over the
+    * freshly staged files tallies rows violating each CHECK (SQL
+    * semantics — NULL passes); any violation throws BEFORE the commit
+    * CAS, so a bad batch is never visible to readers and its staged
+    * files are ordinary vacuum debris. Auditing the STAGED files (not
+    * the input plan) certifies what a reader would actually scan.
+    * Shared by the INSERT, streaming toTable, and row-level rewrite
+    * commit paths. */
+  private[catalog] def auditConstraints(spark: SparkSession, dir: String,
+                                        freshRelFiles: Seq[String]): Unit = {
+    val cs = readConstraints(spark, dir)
+    if (cs.isEmpty || freshRelFiles.isEmpty) return
+    import org.apache.spark.sql.functions._
+    val audit = spark.read.parquet(freshRelFiles.map(r => s"$dir/$r"): _*)
+    val counts = audit.select(cs.map { case (n, sql) =>
+      sum(when(not(coalesce(expr(sql), lit(true))), 1L).otherwise(0L)).as(n)
+    }: _*).head()
+    val bad = cs.zipWithIndex.collect {
+      case ((n, sql), i) if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
+        s"$n (CHECK ($sql)): ${counts.getLong(i)} rows"
+    }
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"write to $dir violates CHECK constraints: ${bad.mkString("; ")}")
+  }
+
+  private[catalog] def writeConstraints(spark: SparkSession, dir: String,
+                                        cs: Seq[(String, String)]): Unit = {
+    val p = new Path(dir, ConstraintsFile)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cs.isEmpty) { f.delete(p, false); () }
+    else {
+      val body = cs.map { case (n, s) =>
+        val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"name":"$n","sql":"$esc"}"""
+      }.mkString("", "\n", "\n")
+      val out = f.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** Planning evidence for specs: manifest files the LAST catalog scan
     * planned over, after skipping. */
@@ -403,6 +505,20 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
     }.toArray
 
+  /** The table's CHECK constraints (Spark 4 ANSI-constraint DDL
+    * surface): read from the sidecar, reported ENFORCED + VALID —
+    * every committed epoch passed the insert-time audit. */
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    GraftTable.readConstraints(spark, dir).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(sql)
+        .enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val e = resolvedEpoch.getOrElse(throw new IllegalStateException(
       s"graft table $dir has no committed epoch yet"))
@@ -473,6 +589,10 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
             bucket = bucket)
         else ManifestSink.stageAppend(data, dir, next, stats, unique = true,
           bucket = bucket)
+      // audit only THIS epoch's fresh files (appends carry prior
+      // epochs' already-audited files by reference)
+      GraftTable.auditConstraints(spark, dir,
+        staged.relFiles.filter(_.startsWith(s"data-epoch=$next-")))
       try {
         ManifestSink.commitStaged(spark, staged, None)
         committed = true
@@ -1040,7 +1160,18 @@ final class GraftReplaceWrite(dir: String, baseEpoch: Int,
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       delegate.commit(messages)
-      ManifestSink.commitReplaceGroups(SparkSession.active, dir, baseEpoch,
+      val spark = SparkSession.active
+      // row-level rewrites (MERGE/UPDATE) enforce CHECKs on their
+      // replacement files too — a merge cannot smuggle in violations
+      val stagePath = new Path(s"$dir/$stagedDirName")
+      val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fresh =
+        if (!fs.exists(stagePath)) Nil
+        else fs.listStatus(stagePath).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(p => s"$stagedDirName/${p.getName}")
+      GraftTable.auditConstraints(spark, dir, fresh)
+      ManifestSink.commitReplaceGroups(spark, dir, baseEpoch,
         stagedDirName, op.scannedFiles): Unit
     }
 
@@ -1133,7 +1264,18 @@ final class GraftStreamingWrite(dir: String, info: LogicalWriteInfo,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     delegate.commit(messages) // finalize the file commit protocol
-    ManifestSink.commitIdempotentAppendFiles(SparkSession.active, dir,
+    val spark = SparkSession.active
+    // CHECK constraints gate every micro-batch the same as batch
+    // inserts: audit the staged files, fail the batch pre-CAS
+    val stagePath = new Path(s"$dir/$stagedDir")
+    val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (!fs.exists(stagePath)) Nil
+      else fs.listStatus(stagePath).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(p => s"$stagedDir/${p.getName}")
+    GraftTable.auditConstraints(spark, dir, fresh)
+    ManifestSink.commitIdempotentAppendFiles(spark, dir,
       stagedDir, appId, epochId, statsCols,
       schemaFallback = Some(tableSchema)): Unit
   }

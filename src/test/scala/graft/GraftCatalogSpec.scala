@@ -993,6 +993,51 @@ class GraftCatalogSpec extends SparkTestBase {
       .collect()(0).getLong(0) == 48)
   }
 
+  test("CHECK constraints gate INSERT, MERGE, and DROP CONSTRAINT lifts the gate") {
+    val root = mkTable("gcat_chk_", n = 50)
+    spark.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT ev_pos " +
+      "CHECK (event_id >= 0)")
+    spark.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT val_bound " +
+      "CHECK (value < 1000.0)")
+    // reported back through the DSv2 constraint surface
+    assert(new GraftCatalog { initialize("graft",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())) }
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, root)).constraints().map(_.name()).toSet ==
+      Set("ev_pos", "val_bound"))
+    // a valid insert passes
+    spark.sql(s"INSERT INTO graft.`$root` " +
+      "SELECT 900L AS event_id, 1L AS user_id, 1.5D AS value")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+      .collect()(0).getLong(0) == 51)
+    // a violating insert fails pre-commit: epoch unmoved, content intact
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$root` " +
+        "SELECT -7L AS event_id, 1L AS user_id, 1.5D AS value")
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("ev_pos"), e.getMessage)
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+      .collect()(0).getLong(0) == 51)
+    // a violating MERGE fails too (replacement files audit)
+    spark.sql("SELECT 5L AS event_id, 1L AS user_id, 5000.0D AS value")
+      .createOrReplaceTempView("chk_src")
+    intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING chk_src s ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET t.value = s.value""".stripMargin)
+    }
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+    // DROP CONSTRAINT lifts the gate
+    spark.sql(s"ALTER TABLE graft.`$root` DROP CONSTRAINT ev_pos")
+    spark.sql(s"INSERT INTO graft.`$root` " +
+      "SELECT -7L AS event_id, 1L AS user_id, 1.5D AS value")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+      .collect()(0).getLong(0) == 52)
+  }
+
   test("catalog scan refuses a merge-on-read DV epoch rather than resurrecting deletes") {
     ensureCatalog()
     val root = tmpDir("gcat_mor_") + "/t"
