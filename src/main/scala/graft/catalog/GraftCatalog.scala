@@ -586,9 +586,9 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
       val staged =
         if (overwrite || cur.isEmpty)
           ManifestSink.stage(data, dir, next, stats, unique = true,
-            bucket = bucket)
+            bucket = bucket, hllCols = stats)
         else ManifestSink.stageAppend(data, dir, next, stats, unique = true,
-          bucket = bucket)
+          bucket = bucket, hllCols = stats)
       // audit only THIS epoch's fresh files (appends carry prior
       // epochs' already-audited files by reference)
       GraftTable.auditConstraints(spark, dir,
@@ -909,13 +909,15 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
   // arrive — each call re-prunes with everything known so far
   override def toBatch: Batch = this
 
+  private lazy val allStatRows: Array[org.apache.spark.sql.Row] =
+    try ManifestSink.statsTable(spark, dir, epoch).collect()
+    catch { case _: Throwable => Array.empty }
+
   /** Per-file committed row counts (rel path -> __count), when the
     * epoch carries stats; empty map otherwise. */
   private lazy val fileCounts: Map[String, Long] =
-    try ManifestSink.statsTable(spark, dir, epoch).collect()
-      .filter(r => r.getString(1) == "__count" && !r.isNullAt(2))
+    allStatRows.filter(r => r.getString(1) == "__count" && !r.isNullAt(2))
       .map(r => r.getString(0) -> r.getLong(2)).toMap
-    catch { case _: Throwable => Map.empty }
 
   /** The planned file set under everything known so far: static
     * pushed filters, runtime (join-driven) filters, and — on an
@@ -1063,10 +1065,57 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
         java.util.OptionalLong.of(rels.map(fileCounts).sum)
       else if (rels.isEmpty) java.util.OptionalLong.of(0L)
       else java.util.OptionalLong.empty()
+    // COLUMN statistics from the committed per-file HLL sketches
+    // (Iceberg's puffin-ndv idea): distinct/null counts for exactly
+    // the surviving file subset via a driver-side sketch union —
+    // never a data scan. This is what spark.sql.cbo's join-size
+    // estimates eat; without it a V2 source is a cardinality black
+    // box and the optimizer falls back to row-count heuristics.
+    val relSet = rels.toSet
+    val colStats = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (rels.nonEmpty) {
+      val hllByCol = allStatRows
+        .filter(r => r.getString(1).startsWith("__hll:") && relSet(r.getString(0)))
+        .groupBy(_.getString(1).stripPrefix("__hll:"))
+      hllByCol.foreach { case (c, rs) =>
+        // cover the whole subset or say nothing (a partial union
+        // would understate NDV and mislead the estimator)
+        if (rs.map(_.getString(0)).toSet == relSet) {
+          val u = new org.apache.datasketches.hll.Union(12)
+          rs.foreach { r =>
+            if (!r.isNullAt(4)) {
+              val hexStr = r.getString(4)
+              val bytes = new Array[Byte](hexStr.length / 2)
+              var i = 0
+              while (i < bytes.length) {
+                bytes(i) = Integer.parseInt(
+                  hexStr.substring(2 * i, 2 * i + 2), 16).toByte
+                i += 1
+              }
+              u.update(org.apache.datasketches.hll.HllSketch.heapify(bytes))
+            }
+          }
+          val ndv = Math.max(0L, Math.round(u.getResult.getEstimate))
+          val nulls = allStatRows.filter(r =>
+            r.getString(1) == s"__nulls:$c" && relSet(r.getString(0)) &&
+              !r.isNullAt(2)).map(_.getLong(2)).sum
+          colStats.put(Expressions.column(c),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(ndv)
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(nulls)
+            })
+        }
+      }
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 

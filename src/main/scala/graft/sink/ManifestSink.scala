@@ -115,7 +115,8 @@ object ManifestSink {
             statsCols: Seq[String] = Nil, unique: Boolean = false,
             dictCols: Seq[String] = Nil, dictCap: Int = 256,
             bloomCols: Seq[String] = Nil, bloomBits: Int = 16384,
-            bloomHashes: Int = 5, bucket: Option[(String, Int)] = None): Staged = {
+            bloomHashes: Int = 5, bucket: Option[(String, Int)] = None,
+            hllCols: Seq[String] = Nil): Staged = {
     val spark = df.sparkSession
     val token = newToken()
     val dirName = if (unique) s"data-epoch=$epoch-a$token" else s"data-epoch=$epoch"
@@ -133,7 +134,7 @@ object ManifestSink {
       .sorted
     val stats =
       if (statsCols.isEmpty && dictCols.isEmpty && bloomCols.isEmpty &&
-        bucket.isEmpty) None
+        bucket.isEmpty && hllCols.isEmpty) None
       else if (relFiles.isEmpty) Some(emptyStats(spark))
       else {
         val zone =
@@ -149,7 +150,11 @@ object ManifestSink {
           case Some((k, n)) => bucketStats(spark, root, relFiles, k, n)
           case None => emptyStats(spark)
         }
-        Some(zone.unionByName(dict).unionByName(bloom).unionByName(buck))
+        val hll =
+          if (hllCols.isEmpty) emptyStats(spark)
+          else hllStats(spark, root, relFiles, hllCols)
+        Some(zone.unionByName(dict).unionByName(bloom).unionByName(buck)
+          .unionByName(hll))
       }
     Staged(root, epoch, token, relFiles, stats,
       Some(asNullable(df.schema).json))
@@ -166,9 +171,11 @@ object ManifestSink {
   def stageAppend(df: DataFrame, root: String, epoch: Int,
                   statsCols: Seq[String] = Nil, unique: Boolean = false,
                   evolve: Boolean = false,
-                  bucket: Option[(String, Int)] = None): Staged = {
+                  bucket: Option[(String, Int)] = None,
+                  hllCols: Seq[String] = Nil): Staged = {
     val spark = df.sparkSession
-    val fresh = stage(df, root, epoch, statsCols, unique, bucket = bucket)
+    val fresh = stage(df, root, epoch, statsCols, unique, bucket = bucket,
+      hllCols = hllCols)
     if (epoch <= 1) fresh
     else {
       val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
@@ -177,7 +184,7 @@ object ManifestSink {
           .stripPrefix(rootUri).stripPrefix("/")
       }
       val stats =
-        if (statsCols.isEmpty && bucket.isEmpty) None
+        if (statsCols.isEmpty && bucket.isEmpty && hllCols.isEmpty) None
         else Some(statsTable(spark, root, epoch - 1)
           .unionByName(fresh.stats.get))
       // schema discipline (Delta's): a plain append REJECTS drift — a
@@ -429,6 +436,56 @@ object ManifestSink {
         col("lo_long").cast(LongType), col("lo_long").cast(LongType).as("hi_long"),
         lit(null).cast(StringType).as("lo_str"),
         lit(null).cast(StringType).as("hi_str"))
+  }
+
+  /** Per-file HLL NDV SKETCHES (the Iceberg puffin-file ndv idea at
+    * the manifest level): one `__hll:<col>` row per (file, column)
+    * carrying the hex-serialized datasketches HLL of the column's
+    * values, plus a `__nulls:<col>` row with the file's null count.
+    * Sketches are MERGEABLE, so planning-time column statistics
+    * (distinct count, null count) for ANY file subset cost a
+    * driver-side union of the surviving files' sketches — never a
+    * data scan. The catalog scan feeds these to Spark's V2 column
+    * statistics ([[graft.catalog.GraftFileScan.estimateStatistics]]),
+    * which is what the cost-based optimizer's join estimates eat.
+    * Computed with Spark's own `hll_sketch_agg` (lgConfigK 12 — the
+    * union side must match); timestamps/dates sketch their long form
+    * so write and probe agree with the zone-map encoding. */
+  private def hllStats(spark: SparkSession, root: String,
+                       relFiles: Seq[String], cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
+    val schema = df.schema
+    val parts = split(col("__f"), "/")
+    val rel = concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+    val aggs = cols.flatMap { c =>
+      val in = schema(c).dataType match {
+        case StringType | LongType | IntegerType => col(c)
+        case ShortType | ByteType => col(c).cast(IntegerType)
+        case TimestampType | TimestampNTZType | DateType =>
+          statLongExpr(col(c), schema(c).dataType)
+        case other => throw new IllegalArgumentException(
+          s"hll sketches support integral, string, timestamp, and date " +
+            s"columns; $c is $other")
+      }
+      Seq(hex(hll_sketch_agg(in)).as(s"__h_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"))
+    }
+    val base = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+    cols.map { c =>
+      base.select(rel.as("file"), lit(s"__hll:$c").as("col"),
+        lit(null).cast(LongType).as("lo_long"),
+        lit(null).cast(LongType).as("hi_long"),
+        col(s"__h_$c").as("lo_str"),
+        lit(null).cast(StringType).as("hi_str"))
+        .unionByName(base.select(rel.as("file"), lit(s"__nulls:$c").as("col"),
+          col(s"__n_$c").cast(LongType).as("lo_long"),
+          lit(null).cast(LongType).as("hi_long"),
+          lit(null).cast(StringType).as("lo_str"),
+          lit(null).cast(StringType).as("hi_str")))
+    }.reduce(_ unionByName _)
   }
 
   /** Publish `df` bucket-clustered on `keyCol` into `numBuckets`

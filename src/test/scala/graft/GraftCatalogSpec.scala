@@ -1038,6 +1038,47 @@ class GraftCatalogSpec extends SparkTestBase {
       .collect()(0).getLong(0) == 52)
   }
 
+  test("HLL NDV sketches feed V2 column statistics; pruned subsets re-merge") {
+    ensureCatalog()
+    val root = tmpDir("gcat_hll_") + "/t"
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .filter(col("event_id") < 800)
+      .repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .createOrReplaceTempView("hll_src")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM hll_src")
+    def attrStats(q: String) = {
+      val df = spark.sql(q)
+      // read at the scan LEAF: attribute stats propagate above the
+      // leaf only under spark.sql.cbo; the leaf's are the scan's own
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.attributeStats
+      }.head
+    }
+    val full = attrStats(s"SELECT * FROM graft.`$root`")
+    assert(full.nonEmpty, "column stats must reach the logical plan")
+    val byName = full.map { case (a, s) => a.name -> s }
+    val ndvEv = byName("event_id").distinctCount.get.toLong
+    assert(math.abs(ndvEv - 800L) <= 800 / 20,
+      s"event_id ndv ~800 within hll error: $ndvEv")
+    val truthUsers = Tables.events(spark, sf)
+      .filter(col("event_id") < 800).select("user_id").distinct().count()
+    val ndvU = byName("user_id").distinctCount.get.toLong
+    assert(math.abs(ndvU - truthUsers) <= math.max(2, truthUsers / 10),
+      s"user_id ndv ~$truthUsers: $ndvU")
+    assert(byName("event_id").nullCount.get.toLong == 0L)
+    // a pruned scan re-merges only the surviving files' sketches:
+    // the range keeps ~1/4 of the rows, so the NDV must track it
+    val pruned = attrStats(
+      s"SELECT * FROM graft.`$root` WHERE event_id < 200")
+      .map { case (a, s) => a.name -> s }
+    val prunedNdv = pruned("event_id").distinctCount.get.toLong
+    assert(prunedNdv < 300,
+      s"subset ndv must come from the surviving files only: $prunedNdv")
+  }
+
   test("catalog scan refuses a merge-on-read DV epoch rather than resurrecting deletes") {
     ensureCatalog()
     val root = tmpDir("gcat_mor_") + "/t"
