@@ -583,12 +583,16 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     while (!committed) {
       val cur = currentOpt
       val next = cur.getOrElse(0) + 1
+      // NDV sketches deliberately do NOT ride every insert (the extra
+      // pass per write is the Iceberg lesson — puffin NDV is an
+      // ANALYZE-time artifact); run `ANALYZE TABLE ... COMPUTE
+      // STATISTICS` to commit them
       val staged =
         if (overwrite || cur.isEmpty)
           ManifestSink.stage(data, dir, next, stats, unique = true,
-            bucket = bucket, hllCols = stats)
+            bucket = bucket)
         else ManifestSink.stageAppend(data, dir, next, stats, unique = true,
-          bucket = bucket, hllCols = stats)
+          bucket = bucket)
       // audit only THIS epoch's fresh files (appends carry prior
       // epochs' already-audited files by reference)
       GraftTable.auditConstraints(spark, dir,

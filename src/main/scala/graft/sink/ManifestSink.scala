@@ -488,6 +488,49 @@ object ManifestSink {
     }.reduce(_ unionByName _)
   }
 
+  /** `ANALYZE`-time NDV statistics (Iceberg's puffin discipline —
+    * sketches are a MAINTENANCE artifact, never a per-write tax): one
+    * distributed pass over the CURRENT epoch's files computes
+    * per-file HLL + null-count rows for every eligible column, and a
+    * new epoch commits the same manifest with the enriched stats
+    * (prior `__hll:`/`__nulls:` rows replaced; everything else —
+    * files, schema, DV — carried). Appends after an ANALYZE keep the
+    * analyzed files' sketches and simply lack rows for the new files,
+    * which the scan-side coverage check detects: column statistics
+    * come back after the next ANALYZE, never wrong in between.
+    * Returns the new epoch. */
+  def analyzeNdv(spark: SparkSession, root: String): Int = {
+    import org.apache.spark.sql.types._
+    val cur = currentEpoch(spark, root)
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    val relFiles = manifestFiles(spark, root, cur).map { p =>
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+    }.sorted
+    val schema = commitSchema(spark, root, cur)
+      .getOrElse(read(spark, root, cur).schema)
+    val cols = schema.fields.toSeq.collect {
+      case f if Seq(LongType, IntegerType, ShortType, ByteType, StringType,
+        TimestampType, TimestampNTZType, DateType).contains(f.dataType) => f.name
+    }
+    require(cols.nonEmpty, s"ANALYZE $root: no sketchable columns in " +
+      schema.simpleString)
+    val prior =
+      if (statsExists(spark, root, cur))
+        statsTable(spark, root, cur).filter(
+          !org.apache.spark.sql.functions.col("col").startsWith("__hll:") &&
+          !org.apache.spark.sql.functions.col("col").startsWith("__nulls:"))
+      else emptyStats(spark)
+    val fresh =
+      if (relFiles.isEmpty) emptyStats(spark)
+      else hllStats(spark, root, relFiles, cols)
+    commitStaged(spark, Staged(root, cur + 1, newToken(), relFiles,
+      Some(prior.unionByName(fresh)),
+      commitSchema(spark, root, cur).map(_.json),
+      commitDv(spark, root, cur)))
+    cur + 1
+  }
+
   /** Publish `df` bucket-clustered on `keyCol` into `numBuckets`
     * single-bucket files (plus all-column zone maps via `statsCols`).
     * Two tables published this way with the same (key semantics, n)

@@ -98,6 +98,13 @@ object GraftSqlParser {
     ("(?is)^\\s*DESCRIBE\\s+DETAIL\\s+" + Tbl + "\\s*;?\\s*$").r
   private val RestoreRe =
     ("(?is)^\\s*RESTORE\\s+" + Tbl + "\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
+  private val AnalyzeRe =
+    ("(?is)^\\s*ANALYZE\\s+TABLE\\s+" + Tbl +
+      "\\s+COMPUTE\\s+STATISTICS\\s*;?\\s*$").r
+  // NOTE: ANALYZE is deliberately NOT in LeadRe — a non-graft-shaped
+  // `ANALYZE TABLE hive_t COMPUTE STATISTICS` must fall through to
+  // Spark's own grammar untouched; only the exact graft-path form is
+  // intercepted above.
   private val LeadRe =
     ("(?is)^\\s*(VACUUM|OPTIMIZE|DESCRIBE\\s+HISTORY|DESCRIBE\\s+CHANGES" +
       "|DESCRIBE\\s+DETAIL|RESTORE|CREATE\\s+MATERIALIZED" +
@@ -131,6 +138,8 @@ object GraftSqlParser {
         Some(DetailCommand(Option(bq).getOrElse(q)))
       case RestoreRe(bq, q, to) =>
         Some(RestoreCommand(Option(bq).getOrElse(q), to.toInt))
+      case AnalyzeRe(bq, q) =>
+        Some(AnalyzeCommand(Option(bq).getOrElse(q)))
       case LeadRe(kw) => throw new IllegalArgumentException(
         s"malformed graft maintenance statement (keyword ${kw.toUpperCase}): " +
           s"$sqlText\nexpected: VACUUM <tbl> [RETAIN n EPOCHS] | OPTIMIZE <tbl> " +
@@ -235,6 +244,23 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       val next = ManifestSink.rollback(spark, path, to)
       Seq(Row(path, to, next))
+    }
+  }
+
+  /** `ANALYZE TABLE <tbl> COMPUTE STATISTICS` — commit ANALYZE-time
+    * NDV statistics (per-file HLL sketches + null counts) as a new
+    * metadata epoch; the catalog scan's `estimateStatistics` then
+    * reports V2 column statistics (distinct/null counts) for any
+    * pruned file subset via a driver-side sketch union — the CBO's
+    * join estimates plan from metadata (see
+    * [[ManifestSink.analyzeNdv]]). */
+  final case class AnalyzeCommand(path: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("path", StringType), attr("new_epoch", IntegerType),
+      attr("n_files", IntegerType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val e = ManifestSink.analyzeNdv(spark, path)
+      Seq(Row(path, e, ManifestSink.manifestFiles(spark, path, e).size))
     }
   }
 

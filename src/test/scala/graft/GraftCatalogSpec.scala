@@ -1057,6 +1057,12 @@ class GraftCatalogSpec extends SparkTestBase {
           r.stats.attributeStats
       }.head
     }
+    // NDV is an ANALYZE-time artifact, never a per-write tax: before
+    // ANALYZE the scan reports no column stats at all
+    assert(attrStats(s"SELECT * FROM graft.`$root`").isEmpty)
+    val r = spark.sql(
+      s"ANALYZE TABLE graft.`$root` COMPUTE STATISTICS").collect()(0)
+    assert(r.getInt(1) == 2, "ANALYZE commits a metadata epoch")
     val full = attrStats(s"SELECT * FROM graft.`$root`")
     assert(full.nonEmpty, "column stats must reach the logical plan")
     val byName = full.map { case (a, s) => a.name -> s }
