@@ -3132,6 +3132,203 @@ object Registry {
       """SELECT event_id, user_id, value, TRUE AS audit_ok FROM events
         |WHERE event_id < 120 AND event_id NOT IN (7, 42, 99)
         |ORDER BY event_id""".stripMargin),
+    // DV-AWARE CATALOG READS (round 13, the r12 VERDICT's #1 gap): a
+    // merge-on-read epoch no longer blacks out the SQL surface — the
+    // catalog scan applies the keys-only delete vector READER-SIDE
+    // (Delta's DV discipline): the key set rides the serialized
+    // reader factory, vectored rows drop as they decode, and VERSION
+    // AS OF spans DV generations (each epoch pins its own DV).
+    // mor_ok gates: the DV filter really wrapped the reader
+    // (lastDvApplied), travel to each generation sees its exact key
+    // set, meta-agg stayed refused (stats cannot see deletes), and
+    // the closing compaction's pure-SQL view is row-identical to the
+    // DV-filtered one.
+    "q_catalog_mor" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cmor_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 400)
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("cmor_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cmor_src")
+        // two DV generations via the API takedown primitive
+        graft.sink.ManifestSink.deleteMor(s, root,
+          ev.filter(col("event_id").between(100, 149)).select(col("event_id")),
+          "event_id")
+        graft.sink.ManifestSink.deleteMor(s, root,
+          ev.filter(col("event_id").between(300, 319)).select(col("event_id")),
+          "event_id")
+        // pure-SQL reads over the live DV epoch
+        val dvApplied = {
+          s.sql(s"SELECT user_id FROM graft.`$root` WHERE event_id < 200")
+            .collect()
+          graft.catalog.GraftTable.lastDvApplied
+        }
+        val gen1 = s.sql(s"SELECT count(user_id) AS c FROM graft.`$root` " +
+          "VERSION AS OF 2").collect()(0).getLong(0)
+        val gen2 = s.sql(s"SELECT count(user_id) AS c FROM graft.`$root`")
+          .collect()(0).getLong(0)
+        s.sql(s"SELECT count(*) FROM graft.`$root`").collect()
+        val metaStillRefused = !graft.catalog.GraftTable.lastMetaAggOnly
+        val dvView = s.sql(
+          s"SELECT event_id, user_id, value FROM graft.`$root` ORDER BY event_id")
+          .collect().toSeq
+        graft.sink.ManifestSink.compact(s, root, Seq("event_id"))
+        val matView = s.sql(
+          s"SELECT event_id, user_id, value FROM graft.`$root` ORDER BY event_id")
+        val rows = matView.collect()
+        val morOk = dvApplied && gen1 == 350L && gen2 == 330L &&
+          metaStillRefused && rows.toSeq == dvView
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), matView.schema)
+          .withColumn("mor_ok", lit(morOk))
+      },
+      """SELECT event_id, user_id, value, TRUE AS mor_ok FROM events
+        |WHERE event_id < 400 AND event_id NOT BETWEEN 100 AND 149
+        |  AND event_id NOT BETWEEN 300 AND 319
+        |ORDER BY event_id""".stripMargin),
+    // MoR-ROUTED SQL DELETE (round 13): DELETE FROM cost-routes
+    // between copy-on-write and merge-on-read on the zone-map-priced
+    // rewrite: keys spread across EVERY file would make CoW a
+    // full-table rewrite, so the router commits a keys-only DV epoch
+    // instead — ZERO data writes (zero_ok gates byte-identical
+    // lengths+mtimes across the delete), one metadata epoch, and the
+    // DV-aware scan keeps the pure-SQL surface live.
+    "q_catalog_delete_mor" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cdmor_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 400)
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("cdmor_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cdmor_src")
+        val conf = s.sparkContext.hadoopConfiguration
+        def state(): Map[String, (Long, Long)] =
+          graft.sink.ManifestSink.manifestFiles(s, root, 1).map { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            val st = p.getFileSystem(conf).getFileStatus(p)
+            f -> (st.getLen, st.getModificationTime)
+          }.toMap
+        val before = state()
+        // one key inside each of the 8 files' ranges -> CoW would
+        // rewrite the whole table -> the router must go MoR
+        s.sql(s"DELETE FROM graft.`$root` WHERE event_id IN " +
+          (0 until 8).map(i => i * 50 + 1).mkString("(", ", ", ")"))
+        val e = graft.sink.ManifestSink.currentEpoch(s, root)
+        val zeroOk = e == 2 &&
+          graft.sink.ManifestSink.commitDv(s, root, e).isDefined &&
+          state() == before
+        s.sql(s"""SELECT event_id, user_id, value FROM graft.`$root`
+                 |WHERE event_id < 120 ORDER BY event_id""".stripMargin)
+          .withColumn("zero_ok", lit(zeroOk))
+      },
+      """SELECT event_id, user_id, value, TRUE AS zero_ok FROM events
+        |WHERE event_id < 120 AND event_id NOT IN (1, 51, 101)
+        |ORDER BY event_id""".stripMargin),
+    // COLUMN MAPPING (round 13): ALTER TABLE RENAME/DROP COLUMN as
+    // METADATA-ONLY commits (Delta's column-mapping discipline) —
+    // files keep stable PHYSICAL names; the logical rename touches
+    // only the committed schema. map_ok gates: data files
+    // byte-identical (lengths+mtimes) across rename AND drop, reads/
+    // skipping/meta-agg under the new name, travel keeps the old
+    // shape, a re-ADDED dropped name reads NULL (fresh physical name
+    // — never resurrects), and appends after the rename land
+    // correctly.
+    "q_catalog_rename" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cren_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 300)
+          .repartitionByRange(6, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("cren_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cren_src")
+        val conf = s.sparkContext.hadoopConfiguration
+        def state(): Map[String, (Long, Long)] =
+          graft.sink.ManifestSink.manifestFiles(s, root, 1).map { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            val st = p.getFileSystem(conf).getFileStatus(p)
+            f -> (st.getLen, st.getModificationTime)
+          }.toMap
+        val before = state()
+        s.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN value TO reading")
+        s.sql(s"ALTER TABLE graft.`$root` DROP COLUMN user_id")
+        val metadataOnly = state() == before
+        // meta-agg + skipping under the NEW names
+        s.sql(s"SELECT count(*) AS c, max(event_id) AS m FROM graft.`$root`")
+          .collect()
+        val metaOk = graft.catalog.GraftTable.lastMetaAggOnly
+        s.sql(s"SELECT reading FROM graft.`$root` WHERE event_id < 10").collect()
+        val total = graft.sink.ManifestSink.manifestEntries(s, root,
+          graft.sink.ManifestSink.currentEpoch(s, root)).size
+        val skipOk = graft.catalog.GraftTable.lastPlannedFiles < total
+        // travel keeps the pre-rename shape
+        val travelOk = s.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 1")
+          .schema.fieldNames.toSeq == Seq("event_id", "user_id", "value")
+        // a re-added dropped name reads NULL (fresh physical name)
+        s.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (user_id BIGINT)")
+        val nulls = s.sql(s"SELECT user_id FROM graft.`$root`").collect()
+        val noResurrect = nulls.nonEmpty && nulls.forall(_.isNullAt(0))
+        // post-rename appends land correctly
+        s.sql(s"INSERT INTO graft.`$root` VALUES (900000, 0.25, 42)")
+        val appended = s.sql(
+          s"SELECT reading FROM graft.`$root` WHERE event_id = 900000")
+          .collect()(0).getDouble(0) == 0.25
+        val mapOk = metadataOnly && metaOk && skipOk && travelOk &&
+          noResurrect && appended
+        s.sql(s"""SELECT event_id, reading FROM graft.`$root`
+                 |WHERE event_id < 250 ORDER BY event_id""".stripMargin)
+          .withColumn("map_ok", lit(mapOk))
+      },
+      """SELECT event_id, value AS reading, TRUE AS map_ok FROM events
+        |WHERE event_id < 250 ORDER BY event_id""".stripMargin),
+    // CATALOG DDL COMPLETENESS (round 13): TBLPROPERTIES persisted in
+    // the table sidecar (CREATE ... TBLPROPERTIES / SET / UNSET /
+    // SHOW), SHOW CREATE TABLE reconstructing the statement, and
+    // TRUNCATE TABLE as a METADATA epoch (empty file list; schema
+    // pinned; pre-truncate epochs stay travelable until vacuum).
+    "q_catalog_ddl" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cddl_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 150).createOrReplaceTempView("cddl_src")
+        s.sql(s"CREATE TABLE graft.`$root` TBLPROPERTIES ('team'='ml') " +
+          "AS SELECT * FROM cddl_src")
+        s.sql(s"ALTER TABLE graft.`$root` SET TBLPROPERTIES ('tier'='gold')")
+        s.sql(s"ALTER TABLE graft.`$root` UNSET TBLPROPERTIES ('team')")
+        val props = s.sql(s"SHOW TBLPROPERTIES graft.`$root`").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        val propsOk = props.get("tier").contains("gold") && !props.contains("team")
+        val ddl = s.sql(s"SHOW CREATE TABLE graft.`$root`")
+          .collect()(0).getString(0)
+        val showOk = ddl.contains("CREATE TABLE") && ddl.contains("'tier' = 'gold'")
+        s.sql(s"TRUNCATE TABLE graft.`$root`")
+        val truncOk =
+          s.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+            .collect()(0).getLong(0) == 0L &&
+          s.sql(s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 1")
+            .collect()(0).getLong(0) == 150L
+        s.sql(s"INSERT INTO graft.`$root` SELECT * FROM cddl_src")
+        val ddlOk = propsOk && showOk && truncOk
+        s.sql(s"""SELECT event_id, user_id, value FROM graft.`$root`
+                 |WHERE event_id < 100 ORDER BY event_id""".stripMargin)
+          .withColumn("ddl_ok", lit(ddlOk))
+      },
+      """SELECT event_id, user_id, value, TRUE AS ddl_ok FROM events
+        |WHERE event_id < 100 ORDER BY event_id""".stripMargin),
     // MERGE-ON-READ DELETES (round 11): Iceberg equality-delete
     // parity — deleteMor commits the SAME file list plus a keys-only
     // delete vector (pure metadata + a KB write; zero data I/O), read

@@ -3,7 +3,6 @@ package graft.catalog
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -80,13 +79,23 @@ final class GraftMicroBatchStream(spark: SparkSession, dir: String,
           "row-level change feed")
     val added = (cur -- prev).toSeq.sorted
     if (added.isEmpty) Array.empty
-    else scanOver(added.map(n =>
-      new org.apache.hadoop.fs.Path(s"$dir/$n"))).planInputPartitions()
+    else {
+      // sizes from the manifest entries of `to` — the per-batch plan
+      // pays zero per-file RPCs, like every other planning path
+      val sizes = ManifestSink.manifestEntries(spark, dir, to).toMap
+      scanOver(added.map { n =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$n")
+        sizes.get(n).filter(_ >= 0)
+          .map(s => new org.apache.hadoop.fs.FileStatus(s, false, 1, 134217728L, 0L, p))
+          .getOrElse(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getFileStatus(p))
+      }).planInputPartitions()
+    }
   }
 
-  private def scanOver(paths: Seq[org.apache.hadoop.fs.Path]) = {
-    val idx = new InMemoryFileIndex(spark, paths, Map.empty[String, String],
-      Some(tableSchema), FileStatusCache.getOrCreate(spark), None, None)
+  private def scanOver(statuses: Seq[org.apache.hadoop.fs.FileStatus]) = {
+    val idx = new graft.sink.StaticFileIndex(spark,
+      new org.apache.hadoop.fs.Path(dir), statuses)
     ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(Map.empty),
       idx,

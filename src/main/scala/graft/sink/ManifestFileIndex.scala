@@ -32,21 +32,30 @@ import org.apache.spark.unsafe.types.UTF8String
 final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
   extends FileIndex {
 
-  private val filePaths: Seq[Path] =
-    ManifestSink.manifestFiles(spark, root, epoch).map(new Path(_))
-
+  /** FileStatuses built from MANIFEST METADATA (rel + committed size —
+    * Delta's add.size): ZERO per-file RPCs at index construction. The
+    * pre-size legacy fallback (size -1 in an old manifest) resolves
+    * with one counted getFileStatus per unknown file — the counter is
+    * the spec evidence that current-format tables never pay it.
+    * mtime is 0 (unused by the parquet read path; files are
+    * immutable) and blockSize a nominal 128 MB (split planning uses
+    * maxPartitionBytes, not the block size, on non-HDFS stores). */
   private val statuses: Seq[FileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    filePaths.map(p => p.getFileSystem(conf).getFileStatus(p))
+    ManifestSink.manifestEntries(spark, root, epoch).map { case (rel, size) =>
+      val p = new Path(s"$root/$rel")
+      if (size >= 0) new FileStatus(size, false, 1, 134217728L, 0L, p)
+      else {
+        ManifestFileIndex.legacyStatusRpcs.incrementAndGet()
+        p.getFileSystem(conf).getFileStatus(p)
+      }
+    }
   }
 
-  private val statRows: Array[org.apache.spark.sql.Row] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val statsDir = new Path(
-      s"$root/stats-$epoch.${ManifestSink.commitInfo(spark, root, epoch)._1}")
-    if (!statsDir.getFileSystem(conf).exists(statsDir)) Array.empty
-    else ManifestSink.statsTable(spark, root, epoch).collect()
-  }
+  private val filePaths: Seq[Path] = statuses.map(_.getPath)
+
+  private val statRows: Array[org.apache.spark.sql.Row] =
+    SnapshotCache.statRows(spark, root, epoch).getOrElse(Array.empty)
 
   /** relpath -> column -> (loLong, hiLong, loStr, hiStr), any null. */
   private val zoneMaps: Map[String, Map[String, (Option[Long], Option[Long],
@@ -231,7 +240,42 @@ final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
   override def partitionSchema: StructType = StructType(Nil)
 }
 
+/** A [[FileIndex]] over an ALREADY-RESOLVED file list: no listing, no
+  * per-file RPC — the statuses (path + size) came from manifest
+  * metadata. This is what the catalog scan hands Spark's own
+  * ParquetScan instead of an InMemoryFileIndex, which would re-list
+  * every path (one RPC per file per query) just to rediscover what
+  * the manifest already committed. */
+final class StaticFileIndex(spark: SparkSession, root: Path,
+                            statuses: Seq[FileStatus])
+  extends org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex(
+    spark, Map.empty, None) {
+  override def rootPaths: Seq[Path] = Seq(root)
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(InternalRow.empty, statuses.toArray))
+  override def inputFiles: Array[String] = statuses.map(_.getPath.toString).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+  override def partitionSchema: StructType = StructType(Nil)
+  override def partitionSpec(): org.apache.spark.sql.execution.datasources.PartitionSpec =
+    org.apache.spark.sql.execution.datasources.PartitionSpec.emptySpec
+  override protected def leafFiles:
+      scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
+    statuses.foreach(s => m.put(s.getPath, s))
+    m
+  }
+  override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    statuses.groupBy(_.getPath.getParent).view.mapValues(_.toArray).toMap
+}
+
 object ManifestFileIndex {
+
+  /** Per-file getFileStatus calls taken by the LEGACY (pre-size
+    * manifest) fallback — zero for any table committed since sizes
+    * landed (spec evidence for the RPC-free planning contract). */
+  val legacyStatusRpcs = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The manifest table as a PLAIN DataFrame with planning-time zone-map
     * skipping (see class doc). Pass `epoch` to time-travel. */
@@ -239,32 +283,51 @@ object ManifestFileIndex {
     tableWithIndex(spark, root, epoch)._1
 
   /** The skipping-capable HadoopFsRelation over a committed epoch —
-    * shared by [[tableWithIndex]] and the batch `format()` path. */
+    * shared by [[tableWithIndex]] and the batch `format()` path.
+    * Column-mapped epochs are refused here (a bare BaseRelation cannot
+    * carry the logical-alias projection); [[table]] applies it. */
   def relation(spark: SparkSession, root: String, epoch: Int): HadoopFsRelation = {
     val idx = new ManifestFileIndex(spark, root, epoch)
     val schema = ManifestSink.commitSchema(spark, root, epoch)
       .getOrElse(ManifestSink.read(spark, root, epoch).schema)
+    require(!ColumnMapping.hasMapping(schema),
+      "batch format() read of a column-mapped epoch would surface " +
+        "physical names; use ManifestSink.read / ManifestFileIndex.table")
     HadoopFsRelation(idx, StructType(Nil), schema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
   }
 
-  /** Same, also returning the index (specs read its selection count). */
+  /** Same, also returning the index (specs read its selection count).
+    * Mapped epochs plan the skipping relation under the PHYSICAL
+    * schema and surface the logical names via one aliasing projection
+    * — pushed filters rewrite through the aliases into the physical
+    * attributes the committed stats are keyed by, so skipping still
+    * bites after a rename. */
   def tableWithIndex(spark: SparkSession, root: String,
                      epoch: Int = -1): (DataFrame, ManifestFileIndex) = {
     val e = if (epoch >= 0) epoch else ManifestSink.currentEpoch(spark, root)
     val idx = new ManifestFileIndex(spark, root, e)
-    val schema = ManifestSink.read(spark, root, e).schema
+    val committed = ManifestSink.commitSchema(spark, root, e)
+    val mapped = committed.filter(ColumnMapping.hasMapping)
+    val schema = mapped.map(ColumnMapping.physicalSchema)
+      .orElse(committed)
+      .getOrElse(ManifestSink.read(spark, root, e).schema)
     val rel = HadoopFsRelation(idx, StructType(Nil), schema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     val base = spark.baseRelationToDataFrame(rel)
     // merge-on-read deletes apply above the skipping scan (data
-    // filters still push through the join child into listFiles)
-    val df = ManifestSink.commitDv(spark, root, e) match {
+    // filters still push through the join child into listFiles);
+    // the DV key is physical — exactly the relation's pre-alias names
+    val withDv = ManifestSink.commitDv(spark, root, e) match {
       case Some((dvRel, k)) =>
         import org.apache.spark.sql.functions.{broadcast, col}
         base.join(broadcast(spark.read.parquet(s"$root/$dvRel").select(col(k))),
           Seq(k), "left_anti")
       case None => base
+    }
+    val df = mapped match {
+      case Some(p) => withDv.select(ColumnMapping.toLogicalCols(p): _*)
+      case None => withDv
     }
     (df, idx)
   }

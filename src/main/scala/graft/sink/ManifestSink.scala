@@ -68,11 +68,19 @@ object ManifestSink {
     * manifest lines audited, zone-map stats planned, table schema
     * captured (nullable-normalized, committed into the marker so
     * reads plan from metadata — see [[read]]). Invisible to readers
-    * until [[commitStaged]] wins the epoch's commit marker. */
+    * until [[commitStaged]] wins the epoch's commit marker.
+    *
+    * `sizes` (rel -> bytes, captured from the staging listStatus and
+    * CARRIED verbatim for inherited files — files are immutable)
+    * commit into the manifest lines (`rel\tsize`, the Delta
+    * `add.size` discipline) so planning never pays a per-file
+    * getFileStatus RPC: FileIndex construction, split planning, and
+    * `sizeInBytes` all answer from metadata. */
   final case class Staged(root: String, epoch: Int, token: String,
                           relFiles: Seq[String], stats: Option[DataFrame],
                           schemaJson: Option[String] = None,
-                          dv: Option[(String, String)] = None)
+                          dv: Option[(String, String)] = None,
+                          sizes: Map[String, Long] = Map.empty)
 
   /** Retryable: another attempt won this epoch's commit marker (or the
     * epoch is not above the current one). Re-read the current epoch
@@ -81,11 +89,66 @@ object ManifestSink {
     extends RuntimeException(
       s"epoch $epoch at $root already committed or not ahead of current ($detail)")
 
+  /** Another maintenance process holds the table's lease — retry after
+    * it finishes (or after the stale-break TTL if it crashed). */
+  final class MaintenanceLeaseException(root: String, detail: String)
+    extends RuntimeException(s"maintenance lease at $root is held: $detail")
+
+  /** MAINTENANCE LEASE — the commit discipline for operations that
+    * DELETE rather than commit (vacuum): writers are already safe via
+    * the per-epoch marker CAS, but two concurrent vacuums would race
+    * each other's sweeps (double-delete, or one sweeping metadata the
+    * other just decided to keep). The lease is the same CAS primitive
+    * as the commit marker — rename-WITHOUT-overwrite of a token file —
+    * held for the duration and released on exit. A holder that crashed
+    * leaves a stale lease; anyone arriving after `ttlMs` (default 1 h
+    * — far above any sweep) breaks it and retries once. (The break
+    * itself has the classic delete+recreate window two breakers could
+    * thread; acceptable for a maintenance path whose holders are rare
+    * and long-dead, the same judgment Delta makes for its lock files.)
+    * SQL `VACUUM` runs under this automatically. */
+  def withMaintLease[T](spark: SparkSession, root: String,
+                        ttlMs: Long = 3600000L)(body: => T): T = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = fs(spark, rootPath)
+    val lease = new org.apache.hadoop.fs.Path(rootPath, "maint-lease")
+    val token = newToken()
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, s"maint-lease.tmp.$token")
+    writeFile(spark, tmp, s"token=$token\nts=${System.currentTimeMillis()}\n")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    def tryAcquire(): Boolean =
+      try { fc.rename(tmp, lease); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException => false
+      }
+    var ok = tryAcquire()
+    if (!ok) {
+      val stale =
+        try System.currentTimeMillis() -
+          f.getFileStatus(lease).getModificationTime > ttlMs
+        catch { case _: java.io.FileNotFoundException => true } // just released
+      if (stale) { f.delete(lease, false); ok = tryAcquire() }
+    }
+    if (!ok) {
+      f.delete(tmp, false)
+      throw new MaintenanceLeaseException(root,
+        s"another maintenance process is live (stale-break after ${ttlMs} ms)")
+    }
+    try body finally f.delete(lease, false)
+  }
+
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def newToken(): String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  /** Committed (rel -> size) pairs of known size (legacy -1 entries
+    * drop out and stay RPC-resolved on read). */
+  private def knownSizes(entries: Seq[(String, Long)]): Map[String, Long] =
+    entries.collect { case (r, s) if s >= 0 => r -> s }.toMap
 
   private def writeFile(spark: SparkSession, p: org.apache.hadoop.fs.Path,
                         content: String): Unit = {
@@ -100,6 +163,31 @@ object ManifestSink {
       .filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  // ------------------------------------------------- snapshot-cache raw reads
+  // (the ONLY uncached metadata reads — SnapshotCache loads through
+  // these once per (root, epoch, token) and every planning path serves
+  // from memory; see graft.sink.SnapshotCache)
+
+  private[sink] def readCommitMarker(spark: SparkSession, root: String,
+                                     epoch: Int): List[String] =
+    readLines(spark, new org.apache.hadoop.fs.Path(s"$root/commit-$epoch"))
+
+  /** Manifest lines parsed to (rel, size); size -1 for manifests
+    * written before sizes landed (readers fall back to one
+    * getFileStatus for exactly those files). */
+  private[sink] def readManifestLines(spark: SparkSession, root: String,
+                                      epoch: Int, token: String): Seq[(String, Long)] =
+    readLines(spark,
+      new org.apache.hadoop.fs.Path(s"$root/manifest-$epoch.$token")).map { l =>
+      val i = l.indexOf('\t')
+      if (i < 0) (l, -1L) else (l.take(i), l.drop(i + 1).toLong)
+    }
+
+  private[sink] def statsExistsFor(spark: SparkSession, root: String,
+                                   epoch: Int, token: String): Boolean =
+    fs(spark, new org.apache.hadoop.fs.Path(root))
+      .exists(new org.apache.hadoop.fs.Path(s"$root/stats-$epoch.$token"))
 
   // ---------------------------------------------------------------- write path
 
@@ -127,11 +215,13 @@ object ManifestSink {
     }
     laid.write.mode("overwrite").parquet(epochDir)
     val dirPath = new org.apache.hadoop.fs.Path(epochDir)
-    val relFiles = fs(spark, dirPath).listStatus(dirPath).toSeq
-      .map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-      .map(p => s"$dirName/${p.getName}")
-      .sorted
+    // the staging listStatus already holds each file's size — capture
+    // it here (the only place it is free) and commit it in the
+    // manifest lines
+    val listed = fs(spark, dirPath).listStatus(dirPath).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val sizes = listed.map(s => s"$dirName/${s.getPath.getName}" -> s.getLen).toMap
+    val relFiles = sizes.keys.toSeq.sorted
     val stats =
       if (statsCols.isEmpty && dictCols.isEmpty && bloomCols.isEmpty &&
         bucket.isEmpty && hllCols.isEmpty) None
@@ -157,7 +247,7 @@ object ManifestSink {
           .unionByName(hll))
       }
     Staged(root, epoch, token, relFiles, stats,
-      Some(asNullable(df.schema).json))
+      Some(asNullable(df.schema).json), sizes = sizes)
   }
 
   /** Stage an APPEND: epoch N's file list = epoch N-1's PLUS the new
@@ -174,15 +264,29 @@ object ManifestSink {
                   bucket: Option[(String, Int)] = None,
                   hllCols: Seq[String] = Nil): Staged = {
     val spark = df.sparkSession
-    val fresh = stage(df, root, epoch, statsCols, unique, bucket = bucket,
-      hllCols = hllCols)
+    // mapped tables: the logical batch renames to the files' PHYSICAL
+    // shape before the write; stats/hll columns follow (they key the
+    // committed metadata, which is physical throughout)
+    val priorSchemaOpt =
+      if (epoch <= 1) None else commitSchema(spark, root, epoch - 1)
+    val mapping = priorSchemaOpt.filter(ColumnMapping.hasMapping)
+    val (dfW, statsW, hllW) = mapping match {
+      case Some(p) =>
+        require(!evolve, "schema-evolving appends on a column-mapped " +
+          "table are not supported; ALTER TABLE ADD COLUMNS first, " +
+          "then append the full shape")
+        val phys = ColumnMapping.physOf(p)
+        (ColumnMapping.toPhysicalDf(df, p),
+          statsCols.map(c => phys.getOrElse(c, c)),
+          hllCols.map(c => phys.getOrElse(c, c)))
+      case None => (df, statsCols, hllCols)
+    }
+    val fresh = stage(dfW, root, epoch, statsW, unique, bucket = bucket,
+      hllCols = hllW)
     if (epoch <= 1) fresh
     else {
-      val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-      val prior = manifestFiles(spark, root, epoch - 1).map { p =>
-        new org.apache.hadoop.fs.Path(p).toUri.getPath
-          .stripPrefix(rootUri).stripPrefix("/")
-      }
+      val priorEntries = manifestEntries(spark, root, epoch - 1)
+      val prior = priorEntries.map(_._1)
       val stats =
         if (statsCols.isEmpty && bucket.isEmpty && hllCols.isEmpty) None
         else Some(statsTable(spark, root, epoch - 1)
@@ -191,15 +295,16 @@ object ManifestSink {
       // producer silently widening a 100 TB table is a contract
       // breach, not a convenience; `evolve` merges (add-column only,
       // same-name type conflicts rejected) and commits the union
-      val schemaJson = commitSchema(spark, root, epoch - 1) match {
+      val schemaJson = priorSchemaOpt match {
         case None => fresh.schemaJson // pre-schema-metadata table
         case Some(p) =>
-          val n = asNullable(df.schema)
+          val cmp = mapping.map(ColumnMapping.physicalSchema).getOrElse(p)
+          val n = asNullable(dfW.schema)
           if (evolve) Some(mergeSchemas(p, n).json)
           else {
-            require(p.fields.map(f => (f.name, f.dataType)).toSet ==
+            require(cmp.fields.map(f => (f.name, f.dataType)).toSet ==
                     n.fields.map(f => (f.name, f.dataType)).toSet,
-              s"append schema drift (use evolve): table ${p.simpleString} " +
+              s"append schema drift (use evolve): table ${cmp.simpleString} " +
                 s"vs batch ${n.simpleString}")
             Some(p.json)
           }
@@ -208,7 +313,11 @@ object ManifestSink {
         schemaJson = schemaJson,
         // a live DV keeps applying to the carried files — the line
         // (an immutable file reference) rides every append
-        dv = commitDv(spark, root, epoch - 1))
+        dv = commitDv(spark, root, epoch - 1),
+        // carried files keep their committed sizes (files are
+        // immutable); unknown (-1) legacy entries stay unknown
+        sizes = fresh.sizes ++
+          priorEntries.collect { case (r, s) if s >= 0 => r -> s })
     }
   }
 
@@ -262,7 +371,12 @@ object ManifestSink {
         "current epoch is not below the staged epoch")
     val manifest = new org.apache.hadoop.fs.Path(rootPath,
       s"manifest-${staged.epoch}.${staged.token}")
-    writeFile(spark, manifest, staged.relFiles.mkString("\n") + "\n")
+    // manifest lines carry the file SIZE (`rel\tsize`, Delta's
+    // add.size): planning builds FileStatuses from metadata — zero
+    // per-file RPCs at FileIndex construction or split planning
+    writeFile(spark, manifest, staged.relFiles.map(r =>
+      staged.sizes.get(r).map(s => s"$r\t$s").getOrElse(r))
+      .mkString("\n") + "\n")
     staged.stats.foreach(_.coalesce(1).write.mode("overwrite")
       .parquet(s"${staged.root}/stats-${staged.epoch}.${staged.token}"))
     // CAS: rename WITHOUT overwrite — fails iff another attempt won
@@ -502,11 +616,8 @@ object ManifestSink {
   def analyzeNdv(spark: SparkSession, root: String): Int = {
     import org.apache.spark.sql.types._
     val cur = currentEpoch(spark, root)
-    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-    val relFiles = manifestFiles(spark, root, cur).map { p =>
-      new org.apache.hadoop.fs.Path(p).toUri.getPath
-        .stripPrefix(rootUri).stripPrefix("/")
-    }.sorted
+    val entries = manifestEntries(spark, root, cur)
+    val relFiles = entries.map(_._1).sorted
     val schema = commitSchema(spark, root, cur)
       .getOrElse(read(spark, root, cur).schema)
     val cols = schema.fields.toSeq.collect {
@@ -527,7 +638,8 @@ object ManifestSink {
     commitStaged(spark, Staged(root, cur + 1, newToken(), relFiles,
       Some(prior.unionByName(fresh)),
       commitSchema(spark, root, cur).map(_.json),
-      commitDv(spark, root, cur)))
+      commitDv(spark, root, cur),
+      sizes = entries.collect { case (r, s) if s >= 0 => r -> s }.toMap))
     cur + 1
   }
 
@@ -561,7 +673,7 @@ object ManifestSink {
     * the files don't have. Metadata-only (one stats-table read). */
   def bucketSpec(spark: SparkSession, root: String, epoch: Int): Option[BucketSpec] = {
     val rows =
-      try statsTable(spark, root, epoch).collect()
+      try SnapshotCache.statRows(spark, root, epoch).getOrElse(return None)
       catch { case _: Throwable => return None }
     val brows = rows.filter(_.getString(1).startsWith("__bucket:"))
     if (brows.isEmpty) return None
@@ -573,11 +685,7 @@ object ManifestSink {
       if (r.isNullAt(2) || r.isNullAt(3) || r.getLong(2) != r.getLong(3)) None
       else Some(r.getString(0) -> r.getLong(2).toInt)
     }.toMap
-    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-    val all = manifestFiles(spark, root, epoch).map { p =>
-      new org.apache.hadoop.fs.Path(p).toUri.getPath
-        .stripPrefix(rootUri).stripPrefix("/")
-    }
+    val all = manifestEntries(spark, root, epoch).map(_._1)
     if (all.nonEmpty && all.forall(fb.contains) && brows.length == fb.size &&
       fb.values.forall(b => b >= 0 && b < n))
       Some(BucketSpec(keyCol, n, fb))
@@ -598,19 +706,100 @@ object ManifestSink {
       .getOrElse(read(spark, root, cur).schema)
     added.fields.foreach(f => require(!prior.fieldNames.contains(f.name),
       s"ALTER TABLE ADD COLUMNS: ${f.name} already exists in ${prior.simpleString}"))
-    val merged = org.apache.spark.sql.types.StructType(
-      prior.fields ++ added.fields.map(_.copy(nullable = true)))
-    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-    val relFiles = manifestFiles(spark, root, cur).map { p =>
-      new org.apache.hadoop.fs.Path(p).toUri.getPath
-        .stripPrefix(rootUri).stripPrefix("/")
-    }
+    // a mapped table's new columns get UUID-fresh physical names so a
+    // re-added name can never resurrect a dropped column's data
+    val addedFields =
+      if (ColumnMapping.hasMapping(prior))
+        added.fields.map(f => ColumnMapping.withPhysical(
+          f.copy(nullable = true), ColumnMapping.freshPhysical(f.name)))
+      else added.fields.map(_.copy(nullable = true))
+    val merged = org.apache.spark.sql.types.StructType(prior.fields ++ addedFields)
+    val entries = manifestEntries(spark, root, cur)
     val stats =
       if (statsExists(spark, root, cur)) Some(statsTable(spark, root, cur))
       else None
-    val staged = Staged(root, cur + 1, newToken(), relFiles, stats,
-      Some(asNullable(merged).json), dv = commitDv(spark, root, cur))
+    val staged = Staged(root, cur + 1, newToken(), entries.map(_._1), stats,
+      Some(asNullable(merged).json), dv = commitDv(spark, root, cur),
+      sizes = knownSizes(entries))
     commitStaged(spark, staged)
+    cur + 1
+  }
+
+  /** `ALTER TABLE RENAME COLUMN` as a PURE-METADATA commit (Delta's
+    * column-mapping rename): the first rename/drop upgrades the table
+    * to explicit logical→physical mapping ([[ColumnMapping.stampAll]]),
+    * after which the files' physical names are pinned forever and the
+    * logical rename touches only the committed schema — zero data
+    * I/O; stats/dict/bloom/bucket/DV metadata (all keyed by physical
+    * name) carry verbatim; travel keeps the old shape (each commit
+    * pins its own schema). Returns the new epoch. */
+  def renameColumn(spark: SparkSession, root: String,
+                   from: String, to: String): Int =
+    remapSchema(spark, root) { sch =>
+      require(sch.fieldNames.contains(from),
+        s"RENAME COLUMN: no column $from in ${sch.simpleString}")
+      require(!sch.fieldNames.contains(to),
+        s"RENAME COLUMN: $to already exists in ${sch.simpleString}")
+      org.apache.spark.sql.types.StructType(
+        sch.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    }
+
+  /** `ALTER TABLE DROP COLUMN` as a PURE-METADATA commit: the field
+    * leaves the logical schema; the physical column stays in the
+    * (immutable) files, invisible to every read — files byte-identical
+    * (the spec-pinned property). A column later re-ADDED under the
+    * same name gets a fresh physical name, so the dropped data can
+    * never resurrect. Returns the new epoch. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Int =
+    remapSchema(spark, root) { sch =>
+      require(sch.fieldNames.contains(name),
+        s"DROP COLUMN: no column $name in ${sch.simpleString}")
+      require(sch.length > 1, "cannot drop a table's last column")
+      org.apache.spark.sql.types.StructType(sch.fields.filterNot(_.name == name))
+    }
+
+  private def remapSchema(spark: SparkSession, root: String)(
+      change: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType): Int = {
+    val cur = currentEpoch(spark, root)
+    val prior = ColumnMapping.stampAll(commitSchema(spark, root, cur)
+      .getOrElse(read(spark, root, cur).schema))
+    val next = change(prior)
+    // metadata the rename/drop must not orphan: a live DV key or a
+    // committed bucket key is addressed by PHYSICAL name in places
+    // that also surface it logically (the SPJ transform, the DV
+    // append key) — keep those columns live and un-renamed
+    commitDv(spark, root, cur).foreach { case (_, k) =>
+      require(ColumnMapping.logicalOfPhysical(next, k).isDefined,
+        s"cannot drop the live delete-vector key column (physical $k); " +
+          "materialize the DV first (compact)")
+    }
+    bucketSpec(spark, root, cur).foreach { bs =>
+      val f = ColumnMapping.logicalOfPhysical(next, bs.keyCol)
+      require(f.exists(_.name == bs.keyCol),
+        s"cannot rename or drop the bucket key ${bs.keyCol}: the " +
+          "storage-partitioned layout is declared by that name; " +
+          "re-bucket (OPTIMIZE ... BUCKET BY) first")
+    }
+    val entries = manifestEntries(spark, root, cur)
+    val stats =
+      if (statsExists(spark, root, cur)) Some(statsTable(spark, root, cur))
+      else None
+    commitStaged(spark, Staged(root, cur + 1, newToken(), entries.map(_._1),
+      stats, Some(asNullable(next).json), dv = commitDv(spark, root, cur),
+      sizes = knownSizes(entries)))
+    cur + 1
+  }
+
+  /** TRUNCATE as a metadata epoch: the new manifest lists NO files —
+    * content history restarts while the schema stays pinned and every
+    * prior epoch remains time-travelable until vacuum. An empty stats
+    * table rides along so metadata-only aggregation keeps answering
+    * (count 0) without a fallback scan. Returns the new epoch. */
+  def truncate(spark: SparkSession, root: String): Int = {
+    val cur = currentEpoch(spark, root)
+    commitStaged(spark, Staged(root, cur + 1, newToken(), Nil,
+      Some(emptyStats(spark)), commitSchema(spark, root, cur).map(_.json)))
     cur + 1
   }
 
@@ -755,6 +944,21 @@ object ManifestSink {
       f.delete(stagePath, true)
       return false
     }
+    // the stage dir is created by the distributed write's commit
+    // protocol even for a zero-row batch, so its ABSENCE here can only
+    // mean an external sweep (a vacuum whose stream-stage grace was
+    // shorter than this batch's write phase) deleted it between the
+    // delegate commit and this epoch commit. Committing would publish
+    // an EMPTY epoch while the checkpoint advances — silent loss of
+    // the batch (ADVICE r12). Fail loudly instead; the retried batch
+    // re-stages.
+    if (!f.exists(stagePath))
+      throw new IllegalStateException(
+        s"streaming stage dir $stagePath vanished before its epoch " +
+          "commit (batch not lost — it will replay): a concurrent " +
+          "VACUUM's streamStageGraceMs was shorter than this batch's " +
+          "write phase; raise the grace or do not run vacuum " +
+          "concurrently with long streaming batches")
     val next = currentEpochOpt(spark, root).getOrElse(0) + 1
     val token = newToken()
     // move the stage into the standard attempt-dir shape BEFORE the
@@ -765,18 +969,21 @@ object ManifestSink {
     // those rules and either leak or race the sweeps.
     val epochDirName = s"data-epoch=$next-a$token"
     val epochDirPath = new org.apache.hadoop.fs.Path(s"$root/$epochDirName")
-    if (f.exists(stagePath) && !f.rename(stagePath, epochDirPath))
+    if (!f.rename(stagePath, epochDirPath))
       throw new IllegalStateException(s"rename $stagePath -> $epochDirPath failed")
-    val relFiles =
+    val listed =
       if (!f.exists(epochDirPath)) Nil
-      else f.listStatus(epochDirPath).toSeq.map(_.getPath)
-        .filter(_.getName.endsWith(".parquet"))
-        .map(p => s"$epochDirName/${p.getName}").sorted
+      else f.listStatus(epochDirPath).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+    val freshSizes = listed
+      .map(s => s"$epochDirName/${s.getPath.getName}" -> s.getLen).toMap
+    val relFiles = freshSizes.keys.toSeq.sorted
     val freshStats =
       if (statsCols.isEmpty) None
       else if (relFiles.isEmpty) Some(emptyStats(spark))
       else Some(fileStats(spark, root, relFiles, statsCols))
-    val fresh = Staged(root, next, token, relFiles, freshStats)
+    val fresh = Staged(root, next, token, relFiles, freshStats,
+      sizes = freshSizes)
     val staged =
       if (next <= 1) {
         val sch =
@@ -785,18 +992,16 @@ object ManifestSink {
             .parquet(relFiles.map(r => s"$root/$r"): _*).schema).json)
         fresh.copy(schemaJson = sch)
       } else {
-        val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-        val prior = manifestFiles(spark, root, next - 1).map { p =>
-          new org.apache.hadoop.fs.Path(p).toUri.getPath
-            .stripPrefix(rootUri).stripPrefix("/")
-        }
+        val priorEntries = manifestEntries(spark, root, next - 1)
+        val prior = priorEntries.map(_._1)
         val stats =
           if (statsCols.isEmpty) None
           else Some(statsTable(spark, root, next - 1).unionByName(freshStats.get))
         fresh.copy(relFiles = (prior ++ relFiles).sorted, stats = stats,
           schemaJson = commitSchema(spark, root, next - 1).map(_.json)
             .orElse(fresh.schemaJson),
-          dv = commitDv(spark, root, next - 1))
+          dv = commitDv(spark, root, next - 1),
+          sizes = freshSizes ++ knownSizes(priorEntries))
       }
     try { commitStaged(spark, staged, Some(Txn(appId, version))); true }
     catch {
@@ -832,7 +1037,12 @@ object ManifestSink {
     import org.apache.spark.sql.types._
     dt match {
       case TimestampType => unix_micros(c)
-      case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      // NTZ encodes timezone-INDEPENDENTLY (its internal long,
+      // verbatim): the cast-to-Timestamp spelling shifted by the
+      // session zone while catalyst NTZ literals on the probe side are
+      // unshifted — offset bounds under a non-UTC session could
+      // wrongly prune boundary files (ADVICE r12)
+      case TimestampNTZType => graft.functions.TimeExprs.ntzMicros(c)
       case DateType => datediff(c, lit(java.sql.Date.valueOf("1970-01-01")))
       case _ => c
     }
@@ -1059,19 +1269,16 @@ object ManifestSink {
                           probe: org.apache.spark.sql.Column): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
-    val rows = statsTable(spark, root, e)
-      .filter(col("col").isin(c, s"__dict:$c", s"__dictover:$c", s"__bloom:$c"))
-      .collect()
+    val wanted = Set(c, s"__dict:$c", s"__dictover:$c", s"__bloom:$c")
+    val rows = SnapshotCache.statRows(spark, root, e)
+      .getOrElse(Array.empty[org.apache.spark.sql.Row])
+      .filter(r => wanted(r.getString(1)))
     val byFile = rows.groupBy(_.getString(0))
     // the probe value's bit positions, once per committed (m, k)
     val posCache = scala.collection.mutable.Map.empty[(Long, Long), Seq[Int]]
     def positions(m: Long, k: Long): Seq[Int] =
       posCache.getOrElseUpdate((m, k), bloomProbePositions(spark, probe, m, k))
-    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-    val all = manifestFiles(spark, root, e).map { p =>
-      new org.apache.hadoop.fs.Path(p).toUri.getPath
-        .stripPrefix(rootUri).stripPrefix("/")
-    }
+    val all = manifestEntries(spark, root, e).map(_._1)
     val hit = all.filter { f =>
       byFile.get(f) match {
         case None => true // no stats for this file: conservative keep
@@ -1133,12 +1340,10 @@ object ManifestSink {
     val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
     require(commitDv(spark, root, e).isEmpty,
       "metadata aggregation on a DV-carrying epoch would count deleted rows; compact first")
-    val rows = statsTable(spark, root, e).collect()
-    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-    val all = manifestFiles(spark, root, e).map { p =>
-      new org.apache.hadoop.fs.Path(p).toUri.getPath
-        .stripPrefix(rootUri).stripPrefix("/")
-    }.toSet
+    val rows = SnapshotCache.statRows(spark, root, e)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"epoch $e at $root committed no stats table"))
+    val all = manifestEntries(spark, root, e).map(_._1).toSet
     val counts = rows.filter(r => r.getString(1) == "__count" && all(r.getString(0)))
     require(counts.map(_.getString(0)).toSet == all,
       s"epoch $e at $root: some manifest files carry no __count stats row " +
@@ -1173,9 +1378,10 @@ object ManifestSink {
                          statsCol: String,
                          overlaps: org.apache.spark.sql.Row => Boolean): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
-    val rows = statsTable(spark, root, e)
-      .filter(org.apache.spark.sql.functions.col("col") === statsCol)
-      .collect()
+    val rows = SnapshotCache.statRows(spark, root, e)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"epoch $e at $root committed no stats table"))
+      .filter(_.getString(1) == statsCol)
     val hit = rows.filter(overlaps).map(_.getString(0)).sorted
     val df =
       if (hit.isEmpty)
@@ -1280,16 +1486,28 @@ object ManifestSink {
                 txn: Option[Txn] = None): (Int, Int, Int) =
     cowRewrite(spark, root, keys, keyCol, statsCols, insert = false, txn)
 
-  private def cowRewrite(spark: SparkSession, root: String, updates: DataFrame,
-                         keyCol: String, statsCols: Seq[String],
+  private def cowRewrite(spark: SparkSession, root: String, updates0: DataFrame,
+                         keyCol0: String, statsCols0: Seq[String],
                          insert: Boolean, txn: Option[Txn]): (Int, Int, Int) = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    require(statsCols.contains(keyCol), "statsCols must include the merge key")
+    require(statsCols0.contains(keyCol0), "statsCols must include the merge key")
     val cur = currentEpoch(spark, root)
     require(commitDv(spark, root, cur).isEmpty,
       "CoW rewrite on a DV-carrying epoch would resurrect merge-on-read " +
         "deletes; materialize them first (compact)")
     val next = cur + 1
+    // mapped tables: updates arrive LOGICAL; the rewrite runs entirely
+    // in PHYSICAL terms (stats keys, file columns, staged output)
+    val tableSchemaEarly = commitSchema(spark, root, cur)
+    val mapping = tableSchemaEarly.filter(ColumnMapping.hasMapping)
+    val (updates, keyCol, statsCols) = mapping match {
+      case Some(p) =>
+        val phys = ColumnMapping.physOf(p)
+        (ColumnMapping.toPhysicalDf(updates0, p),
+          phys.getOrElse(keyCol0, keyCol0),
+          statsCols0.map(c => phys.getOrElse(c, c)))
+      case None => (updates0, keyCol0, statsCols0)
+    }
     val stats = statsTable(spark, root, cur)
     // type-aware overlap: string merge keys compare against
     // (lo_str, hi_str), integral ones against (lo_long, hi_long) —
@@ -1319,12 +1537,10 @@ object ManifestSink {
       .join(broadcast(keyRanges),
         col("__k") >= col("__lo") && col("__k") <= col("__hi"))
       .select("file").distinct().collect().map(_.getString(0)).toSet
-    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-    val all = manifestFiles(spark, root, cur).map { p =>
-      new org.apache.hadoop.fs.Path(p).toUri.getPath
-        .stripPrefix(rootUri).stripPrefix("/")
-    }
+    val entries = manifestEntries(spark, root, cur)
+    val all = entries.map(_._1)
     val carried = all.filterNot(touched)
+    val carriedSizes = knownSizes(entries).view.filterKeys(carried.contains).toMap
     // rewrite: touched rows that lose to an update key, plus (merge
     // only) every update row — replacements AND inserts
     val carriedStats = stats.filter(col("file").isin(carried: _*))
@@ -1334,15 +1550,19 @@ object ManifestSink {
       // no data write at all, the manifest and stats carry verbatim
       commitStaged(spark,
         Staged(root, next, newToken(), carried.sorted, Some(carriedStats),
-          tableSchema.map(_.json)), txn)
+          tableSchema.map(_.json), sizes = carriedSizes), txn)
       return (next, 0, carried.size)
     }
     val survivors =
       if (touched.isEmpty) updates
       else {
         // touched files read under the TABLE schema (an evolved
-        // table's pre-evolution files fill added columns with null)
-        val reader = tableSchema.fold(spark.read)(spark.read.schema)
+        // table's pre-evolution files fill added columns with null);
+        // mapped tables read the PHYSICAL shape — updates are already
+        // in it
+        val readSchema = mapping.map(ColumnMapping.physicalSchema)
+          .orElse(tableSchema)
+        val reader = readSchema.fold(spark.read)(spark.read.schema)
         val keep = reader.parquet(touched.map(n => s"$root/$n").toSeq: _*)
           .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
         if (insert) keep.unionByName(updates) else keep
@@ -1351,7 +1571,11 @@ object ManifestSink {
     commitStaged(spark, fresh.copy(
       relFiles = (carried ++ fresh.relFiles).sorted,
       stats = Some(carriedStats.unionByName(fresh.stats.getOrElse(
-        emptyStats(spark))))), txn)
+        emptyStats(spark)))),
+      // the committed schema is the TABLE's (mapping included) — the
+      // staged files' physical shape must never overwrite it
+      schemaJson = tableSchema.map(_.json).orElse(fresh.schemaJson),
+      sizes = fresh.sizes ++ carriedSizes), txn)
     (next, fresh.relFiles.size, carried.size)
   }
 
@@ -1387,21 +1611,21 @@ object ManifestSink {
       "row-level rewrite on a DV-carrying epoch would resurrect " +
         "merge-on-read deletes; materialize them first (compact)")
     val next = cur + 1
-    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-    val all = manifestFiles(spark, root, cur).map { p =>
-      new org.apache.hadoop.fs.Path(p).toUri.getPath
-        .stripPrefix(rootUri).stripPrefix("/")
-    }
+    val entries = manifestEntries(spark, root, cur)
+    val all = entries.map(_._1)
     require(replaced.subsetOf(all.toSet),
       s"replaced files not in epoch $cur's manifest: ${replaced -- all.toSet}")
     val carried = all.filterNot(replaced)
+    val carriedSizes = knownSizes(entries).view.filterKeys(carried.contains).toMap
     val stagedPath = new org.apache.hadoop.fs.Path(s"$root/$stagedDirName")
     val f = fs(spark, stagedPath)
-    val newRel =
+    val newListed =
       if (!f.exists(stagedPath)) Nil
-      else f.listStatus(stagedPath).toSeq.map(_.getPath)
-        .filter(_.getName.endsWith(".parquet"))
-        .map(p => s"$stagedDirName/${p.getName}").sorted
+      else f.listStatus(stagedPath).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+    val newSizes = newListed
+      .map(s => s"$stagedDirName/${s.getPath.getName}" -> s.getLen).toMap
+    val newRel = newSizes.keys.toSeq.sorted
     // a stats-less base commits a stats-less next epoch; a
     // stats-carrying base keeps carried rows verbatim and computes
     // fresh rows for the staged files over the same columns
@@ -1423,7 +1647,7 @@ object ManifestSink {
     commitStaged(spark,
       Staged(root, next, stagedDirName.split("-a").last,
         (carried ++ newRel).sorted, mergedStats,
-        tableSchema.map(_.json)), txn)
+        tableSchema.map(_.json), sizes = carriedSizes ++ newSizes), txn)
     next
   }
 
@@ -1472,11 +1696,21 @@ object ManifestSink {
         new org.apache.hadoop.fs.Path(p).toUri.getPath
           .stripPrefix(rootUri).stripPrefix("/")
       }
-    val schema = read(spark, root, toEpoch).schema
+    val commitSch = commitSchema(spark, root, toEpoch)
+    val mappedSch = commitSch.filter(ColumnMapping.hasMapping)
+    val schema = commitSch.map(ColumnMapping.stripMapping)
+      .getOrElse(read(spark, root, toEpoch).schema)
     val cols = schema.fieldNames.toSeq
     def readFiles(files: Seq[String]): DataFrame =
       if (files.isEmpty) read(spark, root, toEpoch).filter(lit(false))
-      else spark.read.schema(schema).parquet(files.map(n => s"$root/$n"): _*)
+      else mappedSch match {
+        case Some(p) =>
+          spark.read.schema(ColumnMapping.physicalSchema(p))
+            .parquet(files.map(n => s"$root/$n"): _*)
+            .select(ColumnMapping.toLogicalCols(p): _*)
+        case None =>
+          spark.read.schema(schema).parquet(files.map(n => s"$root/$n"): _*)
+      }
     (fromEpoch + 1 to toEpoch).map { e =>
       val prev = rel(e - 1).toSet
       val cur = rel(e).toSet
@@ -1508,11 +1742,19 @@ object ManifestSink {
       dvCur match {
         case Some((relDv, k)) if !dvPrevOpt.exists(_._1 == relDv) =>
           val curKeys = spark.read.parquet(s"$root/$relDv")
-          val freshKeys = dvPrevOpt
+          val freshKeys0 = dvPrevOpt
             .map { case (p, _) => curKeys.except(spark.read.parquet(s"$root/$p")) }
             .getOrElse(curKeys)
-          val mor = read(spark, root, e - 1)
-            .join(broadcast(freshKeys), Seq(k), "left_semi")
+          // the DV key is PHYSICAL; the feed's one consistent shape is
+          // toEpoch's LOGICAL schema (physical names are stable, so the
+          // pre-delete snapshot reads fine under it even if columns
+          // were renamed later in the range)
+          val logicalKey = commitSch
+            .flatMap(s => ColumnMapping.logicalOfPhysical(s, k).map(_.name))
+            .getOrElse(k)
+          val freshKeys = freshKeys0.toDF(logicalKey)
+          val mor = readFiles(rel(e - 1).toSeq.sorted)
+            .join(broadcast(freshKeys), Seq(logicalKey), "left_semi")
             .select(cols.map(col) :+ lit("delete").as("_change_type")
               :+ lit(e).as("_commit_epoch"): _*)
           fileDiff.unionByName(mor)
@@ -1542,12 +1784,22 @@ object ManifestSink {
     * not re-insert deleted keys (single-key-space discipline — the
     * same reason Iceberg scopes equality deletes by sequence number).
     * @return the new epoch */
-  def deleteMor(spark: SparkSession, root: String, keys: DataFrame,
-                keyCol: String, txn: Option[Txn] = None): Int = {
+  def deleteMor(spark: SparkSession, root: String, keys0: DataFrame,
+                keyCol0: String, txn: Option[Txn] = None): Int = {
     import org.apache.spark.sql.functions.col
     val cur = currentEpoch(spark, root)
     val next = cur + 1
     val token = newToken()
+    // mapped tables: the DV is keyed by PHYSICAL name (stable across
+    // renames — exactly why the DV survives them untouched)
+    val mappingOpt = commitSchema(spark, root, cur).filter(ColumnMapping.hasMapping)
+    val (keys, keyCol) = mappingOpt match {
+      case Some(p) =>
+        val phys = ColumnMapping.physOf(p)
+        val pk = phys.getOrElse(keyCol0, keyCol0)
+        (keys0.select(col(keyCol0).as(pk)), pk)
+      case None => (keys0, keyCol0)
+    }
     val prior = commitDv(spark, root, cur) match {
       case Some((rel, k)) =>
         require(k == keyCol, s"DV key mismatch: table has $k, delete on $keyCol")
@@ -1558,27 +1810,20 @@ object ManifestSink {
     prior.select(col(keyCol)).unionByName(keys.select(col(keyCol)))
       .distinct().coalesce(1)
       .write.mode("overwrite").parquet(s"$root/$dvRel")
-    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-    val carried = manifestFiles(spark, root, cur).map { p =>
-      new org.apache.hadoop.fs.Path(p).toUri.getPath
-        .stripPrefix(rootUri).stripPrefix("/")
-    }
+    val entries = manifestEntries(spark, root, cur)
     val stats =
       if (statsExists(spark, root, cur)) Some(statsTable(spark, root, cur))
       else None
-    commitStaged(spark, Staged(root, next, token, carried.sorted, stats,
-      commitSchema(spark, root, cur).map(_.json), Some((dvRel, keyCol))), txn)
+    commitStaged(spark, Staged(root, next, token, entries.map(_._1).sorted, stats,
+      commitSchema(spark, root, cur).map(_.json), Some((dvRel, keyCol)),
+      sizes = knownSizes(entries)), txn)
     next
   }
 
-  /** The (dv relative path, key column) a committed epoch carries. */
+  /** The (dv relative path, key column) a committed epoch carries
+    * (snapshot-cached). */
   def commitDv(spark: SparkSession, root: String, epoch: Int): Option[(String, String)] =
-    readLines(spark, new org.apache.hadoop.fs.Path(s"$root/commit-$epoch"))
-      .collectFirst { case l if l.startsWith("dv=") =>
-        val body = l.stripPrefix("dv=")
-        val i = body.lastIndexOf(':')
-        (body.take(i), body.drop(i + 1))
-      }
+    SnapshotCache.get(spark, root, epoch).dv
 
   private def statsExists(spark: SparkSession, root: String, epoch: Int): Boolean = {
     val (token, _) = commitInfo(spark, root, epoch)
@@ -1595,20 +1840,16 @@ object ManifestSink {
                txn: Option[Txn] = None): Int = {
     val cur = currentEpoch(spark, root)
     val next = cur + 1
-    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
-    val relFiles = manifestFiles(spark, root, to).map { p =>
-      new org.apache.hadoop.fs.Path(p).toUri.getPath
-        .stripPrefix(rootUri).stripPrefix("/")
-    }
+    val entries = manifestEntries(spark, root, to)
     val (token, _) = commitInfo(spark, root, to)
     val f = fs(spark, new org.apache.hadoop.fs.Path(root))
     val stats =
       if (f.exists(new org.apache.hadoop.fs.Path(s"$root/stats-$to.$token")))
         Some(statsTable(spark, root, to))
       else None
-    commitStaged(spark, Staged(root, next, newToken(), relFiles.sorted, stats,
-      commitSchema(spark, root, to).map(_.json),
-      commitDv(spark, root, to)), txn)
+    commitStaged(spark, Staged(root, next, newToken(), entries.map(_._1).sorted,
+      stats, commitSchema(spark, root, to).map(_.json),
+      commitDv(spark, root, to), sizes = knownSizes(entries)), txn)
     next
   }
 
@@ -1630,18 +1871,10 @@ object ManifestSink {
     currentEpochOpt(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no committed epoch at $root"))
 
-  /** The winning (token, txn) of a committed epoch. */
+  /** The winning (token, txn) of a committed epoch (snapshot-cached). */
   def commitInfo(spark: SparkSession, root: String, epoch: Int): (String, Option[Txn]) = {
-    val lines = readLines(spark,
-      new org.apache.hadoop.fs.Path(s"$root/commit-$epoch"))
-    val token = lines.collectFirst { case l if l.startsWith("token=") =>
-      l.stripPrefix("token=") }.getOrElse(
-      throw new IllegalStateException(s"commit-$epoch at $root has no token"))
-    val txn = lines.collectFirst { case l if l.startsWith("txn=") =>
-      val Array(app, v) = l.stripPrefix("txn=").split(":", 2)
-      Txn(app, v.toLong)
-    }
-    (token, txn)
+    val s = SnapshotCache.get(spark, root, epoch)
+    (s.token, s.txn)
   }
 
   /** Newest committed txn version for `appId`, across live commit
@@ -1668,13 +1901,18 @@ object ManifestSink {
     (live ++ rolled).maxOption
   }
 
-  /** Manifest-resolved file list of `epoch` (absolute paths). */
-  def manifestFiles(spark: SparkSession, root: String, epoch: Int): Seq[String] = {
-    val (token, _) = commitInfo(spark, root, epoch)
-    readLines(spark,
-      new org.apache.hadoop.fs.Path(s"$root/manifest-$epoch.$token"))
-      .map(n => s"$root/$n")
-  }
+  /** Manifest-resolved file list of `epoch` (absolute paths;
+    * snapshot-cached). */
+  def manifestFiles(spark: SparkSession, root: String, epoch: Int): Seq[String] =
+    manifestEntries(spark, root, epoch).map { case (rel, _) => s"$root/$rel" }
+
+  /** Manifest entries of `epoch` as (relPath, sizeBytes) — size -1 for
+    * manifests committed before sizes landed. Snapshot-cached: after
+    * the first load, planning state costs one marker read, zero
+    * per-file RPCs. */
+  def manifestEntries(spark: SparkSession, root: String,
+                      epoch: Int): Seq[(String, Long)] =
+    SnapshotCache.get(spark, root, epoch).entries
 
   /** Read the table AS PUBLISHED: only manifest-listed files — orphans
     * and unpublished epochs are invisible. Pass `epoch` to time-travel
@@ -1686,29 +1924,35 @@ object ManifestSink {
     import org.apache.spark.sql.functions.{broadcast, col}
     val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
     val files = manifestFiles(spark, root, e)
-    val base = commitSchema(spark, root, e) match {
+    val schOpt = commitSchema(spark, root, e)
+    val mapped = schOpt.exists(ColumnMapping.hasMapping)
+    // mapped tables scan under the files' PHYSICAL names and surface
+    // the logical ones via one aliasing projection (see ColumnMapping)
+    val base = schOpt match {
+      case Some(sch) if mapped =>
+        spark.read.schema(ColumnMapping.physicalSchema(sch)).parquet(files: _*)
       case Some(sch) => spark.read.schema(sch).parquet(files: _*)
       case None      => spark.read.parquet(files: _*)
     }
-    commitDv(spark, root, e) match {
+    val withDv = commitDv(spark, root, e) match {
       case Some((rel, k)) =>
         // merge-on-read: one broadcast anti join against the keys-only
-        // delete vector (see deleteMor; compact materializes it away)
+        // delete vector (see deleteMor; compact materializes it away).
+        // k is a PHYSICAL name — exactly what `base` exposes pre-alias.
         base.join(broadcast(spark.read.parquet(s"$root/$rel").select(col(k))),
           Seq(k), "left_anti")
       case None => base
     }
+    if (mapped) withDv.select(ColumnMapping.toLogicalCols(schOpt.get): _*)
+    else withDv
   }
 
   /** The schema a committed epoch pinned, if its marker carries one
-    * (markers from before schema metadata landed do not). */
+    * (markers from before schema metadata landed do not).
+    * Snapshot-cached — the JSON parse happens once per epoch. */
   def commitSchema(spark: SparkSession, root: String, epoch: Int)
       : Option[org.apache.spark.sql.types.StructType] =
-    readLines(spark, new org.apache.hadoop.fs.Path(s"$root/commit-$epoch"))
-      .collectFirst { case l if l.startsWith("schema=") =>
-        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-      }
+    SnapshotCache.get(spark, root, epoch).schema
 
   /** Commit history of the table — the DESCRIBE HISTORY surface: one
     * row per live epoch with its winning token, txn (if any), and
@@ -1750,9 +1994,20 @@ object ManifestSink {
     * maintenance process assumed (as for compact) — vacuum itself is
     * not CAS-protected.
     * Time travel remains available across exactly the kept epochs.
+    *
+    * `streamStageGraceMs` bounds the age-based sweep of crashed
+    * `data-stream-a*` staging dirs. It MUST exceed the longest
+    * streaming batch's write phase: a live batch whose stage dir is
+    * swept mid-write would otherwise lose its files between the
+    * delegate commit and the epoch commit (the epoch commit now fails
+    * loudly on a vanished stage dir rather than publishing an empty
+    * epoch — ADVICE r12 — but the batch still pays a replay). The
+    * default is 24 h — far above any sane micro-batch; do not run
+    * vacuum concurrently with longer batches.
     * @return (droppedEpochs, keptEpochs), each sorted. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2,
-             streamStageGraceMs: Long = 600000L): (Seq[Int], Seq[Int]) = {
+             streamStageGraceMs: Long = 86400000L): (Seq[Int], Seq[Int]) =
+      withMaintLease(spark, root) {
     require(keep >= 1, "must keep at least the current epoch")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val f = fs(spark, rootPath)
@@ -1843,6 +2098,11 @@ object ManifestSink {
       .foreach(s => f.delete(s.getPath, true))
     (dropped, kept)
   }
+
+  /** Test/ops hook: whether a maintenance lease is currently held. */
+  def maintLeaseHeld(spark: SparkSession, root: String): Boolean =
+    fs(spark, new org.apache.hadoop.fs.Path(root))
+      .exists(new org.apache.hadoop.fs.Path(root, "maint-lease"))
 
   /** The epoch a data file's directory belongs to, if it is an epoch
     * dir (`data-epoch=N` or an attempt dir `data-epoch=N-aTOKEN`). */

@@ -110,6 +110,16 @@ object GraftSqlParser {
       "|DESCRIBE\\s+DETAIL|RESTORE|CREATE\\s+MATERIALIZED" +
       "|REFRESH\\s+MATERIALIZED)\\b.*").r
 
+  /** True iff the statement carries a graft-shaped table reference —
+    * an explicit `graft.` catalog prefix, or a backquoted/quoted
+    * ABSOLUTE PATH (the path-table spelling). Only such statements may
+    * raise the malformed-maintenance error: a plain
+    * `DESCRIBE HISTORY` against an ordinary table literally named
+    * `history` (or another engine's DESCRIBE HISTORY/DETAIL in a
+    * mixed deployment) must fall through to the delegate parser
+    * untouched (ADVICE r12). */
+  private val GraftShapedRe = "(?s).*(?:graft\\s*\\.|`/|'/).*".r
+
   private[sql] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case VacuumRe(bq, q, retain) =>
@@ -140,7 +150,8 @@ object GraftSqlParser {
         Some(RestoreCommand(Option(bq).getOrElse(q), to.toInt))
       case AnalyzeRe(bq, q) =>
         Some(AnalyzeCommand(Option(bq).getOrElse(q)))
-      case LeadRe(kw) => throw new IllegalArgumentException(
+      case LeadRe(kw) if GraftShapedRe.matches(sqlText) =>
+        throw new IllegalArgumentException(
         s"malformed graft maintenance statement (keyword ${kw.toUpperCase}): " +
           s"$sqlText\nexpected: VACUUM <tbl> [RETAIN n EPOCHS] | OPTIMIZE <tbl> " +
           "[CLUSTER BY (cols) | ZORDER BY (c1, c2)] [FILES n] | OPTIMIZE <tbl> " +
@@ -190,9 +201,16 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       val cur = ManifestSink.currentEpoch(spark, path)
       val before = ManifestSink.manifestFiles(spark, path, cur).size
+      // committed stats are keyed by PHYSICAL name; the compaction
+      // reads the LOGICAL view, so map back (mapped tables only)
+      val physToLogical = ManifestSink.commitSchema(spark, path, cur)
+        .map(s => s.fields.map(f =>
+          graft.sink.ColumnMapping.physicalName(f) -> f.name).toMap)
+        .getOrElse(Map.empty[String, String])
       val existing = ManifestSink.statsTable(spark, path, cur)
         .select("col").distinct().collect().map(_.getString(0))
-        .filterNot(_.startsWith("__")).sorted.toSeq
+        .filterNot(_.startsWith("__"))
+        .map(c => physToLogical.getOrElse(c, c)).sorted.toSeq
       val next =
         if (zorder) {
           import org.apache.spark.sql.functions.{col, lit, max, min}
@@ -345,19 +363,18 @@ object GraftSqlParser {
       attr("bucket", StringType), attr("has_dv", StringType))
     override def run(spark: SparkSession): Seq[Row] = {
       val e = ManifestSink.currentEpoch(spark, path)
-      val files = ManifestSink.manifestFiles(spark, path, e)
+      val entries = ManifestSink.manifestEntries(spark, path, e)
       val conf = spark.sparkContext.hadoopConfiguration
-      val bytes = files.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(conf).getFileStatus(p).getLen
+      // committed sizes; one getFileStatus only for pre-size legacy lines
+      val bytes = entries.map {
+        case (_, s) if s >= 0 => s
+        case (rel, _) =>
+          val p = new org.apache.hadoop.fs.Path(s"$path/$rel")
+          p.getFileSystem(conf).getFileStatus(p).getLen
       }.sum
-      val stats = try Some(ManifestSink.statsTable(spark, path, e).collect())
+      val stats = try graft.sink.SnapshotCache.statRows(spark, path, e)
         catch { case _: Throwable => None }
-      val rootUri = new org.apache.hadoop.fs.Path(path).toUri.getPath
-      val rels = files.map { f =>
-        new org.apache.hadoop.fs.Path(f).toUri.getPath
-          .stripPrefix(rootUri).stripPrefix("/")
-      }.toSet
+      val rels = entries.map(_._1).toSet
       val counts = stats.map(_.filter(r =>
         r.getString(1) == "__count" && rels(r.getString(0))))
       val nRows: Any = counts match {
@@ -370,7 +387,7 @@ object GraftSqlParser {
         .filter(_.nonEmpty).orNull
       val bucket = ManifestSink.bucketSpec(spark, path, e)
         .map(b => s"${b.keyCol}:${b.numBuckets}").orNull
-      Seq(Row(path, e, files.size, bytes, nRows, statsCols, bucket,
+      Seq(Row(path, e, entries.size, bytes, nRows, statsCols, bucket,
         ManifestSink.commitDv(spark, path, e).isDefined.toString))
     }
   }

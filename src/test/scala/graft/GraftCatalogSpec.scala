@@ -692,12 +692,13 @@ class GraftCatalogSpec extends SparkTestBase {
     // time travel to the pre-evolution epoch keeps the old shape
     val pinned = spark.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 1")
     assert(pinned.schema.fieldNames.toSeq == Seq("event_id", "user_id", "value"))
-    // refusals: existing name, nested field, non-add changes
+    // refusals: existing name, retype (rename/drop are now column
+    // mapping — ColumnMappingSpec pins those)
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (flag STRING)")
     }
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN flag")
+      spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN score TYPE INT")
     }
   }
 
@@ -1085,7 +1086,50 @@ class GraftCatalogSpec extends SparkTestBase {
       s"subset ndv must come from the surviving files only: $prunedNdv")
   }
 
-  test("catalog scan refuses a merge-on-read DV epoch rather than resurrecting deletes") {
+  test("DELETE cost-routes to MoR: wide deletes commit a keys-only DV epoch, zero data writes") {
+    ensureCatalog()
+    val root = tmpDir("gcat_morroute_") + "/t"
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("event_id") < 400)
+      .repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions("event_id")
+      .createOrReplaceTempView("morroute_src")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM morroute_src")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def dataFileState(): Map[String, (Long, Long)] =
+      ManifestSink.manifestFiles(spark, root, ManifestSink.currentEpoch(spark, root))
+        .map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          f -> (st.getLen, st.getModificationTime)
+        }.toMap
+    val before = dataFileState()
+    // keys spread across EVERY file's range: the CoW rewrite would
+    // touch the whole manifest, so the router must choose MoR
+    spark.sql(s"DELETE FROM graft.`$root` WHERE event_id IN " +
+      (0 until 8).map(i => i * 50 + 1).mkString("(", ", ", ")"))
+    val e = ManifestSink.currentEpoch(spark, root)
+    assert(ManifestSink.commitDv(spark, root, e).isDefined,
+      "a wide delete must commit as a DV epoch")
+    assert(dataFileState() == before,
+      "a MoR delete writes NO data file: lengths and mtimes untouched")
+    assert(spark.sql(s"SELECT * FROM graft.`$root`").collect().length == 392)
+    // a second delete extends the cumulative DV (even a narrow one)
+    spark.sql(s"DELETE FROM graft.`$root` WHERE event_id = 2")
+    assert(spark.sql(s"SELECT * FROM graft.`$root`").collect().length == 391)
+    assert(dataFileState() == before, "the DV extension is metadata-only too")
+    // a NARROW delete on a fresh table keeps the CoW path
+    val root2 = tmpDir("gcat_cowroute_") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$root2` AS SELECT * FROM morroute_src")
+    spark.sql(s"DELETE FROM graft.`$root2` WHERE event_id = 7")
+    assert(ManifestSink.commitDv(spark, root2,
+      ManifestSink.currentEpoch(spark, root2)).isEmpty,
+      "a one-file delete must stay copy-on-write")
+    assert(spark.sql(s"SELECT * FROM graft.`$root2`").collect().length == 399)
+  }
+
+  test("catalog scan applies a merge-on-read DV reader-side; travel spans DV generations") {
     ensureCatalog()
     val root = tmpDir("gcat_mor_") + "/t"
     val ev = Tables.events(spark, sf)
@@ -1094,13 +1138,35 @@ class GraftCatalogSpec extends SparkTestBase {
     ManifestSink.publishWithStats(
       ev.repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"),
       root, 1, Seq("event_id"))
+    val all = ev.count()
     ManifestSink.deleteMor(spark, root,
       ev.filter(col("event_id") < 5).select(col("event_id")), "event_id")
-    val e = intercept[Exception] {
-      spark.sql(s"SELECT * FROM graft.`$root`").collect()
-    }
-    def chain(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
-    assert(chain(e).exists(_.contains("delete")), s"got: ${chain(e)}")
+    // plain SELECT stays live: vectored keys filtered in the reader —
+    // including when the query PRUNES the key column away
+    assert(spark.sql(s"SELECT * FROM graft.`$root` WHERE event_id < 10")
+      .collect().map(_.getLong(0)).toSet == (5L until 10L).toSet)
+    assert(GraftTable.lastDvApplied, "the DV filter must wrap the reader")
+    assert(spark.sql(s"SELECT user_id FROM graft.`$root`").collect().length ==
+      all - 5)
+    // second deleteMor is cumulative; travel pins each DV generation
+    ManifestSink.deleteMor(spark, root,
+      ev.filter(col("event_id").between(5, 7)).select(col("event_id")), "event_id")
+    assert(spark.sql(s"SELECT count(user_id) FROM graft.`$root`")
+      .collect()(0).getLong(0) == all - 8)
+    assert(spark.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 2")
+      .collect().length == all - 5)
+    assert(spark.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 1")
+      .collect().length == all)
+    // meta-agg still refuses (stats cannot see deletes): count(*) runs
+    // as a real scan, not the metadata answer
+    spark.sql(s"SELECT count(*) FROM graft.`$root`").collect()
+    assert(!GraftTable.lastMetaAggOnly,
+      "a DV epoch must never answer count(*) from metadata")
+    // compaction materializes; parity with the DV-filtered view
+    val pre = spark.sql(s"SELECT * FROM graft.`$root` ORDER BY event_id").collect()
+    ManifestSink.compact(spark, root, Seq("event_id"))
+    val post = spark.sql(s"SELECT * FROM graft.`$root` ORDER BY event_id").collect()
+    assert(!GraftTable.lastDvApplied, "post-compaction scans carry no DV filter")
+    assert(pre.toSeq == post.toSeq, "DV view and materialized view must agree")
   }
 }

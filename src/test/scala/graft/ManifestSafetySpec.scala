@@ -175,4 +175,78 @@ class ManifestSafetySpec extends SparkTestBase {
       expect.map(r => (r.get(0), r.get(1), r.get(2))),
       "racing same-version refreshes must fold the delta exactly once")
   }
+
+  test("maintenance lease: racing vacuums yield one winner; stale leases break after TTL") {
+    import spark.implicits._
+    val root = tmpDir("lease_vac_")
+    (1 to 5).foreach { e =>
+      ManifestSink.publishAppend(Seq((e.toLong, s"v$e")).toDF("k", "v"), root, e)
+    }
+    // hold the lease ourselves: a concurrent vacuum must refuse
+    val holding = ManifestSink.withMaintLease(spark, root) {
+      assert(ManifestSink.maintLeaseHeld(spark, root))
+      intercept[ManifestSink.MaintenanceLeaseException] {
+        ManifestSink.vacuum(spark, root, keep = 2)
+      }
+      true
+    }
+    assert(holding)
+    assert(!ManifestSink.maintLeaseHeld(spark, root), "lease releases on exit")
+    // released: vacuum proceeds normally
+    val (dropped, kept) = ManifestSink.vacuum(spark, root, keep = 2)
+    assert(dropped == Seq(1, 2, 3) && kept == Seq(4, 5))
+    // a crashed holder's stale lease breaks after the TTL
+    val lease = new org.apache.hadoop.fs.Path(root, "maint-lease")
+    val fs = lease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lease, false); out.write(1); out.close()
+    intercept[ManifestSink.MaintenanceLeaseException] {
+      ManifestSink.vacuum(spark, root, keep = 2) // default 1h TTL: refused
+    }
+    val broke = ManifestSink.withMaintLease(spark, root, ttlMs = -1L) { 42 }
+    assert(broke == 42, "a stale lease past the TTL must break and proceed")
+    // many concurrent racers: every one either holds cleanly or gets
+    // the typed refusal — never two holders at once
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() =>
+        try ManifestSink.withMaintLease(spark, root) {
+          val n = inside.incrementAndGet()
+          maxInside.getAndUpdate(m => math.max(m, n))
+          Thread.sleep(30)
+          inside.decrementAndGet()
+          wins.incrementAndGet()
+        } catch { case _: ManifestSink.MaintenanceLeaseException => () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(maxInside.get() == 1, "two holders must never overlap")
+    assert(wins.get() >= 1, "someone must win the lease")
+  }
+
+  test("OPTIMIZE racing an INSERT: the epoch CAS yields one winner, no lost epoch") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val root = tmpDir("lease_opt_") + "/t"
+    (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("lease_opt_src")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM lease_opt_src")
+    // stage a compaction against epoch 1, let an INSERT land first,
+    // then the compaction's commit must CONFLICT (not clobber)
+    val staged = ManifestSink.stage(
+      ManifestSink.read(spark, root).repartitionByRange(2, col("k"))
+        .sortWithinPartitions("k"), root, 2, Seq("k"), unique = true)
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (1000, 9.0)")
+    intercept[ManifestSink.ManifestConflictException] {
+      ManifestSink.commitStaged(spark, staged)
+    }
+    // nothing lost: the insert's epoch is current and complete
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+      .collect()(0).getLong(0) == 101)
+    // the retried OPTIMIZE (re-resolving the current epoch) succeeds
+    spark.sql(s"OPTIMIZE graft.`$root` CLUSTER BY (k) FILES 2")
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+      .collect()(0).getLong(0) == 101)
+  }
 }
