@@ -3329,6 +3329,66 @@ object Registry {
       },
       """SELECT event_id, user_id, value, TRUE AS ddl_ok FROM events
         |WHERE event_id < 100 ORDER BY event_id""".stripMargin),
+    // CHANGE FEED BY TABLE NAME (round 13): the Iceberg-style
+    // `@changes` metadata table — `readStream.table("graft.`/p@changes`")`
+    // streams the row-level CDF with NO format()/path side-channel:
+    // opening batch = snapshot-as-inserts, a mid-stream CoW UPDATE
+    // arrives as an update_preimage/update_postimage pair, a MoR
+    // delete landing while the stream is DOWN arrives after restart as
+    // exactly its delete row (checkpointed epoch offsets — no snapshot
+    // replay; exactly-once). cdf_ok gates the restart emitting ONLY
+    // the missed delete.
+    "q_catalog_stream_cdf" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val base = tmpDir("graft_ccdf_")
+        val root = s"$base/t"
+        val ckpt = s"$base/ckpt"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 100)
+          .repartitionByRange(4, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("ccdf_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM ccdf_src")
+        val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        def start() = s.readStream
+          .option("changeFeedKey", "event_id")
+          .table(s"graft.`$root@changes`")
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = b.select("event_id", "_change_type").collect()
+            seen.synchronized {
+              seen ++= rows.map(r => (r.getLong(0), r.getString(1)))
+            }; ()
+          }.start()
+        val q1 = start()
+        try {
+          q1.processAllAvailable()
+          s.sql(s"UPDATE graft.`$root` SET value = -1.0 WHERE event_id = 7")
+          q1.processAllAvailable()
+        } finally q1.stop()
+        // a MoR delete lands while no stream runs; the restart resumes
+        // from the checkpoint and emits exactly the missed delete
+        graft.sink.ManifestSink.deleteMor(s, root,
+          ev.filter(col("event_id") === 3).select(col("event_id")), "event_id")
+        val before = seen.size
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+        val fresh = seen.drop(before).toSet
+        val cdfOk = fresh == Set((3L, "delete"))
+        import s.implicits._
+        seen.toSeq.toDF("event_id", "_change_type")
+          .withColumn("cdf_ok", lit(cdfOk))
+          .orderBy(col("event_id"), col("_change_type"))
+      },
+      """SELECT event_id, _change_type, TRUE AS cdf_ok FROM (
+        |  SELECT event_id, 'insert' AS _change_type FROM events WHERE event_id < 100
+        |  UNION ALL SELECT 7, 'update_preimage'
+        |  UNION ALL SELECT 7, 'update_postimage'
+        |  UNION ALL SELECT 3, 'delete')
+        |ORDER BY event_id, _change_type""".stripMargin),
     // MERGE-ON-READ DELETES (round 11): Iceberg equality-delete
     // parity — deleteMor commits the SAME file list plus a keys-only
     // delete vector (pure metadata + a KB write; zero data I/O), read

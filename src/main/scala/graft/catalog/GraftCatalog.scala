@@ -122,6 +122,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // the `@changes` METADATA TABLE (Iceberg's `db.t.changes`
+    // spelling): the table's row-level change feed, streamable by
+    // name — see [[GraftChangesTable]]
+    if (ident.name.endsWith("@changes")) {
+      val baseIdent = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("@changes"))
+      val dir = dirOf(baseIdent)
+      if (!existsAsTable(dir)) throw new NoSuchTableException(baseIdent)
+      return new GraftChangesTable(dir, ident.toString)
+    }
     val dir = dirOf(ident)
     if (!existsAsTable(dir)) throw new NoSuchTableException(ident)
     new GraftTable(dir, ident.toString, None)

@@ -1,0 +1,168 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sink.{ColumnMapping, ManifestSink}
+
+/** CHANGE FEED BY TABLE NAME — the Iceberg `db.t.changes`
+  * metadata-table spelling over the manifest CDF (the r12 VERDICT's
+  * "catalog-addressable change feed"): appending `@changes` to a graft
+  * table identifier resolves to this table, whose STREAMING scan emits
+  * the row-level change feed —
+  *
+  * {{{
+  *   spark.readStream.option("changeFeedKey", "event_id")
+  *     .table("graft.`/data/events@changes`")
+  * }}}
+  *
+  * Offsets are committed epochs (the same totally-ordered log every
+  * graft stream rides). Each micro-batch (from, to] MATERIALIZES the
+  * [[ManifestSink.tableChanges]] diff of its epoch range into a
+  * checkpoint-scoped staging dir and plans ordinary parquet partitions
+  * over it: the diff is a join (not a file list), so it cannot be
+  * served as raw file partitions — staging it once per batch keeps the
+  * read path distributed AND makes replays deterministic (a restarted
+  * batch re-reads the staged files; recomputing would also be
+  * deterministic, since manifests and data files are immutable, but
+  * the staged copy makes that property structural). Work per trigger
+  * is O(epoch file delta), never O(table). The opening batch (from the
+  * initial offset) is the snapshot-as-inserts; a mid-stream CoW
+  * UPDATE/MERGE arrives as update_preimage/update_postimage pairs,
+  * CoW or MoR deletes as delete rows — Delta's readChangeFeed
+  * contract, addressed purely by table name.
+  *
+  * Batch SQL over `@changes` is deliberately not served here:
+  * `DESCRIBE CHANGES <tbl> KEY <col> FROM <a> TO <b>` is the batch
+  * surface (epoch-bounded, no checkpoint state). The streaming scan
+  * requires the `changeFeedKey` read option — the diff key is the
+  * table's merge key, which only the caller knows. */
+final class GraftChangesTable(dir: String, ident: String)
+  extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = ident
+
+  override def schema(): StructType = {
+    val e = ManifestSink.currentEpoch(spark, dir)
+    val base = ManifestSink.commitSchema(spark, dir, e)
+      .map(ColumnMapping.stripMapping)
+      .getOrElse(ManifestSink.read(spark, dir, e).schema)
+    StructType(base.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_epoch", IntegerType, nullable = false)))
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val key = Option(options.get("changeFeedKey")).getOrElse(
+      throw new IllegalArgumentException(
+        s"the $ident change feed needs option(\"changeFeedKey\", <mergeKey>) " +
+          "— the diff is keyed on the table's merge key"))
+    val startEpoch = Option(options.get("startEpoch")).map(_.toInt).getOrElse(0)
+    val outSchema = schema()
+    () => new GraftChangesScan(spark, dir, key, startEpoch, outSchema)
+  }
+}
+
+final class GraftChangesScan(spark: SparkSession, dir: String, key: String,
+                             startEpoch: Int, outSchema: StructType)
+  extends Scan {
+
+  override def readSchema(): StructType = outSchema
+  override def description(): String = s"GraftChangesScan($dir, key=$key)"
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftCdfMicroBatchStream(spark, dir, key, startEpoch, outSchema,
+      checkpointLocation)
+}
+
+/** The epoch-offset CDF stream (see [[GraftChangesTable]]). */
+final class GraftCdfMicroBatchStream(spark: SparkSession, dir: String,
+                                     key: String, startEpoch: Int,
+                                     outSchema: StructType,
+                                     checkpointLocation: String)
+  extends MicroBatchStream {
+
+  private val stageRoot = s"$checkpointLocation/graft-cdf"
+
+  override def initialOffset(): Offset = EpochOffset(startEpoch)
+
+  override def latestOffset(): Offset =
+    EpochOffset(ManifestSink.currentEpochOpt(spark, dir)
+      .filter(_ > startEpoch).getOrElse(startEpoch))
+
+  override def deserializeOffset(json: String): Offset =
+    EpochOffset(json.trim.toInt)
+
+  /** Materialize (from, to]'s diff once (deterministic path keyed by
+    * the range; a replayed batch reuses the staged files), then plan
+    * parquet partitions over it. */
+  private def stagedDir(from: Int, to: Int): Path = {
+    val p = new Path(s"$stageRoot/$from-$to")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(p, "_SUCCESS"))) {
+      ManifestSink.tableChanges(spark, dir, key, math.max(from, 0), to)
+        .write.mode("overwrite").parquet(p.toString)
+    }
+    p
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[EpochOffset].epoch
+    val to = end.asInstanceOf[EpochOffset].epoch
+    if (to <= from) return Array.empty
+    val p = stagedDir(from, to)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    if (statuses.isEmpty) Array.empty
+    else scanOver(statuses).planInputPartitions()
+  }
+
+  private def scanOver(statuses: Seq[org.apache.hadoop.fs.FileStatus]) =
+    ParquetScan(spark,
+      spark.sessionState.newHadoopConfWithOptions(Map.empty),
+      new graft.sink.StaticFileIndex(spark, new Path(stageRoot), statuses),
+      dataSchema = outSchema,
+      readDataSchema = outSchema,
+      readPartitionSchema = StructType(Nil),
+      pushedFilters = Array.empty,
+      options = CaseInsensitiveStringMap.empty()).toBatch
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scanOver(Nil).createReaderFactory()
+
+  /** Committed batches never replay — their staged diffs are dead
+    * weight; sweep every range ending at or before the committed
+    * offset. */
+  override def commit(end: Offset): Unit = {
+    val committed = end.asInstanceOf[EpochOffset].epoch
+    val root = new Path(stageRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      fs.listStatus(root).toSeq.foreach { st =>
+        st.getPath.getName.split("-") match {
+          case Array(_, to) if to.toIntOption.exists(_ <= committed) =>
+            fs.delete(st.getPath, true): Unit
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  override def stop(): Unit = ()
+}

@@ -1086,6 +1086,53 @@ class GraftCatalogSpec extends SparkTestBase {
       s"subset ndv must come from the surviving files only: $prunedNdv")
   }
 
+  test("@changes streams the change feed by table name: snapshot, CoW update pairs, exactly-once") {
+    ensureCatalog()
+    val base = tmpDir("gcat_cdf_")
+    val root = s"$base/t"
+    val ckpt = s"$base/ckpt"
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("event_id") < 80)
+      .repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id")
+      .createOrReplaceTempView("cdf_a")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cdf_a")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int)]
+    def start() = spark.readStream
+      .option("changeFeedKey", "event_id")
+      .table(s"graft.`$root@changes`")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("_change_type", "event_id", "_commit_epoch").collect()
+        seen.synchronized {
+          seen ++= rows.map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        }; ()
+      }.start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // opening batch: snapshot-as-inserts
+      assert(seen.count(_._1 == "insert") == 80, s"got ${seen.size}")
+      // mid-stream CoW UPDATE arrives as an update pair, by name
+      spark.sql(s"UPDATE graft.`$root` SET value = -1.0 WHERE event_id = 7")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.count(t => t._1 == "update_preimage" && t._2 == 7L) == 1)
+    assert(seen.count(t => t._1 == "update_postimage" && t._2 == 7L) == 1)
+    // an epoch lands while no query runs (a MoR delete); the restart
+    // resumes from the checkpoint and emits ONLY the delete — no
+    // snapshot replay, exactly-once end to end
+    ManifestSink.deleteMor(spark, root,
+      Tables.events(spark, sf).filter(col("event_id") === 3)
+        .select(col("event_id")), "event_id")
+    val before = seen.size
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val fresh = seen.drop(before)
+    assert(fresh.toSet == Set(("delete", 3L, 3)),
+      s"restart must emit exactly the missed MoR delete; got $fresh")
+  }
+
   test("DELETE cost-routes to MoR: wide deletes commit a keys-only DV epoch, zero data writes") {
     ensureCatalog()
     val root = tmpDir("gcat_morroute_") + "/t"
