@@ -3232,6 +3232,88 @@ object Registry {
       """SELECT event_id, user_id, value, TRUE AS zero_ok FROM events
         |WHERE event_id < 120 AND event_id NOT IN (1, 51, 101)
         |ORDER BY event_id""".stripMargin),
+    // ROW-LEVEL DML OVER MERGE-ON-READ (round 13): UPDATE and MERGE
+    // keep working on a DV-carrying epoch — the row-level scan applies
+    // the delete vector (so a rewrite of a file holding hidden rows
+    // MATERIALIZES the deletes instead of resurrecting them) and the
+    // replace-groups commit carries the vector forward for the
+    // untouched files. dml_ok gates: the UPDATE replaced exactly ONE
+    // file (runtime group filtering still bounds the rewrite), the
+    // replacement file is physically DV-clean, both DML epochs carry
+    // the DV and readers keep filtering, the change feed across the
+    // UPDATE epoch emits only the update pair (no spurious deletes of
+    // hidden rows), and the closing compaction is row-identical.
+    "q_catalog_mor_dml" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cmordml_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 400)
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("cmordml_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cmordml_src")
+        // epoch 2: hide keys 100-124 behind a delete vector — they sit
+        // in the SAME range file as the key the UPDATE touches next
+        graft.sink.ManifestSink.deleteMor(s, root,
+          ev.filter(col("event_id").between(100, 124)).select(col("event_id")),
+          "event_id")
+        // epoch 3: UPDATE rewrites that file; the DV-aware scan keeps
+        // the hidden rows out of the replacement bytes
+        s.sql(s"UPDATE graft.`$root` SET value = -1.0 WHERE event_id = 130")
+        val replaced = graft.sink.ManifestSink.manifestFiles(s, root, 2).toSet --
+          graft.sink.ManifestSink.manifestFiles(s, root, 3).toSet
+        val added = graft.sink.ManifestSink.manifestFiles(s, root, 3).toSet --
+          graft.sink.ManifestSink.manifestFiles(s, root, 2).toSet
+        val clean = s.read.parquet(added.toSeq: _*)
+          .filter(col("event_id").between(100, 124)).count() == 0
+        val feed = graft.sink.ManifestSink.tableChanges(s, root, "event_id", 2, 3)
+        val feedOk =
+          feed.filter(col("_change_type") === "delete").count() == 0 &&
+            feed.filter(col("_change_type").startsWith("update"))
+              .select("event_id").collect().map(_.getLong(0)).toSeq == Seq(130L, 130L)
+        // epoch 4: MERGE — matched update (key 250, untouched so far,
+        // so the fixture row IS the current row) + unmatched insert
+        ev.filter(col("event_id") === 250).unionByName(
+            s.range(1).select(lit(9999L).as("event_id"),
+              lit(9L).as("user_id"), lit(2.5).as("value")))
+          .createOrReplaceTempView("cmordml_upd")
+        s.sql(
+          s"""MERGE INTO graft.`$root` t USING cmordml_upd u
+             |ON t.event_id = u.event_id
+             |WHEN MATCHED THEN UPDATE SET t.value = u.value + 100.0
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val dvCarried =
+          graft.sink.ManifestSink.commitDv(s, root, 3).isDefined &&
+            graft.sink.ManifestSink.commitDv(s, root, 4).isDefined
+        val dvApplied = {
+          s.sql(s"SELECT user_id FROM graft.`$root` WHERE event_id < 200").collect()
+          graft.catalog.GraftTable.lastDvApplied
+        }
+        val dvView = s.sql(
+          s"SELECT event_id, user_id, value FROM graft.`$root` ORDER BY event_id")
+          .collect().toSeq
+        graft.sink.ManifestSink.compact(s, root, Seq("event_id"))
+        val matView = s.sql(
+          s"SELECT event_id, user_id, value FROM graft.`$root` ORDER BY event_id")
+        val rows = matView.collect()
+        val dmlOk = replaced.size == 1 && clean && feedOk && dvCarried &&
+          dvApplied && rows.toSeq == dvView
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), matView.schema)
+          .withColumn("dml_ok", lit(dmlOk))
+      },
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id = 130 THEN -1.0
+        |       WHEN event_id = 250 THEN value + 100.0
+        |       ELSE value END AS value,
+        |  TRUE AS dml_ok
+        |FROM events
+        |WHERE event_id < 400 AND event_id NOT BETWEEN 100 AND 124
+        |UNION ALL
+        |SELECT CAST(9999 AS BIGINT), CAST(9 AS BIGINT), 2.5, TRUE
+        |ORDER BY event_id""".stripMargin),
     // COLUMN MAPPING (round 13): ALTER TABLE RENAME/DROP COLUMN as
     // METADATA-ONLY commits (Delta's column-mapping discipline) —
     // files keep stable PHYSICAL names; the logical rename touches

@@ -829,12 +829,13 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
       s"cannot run ${info.command} against $dir pinned at VERSION AS OF ${pinned.get}")
     val e = currentOpt.getOrElse(throw new IllegalStateException(
       s"graft table $dir has no committed epoch yet"))
-    // NO DV refusal here: Spark builds the row-level plan during
-    // ANALYSIS even when the optimizer later lowers the DELETE onto
-    // SupportsDelete (the MoR DV-append path) — refusing eagerly would
-    // block exactly the deletes MoR exists for. A genuine
-    // MERGE/UPDATE/group-rewrite against a DV epoch still fails at
-    // commit ([[ManifestSink.commitReplaceGroups]] refuses DV bases).
+    // DV-carrying epochs are fully supported: the row-level scan
+    // applies the vector (survivors exclude MoR-deleted rows) and
+    // commitReplaceGroups carries it forward, so MERGE/UPDATE/DELETE
+    // keep working between a deleteMor takedown and its compaction.
+    // The one inherited contract is deleteMor's single-key-space
+    // discipline: a MERGE that re-inserts a vectored key writes a row
+    // the standing DV still hides (same as a plain append would).
     () => new GraftRowLevelOperation(dir, e, mappedSchema, info.command)
   }
 
@@ -1525,9 +1526,16 @@ final class GraftRowLevelOperation(dir: String, baseEpoch: Int,
 
   override def command(): RowLevelOperation.Command = cmd
 
+  // the row-level scan applies the base epoch's delete vector exactly
+  // like a plain read: survivors exclude MoR-deleted rows, so the
+  // rewrite can never resurrect them (an UPDATE that moves a hidden
+  // row's key out of the DV key set is the hazard a DV-blind scan
+  // would create) — which is what lets commitReplaceGroups accept
+  // DV-carrying bases and carry the vector forward
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, dir, baseEpoch, tableSchema,
-      rowLevel = Some(this))
+      rowLevel = Some(this),
+      dv = ManifestSink.commitDv(SparkSession.active, dir, baseEpoch))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -1596,8 +1596,13 @@ object ManifestSink {
     * table advanced meanwhile the commit fails with a retryable
     * [[ManifestConflictException]] (optimistic concurrency — the
     * replaced-group set is only valid against the epoch it was
-    * derived from). DV-carrying bases are refused (a CoW rewrite over
-    * merge-on-read deletes would resurrect them). */
+    * derived from). A DV-carrying base CARRIES its delete vector into
+    * the new epoch: the caller's scan applied the DV (the DSv2
+    * row-level scan always does — [[graft.catalog.GraftRowLevelOperation]]),
+    * so the staged replacement files are DV-clean (the rewrite
+    * MATERIALIZES the deletes for the touched files) while untouched
+    * files still need the vector. Keys physically absent everywhere
+    * after the rewrite stay in the DV harmlessly (anti join misses). */
   def commitReplaceGroups(spark: SparkSession, root: String, baseEpoch: Int,
                           stagedDirName: String, replaced: Set[String],
                           txn: Option[Txn] = None): Int = {
@@ -1607,9 +1612,6 @@ object ManifestSink {
       throw new ManifestConflictException(root, baseEpoch + 1,
         s"table advanced to epoch $cur while a row-level operation ran " +
           s"against epoch $baseEpoch; retry against the current epoch")
-    require(commitDv(spark, root, cur).isEmpty,
-      "row-level rewrite on a DV-carrying epoch would resurrect " +
-        "merge-on-read deletes; materialize them first (compact)")
     val next = cur + 1
     val entries = manifestEntries(spark, root, cur)
     val all = entries.map(_._1)
@@ -1647,7 +1649,8 @@ object ManifestSink {
     commitStaged(spark,
       Staged(root, next, stagedDirName.split("-a").last,
         (carried ++ newRel).sorted, mergedStats,
-        tableSchema.map(_.json), sizes = carriedSizes ++ newSizes), txn)
+        tableSchema.map(_.json), dv = commitDv(spark, root, cur),
+        sizes = carriedSizes ++ newSizes), txn)
     next
   }
 
@@ -1711,12 +1714,29 @@ object ManifestSink {
         case None =>
           spark.read.schema(schema).parquet(files.map(n => s"$root/$n"): _*)
       }
+    // a file read under an epoch that carries a delete vector must
+    // exclude the vectored keys — the feed diffs VISIBLE rows, not
+    // physical file bytes. Without this, a CoW rewrite over a standing
+    // DV (replacement files are DV-clean, removed files are not) or a
+    // DV-materializing compaction would emit spurious deletes for rows
+    // the feed already reported deleted at their deleteMor epoch.
+    def visible(df: DataFrame, ep: Int): DataFrame =
+      (if (ep <= 0) None else commitDv(spark, root, ep)) match {
+        case Some((relDv, k)) =>
+          val logicalKey = commitSch
+            .flatMap(s => ColumnMapping.logicalOfPhysical(s, k).map(_.name))
+            .getOrElse(k)
+          df.join(
+            broadcast(spark.read.parquet(s"$root/$relDv").toDF(logicalKey)),
+            Seq(logicalKey), "left_anti")
+        case None => df
+      }
     (fromEpoch + 1 to toEpoch).map { e =>
       val prev = rel(e - 1).toSet
       val cur = rel(e).toSet
-      val pre = readFiles((prev -- cur).toSeq.sorted)
+      val pre = visible(readFiles((prev -- cur).toSeq.sorted), e - 1)
         .select(struct(cols.map(col): _*).as("__pre"), col(keyCol).as("__pk"))
-      val post = readFiles((cur -- prev).toSeq.sorted)
+      val post = visible(readFiles((cur -- prev).toSeq.sorted), e)
         .select(struct(cols.map(col): _*).as("__post"), col(keyCol).as("__ok"))
       // one full-outer join, one pass: each outcome explodes to its
       // 0/1/2 change rows so the join is never re-planned per branch

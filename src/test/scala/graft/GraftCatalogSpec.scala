@@ -1216,4 +1216,80 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(!GraftTable.lastDvApplied, "post-compaction scans carry no DV filter")
     assert(pre.toSeq == post.toSeq, "DV view and materialized view must agree")
   }
+
+  test("UPDATE and MERGE run over a DV-carrying epoch: scan applies the vector, commit carries it") {
+    ensureCatalog()
+    val root = tmpDir("gcat_mordml_") + "/t"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("event_id") < 60)
+    ManifestSink.publishWithStats(
+      ev.repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"),
+      root, 1, Seq("event_id"))
+    val all = ev.count()
+    // epoch 2: keys 0-4 hidden by a merge-on-read delete vector
+    ManifestSink.deleteMor(spark, root,
+      ev.filter(col("event_id") < 5).select(col("event_id")), "event_id")
+
+    // epoch 3: UPDATE touches the range file that ALSO physically holds
+    // the hidden keys — the row-level scan applies the DV, so the
+    // rewrite materializes the deletes for that file instead of
+    // resurrecting them (the DV-blind hazard)
+    spark.sql(s"UPDATE graft.`$root` SET value = -1.0 WHERE event_id = 7")
+    assert(spark.sql(s"SELECT * FROM graft.`$root`").count() == all - 5)
+    assert(spark.sql(s"SELECT value FROM graft.`$root` WHERE event_id = 7")
+      .collect()(0).getDouble(0) == -1.0)
+    assert(spark.sql(s"SELECT * FROM graft.`$root` WHERE event_id < 5").count() == 0,
+      "hidden keys must not resurrect through the rewrite")
+    val e3 = ManifestSink.currentEpoch(spark, root)
+    assert(ManifestSink.commitDv(spark, root, e3).isDefined,
+      "the replace-groups epoch must carry the delete vector forward")
+    spark.sql(s"SELECT user_id FROM graft.`$root`").collect()
+    assert(GraftTable.lastDvApplied, "the carried DV must keep wrapping readers")
+    // the replacement file is physically DV-clean (materialized): read
+    // the epoch's ADDED files raw, without any DV filtering
+    val added = ManifestSink.manifestFiles(spark, root, e3).toSet --
+      ManifestSink.manifestFiles(spark, root, e3 - 1).toSet
+    assert(added.nonEmpty)
+    val raw = spark.read.parquet(added.toSeq: _*)
+    assert(raw.filter(col("event_id") < 5).count() == 0,
+      "rewritten files must not contain vectored keys")
+    assert(raw.filter(col("event_id") === 7 && col("value") === -1.0).count() == 1)
+
+    // the change feed across the UPDATE epoch: exactly one update pair,
+    // and NO spurious deletes for the hidden rows the rewrite dropped
+    // from the replaced file's bytes
+    val feed = ManifestSink.tableChanges(spark, root, "event_id", e3 - 1, e3)
+    assert(feed.filter(col("_change_type") === "delete").count() == 0,
+      "a CoW rewrite over a standing DV emits no deletes")
+    assert(feed.filter(col("_change_type").startsWith("update"))
+      .select("event_id").collect().map(_.getLong(0)).toSeq == Seq(7L, 7L))
+
+    // epoch 4: MERGE on the DV table — matched update + unmatched insert
+    ev.filter(col("event_id") === 10)
+      .unionByName(spark.range(1).select(lit(1000L).as("event_id"),
+        lit(9L).as("user_id"), lit(2.5).as("value")))
+      .createOrReplaceTempView("mor_dml_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING mor_dml_src s ON t.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET t.value = s.value + 100.0
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM graft.`$root`").count() == all - 5 + 1)
+    assert(spark.sql(s"SELECT value FROM graft.`$root` WHERE event_id = 1000")
+      .collect()(0).getDouble(0) == 2.5)
+    assert(ManifestSink.commitDv(spark, root,
+      ManifestSink.currentEpoch(spark, root)).isDefined)
+
+    // compaction parity: the materialized table equals the DV view
+    val pre = spark.sql(s"SELECT * FROM graft.`$root` ORDER BY event_id").collect()
+    ManifestSink.compact(spark, root, Seq("event_id"))
+    val post = spark.sql(s"SELECT * FROM graft.`$root` ORDER BY event_id").collect()
+    assert(!GraftTable.lastDvApplied)
+    assert(pre.toSeq == post.toSeq)
+    // and the compaction epoch's feed is EMPTY — materializing the DV
+    // is physical, not semantic (the visible-rows diff sees no change)
+    val ec = ManifestSink.currentEpoch(spark, root)
+    assert(ManifestSink.tableChanges(spark, root, "event_id", ec - 1, ec).count() == 0,
+      "DV-materializing compaction must emit an empty change feed")
+  }
 }
