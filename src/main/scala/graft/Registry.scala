@@ -3314,6 +3314,66 @@ object Registry {
         |UNION ALL
         |SELECT CAST(9999 AS BIGINT), CAST(9 AS BIGINT), 2.5, TRUE
         |ORDER BY event_id""".stripMargin),
+    // EPOCH-SCOPED DELETE VECTORS (round 13): each deleteMor batch
+    // commits its OWN dv-N file that hides its keys only in data files
+    // committed at epochs < N (the manifest records per-file commit
+    // epochs — Iceberg's data-sequence-number discipline), so a key
+    // RE-INSERTED after its takedown is visible again: there is no
+    // single-key-space contract. scope_ok gates: exactly the
+    // re-inserted row is visible (never the old hidden one), a later
+    // delete of a different key leaves it alone, travel pins each
+    // generation's visibility, the change feed emits the re-insert as
+    // an insert, and the closing compaction is row-identical.
+    "q_catalog_dv_scope" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cdvscope_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 400)
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("cdvscope_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cdvscope_src")
+        // epoch 2: dv-2 hides keys 100-124
+        graft.sink.ManifestSink.deleteMor(s, root,
+          ev.filter(col("event_id").between(100, 124)).select(col("event_id")),
+          "event_id")
+        // epoch 3: re-insert key 110 — the appended file's epoch is
+        // above dv-2's scope, so the new row is visible
+        s.sql(s"INSERT INTO graft.`$root` VALUES (110, 9, -7.0)")
+        val reRow = s.sql(
+          s"SELECT user_id, value FROM graft.`$root` WHERE event_id = 110").collect()
+        val reOk = reRow.length == 1 && reRow(0).getLong(0) == 9L &&
+          reRow(0).getDouble(1) == -7.0
+        // epoch 4: deleting another key leaves the re-insert alone
+        graft.sink.ManifestSink.deleteMor(s, root,
+          ev.filter(col("event_id") === 300).select(col("event_id")), "event_id")
+        val travelOk =
+          s.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 2").count() == 375L &&
+            s.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 3").count() == 376L
+        val feed = graft.sink.ManifestSink.tableChanges(s, root, "event_id", 2, 3)
+          .collect()
+        val feedOk = feed.length == 1 &&
+          feed(0).getAs[String]("_change_type") == "insert"
+        val dvView = s.sql(
+          s"SELECT event_id, user_id, value FROM graft.`$root` ORDER BY event_id")
+          .collect().toSeq
+        graft.sink.ManifestSink.compact(s, root, Seq("event_id"))
+        val matView = s.sql(
+          s"SELECT event_id, user_id, value FROM graft.`$root` ORDER BY event_id")
+        val rows = matView.collect()
+        val scopeOk = reOk && travelOk && feedOk && rows.toSeq == dvView
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), matView.schema)
+          .withColumn("scope_ok", lit(scopeOk))
+      },
+      """SELECT event_id, user_id, value, TRUE AS scope_ok FROM events
+        |WHERE event_id < 400 AND event_id NOT BETWEEN 100 AND 124
+        |  AND event_id <> 300
+        |UNION ALL
+        |SELECT CAST(110 AS BIGINT), CAST(9 AS BIGINT), -7.0, TRUE
+        |ORDER BY event_id""".stripMargin),
     // COLUMN MAPPING (round 13): ALTER TABLE RENAME/DROP COLUMN as
     // METADATA-ONLY commits (Delta's column-mapping discipline) —
     // files keep stable PHYSICAL names; the logical rename touches

@@ -717,7 +717,7 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     val e = resolvedEpoch.getOrElse(throw new IllegalStateException(
       s"graft table $dir has no committed epoch yet"))
     new GraftScanBuilder(spark, dir, e, mappedSchema, readOptions = options,
-      dv = ManifestSink.commitDv(spark, dir, e))
+      dvs = ManifestSink.commitDvs(spark, dir, e))
   }
 
   /** All-column zone maps for SQL-written epochs: every integral,
@@ -830,12 +830,12 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     val e = currentOpt.getOrElse(throw new IllegalStateException(
       s"graft table $dir has no committed epoch yet"))
     // DV-carrying epochs are fully supported: the row-level scan
-    // applies the vector (survivors exclude MoR-deleted rows) and
-    // commitReplaceGroups carries it forward, so MERGE/UPDATE/DELETE
+    // applies the vectors (survivors exclude MoR-deleted rows) and
+    // commitReplaceGroups carries them forward, so MERGE/UPDATE/DELETE
     // keep working between a deleteMor takedown and its compaction.
-    // The one inherited contract is deleteMor's single-key-space
-    // discipline: a MERGE that re-inserts a vectored key writes a row
-    // the standing DV still hides (same as a plain append would).
+    // DVs are EPOCH-SCOPED, so a MERGE that re-inserts a vectored key
+    // writes a VISIBLE row — the replacement files commit above every
+    // live DV's scope (see ManifestSink.deleteMor).
     () => new GraftRowLevelOperation(dir, e, mappedSchema, info.command)
   }
 
@@ -980,7 +980,7 @@ final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
                              rowLevel: Option[GraftRowLevelOperation] = None,
                              readOptions: CaseInsensitiveStringMap =
                                CaseInsensitiveStringMap.empty(),
-                             dv: Option[(String, String)] = None)
+                             dvs: Seq[(String, String)] = Nil)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -1008,7 +1008,7 @@ final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
     // a DV-carrying epoch refuses the cap: committed __count rows
     // include vectored (deleted) rows, so a count-covering file prefix
     // could under-deliver after the reader-side filter
-    if (pushed.isEmpty && rowLevel.isEmpty && dv.isEmpty && n >= 0) {
+    if (pushed.isEmpty && rowLevel.isEmpty && dvs.isEmpty && n >= 0) {
       limit = Some(n); true
     } else false
   }
@@ -1034,7 +1034,7 @@ final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
         case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
         case _ => None
       }
-    if (ManifestSink.commitDv(spark, dir, epoch).isDefined) return None
+    if (ManifestSink.commitDvs(spark, dir, epoch).nonEmpty) return None
     val stats = try graft.sink.SnapshotCache.statRows(spark, dir, epoch)
       .getOrElse(return None)
       catch { case _: Throwable => return None }
@@ -1127,7 +1127,7 @@ final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
     case None =>
       GraftTable.lastMetaAggOnly = false
       new GraftFileScan(spark, dir, epoch, tableSchema, required, pushed,
-        rowLevel, limit, readOptions, dv)
+        rowLevel, limit, readOptions, dvs)
   }
 }
 
@@ -1150,7 +1150,7 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
                           limit: Option[Int] = None,
                           readOptions: CaseInsensitiveStringMap =
                             CaseInsensitiveStringMap.empty(),
-                          dv: Option[(String, String)] = None)
+                          dvs: Seq[(String, String)] = Nil)
   extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1184,7 +1184,7 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     * query's `required`) is what Spark receives. The DV key is a
     * PHYSICAL name (stable across renames). */
   private val dvLogicalKey: Option[org.apache.spark.sql.types.StructField] =
-    dv.map { case (_, k) =>
+    dvs.headOption.map { case (_, k) =>
       graft.sink.ColumnMapping.logicalOfPhysical(tableSchema, k).getOrElse(
         throw new IllegalStateException(
           s"DV key (physical $k) has no live column in ${tableSchema.simpleString}"))
@@ -1198,6 +1198,23 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
   }
   private val innerPhysical: StructType =
     graft.sink.ColumnMapping.physicalSchema(innerRequired)
+
+  // ---- EPOCH-SCOPED delete vectors (Iceberg sequence-number
+  // discipline): dv-N hides its keys only in files committed at
+  // epochs < N. Files group by which SUFFIX of the epoch-ascending DV
+  // list applies to them; planning never mixes groups inside one
+  // partition, so the reader filter is a single per-partition key set.
+  private lazy val dvSorted: Seq[(String, String)] =
+    dvs.sortBy(d => GraftFileScan.dvEpochOf(d._1))
+  private lazy val fileEpochsMap: Map[String, Int] =
+    ManifestSink.manifestEntries3(spark, dir, epoch)
+      .map { case (r, _, fe) => r -> math.max(fe, 0) }.toMap
+  /** Index of the first DV that applies to `rel` (== dvSorted.size
+    * when none does — the unfiltered group). */
+  private def dvGroupOf(rel: String): Int = {
+    val ef = fileEpochsMap.getOrElse(rel, 0)
+    dvSorted.count(d => GraftFileScan.dvEpochOf(d._1) <= ef)
+  }
 
   /** `spark.readStream.table(...)` — the epoch-tailing micro-batch
     * stream (see [[GraftMicroBatchStream]]); `startEpoch` and
@@ -1348,11 +1365,20 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
               org.apache.spark.sql.execution.datasources.FilePartition(
                 parts.length, Array.empty), b)
           case Some(fps) =>
-            parquetBatchOver(fps).planInputPartitions().foreach {
-              case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-                parts += new GraftBucketPartition(fp.copy(index = parts.length), b)
-              case other => throw new IllegalStateException(
-                s"unexpected parquet partition shape: ${other.getClass}")
+            // DV scope groups must not mix inside a partition (see
+            // planInputPartitions); a bucket simply emits one run of
+            // splits per group, all tagged with the same bucket key
+            val groups =
+              if (dvSorted.isEmpty) Seq(fps)
+              else fps.groupBy(st => dvGroupOf(relOf(st.getPath)))
+                .toSeq.sortBy(_._1).map(_._2)
+            groups.foreach { gf =>
+              parquetBatchOver(gf).planInputPartitions().foreach {
+                case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                  parts += new GraftBucketPartition(fp.copy(index = parts.length), b)
+                case other => throw new IllegalStateException(
+                  s"unexpected parquet partition shape: ${other.getClass}")
+              }
             }
         }
       }
@@ -1377,7 +1403,25 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     }
 
   override def planInputPartitions(): Array[InputPartition] =
-    keyedPartitions.getOrElse(delegate.planInputPartitions())
+    keyedPartitions.getOrElse {
+      val survivors = selectSurvivors()
+      GraftTable.lastPlannedFiles = survivors.size
+      rowLevel.foreach(_.recordScanned(
+        survivors.map(s => relOf(s.getPath)).toSet))
+      if (dvSorted.isEmpty) parquetBatchOver(survivors).planInputPartitions()
+      else
+        // one sub-plan per DV scope group: a partition must never mix
+        // files needing different key sets (the reader filter is
+        // per-partition); group count is bounded by live DV generations
+        survivors.groupBy(st => dvGroupOf(relOf(st.getPath)))
+          .toSeq.sortBy(_._1)
+          .flatMap { case (_, ss) => parquetBatchOver(ss).planInputPartitions() }
+          .zipWithIndex.map {
+            case (fp: org.apache.spark.sql.execution.datasources.FilePartition, i) =>
+              fp.copy(index = i): InputPartition
+            case (other, _) => other
+          }.toArray
+    }
   override def createReaderFactory(): PartitionReaderFactory = {
     val base =
       if (keyedPartitions.isDefined)
@@ -1389,35 +1433,49 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
             .listFiles(Nil, Nil).flatMap(_.files).map(_.fileStatus))
           .createReaderFactory())
       else delegate.createReaderFactory()
-    dv match {
-      case Some((dvRel, k)) =>
-        // keys-only small by the deleteMor contract: collected once on
-        // the driver, shipped inside the serialized factory (the
-        // broadcast-anti-join equivalent, reader-side)
-        val keyRows = spark.read.parquet(s"$dir/$dvRel").collect()
-        val keyType = dvLogicalKey.get.dataType
-        val (longs, strs) = keyType match {
-          case StringType =>
-            (Array.empty[Long], keyRows.map(_.get(0).asInstanceOf[String]))
-          case _ => (keyRows.map(_.get(0) match {
+    if (dvSorted.isEmpty) {
+      GraftTable.lastDvApplied = false
+      base
+    } else {
+      // keys-only small by the deleteMor contract: collected once on
+      // the driver, shipped inside the serialized factory (the
+      // broadcast-anti-join equivalent, reader-side). Group g's set is
+      // the SUFFIX UNION dvSorted(g..) — exactly the DVs whose scope
+      // epoch exceeds that group's file epochs.
+      val k = dvSorted.head._2
+      val keyType = dvLogicalKey.get.dataType
+      def keysOf(rel: String): Array[Any] =
+        spark.read.parquet(s"$dir/$rel").collect().map(_.get(0))
+      val perDv = dvSorted.map(d => keysOf(d._1))
+      val n = dvSorted.size
+      val (groupLongs, groupStrs) = keyType match {
+        case StringType =>
+          (Array.fill(n + 1)(Array.empty[Long]),
+            Array.tabulate(n + 1)(g =>
+              perDv.drop(g).flatten.map(_.asInstanceOf[String]).toArray))
+        case _ =>
+          (Array.tabulate(n + 1)(g => perDv.drop(g).flatten.map {
             case l: Long => l
             case i: Int => i.toLong
-            case s: Short => s.toLong
+            case sh: Short => sh.toLong
             case b: Byte => b.toLong
             case other => throw new IllegalStateException(
               s"unsupported DV key value $other for $k")
-          }), Array.empty[String])
-        }
-        GraftTable.lastDvApplied = true
-        val keyIdx = innerPhysical.fieldNames.indexOf(k)
-        require(keyIdx >= 0,
-          s"DV key $k not in the inner read schema ${innerPhysical.simpleString}")
-        new DvFilteringReaderFactory(base, keyIdx, keyType, longs, strs,
-          strip = dvKeyAppended,
-          required.fields.map(_.dataType), required.fields.map(_.nullable))
-      case None =>
-        GraftTable.lastDvApplied = false
-        base
+          }.toArray), Array.fill(n + 1)(Array.empty[String]))
+      }
+      // rel -> scope group for every live file (bounded by the file
+      // count — the same O(planned files) the scan already pays; the
+      // window lasts until OPTIMIZE materializes the DVs)
+      val relGroup = fileEpochsMap.keysIterator
+        .map(r => r -> dvGroupOf(r)).toMap
+      GraftTable.lastDvApplied = true
+      val keyIdx = innerPhysical.fieldNames.indexOf(k)
+      require(keyIdx >= 0,
+        s"DV key $k not in the inner read schema ${innerPhysical.simpleString}")
+      new DvFilteringReaderFactory(base, keyIdx, keyType,
+        groupLongs, groupStrs, relGroup,
+        strip = dvKeyAppended,
+        required.fields.map(_.dataType), required.fields.map(_.nullable))
     }
   }
 
@@ -1432,7 +1490,7 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     val bytes = survivors.map(_.getLen).sum
     val rels = survivors.map(s => relOf(s.getPath))
     val rows: java.util.OptionalLong =
-      if (dv.isDefined)
+      if (dvs.nonEmpty)
         // committed __count rows include vectored (deleted) rows — an
         // honest unknown beats an overcount the optimizer would trust
         java.util.OptionalLong.empty()
@@ -1535,7 +1593,7 @@ final class GraftRowLevelOperation(dir: String, baseEpoch: Int,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, dir, baseEpoch, tableSchema,
       rowLevel = Some(this),
-      dv = ManifestSink.commitDv(SparkSession.active, dir, baseEpoch))
+      dvs = ManifestSink.commitDvs(SparkSession.active, dir, baseEpoch))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -1738,21 +1796,44 @@ final class GraftStreamingWrite(dir: String, info: LogicalWriteInfo,
   * executor. */
 final class DvFilteringReaderFactory(delegate: PartitionReaderFactory,
                                      keyIdx: Int, keyType: DataType,
-                                     keysLong: Array[Long], keysStr: Array[String],
+                                     groupLongs: Array[Array[Long]],
+                                     groupStrs: Array[Array[String]],
+                                     relGroup: Map[String, Int],
                                      strip: Boolean,
                                      outTypes: Array[DataType],
                                      outNullable: Array[Boolean])
   extends PartitionReaderFactory {
 
-  @transient private lazy val longSet = {
-    val s = new java.util.HashSet[java.lang.Long](keysLong.length * 2)
-    keysLong.foreach(s.add(_)); s
-  }
-  @transient private lazy val strSet = {
-    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
-      keysStr.length * 2)
-    keysStr.foreach(k =>
-      s.add(org.apache.spark.unsafe.types.UTF8String.fromString(k))); s
+  // per-scope-group sets, hydrated lazily per executor. Planning
+  // guarantees a partition never mixes files of different groups, so
+  // the partition's FIRST file names its group (the last group — no
+  // applicable DV — carries empty sets: pass-through + strip only).
+  @transient private lazy val longSets: Array[java.util.HashSet[java.lang.Long]] =
+    groupLongs.map { ks =>
+      val s = new java.util.HashSet[java.lang.Long](ks.length * 2)
+      ks.foreach(s.add(_)); s
+    }
+  @transient private lazy val strSets
+      : Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] =
+    groupStrs.map { ks =>
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+        ks.length * 2)
+      ks.foreach(k =>
+        s.add(org.apache.spark.unsafe.types.UTF8String.fromString(k))); s
+    }
+
+  private def groupOf(p: InputPartition): Int = {
+    val fp = p match {
+      case b: GraftBucketPartition => b.delegate
+      case f: org.apache.spark.sql.execution.datasources.FilePartition => f
+      case _ => null
+    }
+    fp match {
+      case f if f != null && f.files.nonEmpty =>
+        val hp = f.files.head.filePath.toPath
+        relGroup.getOrElse(s"${hp.getParent.getName}/${hp.getName}", 0)
+      case _ => groupLongs.length - 1 // empty partition: nothing to filter
+    }
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
@@ -1760,6 +1841,9 @@ final class DvFilteringReaderFactory(delegate: PartitionReaderFactory,
   override def createReader(p: InputPartition):
       PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val inner = delegate.createReader(p)
+    val g = groupOf(p)
+    val longSet = longSets(g)
+    val strSet = strSets(g)
     val proj =
       if (strip) org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
         outTypes.zipWithIndex.map { case (dt, i) =>
@@ -1828,6 +1912,15 @@ final class GraftBucketReaderFactory(delegate: PartitionReaderFactory)
 }
 
 object GraftFileScan {
+
+  /** Scope epoch of a delete-vector file (`dv-N.TOKEN` -> N): its keys
+    * apply to data files committed at epochs < N; unknown shapes apply
+    * to everything (conservative). */
+  private[catalog] def dvEpochOf(rel: String): Int = {
+    val m = "dv-(\\d+)\\..*".r
+    rel match { case m(e) => e.toInt; case _ => Int.MaxValue }
+  }
+
   /** V1 source filters → the catalyst shapes [[ManifestFileIndex]]'s
     * mayMatch ladder understands. Unconvertible filters skip nothing
     * (conservative). Shared by the static (build-time) and runtime

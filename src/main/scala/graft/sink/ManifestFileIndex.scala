@@ -317,18 +317,36 @@ object ManifestFileIndex {
     val base = spark.baseRelationToDataFrame(rel)
     // merge-on-read deletes apply above the skipping scan (data
     // filters still push through the join child into listFiles);
-    // the DV key is physical — exactly the relation's pre-alias names
-    val withDv = ManifestSink.commitDv(spark, root, e) match {
-      case Some((dvRel, k)) =>
-        import org.apache.spark.sql.functions.{broadcast, col}
-        base.join(broadcast(spark.read.parquet(s"$root/$dvRel").select(col(k))),
-          Seq(k), "left_anti")
-      case None => base
+    // the DV key is physical — exactly the relation's pre-alias names.
+    // DVs are EPOCH-SCOPED: when every live file predates every DV
+    // (the common post-takedown window), one anti join over the key
+    // union is exact; a mixed-scope table (a post-DV append exists)
+    // cannot be expressed above this single relation, so the df falls
+    // back to the scoped reader — the returned index still serves
+    // skipping evidence, only this df's pushdown path is bypassed.
+    val dvs = ManifestSink.commitDvs(spark, root, e)
+    val maxFileEpoch = ManifestSink.manifestEntries3(spark, root, e)
+      .map { case (_, _, fe) => math.max(fe, 0) }.maxOption.getOrElse(0)
+    val allApply = dvs.forall { case (dvRel, _) =>
+      "dv-(\\d+)\\..*".r.findFirstMatchIn(dvRel).forall(_.group(1).toInt > maxFileEpoch)
     }
-    val df = mapped match {
-      case Some(p) => withDv.select(ColumnMapping.toLogicalCols(p): _*)
-      case None => withDv
+    if (dvs.nonEmpty && !allApply) (ManifestSink.read(spark, root, e), idx)
+    else {
+      val withDv =
+        if (dvs.isEmpty) base
+        else {
+          import org.apache.spark.sql.functions.{broadcast, col}
+          val k = dvs.head._2
+          val keys = dvs.map { case (dvRel, kc) =>
+            spark.read.parquet(s"$root/$dvRel").select(col(kc).as(k))
+          }.reduce(_ unionByName _)
+          base.join(broadcast(keys), Seq(k), "left_anti")
+        }
+      val df = mapped match {
+        case Some(p) => withDv.select(ColumnMapping.toLogicalCols(p): _*)
+        case None => withDv
+      }
+      (df, idx)
     }
-    (df, idx)
   }
 }

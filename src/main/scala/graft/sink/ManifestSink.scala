@@ -76,11 +76,20 @@ object ManifestSink {
     * `add.size` discipline) so planning never pays a per-file
     * getFileStatus RPC: FileIndex construction, split planning, and
     * `sizeInBytes` all answer from metadata. */
+  /** `dvs` is the ordered list of live delete-vector files
+    * (relPath, keyColumn) — EPOCH-SCOPED (the Iceberg data-sequence-
+    * number discipline): `dv-N.TOKEN` hides its keys only in data
+    * files committed at epochs < N, so a key re-inserted AFTER its
+    * deleteMor is visible again (no single-key-space contract).
+    * `fileEpochs` (rel -> commit epoch, carried verbatim for inherited
+    * files) is what scopes them; fresh files default to this staged
+    * epoch. */
   final case class Staged(root: String, epoch: Int, token: String,
                           relFiles: Seq[String], stats: Option[DataFrame],
                           schemaJson: Option[String] = None,
-                          dv: Option[(String, String)] = None,
-                          sizes: Map[String, Long] = Map.empty)
+                          dvs: Seq[(String, String)] = Nil,
+                          sizes: Map[String, Long] = Map.empty,
+                          fileEpochs: Map[String, Int] = Map.empty)
 
   /** Retryable: another attempt won this epoch's commit marker (or the
     * epoch is not above the current one). Re-read the current epoch
@@ -147,8 +156,14 @@ object ManifestSink {
 
   /** Committed (rel -> size) pairs of known size (legacy -1 entries
     * drop out and stay RPC-resolved on read). */
-  private def knownSizes(entries: Seq[(String, Long)]): Map[String, Long] =
-    entries.collect { case (r, s) if s >= 0 => r -> s }.toMap
+  private def knownSizes(entries: Seq[(String, Long, Int)]): Map[String, Long] =
+    entries.collect { case (r, s, _) if s >= 0 => r -> s }.toMap
+
+  /** Committed (rel -> commit epoch) pairs (legacy -1 entries drop
+    * out; readers treat an unknown epoch as 0 — every DV applies, the
+    * pre-scoping conservative semantics). */
+  private def knownEpochs(entries: Seq[(String, Long, Int)]): Map[String, Int] =
+    entries.collect { case (r, _, e) if e >= 0 => r -> e }.toMap
 
   private def writeFile(spark: SparkSession, p: org.apache.hadoop.fs.Path,
                         content: String): Unit = {
@@ -173,15 +188,21 @@ object ManifestSink {
                                      epoch: Int): List[String] =
     readLines(spark, new org.apache.hadoop.fs.Path(s"$root/commit-$epoch"))
 
-  /** Manifest lines parsed to (rel, size); size -1 for manifests
-    * written before sizes landed (readers fall back to one
-    * getFileStatus for exactly those files). */
+  /** Manifest lines parsed to (rel, size, commitEpoch); size/epoch -1
+    * for manifests written before each field landed (readers fall back
+    * to one getFileStatus for missing sizes, and treat a missing epoch
+    * as 0 — every DV applies). */
   private[sink] def readManifestLines(spark: SparkSession, root: String,
-                                      epoch: Int, token: String): Seq[(String, Long)] =
+                                      epoch: Int, token: String): Seq[(String, Long, Int)] =
     readLines(spark,
       new org.apache.hadoop.fs.Path(s"$root/manifest-$epoch.$token")).map { l =>
-      val i = l.indexOf('\t')
-      if (i < 0) (l, -1L) else (l.take(i), l.drop(i + 1).toLong)
+      l.split('\t') match {
+        case Array(r) => (r, -1L, -1)
+        case Array(r, s) => (r, s.toLong, -1)
+        case Array(r, s, e) => (r, s.toLong, e.toInt)
+        case other => throw new IllegalStateException(
+          s"malformed manifest line (${other.length} fields): $l")
+      }
     }
 
   private[sink] def statsExistsFor(spark: SparkSession, root: String,
@@ -285,7 +306,7 @@ object ManifestSink {
       hllCols = hllW)
     if (epoch <= 1) fresh
     else {
-      val priorEntries = manifestEntries(spark, root, epoch - 1)
+      val priorEntries = manifestEntries3(spark, root, epoch - 1)
       val prior = priorEntries.map(_._1)
       val stats =
         if (statsCols.isEmpty && bucket.isEmpty && hllCols.isEmpty) None
@@ -311,13 +332,15 @@ object ManifestSink {
       }
       fresh.copy(relFiles = (prior ++ fresh.relFiles).sorted, stats = stats,
         schemaJson = schemaJson,
-        // a live DV keeps applying to the carried files — the line
-        // (an immutable file reference) rides every append
-        dv = commitDv(spark, root, epoch - 1),
-        // carried files keep their committed sizes (files are
-        // immutable); unknown (-1) legacy entries stay unknown
+        // live DVs keep applying to the carried files (their scopes
+        // predate this epoch, so the APPENDED files are exempt — a
+        // re-inserted key is visible, the epoch-scoping contract)
+        dvs = commitDvs(spark, root, epoch - 1),
+        // carried files keep their committed sizes and epochs (files
+        // are immutable); unknown (-1) legacy entries stay unknown
         sizes = fresh.sizes ++
-          priorEntries.collect { case (r, s) if s >= 0 => r -> s })
+          priorEntries.collect { case (r, s, _) if s >= 0 => r -> s },
+        fileEpochs = knownEpochs(priorEntries))
     }
   }
 
@@ -371,19 +394,22 @@ object ManifestSink {
         "current epoch is not below the staged epoch")
     val manifest = new org.apache.hadoop.fs.Path(rootPath,
       s"manifest-${staged.epoch}.${staged.token}")
-    // manifest lines carry the file SIZE (`rel\tsize`, Delta's
-    // add.size): planning builds FileStatuses from metadata — zero
-    // per-file RPCs at FileIndex construction or split planning
-    writeFile(spark, manifest, staged.relFiles.map(r =>
-      staged.sizes.get(r).map(s => s"$r\t$s").getOrElse(r))
-      .mkString("\n") + "\n")
+    // manifest lines carry the file SIZE (`rel\tsize\tepoch`, Delta's
+    // add.size + Iceberg's data sequence number): planning builds
+    // FileStatuses from metadata — zero per-file RPCs — and the commit
+    // epoch scopes delete vectors (a DV hides keys only in OLDER
+    // files). Carried files keep their epochs; fresh ones get this one.
+    writeFile(spark, manifest, staged.relFiles.map { r =>
+      val e = staged.fileEpochs.getOrElse(r, staged.epoch)
+      staged.sizes.get(r).map(s => s"$r\t$s\t$e").getOrElse(r)
+    }.mkString("\n") + "\n")
     staged.stats.foreach(_.coalesce(1).write.mode("overwrite")
       .parquet(s"${staged.root}/stats-${staged.epoch}.${staged.token}"))
     // CAS: rename WITHOUT overwrite — fails iff another attempt won
     val content = s"token=${staged.token}\n" +
       txn.map(t => s"txn=${t.appId}:${t.version}\n").getOrElse("") +
       staged.schemaJson.map(s => s"schema=$s\n").getOrElse("") +
-      staged.dv.map { case (rel, k) => s"dv=$rel:$k\n" }.getOrElse("")
+      staged.dvs.map { case (rel, k) => s"dv=$rel:$k\n" }.mkString
     val tmp = new org.apache.hadoop.fs.Path(rootPath,
       s"commit-${staged.epoch}.tmp.${staged.token}")
     writeFile(spark, tmp, content)
@@ -616,7 +642,7 @@ object ManifestSink {
   def analyzeNdv(spark: SparkSession, root: String): Int = {
     import org.apache.spark.sql.types._
     val cur = currentEpoch(spark, root)
-    val entries = manifestEntries(spark, root, cur)
+    val entries = manifestEntries3(spark, root, cur)
     val relFiles = entries.map(_._1).sorted
     val schema = commitSchema(spark, root, cur)
       .getOrElse(read(spark, root, cur).schema)
@@ -638,8 +664,8 @@ object ManifestSink {
     commitStaged(spark, Staged(root, cur + 1, newToken(), relFiles,
       Some(prior.unionByName(fresh)),
       commitSchema(spark, root, cur).map(_.json),
-      commitDv(spark, root, cur),
-      sizes = entries.collect { case (r, s) if s >= 0 => r -> s }.toMap))
+      commitDvs(spark, root, cur),
+      sizes = knownSizes(entries), fileEpochs = knownEpochs(entries)))
     cur + 1
   }
 
@@ -714,13 +740,13 @@ object ManifestSink {
           f.copy(nullable = true), ColumnMapping.freshPhysical(f.name)))
       else added.fields.map(_.copy(nullable = true))
     val merged = org.apache.spark.sql.types.StructType(prior.fields ++ addedFields)
-    val entries = manifestEntries(spark, root, cur)
+    val entries = manifestEntries3(spark, root, cur)
     val stats =
       if (statsExists(spark, root, cur)) Some(statsTable(spark, root, cur))
       else None
     val staged = Staged(root, cur + 1, newToken(), entries.map(_._1), stats,
-      Some(asNullable(merged).json), dv = commitDv(spark, root, cur),
-      sizes = knownSizes(entries))
+      Some(asNullable(merged).json), dvs = commitDvs(spark, root, cur),
+      sizes = knownSizes(entries), fileEpochs = knownEpochs(entries))
     commitStaged(spark, staged)
     cur + 1
   }
@@ -769,7 +795,7 @@ object ManifestSink {
     // committed bucket key is addressed by PHYSICAL name in places
     // that also surface it logically (the SPJ transform, the DV
     // append key) — keep those columns live and un-renamed
-    commitDv(spark, root, cur).foreach { case (_, k) =>
+    commitDvs(spark, root, cur).foreach { case (_, k) =>
       require(ColumnMapping.logicalOfPhysical(next, k).isDefined,
         s"cannot drop the live delete-vector key column (physical $k); " +
           "materialize the DV first (compact)")
@@ -781,13 +807,13 @@ object ManifestSink {
           "storage-partitioned layout is declared by that name; " +
           "re-bucket (OPTIMIZE ... BUCKET BY) first")
     }
-    val entries = manifestEntries(spark, root, cur)
+    val entries = manifestEntries3(spark, root, cur)
     val stats =
       if (statsExists(spark, root, cur)) Some(statsTable(spark, root, cur))
       else None
     commitStaged(spark, Staged(root, cur + 1, newToken(), entries.map(_._1),
-      stats, Some(asNullable(next).json), dv = commitDv(spark, root, cur),
-      sizes = knownSizes(entries)))
+      stats, Some(asNullable(next).json), dvs = commitDvs(spark, root, cur),
+      sizes = knownSizes(entries), fileEpochs = knownEpochs(entries)))
     cur + 1
   }
 
@@ -992,7 +1018,7 @@ object ManifestSink {
             .parquet(relFiles.map(r => s"$root/$r"): _*).schema).json)
         fresh.copy(schemaJson = sch)
       } else {
-        val priorEntries = manifestEntries(spark, root, next - 1)
+        val priorEntries = manifestEntries3(spark, root, next - 1)
         val prior = priorEntries.map(_._1)
         val stats =
           if (statsCols.isEmpty) None
@@ -1000,8 +1026,9 @@ object ManifestSink {
         fresh.copy(relFiles = (prior ++ relFiles).sorted, stats = stats,
           schemaJson = commitSchema(spark, root, next - 1).map(_.json)
             .orElse(fresh.schemaJson),
-          dv = commitDv(spark, root, next - 1),
-          sizes = freshSizes ++ knownSizes(priorEntries))
+          dvs = commitDvs(spark, root, next - 1),
+          sizes = freshSizes ++ knownSizes(priorEntries),
+          fileEpochs = knownEpochs(priorEntries))
       }
     try { commitStaged(spark, staged, Some(Txn(appId, version))); true }
     catch {
@@ -1297,15 +1324,8 @@ object ManifestSink {
     }.sorted
     val df =
       if (hit.isEmpty) read(spark, root, e).filter(lit(false))
-      else {
-        val scan = spark.read.parquet(hit.map(n => s"$root/$n"): _*)
-        commitDv(spark, root, e) match {
-          case Some((rel, k)) =>
-            scan.join(broadcast(spark.read.parquet(s"$root/$rel").select(col(k))),
-              Seq(k), "left_anti")
-          case None => scan
-        }
-      }
+      else dvScopedScan(spark, root, e, hit,
+        fs => spark.read.parquet(fs.map(n => s"$root/$n"): _*))
     (df, hit.length, all.length)
   }
 
@@ -1338,7 +1358,7 @@ object ManifestSink {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types.{LongType, StringType}
     val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
-    require(commitDv(spark, root, e).isEmpty,
+    require(commitDvs(spark, root, e).isEmpty,
       "metadata aggregation on a DV-carrying epoch would count deleted rows; compact first")
     val rows = SnapshotCache.statRows(spark, root, e)
       .getOrElse(throw new java.io.FileNotFoundException(
@@ -1389,16 +1409,10 @@ object ManifestSink {
         // relation — zero I/O), never an un-pruned fallback scan that
         // could surface orphan rows or the wrong file set (ADVICE r10)
         read(spark, root, e).filter(lit(false))
-      else {
-        val scan = spark.read.parquet(hit.map(n => s"$root/$n").toSeq: _*)
-        // merge-on-read deletes apply to pruned reads too
-        commitDv(spark, root, e) match {
-          case Some((rel, k)) =>
-            scan.join(broadcast(spark.read.parquet(s"$root/$rel").select(col(k))),
-              Seq(k), "left_anti")
-          case None => scan
-        }
-      }
+      else
+        // merge-on-read deletes apply to pruned reads too (epoch-scoped)
+        dvScopedScan(spark, root, e, hit.toSeq,
+          fs => spark.read.parquet(fs.map(n => s"$root/$n"): _*))
     (df, hit.length, rows.length)
   }
 
@@ -1492,9 +1506,10 @@ object ManifestSink {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(statsCols0.contains(keyCol0), "statsCols must include the merge key")
     val cur = currentEpoch(spark, root)
-    require(commitDv(spark, root, cur).isEmpty,
+    require(commitDvs(spark, root, cur).isEmpty,
       "CoW rewrite on a DV-carrying epoch would resurrect merge-on-read " +
-        "deletes; materialize them first (compact)")
+        "deletes; materialize them first (compact) or use the SQL DML " +
+        "path, whose scan is DV-aware")
     val next = cur + 1
     // mapped tables: updates arrive LOGICAL; the rewrite runs entirely
     // in PHYSICAL terms (stats keys, file columns, staged output)
@@ -1537,10 +1552,11 @@ object ManifestSink {
       .join(broadcast(keyRanges),
         col("__k") >= col("__lo") && col("__k") <= col("__hi"))
       .select("file").distinct().collect().map(_.getString(0)).toSet
-    val entries = manifestEntries(spark, root, cur)
+    val entries = manifestEntries3(spark, root, cur)
     val all = entries.map(_._1)
     val carried = all.filterNot(touched)
     val carriedSizes = knownSizes(entries).view.filterKeys(carried.contains).toMap
+    val carriedEpochs = knownEpochs(entries).view.filterKeys(carried.contains).toMap
     // rewrite: touched rows that lose to an update key, plus (merge
     // only) every update row — replacements AND inserts
     val carriedStats = stats.filter(col("file").isin(carried: _*))
@@ -1550,7 +1566,8 @@ object ManifestSink {
       // no data write at all, the manifest and stats carry verbatim
       commitStaged(spark,
         Staged(root, next, newToken(), carried.sorted, Some(carriedStats),
-          tableSchema.map(_.json), sizes = carriedSizes), txn)
+          tableSchema.map(_.json), sizes = carriedSizes,
+          fileEpochs = carriedEpochs), txn)
       return (next, 0, carried.size)
     }
     val survivors =
@@ -1613,12 +1630,13 @@ object ManifestSink {
         s"table advanced to epoch $cur while a row-level operation ran " +
           s"against epoch $baseEpoch; retry against the current epoch")
     val next = cur + 1
-    val entries = manifestEntries(spark, root, cur)
+    val entries = manifestEntries3(spark, root, cur)
     val all = entries.map(_._1)
     require(replaced.subsetOf(all.toSet),
       s"replaced files not in epoch $cur's manifest: ${replaced -- all.toSet}")
     val carried = all.filterNot(replaced)
     val carriedSizes = knownSizes(entries).view.filterKeys(carried.contains).toMap
+    val carriedEpochs = knownEpochs(entries).view.filterKeys(carried.contains).toMap
     val stagedPath = new org.apache.hadoop.fs.Path(s"$root/$stagedDirName")
     val f = fs(spark, stagedPath)
     val newListed =
@@ -1649,8 +1667,12 @@ object ManifestSink {
     commitStaged(spark,
       Staged(root, next, stagedDirName.split("-a").last,
         (carried ++ newRel).sorted, mergedStats,
-        tableSchema.map(_.json), dv = commitDv(spark, root, cur),
-        sizes = carriedSizes ++ newSizes), txn)
+        tableSchema.map(_.json), dvs = commitDvs(spark, root, cur),
+        sizes = carriedSizes ++ newSizes,
+        // staged replacements default to `next` (above every DV scope:
+        // the caller's scan already applied the vectors); carried
+        // files keep their epochs so older DVs keep applying to them
+        fileEpochs = carriedEpochs), txn)
     next
   }
 
@@ -1714,29 +1736,27 @@ object ManifestSink {
         case None =>
           spark.read.schema(schema).parquet(files.map(n => s"$root/$n"): _*)
       }
-    // a file read under an epoch that carries a delete vector must
+    // a file read under an epoch that carries delete vectors must
     // exclude the vectored keys — the feed diffs VISIBLE rows, not
     // physical file bytes. Without this, a CoW rewrite over a standing
     // DV (replacement files are DV-clean, removed files are not) or a
     // DV-materializing compaction would emit spurious deletes for rows
     // the feed already reported deleted at their deleteMor epoch.
-    def visible(df: DataFrame, ep: Int): DataFrame =
-      (if (ep <= 0) None else commitDv(spark, root, ep)) match {
-        case Some((relDv, k)) =>
-          val logicalKey = commitSch
-            .flatMap(s => ColumnMapping.logicalOfPhysical(s, k).map(_.name))
-            .getOrElse(k)
-          df.join(
-            broadcast(spark.read.parquet(s"$root/$relDv").toDF(logicalKey)),
-            Seq(logicalKey), "left_anti")
-        case None => df
-      }
+    // DVs are epoch-scoped, so the application goes through
+    // [[dvScopedScan]] (per-file-group anti joins); the DV key is
+    // PHYSICAL while readFiles surfaces LOGICAL names — translate.
+    def logicalOf(k: String): String = commitSch
+      .flatMap(s => ColumnMapping.logicalOfPhysical(s, k).map(_.name))
+      .getOrElse(k)
+    def visible(rels: Seq[String], ep: Int): DataFrame =
+      if (ep <= 0) readFiles(rels)
+      else dvScopedScan(spark, root, ep, rels, readFiles, logicalOf)
     (fromEpoch + 1 to toEpoch).map { e =>
       val prev = rel(e - 1).toSet
       val cur = rel(e).toSet
-      val pre = visible(readFiles((prev -- cur).toSeq.sorted), e - 1)
+      val pre = visible((prev -- cur).toSeq.sorted, e - 1)
         .select(struct(cols.map(col): _*).as("__pre"), col(keyCol).as("__pk"))
-      val post = visible(readFiles((cur -- prev).toSeq.sorted), e)
+      val post = visible((cur -- prev).toSeq.sorted, e)
         .select(struct(cols.map(col): _*).as("__post"), col(keyCol).as("__ok"))
       // one full-outer join, one pass: each outcome explodes to its
       // 0/1/2 change rows so the join is never re-planned per branch
@@ -1754,31 +1774,30 @@ object ManifestSink {
         .select(col("__c.r.*") +: Seq(
           col("__c.t").as("_change_type"), lit(e).as("_commit_epoch")): _*)
       // merge-on-read epochs delete by DV DELTA, not file delta: the
-      // newly vectored keys emit as deletes with their pre-delete
-      // payload (one snapshot scan semi-joined by the broadcast key
-      // delta — DV batches are keys-only small by contract)
-      val dvCur = if (e <= 0) None else commitDv(spark, root, e)
-      val dvPrevOpt = if (e - 1 <= 0) None else commitDv(spark, root, e - 1)
-      dvCur match {
-        case Some((relDv, k)) if !dvPrevOpt.exists(_._1 == relDv) =>
-          val curKeys = spark.read.parquet(s"$root/$relDv")
-          val freshKeys0 = dvPrevOpt
-            .map { case (p, _) => curKeys.except(spark.read.parquet(s"$root/$p")) }
-            .getOrElse(curKeys)
-          // the DV key is PHYSICAL; the feed's one consistent shape is
-          // toEpoch's LOGICAL schema (physical names are stable, so the
-          // pre-delete snapshot reads fine under it even if columns
-          // were renamed later in the range)
-          val logicalKey = commitSch
-            .flatMap(s => ColumnMapping.logicalOfPhysical(s, k).map(_.name))
-            .getOrElse(k)
-          val freshKeys = freshKeys0.toDF(logicalKey)
-          val mor = readFiles(rel(e - 1).toSeq.sorted)
-            .join(broadcast(freshKeys), Seq(logicalKey), "left_semi")
-            .select(cols.map(col) :+ lit("delete").as("_change_type")
-              :+ lit(e).as("_commit_epoch"): _*)
-          fileDiff.unionByName(mor)
-        case _ => fileDiff
+      // DV files NEW at this epoch (scoped lists carry old files
+      // verbatim, so the delta is a rel-path set difference) emit
+      // their keys as deletes with the pre-delete payload (one
+      // VISIBLE-snapshot scan semi-joined by the broadcast keys — DV
+      // batches are keys-only small by contract; visibility at e-1
+      // keeps already-deleted keys out)
+      val dvPrevRels =
+        (if (e - 1 <= 0) Nil else commitDvs(spark, root, e - 1)).map(_._1).toSet
+      val freshDvs = (if (e <= 0) Nil else commitDvs(spark, root, e))
+        .filterNot(d => dvPrevRels.contains(d._1))
+      if (freshDvs.isEmpty) fileDiff
+      else {
+        // the feed's one consistent shape is toEpoch's LOGICAL schema
+        // (physical names are stable, so the pre-delete snapshot reads
+        // fine under it even if columns were renamed later in the range)
+        val logicalKey = logicalOf(freshDvs.head._2)
+        val freshKeys = freshDvs.map { case (relDv, _) =>
+          spark.read.parquet(s"$root/$relDv").toDF(logicalKey)
+        }.reduce(_ unionByName _)
+        val mor = visible(rel(e - 1).toSeq.sorted, e - 1)
+          .join(broadcast(freshKeys), Seq(logicalKey), "left_semi")
+          .select(cols.map(col) :+ lit("delete").as("_change_type")
+            :+ lit(e).as("_commit_epoch"): _*)
+        fileDiff.unionByName(mor)
       }
     }.reduce(_ unionByName _)
   }
@@ -1791,18 +1810,23 @@ object ManifestSink {
     * keys from a 100 TB table is then a pure-metadata commit + a
     * KB-sized key write — zero data I/O — at the price of one
     * broadcast anti join per read until [[compact]] MATERIALIZES the
-    * deletes (compact reads through the DV and publishes fresh
+    * deletes (compact reads through the DVs and publishes fresh
     * DV-free files; that is the Iceberg rewrite-data-files +
-    * drop-deletes maintenance pass). The DV is cumulative (prior live
-    * keys union the new batch, deduped), so exactly one DV file is
-    * ever live per epoch and appends simply CARRY the line.
+    * drop-deletes maintenance pass). Each delete batch commits as its
+    * OWN dv file, EPOCH-SCOPED exactly like Iceberg's
+    * sequence-numbered equality deletes: `dv-N.TOKEN` hides its keys
+    * only in data files committed at epochs < N (the manifest records
+    * each file's commit epoch), so a key re-inserted by a LATER
+    * append or MERGE is visible again — there is NO single-key-space
+    * contract. Appends and row-level rewrites simply CARRY the live
+    * dv lines; the group count readers pay is bounded by live DV
+    * generations (retention-bounded, gone at the next compact).
     *
-    * Contracts: the DV is keys-only and broadcast — for bulk erasure
-    * use [[deleteCow]] (zone-map-bounded rewrite); CoW merges on a
-    * DV-carrying epoch are refused (the survivor rewrite would
-    * resurrect deleted rows) — compact first; appended batches must
-    * not re-insert deleted keys (single-key-space discipline — the
-    * same reason Iceberg scopes equality deletes by sequence number).
+    * Contracts: DVs are keys-only and broadcast — for bulk erasure
+    * use [[deleteCow]] (zone-map-bounded rewrite); every live DV
+    * shares one key column; the V1 [[mergeCow]]/[[deleteCow]] API
+    * refuses DV bases (its survivor rewrite is DV-blind — the SQL
+    * DML path's scan is DV-aware and works).
     * @return the new epoch */
   def deleteMor(spark: SparkSession, root: String, keys0: DataFrame,
                 keyCol0: String, txn: Option[Txn] = None): Int = {
@@ -1820,30 +1844,90 @@ object ManifestSink {
         (keys0.select(col(keyCol0).as(pk)), pk)
       case None => (keys0, keyCol0)
     }
-    val prior = commitDv(spark, root, cur) match {
-      case Some((rel, k)) =>
-        require(k == keyCol, s"DV key mismatch: table has $k, delete on $keyCol")
-        spark.read.parquet(s"$root/$rel")
-      case None => keys.select(col(keyCol)).filter(org.apache.spark.sql.functions.lit(false))
+    val prior = commitDvs(spark, root, cur)
+    prior.foreach { case (_, k) =>
+      require(k == keyCol, s"DV key mismatch: table has $k, delete on $keyCol")
     }
+    // EPOCH-SCOPED, NOT cumulative: this batch's keys commit as their
+    // own dv-$next file, scoped to files committed at epochs < $next —
+    // a later append/MERGE re-inserting one of these keys is therefore
+    // VISIBLE (its file's epoch is above the scope), the Iceberg
+    // sequence-number semantics. Prior DV files carry unchanged with
+    // their own (older) scopes.
     val dvRel = s"dv-$next.$token"
-    prior.select(col(keyCol)).unionByName(keys.select(col(keyCol)))
-      .distinct().coalesce(1)
+    keys.select(col(keyCol)).distinct().coalesce(1)
       .write.mode("overwrite").parquet(s"$root/$dvRel")
-    val entries = manifestEntries(spark, root, cur)
+    val entries = manifestEntries3(spark, root, cur)
     val stats =
       if (statsExists(spark, root, cur)) Some(statsTable(spark, root, cur))
       else None
     commitStaged(spark, Staged(root, next, token, entries.map(_._1).sorted, stats,
-      commitSchema(spark, root, cur).map(_.json), Some((dvRel, keyCol)),
-      sizes = knownSizes(entries)), txn)
+      commitSchema(spark, root, cur).map(_.json), prior :+ ((dvRel, keyCol)),
+      sizes = knownSizes(entries), fileEpochs = knownEpochs(entries)), txn)
     next
   }
 
-  /** The (dv relative path, key column) a committed epoch carries
-    * (snapshot-cached). */
+  /** The ordered (dv relative path, key column) list a committed epoch
+    * carries (snapshot-cached). Each `dv-N.TOKEN` is EPOCH-SCOPED: its
+    * keys hide only in data files committed at epochs < N. */
+  def commitDvs(spark: SparkSession, root: String, epoch: Int): Seq[(String, String)] =
+    SnapshotCache.get(spark, root, epoch).dvs
+
+  /** Compat accessor for existence/change checks: the NEWEST live DV,
+    * None when the epoch carries no delete vector. */
   def commitDv(spark: SparkSession, root: String, epoch: Int): Option[(String, String)] =
-    SnapshotCache.get(spark, root, epoch).dv
+    commitDvs(spark, root, epoch).lastOption
+
+  /** The scoping epoch of a delete-vector file (`dv-N.TOKEN` -> N):
+    * its keys apply to data files committed at epochs < N. */
+  private def dvEpochOf(rel: String): Int = {
+    val m = "dv-(\\d+)\\..*".r
+    rel match {
+      case m(e) => e.toInt
+      // unknown shape: apply to every file (conservative)
+      case _ => Int.MaxValue
+    }
+  }
+
+  /** EPOCH-SCOPED delete-vector application over an arbitrary rel-path
+    * subset of epoch `e`'s manifest: files group by which SUFFIX of
+    * the (epoch-ascending) DV list applies to them — a file committed
+    * at `ef` is subject to exactly the DVs with scope epoch > `ef` —
+    * and each group anti-joins once against that suffix's key union
+    * (broadcast; keys-only small by the deleteMor contract). Files
+    * with an unknown commit epoch (legacy manifests) take every DV,
+    * the pre-scoping semantics. `scan` reads a rel subset under the
+    * caller's schema discipline; `keyName` translates the DV's
+    * PHYSICAL key column to the scan's output name (identity for
+    * physical-shaped scans). Group count is bounded by the live DV
+    * count + 1 — one deleteMor per epoch, retention-bounded. */
+  private[graft] def dvScopedScan(spark: SparkSession, root: String, e: Int,
+                                  rels: Seq[String],
+                                  scan: Seq[String] => DataFrame,
+                                  keyName: String => String = identity)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dvs = commitDvs(spark, root, e).sortBy(d => dvEpochOf(d._1))
+    if (dvs.isEmpty || rels.isEmpty) scan(rels)
+    else {
+      val epochs = knownEpochs(manifestEntries3(spark, root, e))
+      def groupOf(rel: String): Int = {
+        val ef = epochs.getOrElse(rel, 0)
+        dvs.count(d => dvEpochOf(d._1) <= ef)
+      }
+      rels.groupBy(groupOf).toSeq.sortBy(_._1).map { case (g, fs) =>
+        val applicable = dvs.drop(g)
+        if (applicable.isEmpty) scan(fs.sorted)
+        else {
+          val k = keyName(applicable.head._2)
+          val keys = applicable.map { case (rel, kc) =>
+            spark.read.parquet(s"$root/$rel").select(col(kc).as(k))
+          }.reduce(_ unionByName _)
+          scan(fs.sorted).join(broadcast(keys), Seq(k), "left_anti")
+        }
+      }.reduce(_ unionByName _)
+    }
+  }
 
   private def statsExists(spark: SparkSession, root: String, epoch: Int): Boolean = {
     val (token, _) = commitInfo(spark, root, epoch)
@@ -1860,7 +1944,7 @@ object ManifestSink {
                txn: Option[Txn] = None): Int = {
     val cur = currentEpoch(spark, root)
     val next = cur + 1
-    val entries = manifestEntries(spark, root, to)
+    val entries = manifestEntries3(spark, root, to)
     val (token, _) = commitInfo(spark, root, to)
     val f = fs(spark, new org.apache.hadoop.fs.Path(root))
     val stats =
@@ -1869,7 +1953,10 @@ object ManifestSink {
       else None
     commitStaged(spark, Staged(root, next, newToken(), entries.map(_._1).sorted,
       stats, commitSchema(spark, root, to).map(_.json),
-      commitDv(spark, root, to), sizes = knownSizes(entries)), txn)
+      commitDvs(spark, root, to), sizes = knownSizes(entries),
+      // restored files keep epoch `to`'s commit epochs — the restored
+      // DVs' scopes must keep lining up with their files
+      fileEpochs = knownEpochs(entries)), txn)
     next
   }
 
@@ -1932,6 +2019,13 @@ object ManifestSink {
     * per-file RPCs. */
   def manifestEntries(spark: SparkSession, root: String,
                       epoch: Int): Seq[(String, Long)] =
+    SnapshotCache.get(spark, root, epoch).entries.map { case (r, s, _) => (r, s) }
+
+  /** Manifest entries with their commit epochs: (relPath, sizeBytes,
+    * commitEpoch); -1 marks fields from manifests written before they
+    * landed. Snapshot-cached. */
+  def manifestEntries3(spark: SparkSession, root: String,
+                       epoch: Int): Seq[(String, Long, Int)] =
     SnapshotCache.get(spark, root, epoch).entries
 
   /** Read the table AS PUBLISHED: only manifest-listed files — orphans
@@ -1941,28 +2035,26 @@ object ManifestSink {
     * no footer-inference job, and files predating an evolution
     * surface the added columns as null. */
   def read(spark: SparkSession, root: String, epoch: Int = -1): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
     val e = if (epoch >= 0) epoch else currentEpoch(spark, root)
-    val files = manifestFiles(spark, root, e)
+    val rels = manifestEntries3(spark, root, e).map(_._1)
     val schOpt = commitSchema(spark, root, e)
     val mapped = schOpt.exists(ColumnMapping.hasMapping)
     // mapped tables scan under the files' PHYSICAL names and surface
     // the logical ones via one aliasing projection (see ColumnMapping)
-    val base = schOpt match {
-      case Some(sch) if mapped =>
-        spark.read.schema(ColumnMapping.physicalSchema(sch)).parquet(files: _*)
-      case Some(sch) => spark.read.schema(sch).parquet(files: _*)
-      case None      => spark.read.parquet(files: _*)
+    def scan(fs: Seq[String]): DataFrame = {
+      val paths = fs.map(r => s"$root/$r")
+      schOpt match {
+        case Some(sch) if mapped =>
+          spark.read.schema(ColumnMapping.physicalSchema(sch)).parquet(paths: _*)
+        case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
+        case None      => spark.read.parquet(paths: _*)
+      }
     }
-    val withDv = commitDv(spark, root, e) match {
-      case Some((rel, k)) =>
-        // merge-on-read: one broadcast anti join against the keys-only
-        // delete vector (see deleteMor; compact materializes it away).
-        // k is a PHYSICAL name — exactly what `base` exposes pre-alias.
-        base.join(broadcast(spark.read.parquet(s"$root/$rel").select(col(k))),
-          Seq(k), "left_anti")
-      case None => base
-    }
+    // merge-on-read: epoch-scoped broadcast anti joins against the
+    // keys-only delete vectors (see deleteMor; compact materializes
+    // them away). DV keys are PHYSICAL names — exactly what `scan`
+    // exposes pre-alias.
+    val withDv = dvScopedScan(spark, root, e, rels, scan)
     if (mapped) withDv.select(ColumnMapping.toLogicalCols(schOpt.get): _*)
     else withDv
   }
@@ -2072,7 +2164,7 @@ object ManifestSink {
     // DV files are carried ACROSS epochs by reference (appends ride the
     // line), so a dv-N file may outlive epoch N: sweep only DVs no
     // KEPT epoch references
-    val keptDvs = kept.flatMap(e => commitDv(spark, root, e)).map(_._1).toSet
+    val keptDvs = kept.flatMap(e => commitDvs(spark, root, e)).map(_._1).toSet
     f.listStatus(rootPath).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
       val m = "^(manifest|stats)-(\\d+)\\.([0-9a-f]+)$".r

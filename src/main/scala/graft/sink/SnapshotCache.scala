@@ -33,14 +33,17 @@ import org.apache.spark.sql.types.StructType
 object SnapshotCache {
 
   /** Everything planning needs about one committed epoch. `entries`
-    * are (relPath, sizeBytes) with size -1 for manifests written
-    * before sizes landed (readers fall back to one getFileStatus for
-    * exactly those files). */
+    * are (relPath, sizeBytes, commitEpoch) with -1 for fields from
+    * manifests written before they landed (readers fall back to one
+    * getFileStatus for missing sizes, and treat a missing epoch as 0 —
+    * every DV applies). `dvs` is the ordered list of live epoch-scoped
+    * delete vectors (relPath, keyColumn) — see
+    * [[ManifestSink.deleteMor]]. */
   final case class Snapshot(root: String, epoch: Int, token: String,
                             txn: Option[ManifestSink.Txn],
-                            entries: Seq[(String, Long)],
+                            entries: Seq[(String, Long, Int)],
                             schema: Option[StructType],
-                            dv: Option[(String, String)])
+                            dvs: Seq[(String, String)])
 
   private val MaxSnapshots = 256
   private val MaxStats = 64
@@ -83,13 +86,13 @@ object SnapshotCache {
           org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
             .asInstanceOf[StructType]
         }
-        val dv = lines.collectFirst { case l if l.startsWith("dv=") =>
+        val dvs = lines.collect { case l if l.startsWith("dv=") =>
           val body = l.stripPrefix("dv=")
           val i = body.lastIndexOf(':')
           (body.take(i), body.drop(i + 1))
         }
         val entries = ManifestSink.readManifestLines(spark, root, epoch, token)
-        val s = Snapshot(root, epoch, token, txn, entries, schema, dv)
+        val s = Snapshot(root, epoch, token, txn, entries, schema, dvs)
         snapshotLoads += 1
         lock.synchronized { snaps.put((root, epoch), s) }
         s

@@ -1292,4 +1292,57 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(ManifestSink.tableChanges(spark, root, "event_id", ec - 1, ec).count() == 0,
       "DV-materializing compaction must emit an empty change feed")
   }
+
+  test("epoch-scoped DVs: a re-inserted key is visible; later deletes still reach it") {
+    ensureCatalog()
+    val root = tmpDir("gcat_dvscope_") + "/t"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("event_id") < 60)
+    ManifestSink.publishWithStats(
+      ev.repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"),
+      root, 1, Seq("event_id"))
+    val all = ev.count()
+    // epoch 2: dv-2 hides keys 0-4 (scope: files committed before 2)
+    ManifestSink.deleteMor(spark, root,
+      ev.filter(col("event_id") < 5).select(col("event_id")), "event_id")
+    // epoch 3: re-insert key 2 through SQL — the appended file's epoch
+    // is ABOVE dv-2's scope, so the new row is visible (no
+    // single-key-space contract; Iceberg sequence-number semantics)
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (2, 777, -7.0)")
+    assert(spark.sql(s"SELECT * FROM graft.`$root`").count() == all - 5 + 1)
+    val re = spark.sql(
+      s"SELECT user_id, value FROM graft.`$root` WHERE event_id = 2").collect()
+    assert(re.length == 1 && re(0).getLong(0) == 777L && re(0).getDouble(1) == -7.0,
+      "exactly the re-inserted row is visible, never the old hidden one")
+    // V1 read parity (the grouped anti-join path)
+    assert(ManifestSink.read(spark, root).count() == all - 5 + 1)
+    assert(ManifestSink.read(spark, root)
+      .filter(col("event_id") === 2).collect()(0).getLong(1) == 777L)
+    // epoch 4: a delete of a DIFFERENT key leaves the re-insert alone
+    ManifestSink.deleteMor(spark, root,
+      ev.filter(col("event_id") === 10).select(col("event_id")), "event_id")
+    assert(spark.sql(s"SELECT * FROM graft.`$root` WHERE event_id = 2").count() == 1)
+    // epoch 5: deleting key 2 AGAIN hides the re-inserted row too —
+    // dv-5's scope covers the epoch-3 file
+    ManifestSink.deleteMor(spark, root,
+      spark.range(1).select(lit(2L).as("event_id")), "event_id")
+    assert(spark.sql(s"SELECT * FROM graft.`$root` WHERE event_id = 2").count() == 0)
+    assert(spark.sql(s"SELECT * FROM graft.`$root`").count() == all - 6)
+    // travel sees each generation's exact visibility
+    assert(spark.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 3").count() == all - 4)
+    assert(spark.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 2").count() == all - 5)
+    // the change feed: epoch 3 = one insert; epoch 5 = one delete whose
+    // payload is the RE-INSERTED row (the visible one), not the old
+    val f3 = ManifestSink.tableChanges(spark, root, "event_id", 2, 3).collect()
+    assert(f3.length == 1 && f3(0).getAs[String]("_change_type") == "insert")
+    val f5 = ManifestSink.tableChanges(spark, root, "event_id", 4, 5).collect()
+    assert(f5.length == 1 && f5(0).getAs[String]("_change_type") == "delete" &&
+      f5(0).getLong(1) == 777L, "the delete's payload is the visible (re-inserted) row")
+    // compaction parity across the whole generation ladder
+    val pre = spark.sql(s"SELECT * FROM graft.`$root` ORDER BY event_id, user_id").collect()
+    ManifestSink.compact(spark, root, Seq("event_id"))
+    val post = spark.sql(s"SELECT * FROM graft.`$root` ORDER BY event_id, user_id").collect()
+    assert(pre.toSeq == post.toSeq)
+  }
 }
