@@ -3314,6 +3314,52 @@ object Registry {
         |UNION ALL
         |SELECT CAST(9999 AS BIGINT), CAST(9 AS BIGINT), 2.5, TRUE
         |ORDER BY event_id""".stripMargin),
+    // ATOMIC CTAS / RTAS (round 13, DSv2 StagingTableCatalog): every
+    // CREATE [OR REPLACE] TABLE ... AS SELECT stages its data into an
+    // attempt-unique epoch dir and becomes visible in ONE commit-marker
+    // CAS; a failing statement aborts with the previous table state
+    // fully intact, and — unlike Delta's REPLACE — the pre-replace
+    // epochs stay time-travelable. rtas_ok gates: the new shape and
+    // content landed, VERSION AS OF 1 still reads the OLD shape and
+    // count, a failing REPLACE left the table untouched, and the old
+    // TBLPROPERTIES were reset by the replace.
+    "q_catalog_rtas" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_crtas_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 400)
+          .createOrReplaceTempView("crtas_src")
+        s.sql(s"CREATE TABLE graft.`$root` TBLPROPERTIES ('team' = 'iot') " +
+          "AS SELECT * FROM crtas_src")
+        val before = s.sql(s"SELECT count(*) FROM graft.`$root`")
+          .collect()(0).getLong(0)
+        s.sql(s"""CREATE OR REPLACE TABLE graft.`$root` AS
+                 |SELECT event_id AS id, value * 2 AS dbl FROM crtas_src
+                 |WHERE event_id < 200""".stripMargin)
+        val v1 = s.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 1")
+        val travelOk = v1.columns.toSeq == Seq("event_id", "user_id", "value") &&
+          v1.count() == before
+        val propsReset = !s.sql(s"SHOW TBLPROPERTIES graft.`$root`")
+          .collect().exists(_.getString(0) == "team")
+        val abortOk = {
+          try s.sql(s"CREATE OR REPLACE TABLE graft.`$root` AS " +
+            s"SELECT assert_true(id < 0) AS bad, id FROM graft.`$root`")
+          catch { case _: Throwable => () }
+          s.table(s"graft.`$root`").columns.toSeq == Seq("id", "dbl") &&
+            s.sql(s"SELECT count(*) FROM graft.`$root`")
+              .collect()(0).getLong(0) == 200L
+        }
+        val out = s.sql(s"SELECT id, dbl FROM graft.`$root` ORDER BY id")
+        val rows = out.collect()
+        val rtasOk = travelOk && propsReset && abortOk
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .withColumn("rtas_ok", lit(rtasOk))
+      },
+      """SELECT event_id AS id, value * 2 AS dbl, TRUE AS rtas_ok FROM events
+        |WHERE event_id < 200 ORDER BY id""".stripMargin),
     // EPOCH-SCOPED DELETE VECTORS (round 13): each deleteMor batch
     // commits its OWN dv-N file that hides its keys only in data files
     // committed at epochs < N (the manifest records per-file commit

@@ -70,7 +70,7 @@ import graft.sink.{ManifestFileIndex, ManifestSink}
   * `monitoring/monitor.sh:83-84`) — a catalog-addressed SQL text
   * entry point over the stored tables; this is the Spark-native
   * spelling of that contract on the lakehouse layer. */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouseRoot: Option[String] = None
@@ -234,13 +234,53 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       finally bo.close()
     }
     // persist user TBLPROPERTIES (Spark's reserved/engine keys out)
-    val reserved = Set("provider", "owner", "location", "comment",
-      "external", "is_managed_location")
-    val userProps = properties.asScala.toMap
-      .filterNot { case (k, _) =>
-        reserved.contains(k.toLowerCase) || k.startsWith("option.") }
+    val userProps = userPropsOf(properties)
     if (userProps.nonEmpty) GraftTable.writeProps(spark, dir, userProps)
     new GraftTable(dir, ident.toString, None)
+  }
+
+  private def userPropsOf(properties: util.Map[String, String]): Map[String, String] = {
+    val reserved = Set("provider", "owner", "location", "comment",
+      "external", "is_managed_location")
+    properties.asScala.toMap.filterNot { case (k, _) =>
+      reserved.contains(k.toLowerCase) || k.startsWith("option.") }
+  }
+
+  /** ATOMIC CTAS / RTAS (the DSv2 StagingTableCatalog surface):
+    * `CREATE [OR REPLACE] TABLE ... AS SELECT` stages its data into an
+    * attempt-unique epoch dir and becomes visible in ONE commit-marker
+    * CAS — a failed or aborted statement leaves the previous table
+    * state fully intact (nothing to roll back; the staged dir is
+    * vacuum-sweepable dead weight). REPLACE commits the new snapshot
+    * as epoch cur+1, so — unlike Delta's REPLACE — the pre-replace
+    * epochs stay time-travelable until vacuum; the declared surface
+    * (TBLPROPERTIES, CHECK constraints, bucket layout) resets to the
+    * new statement's. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    val dir = dirOf(ident)
+    if (existsAsTable(dir)) throw new TableAlreadyExistsException(ident)
+    new StagedGraftTable(spark, dir, ident.toString, schema,
+      bucketOf(partitions), userPropsOf(properties), replacing = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    val dir = dirOf(ident)
+    if (!existsAsTable(dir)) throw new NoSuchTableException(ident)
+    new StagedGraftTable(spark, dir, ident.toString, schema,
+      bucketOf(partitions), userPropsOf(properties), replacing = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]): StagedTable = {
+    val dir = dirOf(ident)
+    new StagedGraftTable(spark, dir, ident.toString, schema,
+      bucketOf(partitions), userPropsOf(properties),
+      replacing = existsAsTable(dir))
   }
 
   /** `ALTER TABLE ... ADD COLUMNS (...)` — the SQL surface of the
@@ -424,6 +464,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
 }
 
 object GraftTable {
+
+  /** All-column zone-map candidates: every integral, string,
+    * timestamp, and date top-level column (shared by the insert and
+    * staged-CTAS write paths). */
+  private[catalog] def statsColsOf(s: StructType): Seq[String] =
+    s.fields.toSeq.collect {
+      case f if Seq(LongType, IntegerType, ShortType, ByteType, StringType,
+        org.apache.spark.sql.types.TimestampType,
+        org.apache.spark.sql.types.TimestampNTZType,
+        org.apache.spark.sql.types.DateType).contains(f.dataType) => f.name
+    }
   /** Schema of a created-but-never-written table (replaced by the
     * commit marker's pinned schema at the first commit). */
   val SchemaFile = "_SCHEMA.json"
@@ -725,12 +776,7 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     * (min, max), so catalog writes prune like API writes with
     * explicit statsCols — time-range scans included. */
   private def statsColsOf(s: StructType): Seq[String] =
-    s.fields.toSeq.collect {
-      case f if Seq(LongType, IntegerType, ShortType, ByteType, StringType,
-        org.apache.spark.sql.types.TimestampType,
-        org.apache.spark.sql.types.TimestampNTZType,
-        org.apache.spark.sql.types.DateType).contains(f.dataType) => f.name
-    }
+    GraftTable.statsColsOf(s)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty,
@@ -975,6 +1021,89 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
   * pruning. All pushed filters are ALSO returned as residuals — Spark
   * re-evaluates them, keeping skipping advisory (the parquet
   * row-group-stats contract, one level up). */
+/** The staged half of ATOMIC CTAS / RTAS (see
+  * [[GraftCatalog.stageCreate]]): the SELECT's rows stage through
+  * [[ManifestSink.stage]] into an attempt-unique epoch dir —
+  * INVISIBLE until [[commitStagedChanges]] wins the commit-marker CAS.
+  * The epoch commit is the visibility flip; sidecar surface state
+  * (schema seed, TBLPROPERTIES, bucket layout, constraint reset on
+  * REPLACE) applies immediately after it — those files only gate
+  * writers and layout hints, never committed-data correctness, so the
+  * sub-moment window is benign. An abort deletes only the staged data
+  * dir; the previous table state was never touched. */
+final class StagedGraftTable(spark: SparkSession, dir: String, ident: String,
+                             tableSchema: StructType,
+                             bucket: Option[(String, Int)],
+                             userProps: Map[String, String],
+                             replacing: Boolean)
+  extends StagedTable with SupportsWrite {
+
+  private val next = ManifestSink.currentEpochOpt(spark, dir).getOrElse(0) + 1
+  @volatile private var staged: Option[ManifestSink.Staged] = None
+
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // RTAS may arrive as a truncating write: the staged epoch IS a
+      // full snapshot, so truncate-vs-append makes no difference here
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit =
+              staged = Some(ManifestSink.stage(data, dir, next,
+                GraftTable.statsColsOf(data.schema), unique = true,
+                bucket = bucket))
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val p = new Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(p)
+    val st = staged.getOrElse(
+      // plain REPLACE TABLE (no AS SELECT): an empty snapshot epoch
+      ManifestSink.Staged(dir, next, ManifestSink.newAttemptToken(), Nil, None))
+    // the CAS is the atomicity point: if it throws (a concurrent
+    // writer won the epoch), NOTHING changed — sidecars untouched,
+    // staged files invisible
+    ManifestSink.commitStaged(spark,
+      st.copy(schemaJson = st.schemaJson.orElse(Some(tableSchema.json))))
+    // post-commit surface state: REPLACE resets the declared surface
+    // to the new statement's (Delta's REPLACE discipline) — these
+    // sidecars gate future writes and layout hints only; committed
+    // reads plan entirely from the new epoch's marker
+    if (replacing) {
+      f.delete(new Path(dir, GraftTable.ConstraintsFile), false)
+      f.delete(new Path(dir, GraftTable.PropsFile), false)
+      f.delete(new Path(dir, GraftTable.BucketFile), false)
+      f.delete(new Path(dir, GraftTable.SchemaFile), false)
+    }
+    val so = f.create(new Path(dir, GraftTable.SchemaFile), true)
+    try so.write(tableSchema.json.getBytes("UTF-8")) finally so.close()
+    bucket.foreach { case (c, n) =>
+      val bo = f.create(new Path(dir, GraftTable.BucketFile), true)
+      try bo.write(s"""{"col":"$c","n":$n}""".getBytes("UTF-8"))
+      finally bo.close()
+    }
+    if (userProps.nonEmpty) GraftTable.writeProps(spark, dir, userProps)
+  }
+
+  override def abortStagedChanges(): Unit =
+    staged.foreach { st =>
+      val dirs = st.relFiles.map(_.split('/').head).distinct
+      val p = new Path(dir)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      dirs.foreach(d => f.delete(new Path(dir, d), true))
+    }
+}
+
 final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
                              tableSchema: StructType,
                              rowLevel: Option[GraftRowLevelOperation] = None,

@@ -1345,4 +1345,43 @@ class GraftCatalogSpec extends SparkTestBase {
     val post = spark.sql(s"SELECT * FROM graft.`$root` ORDER BY event_id, user_id").collect()
     assert(pre.toSeq == post.toSeq)
   }
+
+  test("CREATE OR REPLACE TABLE AS SELECT: one epoch CAS, travelable history, surface reset, abort-safe") {
+    val root = mkTable("gcat_rtas_")
+    spark.sql(s"ALTER TABLE graft.`$root` SET TBLPROPERTIES ('team' = 'iot')")
+    spark.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT pos CHECK (event_id >= 0)")
+    val before = spark.sql(s"SELECT count(*) FROM graft.`$root`").collect()(0).getLong(0)
+    // the REPLACE: new shape, new content — committed as epoch 2
+    spark.sql(s"""CREATE OR REPLACE TABLE graft.`$root` AS
+                 |SELECT event_id AS id, value * 2 AS dbl
+                 |FROM cat_spec_src WHERE event_id < 50""".stripMargin)
+    assert(spark.table(s"graft.`$root`").columns.toSeq == Seq("id", "dbl"))
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$root`").collect()(0).getLong(0) == 50)
+    // pre-replace history is still travelable with the OLD shape
+    // (unlike Delta's REPLACE, which drops it)
+    val v1 = spark.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 1")
+    assert(v1.columns.toSeq == Seq("event_id", "user_id", "value"))
+    assert(v1.count() == before)
+    // the declared surface reset: the old CHECK no longer gates writes,
+    // the old property is gone
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (-5, 1.0)")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$root`").collect()(0).getLong(0) == 51)
+    assert(!spark.sql(s"SHOW TBLPROPERTIES graft.`$root`").collect()
+      .exists(_.getString(0) == "team"))
+    // a FAILING replace aborts cleanly: the staged write throws, the
+    // commit never happens, the table is untouched
+    intercept[Throwable] {
+      spark.sql(s"CREATE OR REPLACE TABLE graft.`$root` AS " +
+        s"SELECT assert_true(id < 0) AS bad, id FROM graft.`$root`")
+    }
+    assert(spark.table(s"graft.`$root`").columns.toSeq == Seq("id", "dbl"))
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$root`").collect()(0).getLong(0) == 51)
+    // REPLACE of a missing table refuses; CREATE OR REPLACE creates
+    val fresh = tmpDir("gcat_rtas_fresh_") + "/t"
+    intercept[Exception] {
+      spark.sql(s"REPLACE TABLE graft.`$fresh` AS SELECT 1L AS x")
+    }
+    spark.sql(s"CREATE OR REPLACE TABLE graft.`$fresh` AS SELECT 1L AS x")
+    assert(spark.sql(s"SELECT x FROM graft.`$fresh`").collect()(0).getLong(0) == 1L)
+  }
 }
