@@ -1597,12 +1597,17 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
       // window lasts until OPTIMIZE materializes the DVs)
       val relGroup = fileEpochsMap.keysIterator
         .map(r => r -> dvGroupOf(r)).toMap
+      // columnar batches stay on ONLY when the whole planned file set
+      // is DV-exempt (Spark refuses mixed row/columnar partitions in
+      // one scan): the hot recent-data case after an old-data takedown
+      val columnarOk = rowLevel.isEmpty && selectSurvivors()
+        .forall(st => dvGroupOf(relOf(st.getPath)) == n)
       GraftTable.lastDvApplied = true
       val keyIdx = innerPhysical.fieldNames.indexOf(k)
       require(keyIdx >= 0,
         s"DV key $k not in the inner read schema ${innerPhysical.simpleString}")
       new DvFilteringReaderFactory(base, keyIdx, keyType,
-        groupLongs, groupStrs, relGroup,
+        groupLongs, groupStrs, relGroup, columnarOk,
         strip = dvKeyAppended,
         required.fields.map(_.dataType), required.fields.map(_.nullable))
     }
@@ -1928,6 +1933,7 @@ final class DvFilteringReaderFactory(delegate: PartitionReaderFactory,
                                      groupLongs: Array[Array[Long]],
                                      groupStrs: Array[Array[String]],
                                      relGroup: Map[String, Int],
+                                     columnarOk: Boolean,
                                      strip: Boolean,
                                      outTypes: Array[DataType],
                                      outNullable: Array[Boolean])
@@ -1965,7 +1971,34 @@ final class DvFilteringReaderFactory(delegate: PartitionReaderFactory,
     }
   }
 
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  /** Columnar reads survive the DV window when the WHOLE planned file
+    * set is DV-exempt (every file committed above every DV's scope —
+    * the hot recent-data case after an old-data takedown): vectorized
+    * batches stay on, with only the appended-key strip as overhead.
+    * Any partition needing the key filter forces the whole scan
+    * row-based (`columnarOk` is computed scan-wide at planning — Spark
+    * refuses mixed row/columnar partitions in one scan). */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnarOk && delegate.supportColumnarReads(p)
+
+  override def createColumnarReader(p: InputPartition):
+      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val inner = delegate.createColumnarReader(p)
+    if (!strip) inner
+    else new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      // the inner read schema appended the DV key column (the query
+      // pruned it away): drop the trailing vector — a view over the
+      // same column vectors, no copy; the inner reader owns and
+      // closes them
+      override def next(): Boolean = inner.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = inner.get()
+        new org.apache.spark.sql.vectorized.ColumnarBatch(
+          Array.tabulate(outTypes.length)(b.column), b.numRows())
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
 
   override def createReader(p: InputPartition):
       PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {

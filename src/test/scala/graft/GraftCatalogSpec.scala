@@ -1384,4 +1384,38 @@ class GraftCatalogSpec extends SparkTestBase {
     spark.sql(s"CREATE OR REPLACE TABLE graft.`$fresh` AS SELECT 1L AS x")
     assert(spark.sql(s"SELECT x FROM graft.`$fresh`").collect()(0).getLong(0) == 1L)
   }
+
+  test("columnar reads survive the DV window when every pruned file is DV-exempt") {
+    ensureCatalog()
+    val root = tmpDir("gcat_dvcol_") + "/t"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .filter(col("event_id") < 60)
+    ManifestSink.publishWithStats(
+      ev.repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"),
+      root, 1, Seq("event_id", "user_id"))
+    ManifestSink.deleteMor(spark, root,
+      ev.filter(col("event_id") < 5).select(col("event_id")), "event_id")
+    // epoch 3: a fresh (DV-exempt) file with distinctive key ranges
+    spark.range(10).coalesce(1).select((col("id") + 100).as("event_id"),
+      (col("id") + 1000).as("user_id"), lit(0.5).as("value"))
+      .createOrReplaceTempView("dvcol_new")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM dvcol_new")
+    def scansOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    // pruned to ONLY the exempt file: vectorized batches stay on, and
+    // the appended-then-stripped DV key rides the columnar path
+    val hot = spark.sql(
+      s"SELECT value FROM graft.`$root` WHERE user_id >= 1000")
+    assert(hot.collect().map(_.getDouble(0)).toSeq == Seq.fill(10)(0.5))
+    assert(GraftTable.lastPlannedFiles == 1, "zone maps prune to the fresh file")
+    assert(scansOf(hot).nonEmpty && scansOf(hot).forall(_.supportsColumnar),
+      "a DV-exempt-only scan must keep columnar reads")
+    // a scan touching pre-DV files needs the reader-side key filter:
+    // row-based, and still correct
+    val all = spark.sql(s"SELECT user_id FROM graft.`$root`")
+    assert(all.count() == 55 + 10)
+    assert(scansOf(all).forall(!_.supportsColumnar),
+      "a filtering scan declines columnar batches")
+  }
 }
