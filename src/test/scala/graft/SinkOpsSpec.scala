@@ -587,6 +587,49 @@ class SinkOpsSpec extends SparkTestBase {
     assert(ManifestSink.read(spark, root2).count() == 40 - 16)
   }
 
+  test("scoped DVs survive rollback and retention: file epochs carry, generations stay aligned") {
+    import org.apache.spark.sql.functions._
+    import graft.sink.ManifestSink
+    val root = tmpDir("graft_dvroll_spec_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("value"))
+    ManifestSink.publishWithStats(
+      ev.filter(col("event_id") < 100)
+        .repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"),
+      root, 1, Seq("event_id"))
+    // epoch 2: dv-2 hides 10-19; epoch 3: re-insert key 12 (exempt file)
+    ManifestSink.deleteMor(spark, root,
+      ev.filter(col("event_id").between(10, 19)).select(col("event_id")), "event_id")
+    ManifestSink.publishAppendWithStats(
+      spark.range(1).select(lit(12L).as("event_id"), lit(-9.0).as("value")),
+      root, 3, Seq("event_id"))
+    assert(ManifestSink.read(spark, root).count() == 91)
+    // epoch 4: rollback to the DV epoch — the re-inserted file leaves,
+    // the restored manifest's FILE EPOCHS must carry verbatim so dv-2
+    // keeps scoping exactly the original files
+    ManifestSink.rollback(spark, root, 2)
+    assert(ManifestSink.read(spark, root).count() == 90)
+    assert(ManifestSink.read(spark, root)
+      .filter(col("event_id") === 12).count() == 0,
+      "rollback to the DV epoch must re-hide the key (its re-insert left)")
+    // epoch 5: a SECOND generation over the rolled-back state; both
+    // scopes still line up with their (epoch-1-committed) files
+    ManifestSink.deleteMor(spark, root,
+      ev.filter(col("event_id") === 42).select(col("event_id")), "event_id")
+    assert(ManifestSink.commitDvs(spark, root, 5).size == 2)
+    assert(ManifestSink.read(spark, root).count() == 89)
+    // retention: vacuum to the current epoch only — BOTH referenced DV
+    // files must survive (they are carried metadata, not their birth
+    // epochs' private state)
+    ManifestSink.vacuum(spark, root, keep = 1)
+    assert(ManifestSink.read(spark, root).count() == 89)
+    assert(ManifestSink.read(spark, root)
+      .filter(col("event_id").between(10, 19)).count() == 0)
+    // rollback to epoch 1 is unreachable after vacuum, but the live
+    // epoch's travel shape is intact
+    assert(ManifestSink.commitDvs(spark, root,
+      ManifestSink.currentEpoch(spark, root)).size == 2)
+  }
+
   test("merge-on-read deletes: metadata commit, cumulative DV, CDF deletes, vacuum keeps carried DV") {
     import org.apache.spark.sql.functions._
     import graft.sink.ManifestSink
