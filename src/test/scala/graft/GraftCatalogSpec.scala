@@ -1418,4 +1418,32 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(scansOf(all).forall(!_.supportsColumnar),
       "a filtering scan declines columnar batches")
   }
+
+  test("a staged RTAS losing the epoch CAS to a concurrent INSERT fails without touching the table") {
+    val root = mkTable("gcat_rtas_race_")
+    val before = spark.sql(s"SELECT count(*) FROM graft.`$root`").collect()(0).getLong(0)
+    // stage a replace against epoch 1 via the catalog API, but let an
+    // INSERT win epoch 2 before the staged commit
+    val cat = new GraftCatalog
+    cat.initialize("graft", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap()))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty[String], root)
+    val stagedTable = cat.stageCreateOrReplace(ident,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType))),
+      Array.empty, new java.util.HashMap[String, String]())
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (9999, 9, 1.0)")
+    intercept[ManifestSink.ManifestConflictException] {
+      stagedTable.asInstanceOf[org.apache.spark.sql.connector.catalog.StagedTable]
+        .commitStagedChanges()
+    }
+    // the loser changed NOTHING: old shape, old rows + the insert
+    assert(spark.table(s"graft.`$root`").columns.toSeq ==
+      Seq("event_id", "user_id", "value"))
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$root`")
+      .collect()(0).getLong(0) == before + 1)
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+  }
 }
