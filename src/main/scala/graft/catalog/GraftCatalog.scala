@@ -134,6 +134,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     }
     val dir = dirOf(ident)
     if (!existsAsTable(dir)) throw new NoSuchTableException(ident)
+    // finish a crashed CTAS/RTAS sidecar swap, if one is pending
+    GraftTable.recoverRtasIntent(spark, dir)
     new GraftTable(dir, ident.toString, None)
   }
 
@@ -316,14 +318,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           // CONSTRAINT discipline — one scan, rejected if any current
           // row violates). Without this, a constraint added over
           // violating history would be falsely advertised VALID
-          // (ADVICE r12). Insert-time audits then keep it true.
+          // (ADVICE r12). Insert-time audits then keep it true. The
+          // audit reads through ManifestSink.read — DV-scoped (MoR-
+          // deleted rows must not fail a constraint that is valid
+          // over VISIBLE data) and logical-aliased (a predicate names
+          // logical columns; a raw parquet read of a column-mapped
+          // table would surface physical names) — ADVICE r13.
           ManifestSink.currentEpochOpt(spark, dir).foreach { e =>
-            val rootUri = new Path(dir).toUri.getPath
-            val rels = ManifestSink.manifestFiles(spark, dir, e).map { p =>
-              new Path(p).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-            }
-            GraftTable.auditConstraints(spark, dir, rels,
-              Seq((c.name, c.predicateSql)))
+            if (ManifestSink.manifestFiles(spark, dir, e).nonEmpty)
+              GraftTable.auditConstraintsDf(ManifestSink.read(spark, dir, e),
+                dir, Seq((c.name, c.predicateSql)))
           }
           GraftTable.writeConstraints(spark, dir, cur :+ (c.name, c.predicateSql))
         case other => throw new UnsupportedOperationException(
@@ -497,7 +501,158 @@ object GraftTable {
     * SHOW CREATE TABLE read them back. */
   val PropsFile = "_PROPS.json"
 
-  private[catalog] def readProps(spark: SparkSession,
+  /** CTAS/RTAS sidecar-state WRITE-AHEAD INTENT (ADVICE r13): the
+    * staged commit writes its post-commit sidecar state here BEFORE
+    * the epoch CAS; a crash between the CAS and the sidecar swap is
+    * recovered at the next table load (the intent whose token matches
+    * the current epoch's winning token is simply applied). A losing
+    * or stale intent is deleted. Fixed name — two CONCURRENT staged
+    * attempts can clobber each other's intent pre-CAS, in which case
+    * a post-CAS crash of the winner degrades to the pre-intent
+    * behavior (stale sidecars until a manual fix); the common
+    * single-writer crash is fully recovered. */
+  val RtasIntentFile = "_RTAS_INTENT.json"
+
+  private[catalog] def writeRtasIntent(spark: SparkSession, dir: String,
+                                       epoch: Int, token: String,
+                                       replacing: Boolean, schemaJson: String,
+                                       bucket: Option[(String, Int)],
+                                       props: Map[String, String]): Unit = {
+    val body = new StringBuilder()
+    body.append(s"epoch=$epoch\n")
+    body.append(s"token=$token\n")
+    body.append(s"replacing=$replacing\n")
+    body.append(s"schema=$schemaJson\n")
+    bucket.foreach { case (c, n) =>
+      body.append(s"bucket=${escJson(c)}\t$n\n") }
+    props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      body.append(s"prop=${escJson(k)}\t${escJson(v)}\n") }
+    val p = new Path(dir, RtasIntentFile)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Apply the sidecar state a CTAS/RTAS commit declared — shared by
+    * the commit's own post-CAS step and crash recovery. */
+  private[catalog] def applyRtasSidecars(spark: SparkSession, dir: String,
+                                         replacing: Boolean, schemaJson: String,
+                                         bucket: Option[(String, Int)],
+                                         props: Map[String, String]): Unit = {
+    val p = new Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (replacing) {
+      f.delete(new Path(dir, ConstraintsFile), false)
+      f.delete(new Path(dir, PropsFile), false)
+      f.delete(new Path(dir, BucketFile), false)
+      f.delete(new Path(dir, SchemaFile), false)
+    }
+    val so = f.create(new Path(dir, SchemaFile), true)
+    try so.write(schemaJson.getBytes("UTF-8")) finally so.close()
+    bucket.foreach { case (c, n) =>
+      val bo = f.create(new Path(dir, BucketFile), true)
+      try bo.write(s"""{"col":"$c","n":$n}""".getBytes("UTF-8"))
+      finally bo.close()
+    }
+    if (props.nonEmpty) writeProps(spark, dir, props)
+  }
+
+  /** Crash recovery for the staged-commit sidecar swap: an intent
+    * whose (epoch, token) matches the CURRENT winning commit belongs
+    * to a writer that died between its CAS and its sidecar swap —
+    * finish the swap. An intent at or below the current epoch with a
+    * non-winning token lost its race and is debris. An intent ABOVE
+    * the current epoch may still be in flight — leave it. Runs on
+    * table load; one `exists` probe on the common (no-intent) path. */
+  private[catalog] def recoverRtasIntent(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir, RtasIntentFile)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return
+    val text = {
+      val in = f.open(p)
+      try {
+        val sz = f.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](sz); in.readFully(buf); new String(buf, "UTF-8")
+      } finally in.close()
+    }
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    def one(k: String): Option[String] =
+      lines.find(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
+    val parsed = for {
+      epoch <- one("epoch").flatMap(_.toIntOption)
+      token <- one("token")
+      replacing <- one("replacing").map(_ == "true")
+      schema <- one("schema")
+    } yield (epoch, token, replacing, schema)
+    parsed match {
+      case None => f.delete(p, false); () // malformed: debris
+      case Some((epoch, token, replacing, schemaJson)) =>
+        val cur = ManifestSink.currentEpochOpt(spark, dir)
+        if (cur.contains(epoch) &&
+            ManifestSink.commitInfo(spark, dir, epoch)._1 == token) {
+          val bucket = one("bucket").map { s =>
+            val Array(c, n) = s.split("\t", 2)
+            (unescJson(c), n.toInt)
+          }
+          val props = lines.filter(_.startsWith("prop=")).map { l =>
+            val Array(k, v) = l.drop(5).split("\t", 2)
+            unescJson(k) -> unescJson(v)
+          }.toMap
+          applyRtasSidecars(spark, dir, replacing, schemaJson, bucket, props)
+          f.delete(p, false): Unit
+        } else if (cur.exists(_ >= epoch)) {
+          f.delete(p, false): Unit // lost its race or superseded
+        } // else: an in-flight attempt above the current epoch — leave it
+    }
+  }
+
+  /** JSON-string escape for the line-oriented sidecars: `\`, `"`, and
+    * the control characters that would break the one-record-per-line
+    * format. Applied to KEYS and VALUES alike — a property key
+    * containing a quote or a value containing a newline round-trips
+    * instead of poisoning every later sidecar read (ADVICE r13). */
+  private[catalog] def escJson(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"' => b.append("\\\"")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** Inverse of [[escJson]] — single sequential pass (chained
+    * `.replace` calls mis-decode `\\n`). Tolerates the legacy format
+    * (only `\\` and `\"` escaped). */
+  private[catalog] def unescJson(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => b.append('\\'); i += 2
+          case '"' => b.append('"'); i += 2
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => b.append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  // a JSON string whose content may carry escaped characters
+  private val JsonStr = """((?:[^"\\]|\\.)*)"""
+
+  private[graft] def readProps(spark: SparkSession,
                                  dir: String): Map[String, String] = {
     val p = new Path(dir, PropsFile)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -508,25 +663,23 @@ object GraftTable {
         val sz = f.getFileStatus(p).getLen.toInt
         val buf = new Array[Byte](sz); in.readFully(buf); new String(buf, "UTF-8")
       } finally in.close()
-      val line = """\{"k":"([^"]*)","v":"(.*)"\}""".r
+      val line = ("""\{"k":"""" + JsonStr + """","v":"""" + JsonStr + """"\}""").r
       text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map {
-        case line(k, v) =>
-          k -> v.replace("\\\"", "\"").replace("\\\\", "\\")
+        case line(k, v) => unescJson(k) -> unescJson(v)
         case other => throw new IllegalStateException(
           s"malformed $PropsFile line at $dir: $other")
       }.toMap
     }
   }
 
-  private[catalog] def writeProps(spark: SparkSession, dir: String,
+  private[graft] def writeProps(spark: SparkSession, dir: String,
                                   props: Map[String, String]): Unit = {
     val p = new Path(dir, PropsFile)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (props.isEmpty) { f.delete(p, false); () }
     else {
       val body = props.toSeq.sortBy(_._1).map { case (k, v) =>
-        val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
-        s"""{"k":"$k","v":"$esc"}"""
+        s"""{"k":"${escJson(k)}","v":"${escJson(v)}"}"""
       }.mkString("", "\n", "\n")
       val out = f.create(p, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -544,9 +697,9 @@ object GraftTable {
         val sz = f.getFileStatus(p).getLen.toInt
         val buf = new Array[Byte](sz); in.readFully(buf); new String(buf, "UTF-8")
       } finally in.close()
-      val line = """\{"name":"([^"]+)","sql":"(.*)"\}""".r
+      val line = ("""\{"name":"""" + JsonStr + """","sql":"""" + JsonStr + """"\}""").r
       text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map {
-        case line(n, s) => (n, s.replace("\\\"", "\"").replace("\\\\", "\\"))
+        case line(n, s) => (unescJson(n), unescJson(s))
         case other => throw new IllegalStateException(
           s"malformed $ConstraintsFile line at $dir: $other")
       }
@@ -567,8 +720,31 @@ object GraftTable {
                                         only: Seq[(String, String)] = null): Unit = {
     val cs = Option(only).getOrElse(readConstraints(spark, dir))
     if (cs.isEmpty || freshRelFiles.isEmpty) return
+    // freshly STAGED files (pre-commit, so never DV-subject) — on a
+    // column-mapped table they hold PHYSICAL names; predicates speak
+    // logical, so alias before evaluating (ADVICE r13)
+    val mapping = ManifestSink.currentEpochOpt(spark, dir)
+      .flatMap(e => ManifestSink.commitSchema(spark, dir, e))
+      .filter(graft.sink.ColumnMapping.hasMapping)
+    val paths = freshRelFiles.map(r => s"$dir/$r")
+    val audit = mapping match {
+      case Some(sch) =>
+        spark.read.schema(graft.sink.ColumnMapping.physicalSchema(sch))
+          .parquet(paths: _*)
+          .select(graft.sink.ColumnMapping.toLogicalCols(sch): _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    auditConstraintsDf(audit, dir, cs)
+  }
+
+  /** The audit core over an already-shaped frame (logical names,
+    * DV-filtered when the caller reads committed data): ONE pass
+    * tallying rows violating each CHECK; any violation throws. */
+  private[catalog] def auditConstraintsDf(audit: org.apache.spark.sql.DataFrame,
+                                          dir: String,
+                                          cs: Seq[(String, String)]): Unit = {
+    if (cs.isEmpty) return
     import org.apache.spark.sql.functions._
-    val audit = spark.read.parquet(freshRelFiles.map(r => s"$dir/$r"): _*)
     val counts = audit.select(cs.map { case (n, sql) =>
       sum(when(not(coalesce(expr(sql), lit(true))), 1L).otherwise(0L)).as(n)
     }: _*).head()
@@ -587,8 +763,7 @@ object GraftTable {
     if (cs.isEmpty) { f.delete(p, false); () }
     else {
       val body = cs.map { case (n, s) =>
-        val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
-        s"""{"name":"$n","sql":"$esc"}"""
+        s"""{"name":"${escJson(n)}","sql":"${escJson(s)}"}"""
       }.mkString("", "\n", "\n")
       val out = f.create(p, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -607,6 +782,12 @@ object GraftTable {
   /** Planning evidence: true iff the LAST catalog reader factory wraps
     * the merge-on-read DV filter (a DV-carrying epoch was scanned). */
   @volatile var lastDvApplied: Boolean = false
+
+  /** Planning evidence: whether the LAST DV-filtered scan kept
+    * columnar batches (true only when the whole PLANNED file set —
+    * judged over the same filter set its partitions were built from —
+    * is DV-exempt; see the ADVICE r13 keyed-partition fix). */
+  @volatile var lastDvColumnar: Boolean = false
 }
 
 /** The metadata-only aggregate scan: one precomputed row, zero files.
@@ -1070,29 +1251,27 @@ final class StagedGraftTable(spark: SparkSession, dir: String, ident: String,
     val st = staged.getOrElse(
       // plain REPLACE TABLE (no AS SELECT): an empty snapshot epoch
       ManifestSink.Staged(dir, next, ManifestSink.newAttemptToken(), Nil, None))
+    // WRITE-AHEAD INTENT (ADVICE r13): declare the post-commit sidecar
+    // state BEFORE the CAS, so a crash between the CAS and the sidecar
+    // swap is recovered at the next table load instead of permanently
+    // leaving the OLD constraints/props/bucket gating the NEW table
+    GraftTable.writeRtasIntent(spark, dir, st.epoch, st.token, replacing,
+      tableSchema.json, bucket, userProps)
     // the CAS is the atomicity point: if it throws (a concurrent
     // writer won the epoch), NOTHING changed — sidecars untouched,
-    // staged files invisible
+    // staged files invisible. The losing intent is deliberately LEFT
+    // (deleting it could race a newer attempt's intent under the fixed
+    // name); the next table load identifies it as non-winning debris
+    // and sweeps it (see [[GraftTable.recoverRtasIntent]]).
     ManifestSink.commitStaged(spark,
       st.copy(schemaJson = st.schemaJson.orElse(Some(tableSchema.json))))
     // post-commit surface state: REPLACE resets the declared surface
     // to the new statement's (Delta's REPLACE discipline) — these
     // sidecars gate future writes and layout hints only; committed
     // reads plan entirely from the new epoch's marker
-    if (replacing) {
-      f.delete(new Path(dir, GraftTable.ConstraintsFile), false)
-      f.delete(new Path(dir, GraftTable.PropsFile), false)
-      f.delete(new Path(dir, GraftTable.BucketFile), false)
-      f.delete(new Path(dir, GraftTable.SchemaFile), false)
-    }
-    val so = f.create(new Path(dir, GraftTable.SchemaFile), true)
-    try so.write(tableSchema.json.getBytes("UTF-8")) finally so.close()
-    bucket.foreach { case (c, n) =>
-      val bo = f.create(new Path(dir, GraftTable.BucketFile), true)
-      try bo.write(s"""{"col":"$c","n":$n}""".getBytes("UTF-8"))
-      finally bo.close()
-    }
-    if (userProps.nonEmpty) GraftTable.writeProps(spark, dir, userProps)
+    GraftTable.applyRtasSidecars(spark, dir, replacing, tableSchema.json,
+      bucket, userProps)
+    f.delete(new Path(dir, GraftTable.RtasIntentFile), false): Unit
   }
 
   override def abortStagedChanges(): Unit =
@@ -1599,10 +1778,24 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
         .map(r => r -> dvGroupOf(r)).toMap
       // columnar batches stay on ONLY when the whole planned file set
       // is DV-exempt (Spark refuses mixed row/columnar partitions in
-      // one scan): the hot recent-data case after an old-data takedown
-      val columnarOk = rowLevel.isEmpty && selectSurvivors()
-        .forall(st => dvGroupOf(relOf(st.getPath)) == n)
+      // one scan): the hot recent-data case after an old-data takedown.
+      // The decision must cover exactly the files the partitions were
+      // BUILT from: keyed (bucketed) partitions prune with pushed
+      // filters only — judging columnar over the runtime-filtered
+      // survivor set could flip the whole scan columnar while keyed
+      // partitions still carry DV-subject files, whose deleted rows
+      // would then re-enter unfiltered (ADVICE r13).
+      val dvJudged: Seq[org.apache.hadoop.fs.FileStatus] =
+        if (keyedPartitions.isDefined) {
+          val idx = new ManifestFileIndex(spark, dir, epoch)
+          val exprs = pushed.map(physFilter)
+            .flatMap(GraftFileScan.toCatalyst(physTableSchema, _)).toSeq
+          idx.listFiles(Nil, exprs).flatMap(_.files).map(_.fileStatus)
+        } else selectSurvivors()
+      val columnarOk = rowLevel.isEmpty &&
+        dvJudged.forall(st => dvGroupOf(relOf(st.getPath)) == n)
       GraftTable.lastDvApplied = true
+      GraftTable.lastDvColumnar = columnarOk
       val keyIdx = innerPhysical.fieldNames.indexOf(k)
       require(keyIdx >= 0,
         s"DV key $k not in the inner read schema ${innerPhysical.simpleString}")

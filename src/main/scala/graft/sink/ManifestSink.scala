@@ -109,13 +109,14 @@ object ManifestSink {
     * each other's sweeps (double-delete, or one sweeping metadata the
     * other just decided to keep). The lease is the same CAS primitive
     * as the commit marker — rename-WITHOUT-overwrite of a token file —
-    * held for the duration and released on exit. A holder that crashed
-    * leaves a stale lease; anyone arriving after `ttlMs` (default 1 h
-    * — far above any sweep) breaks it and retries once. (The break
-    * itself has the classic delete+recreate window two breakers could
-    * thread; acceptable for a maintenance path whose holders are rare
-    * and long-dead, the same judgment Delta makes for its lock files.)
-    * SQL `VACUUM` runs under this automatically. */
+    * held for the duration and released on exit. The holder HEARTBEATS
+    * the lease (rewrites it every ttl/4), so `ttlMs` (default 1 h)
+    * measures LIVENESS, not total runtime — a sweep longer than the
+    * TTL keeps its lease. A crashed holder stops heartbeating; anyone
+    * arriving after `ttlMs` of silence breaks the lease, retries once,
+    * and re-verifies its own token afterwards (two breakers threading
+    * the delete+recreate window resolve to exactly one verified
+    * holder). SQL `VACUUM` runs under this automatically. */
   def withMaintLease[T](spark: SparkSession, root: String,
                         ttlMs: Long = 3600000L)(body: => T): T = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -139,13 +140,51 @@ object ManifestSink {
           f.getFileStatus(lease).getModificationTime > ttlMs
         catch { case _: java.io.FileNotFoundException => true } // just released
       if (stale) { f.delete(lease, false); ok = tryAcquire() }
+      if (ok) {
+        // post-break verification (ADVICE r13): two breakers can
+        // thread the delete+recreate window — breaker B may delete
+        // OUR just-renamed lease and rename its own. Re-read the
+        // lease: if it no longer carries our token, we lost.
+        val held =
+          try readLines(spark, lease).contains(s"token=$token")
+          catch { case _: java.io.IOException => false }
+        if (!held) ok = false
+      }
     }
     if (!ok) {
       f.delete(tmp, false)
       throw new MaintenanceLeaseException(root,
         s"another maintenance process is live (stale-break after ${ttlMs} ms)")
     }
-    try body finally f.delete(lease, false)
+    // HEARTBEAT (ADVICE r13): the TTL must measure LIVENESS, not total
+    // runtime — a legitimately long sweep (> ttl) refreshes the lease
+    // mtime every ttl/4 so no breaker ever sees a live holder as
+    // stale. The rewrite re-checks ownership first: if a breaker stole
+    // the lease anyway, the heartbeat must not stomp the new holder.
+    val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hb = new Thread(() => {
+      val interval = math.max(1000L, ttlMs / 4)
+      var live = true
+      while (live && !hbStop.get()) {
+        try Thread.sleep(interval) catch { case _: InterruptedException => live = false }
+        if (live && !hbStop.get()) {
+          val ours =
+            try readLines(spark, lease).contains(s"token=$token")
+            catch { case _: java.io.IOException => false }
+          if (ours)
+            writeFile(spark, lease,
+              s"token=$token\nts=${System.currentTimeMillis()}\n")
+          else live = false // lost the lease: stop touching it
+        }
+      }
+    }, s"graft-maint-lease-heartbeat-$token")
+    hb.setDaemon(true)
+    hb.start()
+    try body finally {
+      hbStop.set(true)
+      hb.interrupt()
+      f.delete(lease, false)
+    }
   }
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
