@@ -3360,6 +3360,218 @@ object Registry {
       },
       """SELECT event_id AS id, value * 2 AS dbl, TRUE AS rtas_ok FROM events
         |WHERE event_id < 200 ORDER BY id""".stripMargin),
+    // CONCURRENT-COMMIT CONFLICT RESOLUTION (round 14 — the Delta
+    // ConflictChecker / Iceberg validation-retry discipline): a
+    // row-level DML commit that finds the table ADVANCED no longer
+    // fails outright — it REBASES onto the new current epoch when
+    // every intervening epoch is a pure append (or pure metadata)
+    // disjoint from the groups it replaced, and fails exactly as
+    // before when one is not (overlapping rewrite, schema change,
+    // concurrent takedown, serializable isolation). The demo MERGE
+    // commits THROUGH a racing disjoint INSERT injected exactly
+    // between its staged write and its epoch CAS (the deterministic
+    // race seam — thread timing cannot sit under an oracle), without
+    // re-running its scan or rewrite. With the engine's own streaming
+    // sinks making continuous ingest the normal table state, this is
+    // what keeps DML from starving on a hot table at 100x. conc_ok
+    // gates epoch arithmetic (CTAS, racing append, rebased merge = 3),
+    // untouched files carried BY NAME through the rebase, and the
+    // racing epoch pinned pre-merge (its insert visible, the merge's
+    // update not); ConflictSpec carries the refusal ladder.
+    "q_catalog_concurrent" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cconc_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 400)
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("conc_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM conc_src")
+        val before = graft.sink.ManifestSink.manifestFiles(s, root, 1)
+          .map(_.split("/").last)
+        val srcPath = tmpDir("graft_cconc_upd_")
+        ev.filter(col("event_id").isin(5L, 7L))
+          .withColumn("value", lit(-1.0))
+          .write.mode("overwrite").parquet(srcPath)
+        s.read.parquet(srcPath).createOrReplaceTempView("conc_updates")
+        // the racing DISJOINT append lands between the merge's staged
+        // write and its epoch CAS
+        graft.catalog.GraftTable.replaceCommitRaceHook = Some(() =>
+          s.sql(s"INSERT INTO graft.`$root` SELECT event_id + 9100, " +
+            "user_id, value FROM conc_src WHERE event_id = 3"): Unit)
+        try s.sql(
+          s"""MERGE INTO graft.`$root` t USING conc_updates u
+             |ON t.event_id = u.event_id
+             |WHEN MATCHED THEN UPDATE SET t.value = u.value""".stripMargin)
+        finally graft.catalog.GraftTable.replaceCommitRaceHook = None
+        val cur = graft.sink.ManifestSink.currentEpoch(s, root)
+        val after = graft.sink.ManifestSink.manifestFiles(s, root, cur)
+          .map(_.split("/").last)
+        // the racing epoch is pinned PRE-merge: insert there, update not
+        val pinnedOk = cur == 3 &&
+          s.sql(s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 2 " +
+            "WHERE value = -1.0").collect()(0).getLong(0) == 0L &&
+          s.sql(s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 2 " +
+            "WHERE event_id = 9103").collect()(0).getLong(0) == 1L
+        val concOk = pinnedOk && after.intersect(before).nonEmpty
+        s.sql(s"""SELECT event_id, user_id, value FROM graft.`$root`
+                 |WHERE event_id < 20 OR event_id >= 9000
+                 |ORDER BY event_id""".stripMargin)
+          .withColumn("conc_ok", lit(concOk))
+      },
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id IN (5, 7) THEN -1.0 ELSE value END AS value,
+        |  TRUE AS conc_ok
+        |FROM events WHERE event_id < 20
+        |UNION ALL
+        |SELECT event_id + 9100, user_id, value, TRUE FROM events
+        |WHERE event_id = 3
+        |ORDER BY event_id""".stripMargin),
+    // SQL TYPE WIDENING (round 14 — Delta type widening / Iceberg type
+    // promotion): `ALTER TABLE ... ALTER COLUMN ... TYPE` commits a
+    // PURE-METADATA epoch for safe promotions (int -> wider integral,
+    // float -> double, decimal growth) — files keep their narrow
+    // parquet encodings and Spark 4's widening promotions decode them
+    // straight into the wide vectors, so a 100 TB table re-types
+    // without rewriting a byte. Committed zone maps are
+    // long-NORMALIZED, so range pruning keeps biting across MIXED
+    // narrow/wide files (bounds compared in the widened type — the
+    // VERDICT's done-criterion). widen_ok gates byte-identical data
+    // files across the ALTER, pruning on both the pre- and
+    // post-widening file populations, the pinned narrow shape under
+    // VERSION AS OF, and the refusal of a narrowing; WidenSpec adds
+    // float/decimal, the HLL sketch drop, and the full refusal ladder.
+    "q_catalog_widen" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cwid_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 400)
+          .withColumn("event_id", col("event_id")
+            .cast(org.apache.spark.sql.types.IntegerType))
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("wid_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM wid_src")
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def dataState(e: Int): Map[String, (Long, Long)] =
+          graft.sink.ManifestSink.manifestFiles(s, root, e).map { f =>
+            val st = fsys.getFileStatus(new org.apache.hadoop.fs.Path(f))
+            f -> (st.getLen, st.getModificationTime)
+          }.toMap
+        val before = dataState(1)
+        s.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN event_id TYPE BIGINT")
+        val metadataOnly = dataState(2) == before
+        // post-widening inserts land as int64: the table now mixes
+        // narrow and wide encodings under one long schema
+        s.sql(s"INSERT INTO graft.`$root` SELECT event_id + 9100, user_id, " +
+          "value FROM wid_src WHERE event_id < 50")
+        // range pruning across BOTH populations (bounds as longs)
+        val (_, hitOld, all) = graft.sink.ManifestSink
+          .readRangePruned(s, root, "event_id", 0L, 29L)
+        val (_, hitNew, _) = graft.sink.ManifestSink
+          .readRangePruned(s, root, "event_id", 9100L, 9129L)
+        val travelOk = s.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 1")
+          .schema("event_id").dataType ==
+          org.apache.spark.sql.types.IntegerType &&
+          s.table(s"graft.`$root`").schema("event_id").dataType ==
+            org.apache.spark.sql.types.LongType
+        val refused =
+          try { s.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN event_id TYPE INT")
+                false }
+          catch { case _: Throwable => true }
+        val widenOk = metadataOnly && hitOld < all && hitNew < all &&
+          travelOk && refused
+        s.sql(s"""SELECT event_id, user_id, value FROM graft.`$root`
+                 |WHERE event_id < 30 OR (event_id >= 9100 AND event_id < 9130)
+                 |ORDER BY event_id""".stripMargin)
+          .withColumn("widen_ok", lit(widenOk))
+      },
+      """SELECT event_id, user_id, value, TRUE AS widen_ok FROM events
+        |WHERE event_id < 30
+        |UNION ALL
+        |SELECT event_id + 9100, user_id, value, TRUE FROM events
+        |WHERE event_id < 30
+        |ORDER BY event_id""".stripMargin),
+    // BATCH CHANGE FEED BY NAME (round 14 — Delta's `table_changes`
+    // TVF usable inside any SELECT): the `@changes` metadata table now
+    // serves BATCH reads too, with the epoch range and diff key
+    // spelled in the identifier for pure SQL
+    // (`graft.`/p@changes:event_id:1-4``) or passed as read options.
+    // The scan materializes the range's manifest-delta diff ONCE into
+    // session-temp staging and plans parquet partitions over it —
+    // O(epoch file delta) work, composable under WHERE/JOIN/GROUP BY
+    // like any table. The demo drives insert, CoW-update, and
+    // MoR-delete epochs and reads the feed purely as batch SQL;
+    // tc_ok gates the full-range (snapshot-as-inserts) row count, the
+    // per-type aggregate composing over the feed, and the
+    // options-driven read matching the SQL spelling.
+    "q_catalog_table_changes" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_ctc_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 100)
+          .repartitionByRange(4, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("ctc_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM ctc_src")
+        ev.filter(col("event_id") >= 100 && col("event_id") < 150)
+          .createOrReplaceTempView("ctc_batch2")
+        s.sql(s"INSERT INTO graft.`$root` SELECT * FROM ctc_batch2")
+        s.sql(s"UPDATE graft.`$root` SET value = -5.0 WHERE event_id < 10")
+        s.conf.set("spark.graft.delete.mode", "mor")
+        try s.sql(s"DELETE FROM graft.`$root` WHERE event_id = 50")
+        finally s.conf.unset("spark.graft.delete.mode")
+        // the feed as PURE BATCH SQL, range (1, 4] via the identifier
+        val feed = s.sql(
+          s"""SELECT _change_type, _commit_epoch, event_id, user_id, value
+             |FROM graft.`$root@changes:event_id:1-4`
+             |ORDER BY _commit_epoch, _change_type, event_id""".stripMargin)
+        val rows = feed.collect()
+        // composability: an aggregate OVER the feed, plain SQL
+        val byType = s.sql(
+          s"""SELECT _change_type, count(*) AS c
+             |FROM graft.`$root@changes:event_id:1-4`
+             |GROUP BY _change_type""".stripMargin)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val aggOk = byType == Map("insert" -> 50L, "update_preimage" -> 10L,
+          "update_postimage" -> 10L, "delete" -> 1L)
+        // full range opens with the snapshot-as-inserts
+        val fullCount = s.sql(
+          s"SELECT count(*) AS c FROM graft.`$root@changes:event_id`")
+          .collect()(0).getLong(0)
+        // options-driven batch read = the SQL spelling
+        val viaOptions = s.read
+          .option("changeFeedKey", "event_id")
+          .option("fromEpoch", "1").option("toEpoch", "4")
+          .table(s"graft.`$root@changes`").count()
+        val tcOk = aggOk && fullCount == 171L && viaOptions == rows.length.toLong
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), feed.schema)
+          .withColumn("tc_ok", lit(tcOk))
+      },
+      """SELECT * FROM (
+        |  SELECT 'insert' AS _change_type, 2 AS _commit_epoch,
+        |         event_id, user_id, value, TRUE AS tc_ok
+        |  FROM events WHERE event_id >= 100 AND event_id < 150
+        |  UNION ALL
+        |  SELECT 'update_preimage', 3, event_id, user_id, value, TRUE
+        |  FROM events WHERE event_id < 10
+        |  UNION ALL
+        |  SELECT 'update_postimage', 3, event_id, user_id, -5.0, TRUE
+        |  FROM events WHERE event_id < 10
+        |  UNION ALL
+        |  SELECT 'delete', 4, event_id, user_id, value, TRUE
+        |  FROM events WHERE event_id = 50
+        |) ORDER BY _commit_epoch, _change_type, event_id""".stripMargin),
     // EPOCH-SCOPED DELETE VECTORS (round 13): each deleteMor batch
     // commits its OWN dv-N file that hides its keys only in data files
     // committed at epochs < N (the manifest records per-file commit

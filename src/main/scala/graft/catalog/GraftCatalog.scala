@@ -125,12 +125,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     // the `@changes` METADATA TABLE (Iceberg's `db.t.changes`
     // spelling): the table's row-level change feed, streamable by
     // name — see [[GraftChangesTable]]
-    if (ident.name.endsWith("@changes")) {
-      val baseIdent = Identifier.of(ident.namespace,
-        ident.name.stripSuffix("@changes"))
+    if (ident.name.contains("@changes")) {
+      // `@changes` (options-driven) or `@changes:<key>[:<from>-<to>]`
+      // (the pure-SQL spelling — a batch SELECT cannot pass options)
+      val (base, keySpec, fromSpec, toSpec) =
+        GraftChangesTable.parseIdent(ident.name)
+      val baseIdent = Identifier.of(ident.namespace, base)
       val dir = dirOf(baseIdent)
       if (!existsAsTable(dir)) throw new NoSuchTableException(baseIdent)
-      return new GraftChangesTable(dir, ident.toString)
+      return new GraftChangesTable(dir, ident.toString, keySpec, fromSpec, toSpec)
     }
     val dir = dirOf(ident)
     if (!existsAsTable(dir)) throw new NoSuchTableException(ident)
@@ -350,13 +353,45 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       case _: TableChange.AddColumn | _: TableChange.AddConstraint |
            _: TableChange.DropConstraint | _: TableChange.RenameColumn |
            _: TableChange.DeleteColumn | _: TableChange.SetProperty |
-           _: TableChange.RemoveProperty => true
+           _: TableChange.RemoveProperty | _: TableChange.UpdateColumnType => true
       case _ => false
     }
     if (!handled) throw new UnsupportedOperationException(
       s"graft ALTER TABLE supports ADD COLUMNS, RENAME/DROP COLUMN, " +
-        s"SET/UNSET TBLPROPERTIES, and ADD/DROP CONSTRAINT (CHECK) only; " +
-        s"got ${changes.mkString(", ")}")
+        s"ALTER COLUMN TYPE (widening), SET/UNSET TBLPROPERTIES, and " +
+        s"ADD/DROP CONSTRAINT (CHECK) only; got ${changes.mkString(", ")}")
+    // ALTER COLUMN ... TYPE — safe type WIDENING as a metadata-only
+    // commit (see [[ManifestSink.widenColumn]]); pre-first-commit
+    // tables widen the sidecar schema under the same promotion rules
+    val retypes = changes.collect { case u: TableChange.UpdateColumnType => u }
+    retypes.foreach { u =>
+      require(u.fieldNames.length == 1,
+        s"graft ALTER COLUMN TYPE is top-level only; got ${u.fieldNames.mkString(".")}")
+      val name = u.fieldNames()(0)
+      ManifestSink.currentEpochOpt(spark, dir) match {
+        case Some(_) =>
+          ManifestSink.widenColumn(spark, dir, name, u.newDataType()): Unit
+        case None =>
+          val t = new GraftTable(dir, ident.toString, None)
+          val prior = t.schema()
+          val idx = prior.fieldNames.indexOf(name)
+          require(idx >= 0, s"no column $name")
+          // empty table: no files to widen over, but keep the same
+          // promotion contract so behavior is epoch-independent
+          require(ManifestSink.isSafeWideningPublic(
+            prior.fields(idx).dataType, u.newDataType()),
+            s"unsupported type change for $name: " +
+              s"${prior.fields(idx).dataType.simpleString} -> " +
+              s"${u.newDataType().simpleString} is not a widening promotion")
+          val p = new Path(dir, GraftTable.SchemaFile)
+          val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = fsys.create(p, true)
+          try out.write(StructType(prior.fields.updated(idx,
+            prior.fields(idx).copy(dataType = u.newDataType()))).json
+            .getBytes("UTF-8"))
+          finally out.close()
+      }
+    }
     // TBLPROPERTIES: plain sidecar state
     val setProps = changes.collect { case s: TableChange.SetProperty => s }
     val unsetProps = changes.collect { case r: TableChange.RemoveProperty => r }
@@ -788,6 +823,17 @@ object GraftTable {
     * judged over the same filter set its partitions were built from —
     * is DV-exempt; see the ADVICE r13 keyed-partition fix). */
   @volatile var lastDvColumnar: Boolean = false
+
+  /** Test/demo seam for DETERMINISTIC commit races (the Delta-test
+    * discipline — thread timing cannot sit under an oracle): fired
+    * ONCE (self-clearing) between a row-level write's staged file
+    * commit and its epoch CAS, so a spec can land a racing epoch
+    * exactly inside the window the optimistic rebase exists for. */
+  @volatile var replaceCommitRaceHook: Option[() => Unit] = None
+
+  /** Same seam for the INSERT path: fired once between the staged
+    * constraint audit and the commit CAS. */
+  @volatile var insertCommitRaceHook: Option[() => Unit] = None
 }
 
 /** The metadata-only aggregate scan: one precomputed row, zero files.
@@ -997,40 +1043,65 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     val bucket = declaredBucket
     var attempts = 0
     var committed = false
+    // a lost CAS race REBASES the already-staged files onto the new
+    // current epoch (VERDICT r13 — Delta's blind-append discipline)
+    // instead of re-running the whole distributed write; the full
+    // restage survives only as the fallback when the schema moved or
+    // a vacuum swept the stage
+    var rebased: Option[ManifestSink.Staged] = None
+    var observedSchema: Option[String] = None
     while (!committed) {
-      val cur = currentOpt
-      val next = cur.getOrElse(0) + 1
-      val mapped = cur.flatMap(e => ManifestSink.commitSchema(spark, dir, e))
-        .filter(graft.sink.ColumnMapping.hasMapping)
-      // NDV sketches deliberately do NOT ride every insert (the extra
-      // pass per write is the Iceberg lesson — puffin NDV is an
-      // ANALYZE-time artifact); run `ANALYZE TABLE ... COMPUTE
-      // STATISTICS` to commit them
-      val staged =
-        if (overwrite || cur.isEmpty) {
-          // mapped tables overwrite in PHYSICAL shape and keep the
-          // mapped schema pinned (the files' names never go logical)
-          val d2 = mapped.map(p =>
-            graft.sink.ColumnMapping.toPhysicalDf(data, p)).getOrElse(data)
-          val st = ManifestSink.stage(d2, dir, next, statsColsOf(d2.schema),
-            unique = true, bucket = bucket)
-          mapped.map(p => st.copy(schemaJson = Some(p.json))).getOrElse(st)
-        } else
-          // appends stay LOGICAL — stageAppend translates against the
-          // prior epoch's mapping itself
-          ManifestSink.stageAppend(data, dir, next, statsColsOf(data.schema),
-            unique = true, bucket = bucket)
-      // audit only THIS epoch's fresh files (appends carry prior
-      // epochs' already-audited files by reference)
-      GraftTable.auditConstraints(spark, dir,
-        staged.relFiles.filter(_.startsWith(s"data-epoch=$next-")))
+      val staged = rebased.getOrElse {
+        val cur = currentOpt
+        val next = cur.getOrElse(0) + 1
+        val curSchema = cur.flatMap(e => ManifestSink.commitSchema(spark, dir, e))
+        observedSchema = curSchema.map(_.json)
+        val mapped = curSchema.filter(graft.sink.ColumnMapping.hasMapping)
+        // NDV sketches deliberately do NOT ride every insert (the extra
+        // pass per write is the Iceberg lesson — puffin NDV is an
+        // ANALYZE-time artifact); run `ANALYZE TABLE ... COMPUTE
+        // STATISTICS` to commit them
+        val st =
+          if (overwrite || cur.isEmpty) {
+            // mapped tables overwrite in PHYSICAL shape and keep the
+            // mapped schema pinned (the files' names never go logical)
+            val d2 = mapped.map(p =>
+              graft.sink.ColumnMapping.toPhysicalDf(data, p)).getOrElse(data)
+            val s0 = ManifestSink.stage(d2, dir, next, statsColsOf(d2.schema),
+              unique = true, bucket = bucket)
+            mapped.map(p => s0.copy(schemaJson = Some(p.json))).getOrElse(s0)
+          } else
+            // appends stay LOGICAL — stageAppend translates against the
+            // prior epoch's mapping itself
+            ManifestSink.stageAppend(data, dir, next, statsColsOf(data.schema),
+              unique = true, bucket = bucket)
+        // audit only THIS epoch's fresh files (appends carry prior
+        // epochs' already-audited files by reference)
+        GraftTable.auditConstraints(spark, dir,
+          st.relFiles.filter(_.startsWith(s"data-epoch=$next-")))
+        st
+      }
+      // deterministic-race seam (see GraftTable.insertCommitRaceHook)
+      GraftTable.insertCommitRaceHook.foreach { h =>
+        GraftTable.insertCommitRaceHook = None; h()
+      }
       try {
         ManifestSink.commitStaged(spark, staged, None)
         committed = true
       } catch {
         case c: ManifestSink.ManifestConflictException =>
           attempts += 1
-          if (attempts >= 5) throw c
+          if (attempts >= ManifestSink.commitMaxRetries(spark)) throw c
+          rebased = ManifestSink.rebaseStagedInsert(spark, staged, overwrite,
+            observedSchema)
+          // the sidecar constraint set may have MOVED while we raced:
+          // re-audit the fresh files against the set as of the rebase
+          // (a constraint added mid-flight must reject this insert,
+          // not discover the violation after it is reader-visible)
+          rebased.foreach { st =>
+            GraftTable.auditConstraints(spark, dir,
+              st.relFiles.filter(_.contains(s"-a${st.token}/")))
+          }
       }
     }
   }
@@ -1172,7 +1243,11 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
         val total = ManifestSink.manifestEntries(spark, dir, e).size
         val frac = spark.sessionState.conf
           .getConfString("spark.graft.delete.mor.fileFraction", "0.5").toDouble
-        total > 0 && touched.toDouble / total > frac
+        // the DV key cap (VERDICT r13): above it a delete is BULK
+        // erasure — the rewrite is the right price, a driver-collected
+        // key set that size is not
+        vs.size <= ManifestSink.dvKeyCap(spark) &&
+          total > 0 && touched.toDouble / total > frac
     }
     if (useMor) {
       ManifestSink.deleteMor(spark, dir, keys, colName): Unit
@@ -1745,11 +1820,14 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
       GraftTable.lastDvApplied = false
       base
     } else {
-      // keys-only small by the deleteMor contract: collected once on
-      // the driver, shipped inside the serialized factory (the
-      // broadcast-anti-join equivalent, reader-side). Group g's set is
-      // the SUFFIX UNION dvSorted(g..) — exactly the DVs whose scope
-      // epoch exceeds that group's file epochs.
+      // keys-only small — ENFORCED by spark.graft.dv.maxKeys at
+      // deleteMor commit time (VERDICT r13), so this driver collect is
+      // bounded by cap × live DV generations (generations are
+      // retention-bounded). Collected once, shipped inside the
+      // serialized factory (the broadcast-anti-join equivalent,
+      // reader-side). Group g's set is the SUFFIX UNION dvSorted(g..)
+      // — exactly the DVs whose scope epoch exceeds that group's file
+      // epochs.
       val k = dvSorted.head._2
       val keyType = dvLogicalKey.get.dataType
       def keysOf(rel: String): Array[Any] =
@@ -1983,6 +2061,12 @@ final class GraftReplaceWrite(dir: String, baseEpoch: Int,
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       delegate.commit(messages)
       val spark = SparkSession.active
+      // deterministic-race seam: a spec/demo injects a concurrent
+      // commit exactly here — after the replacement files finalized,
+      // before the epoch CAS (see GraftTable.replaceCommitRaceHook)
+      GraftTable.replaceCommitRaceHook.foreach { h =>
+        GraftTable.replaceCommitRaceHook = None; h()
+      }
       // row-level rewrites (MERGE/UPDATE) enforce CHECKs on their
       // replacement files too — a merge cannot smuggle in violations
       val stagePath = new Path(s"$dir/$stagedDirName")

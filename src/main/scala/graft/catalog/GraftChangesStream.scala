@@ -42,12 +42,29 @@ import graft.sink.{ColumnMapping, ManifestSink}
   * CoW or MoR deletes as delete rows — Delta's readChangeFeed
   * contract, addressed purely by table name.
   *
-  * Batch SQL over `@changes` is deliberately not served here:
-  * `DESCRIBE CHANGES <tbl> KEY <col> FROM <a> TO <b>` is the batch
-  * surface (epoch-bounded, no checkpoint state). The streaming scan
-  * requires the `changeFeedKey` read option — the diff key is the
-  * table's merge key, which only the caller knows. */
-final class GraftChangesTable(dir: String, ident: String)
+  * BATCH reads work too (round 14 — Delta's `table_changes` TVF
+  * usable inside any SELECT): either through read options
+  * (`spark.read.option("changeFeedKey", k).option("fromEpoch", a)
+  * .option("toEpoch", b).table(...)`) or — for pure SQL, where options
+  * cannot travel — through the identifier itself:
+  *
+  * {{{
+  *   SELECT * FROM graft.`/data/events@changes:event_id:1-4`
+  * }}}
+  *
+  * spells KEY `event_id`, epoch range (1, 4]. The range defaults to
+  * (0, current] — the opening snapshot arrives as inserts, exactly
+  * like the stream's first batch. The batch scan materializes the
+  * diff once into a session-temp staging dir (reclaimed on exit) and
+  * plans ordinary parquet partitions over it — the same O(epoch file
+  * delta) discipline as the stream, fully composable under joins,
+  * filters, and aggregates. The streaming scan still requires the
+  * `changeFeedKey` option or the identifier spelling — the diff is
+  * keyed on the table's merge key, which only the caller knows. */
+final class GraftChangesTable(dir: String, ident: String,
+                              keySpec: Option[String] = None,
+                              fromSpec: Option[Int] = None,
+                              toSpec: Option[Int] = None)
   extends Table with SupportsRead {
 
   private def spark: SparkSession = SparkSession.active
@@ -65,22 +82,51 @@ final class GraftChangesTable(dir: String, ident: String)
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val key = Option(options.get("changeFeedKey")).getOrElse(
+    val key = Option(options.get("changeFeedKey")).orElse(keySpec).getOrElse(
       throw new IllegalArgumentException(
         s"the $ident change feed needs option(\"changeFeedKey\", <mergeKey>) " +
+          "or the `@changes:<key>[:<from>-<to>]` identifier spelling " +
           "— the diff is keyed on the table's merge key"))
-    val startEpoch = Option(options.get("startEpoch")).map(_.toInt).getOrElse(0)
+    val startEpoch = Option(options.get("startEpoch")).map(_.toInt)
+      .orElse(fromSpec).getOrElse(0)
+    val endEpoch = Option(options.get("toEpoch")).map(_.toInt).orElse(toSpec)
+    val from = Option(options.get("fromEpoch")).map(_.toInt)
+      .orElse(fromSpec).getOrElse(0)
     val outSchema = schema()
-    () => new GraftChangesScan(spark, dir, key, startEpoch, outSchema)
+    () => new GraftChangesScan(spark, dir, key, startEpoch, from, endEpoch,
+      outSchema)
+  }
+}
+
+object GraftChangesTable {
+  /** Parse the `<base>@changes[:<key>[:<from>-<to>]]` identifier
+    * spelling: returns (base table path, key?, from?, to?). */
+  def parseIdent(name: String): (String, Option[String], Option[Int], Option[Int]) = {
+    val at = name.lastIndexOf("@changes")
+    val base = name.substring(0, at)
+    val spec = name.substring(at + "@changes".length).stripPrefix(":")
+    if (spec.isEmpty) (base, None, None, None)
+    else spec.split(":", 2) match {
+      case Array(k) => (base, Some(k), None, None)
+      case Array(k, range) =>
+        val m = "(\\d+)-(\\d+)".r
+        range match {
+          case m(a, b) => (base, Some(k), Some(a.toInt), Some(b.toInt))
+          case other => throw new IllegalArgumentException(
+            s"malformed @changes range '$other' (want <from>-<to>)")
+        }
+      case _ => (base, None, None, None)
+    }
   }
 }
 
 final class GraftChangesScan(spark: SparkSession, dir: String, key: String,
-                             startEpoch: Int, outSchema: StructType)
-  extends Scan {
+                             startEpoch: Int, fromEpoch: Int,
+                             toEpoch: Option[Int], outSchema: StructType)
+  extends Scan with org.apache.spark.sql.connector.read.Batch {
 
   override def readSchema(): StructType = outSchema
   override def description(): String = s"GraftChangesScan($dir, key=$key)"
@@ -88,6 +134,71 @@ final class GraftChangesScan(spark: SparkSession, dir: String, key: String,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftCdfMicroBatchStream(spark, dir, key, startEpoch, outSchema,
       checkpointLocation)
+
+  // ------------------------------------------------------------- batch read
+  // (Delta's table_changes surface): materialize (from, to]'s diff
+  // once into a session-temp dir, then serve it as ordinary parquet
+  // partitions — composable under any SELECT
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  private lazy val stagedBatch: Seq[org.apache.hadoop.fs.FileStatus] = {
+    val to = toEpoch.getOrElse(ManifestSink.currentEpoch(spark, dir))
+    val from = math.max(fromEpoch, 0)
+    if (to <= from) Nil
+    else {
+      val p = new Path(GraftChangesScan.batchStageRoot(spark),
+        s"${math.abs(dir.hashCode)}-$from-$to-${java.util.UUID.randomUUID.toString.take(8)}")
+      ManifestSink.tableChanges(spark, dir, key, from, to)
+        .write.mode("overwrite").parquet(p.toString)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+    }
+  }
+
+  private def batchScan(statuses: Seq[org.apache.hadoop.fs.FileStatus]) =
+    ParquetScan(spark,
+      spark.sessionState.newHadoopConfWithOptions(Map.empty),
+      new graft.sink.StaticFileIndex(spark,
+        new Path(GraftChangesScan.batchStageRoot(spark)), statuses),
+      dataSchema = outSchema,
+      readDataSchema = outSchema,
+      readPartitionSchema = StructType(Nil),
+      pushedFilters = Array.empty,
+      options = CaseInsensitiveStringMap.empty()).toBatch
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (stagedBatch.isEmpty) Array.empty
+    else batchScan(stagedBatch).planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    batchScan(stagedBatch).createReaderFactory()
+}
+
+object GraftChangesScan {
+  /** Session-temp staging root for BATCH change-feed reads, reclaimed
+    * at JVM exit (the artifact-temp discipline). */
+  private val root = new java.util.concurrent.atomic.AtomicReference[String](null)
+  def batchStageRoot(spark: SparkSession): String = {
+    val cur = root.get()
+    if (cur != null) cur
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cdf-batch-")
+      if (root.compareAndSet(null, dir.toString)) {
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          try {
+            val p = new Path(dir.toString)
+            p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+              .delete(p, true): Unit
+          } catch { case _: Throwable => () }
+        }))
+        dir.toString
+      } else {
+        java.nio.file.Files.deleteIfExists(dir)
+        root.get()
+      }
+    }
+  }
 }
 
 /** The epoch-offset CDF stream (see [[GraftChangesTable]]). */

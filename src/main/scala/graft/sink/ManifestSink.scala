@@ -790,6 +790,89 @@ object ManifestSink {
     cur + 1
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN ... TYPE` — SAFE TYPE WIDENING as a
+    * PURE-METADATA commit (Delta type widening / Iceberg type
+    * promotion): the committed schema's field changes to the wider
+    * type, files keep their narrow physical encodings, and the parquet
+    * reader widens per file at scan time (Spark 4's widening type
+    * promotions — int32 pages decode straight into long/wider decimal
+    * vectors). Allowed promotions: byte/short/int → any wider
+    * integral, float → double, and decimal growth that never loses
+    * integer digits or scale. Everything else (narrowing, string ↔
+    * numeric, date → timestamp) is a MIGRATION — refused.
+    *
+    * Committed metadata survives because it is long-normalized:
+    * integral zone maps, dictionaries, and bucket rows store values AS
+    * LONGS, and bloom bit positions hash the long cast — a widened
+    * predicate compares long-vs-long exactly as before (spec-pinned).
+    * The one exception is HLL NDV sketches, which hash the TYPED
+    * value: the widened column's `__hll:`/`__nulls:` rows are DROPPED
+    * from the carried stats (pre- and post-widening sketches cannot
+    * union honestly; ANALYZE recreates them in the wide type).
+    * Guards: a live DV key or committed bucket key refuses (their
+    * typed read paths pin the narrow type); travel keeps old shapes.
+    * Returns the new epoch. */
+  def widenColumn(spark: SparkSession, root: String, name: String,
+                  to: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentEpoch(spark, root)
+    val prior = commitSchema(spark, root, cur)
+      .getOrElse(read(spark, root, cur).schema)
+    val idx = prior.fieldNames.indexOf(name)
+    require(idx >= 0, s"ALTER COLUMN: no column $name in ${prior.simpleString}")
+    val fromType = prior.fields(idx).dataType
+    require(isSafeWidening(fromType, to),
+      s"unsupported type change for $name: ${fromType.simpleString} -> " +
+        s"${to.simpleString} is not a widening promotion (allowed: " +
+        "byte/short/int -> wider integral, float -> double, decimal " +
+        "growth keeping integer digits and scale); rewrite the table " +
+        "to migrate")
+    val phys = ColumnMapping.physicalName(prior.fields(idx))
+    commitDvs(spark, root, cur).foreach { case (_, k) =>
+      require(k != phys && k != name,
+        s"column $name carries live delete-vector keys; OPTIMIZE to " +
+          "materialize them before widening")
+    }
+    bucketSpec(spark, root, cur).foreach { bs =>
+      require(bs.keyCol != name && bs.keyCol != phys,
+        s"column $name is the committed bucket key; re-bucket (OPTIMIZE " +
+          "BUCKET BY) after widening instead")
+    }
+    val merged = org.apache.spark.sql.types.StructType(
+      prior.fields.updated(idx, prior.fields(idx).copy(dataType = to)))
+    val entries = manifestEntries3(spark, root, cur)
+    val stats =
+      if (!statsExists(spark, root, cur)) None
+      else Some(statsTable(spark, root, cur)
+        .filter(!col("col").isin(s"__hll:$phys", s"__nulls:$phys")))
+    val staged = Staged(root, cur + 1, newToken(), entries.map(_._1), stats,
+      Some(asNullable(merged).json), dvs = commitDvs(spark, root, cur),
+      sizes = knownSizes(entries), fileEpochs = knownEpochs(entries))
+    commitStaged(spark, staged)
+    cur + 1
+  }
+
+  /** The widening-promotion predicate, exposed for the pre-first-commit
+    * sidecar path (same contract, no epoch to commit). */
+  def isSafeWideningPublic(from: org.apache.spark.sql.types.DataType,
+                           to: org.apache.spark.sql.types.DataType): Boolean =
+    isSafeWidening(from, to)
+
+  private def isSafeWidening(from: org.apache.spark.sql.types.DataType,
+                             to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        (d1 != d2) && d2.scale >= d1.scale &&
+          d2.precision - d2.scale >= d1.precision - d1.scale
+      case _ => false
+    }
+  }
+
   /** `ALTER TABLE RENAME COLUMN` as a PURE-METADATA commit (Delta's
     * column-mapping rename): the first rename/drop upgrades the table
     * to explicit logical→physical mapping ([[ColumnMapping.stampAll]]),
@@ -1641,6 +1724,121 @@ object ManifestSink {
     * [[commitReplaceGroups]]). */
   def newAttemptToken(): String = newToken()
 
+  // ------------------------------------------ optimistic conflict resolution
+
+  /** `spark.graft.isolation`: `write-serializable` (default — the
+    * Delta level: blind appends and row-level commits over DISJOINT
+    * file sets reorder across each other via rebase) or
+    * `serializable` (any epoch advance fails a derived commit, the
+    * pre-r14 behavior). */
+  def isolationSerializable(spark: SparkSession): Boolean =
+    spark.sessionState.conf
+      .getConfString("spark.graft.isolation", "write-serializable") ==
+      "serializable"
+
+  /** Bounded optimistic-concurrency retries for derived commits
+    * (`spark.graft.commit.maxRetries`). */
+  def commitMaxRetries(spark: SparkSession): Int =
+    spark.sessionState.conf
+      .getConfString("spark.graft.commit.maxRetries", "5").toInt
+
+  /** The Delta-ConflictChecker / Iceberg-validation REBASE CHECK for a
+    * row-level (replace-groups) commit that found the table advanced:
+    * the commit's scan/rewrite stays valid against `cur` iff every
+    * intervening epoch (base, cur] changed NOTHING the operation read —
+    *
+    *  - no file REMOVALS (a rewrite/compaction/truncate/rollback could
+    *    have touched the replaced groups' key space);
+    *  - no added file inside the replaced set (impossible for fresh
+    *    token-named files; checked anyway);
+    *  - no schema change (the replacement files were written in the
+    *    base shape);
+    *  - no delete-vector change (a concurrent takedown invalidates the
+    *    rows the scan produced — rewritten files MATERIALIZE vectors,
+    *    so committing a pre-takedown rewrite would resurrect them).
+    *
+    * Pure appends and pure-metadata epochs (ANALYZE stats) pass; the
+    * MERGE-vs-MERGE / MERGE-vs-compaction overlap fails exactly as
+    * before. Throws [[ManifestConflictException]] when ineligible. */
+  private def checkReplaceRebase(spark: SparkSession, root: String,
+                                 baseEpoch: Int, cur: Int,
+                                 replaced: Set[String]): Unit = {
+    def fail(e: Int, why: String): Nothing =
+      throw new ManifestConflictException(root, baseEpoch + 1,
+        s"table advanced to epoch $cur while a row-level operation ran " +
+          s"against epoch $baseEpoch, and epoch $e is not rebase-eligible: " +
+          s"$why; retry against the current epoch")
+    if (isolationSerializable(spark))
+      fail(cur, "spark.graft.isolation=serializable disables rebase")
+    var prev = manifestEntries3(spark, root, baseEpoch).map(_._1).toSet
+    (baseEpoch + 1 to cur).foreach { e =>
+      val rels = manifestEntries3(spark, root, e).map(_._1).toSet
+      val removed = prev -- rels
+      if (removed.nonEmpty)
+        fail(e, s"it removed ${removed.size} file(s) (rewrite/compaction)")
+      val added = rels -- prev
+      if (added.exists(replaced))
+        fail(e, "it added a file inside the replaced group set")
+      if (commitSchema(spark, root, e).map(_.json) !=
+          commitSchema(spark, root, e - 1).map(_.json))
+        fail(e, "it changed the table schema")
+      if (commitDvs(spark, root, e) != commitDvs(spark, root, e - 1))
+        fail(e, "it changed the delete vectors (concurrent takedown)")
+      prev = rels
+    }
+  }
+
+  /** REBASE a staged INSERT onto the current epoch after a lost CAS
+    * race (Delta's blind-append discipline) — reuses the already
+    * written data files instead of re-running the whole write. An
+    * insert depends on prior state only through the carried
+    * list/stats/DV metadata and the schema contract, so it rebases
+    * whenever the committed schema is UNCHANGED since staging and the
+    * staged files still exist (the attempt dir's embedded epoch falls
+    * at or below the advanced current epoch, making it vacuum-eligible
+    * — a swept stage returns None and the caller restages in full).
+    * Overwrites carry nothing: their rebase is just the next epoch
+    * number. Returns the rebased Staged, or None → full restage. */
+  def rebaseStagedInsert(spark: SparkSession, staged: Staged,
+                         overwrite: Boolean,
+                         observedSchemaJson: Option[String]): Option[Staged] = {
+    import org.apache.spark.sql.functions.col
+    if (isolationSerializable(spark)) return None
+    val root = staged.root
+    val cur = currentEpochOpt(spark, root).getOrElse(return Some(staged))
+    if (cur < staged.epoch) return Some(staged)
+    if (commitSchema(spark, root, cur).map(_.json) != observedSchemaJson)
+      return None // schema moved: drift/mapping discipline must re-run
+    // the attempt dir's TOKEN identifies the fresh files across
+    // rebases (the dir name embeds the epoch the stage was first
+    // derived for, which a prior rebase may already have outgrown)
+    val freshMark = s"-a${staged.token}/"
+    val fresh = staged.relFiles.filter(_.contains(freshMark))
+    val f = fs(spark, new org.apache.hadoop.fs.Path(root))
+    val freshLive = fresh.forall(r =>
+      f.exists(new org.apache.hadoop.fs.Path(s"$root/$r")))
+    if (!freshLive) return None // a vacuum swept the stage: rewrite it
+    val next = cur + 1
+    if (overwrite)
+      // a fresh full snapshot carries nothing from the beaten epoch
+      return Some(staged.copy(epoch = next,
+        fileEpochs = fresh.map(_ -> next).toMap))
+    val entries = manifestEntries3(spark, root, cur)
+    val prior = entries.map(_._1)
+    val freshStats = staged.stats.map(_.filter(col("file").isin(fresh: _*)))
+    val stats = freshStats.map { fd =>
+      if (statsExists(spark, root, cur)) statsTable(spark, root, cur).unionByName(fd)
+      else fd
+    }
+    Some(staged.copy(epoch = next,
+      relFiles = (prior ++ fresh).sorted,
+      stats = stats,
+      dvs = commitDvs(spark, root, cur),
+      sizes = staged.sizes.view.filterKeys(fresh.contains).toMap ++
+        knownSizes(entries),
+      fileEpochs = knownEpochs(entries) ++ fresh.map(_ -> next)))
+  }
+
   /** Commit a REPLACE-GROUPS epoch — the commit half of SQL
     * MERGE/UPDATE/DELETE (group-based copy-on-write): the files in
     * `replaced` (rel paths) leave the manifest, every parquet file
@@ -1663,56 +1861,87 @@ object ManifestSink {
                           stagedDirName: String, replaced: Set[String],
                           txn: Option[Txn] = None): Int = {
     import org.apache.spark.sql.functions.col
-    val cur = currentEpoch(spark, root)
-    if (cur != baseEpoch)
-      throw new ManifestConflictException(root, baseEpoch + 1,
-        s"table advanced to epoch $cur while a row-level operation ran " +
-          s"against epoch $baseEpoch; retry against the current epoch")
-    val next = cur + 1
-    val entries = manifestEntries3(spark, root, cur)
-    val all = entries.map(_._1)
-    require(replaced.subsetOf(all.toSet),
-      s"replaced files not in epoch $cur's manifest: ${replaced -- all.toSet}")
-    val carried = all.filterNot(replaced)
-    val carriedSizes = knownSizes(entries).view.filterKeys(carried.contains).toMap
-    val carriedEpochs = knownEpochs(entries).view.filterKeys(carried.contains).toMap
     val stagedPath = new org.apache.hadoop.fs.Path(s"$root/$stagedDirName")
     val f = fs(spark, stagedPath)
-    val newListed =
-      if (!f.exists(stagedPath)) Nil
+    def listStage(): Map[String, Long] =
+      if (!f.exists(stagedPath)) Map.empty
       else f.listStatus(stagedPath).toSeq
         .filter(_.getPath.getName.endsWith(".parquet"))
-    val newSizes = newListed
-      .map(s => s"$stagedDirName/${s.getPath.getName}" -> s.getLen).toMap
-    val newRel = newSizes.keys.toSeq.sorted
-    // a stats-less base commits a stats-less next epoch; a
-    // stats-carrying base keeps carried rows verbatim and computes
-    // fresh rows for the staged files over the same columns
-    val baseToken = commitInfo(spark, root, cur)._1
-    val hasStats = f.exists(new org.apache.hadoop.fs.Path(s"$root/stats-$cur.$baseToken"))
-    val mergedStats =
-      if (!hasStats) None
-      else {
-        val stats = statsTable(spark, root, cur)
-        val statsCols = stats.select("col").distinct().collect()
-          .map(_.getString(0)).filterNot(_.startsWith("__")).sorted.toSeq
-        val carriedStats = stats.filter(col("file").isin(carried: _*))
-        val freshStats =
-          if (newRel.isEmpty || statsCols.isEmpty) emptyStats(spark)
-          else fileStats(spark, root, newRel, statsCols)
-        Some(carriedStats.unionByName(freshStats))
+        .map(s => s"$stagedDirName/${s.getPath.getName}" -> s.getLen).toMap
+    // the staged replacement files as first observed: once the table
+    // advances past the stage dir's embedded epoch, a concurrent
+    // VACUUM could sweep it as an orphan — every attempt re-verifies
+    // the listing and fails LOUDLY on loss (the r12 stream-stage
+    // discipline) rather than committing an epoch that silently drops
+    // the replacement rows
+    val newSizes0 = listStage()
+    var attempt = 0
+    val maxRetries = commitMaxRetries(spark)
+    var result = -1
+    while (result < 0) {
+      val cur = currentEpoch(spark, root)
+      if (cur != baseEpoch)
+        // OPTIMISTIC REBASE (VERDICT r13 / the Delta ConflictChecker
+        // discipline): a racing epoch that is a pure append (or pure
+        // metadata) disjoint from the replaced groups does not
+        // invalidate this commit — land on the advanced epoch instead
+        // of re-running the whole scan+rewrite. Ineligible races
+        // (overlap, schema/DV change, serializable isolation) throw.
+        checkReplaceRebase(spark, root, baseEpoch, cur, replaced)
+      val newSizes = listStage()
+      if (newSizes != newSizes0) throw new IllegalStateException(
+        s"replace-groups stage $stagedDirName at $root changed underneath " +
+          s"the commit (${newSizes0.size} -> ${newSizes.size} files): a " +
+          "vacuum swept the staged replacements while the table advanced; " +
+          "re-run the operation")
+      val next = cur + 1
+      val entries = manifestEntries3(spark, root, cur)
+      val all = entries.map(_._1)
+      require(replaced.subsetOf(all.toSet),
+        s"replaced files not in epoch $cur's manifest: ${replaced -- all.toSet}")
+      val carried = all.filterNot(replaced)
+      val carriedSizes = knownSizes(entries).view.filterKeys(carried.contains).toMap
+      val carriedEpochs = knownEpochs(entries).view.filterKeys(carried.contains).toMap
+      val newRel = newSizes.keys.toSeq.sorted
+      // a stats-less base commits a stats-less next epoch; a
+      // stats-carrying base keeps carried rows verbatim and computes
+      // fresh rows for the staged files over the same columns
+      val baseToken = commitInfo(spark, root, cur)._1
+      val hasStats = f.exists(new org.apache.hadoop.fs.Path(s"$root/stats-$cur.$baseToken"))
+      val mergedStats =
+        if (!hasStats) None
+        else {
+          val stats = statsTable(spark, root, cur)
+          val statsCols = stats.select("col").distinct().collect()
+            .map(_.getString(0)).filterNot(_.startsWith("__")).sorted.toSeq
+          val carriedStats = stats.filter(col("file").isin(carried: _*))
+          val freshStats =
+            if (newRel.isEmpty || statsCols.isEmpty) emptyStats(spark)
+            else fileStats(spark, root, newRel, statsCols)
+          Some(carriedStats.unionByName(freshStats))
+        }
+      val tableSchema = commitSchema(spark, root, cur)
+      try {
+        commitStaged(spark,
+          Staged(root, next, stagedDirName.split("-a").last,
+            (carried ++ newRel).sorted, mergedStats,
+            tableSchema.map(_.json), dvs = commitDvs(spark, root, cur),
+            sizes = carriedSizes ++ newSizes,
+            // staged replacements default to `next` (above every DV
+            // scope: the caller's scan already applied the vectors);
+            // carried files keep their epochs so older DVs keep
+            // applying to them
+            fileEpochs = carriedEpochs), txn)
+        result = next
+      } catch {
+        case c: ManifestConflictException =>
+          // lost the CAS to yet another racer: loop — the next pass
+          // re-validates the newly intervening epochs
+          attempt += 1
+          if (attempt >= maxRetries) throw c
       }
-    val tableSchema = commitSchema(spark, root, cur)
-    commitStaged(spark,
-      Staged(root, next, stagedDirName.split("-a").last,
-        (carried ++ newRel).sorted, mergedStats,
-        tableSchema.map(_.json), dvs = commitDvs(spark, root, cur),
-        sizes = carriedSizes ++ newSizes,
-        // staged replacements default to `next` (above every DV scope:
-        // the caller's scan already applied the vectors); carried
-        // files keep their epochs so older DVs keep applying to them
-        fileEpochs = carriedEpochs), txn)
-    next
+    }
+    result
   }
 
   private def emptyStats(spark: SparkSession): DataFrame = {
@@ -1873,6 +2102,13 @@ object ManifestSink {
     val cur = currentEpoch(spark, root)
     val next = cur + 1
     val token = newToken()
+    // the keys-only-SMALL contract is ENFORCED, not assumed (VERDICT
+    // r13: the reader collects every live DV's keys onto the driver
+    // and ships them inside each serialized reader factory — an
+    // unbounded key set is a driver/executor scale-killer). Above the
+    // cap the delete must go copy-on-write ([[deleteCow]] — a bulk
+    // erasure rewrites files instead of bloating every future read).
+    val dvMaxKeys = dvKeyCap(spark)
     // mapped tables: the DV is keyed by PHYSICAL name (stable across
     // renames — exactly why the DV survives them untouched)
     val mappingOpt = commitSchema(spark, root, cur).filter(ColumnMapping.hasMapping)
@@ -1896,6 +2132,19 @@ object ManifestSink {
     val dvRel = s"dv-$next.$token"
     keys.select(col(keyCol)).distinct().coalesce(1)
       .write.mode("overwrite").parquet(s"$root/$dvRel")
+    // count from the written file's parquet metadata (no second pass
+    // over the input); abort BEFORE the commit CAS so an over-cap
+    // attempt leaves the table untouched and its dv file as debris
+    val nKeys = spark.read.parquet(s"$root/$dvRel").count()
+    if (nKeys > dvMaxKeys) {
+      fs(spark, new org.apache.hadoop.fs.Path(root))
+        .delete(new org.apache.hadoop.fs.Path(s"$root/$dvRel"), true)
+      throw new IllegalArgumentException(
+        s"deleteMor key set ($nKeys keys) exceeds spark.graft.dv.maxKeys " +
+          s"($dvMaxKeys): a delete vector this large would bloat the driver " +
+          s"and every reader factory. Use deleteCow (bounded rewrite) for " +
+          s"bulk erasure, or raise the cap deliberately.")
+    }
     val entries = manifestEntries3(spark, root, cur)
     val stats =
       if (statsExists(spark, root, cur)) Some(statsTable(spark, root, cur))
@@ -1905,6 +2154,14 @@ object ManifestSink {
       sizes = knownSizes(entries), fileEpochs = knownEpochs(entries)), txn)
     next
   }
+
+  /** The enforced ceiling on a single delete vector's key count
+    * (`spark.graft.dv.maxKeys`, default 100k ≈ 0.8 MB of longs):
+    * [[deleteMor]] refuses above it, which is what makes the read
+    * path's driver-side key collect BOUNDED (at most cap × live DV
+    * generations, and generations are retention-bounded). */
+  def dvKeyCap(spark: SparkSession): Long =
+    spark.sessionState.conf.getConfString("spark.graft.dv.maxKeys", "100000").toLong
 
   /** The ordered (dv relative path, key column) list a committed epoch
     * carries (snapshot-cached). Each `dv-N.TOKEN` is EPOCH-SCOPED: its
