@@ -88,13 +88,20 @@ object Bench {
     // BEST-OF-2 per query (round-10 verdict task 8): the driver's
     // capture arrived contaminated by a concurrent JVM in r7, r8 AND
     // r9, costing a judge adjudication each time. Ambient load rarely
-    // depresses BOTH runs of the same query, so two passes — pass 1
-    // cold (includes the per-session artifact/demo builds), pass 2
-    // warm — with the reported number = MIN over the query's
-    // successful runs make the capture self-healing. "queries" carries
-    // the best times (what "value" sums), "queries_cold" the pass-1
-    // times for cross-round comparison with the pre-r10 single-pass
-    // captures, "runs":2 labels the protocol.
+    // depresses BOTH runs of the same query, so two passes with the
+    // reported number = MIN over the query's successful runs make the
+    // capture self-healing. "queries" carries the best times (what
+    // "value" sums), "queries_cold" the pass-1 times for cross-round
+    // comparison with the pre-r10 single-pass captures, "runs":2
+    // labels the protocol.
+    // PASS PARITY (VERDICT r14 #3): the per-session memos (streaming
+    // demo results, ANN/BM25/BPE artifact trees) RESET between the
+    // passes, so pass 2 re-pays exactly what pass 1 paid — without
+    // this, a state-reusing row's min was its 0.2 s cached re-read
+    // against a 29 s cold build, and cross-round comparisons
+    // adjudicated artifact state instead of code. Within ONE pass the
+    // sharing stays (artifact-backed queries sharing one build is the
+    // design, audited r11).
     // A query that crashes in BOTH passes must NOT masquerade as a
     // fast one: recorded as -1 in both maps, listed under "errors",
     // its elapsed pass-1 time still counts toward the total.
@@ -107,6 +114,8 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     val run1 = onePass()
+    graft.streaming.DemoMemo.reset(spark)
+    graft.llm.AnnIndex.vacuumArtifacts(spark, _ => false): Unit
     val run2 = onePass()
     val results = run1.zip(run2).map { case ((name, t1, ok1), (_, t2, ok2)) =>
       val best = (ok1, ok2) match {

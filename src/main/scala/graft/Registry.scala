@@ -2545,7 +2545,10 @@ object Registry {
           catch { case e: Exception =>
             (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
               .contains("ev_bound") }
-        val epochHeld = graft.sink.ManifestSink.currentEpoch(s, root) == 2
+        // ADD CONSTRAINT itself commits a carry epoch (round 15 — the
+        // conflict checker must SEE the surface change): CTAS=1,
+        // ADD=2, valid insert=3 — the rejected insert leaves it there
+        val epochHeld = graft.sink.ManifestSink.currentEpoch(s, root) == 3
         s.sql(s"ALTER TABLE graft.`$root` DROP CONSTRAINT ev_bound")
         s.sql(s"INSERT INTO graft.`$root` " +
           "SELECT 100001L AS event_id, 1L AS user_id, 0.5D AS value")
@@ -3314,6 +3317,103 @@ object Registry {
         |UNION ALL
         |SELECT CAST(9999 AS BIGINT), CAST(9 AS BIGINT), 2.5, TRUE
         |ORDER BY event_id""".stripMargin),
+    // MERGE-ON-READ UPDATE/MERGE (round 15 — Iceberg's
+    // write.update.mode=merge-on-read / Delta's deletion-vector DML,
+    // through Spark's own delta-based row-level API): a table that
+    // declares its unique merge key (TBLPROPERTIES 'graft.mergeKey')
+    // commits UPDATE/MERGE as ONE epoch of [every current file carried
+    // BYTE-IDENTICAL] + [keys-only delete vector hiding the pre-image
+    // rows] + [delta files holding only the changed rows] — a wide,
+    // low-selectivity UPDATE on a 100 TB table writes O(changed rows),
+    // not O(touched files). The dv-key cap still rules: an over-cap
+    // change falls back to copy-on-write MATERIALIZATION inside the
+    // same statement. mor_ok gates: byte-identical carry across both
+    // the UPDATE and the MERGE, one DV per MoR epoch, the CDF emitting
+    // UPDATE PAIRS (not delete+insert), travel pinning the pre-update
+    // snapshot, and the over-cap statement rewriting groups with NO
+    // new vector. MorDmlSpec carries the ladder (DELETE-by-predicate
+    // as pure metadata, scope stacking over standing DVs, compaction
+    // equivalence, mode=cow override).
+    "q_catalog_update_mor" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{coalesce, col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cumor_") + "/t"
+        val ev = events(s, d).select(
+          coalesce(col("event_id"), lit(-1L)).as("event_id"),
+          col("user_id"), col("value"))
+        ev.filter(col("event_id") < 400)
+          .repartitionByRange(8, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .createOrReplaceTempView("cumor_src")
+        s.sql(s"CREATE TABLE graft.`$root` " +
+          "TBLPROPERTIES ('graft.mergeKey' = 'event_id') " +
+          "AS SELECT * FROM cumor_src")
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def dataState(e: Int): Map[String, (Long, Long)] =
+          graft.sink.ManifestSink.manifestFiles(s, root, e).map { f =>
+            val st = fsys.getFileStatus(new org.apache.hadoop.fs.Path(f))
+            f -> (st.getLen, st.getModificationTime)
+          }.toMap
+        def carriedIdentical(from: Int, to: Int): Boolean = {
+          val a = dataState(from); val b = dataState(to)
+          a.forall { case (f, st) => b.get(f).contains(st) }
+        }
+        // epoch 2: a WIDE low-selectivity UPDATE — every base file
+        // holds touched keys, yet none rewrites
+        s.sql(s"UPDATE graft.`$root` SET value = -1.0 WHERE event_id % 50 = 3")
+        val updCarry = carriedIdentical(1, 2) &&
+          graft.sink.ManifestSink.commitDvs(s, root, 2).size == 1 &&
+          (dataState(2).keySet -- dataState(1).keySet).nonEmpty
+        // the CDF reports UPDATE PAIRS, never delete+insert
+        val feed = graft.sink.ManifestSink.tableChanges(s, root, "event_id", 1, 2)
+        val pairs = feed.groupBy("_change_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val touched = s.sql(s"SELECT count(*) AS c FROM graft.`$root` " +
+          "WHERE value = -1.0").collect()(0).getLong(0)
+        val feedOk = pairs == Map("update_preimage" -> touched,
+          "update_postimage" -> touched)
+        val travelOk = s.sql(s"SELECT count(*) AS c FROM graft.`$root` " +
+          "VERSION AS OF 1 WHERE value = -1.0").collect()(0).getLong(0) == 0L
+        // epoch 3: MoR MERGE — matched update + unmatched insert, one
+        // epoch, still zero rewrites
+        ev.filter(col("event_id") === 250)
+          .withColumn("value", col("value") + 100.0)
+          .unionByName(s.range(1).select(lit(9999L).as("event_id"),
+            lit(9L).as("user_id"), lit(2.5).as("value")))
+          .createOrReplaceTempView("cumor_upd")
+        s.sql(
+          s"""MERGE INTO graft.`$root` t USING cumor_upd u
+             |ON t.event_id = u.event_id
+             |WHEN MATCHED THEN UPDATE SET t.value = u.value
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val mrgCarry = carriedIdentical(2, 3) &&
+          graft.sink.ManifestSink.commitDvs(s, root, 3).size == 2
+        // epoch 4: OVER-CAP falls back to CoW inside the statement —
+        // groups rewrite, no third vector
+        s.conf.set("spark.graft.dv.maxKeys", "5")
+        try s.sql(s"UPDATE graft.`$root` SET value = -3.0 " +
+          "WHERE event_id >= 300 AND event_id < 350")
+        finally s.conf.unset("spark.graft.dv.maxKeys")
+        val capOk =
+          graft.sink.ManifestSink.commitDvs(s, root, 4).size == 2 &&
+            (dataState(3).keySet -- dataState(4).keySet).nonEmpty
+        val morOk = updCarry && feedOk && travelOk && mrgCarry && capOk
+        s.sql(s"""SELECT event_id, user_id, value FROM graft.`$root`
+                 |ORDER BY event_id""".stripMargin)
+          .withColumn("mor_ok", lit(morOk))
+      },
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id >= 300 AND event_id < 350 THEN -3.0
+        |       WHEN event_id % 50 = 3 THEN -1.0
+        |       WHEN event_id = 250 THEN value + 100.0
+        |       ELSE value END AS value,
+        |  TRUE AS mor_ok
+        |FROM events WHERE event_id < 400
+        |UNION ALL SELECT 9999, 9, 2.5, TRUE
+        |ORDER BY event_id""".stripMargin),
     // ATOMIC CTAS / RTAS (round 13, DSv2 StagingTableCatalog): every
     // CREATE [OR REPLACE] TABLE ... AS SELECT stages its data into an
     // attempt-unique epoch dir and becomes visible in ONE commit-marker
@@ -3360,24 +3460,29 @@ object Registry {
       },
       """SELECT event_id AS id, value * 2 AS dbl, TRUE AS rtas_ok FROM events
         |WHERE event_id < 200 ORDER BY id""".stripMargin),
-    // CONCURRENT-COMMIT CONFLICT RESOLUTION (round 14 — the Delta
-    // ConflictChecker / Iceberg validation-retry discipline): a
-    // row-level DML commit that finds the table ADVANCED no longer
-    // fails outright — it REBASES onto the new current epoch when
-    // every intervening epoch is a pure append (or pure metadata)
-    // disjoint from the groups it replaced, and fails exactly as
-    // before when one is not (overlapping rewrite, schema change,
-    // concurrent takedown, serializable isolation). The demo MERGE
-    // commits THROUGH a racing disjoint INSERT injected exactly
-    // between its staged write and its epoch CAS (the deterministic
-    // race seam — thread timing cannot sit under an oracle), without
-    // re-running its scan or rewrite. With the engine's own streaming
-    // sinks making continuous ingest the normal table state, this is
-    // what keeps DML from starving on a hot table at 100x. conc_ok
-    // gates epoch arithmetic (CTAS, racing append, rebased merge = 3),
-    // untouched files carried BY NAME through the rebase, and the
-    // racing epoch pinned pre-merge (its insert visible, the merge's
-    // update not); ConflictSpec carries the refusal ladder.
+    // CONCURRENT-COMMIT CONFLICT RESOLUTION (round 14, hardened round
+    // 15 — the Delta ConflictChecker / Iceberg validation-retry
+    // discipline): a row-level DML commit that finds the table
+    // ADVANCED no longer fails outright — it REBASES onto the new
+    // current epoch when every intervening epoch provably changed
+    // nothing the operation READ: pure metadata always clears; a
+    // racing APPEND clears only when its files' zone maps cannot
+    // satisfy the operation's pushed read predicate (ADVICE r14 — a
+    // matching appended key would have been read, Delta's
+    // ConcurrentAppendException even under WriteSerializable). The
+    // demo UPDATE (read set k IN (5, 7)) commits THROUGH a racing
+    // disjoint INSERT (zone maps ≥ 9100) injected exactly between its
+    // staged write and its epoch CAS (the deterministic race seam —
+    // thread timing cannot sit under an oracle) without re-running
+    // its scan or rewrite; a MERGE against the same race REFUSES
+    // (its read set is keyed by the gone-by-commit-time source — no
+    // bound exists). With the engine's own streaming sinks making
+    // continuous ingest the normal table state, this is what keeps
+    // DML from starving on a hot table at 100x. conc_ok gates epoch
+    // arithmetic (CTAS, racing append, rebased update = 3), untouched
+    // files carried BY NAME through the rebase, the racing epoch
+    // pinned pre-update (its insert visible, the update not), and the
+    // MERGE refusal; ConflictSpec carries the full refusal ladder.
     "q_catalog_concurrent" -> q(
       (s, d) => {
         import org.apache.spark.sql.functions.{col, lit}
@@ -3392,31 +3497,47 @@ object Registry {
         s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM conc_src")
         val before = graft.sink.ManifestSink.manifestFiles(s, root, 1)
           .map(_.split("/").last)
-        val srcPath = tmpDir("graft_cconc_upd_")
-        ev.filter(col("event_id").isin(5L, 7L))
-          .withColumn("value", lit(-1.0))
-          .write.mode("overwrite").parquet(srcPath)
-        s.read.parquet(srcPath).createOrReplaceTempView("conc_updates")
-        // the racing DISJOINT append lands between the merge's staged
-        // write and its epoch CAS
+        // the racing DISJOINT append lands between the update's staged
+        // write and its epoch CAS; its zone maps (event_id ≥ 9100)
+        // provably miss the UPDATE's pushed read set (5, 7), so the
+        // append-guard clears it and the commit rebases
         graft.catalog.GraftTable.replaceCommitRaceHook = Some(() =>
           s.sql(s"INSERT INTO graft.`$root` SELECT event_id + 9100, " +
             "user_id, value FROM conc_src WHERE event_id = 3"): Unit)
-        try s.sql(
-          s"""MERGE INTO graft.`$root` t USING conc_updates u
-             |ON t.event_id = u.event_id
-             |WHEN MATCHED THEN UPDATE SET t.value = u.value""".stripMargin)
+        try s.sql(s"UPDATE graft.`$root` SET value = -1.0 " +
+          "WHERE event_id IN (5, 7)")
         finally graft.catalog.GraftTable.replaceCommitRaceHook = None
         val cur = graft.sink.ManifestSink.currentEpoch(s, root)
         val after = graft.sink.ManifestSink.manifestFiles(s, root, cur)
           .map(_.split("/").last)
-        // the racing epoch is pinned PRE-merge: insert there, update not
+        // the racing epoch is pinned PRE-update: insert there, update not
         val pinnedOk = cur == 3 &&
           s.sql(s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 2 " +
             "WHERE value = -1.0").collect()(0).getLong(0) == 0L &&
           s.sql(s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 2 " +
             "WHERE event_id = 9103").collect()(0).getLong(0) == 1L
-        val concOk = pinnedOk && after.intersect(before).nonEmpty
+        // a MERGE cannot bound its read set after the fact — the same
+        // race must REFUSE the rebase (Delta's ConcurrentAppendException)
+        ev.filter(col("event_id") === 11L).withColumn("value", lit(-2.0))
+          .createOrReplaceTempView("conc_updates")
+        graft.catalog.GraftTable.replaceCommitRaceHook = Some(() =>
+          s.sql(s"INSERT INTO graft.`$root` SELECT event_id + 9200, " +
+            "user_id, value FROM conc_src WHERE event_id = 3"): Unit)
+        val mergeRefused =
+          try {
+            s.sql(
+              s"""MERGE INTO graft.`$root` t USING conc_updates u
+                 |ON t.event_id = u.event_id
+                 |WHEN MATCHED THEN UPDATE SET t.value = u.value""".stripMargin)
+            false
+          } catch {
+            case t: Throwable =>
+              (t.getMessage != null && t.getMessage.contains("appended")) ||
+                (t.getCause != null &&
+                  t.getCause.getMessage.contains("appended"))
+          } finally graft.catalog.GraftTable.replaceCommitRaceHook = None
+        val concOk = pinnedOk && after.intersect(before).nonEmpty &&
+          mergeRefused
         s.sql(s"""SELECT event_id, user_id, value FROM graft.`$root`
                  |WHERE event_id < 20 OR event_id >= 9000
                  |ORDER BY event_id""".stripMargin)
@@ -3428,6 +3549,9 @@ object Registry {
         |FROM events WHERE event_id < 20
         |UNION ALL
         |SELECT event_id + 9100, user_id, value, TRUE FROM events
+        |WHERE event_id = 3
+        |UNION ALL
+        |SELECT event_id + 9200, user_id, value, TRUE FROM events
         |WHERE event_id = 3
         |ORDER BY event_id""".stripMargin),
     // SQL TYPE WIDENING (round 14 — Delta type widening / Iceberg type

@@ -327,12 +327,54 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           // over VISIBLE data) and logical-aliased (a predicate names
           // logical columns; a raw parquet read of a column-mapped
           // table would surface physical names) — ADVICE r13.
-          ManifestSink.currentEpochOpt(spark, dir).foreach { e =>
-            if (ManifestSink.manifestFiles(spark, dir, e).nonEmpty)
-              GraftTable.auditConstraintsDf(ManifestSink.read(spark, dir, e),
-                dir, Seq((c.name, c.predicateSql)))
+          //
+          // The add COMMITS A CARRY EPOCH (VERDICT r14 #5): the
+          // sidecar alone is invisible to optimistic concurrency, so a
+          // racing row-level commit would publish files the new CHECK
+          // never audited. The epoch advance forces that racer back
+          // through its CAS loop (where it re-audits); symmetrically,
+          // if a racer lands between OUR audit and OUR epoch CAS, the
+          // carry commit fails and the audit re-runs over the racer's
+          // rows. Bounded retries, exactly like the row-level path.
+          ManifestSink.currentEpochOpt(spark, dir) match {
+            case None =>
+              // created-but-never-written: sidecar only, no epoch yet
+              GraftTable.writeConstraints(spark, dir,
+                cur :+ (c.name, c.predicateSql))
+            case Some(_) =>
+              // sidecar FIRST (every audit from this instant enforces
+              // the new CHECK), then audit-and-commit: if the carry
+              // CAS loses to a racer, the racer's rows joined the
+              // table AFTER the sidecar landed — either its own
+              // re-audit saw the CHECK, or our retried audit below
+              // covers them. An audit failure rolls the sidecar back.
+              GraftTable.writeConstraints(spark, dir,
+                cur :+ (c.name, c.predicateSql))
+              try {
+                var attempts = 0
+                var committed = false
+                while (!committed) {
+                  val e = ManifestSink.currentEpoch(spark, dir)
+                  if (ManifestSink.manifestFiles(spark, dir, e).nonEmpty)
+                    GraftTable.auditConstraintsDf(
+                      ManifestSink.read(spark, dir, e), dir,
+                      Seq((c.name, c.predicateSql)))
+                  try {
+                    ManifestSink.commitCarryEpoch(spark, dir, e): Unit
+                    committed = true
+                  } catch {
+                    case ce: ManifestSink.ManifestConflictException =>
+                      attempts += 1
+                      if (attempts >= ManifestSink.commitMaxRetries(spark))
+                        throw ce
+                  }
+                }
+              } catch {
+                case t: Throwable =>
+                  GraftTable.writeConstraints(spark, dir, cur)
+                  throw t
+              }
           }
-          GraftTable.writeConstraints(spark, dir, cur :+ (c.name, c.predicateSql))
         case other => throw new UnsupportedOperationException(
           s"graft tables support CHECK constraints only; got $other")
       }
@@ -341,6 +383,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
         if (!d.ifExists) require(cur.exists(_._1 == d.name),
           s"no constraint ${d.name} on $dir")
         GraftTable.writeConstraints(spark, dir, cur.filterNot(_._1 == d.name))
+        // a drop is surface-loosening (nothing un-audited can slip
+        // through), but it still versions the table surface so
+        // concurrent commits observe ONE ordered constraint history
+        ManifestSink.currentEpochOpt(spark, dir).foreach { e =>
+          try ManifestSink.commitCarryEpoch(spark, dir, e): Unit
+          catch { case _: ManifestSink.ManifestConflictException =>
+            ManifestSink.commitCarryEpoch(spark, dir,
+              ManifestSink.currentEpoch(spark, dir)): Unit
+          }
+        }
     }
     val added = changes.collect {
       case a: TableChange.AddColumn =>
@@ -925,9 +977,20 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
       DataType.fromJson(json).asInstanceOf[StructType]
   }
 
-  /** The user-facing LOGICAL schema (mapping metadata stripped). */
-  override def schema(): StructType =
-    graft.sink.ColumnMapping.stripMapping(mappedSchema)
+  /** The user-facing LOGICAL schema (mapping metadata stripped). A
+    * declared merge key (`graft.mergeKey`) reports NOT NULL: row
+    * identity cannot be null (Spark's delta row-level API requires
+    * non-nullable row IDs, inserts of a null key now fail the write
+    * check, and the DV anti-join's null semantics never trigger). */
+  override def schema(): StructType = {
+    val base = graft.sink.ColumnMapping.stripMapping(mappedSchema)
+    GraftTable.readProps(spark, dir).get("graft.mergeKey") match {
+      case Some(k) if base.fieldNames.contains(k) =>
+        StructType(base.fields.map(f =>
+          if (f.name == k) f.copy(nullable = false) else f))
+      case _ => base
+    }
+  }
 
   /** logical -> physical for the current epoch (identity when the
     * table never renamed/dropped). */
@@ -1134,7 +1197,36 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     // DVs are EPOCH-SCOPED, so a MERGE that re-inserts a vectored key
     // writes a VISIBLE row — the replacement files commit above every
     // live DV's scope (see ManifestSink.deleteMor).
-    () => new GraftRowLevelOperation(dir, e, mappedSchema, info.command)
+    //
+    // MERGE-ON-READ ROUTE (VERDICT r14 #2): a table that DECLARES its
+    // unique merge key (TBLPROPERTIES 'graft.mergeKey') runs
+    // UPDATE/MERGE/DELETE through the delta-based row-level API
+    // instead — the write stages only the CHANGED rows (DV keys +
+    // delta files) and untouched files carry byte-identical; an
+    // over-cap change materializes as CoW inside the same statement.
+    // `spark.graft.dml.mode` = cow forces the group-rewrite path; a
+    // declared key must exist, share any live DV's key, and not be
+    // hidden behind a pending rename (the property names the LOGICAL
+    // column).
+    () => {
+      val mode = spark.sessionState.conf
+        .getConfString("spark.graft.dml.mode", "auto")
+      val morKey = GraftTable.readProps(spark, dir).get("graft.mergeKey")
+        .filter(_ => mode != "cow")
+      morKey match {
+        case Some(k) =>
+          require(mappedSchema.fieldNames.contains(k),
+            s"graft.mergeKey names no live column: $k in " +
+              mappedSchema.fieldNames.mkString(","))
+          new GraftMorOperation(dir, e, mappedSchema, info.command, k)
+        case None =>
+          require(mode != "mor",
+            "spark.graft.dml.mode=mor needs the table to declare its " +
+              "unique merge key: ALTER TABLE ... SET TBLPROPERTIES " +
+              "('graft.mergeKey' = '<col>')")
+          new GraftRowLevelOperation(dir, e, mappedSchema, info.command)
+      }
+    }
   }
 
   /** `DELETE FROM ... WHERE k = v` / `k IN (...)` lowers onto the
@@ -1167,7 +1259,14 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     pinned.isEmpty && currentOpt.isDefined &&
       deleteKeys(filters).exists { case (c, vs) =>
         val dvOk = ManifestSink.commitDv(spark, dir, currentOpt.get) match {
-          case Some((_, k)) => k == physName(c) // DV keys are physical
+          // DV keys are physical. An OVER-CAP key set on a DV-carrying
+          // table refuses here (ADVICE r14): this fast path could only
+          // extend the DV (CoW over a DV would resurrect deletes), the
+          // extension would blow the key cap, and refusing makes Spark
+          // fall back to the DSv2 row-level DELETE — whose DV-aware
+          // scan + group rewrite handles bulk erasure correctly.
+          case Some((_, k)) => k == physName(c) &&
+            vs.size <= ManifestSink.dvKeyCap(spark)
           case None => statsCover(c)
         }
         dvOk && vs.forall {
@@ -1492,6 +1591,9 @@ final class GraftScanBuilder(spark: SparkSession, dir: String, epoch: Int,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f =>
       GraftFileScan.toCatalyst(tableSchema, f).isDefined)
+    // a row-level scan's static conjuncts double as the operation's
+    // read-set bound for the rebase append-guard (ADVICE r14)
+    rowLevel.foreach(_.recordPushed(pushed))
     filters // every filter stays a residual: skipping is never load-bearing
   }
 
@@ -1544,22 +1646,8 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     graft.sink.ColumnMapping.physicalSchema(tableSchema)
   private val physByLogical: Map[String, String] =
     graft.sink.ColumnMapping.physOf(tableSchema)
-  private def physFilter(f: Filter): Filter = f match {
-    case sources.EqualTo(c, v) =>
-      sources.EqualTo(physByLogical.getOrElse(c, c), v)
-    case sources.GreaterThan(c, v) =>
-      sources.GreaterThan(physByLogical.getOrElse(c, c), v)
-    case sources.GreaterThanOrEqual(c, v) =>
-      sources.GreaterThanOrEqual(physByLogical.getOrElse(c, c), v)
-    case sources.LessThan(c, v) =>
-      sources.LessThan(physByLogical.getOrElse(c, c), v)
-    case sources.LessThanOrEqual(c, v) =>
-      sources.LessThanOrEqual(physByLogical.getOrElse(c, c), v)
-    case sources.In(c, vs) => sources.In(physByLogical.getOrElse(c, c), vs)
-    case sources.And(l, r) => sources.And(physFilter(l), physFilter(r))
-    case sources.Or(l, r) => sources.Or(physFilter(l), physFilter(r))
-    case other => other
-  }
+  private def physFilter(f: Filter): Filter =
+    GraftFileScan.physFilter(physByLogical, f)
 
   /** Inner parquet read schema: the DV key column rides along when the
     * query pruned it away — the reader-side filter needs it; the
@@ -1972,9 +2060,9 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
   * own distributed parquet batch write into an attempt-unique staged
   * dir — commits by swapping exactly those files for the staged ones
   * in one atomic epoch. */
-final class GraftRowLevelOperation(dir: String, baseEpoch: Int,
-                                   tableSchema: StructType,
-                                   cmd: RowLevelOperation.Command)
+class GraftRowLevelOperation(dir: String, baseEpoch: Int,
+                             tableSchema: StructType,
+                             cmd: RowLevelOperation.Command)
   extends RowLevelOperation {
 
   /** Rel paths of the files the LAST scan planning pass selected —
@@ -1986,6 +2074,19 @@ final class GraftRowLevelOperation(dir: String, baseEpoch: Int,
   private[catalog] def scannedFiles: Set[String] =
     scanned.getOrElse(throw new IllegalStateException(
       "row-level write committed before its scan planned — no replaced-group set"))
+
+  /** STATIC pushed filters of the operation's scan — the conjuncts of
+    * the DELETE/UPDATE condition the v1 bridge could convert. They
+    * bound the operation's READ SET from above (rows read ⊆ rows
+    * matching these conjuncts), which is what lets the rebase
+    * append-guard clear a racing append by zone maps (ADVICE r14).
+    * Runtime (join-driven) filters are deliberately NOT recorded: for
+    * a MERGE they carry only the BASE snapshot's matched keys — a
+    * racing append of a source-only key would slip past them. */
+  @volatile private var pushedStatic: Array[Filter] = Array.empty
+  private[catalog] def recordPushed(filters: Array[Filter]): Unit =
+    pushedStatic = filters
+  private[catalog] def readBoundFilters: Array[Filter] = pushedStatic
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -2078,7 +2179,12 @@ final class GraftReplaceWrite(dir: String, baseEpoch: Int,
           .map(p => s"$stagedDirName/${p.getName}")
       GraftTable.auditConstraints(spark, dir, fresh)
       ManifestSink.commitReplaceGroups(spark, dir, baseEpoch,
-        stagedDirName, op.scannedFiles): Unit
+        stagedDirName, op.scannedFiles,
+        appendGuard = Some(RowLevelCommit.appendGuard(spark, dir, tableSchema, op)),
+        // re-audit EVERY attempt: a racing ADD CONSTRAINT commits a
+        // metadata epoch, re-entering the CAS loop — the staged files
+        // must clear the NEW constraint set before they publish
+        reaudit = Some(() => GraftTable.auditConstraints(spark, dir, fresh))): Unit
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2111,6 +2217,322 @@ final class OpStrippingWriterFactory(delegate: DataWriterFactory,
       override def close(): Unit = inner.close()
     }
   }
+}
+
+/** Shared commit plumbing of the two row-level write paths (group CoW
+  * and MoR delta). */
+private[catalog] object RowLevelCommit {
+
+  /** READ-SET APPEND GUARD (ADVICE r14): a racing append rebases
+    * through only when its files provably hold no row this operation
+    * read. DELETE/UPDATE bound their read set by the condition's
+    * pushed conjuncts — added files whose zone maps cannot satisfy
+    * them are clear. A MERGE's read set is keyed by the SOURCE (both
+    * matched updates and not-matched inserts), and the source is gone
+    * by commit time — no bound exists, so any data-adding race fails
+    * (Delta's ConcurrentAppendException discipline; pure-metadata
+    * races still rebase). */
+  def appendGuard(spark: SparkSession, dir: String, tableSchema: StructType,
+                  op: GraftRowLevelOperation): (Int, Set[String]) => Option[String] = {
+    val physByLogical = graft.sink.ColumnMapping.physOf(tableSchema)
+    val physSchema = graft.sink.ColumnMapping.physicalSchema(tableSchema)
+    (e, added) =>
+      if (op.command() == RowLevelOperation.Command.MERGE)
+        Some("a MERGE's read set (the source keys) cannot be bounded " +
+          "after the fact — the racing rows may match or duplicate them")
+      else {
+        val exprs = op.readBoundFilters
+          .map(GraftFileScan.physFilter(physByLogical, _))
+          .flatMap(GraftFileScan.toCatalyst(physSchema, _)).toSeq
+        if (exprs.isEmpty)
+          Some(s"the ${op.command()} pushed no prunable conjunct to " +
+            "bound its read set")
+        else {
+          val idx = new ManifestFileIndex(spark, dir, e)
+          val survivors = idx.listFiles(Nil, exprs).flatMap(_.files)
+            .map(f => s"${f.fileStatus.getPath.getParent.getName}/" +
+              s"${f.fileStatus.getPath.getName}").toSet
+          val overlap = added.intersect(survivors)
+          if (overlap.isEmpty) None
+          else Some(s"${overlap.size} of them may hold rows matching " +
+            s"the ${op.command()}'s read predicate")
+        }
+      }
+  }
+}
+
+/** MERGE-ON-READ row-level operation (VERDICT r14 #2 — Iceberg's
+  * `write.update.mode = merge-on-read` / Delta's deletion-vector DML,
+  * through Spark's own delta-based row-level API): instead of
+  * rewriting every touched file (group CoW), the write emits only the
+  * CHANGED rows — deleted/updated keys stage into a delete-vector
+  * parquet, inserted/updated rows into delta data files — and the
+  * commit is [[ManifestSink.commitMorDelta]]: one epoch carrying every
+  * current file BYTE-IDENTICAL plus the vector and the delta. On a
+  * 100 TB table a wide low-selectivity UPDATE writes O(changed rows),
+  * not O(touched files). Chosen by [[GraftTable.newRowLevelOperationBuilder]]
+  * when the table declares its unique merge key
+  * (`TBLPROPERTIES('graft.mergeKey' = <col>)` — the DV hides by key,
+  * so only a key the USER pins unique can stand for row identity) and
+  * `spark.graft.dml.mode` is not `cow`. The dv-key CAP still rules:
+  * a commit whose key set exceeds `spark.graft.dv.maxKeys` falls back
+  * to copy-on-write MATERIALIZATION inside the same statement
+  * (survivors of the scanned files + delta rows replace the groups —
+  * the rewrite price is right exactly when the change is that wide). */
+final class GraftMorOperation(dir: String, baseEpoch: Int,
+                              tableSchema: StructType,
+                              cmd: RowLevelOperation.Command,
+                              morKey: String)
+  extends GraftRowLevelOperation(dir, baseEpoch, tableSchema, cmd)
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  import org.apache.spark.sql.connector.expressions.Expressions
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(morKey))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  override def newWriteBuilder(info: LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new GraftMorWrite(dir, baseEpoch, GraftMorOperation.this, info,
+          tableSchema, morKey)
+    }
+
+  override def description(): String =
+    s"GraftMorOperation($cmd, $dir@$baseEpoch, key=$morKey)"
+}
+
+/** The MoR delta write: two Spark V2 parquet delegates run side by
+  * side per task — CHANGED-ROW data into `data-epoch=N-aTOKEN/`
+  * (physical-schema, exactly like the CoW replacement write) and
+  * deleted/updated KEYS into `dv-stage-aTOKEN/` — so both halves ride
+  * the distributed file commit protocol (task retries, speculation).
+  * The driver-side commit then routes by the staged key count:
+  * within the DV cap → [[ManifestSink.commitMorDelta]] (carried files
+  * byte-identical + vector + delta); above it → copy-on-write
+  * materialization of the scanned groups (read survivors through the
+  * base epoch's DV discipline, anti-join the staged keys, union the
+  * delta rows, [[ManifestSink.commitReplaceGroups]]). Both commits run
+  * under the same conflict ladder (append-guard + per-attempt
+  * constraint re-audit). */
+final class GraftMorWrite(dir: String, baseEpoch: Int,
+                          op: GraftMorOperation, info: LogicalWriteInfo,
+                          tableSchema: StructType, morKey: String)
+  extends org.apache.spark.sql.connector.write.DeltaWrite {
+
+  private val token = ManifestSink.newAttemptToken()
+  private val deltaDirName = s"data-epoch=${baseEpoch + 1}-a$token"
+  private val keyDirName = s"dv-stage-a$token"
+  private val physKeyName =
+    graft.sink.ColumnMapping.physOf(tableSchema).getOrElse(morKey, morKey)
+
+  override def description(): String =
+    s"GraftMorWrite($dir@$baseEpoch -> $deltaDirName + $keyDirName)"
+
+  private def infoWith(s: StructType): LogicalWriteInfo = new LogicalWriteInfo {
+    override def options: CaseInsensitiveStringMap = info.options
+    override def queryId: String = info.queryId
+    override def schema: StructType = s
+  }
+
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+    new org.apache.spark.sql.connector.write.DeltaBatchWrite {
+      private val physSchema =
+        graft.sink.ColumnMapping.physicalSchema(tableSchema)
+      private val keySchema = StructType(Seq(
+        org.apache.spark.sql.types.StructField(physKeyName,
+          tableSchema(morKey).dataType, nullable = true)))
+      private val dataDelegate =
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite(
+          Seq(s"$dir/$deltaDirName"), "parquet", _ => true,
+          infoWith(physSchema)).toBatch
+
+      override def createBatchWriterFactory(pInfo: PhysicalWriteInfo):
+          org.apache.spark.sql.connector.write.DeltaWriterFactory =
+        new GraftMorWriterFactory(
+          dataDelegate.createBatchWriterFactory(pInfo),
+          s"$dir/$keyDirName", physKeyName, tableSchema(morKey).dataType,
+          new org.apache.spark.util.SerializableConfiguration(
+            SparkSession.active.sparkContext.hadoopConfiguration))
+
+      override def useCommitCoordinator: Boolean = false
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val parts = messages.collect { case m: MorTaskCommit => m }
+        dataDelegate.commit(parts.flatMap(m => Option(m.data)))
+        val spark = SparkSession.active
+        // the same deterministic-race seam the CoW write exposes
+        GraftTable.replaceCommitRaceHook.foreach { h =>
+          GraftTable.replaceCommitRaceHook = None; h()
+        }
+        val stagePath = new Path(s"$dir/$deltaDirName")
+        val fsys = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def listParquet(p: Path, dirName: String): Seq[String] =
+          if (!fsys.exists(p)) Nil
+          else fsys.listStatus(p).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+            .map(q => s"$dirName/${q.getName}")
+        val fresh = listParquet(stagePath, deltaDirName)
+        GraftTable.auditConstraints(spark, dir, fresh)
+        val guard = RowLevelCommit.appendGuard(spark, dir, tableSchema, op)
+        val reaudit = () => GraftTable.auditConstraints(spark, dir, fresh)
+        val keyStage = new Path(s"$dir/$keyDirName")
+        def readKeys(): DataFrame =
+          spark.read.schema(keySchema).json(keyStage.toString)
+        val nKeys =
+          if (!fsys.exists(keyStage)) 0L else readKeys().count()
+        if (nKeys <= ManifestSink.dvKeyCap(spark)) {
+          ManifestSink.commitMorDelta(spark, dir, baseEpoch, deltaDirName,
+            keyDirName, physKeyName, tableSchema(morKey).dataType,
+            appendGuard = Some(guard), reaudit = Some(reaudit)): Unit
+          fsys.delete(keyStage, true): Unit
+        } else {
+          // OVER-CAP fallback: a vector this wide would bloat every
+          // future read — materialize as copy-on-write instead. The
+          // scanned groups' SURVIVORS (read under the base epoch's own
+          // DV discipline, so standing deletes never resurrect) plus
+          // the delta rows replace the groups; the staged delta/key
+          // dirs become ordinary vacuum debris.
+          import org.apache.spark.sql.functions.{broadcast, col}
+          val scanned = op.scannedFiles.toSeq.sorted
+          val keys = readKeys().toDF(physKeyName)
+          def readRels(rels: Seq[String]): DataFrame =
+            if (rels.isEmpty)
+              spark.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](), physSchema)
+            else spark.read.schema(physSchema)
+              .parquet(rels.map(r => s"$dir/$r"): _*)
+          val visible = ManifestSink.dvScopedScan(spark, dir, baseEpoch,
+            scanned, readRels, identity)
+          val survivors = visible.join(broadcast(keys),
+            visible(physKeyName) === keys(physKeyName), "left_anti")
+          val delta = readRels(fresh)
+          val cowDirName = s"data-epoch=${baseEpoch + 1}-a${ManifestSink.newAttemptToken()}"
+          survivors.unionByName(delta)
+            .write.mode("overwrite").parquet(s"$dir/$cowDirName")
+          ManifestSink.commitReplaceGroups(spark, dir, baseEpoch,
+            cowDirName, op.scannedFiles,
+            appendGuard = Some(guard),
+            reaudit = Some(() => GraftTable.auditConstraints(spark, dir,
+              listParquet(new Path(s"$dir/$cowDirName"), cowDirName)))): Unit
+          fsys.delete(stagePath, true): Unit
+          fsys.delete(keyStage, true): Unit
+        }
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        val parts = messages.collect { case m: MorTaskCommit => m }
+        dataDelegate.abort(parts.flatMap(m => Option(m.data)))
+      }
+    }
+}
+
+/** Per-task commit of the MoR write (data half null when the task
+  * produced no new rows; the key half commits by file rename). */
+final case class MorTaskCommit(data: WriterCommitMessage)
+  extends WriterCommitMessage
+
+/** Per-task MoR writer: inserted/updated ROWS go through the plain V2
+  * parquet delegate (the file commit protocol handles retries and
+  * speculation — row duplicates would corrupt). Deleted/updated KEYS
+  * take a direct per-task JSONL writer instead: Spark 4's
+  * OutputCommitCoordinator authorizes ONE commit ask per task attempt,
+  * so a second coordinated file committer in the same task is
+  * impossible — and keys don't need one. They are idempotent under
+  * retry (every attempt derives the same key set from the same input
+  * split, and the commit distincts), so write-hidden-then-rename is
+  * enough: the task streams lines to a dot-prefixed file (invisible to
+  * any reader, torn bytes impossible to observe) and renames it
+  * visible at task commit; a crashed or speculative loser leaves only
+  * hidden debris that dies with the stage dir. */
+final class GraftMorWriterFactory(dataFactory: DataWriterFactory,
+                                  keyDir: String, keyName: String,
+                                  keyType: DataType,
+                                  conf: org.apache.spark.util.SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long):
+      org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      // LAZY: the file writer opens its output eagerly, so a
+      // delete-only task would otherwise publish an empty parquet
+      // file into the manifest
+      private var data0: org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = null
+      private def data = {
+        if (data0 == null) data0 = dataFactory.createWriter(partitionId, taskId)
+        data0
+      }
+      private val uuid = java.util.UUID.randomUUID.toString.replace("-", "")
+      private val hidden = new Path(keyDir, s".inprogress-$uuid")
+      private val visible = new Path(keyDir, s"part-$partitionId-$uuid.json")
+      private var out: org.apache.hadoop.fs.FSDataOutputStream = null
+
+      private def jsonEscape(s: String): String = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      private val keyJson = "\"" + jsonEscape(keyName) + "\""
+
+      private def writeKey(id: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        if (out == null) {
+          val fs = hidden.getFileSystem(conf.value)
+          fs.mkdirs(new Path(keyDir)): Unit
+          out = fs.create(hidden, true)
+        }
+        val v = keyType match {
+          case LongType => id.getLong(0).toString
+          case IntegerType => id.getInt(0).toString
+          case ShortType => id.getShort(0).toString
+          case ByteType => id.getByte(0).toString
+          case StringType => "\"" + jsonEscape(id.getUTF8String(0).toString) + "\""
+          case other => throw new UnsupportedOperationException(
+            s"graft.mergeKey must be integral or string; got $other")
+        }
+        out.write(s"{$keyJson:$v}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+
+      override def insert(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        data.write(row)
+
+      override def update(meta: org.apache.spark.sql.catalyst.InternalRow,
+                          id: org.apache.spark.sql.catalyst.InternalRow,
+                          row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        writeKey(id)
+        data.write(row)
+      }
+
+      override def delete(meta: org.apache.spark.sql.catalyst.InternalRow,
+                          id: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        writeKey(id)
+
+      override def commit(): WriterCommitMessage = {
+        if (out != null) {
+          out.close(); out = null
+          val fs = hidden.getFileSystem(conf.value)
+          if (!fs.rename(hidden, visible))
+            throw new java.io.IOException(s"cannot publish key stage $visible")
+        }
+        MorTaskCommit(if (data0 != null) data0.commit() else null)
+      }
+
+      override def abort(): Unit = {
+        if (out != null) { try out.close() catch { case _: Throwable => () } }
+        try hidden.getFileSystem(conf.value).delete(hidden, false): Unit
+        catch { case _: Throwable => () }
+        if (data0 != null) data0.abort()
+      }
+
+      override def close(): Unit = {
+        if (out != null) { try out.close() catch { case _: Throwable => () } }
+        if (data0 != null) data0.close()
+      }
+    }
 }
 
 /** The catalog's STREAMING SINK (`writeStream.toTable`): per
@@ -2351,6 +2773,29 @@ final class GraftBucketReaderFactory(delegate: PartitionReaderFactory)
 }
 
 object GraftFileScan {
+
+  /** Rewrite a V1 filter's column names logical → physical (committed
+    * metadata is keyed by physical name). Shared by the scan's pruning
+    * path and the rebase append-guard. */
+  private[catalog] def physFilter(physByLogical: Map[String, String],
+                                  f: Filter): Filter = f match {
+    case sources.EqualTo(c, v) =>
+      sources.EqualTo(physByLogical.getOrElse(c, c), v)
+    case sources.GreaterThan(c, v) =>
+      sources.GreaterThan(physByLogical.getOrElse(c, c), v)
+    case sources.GreaterThanOrEqual(c, v) =>
+      sources.GreaterThanOrEqual(physByLogical.getOrElse(c, c), v)
+    case sources.LessThan(c, v) =>
+      sources.LessThan(physByLogical.getOrElse(c, c), v)
+    case sources.LessThanOrEqual(c, v) =>
+      sources.LessThanOrEqual(physByLogical.getOrElse(c, c), v)
+    case sources.In(c, vs) => sources.In(physByLogical.getOrElse(c, c), vs)
+    case sources.And(l, r) =>
+      sources.And(physFilter(physByLogical, l), physFilter(physByLogical, r))
+    case sources.Or(l, r) =>
+      sources.Or(physFilter(physByLogical, l), physFilter(physByLogical, r))
+    case other => other
+  }
 
   /** Scope epoch of a delete-vector file (`dv-N.TOKEN` -> N): its keys
     * apply to data files committed at epochs < N; unknown shapes apply

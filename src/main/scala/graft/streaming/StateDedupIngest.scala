@@ -33,9 +33,9 @@ object StateDedupIngest {
 
   // per-(session, sfDir) memo: the stream runs once per session; the
   // weak key drops the entry when the session goes away
-  private val cache = java.util.Collections.synchronizedMap(
+  private val cache = DemoMemo.register(java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]())
+      scala.collection.mutable.Map[String, DataFrame]]()))
 
   def demo(spark: SparkSession, sfDir: String): DataFrame = {
     val m = cache.synchronized {

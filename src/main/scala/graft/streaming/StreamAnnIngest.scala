@@ -40,9 +40,9 @@ object StreamAnnIngest {
 
   final case class Vec(vec_id: Long, embedding: Seq[Float], label: Int)
 
-  private val cache = java.util.Collections.synchronizedMap(
+  private val cache = DemoMemo.register(java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]())
+      scala.collection.mutable.Map[String, DataFrame]]()))
   private val reports = new scala.collection.concurrent.TrieMap[
     String, ((Int, Int), (Int, Int))]()
 

@@ -31,9 +31,9 @@ object StreamBm25Ingest {
 
   final case class Doc(doc_id: Long, text: String)
 
-  private val cache = java.util.Collections.synchronizedMap(
+  private val cache = DemoMemo.register(java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]())
+      scala.collection.mutable.Map[String, DataFrame]]()))
 
   def demo(spark: SparkSession, sfDir: String): DataFrame = {
     val m = cache.synchronized {

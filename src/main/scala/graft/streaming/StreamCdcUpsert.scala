@@ -32,9 +32,9 @@ object StreamCdcUpsert {
   final case class Ev(event_id: Long, user_id: Long, value: Double)
 
   /** (tableRoot, frame, foreachBatchAttempts). */
-  private val cache = java.util.Collections.synchronizedMap(
+  private val cache = DemoMemo.register(java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (String, DataFrame, Int)]]())
+      scala.collection.mutable.Map[String, (String, DataFrame, Int)]]()))
 
   def demoWithRoot(spark: SparkSession, sfDir: String): (String, DataFrame, Int) = {
     val m = cache.synchronized {

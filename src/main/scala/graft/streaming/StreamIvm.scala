@@ -23,9 +23,9 @@ import graft.sink.{IncrementalView, ManifestSink}
   * maintaining it from the feed instead of recomputing. */
 object StreamIvm {
 
-  private val cache = java.util.Collections.synchronizedMap(
+  private val cache = DemoMemo.register(java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (DataFrame, Int, Int)]]())
+      scala.collection.mutable.Map[String, (DataFrame, Int, Int)]]()))
 
   /** (viewFrame, viewEpochs, foreachBatchAttempts). */
   def demo(spark: SparkSession, sfDir: String): (DataFrame, Int, Int) = {

@@ -44,9 +44,9 @@ object StreamManifestSink {
 
   /** (tableRoot, committedFrame, foreachBatchAttempts) — attempts >
     * committed batches proves the replay actually happened. */
-  private val cache = java.util.Collections.synchronizedMap(
+  private val cache = DemoMemo.register(java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (String, DataFrame, Int)]]())
+      scala.collection.mutable.Map[String, (String, DataFrame, Int)]]()))
 
   /** Runs the demo once per session + SF; returns (tableRoot, frame). */
   def demoWithRoot(spark: SparkSession, sfDir: String): (String, DataFrame, Int) = {

@@ -23,9 +23,9 @@ import graft.sink.ManifestSink
   * inflate the counts and double silver rows — both hash-fatal. */
 object StreamMedallion {
 
-  private val cache = java.util.Collections.synchronizedMap(
+  private val cache = DemoMemo.register(java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, (String, DataFrame, Seq[(Long, Long)])]]())
+      scala.collection.mutable.Map[String, (String, DataFrame, Seq[(Long, Long)])]]()))
 
   def demoWithRoot(spark: SparkSession, sfDir: String)
       : (String, DataFrame, Seq[(Long, Long)]) = {

@@ -26,8 +26,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object StreamingDemos {
 
   private val cache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, (DataFrame, DataFrame, DataFrame, DataFrame)]())
+    DemoMemo.register(java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, (DataFrame, DataFrame, DataFrame, DataFrame)]()))
 
   /** Spark's RocksDB state store provider — the cluster-scale state
     * backend (state spills to local disk instead of executor heap;

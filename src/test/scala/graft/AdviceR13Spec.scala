@@ -112,14 +112,18 @@ class AdviceR13Spec extends SparkTestBase {
     // sidecar swap: commit the new snapshot epoch directly, then plant
     // the write-ahead intent the real commit writes pre-CAS
     val df2 = Seq((7L, 70L)).toDF("id", "x")
-    ManifestSink.publishWithStats(df2, root, 2, Seq("id", "x"))
+    // the ADD CONSTRAINT above now commits its own carry epoch
+    // (VERDICT r14 #5), so the simulated REPLACE lands on whatever
+    // epoch follows the current one
+    val e2 = ManifestSink.currentEpoch(spark, root) + 1
+    ManifestSink.publishWithStats(df2, root, e2, Seq("id", "x"))
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val markerIn = fs.open(new org.apache.hadoop.fs.Path(root, "commit-2"))
+    val markerIn = fs.open(new org.apache.hadoop.fs.Path(root, s"commit-$e2"))
     val marker = try scala.io.Source.fromInputStream(markerIn, "UTF-8")
       .getLines().toList finally markerIn.close()
     val token = marker.find(_.startsWith("token=")).get.stripPrefix("token=")
-    val intent = s"epoch=2\ntoken=$token\nreplacing=true\n" +
+    val intent = s"epoch=$e2\ntoken=$token\nreplacing=true\n" +
       s"schema=${df2.schema.json}\nprop=fresh\tyes\n"
     val out = fs.create(new org.apache.hadoop.fs.Path(root,
       GraftTable.RtasIntentFile), true)

@@ -27,22 +27,21 @@ class ConflictSpec extends SparkTestBase {
     root
   }
 
-  test("MERGE commits THROUGH a racing disjoint append: both visible, no rerun") {
+  test("UPDATE commits THROUGH a racing disjoint append: both visible, no rerun") {
     ensureCatalog()
-    val root = freshTable("conf_mrg_")
-    Seq((5L, -1L), (7L, -1L)).toDF("k", "v")
-      .createOrReplaceTempView("conf_mrg_updates")
+    val root = freshTable("conf_upd_")
     val before = ManifestSink.manifestEntries(spark, root, 1)
-    // the racing append lands BETWEEN the merge's staged write and its
-    // epoch CAS — exactly the window optimistic rebase covers
+    // the racing append lands BETWEEN the update's staged write and its
+    // epoch CAS — exactly the window optimistic rebase covers. Its
+    // file's zone maps (k = [900, 900]) provably miss the UPDATE's
+    // pushed read predicate (k IN (5, 7)), so the append-guard clears
+    // it and the rebase commits without re-running the scan/rewrite.
     GraftTable.replaceCommitRaceHook = Some(() =>
       spark.sql(s"INSERT INTO graft.`$root` VALUES (900, 900)"))
-    try spark.sql(
-      s"""MERGE INTO graft.`$root` t USING conf_mrg_updates u ON t.k = u.k
-         |WHEN MATCHED THEN UPDATE SET t.v = u.v""".stripMargin)
+    try spark.sql(s"UPDATE graft.`$root` SET v = -1 WHERE k IN (5, 7)")
     finally GraftTable.replaceCommitRaceHook = None
     assert(ManifestSink.currentEpoch(spark, root) == 3,
-      "CTAS, racing append, rebased merge = 3 epochs")
+      "CTAS, racing append, rebased update = 3 epochs")
     // both effects visible in the final state
     val rows = spark.sql(s"SELECT k, v FROM graft.`$root` " +
       "WHERE v = -1 OR k = 900 ORDER BY k").collect()
@@ -50,7 +49,7 @@ class ConflictSpec extends SparkTestBase {
       Seq((5L, -1L), (7L, -1L), (900L, 900L)))
     assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
       .head().getLong(0) == 101L)
-    // the racing epoch is pinned pre-merge: insert visible, update not
+    // the racing epoch is pinned pre-update: insert visible, update not
     assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 2 " +
       "WHERE v = -1").head().getLong(0) == 0L)
     assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 2 " +
@@ -59,6 +58,66 @@ class ConflictSpec extends SparkTestBase {
     val after = ManifestSink.manifestEntries(spark, root, 3)
     assert(after.intersect(before).nonEmpty,
       "untouched files must carry by reference through the rebase")
+  }
+
+  test("UPDATE racing an append that MAY match its predicate conflicts") {
+    ensureCatalog()
+    val root = freshTable("conf_updovl_")
+    // the racing file's zone maps (k = [7, 7]) CONTAIN a key the
+    // UPDATE's predicate reads — had the update serialized after the
+    // insert it would have rewritten that row, so the rebase must
+    // refuse (Delta's ConcurrentAppendException discipline)
+    GraftTable.replaceCommitRaceHook = Some(() =>
+      spark.sql(s"INSERT INTO graft.`$root` VALUES (7, 700)"))
+    val e = try intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$root` SET v = -1 WHERE k IN (5, 7)")
+    } finally GraftTable.replaceCommitRaceHook = None
+    assert(e.getMessage.contains("appended") ||
+      e.getCause != null && e.getCause.getMessage.contains("appended"),
+      s"a read-set-overlapping append must conflict: ${e.getMessage}")
+    // the winner's row is intact, the loser's update is absent
+    assert(spark.sql(s"SELECT v FROM graft.`$root` WHERE k = 7 ORDER BY v")
+      .collect().map(_.getLong(0)).toSeq == Seq(14L, 700L))
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root` WHERE v = -1")
+      .head().getLong(0) == 0L)
+  }
+
+  test("MERGE racing ANY data-adding append conflicts: its read set has no bound") {
+    ensureCatalog()
+    val root = freshTable("conf_mrg_")
+    Seq((5L, -1L), (7L, -1L)).toDF("k", "v")
+      .createOrReplaceTempView("conf_mrg_updates")
+    // the appended key (900) is DISJOINT from the merge's source keys,
+    // but the engine cannot know that at commit time — the source is
+    // gone; a matching or duplicate key would corrupt (ADVICE r14), so
+    // the rebase refuses and the loser re-runs (Delta throws
+    // ConcurrentAppendException for MERGE-vs-append even under
+    // WriteSerializable)
+    GraftTable.replaceCommitRaceHook = Some(() =>
+      spark.sql(s"INSERT INTO graft.`$root` VALUES (900, 900)"))
+    val e = try intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING conf_mrg_updates u ON t.k = u.k
+           |WHEN MATCHED THEN UPDATE SET t.v = u.v""".stripMargin)
+    } finally GraftTable.replaceCommitRaceHook = None
+    assert(e.getMessage.contains("appended") ||
+      e.getCause != null && e.getCause.getMessage.contains("appended"),
+      s"MERGE-vs-append must conflict: ${e.getMessage}")
+    // the racing append stands; the merge's effect is absent
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root` WHERE k = 900")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root` WHERE v = -1")
+      .head().getLong(0) == 0L)
+    // MERGE still rebases through PURE-METADATA races (ANALYZE-class):
+    // re-run with a constraint DDL as the racing epoch
+    GraftTable.replaceCommitRaceHook = Some(() =>
+      spark.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT kpos CHECK (k >= 0)"))
+    try spark.sql(
+      s"""MERGE INTO graft.`$root` t USING conf_mrg_updates u ON t.k = u.k
+         |WHEN MATCHED THEN UPDATE SET t.v = u.v""".stripMargin)
+    finally GraftTable.replaceCommitRaceHook = None
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root` WHERE v = -1")
+      .head().getLong(0) == 2L, "a pure-metadata race must still rebase")
   }
 
   test("MERGE racing an OVERLAPPING rewrite still fails (the loser re-runs)") {
@@ -178,9 +237,12 @@ class ConflictSpec extends SparkTestBase {
     // and adds a CHECK the staged rows violate — the re-audit at
     // rebase time must reject the insert before it becomes visible
     GraftTable.insertCommitRaceHook = Some(() => {
+      // the ADD itself now commits a carry epoch (VERDICT r14 #5), so
+      // the racing data append lands on whatever epoch follows it
       spark.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT vcap CHECK (v < 5000)")
       ManifestSink.publishAppendWithStats(
-        Seq((500L, 1000L)).toDF("k", "v"), root, 2, Seq("k")): Unit
+        Seq((500L, 1000L)).toDF("k", "v"), root,
+        ManifestSink.currentEpoch(spark, root) + 1, Seq("k")): Unit
     })
     val e = try intercept[Exception] {
       spark.sql(s"INSERT INTO graft.`$root` VALUES (600, 999999)")

@@ -1019,7 +1019,10 @@ class GraftCatalogSpec extends SparkTestBase {
     }
     assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
       .contains("ev_pos"), e.getMessage)
-    assert(ManifestSink.currentEpoch(spark, root) == 2)
+    // each ADD CONSTRAINT commits a carry epoch (VERDICT r14 #5):
+    // CTAS=1, two ADDs=2..3, valid insert=4 — the violating insert
+    // must leave it there
+    assert(ManifestSink.currentEpoch(spark, root) == 4)
     assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
       .collect()(0).getLong(0) == 51)
     // a violating MERGE fails too (replacement files audit)
@@ -1030,8 +1033,8 @@ class GraftCatalogSpec extends SparkTestBase {
         s"""MERGE INTO graft.`$root` t USING chk_src s ON t.event_id = s.event_id
            |WHEN MATCHED THEN UPDATE SET t.value = s.value""".stripMargin)
     }
-    assert(ManifestSink.currentEpoch(spark, root) == 2)
-    // DROP CONSTRAINT lifts the gate
+    assert(ManifestSink.currentEpoch(spark, root) == 4)
+    // DROP CONSTRAINT lifts the gate (and itself versions the surface)
     spark.sql(s"ALTER TABLE graft.`$root` DROP CONSTRAINT ev_pos")
     spark.sql(s"INSERT INTO graft.`$root` " +
       "SELECT -7L AS event_id, 1L AS user_id, 1.5D AS value")

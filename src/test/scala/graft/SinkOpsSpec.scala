@@ -167,8 +167,15 @@ class SinkOpsSpec extends SparkTestBase {
     assert(hfs.rename(part, new org.apache.hadoop.fs.Path(
       s"$root/data-epoch=3/part-88888-crashed.parquet")))
 
+    // under the DEFAULT orphan grace (1 h) a fresh unreferenced file
+    // is protected — it could be a rebasing writer's live stage
+    // (ADVICE r14); the epochs still drop
     val (dropped, kept) = ManifestSink.vacuum(spark, root, keep = 2)
     assert(dropped == Seq(1) && kept == Seq(2, 3), s"$dropped / $kept")
+    assert(ManifestSink.orphanFiles(spark, root).nonEmpty,
+      "a fresh orphan must survive the default grace window")
+    // grace disabled: the crashed file sweeps
+    ManifestSink.vacuum(spark, root, keep = 2, orphanGraceMs = -1L)
     // epoch-1 commit/manifest and data are gone; epochs 2 and 3 intact
     val names1 = hfs.listStatus(new org.apache.hadoop.fs.Path(root))
       .map(_.getPath.getName)
@@ -278,7 +285,7 @@ class SinkOpsSpec extends SparkTestBase {
     assert(!names.contains(s"manifest-1.${stagedA.token}"))
     val orphans = ManifestSink.orphanFiles(spark, root)
     assert(orphans.nonEmpty && orphans.forall(_.contains(s"-a${stagedA.token}")))
-    ManifestSink.vacuum(spark, root, keep = 2)
+    ManifestSink.vacuum(spark, root, keep = 2, orphanGraceMs = -1L)
     assert(ManifestSink.orphanFiles(spark, root).isEmpty)
     assert(ManifestSink.read(spark, root)
       .select("event_id").as[Long].collect().sorted.toSeq ==
