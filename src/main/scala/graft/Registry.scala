@@ -3623,6 +3623,83 @@ object Registry {
         |SELECT event_id + 9100, user_id, value, TRUE FROM events
         |WHERE event_id < 30
         |ORDER BY event_id""".stripMargin),
+    // TIME-TRANSFORM PARTITIONING (round 15 — the Iceberg
+    // `days(ts)`/`hours(ts)` transform surface; the reference's own
+    // layout is hour-bucketed, `cassandra/init.cql:41-54`): CREATE
+    // TABLE PARTITIONED BY (days(ts)) lays every INSERT out into
+    // single-day files with committed `__ptime` rows proving it, so
+    // (a) ordinary ts zone maps become EXACT partition pruning — a
+    // one-day range plans exactly that day's file; (b) the scan
+    // reports KeyGroupedPartitioning(days(ts)) through the catalog's
+    // V2 `days` function and two same-layout tables STORAGE-PARTITION-
+    // JOIN on ts with zero shuffles; (c) appends lay out only the
+    // batch (prior files carry verbatim) while a CoW rewrite degrades
+    // the report honestly. tp_ok gates one-file-per-day, the
+    // carried-verbatim append, the <=2-file day scan, and the
+    // shuffle-free join.
+    "q_catalog_time_layout" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val base = tmpDir("graft_ctp_")
+        val (r1, r2) = (s"$base/a", s"$base/b")
+        val ev = events(s, d).select(col("event_id"), col("ts"), col("value"))
+        ev.filter(col("ts") < lit("2024-01-22")).createOrReplaceTempView("ctp_src")
+        s.sql(s"CREATE TABLE graft.`$r1` PARTITIONED BY (days(ts)) " +
+          "AS SELECT * FROM ctp_src")
+        val spec1 = graft.sink.ManifestSink.ptimeSpec(s, r1, 1)
+        val oneFilePerDay = spec1.exists(sp => sp.unit == "days" &&
+          sp.fileOrds.values.toSet.size == sp.fileOrds.size)
+        // the append lays out ONLY the batch; prior files carry
+        ev.filter(col("ts") >= lit("2024-01-22")).createOrReplaceTempView("ctp_b2")
+        s.sql(s"INSERT INTO graft.`$r1` SELECT * FROM ctp_b2")
+        val e2 = graft.sink.ManifestSink.currentEpoch(s, r1)
+        val spec2 = graft.sink.ManifestSink.ptimeSpec(s, r1, e2)
+        val appendKept = spec2.isDefined && spec1.get.fileOrds.forall {
+          case (f, o) => spec2.get.fileOrds.get(f).contains(o) }
+        // day-aligned pruning: a one-day range plans that day's file
+        val oneDay = s.sql(s"SELECT count(*) AS c FROM graft.`$r1` " +
+          "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' " +
+          "AND ts < TIMESTAMP '2024-01-06 00:00:00'").collect()(0).getLong(0)
+        val planned = graft.catalog.GraftTable.lastPlannedFiles
+        val total = spec2.get.fileOrds.size
+        val pruneOk = oneDay > 0 && planned <= 2 && planned < total
+        // storage-partitioned join: same-layout tables join on ts
+        // with ZERO shuffles (the V2 `days` function aligns sides)
+        ev.filter(col("ts") < lit("2024-01-22"))
+          .withColumn("value", col("value") * 2)
+          .createOrReplaceTempView("ctp_bsrc")
+        s.sql(s"CREATE TABLE graft.`$r2` PARTITIONED BY (days(ts)) " +
+          "AS SELECT * FROM ctp_bsrc")
+        val spjKeys = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = spjKeys.map { case (k, _) => k -> s.conf.getOption(k) }
+        val spjOk =
+          try {
+            spjKeys.foreach { case (k, v) => s.conf.set(k, v) }
+            val j = s.sql(s"SELECT a.ts FROM graft.`$r1` a " +
+              s"JOIN graft.`$r2` b ON a.ts = b.ts")
+            j.collect()
+            j.queryExecution.executedPlan.collect {
+              case sh: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeExec => sh
+            }.isEmpty
+          } finally prev.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None) => s.conf.unset(k)
+          }
+        val tpOk = oneFilePerDay && appendKept && pruneOk && spjOk
+        s.sql(s"""SELECT CAST(date_trunc('DAY', ts) AS TIMESTAMP) AS day,
+                 |  count(*) AS n, min(event_id) AS lo, max(event_id) AS hi
+                 |FROM graft.`$r1` GROUP BY 1 ORDER BY day""".stripMargin)
+          .withColumn("tp_ok", lit(tpOk))
+      },
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+        |  min(event_id) AS lo, max(event_id) AS hi, TRUE AS tp_ok
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin),
     // BATCH CHANGE FEED BY NAME (round 14 — Delta's `table_changes`
     // TVF usable inside any SELECT): the `@changes` metadata table now
     // serves BATCH reads too, with the epoch range and diff key
@@ -3660,7 +3737,7 @@ object Registry {
           s"""SELECT _change_type, _commit_epoch, event_id, user_id, value
              |FROM graft.`$root@changes:event_id:1-4`
              |ORDER BY _commit_epoch, _change_type, event_id""".stripMargin)
-        val rows = feed.collect()
+        val feedCount = feed.count()
         // composability: an aggregate OVER the feed, plain SQL
         val byType = s.sql(
           s"""SELECT _change_type, count(*) AS c
@@ -3678,9 +3755,10 @@ object Registry {
           .option("changeFeedKey", "event_id")
           .option("fromEpoch", "1").option("toEpoch", "4")
           .table(s"graft.`$root@changes`").count()
-        val tcOk = aggOk && fullCount == 171L && viaOptions == rows.length.toLong
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), feed.schema)
-          .withColumn("tc_ok", lit(tcOk))
+        // the oracle-facing result stays a PLAN over the feed scan
+        // (VERDICT r14 minor: no driver-side rebuild)
+        val tcOk = aggOk && fullCount == 171L && viaOptions == feedCount
+        feed.withColumn("tc_ok", lit(tcOk))
       },
       """SELECT * FROM (
         |  SELECT 'insert' AS _change_type, 2 AS _commit_epoch,

@@ -84,10 +84,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      ("bucket" +: graft.sink.ManifestSink.TimeUnits.toArray.sorted)
+        .map(Identifier.of(Array.empty[String], _))
     else Array.empty
   override def loadFunction(ident: Identifier): functions.UnboundFunction =
     if (ident.namespace().isEmpty && ident.name == "bucket") GraftBucketFunction
+    else if (ident.namespace().isEmpty &&
+      graft.sink.ManifestSink.TimeUnits.contains(ident.name))
+      new GraftTimeFunction(ident.name)
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -194,16 +199,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           .toArray
     }
 
-  /** `PARTITIONED BY (bucket(n, col))` is the ONE accepted partition
-    * transform (the Iceberg bucket-transform surface): the spec is
-    * persisted as a `_BUCKET.json` sidecar, every INSERT lays out
-    * into single-bucket files, and scans report the layout as
-    * `KeyGroupedPartitioning` — same-spec joins plan shuffle-free.
-    * Hive-style identity partitions stay rejected: this engine's
-    * range/point layout story is stats clustering. */
-  private def bucketOf(partitions: Array[Transform]): Option[(String, Int)] =
+  /** `PARTITIONED BY (bucket(n, col))` or ONE time transform
+    * (`hours(col)`/`days(col)`/`months(col)`/`years(col)` — the
+    * Iceberg transform surface; the reference's own layout is
+    * hour-bucketed, `cassandra/init.cql:41-54`): the spec is
+    * persisted as a sidecar (`_BUCKET.json` / `_PTIME.json`), every
+    * INSERT lays out into single-bucket / single-time-unit files, and
+    * scans report the layout as `KeyGroupedPartitioning` — same-spec
+    * joins plan shuffle-free. Hive-style identity partitions stay
+    * rejected: this engine's range/point layout story is stats
+    * clustering. */
+  private def layoutOf(partitions: Array[Transform])
+      : (Option[(String, Int)], Option[(String, String)]) =
     partitions.toSeq match {
-      case Seq() => None
+      case Seq() => (None, None)
       case Seq(t) if t.name == "bucket" && t.arguments.length == 2 =>
         val n = t.arguments.collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_]
@@ -213,17 +222,27 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
         }
         val spec = for (nn <- n; cc <- c) yield (cc, nn)
-        Some(spec.getOrElse(throw new IllegalArgumentException(
-          s"unsupported bucket transform shape: $t (want bucket(n, col))")))
+        (Some(spec.getOrElse(throw new IllegalArgumentException(
+          s"unsupported bucket transform shape: $t (want bucket(n, col))"))),
+          None)
+      case Seq(t) if graft.sink.ManifestSink.TimeUnits.contains(t.name) &&
+          t.arguments.length == 1 =>
+        val c = t.arguments.collectFirst {
+          case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
+        }
+        (None, Some((c.getOrElse(throw new IllegalArgumentException(
+          s"unsupported time transform shape: $t (want ${t.name}(col))")),
+          t.name)))
       case other => throw new IllegalArgumentException(
-        "graft tables support PARTITIONED BY (bucket(n, col)) only; " +
+        "graft tables support PARTITIONED BY (bucket(n, col)) or one " +
+          "time transform (hours/days/months/years(col)) only; " +
           s"got ${other.mkString(", ")} (range/point layout is stats clustering)")
     }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    val bucket = bucketOf(partitions)
+    val (bucket, ptime) = layoutOf(partitions)
     val dir = dirOf(ident)
     if (existsAsTable(dir)) throw new TableAlreadyExistsException(ident)
     val p = new Path(dir)
@@ -237,6 +256,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       val bo = f.create(new Path(dir, GraftTable.BucketFile), false)
       try bo.write(s"""{"col":"$c","n":$n}""".getBytes("UTF-8"))
       finally bo.close()
+    }
+    ptime.foreach { case (c, u) =>
+      val po = f.create(new Path(dir, GraftTable.PtimeFile), false)
+      try po.write(s"""{"col":"$c","unit":"$u"}""".getBytes("UTF-8"))
+      finally po.close()
     }
     // persist user TBLPROPERTIES (Spark's reserved/engine keys out)
     val userProps = userPropsOf(properties)
@@ -266,8 +290,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
                            properties: util.Map[String, String]): StagedTable = {
     val dir = dirOf(ident)
     if (existsAsTable(dir)) throw new TableAlreadyExistsException(ident)
+    val (bkt, pt) = layoutOf(partitions)
     new StagedGraftTable(spark, dir, ident.toString, schema,
-      bucketOf(partitions), userPropsOf(properties), replacing = false)
+      bkt, pt, userPropsOf(properties), replacing = false)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -275,16 +300,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
                             properties: util.Map[String, String]): StagedTable = {
     val dir = dirOf(ident)
     if (!existsAsTable(dir)) throw new NoSuchTableException(ident)
+    val (bkt, pt) = layoutOf(partitions)
     new StagedGraftTable(spark, dir, ident.toString, schema,
-      bucketOf(partitions), userPropsOf(properties), replacing = true)
+      bkt, pt, userPropsOf(properties), replacing = true)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String]): StagedTable = {
     val dir = dirOf(ident)
+    val (bkt, pt) = layoutOf(partitions)
     new StagedGraftTable(spark, dir, ident.toString, schema,
-      bucketOf(partitions), userPropsOf(properties),
+      bkt, pt, userPropsOf(properties),
       replacing = existsAsTable(dir))
   }
 
@@ -577,6 +604,12 @@ object GraftTable {
     * stats table proves it). */
   val BucketFile = "_BUCKET.json"
 
+  /** The declared time-transform layout (`PARTITIONED BY
+    * (hours(col))` et al.): `{"col":…,"unit":…}`. Inserts lay out
+    * under it; scans verify the COMMITTED per-file `__ptime` rows
+    * cover the manifest before reporting any partitioning. */
+  val PtimeFile = "_PTIME.json"
+
   /** CHECK constraints: one `{"name":…,"sql":…}` JSON line per
     * constraint. Table state, not session state — any session
     * enforces them on its inserts after reading the sidecar. */
@@ -604,6 +637,7 @@ object GraftTable {
                                        epoch: Int, token: String,
                                        replacing: Boolean, schemaJson: String,
                                        bucket: Option[(String, Int)],
+                                       ptime: Option[(String, String)],
                                        props: Map[String, String]): Unit = {
     val body = new StringBuilder()
     body.append(s"epoch=$epoch\n")
@@ -612,6 +646,8 @@ object GraftTable {
     body.append(s"schema=$schemaJson\n")
     bucket.foreach { case (c, n) =>
       body.append(s"bucket=${escJson(c)}\t$n\n") }
+    ptime.foreach { case (c, u) =>
+      body.append(s"ptime=${escJson(c)}\t$u\n") }
     props.toSeq.sortBy(_._1).foreach { case (k, v) =>
       body.append(s"prop=${escJson(k)}\t${escJson(v)}\n") }
     val p = new Path(dir, RtasIntentFile)
@@ -624,6 +660,7 @@ object GraftTable {
   private[catalog] def applyRtasSidecars(spark: SparkSession, dir: String,
                                          replacing: Boolean, schemaJson: String,
                                          bucket: Option[(String, Int)],
+                                         ptime: Option[(String, String)],
                                          props: Map[String, String]): Unit = {
     val p = new Path(dir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -631,6 +668,7 @@ object GraftTable {
       f.delete(new Path(dir, ConstraintsFile), false)
       f.delete(new Path(dir, PropsFile), false)
       f.delete(new Path(dir, BucketFile), false)
+      f.delete(new Path(dir, PtimeFile), false)
       f.delete(new Path(dir, SchemaFile), false)
     }
     val so = f.create(new Path(dir, SchemaFile), true)
@@ -639,6 +677,11 @@ object GraftTable {
       val bo = f.create(new Path(dir, BucketFile), true)
       try bo.write(s"""{"col":"$c","n":$n}""".getBytes("UTF-8"))
       finally bo.close()
+    }
+    ptime.foreach { case (c, u) =>
+      val po = f.create(new Path(dir, PtimeFile), true)
+      try po.write(s"""{"col":"$c","unit":"$u"}""".getBytes("UTF-8"))
+      finally po.close()
     }
     if (props.nonEmpty) writeProps(spark, dir, props)
   }
@@ -680,11 +723,16 @@ object GraftTable {
             val Array(c, n) = s.split("\t", 2)
             (unescJson(c), n.toInt)
           }
+          val ptime = one("ptime").map { s =>
+            val Array(c, u) = s.split("\t", 2)
+            (unescJson(c), u)
+          }
           val props = lines.filter(_.startsWith("prop=")).map { l =>
             val Array(k, v) = l.drop(5).split("\t", 2)
             unescJson(k) -> unescJson(v)
           }.toMap
-          applyRtasSidecars(spark, dir, replacing, schemaJson, bucket, props)
+          applyRtasSidecars(spark, dir, replacing, schemaJson, bucket, ptime,
+            props)
           f.delete(p, false): Unit
         } else if (cur.exists(_ >= epoch)) {
           f.delete(p, false): Unit // lost its race or superseded
@@ -1027,10 +1075,35 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     }
   }
 
+  /** The declared time-transform layout, from the `_PTIME.json`
+    * sidecar — governs WRITES. Reads trust only the committed
+    * per-file `__ptime` rows ([[ManifestSink.ptimeSpec]]). */
+  private[catalog] def declaredPtime: Option[(String, String)] = {
+    val p = new Path(dir, GraftTable.PtimeFile)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val json = try {
+        val sz = f.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](sz); in.readFully(buf); new String(buf, "UTF-8")
+      } finally in.close()
+      val m = """\{"col":"([^"]+)","unit":"(hours|days|months|years)"\}""".r
+      json.trim match {
+        case m(c, u) => Some((c, u))
+        case _ => throw new IllegalStateException(
+          s"malformed ${GraftTable.PtimeFile} at $dir: $json")
+      }
+    }
+  }
+
   override def partitioning(): Array[Transform] =
     declaredBucket.map { case (c, n) =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
-    }.toArray
+    }.toArray ++ declaredPtime.map { case (c, u) =>
+      org.apache.spark.sql.connector.expressions.Expressions.apply(u,
+        org.apache.spark.sql.connector.expressions.Expressions.column(c))
+    }
 
   /** The table's CHECK constraints (Spark 4 ANSI-constraint DDL
     * surface): read from the sidecar, reported ENFORCED + VALID —
@@ -1104,6 +1177,7 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     * pre-overwrite epochs until vacuum). */
   private def insertImpl(data: DataFrame, overwrite: Boolean): Unit = {
     val bucket = declaredBucket
+    val ptime = declaredPtime
     var attempts = 0
     var committed = false
     // a lost CAS race REBASES the already-staged files onto the new
@@ -1131,13 +1205,13 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
             val d2 = mapped.map(p =>
               graft.sink.ColumnMapping.toPhysicalDf(data, p)).getOrElse(data)
             val s0 = ManifestSink.stage(d2, dir, next, statsColsOf(d2.schema),
-              unique = true, bucket = bucket)
+              unique = true, bucket = bucket, ptime = ptime)
             mapped.map(p => s0.copy(schemaJson = Some(p.json))).getOrElse(s0)
           } else
             // appends stay LOGICAL — stageAppend translates against the
             // prior epoch's mapping itself
             ManifestSink.stageAppend(data, dir, next, statsColsOf(data.schema),
-              unique = true, bucket = bucket)
+              unique = true, bucket = bucket, ptime = ptime)
         // audit only THIS epoch's fresh files (appends carry prior
         // epochs' already-audited files by reference)
         GraftTable.auditConstraints(spark, dir,
@@ -1389,6 +1463,7 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
 final class StagedGraftTable(spark: SparkSession, dir: String, ident: String,
                              tableSchema: StructType,
                              bucket: Option[(String, Int)],
+                             ptime: Option[(String, String)],
                              userProps: Map[String, String],
                              replacing: Boolean)
   extends StagedTable with SupportsWrite {
@@ -1413,7 +1488,7 @@ final class StagedGraftTable(spark: SparkSession, dir: String, ident: String,
             override def insert(data: DataFrame, ignored: Boolean): Unit =
               staged = Some(ManifestSink.stage(data, dir, next,
                 GraftTable.statsColsOf(data.schema), unique = true,
-                bucket = bucket))
+                bucket = bucket, ptime = ptime))
           }
       }
     }
@@ -1430,7 +1505,7 @@ final class StagedGraftTable(spark: SparkSession, dir: String, ident: String,
     // swap is recovered at the next table load instead of permanently
     // leaving the OLD constraints/props/bucket gating the NEW table
     GraftTable.writeRtasIntent(spark, dir, st.epoch, st.token, replacing,
-      tableSchema.json, bucket, userProps)
+      tableSchema.json, bucket, ptime, userProps)
     // the CAS is the atomicity point: if it throws (a concurrent
     // writer won the epoch), NOTHING changed — sidecars untouched,
     // staged files invisible. The losing intent is deliberately LEFT
@@ -1444,7 +1519,7 @@ final class StagedGraftTable(spark: SparkSession, dir: String, ident: String,
     // sidecars gate future writes and layout hints only; committed
     // reads plan entirely from the new epoch's marker
     GraftTable.applyRtasSidecars(spark, dir, replacing, tableSchema.json,
-      bucket, userProps)
+      bucket, ptime, userProps)
     f.delete(new Path(dir, GraftTable.RtasIntentFile), false): Unit
   }
 
@@ -1809,6 +1884,48 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     if (rowLevel.isDefined || limit.isDefined) None
     else ManifestSink.bucketSpec(spark, dir, epoch)
 
+  /** The committed time-transform layout, under the same exploitation
+    * guards as [[bucketed]]. A table declares at most one layout, so
+    * the two are mutually exclusive by construction. */
+  private lazy val timed: Option[ManifestSink.TimeSpec] =
+    if (rowLevel.isDefined || limit.isDefined || bucketed.isDefined) None
+    else ManifestSink.ptimeSpec(spark, dir, epoch)
+
+  /** Key-grouped input partitions over the TIME-TRANSFORM layout:
+    * every split carries its file's time ordinal as its partition key.
+    * Unlike bucket (fixed 0..n-1), the ordinal set is data-dependent —
+    * only ordinals with surviving files emit partitions, so two scans
+    * align exactly when their value sets match and Spark's
+    * `pushPartValues` handling covers the rest (the Iceberg SPJ
+    * shape for time-partitioned tables). Pruning here rides the same
+    * pushed static filters as every scan — a time-range predicate
+    * prunes whole ordinals because layout files are unit-aligned. */
+  private lazy val timeKeyedPartitions: Option[Array[InputPartition]] =
+    timed.map { ts =>
+      val idx = new ManifestFileIndex(spark, dir, epoch)
+      val exprs = pushed.map(physFilter)
+        .flatMap(GraftFileScan.toCatalyst(physTableSchema, _)).toSeq
+      val survivors = idx.listFiles(Nil, exprs).flatMap(_.files).map(_.fileStatus)
+      GraftTable.lastPlannedFiles = survivors.size
+      val byOrd = survivors.groupBy(s => ts.fileOrds(relOf(s.getPath)))
+      val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      byOrd.toSeq.sortBy(_._1).foreach { case (ord, fps) =>
+        val groups =
+          if (dvSorted.isEmpty) Seq(fps)
+          else fps.groupBy(st => dvGroupOf(relOf(st.getPath)))
+            .toSeq.sortBy(_._1).map(_._2)
+        groups.foreach { gf =>
+          parquetBatchOver(gf).planInputPartitions().foreach {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              parts += new GraftBucketPartition(fp.copy(index = parts.length), ord)
+            case other => throw new IllegalStateException(
+              s"unexpected parquet partition shape: ${other.getClass}")
+          }
+        }
+      }
+      parts.toArray
+    }
+
   /** Key-grouped input partitions (the Iceberg SPJ shape): split
     * planning stays at Spark's own per-file/maxPartitionBytes
     * granularity, every split carries its bucket id as its partition
@@ -1869,12 +1986,19 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
         val bs = bucketed.get
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(Expressions.bucket(bs.numBuckets, bs.keyCol)), parts.length)
-      case None =>
-        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+      case None => timeKeyedPartitions match {
+        case Some(parts) if parts.nonEmpty =>
+          val ts = timed.get
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            Array(Expressions.apply(ts.unit, Expressions.column(ts.col))),
+            parts.length)
+        case _ =>
+          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+      }
     }
 
   override def planInputPartitions(): Array[InputPartition] =
-    keyedPartitions.getOrElse {
+    keyedPartitions.orElse(timeKeyedPartitions).getOrElse {
       val survivors = selectSurvivors()
       GraftTable.lastPlannedFiles = survivors.size
       rowLevel.foreach(_.recordScanned(
@@ -1895,7 +2019,7 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     }
   override def createReaderFactory(): PartitionReaderFactory = {
     val base =
-      if (keyedPartitions.isDefined)
+      if (keyedPartitions.isDefined || timeKeyedPartitions.isDefined)
         // the factory is file-list-independent (each FilePartition
         // carries its own files); built over the manifest so the keyed
         // path never re-runs the delegate's survivor selection
@@ -1952,7 +2076,7 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
       // partitions still carry DV-subject files, whose deleted rows
       // would then re-enter unfiltered (ADVICE r13).
       val dvJudged: Seq[org.apache.hadoop.fs.FileStatus] =
-        if (keyedPartitions.isDefined) {
+        if (keyedPartitions.isDefined || timeKeyedPartitions.isDefined) {
           val idx = new ManifestFileIndex(spark, dir, epoch)
           val exprs = pushed.map(physFilter)
             .flatMap(GraftFileScan.toCatalyst(physTableSchema, _)).toSeq

@@ -61,3 +61,63 @@ final class GraftBucketBound(keyType: DataType) extends ScalarFunction[Integer] 
     java.lang.Math.floorMod(k, n.toLong).toInt
   }
 }
+
+/** The catalog's time partition-transform functions — `hours(ts)`,
+  * `days(ts)`, `months(ts)`, `years(ts)` (the public Iceberg
+  * transform spec: hours/days as floor division of the epoch
+  * micros, months as `(year-1970)*12 + month-1`, years as
+  * `year-1970`). Serving these from the table catalog's
+  * FunctionCatalog is what lets a scan report
+  * `KeyGroupedPartitioning(hours(ts))` and two same-layout tables
+  * storage-partition-join with zero shuffle. Kept in exact
+  * agreement with the write-side placement
+  * (`ManifestSink.timeOrdCol`) — a declared transform that differed
+  * from the physical layout would make SPJ silently join wrong
+  * partitions. NTZ evaluates its internal (unshifted) micros;
+  * TimestampType evaluates under UTC, matching the engine's pinned
+  * `spark.sql.session.timeZone`. */
+final class GraftTimeFunction(unit: String) extends UnboundFunction {
+  override def name(): String = unit
+  override def description(): String =
+    s"$unit(col): time-partition ordinal (Iceberg transform semantics)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"$unit takes one timestamp/date column; got ${inputType.simpleString}")
+    inputType.fields(0).dataType match {
+      case dt @ (TimestampType | TimestampNTZType | DateType) =>
+        new GraftTimeBound(unit, dt)
+      case other => throw new UnsupportedOperationException(
+        s"graft $unit partitions timestamps/dates; got $other")
+    }
+  }
+}
+
+/** Bound form: one canonical name per unit regardless of the input's
+  * temporal width, so a DateType side co-partitions with a
+  * TimestampType one when the ordinals agree. */
+final class GraftTimeBound(unit: String, inType: DataType)
+  extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(inType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = unit
+  override def canonicalName(): String = s"graft.$unit"
+  override def produceResult(input: InternalRow): Integer = {
+    if (input.isNullAt(0)) return null
+    // InternalRow carries timestamps (both kinds) as epoch/local
+    // micros, dates as epoch days
+    val (days: Long, micros: Long) = inType match {
+      case DateType =>
+        val d = input.getInt(0).toLong; (d, d * 86400L * 1000000L)
+      case _ =>
+        val m = input.getLong(0); (Math.floorDiv(m, 86400L * 1000000L), m)
+    }
+    unit match {
+      case "hours"  => Math.floorDiv(micros, 3600L * 1000000L).toInt
+      case "days"   => days.toInt
+      case "months" | "years" =>
+        val ld = java.time.LocalDate.ofEpochDay(days)
+        if (unit == "years") ld.getYear - 1970
+        else (ld.getYear - 1970) * 12 + ld.getMonthValue - 1
+    }
+  }
+}

@@ -290,14 +290,18 @@ object ManifestSink {
             dictCols: Seq[String] = Nil, dictCap: Int = 256,
             bloomCols: Seq[String] = Nil, bloomBits: Int = 16384,
             bloomHashes: Int = 5, bucket: Option[(String, Int)] = None,
-            hllCols: Seq[String] = Nil): Staged = {
+            hllCols: Seq[String] = Nil,
+            ptime: Option[(String, String)] = None): Staged = {
     val spark = df.sparkSession
     val token = newToken()
     val dirName = if (unique) s"data-epoch=$epoch-a$token" else s"data-epoch=$epoch"
     val epochDir = s"$root/$dirName"
-    val laid = bucket match {
-      case Some((k, n)) => bucketLayout(df, k, n)
-      case None => df
+    require(bucket.isEmpty || ptime.isEmpty,
+      "a table declares ONE layout: bucket(n, col) or a time transform")
+    val laid = (bucket, ptime) match {
+      case (Some((k, n)), _) => bucketLayout(df, k, n)
+      case (_, Some((c, u))) => timeLayout(df, c, u)
+      case _ => df
     }
     laid.write.mode("overwrite").parquet(epochDir)
     val dirPath = new org.apache.hadoop.fs.Path(epochDir)
@@ -310,7 +314,7 @@ object ManifestSink {
     val relFiles = sizes.keys.toSeq.sorted
     val stats =
       if (statsCols.isEmpty && dictCols.isEmpty && bloomCols.isEmpty &&
-        bucket.isEmpty && hllCols.isEmpty) None
+        bucket.isEmpty && hllCols.isEmpty && ptime.isEmpty) None
       else if (relFiles.isEmpty) Some(emptyStats(spark))
       else {
         val zone =
@@ -326,11 +330,15 @@ object ManifestSink {
           case Some((k, n)) => bucketStats(spark, root, relFiles, k, n)
           case None => emptyStats(spark)
         }
+        val pt = ptime match {
+          case Some((c, u)) => ptimeStats(spark, root, relFiles, c, u)
+          case None => emptyStats(spark)
+        }
         val hll =
           if (hllCols.isEmpty) emptyStats(spark)
           else hllStats(spark, root, relFiles, hllCols)
         Some(zone.unionByName(dict).unionByName(bloom).unionByName(buck)
-          .unionByName(hll))
+          .unionByName(pt).unionByName(hll))
       }
     Staged(root, epoch, token, relFiles, stats,
       Some(asNullable(df.schema).json), sizes = sizes)
@@ -348,7 +356,8 @@ object ManifestSink {
                   statsCols: Seq[String] = Nil, unique: Boolean = false,
                   evolve: Boolean = false,
                   bucket: Option[(String, Int)] = None,
-                  hllCols: Seq[String] = Nil): Staged = {
+                  hllCols: Seq[String] = Nil,
+                  ptime: Option[(String, String)] = None): Staged = {
     val spark = df.sparkSession
     // mapped tables: the logical batch renames to the files' PHYSICAL
     // shape before the write; stats/hll columns follow (they key the
@@ -368,13 +377,14 @@ object ManifestSink {
       case None => (df, statsCols, hllCols)
     }
     val fresh = stage(dfW, root, epoch, statsW, unique, bucket = bucket,
-      hllCols = hllW)
+      hllCols = hllW, ptime = ptime)
     if (epoch <= 1) fresh
     else {
       val priorEntries = manifestEntries3(spark, root, epoch - 1)
       val prior = priorEntries.map(_._1)
       val stats =
-        if (statsCols.isEmpty && bucket.isEmpty && hllCols.isEmpty) None
+        if (statsCols.isEmpty && bucket.isEmpty && hllCols.isEmpty &&
+          ptime.isEmpty) None
         else Some(statsTable(spark, root, epoch - 1)
           .unionByName(fresh.stats.get))
       // schema discipline (Delta's): a plain append REJECTS drift — a
@@ -783,6 +793,176 @@ object ManifestSink {
     else None
   }
 
+  // ------------------------------------------------- time-partitioned layout
+
+  /** A committed TIME-TRANSFORM layout (the Iceberg `hours(ts)` /
+    * `days(ts)` / `months(ts)` / `years(ts)` partition-transform
+    * analog — the reference's own layout is hour-bucketed,
+    * `cassandra/init.cql:41-54`): every data file holds exactly one
+    * time-partition ordinal of its column, recorded per file in the
+    * stats table (`__ptime:<col>:<unit>` rows, lo == hi == the file's
+    * ordinal). Ordinals follow the public Iceberg transform spec:
+    * hours/days since 1970-01-01T00:00:00 (floor division), months as
+    * `(year-1970)*12 + month-1`, years as `year-1970`. Unlike bucket,
+    * the ordinal SET is data-dependent — `fileOrds` lists exactly the
+    * partitions present. Files hour/day-ALIGNED make the ordinary ts
+    * zone maps exact partition pruning (each file's [lo, hi] spans one
+    * unit), so a time-range scan reads precisely the overlapped
+    * partitions' files with zero new pruning machinery. */
+  final case class TimeSpec(col: String, unit: String,
+                            fileOrds: Map[String, Int])
+
+  /** The accepted transform units, in Iceberg's naming. */
+  val TimeUnits: Set[String] = Set("hours", "days", "months", "years")
+
+  /** The time-partition ordinal expression — kept in exact agreement
+    * with [[graft.catalog.GraftTimeBound.produceResult]] (the V2
+    * function form Spark compares SPJ join sides with) and with the
+    * zone-map long encoding ([[statLongExpr]]): micros for timestamps
+    * (NTZ via its unshifted internal long), days for dates. The
+    * subtraction-then-divide spelling is exact floor division in
+    * LONG arithmetic (pmod is non-negative), never a double round. */
+  private[graft] def timeOrdCol(c: org.apache.spark.sql.Column,
+                                dt: org.apache.spark.sql.types.DataType,
+                                unit: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    def floorDivL(x: org.apache.spark.sql.Column, u: Long) =
+      ((x - pmod(x, lit(u))) / lit(u)).cast(IntegerType)
+    (dt, unit) match {
+      case (DateType, "days")  => datediff(c, lit(java.sql.Date.valueOf("1970-01-01")))
+      case (DateType, "hours") =>
+        (datediff(c, lit(java.sql.Date.valueOf("1970-01-01"))) * lit(24))
+          .cast(IntegerType)
+      case (_, "hours")  => floorDivL(statLongExpr(c, dt), 3600L * 1000000L)
+      case (_, "days")   => floorDivL(statLongExpr(c, dt), 86400L * 1000000L)
+      case (_, "months") => ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1))
+        .cast(IntegerType)
+      case (_, "years")  => (year(c) - lit(1970)).cast(IntegerType)
+      case other => throw new IllegalArgumentException(
+        s"unsupported time transform: $other (want hours/days/months/years)")
+    }
+  }
+
+  /** Lay `df` out so each output PARTITION is exactly one time
+    * ordinal. The distinct-ordinal set is collected first — bounded
+    * BY DESIGN at partition-count scale (a year of hourly grain is
+    * 8,760 values; Iceberg manifests enumerate partition values the
+    * same way), never data-sized — then an explicit identity
+    * [[org.apache.spark.Partitioner]] places each row (Spark's
+    * `repartition(n, expr)` re-hashes and can fold two ordinals into
+    * one partition, breaking the single-ordinal file contract; same
+    * reasoning as [[bucketLayout]]). Rows sort by the time column
+    * within each partition so zone maps stay tight inside the unit.
+    * Null partition values are rejected (a null ordinal cannot join
+    * the key-grouping contract). */
+  private def timeLayout(df: DataFrame, col0: String, unit: String): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val dt = df.schema(col0).dataType
+    require(Seq(TimestampType, TimestampNTZType, DateType).contains(dt),
+      s"time-partitioned layout needs a timestamp or date column; $col0 is $dt")
+    require(TimeUnits.contains(unit), s"unknown time unit $unit")
+    val spark = df.sparkSession
+    val withP = df.withColumn("__p", timeOrdCol(org.apache.spark.sql.functions
+      .col(col0), dt, unit))
+    val ords = withP.select("__p").distinct().collect().map { r =>
+      require(!r.isNullAt(0),
+        s"time-partitioned layout: null partition value in $col0")
+      r.getInt(0)
+    }.sorted
+    if (ords.isEmpty) return df
+    val index = ords.zipWithIndex.toMap
+    val schema = withP.schema
+    val pIdx = schema.length - 1
+    val bIndex = spark.sparkContext.broadcast(index)
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = ords.length
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+    val placed = withP.rdd.map { r =>
+      (bIndex.value(r.getInt(pIdx)), r)
+    }.partitionBy(part).values
+    spark.createDataFrame(placed, schema)
+      .sortWithinPartitions(col0).drop("__p")
+  }
+
+  /** One `__ptime:<col>:<unit>` stats row per staged file (lo == hi ==
+    * the file's ordinal), verified single-ordinal — the committed,
+    * append-carried, vacuum-swept record of the layout. A CoW rewrite
+    * drops these rows for the files it replaces, so a rewritten table
+    * degrades to unpartitioned scans instead of reporting a layout it
+    * no longer has (same discipline as [[bucketStats]]). */
+  private def ptimeStats(spark: SparkSession, root: String,
+                         relFiles: Seq[String], col0: String,
+                         unit: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
+    val parts = split(col("__f"), "/")
+    val rel = concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+    val p = timeOrdCol(col(col0), df.schema(col0).dataType, unit)
+    val base = df.groupBy(input_file_name().as("__f"))
+      .agg(min(p).as("__plo"), max(p).as("__phi"))
+      .select(rel.as("file"), col("__plo"), col("__phi"))
+      .collect()
+    base.foreach { r =>
+      require(!r.isNullAt(1) && r.getInt(1) == r.getInt(2),
+        s"time-partitioned stage produced a mixed-ordinal file " +
+          s"${r.getString(0)}: ${r.get(1)}..${r.get(2)}")
+    }
+    import spark.implicits._
+    base.toSeq.map(r => (r.getString(0), s"__ptime:$col0:$unit",
+        r.getInt(1).toLong)).toDF("file", "col", "lo_long")
+      .select(col("file"), col("col"),
+        col("lo_long").cast(LongType), col("lo_long").cast(LongType).as("hi_long"),
+        lit(null).cast(StringType).as("lo_str"),
+        lit(null).cast(StringType).as("hi_str"))
+  }
+
+  /** The committed time-transform layout of an epoch, if it FULLY
+    * covers the manifest — any gap (CoW-rewritten file, non-layout
+    * append, mixed specs) returns None and the scan degrades to
+    * unpartitioned. Metadata-only (one stats-table read). */
+  def ptimeSpec(spark: SparkSession, root: String, epoch: Int): Option[TimeSpec] = {
+    val rows =
+      try SnapshotCache.statRows(spark, root, epoch).getOrElse(return None)
+      catch { case _: Throwable => return None }
+    val prows = rows.filter(_.getString(1).startsWith("__ptime:"))
+    if (prows.isEmpty) return None
+    val specs = prows.map(_.getString(1)).distinct
+    if (specs.length != 1) return None
+    val Array(_, col0, unit) = specs(0).split(":", 3)
+    val fo = prows.flatMap { r =>
+      if (r.isNullAt(2) || r.isNullAt(3) || r.getLong(2) != r.getLong(3)) None
+      else Some(r.getString(0) -> r.getLong(2).toInt)
+    }.toMap
+    val all = manifestEntries(spark, root, epoch).map(_._1)
+    if (all.nonEmpty && all.forall(fo.contains) && prows.length == fo.size)
+      Some(TimeSpec(col0, unit, fo))
+    else None
+  }
+
+  /** Publish `df` laid out one-file-set-per-time-unit on `col` (plus
+    * zone maps via `statsCols`) — the engine-API form of
+    * `PARTITIONED BY (hours(ts))`. */
+  def publishTimePartitioned(df: DataFrame, root: String, epoch: Int,
+                             col: String, unit: String,
+                             statsCols: Seq[String] = Nil,
+                             txn: Option[Txn] = None): Int =
+    commitStaged(df.sparkSession,
+      stage(df, root, epoch, statsCols, ptime = Some((col, unit))), txn)
+
+  /** APPEND-publish preserving the time-partitioned layout: the fresh
+    * batch lays out into single-ordinal files; prior epochs' ptime
+    * rows carry, so the table stays partition-reporting at O(batch)
+    * write cost. */
+  def publishTimePartitionedAppend(df: DataFrame, root: String, epoch: Int,
+                                   col: String, unit: String,
+                                   statsCols: Seq[String] = Nil,
+                                   txn: Option[Txn] = None): Int =
+    commitStaged(df.sparkSession,
+      stageAppend(df, root, epoch, statsCols, ptime = Some((col, unit))), txn)
+
   /** ADD-COLUMN schema evolution as a PURE-METADATA commit (Delta's
     * `ALTER TABLE ADD COLUMNS`): a new epoch carrying the SAME file
     * list, stats, and DV as the current one, with the union schema
@@ -863,6 +1043,11 @@ object ManifestSink {
       require(bs.keyCol != name && bs.keyCol != phys,
         s"column $name is the committed bucket key; re-bucket (OPTIMIZE " +
           "BUCKET BY) after widening instead")
+    }
+    ptimeSpec(spark, root, cur).foreach { ts =>
+      require(ts.col != name && ts.col != phys,
+        s"column $name is the committed time-partition column; rewrite " +
+          "the layout after widening instead")
     }
     val merged = org.apache.spark.sql.types.StructType(
       prior.fields.updated(idx, prior.fields(idx).copy(dataType = to)))
@@ -984,6 +1169,12 @@ object ManifestSink {
         s"cannot rename or drop the bucket key ${bs.keyCol}: the " +
           "storage-partitioned layout is declared by that name; " +
           "re-bucket (OPTIMIZE ... BUCKET BY) first")
+    }
+    ptimeSpec(spark, root, cur).foreach { ts =>
+      val f = ColumnMapping.logicalOfPhysical(next, ts.col)
+      require(f.exists(_.name == ts.col),
+        s"cannot rename or drop the time-partition column ${ts.col}: " +
+          "the layout is declared by that name; rewrite the layout first")
     }
     val entries = manifestEntries3(spark, root, cur)
     val stats =

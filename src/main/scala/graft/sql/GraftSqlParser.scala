@@ -78,6 +78,10 @@ object GraftSqlParser {
   private val OptimizeBucketRe =
     ("(?is)^\\s*OPTIMIZE\\s+" + Tbl +
       "\\s+BUCKET\\s+BY\\s*\\(\\s*(\\w+)\\s*\\)\\s+BUCKETS\\s+(\\d+)\\s*;?\\s*$").r
+  private val OptimizePtimeRe =
+    ("(?is)^\\s*OPTIMIZE\\s+" + Tbl +
+      "\\s+PARTITION\\s+BY\\s+(hours|days|months|years)" +
+      "\\s*\\(\\s*(\\w+)\\s*\\)\\s*;?\\s*$").r
   private val HistoryRe =
     ("(?is)^\\s*DESCRIBE\\s+HISTORY\\s+" + Tbl + "\\s*;?\\s*$").r
   private val ChangesRe =
@@ -127,6 +131,9 @@ object GraftSqlParser {
           Option(retain).map(_.toInt).getOrElse(2)))
       case OptimizeBucketRe(bq, q, keyCol, n) =>
         Some(OptimizeBucketCommand(Option(bq).getOrElse(q), keyCol, n.toInt))
+      case OptimizePtimeRe(bq, q, unit, col) =>
+        Some(OptimizePtimeCommand(Option(bq).getOrElse(q),
+          col, unit.toLowerCase))
       case OptimizeRe(bq, q, kind, cols, files) =>
         Some(OptimizeCommand(Option(bq).getOrElse(q),
           Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
@@ -155,7 +162,8 @@ object GraftSqlParser {
         s"malformed graft maintenance statement (keyword ${kw.toUpperCase}): " +
           s"$sqlText\nexpected: VACUUM <tbl> [RETAIN n EPOCHS] | OPTIMIZE <tbl> " +
           "[CLUSTER BY (cols) | ZORDER BY (c1, c2)] [FILES n] | OPTIMIZE <tbl> " +
-          "BUCKET BY (col) BUCKETS n | DESCRIBE " +
+          "BUCKET BY (col) BUCKETS n | OPTIMIZE <tbl> PARTITION BY " +
+          "hours|days|months|years(col) | DESCRIBE " +
           "HISTORY <tbl> | DESCRIBE CHANGES <tbl> KEY <col> FROM <e1> TO <e2> | " +
           "DESCRIBE DETAIL <tbl> | RESTORE <tbl> VERSION AS OF <n> | " +
           "CREATE MATERIALIZED VIEW <tbl> KEY <srcKey> AS SELECT <g>, COUNT(*) " +
@@ -304,12 +312,51 @@ object GraftSqlParser {
       val next = cur + 1
       ManifestSink.publishBucketed(ManifestSink.read(spark, path), path, next,
         keyCol, buckets, (keyCol +: existing).distinct)
-      // future INSERTs through the catalog keep the layout
+      // future INSERTs through the catalog keep the layout (and a
+      // table declares ONE layout: a prior time transform is replaced)
       val p = new org.apache.hadoop.fs.Path(path, graft.catalog.GraftTable.BucketFile)
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = f.create(p, true)
       try out.write(s"""{"col":"$keyCol","n":$buckets}""".getBytes("UTF-8"))
       finally out.close()
+      f.delete(new org.apache.hadoop.fs.Path(path,
+        graft.catalog.GraftTable.PtimeFile), false)
+      val after = ManifestSink.manifestFiles(spark, path, next).size
+      Seq(Row(path, next, before, after))
+    }
+  }
+
+  /** `OPTIMIZE ... PARTITION BY days(ts)` — re-lay the table into a
+    * TIME-TRANSFORM layout as one maintenance epoch (the mirror of
+    * BUCKET BY): the recovery path after streamed micro-batch appends
+    * degrade a declared layout (streaming writes commit files as
+    * Spark's committer placed them; the honest-degrade discipline
+    * drops the partition report rather than lying). One distributed
+    * rewrite, the `_PTIME.json` sidecar re-pins the layout for every
+    * future INSERT, and a previously-bucketed table hands its ONE
+    * layout slot over. */
+  final case class OptimizePtimeCommand(path: String, col: String,
+                                        unit: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("path", StringType), attr("new_epoch", IntegerType),
+      attr("files_before", IntegerType), attr("files_after", IntegerType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cur = ManifestSink.currentEpoch(spark, path)
+      val before = ManifestSink.manifestFiles(spark, path, cur).size
+      val existing = ManifestSink.statsTable(spark, path, cur)
+        .select("col").distinct().collect().map(_.getString(0))
+        .filterNot(_.startsWith("__")).sorted.toSeq
+      val next = cur + 1
+      ManifestSink.publishTimePartitioned(ManifestSink.read(spark, path),
+        path, next, col, unit, (col +: existing).distinct)
+      val p = new org.apache.hadoop.fs.Path(path, graft.catalog.GraftTable.PtimeFile)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = f.create(p, true)
+      try out.write(s"""{"col":"$col","unit":"$unit"}""".getBytes("UTF-8"))
+      finally out.close()
+      f.delete(new org.apache.hadoop.fs.Path(path,
+        graft.catalog.GraftTable.BucketFile), false)
       val after = ManifestSink.manifestFiles(spark, path, next).size
       Seq(Row(path, next, before, after))
     }

@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{GraftCatalog, GraftTable}
+import graft.sink.ManifestSink
+
+/** Time-transform partitioning (`PARTITIONED BY (hours(ts))` /
+  * `days(ts)` / `months(ts)` / `years(ts)` — the Iceberg transform
+  * surface; the reference's own layout is hour-bucketed,
+  * `cassandra/init.cql:41-54`): every committed file holds exactly
+  * one time-partition ordinal, recorded as `__ptime` stats rows.
+  * Unit-aligned files make the ordinary ts zone maps EXACT partition
+  * pruning, and the committed layout reports as
+  * `KeyGroupedPartitioning(days(ts))` so same-layout tables
+  * storage-partition-join with zero shuffles. */
+class TimePartitionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ensureCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+
+  private def withSpjConfs[T](body: => T): T = {
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("CTAS hours(ts): every file single-hour; time-range scan prunes to the hour") {
+    ensureCatalog()
+    val root = tmpDir("tpart_h_") + "/t"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+      .filter(col("ts") < lit("2024-01-02"))
+    ev.createOrReplaceTempView("tp_hours_src")
+    spark.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (hours(ts)) " +
+      "AS SELECT * FROM tp_hours_src")
+    val spec = ManifestSink.ptimeSpec(spark, root, 1)
+    assert(spec.exists(s => s.col == "ts" && s.unit == "hours"),
+      s"expected a committed hours(ts) layout, got $spec")
+    val ords = spec.get.fileOrds
+    // one file per hour: the layout places each ordinal in exactly
+    // one output partition
+    assert(ords.values.toSet.size == ords.size,
+      s"expected one file per hour ordinal, got $ords")
+    // ordinal values ARE floorDiv(epochMicros, hourMicros): day one of
+    // 2024 spans hours 473352..473375
+    val day0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) / 3600
+    assert(ords.values.forall(o => o >= day0 && o < day0 + 24),
+      s"hour ordinals out of 2024-01-01 range: ${ords.values.toSeq.sorted}")
+    // read-back parity
+    assert(spark.table(s"graft.`$root`").count() == ev.count())
+    // a one-hour range predicate plans exactly that hour's file
+    val hr = spark.sql(s"SELECT count(*) AS c FROM graft.`$root` " +
+      "WHERE ts >= TIMESTAMP '2024-01-01 05:00:00' " +
+      "AND ts < TIMESTAMP '2024-01-01 06:00:00'")
+    val c = hr.collect()(0).getLong(0)
+    assert(GraftTable.lastPlannedFiles <= 1,
+      s"hour-aligned files must prune to <=1 file, planned ${GraftTable.lastPlannedFiles}")
+    val exp = ev.filter(col("ts") >= lit("2024-01-01 05:00:00") &&
+      col("ts") < lit("2024-01-01 06:00:00")).count()
+    assert(c == exp)
+  }
+
+  test("INSERT INTO preserves the layout; a CoW rewrite degrades it honestly") {
+    ensureCatalog()
+    val root = tmpDir("tpart_a_") + "/t"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+    ev.filter(col("ts") < lit("2024-01-08")).createOrReplaceTempView("tp_app_src")
+    spark.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (days(ts)) " +
+      "AS SELECT * FROM tp_app_src")
+    val before = ManifestSink.ptimeSpec(spark, root, 1).get
+    ev.filter(col("ts") >= lit("2024-01-08") && col("ts") < lit("2024-01-12"))
+      .createOrReplaceTempView("tp_app_b2")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM tp_app_b2")
+    val after = ManifestSink.ptimeSpec(spark, root, 2)
+    assert(after.isDefined, "append must keep the committed layout")
+    assert(after.get.fileOrds.size > before.fileOrds.size)
+    // prior files carry verbatim (append lays out only the batch)
+    assert(before.fileOrds.forall { case (f, o) => after.get.fileOrds.get(f).contains(o) })
+    assert(spark.table(s"graft.`$root`").count() ==
+      ev.filter(col("ts") < lit("2024-01-12")).count())
+    // a CoW UPDATE rewrites files without ptime rows -> the spec
+    // refuses to report a layout the files no longer prove
+    spark.sql(s"UPDATE graft.`$root` SET value = 0.0 WHERE event_id < 20")
+    val e = ManifestSink.currentEpoch(spark, root)
+    assert(ManifestSink.ptimeSpec(spark, root, e).isEmpty,
+      "a rewritten table must degrade to unpartitioned, not lie")
+    assert(spark.table(s"graft.`$root`").filter(col("value") === 0.0).count() >= 20 - 1)
+  }
+
+  test("SPJ: two days(ts) tables join on ts with zero shuffles") {
+    ensureCatalog()
+    val base = tmpDir("tpart_spj_")
+    val (r1, r2) = (s"$base/a", s"$base/b")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+      .filter(col("ts") < lit("2024-01-15"))
+    // same ts population on both sides -> identical ordinal sets
+    ev.createOrReplaceTempView("tp_spj_a")
+    ev.withColumn("value", col("value") * 2).createOrReplaceTempView("tp_spj_b")
+    spark.sql(s"CREATE TABLE graft.`$r1` PARTITIONED BY (days(ts)) " +
+      "AS SELECT * FROM tp_spj_a")
+    spark.sql(s"CREATE TABLE graft.`$r2` PARTITIONED BY (days(ts)) " +
+      "AS SELECT * FROM tp_spj_b")
+    withSpjConfs {
+      val out = spark.sql(
+        s"""SELECT a.ts, a.value + b.value AS v
+           |FROM graft.`$r1` a JOIN graft.`$r2` b ON a.ts = b.ts""".stripMargin)
+      assert(out.count() >= ev.count())
+      assert(shuffles(out).isEmpty,
+        s"same-layout time-partitioned join must drop both shuffles:\n" +
+          out.queryExecution.executedPlan)
+    }
+  }
+
+  test("months/years ordinals follow the Iceberg arithmetic, pre-1970 floors") {
+    ensureCatalog()
+    val root = tmpDir("tpart_m_") + "/t"
+    Seq("1969-12-31 23:30:00", "1970-01-01 00:30:00", "2024-03-15 10:30:00")
+      .map(java.sql.Timestamp.valueOf)
+      .toDF("ts").createOrReplaceTempView("tp_m_src")
+    spark.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (months(ts)) " +
+      "AS SELECT * FROM tp_m_src")
+    val m = ManifestSink.ptimeSpec(spark, root, 1).get
+    assert(m.unit == "months")
+    // (year-1970)*12 + month-1: Dec 1969 = -1, Jan 1970 = 0, Mar 2024 = 650
+    assert(m.fileOrds.values.toSet == Set(-1, 0, (2024 - 1970) * 12 + 2),
+      s"got ${m.fileOrds}")
+    val rootY = tmpDir("tpart_y_") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$rootY` PARTITIONED BY (years(ts)) " +
+      "AS SELECT * FROM tp_m_src")
+    val y = ManifestSink.ptimeSpec(spark, rootY, 1).get
+    assert(y.fileOrds.values.toSet == Set(-1, 0, 54), s"got ${y.fileOrds}")
+    // hours of a pre-1970 instant floor DOWNWARD (floorDiv, not
+    // truncation): 1969-12-31T23:30 is hour -1
+    val rootH = tmpDir("tpart_ph_") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$rootH` PARTITIONED BY (hours(ts)) " +
+      "AS SELECT * FROM tp_m_src WHERE ts < TIMESTAMP '1970-01-01 01:00:00'")
+    val h = ManifestSink.ptimeSpec(spark, rootH, 1).get
+    assert(h.fileOrds.values.toSet == Set(-1, 0), s"got ${h.fileOrds}")
+  }
+
+  test("OPTIMIZE PARTITION BY re-lays a plain table; layouts swap, never stack") {
+    ensureCatalog()
+    val root = tmpDir("tpart_o_") + "/t"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+      .filter(col("ts") < lit("2024-01-10"))
+    ev.createOrReplaceTempView("tp_opt_src")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM tp_opt_src")
+    assert(ManifestSink.ptimeSpec(spark, root, 1).isEmpty)
+    val row = spark.sql(s"OPTIMIZE graft.`$root` PARTITION BY days(ts)")
+      .collect()(0)
+    val e2 = row.getInt(1)
+    val spec = ManifestSink.ptimeSpec(spark, root, e2)
+    assert(spec.exists(s => s.col == "ts" && s.unit == "days"))
+    assert(spark.table(s"graft.`$root`").count() == ev.count())
+    // the sidecar pins the layout: a future INSERT lays out the batch
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+      .filter(col("ts") >= lit("2024-01-10") && col("ts") < lit("2024-01-12"))
+      .createOrReplaceTempView("tp_opt_b2")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM tp_opt_b2")
+    val e3 = ManifestSink.currentEpoch(spark, root)
+    assert(ManifestSink.ptimeSpec(spark, root, e3).isDefined,
+      "INSERT after OPTIMIZE PARTITION BY must keep the layout")
+    // re-bucketing hands the one layout slot over (no stacked sidecars)
+    spark.sql(s"OPTIMIZE graft.`$root` BUCKET BY (event_id) BUCKETS 4")
+    val e4 = ManifestSink.currentEpoch(spark, root)
+    assert(ManifestSink.bucketSpec(spark, root, e4).isDefined)
+    assert(ManifestSink.ptimeSpec(spark, root, e4).isEmpty)
+    // and the next insert must not trip the one-layout require
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM tp_opt_b2")
+  }
+
+  test("days(date_col) partitions DateType; refusals: null ts, layout-column DDL") {
+    ensureCatalog()
+    val root = tmpDir("tpart_d_") + "/t"
+    Seq("2024-01-01", "2024-01-02", "2024-01-02", "2024-02-01")
+      .map(java.sql.Date.valueOf)
+      .toDF("d").createOrReplaceTempView("tp_d_src")
+    spark.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (days(d)) " +
+      "AS SELECT * FROM tp_d_src")
+    val spec = ManifestSink.ptimeSpec(spark, root, 1).get
+    val epoch0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toInt
+    assert(spec.fileOrds.values.toSet == Set(epoch0, epoch0 + 1, epoch0 + 31))
+    // null partition values are rejected (the key-grouping contract)
+    val rootN = tmpDir("tpart_n_") + "/t"
+    Seq(Some("2024-01-01"), None).map(_.map(java.sql.Date.valueOf))
+      .toDF("d").createOrReplaceTempView("tp_null_src")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$rootN` PARTITIONED BY (days(d)) " +
+        "AS SELECT * FROM tp_null_src")
+    }
+    // the layout column refuses rename (the spec is declared by name)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN d TO d2")
+    }
+    // two transforms at once are refused (one layout per table)
+    val rootT = tmpDir("tpart_t_") + "/t"
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$rootT` (k BIGINT, ts TIMESTAMP) " +
+        "USING parquet PARTITIONED BY (bucket(4, k), days(ts))")
+    }
+  }
+}
