@@ -3700,6 +3700,64 @@ object Registry {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
         |  min(event_id) AS lo, max(event_id) AS hi, TRUE AS tp_ok
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin),
+    // METADATA TABLES (round 15 — Iceberg's inspection surface,
+    // `db.t.files`/`partitions`/`history`, spelled with the same
+    // `@`-suffix convention as `@changes`): committed metadata served
+    // as composable SQL — `@files` (per-file size/row-count/commit-
+    // epoch/layout-partition), `@partitions` (per layout value
+    // rollup), `@history` (the audit log). METADATA-ONLY: rows come
+    // from the snapshot-cached manifest/stats/markers as a driver
+    // LocalScan, zero data-file opens (spec-pinned by poisoning every
+    // data file) — at 100 TB the ops questions ("files per day
+    // partition", "which epoch grew the table") cost O(manifest),
+    // not a scan. meta_ok gates @files totals vs the committed
+    // layout, the epoch pin, and the @history log shape.
+    "q_catalog_meta_tables" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cmt_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("ts"), col("value"))
+        ev.filter(col("ts") < lit("2024-01-08")).createOrReplaceTempView("cmt_src")
+        s.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (days(ts)) " +
+          "AS SELECT * FROM cmt_src")
+        ev.filter(col("ts") >= lit("2024-01-08") && col("ts") < lit("2024-01-10"))
+          .createOrReplaceTempView("cmt_b2")
+        s.sql(s"INSERT INTO graft.`$root` SELECT * FROM cmt_b2")
+        val spec = graft.sink.ManifestSink.ptimeSpec(s, root, 2).get
+        val files = s.sql(s"SELECT * FROM graft.`$root@files`").collect()
+        val filesOk = files.length == spec.fileOrds.size &&
+          files.map(_.getLong(2)).sum == s.table(s"graft.`$root`").count() &&
+          files.map(_.getInt(3)).toSet == Set(1, 2) &&
+          files.forall(r => r.getLong(4) == spec.fileOrds(r.getString(0)).toLong)
+        val pinOk = s.sql(s"SELECT count(*) AS c FROM graft.`$root@files:1`")
+          .collect()(0).getLong(0) < files.length.toLong
+        val hist = s.sql(s"SELECT * FROM graft.`$root@history` ORDER BY epoch")
+          .collect()
+        val histOk = hist.map(_.getInt(0)).toSeq == Seq(1, 2) &&
+          hist(0).getInt(4) < hist(1).getInt(4)
+        // snapshot tags: travel by name; the pin survives VACUUM
+        s.sql(s"CREATE TAG before_b2 ON graft.`$root` AS OF VERSION 1")
+        val tagTravel = s.sql(s"SELECT count(*) AS c FROM graft.`$root` " +
+          "VERSION AS OF 'before_b2'").collect()(0).getLong(0)
+        s.sql(s"VACUUM graft.`$root` RETAIN 1 EPOCHS")
+        val tagKept = s.sql(s"SELECT count(*) AS c FROM graft.`$root` " +
+          "VERSION AS OF 'before_b2'").collect()(0).getLong(0) == tagTravel
+        val tagsOk = tagKept &&
+          s.sql(s"SELECT * FROM graft.`$root@tags`").collect()
+            .map(r => r.getString(0) -> r.getInt(1)).toSeq ==
+            Seq("before_b2" -> 1)
+        val metaOk = filesOk && pinOk && histOk && tagsOk
+        s.sql(s"""SELECT partition AS day_ord, n_files, row_count
+                 |FROM graft.`$root@partitions` ORDER BY partition""".stripMargin)
+          .withColumn("meta_ok", lit(metaOk))
+      },
+      """SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day_ord,
+        |  CAST(1 AS BIGINT) AS n_files, count(*) AS row_count,
+        |  TRUE AS meta_ok
+        |FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     // BATCH CHANGE FEED BY NAME (round 14 — Delta's `table_changes`
     // TVF usable inside any SELECT): the `@changes` metadata table now
     // serves BATCH reads too, with the epoch range and diff key

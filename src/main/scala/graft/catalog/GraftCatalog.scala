@@ -140,6 +140,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       if (!existsAsTable(dir)) throw new NoSuchTableException(baseIdent)
       return new GraftChangesTable(dir, ident.toString, keySpec, fromSpec, toSpec)
     }
+    // `@files` / `@partitions` / `@history` — the metadata-only
+    // inspection surface (see [[GraftMetaTable]])
+    if (GraftMetaTable.Kinds.exists(k => ident.name.contains(s"@$k"))) {
+      val (base, kind, epochSpec) = GraftMetaTable.parseIdent(ident.name)
+      val baseIdent = Identifier.of(ident.namespace, base)
+      val dir = dirOf(baseIdent)
+      if (!existsAsTable(dir)) throw new NoSuchTableException(baseIdent)
+      return new GraftMetaTable(dir, ident.toString, kind, epochSpec)
+    }
     val dir = dirOf(ident)
     if (!existsAsTable(dir)) throw new NoSuchTableException(ident)
     // finish a crashed CTAS/RTAS sidecar swap, if one is pending
@@ -147,15 +156,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     new GraftTable(dir, ident.toString, None)
   }
 
-  /** `VERSION AS OF <epoch>` time travel — the version string is the
-    * committed epoch number. */
+  /** `VERSION AS OF <epoch | 'tag'>` time travel — the version string
+    * is a committed epoch number, or a SNAPSHOT TAG name pinned with
+    * `CREATE TAG` (the Iceberg named-ref spelling: travel by meaning,
+    * and the tagged epoch is vacuum-exempt until the tag drops). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
     if (!existsAsTable(dir)) throw new NoSuchTableException(ident)
-    val epoch = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft table versions are epoch numbers; got '$version'")
-    }
+    val epoch = version.toIntOption.getOrElse(
+      ManifestSink.readTags(spark, dir).getOrElse(version,
+        throw new IllegalArgumentException(
+          s"graft table versions are epoch numbers or tag names; " +
+            s"'$version' is neither (no such tag on $dir)")))
     new GraftTable(dir, ident.toString, Some(epoch))
   }
 

@@ -1,0 +1,199 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sink.{ManifestSink, SnapshotCache}
+
+/** METADATA TABLES — the Iceberg inspection surface (`db.t.files` /
+  * `db.t.partitions` / `db.t.history`), spelled with the same
+  * `@`-suffix convention as `@changes`:
+  *
+  * {{{
+  *   SELECT * FROM graft.`/p@files`        -- current epoch's data files
+  *   SELECT * FROM graft.`/p@files:3`      -- pinned to epoch 3
+  *   SELECT * FROM graft.`/p@partitions`   -- per layout-partition rollup
+  *   SELECT * FROM graft.`/p@history`      -- one row per live epoch
+  * }}}
+  *
+  * All three are METADATA-ONLY: rows come from the snapshot-cached
+  * manifest and stats tables (plus, for `@history`, the commit
+  * markers) — zero data-file opens, served as a driver
+  * [[org.apache.spark.sql.connector.read.LocalScan]]. The manifest is
+  * already a driver-side artifact in this engine (SnapshotCache), so
+  * the inspection surface costs exactly what planning a scan costs:
+  * O(manifest entries), bounded and cached. Composable under any
+  * SELECT — the operational questions of a 100 TB table ("how many
+  * files per day partition", "is compaction due", "which epoch grew
+  * the table") become one-liners instead of engine-internal API
+  * calls.
+  *
+  * `partition` is the file's committed layout value — the bucket id
+  * under `bucket(n, col)`, the time ordinal under
+  * `hours/days/months/years(col)`, null for unpartitioned tables
+  * (a `@partitions` read of an unpartitioned table returns its one
+  * whole-table rollup row). `row_count` is the file's committed
+  * `__count` zone-map row — PHYSICAL rows, before any delete-vector
+  * filtering, exactly as Iceberg's `files` table reports (null for
+  * files committed without stats).
+  *
+  * Reference: the reference operates its pipeline with shell probes
+  * over Cassandra internals (`monitoring/monitor.sh:83-84`,
+  * `cassandra_latency_check.py:13`); this is the Spark-native
+  * spelling of that operational surface — committed metadata,
+  * queryable as tables. */
+final class GraftMetaTable(dir: String, ident: String, kind: String,
+                           epochSpec: Option[Int])
+  extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = ident
+
+  override def schema(): StructType = kind match {
+    case "files" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = true),
+      StructField("commit_epoch", IntegerType, nullable = false),
+      StructField("partition", LongType, nullable = true)))
+    case "partitions" => StructType(Seq(
+      StructField("partition", LongType, nullable = true),
+      StructField("n_files", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = true)))
+    case "history" => StructType(Seq(
+      StructField("epoch", IntegerType, nullable = false),
+      StructField("token", StringType, nullable = false),
+      StructField("txn_app_id", StringType, nullable = true),
+      StructField("txn_version", LongType, nullable = true),
+      StructField("n_files", IntegerType, nullable = false)))
+    case "tags" => StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("epoch", IntegerType, nullable = false)))
+    case other => throw new IllegalArgumentException(
+      s"unknown graft metadata table kind: $other")
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val sch = schema()
+    val metaRows = GraftMetaTable.rowsOf(spark, dir, kind, epochSpec)
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = sch
+        override def rows(): Array[InternalRow] = metaRows
+        override def description(): String = s"GraftMetaScan($ident)"
+      }
+    }
+  }
+}
+
+object GraftMetaTable {
+
+  /** The `@` kinds this object serves (`@changes` routes elsewhere). */
+  val Kinds: Seq[String] = Seq("files", "partitions", "history", "tags")
+
+  /** Parse `<base>@<kind>[:<epoch>]` → (base, kind, epochSpec). */
+  def parseIdent(name: String): (String, String, Option[Int]) = {
+    val at = name.lastIndexOf('@')
+    require(at > 0, s"not a metadata-table identifier: $name")
+    val (base, suffix) = (name.substring(0, at), name.substring(at + 1))
+    suffix.split(":", 2) match {
+      case Array(kind) if Kinds.contains(kind) => (base, kind, None)
+      case Array(kind, e) if Kinds.contains(kind) =>
+        val epoch = e.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"metadata-table epoch pin must be an integer: @$kind:$e"))
+        (base, kind, Some(epoch))
+      case _ => throw new IllegalArgumentException(
+        s"unknown metadata table @$suffix (want @files[:<epoch>] | " +
+          "@partitions[:<epoch>] | @history)")
+    }
+  }
+
+  /** Per-file layout value of `epoch`: bucket id or time ordinal,
+    * None per file when the epoch carries no fully-covering layout. */
+  private def partitionOf(spark: SparkSession, dir: String,
+                          epoch: Int): Map[String, Long] =
+    ManifestSink.bucketSpec(spark, dir, epoch) match {
+      case Some(bs) => bs.fileBuckets.map { case (f, b) => f -> b.toLong }
+      case None => ManifestSink.ptimeSpec(spark, dir, epoch) match {
+        case Some(ts) => ts.fileOrds.map { case (f, o) => f -> o.toLong }
+        case None => Map.empty
+      }
+    }
+
+  /** Committed `__count` rows of `epoch`, keyed by rel path. */
+  private def countsOf(spark: SparkSession, dir: String,
+                       epoch: Int): Map[String, Long] = {
+    val rows =
+      try SnapshotCache.statRows(spark, dir, epoch).getOrElse(Array.empty)
+      catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] }
+    rows.filter(r => r.getString(1) == "__count" && !r.isNullAt(2))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+  }
+
+  private[catalog] def rowsOf(spark: SparkSession, dir: String, kind: String,
+                              epochSpec: Option[Int]): Array[InternalRow] = {
+    def resolved: Int = epochSpec.getOrElse(
+      ManifestSink.currentEpoch(spark, dir))
+    kind match {
+      case "files" =>
+        val e = resolved
+        val parts = partitionOf(spark, dir, e)
+        val counts = countsOf(spark, dir, e)
+        ManifestSink.manifestEntries3(spark, dir, e).sortBy(_._1).map {
+          case (rel, size, fe) =>
+            InternalRow(UTF8String.fromString(rel), size,
+              counts.get(rel).map(Long.box).orNull,
+              if (fe >= 0) fe else e,
+              parts.get(rel).map(Long.box).orNull)
+        }.toArray
+      case "partitions" =>
+        val e = resolved
+        val parts = partitionOf(spark, dir, e)
+        val counts = countsOf(spark, dir, e)
+        val entries = ManifestSink.manifestEntries3(spark, dir, e)
+        entries.groupBy { case (rel, _, _) => parts.get(rel) }
+          .toSeq.sortBy(_._1.getOrElse(Long.MinValue))
+          .map { case (part, fs) =>
+            // a partition's row_count is exact only when EVERY file
+            // carries a committed __count; a single stats-less file
+            // makes it null rather than an undercount
+            val rc =
+              if (fs.forall { case (rel, _, _) => counts.contains(rel) })
+                Long.box(fs.map { case (rel, _, _) => counts(rel) }.sum)
+              else null
+            InternalRow(part.map(Long.box).orNull, fs.size.toLong,
+              fs.map { case (_, s, _) => math.max(s, 0L) }.sum, rc)
+          }.toArray
+      case "history" =>
+        require(epochSpec.isEmpty, "@history lists all live epochs; " +
+          "pin with @files:<epoch> / @partitions:<epoch> instead")
+        ManifestSink.history(spark, dir).collect().map { r =>
+          InternalRow(r.getInt(0), UTF8String.fromString(r.getString(1)),
+            if (r.isNullAt(2)) null else UTF8String.fromString(r.getString(2)),
+            if (r.isNullAt(3)) null else Long.box(r.getLong(3)),
+            r.getInt(4))
+        }
+      case "tags" =>
+        require(epochSpec.isEmpty, "@tags lists all tags; it takes no pin")
+        ManifestSink.readTags(spark, dir).toSeq.sortBy(_._1).map {
+          case (n, e) => InternalRow(UTF8String.fromString(n), e)
+        }.toArray
+      case other => throw new IllegalArgumentException(
+        s"unknown graft metadata table kind: $other")
+    }
+  }
+}

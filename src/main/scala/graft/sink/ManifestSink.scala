@@ -2789,6 +2789,66 @@ object ManifestSink {
     rows.toDF("epoch", "token", "txn_app_id", "txn_version", "n_files")
   }
 
+  // -------------------------------------------------------------------- tags
+
+  /** SNAPSHOT TAGS (Iceberg's named refs, the tag kind): a tag is a
+    * NAME pinned to a committed epoch, persisted in the `_TAGS.json`
+    * sidecar (one `name=epoch` line per tag). Tags serve two
+    * purposes: `VERSION AS OF 'name'` travels by meaning instead of
+    * number, and — the retention contract — VACUUM KEEPS every
+    * tagged epoch regardless of the keep-newest-N window, so an
+    * audit/reproducibility pin (the training-data-release use case:
+    * tag the epoch a model trained on) survives routine retention
+    * until the tag is dropped. */
+  val TagsFile = "_TAGS.json"
+
+  def readTags(spark: SparkSession, root: String): Map[String, Int] = {
+    val p = new org.apache.hadoop.fs.Path(root, TagsFile)
+    val f = fs(spark, p)
+    if (!f.exists(p)) Map.empty
+    else readLines(spark, p).flatMap { l =>
+      l.split("=", 2) match {
+        case Array(n, e) if e.toIntOption.isDefined => Some(n -> e.toInt)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def writeTags(spark: SparkSession, root: String,
+                        tags: Map[String, Int]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, TagsFile)
+    val f = fs(spark, p)
+    if (tags.isEmpty) { f.delete(p, false); () }
+    else writeFile(spark, p,
+      tags.toSeq.sortBy(_._1).map { case (n, e) => s"$n=$e" }
+        .mkString("", "\n", "\n"))
+  }
+
+  /** Pin `name` to `epoch` (default: the current epoch). Refused for
+    * an uncommitted epoch or an existing name — a tag is an immutable
+    * pin; drop it first to move it. */
+  def createTag(spark: SparkSession, root: String, name: String,
+                epoch: Option[Int] = None): Int = {
+    require(name.matches("\\w+"), s"tag names are word-shaped; got '$name'")
+    val cur = currentEpoch(spark, root)
+    val e = epoch.getOrElse(cur)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val f = fs(spark, rootPath)
+    require(f.exists(new org.apache.hadoop.fs.Path(root, s"commit-$e")),
+      s"cannot tag epoch $e: not a live committed epoch of $root")
+    val tags = readTags(spark, root)
+    require(!tags.contains(name),
+      s"tag '$name' already pins epoch ${tags(name)}; DROP TAG first")
+    writeTags(spark, root, tags + (name -> e))
+    e
+  }
+
+  def dropTag(spark: SparkSession, root: String, name: String): Unit = {
+    val tags = readTags(spark, root)
+    require(tags.contains(name), s"no tag '$name' on $root")
+    writeTags(spark, root, tags - name)
+  }
+
   // ---------------------------------------------------------------- retention
 
   /** Retention sweep — the vacuum discipline of the dedup epoch chain
@@ -2841,7 +2901,12 @@ object ManifestSink {
     val names = f.listStatus(rootPath).toSeq.map(_.getPath.getName)
     val epochs = names.filter(_.matches("commit-\\d+"))
       .map(_.stripPrefix("commit-").toInt).sorted
-    val kept = (epochs.takeRight(keep) :+ cur).distinct.sorted
+    // TAGGED epochs are retention-exempt (the Iceberg named-ref
+    // contract): keep-newest-N plus every live epoch a tag pins —
+    // a stale tag naming an epoch already dropped by an earlier,
+    // pre-tag vacuum is simply inert
+    val tagged = readTags(spark, root).values.toSeq.filter(epochs.contains)
+    val kept = (epochs.takeRight(keep) ++ tagged :+ cur).distinct.sorted
     val dropped = epochs.filterNot(kept.contains)
     val keptFiles = kept
       .flatMap(e => manifestFiles(spark, root, e))

@@ -105,6 +105,11 @@ object GraftSqlParser {
   private val AnalyzeRe =
     ("(?is)^\\s*ANALYZE\\s+TABLE\\s+" + Tbl +
       "\\s+COMPUTE\\s+STATISTICS\\s*;?\\s*$").r
+  private val CreateTagRe =
+    ("(?is)^\\s*CREATE\\s+TAG\\s+(\\w+)\\s+ON\\s+" + Tbl +
+      "(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?\\s*;?\\s*$").r
+  private val DropTagRe =
+    ("(?is)^\\s*DROP\\s+TAG\\s+(\\w+)\\s+ON\\s+" + Tbl + "\\s*;?\\s*$").r
   // NOTE: ANALYZE is deliberately NOT in LeadRe — a non-graft-shaped
   // `ANALYZE TABLE hive_t COMPUTE STATISTICS` must fall through to
   // Spark's own grammar untouched; only the exact graft-path form is
@@ -112,7 +117,7 @@ object GraftSqlParser {
   private val LeadRe =
     ("(?is)^\\s*(VACUUM|OPTIMIZE|DESCRIBE\\s+HISTORY|DESCRIBE\\s+CHANGES" +
       "|DESCRIBE\\s+DETAIL|RESTORE|CREATE\\s+MATERIALIZED" +
-      "|REFRESH\\s+MATERIALIZED)\\b.*").r
+      "|REFRESH\\s+MATERIALIZED|CREATE\\s+TAG|DROP\\s+TAG)\\b.*").r
 
   /** True iff the statement carries a graft-shaped table reference —
     * an explicit `graft.` catalog prefix, or a backquoted/quoted
@@ -157,6 +162,11 @@ object GraftSqlParser {
         Some(RestoreCommand(Option(bq).getOrElse(q), to.toInt))
       case AnalyzeRe(bq, q) =>
         Some(AnalyzeCommand(Option(bq).getOrElse(q)))
+      case CreateTagRe(name, bq, q, ver) =>
+        Some(CreateTagCommand(Option(bq).getOrElse(q), name,
+          Option(ver).map(_.toInt)))
+      case DropTagRe(name, bq, q) =>
+        Some(DropTagCommand(Option(bq).getOrElse(q), name))
       case LeadRe(kw) if GraftShapedRe.matches(sqlText) =>
         throw new IllegalArgumentException(
         s"malformed graft maintenance statement (keyword ${kw.toUpperCase}): " +
@@ -168,7 +178,8 @@ object GraftSqlParser {
           "DESCRIBE DETAIL <tbl> | RESTORE <tbl> VERSION AS OF <n> | " +
           "CREATE MATERIALIZED VIEW <tbl> KEY <srcKey> AS SELECT <g>, COUNT(*) " +
           "AS cnt, SUM(<v>) AS sum_value FROM <tbl> GROUP BY <g> | " +
-          "REFRESH MATERIALIZED VIEW <tbl> " +
+          "REFRESH MATERIALIZED VIEW <tbl> | CREATE TAG <name> ON <tbl> " +
+          "[AS OF VERSION <n>] | DROP TAG <name> ON <tbl> " +
           "where <tbl> = graft.`/path` | `/path` | '/path'")
       case _ => None
     }
@@ -362,6 +373,35 @@ object GraftSqlParser {
     }
   }
 
+  /** `CREATE TAG <name> ON <tbl> [AS OF VERSION <n>]` — pin a
+    * SNAPSHOT TAG (Iceberg's named ref): `VERSION AS OF '<name>'`
+    * travels to the pinned epoch, and VACUUM keeps that epoch alive
+    * regardless of its keep-newest window until the tag drops — the
+    * audit/reproducibility pin (tag the epoch a model trained on). */
+  final case class CreateTagCommand(path: String, tag: String,
+                                    version: Option[Int])
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("path", StringType), attr("tag", StringType),
+      attr("epoch", IntegerType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val e = ManifestSink.createTag(spark, path, tag, version)
+      Seq(Row(path, tag, e))
+    }
+  }
+
+  /** `DROP TAG <name> ON <tbl>` — release the pin; the epoch rejoins
+    * the ordinary retention window at the next VACUUM. */
+  final case class DropTagCommand(path: String, tag: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("path", StringType), attr("tag", StringType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      ManifestSink.dropTag(spark, path, tag)
+      Seq(Row(path, tag))
+    }
+  }
+
   /** `DESCRIBE CHANGES` — the change data feed as a command
     * (Delta's `table_changes`): row-level insert/delete/update-pair
     * changes of epochs (from, to], computed from the manifest delta
@@ -432,8 +472,12 @@ object GraftSqlParser {
       val statsCols = stats.map(_.map(_.getString(1))
         .filterNot(_.startsWith("__")).distinct.sorted.mkString(","))
         .filter(_.nonEmpty).orNull
+      // the one layout slot: bucket as "col:n", time as "unit(col)"
       val bucket = ManifestSink.bucketSpec(spark, path, e)
-        .map(b => s"${b.keyCol}:${b.numBuckets}").orNull
+        .map(b => s"${b.keyCol}:${b.numBuckets}")
+        .orElse(ManifestSink.ptimeSpec(spark, path, e)
+          .map(t => s"${t.unit}(${t.col})"))
+        .orNull
       Seq(Row(path, e, entries.size, bytes, nRows, statsCols, bucket,
         ManifestSink.commitDv(spark, path, e).isDefined.toString))
     }

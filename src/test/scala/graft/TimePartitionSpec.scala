@@ -169,6 +169,9 @@ class TimePartitionSpec extends SparkTestBase {
     val spec = ManifestSink.ptimeSpec(spark, root, e2)
     assert(spec.exists(s => s.col == "ts" && s.unit == "days"))
     assert(spark.table(s"graft.`$root`").count() == ev.count())
+    // DESCRIBE DETAIL reports the layout slot as unit(col)
+    assert(spark.sql(s"DESCRIBE DETAIL graft.`$root`")
+      .collect()(0).getString(6) == "days(ts)")
     // the sidecar pins the layout: a future INSERT lays out the batch
     Tables.events(spark, sf)
       .select(col("event_id"), col("ts"), col("value"))
