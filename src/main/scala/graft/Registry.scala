@@ -3700,6 +3700,56 @@ object Registry {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
         |  min(event_id) AS lo, max(event_id) AS hi, TRUE AS tp_ok
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin),
+    // WRITE-AUDIT-PUBLISH (round 15 — Iceberg's `spark.wap.id`
+    // discipline): an INSERT under `spark.graft.wap.id` STAGES its
+    // epoch (data written, layout applied, constraints audited) but
+    // publishes NOTHING — readers keep the pre-stage snapshot; the
+    // staged increment audits as the `@wap:<id>` table (composable,
+    // joins against the live table); `PUBLISH WAP <id>` commits it in
+    // ONE CAS, rebasing through racing appends with the live-INSERT
+    // ladder (staged files reused verbatim, constraints re-audited
+    // per rebase); `DROP WAP` discards to vacuum debris. wap_ok gates
+    // pre-publish invisibility, the audit count, and the publish
+    // landing ABOVE a racing live insert with all rows intact.
+    "q_catalog_wap" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cwap_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 200).createOrReplaceTempView("cwap_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cwap_src")
+        s.conf.set("spark.graft.wap.id", "b2")
+        try s.sql(s"INSERT INTO graft.`$root` SELECT event_id + 1000, " +
+          "user_id, value FROM cwap_src WHERE event_id < 100")
+        finally s.conf.unset("spark.graft.wap.id")
+        val invisible =
+          s.table(s"graft.`$root`").count() == 200L &&
+          graft.sink.ManifestSink.currentEpoch(s, root) == 1
+        val auditOk = s.sql(s"SELECT count(*) AS c, min(event_id) AS lo " +
+          s"FROM graft.`$root@wap:b2`").collect()(0) match {
+          case r => r.getLong(0) == 100L && r.getLong(1) == 1000L
+        }
+        // a LIVE insert races past the stage before it publishes
+        s.sql(s"INSERT INTO graft.`$root` SELECT event_id + 2000, user_id, " +
+          "value FROM cwap_src WHERE event_id < 50")
+        val pub = s.sql(s"PUBLISH WAP b2 ON graft.`$root`").collect()(0)
+        val wapOk = invisible && auditOk && pub.getInt(2) == 3
+        s.sql(s"""SELECT event_id, user_id, value FROM graft.`$root`
+                 |ORDER BY event_id""".stripMargin)
+          .withColumn("wap_ok", lit(wapOk))
+      },
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, value, TRUE AS wap_ok FROM events
+        |  WHERE event_id < 200
+        |  UNION ALL
+        |  SELECT event_id + 1000, user_id, value, TRUE FROM events
+        |  WHERE event_id < 100
+        |  UNION ALL
+        |  SELECT event_id + 2000, user_id, value, TRUE FROM events
+        |  WHERE event_id < 50
+        |) ORDER BY event_id""".stripMargin),
     // METADATA TABLES (round 15 — Iceberg's inspection surface,
     // `db.t.files`/`partitions`/`history`, spelled with the same
     // `@`-suffix convention as `@changes`): committed metadata served

@@ -140,6 +140,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       if (!existsAsTable(dir)) throw new NoSuchTableException(baseIdent)
       return new GraftChangesTable(dir, ident.toString, keySpec, fromSpec, toSpec)
     }
+    // `@wap:<id>` — audit a staged write-audit-publish increment
+    // before publishing it (see [[GraftWapTable]])
+    if (ident.name.contains("@wap:")) {
+      val at = ident.name.lastIndexOf("@wap:")
+      val (base, id) = (ident.name.substring(0, at),
+        ident.name.substring(at + "@wap:".length))
+      require(id.nonEmpty, "want @wap:<id>")
+      val baseIdent = Identifier.of(ident.namespace, base)
+      val dir = dirOf(baseIdent)
+      if (!existsAsTable(dir)) throw new NoSuchTableException(baseIdent)
+      return new GraftWapTable(dir, ident.toString, id)
+    }
     // `@files` / `@partitions` / `@history` — the metadata-only
     // inspection surface (see [[GraftMetaTable]])
     if (GraftMetaTable.Kinds.exists(k => ident.name.contains(s"@$k"))) {
@@ -862,7 +874,7 @@ object GraftTable {
     * Shared by the INSERT, streaming toTable, and row-level rewrite
     * commit paths; `only` (when non-null) audits that explicit list
     * instead of the sidecar — the ADD CONSTRAINT existing-data pass. */
-  private[catalog] def auditConstraints(spark: SparkSession, dir: String,
+  private[graft] def auditConstraints(spark: SparkSession, dir: String,
                                         freshRelFiles: Seq[String],
                                         only: Seq[(String, String)] = null): Unit = {
     val cs = Option(only).getOrElse(readConstraints(spark, dir))
@@ -916,6 +928,21 @@ object GraftTable {
       try out.write(body.getBytes("UTF-8")) finally out.close()
     }
   }
+
+  /** WRITE-AUDIT-PUBLISH registry (Iceberg's `spark.wap.id`
+    * discipline, session-scoped): an INSERT running under
+    * `spark.graft.wap.id = '<id>'` STAGES its epoch — data files
+    * written, constraints audited, manifest/stats prepared — but does
+    * NOT publish; the staged increment is auditable as
+    * `graft.`/p@wap:<id>`` and becomes reader-visible only at
+    * `PUBLISH WAP <id> ON <tbl>` (one commit CAS, rebasing through
+    * racing appends exactly like a live INSERT). `DROP WAP` discards;
+    * the stage becomes vacuum-sweepable debris. Keyed (table dir,
+    * wap id); holds the staged descriptor plus the schema observed at
+    * stage time (the rebase drift guard). */
+  private[graft] val pendingWap =
+    new scala.collection.concurrent.TrieMap[(String, String),
+      (graft.sink.ManifestSink.Staged, Option[String])]
 
   /** Planning evidence for specs: manifest files the LAST catalog scan
     * planned over, after skipping. */
@@ -1190,6 +1217,30 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
   private def insertImpl(data: DataFrame, overwrite: Boolean): Unit = {
     val bucket = declaredBucket
     val ptime = declaredPtime
+    // WRITE-AUDIT-PUBLISH (Iceberg's spark.wap.id): under a session
+    // wap id, the INSERT stages — full layout, stats, constraint
+    // audit — and registers instead of committing; readers see
+    // nothing until PUBLISH WAP. Appends only (a staged OVERWRITE
+    // would pin a whole-snapshot decision to publish-time state).
+    spark.conf.getOption("spark.graft.wap.id").filter(_.nonEmpty) match {
+      case Some(id) =>
+        require(!overwrite,
+          "write-audit-publish supports INSERT INTO (append) only; " +
+            "unset spark.graft.wap.id for INSERT OVERWRITE")
+        val cur = currentOpt
+        val next = cur.getOrElse(0) + 1
+        val curSchema = cur.flatMap(e => ManifestSink.commitSchema(spark, dir, e))
+        require(curSchema.forall(s => !graft.sink.ColumnMapping.hasMapping(s)),
+          "write-audit-publish on a column-mapped table is not supported")
+        val st = ManifestSink.stageAppend(data, dir, next,
+          statsColsOf(data.schema), unique = true, bucket = bucket,
+          ptime = ptime)
+        GraftTable.auditConstraints(spark, dir,
+          st.relFiles.filter(_.startsWith(s"data-epoch=$next-")))
+        GraftTable.pendingWap.put((dir, id), (st, curSchema.map(_.json)))
+        return
+      case None => ()
+    }
     var attempts = 0
     var committed = false
     // a lost CAS race REBASES the already-staged files onto the new

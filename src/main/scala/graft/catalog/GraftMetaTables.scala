@@ -197,3 +197,55 @@ object GraftMetaTable {
     }
   }
 }
+
+/** The `@wap:<id>` AUDIT TABLE — read the staged increment of a
+  * write-audit-publish INSERT before publishing it: exactly the fresh
+  * files the stage wrote (real parquet under the table root's
+  * attempt-unique dir, invisible to every ordinary read until
+  * `PUBLISH WAP`), served as ordinary distributed parquet partitions.
+  * This is the "audit" leg of Iceberg's WAP discipline: data-quality
+  * queries run against `graft.`/p@wap:<id>`` (counts, constraint
+  * probes, joins against the live table), then the write publishes or
+  * drops. */
+final class GraftWapTable(dir: String, ident: String, wapId: String)
+  extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def staged: ManifestSink.Staged =
+    GraftTable.pendingWap.get((dir, wapId)).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"no staged WAP write '$wapId' on $dir in this session"))
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    staged.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(ManifestSink.read(spark, dir).schema)
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val st = staged
+    val sch = schema()
+    val freshMark = s"-a${st.token}/"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = st.relFiles.filter(_.contains(freshMark))
+      .map(r => fsys.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$r")))
+    new ScanBuilder {
+      override def build(): Scan =
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+          spark,
+          spark.sessionState.newHadoopConfWithOptions(Map.empty),
+          new graft.sink.StaticFileIndex(spark,
+            new org.apache.hadoop.fs.Path(dir), statuses),
+          dataSchema = sch,
+          readDataSchema = sch,
+          readPartitionSchema = StructType(Nil),
+          pushedFilters = Array.empty,
+          options = CaseInsensitiveStringMap.empty())
+    }
+  }
+}

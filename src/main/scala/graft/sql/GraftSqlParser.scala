@@ -110,6 +110,10 @@ object GraftSqlParser {
       "(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?\\s*;?\\s*$").r
   private val DropTagRe =
     ("(?is)^\\s*DROP\\s+TAG\\s+(\\w+)\\s+ON\\s+" + Tbl + "\\s*;?\\s*$").r
+  private val PublishWapRe =
+    ("(?is)^\\s*PUBLISH\\s+WAP\\s+(\\w+)\\s+ON\\s+" + Tbl + "\\s*;?\\s*$").r
+  private val DropWapRe =
+    ("(?is)^\\s*DROP\\s+WAP\\s+(\\w+)\\s+ON\\s+" + Tbl + "\\s*;?\\s*$").r
   // NOTE: ANALYZE is deliberately NOT in LeadRe — a non-graft-shaped
   // `ANALYZE TABLE hive_t COMPUTE STATISTICS` must fall through to
   // Spark's own grammar untouched; only the exact graft-path form is
@@ -117,7 +121,8 @@ object GraftSqlParser {
   private val LeadRe =
     ("(?is)^\\s*(VACUUM|OPTIMIZE|DESCRIBE\\s+HISTORY|DESCRIBE\\s+CHANGES" +
       "|DESCRIBE\\s+DETAIL|RESTORE|CREATE\\s+MATERIALIZED" +
-      "|REFRESH\\s+MATERIALIZED|CREATE\\s+TAG|DROP\\s+TAG)\\b.*").r
+      "|REFRESH\\s+MATERIALIZED|CREATE\\s+TAG|DROP\\s+TAG" +
+      "|PUBLISH\\s+WAP|DROP\\s+WAP)\\b.*").r
 
   /** True iff the statement carries a graft-shaped table reference —
     * an explicit `graft.` catalog prefix, or a backquoted/quoted
@@ -167,6 +172,10 @@ object GraftSqlParser {
           Option(ver).map(_.toInt)))
       case DropTagRe(name, bq, q) =>
         Some(DropTagCommand(Option(bq).getOrElse(q), name))
+      case PublishWapRe(id, bq, q) =>
+        Some(PublishWapCommand(Option(bq).getOrElse(q), id))
+      case DropWapRe(id, bq, q) =>
+        Some(DropWapCommand(Option(bq).getOrElse(q), id))
       case LeadRe(kw) if GraftShapedRe.matches(sqlText) =>
         throw new IllegalArgumentException(
         s"malformed graft maintenance statement (keyword ${kw.toUpperCase}): " +
@@ -179,7 +188,8 @@ object GraftSqlParser {
           "CREATE MATERIALIZED VIEW <tbl> KEY <srcKey> AS SELECT <g>, COUNT(*) " +
           "AS cnt, SUM(<v>) AS sum_value FROM <tbl> GROUP BY <g> | " +
           "REFRESH MATERIALIZED VIEW <tbl> | CREATE TAG <name> ON <tbl> " +
-          "[AS OF VERSION <n>] | DROP TAG <name> ON <tbl> " +
+          "[AS OF VERSION <n>] | DROP TAG <name> ON <tbl> | " +
+          "PUBLISH WAP <id> ON <tbl> | DROP WAP <id> ON <tbl> " +
           "where <tbl> = graft.`/path` | `/path` | '/path'")
       case _ => None
     }
@@ -399,6 +409,67 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       ManifestSink.dropTag(spark, path, tag)
       Seq(Row(path, tag))
+    }
+  }
+
+  /** `PUBLISH WAP <id> ON <tbl>` — make a write-audit-publish stage
+    * reader-visible: ONE commit-marker CAS, rebasing through racing
+    * appends with the same ladder a live INSERT uses (staged files
+    * reused verbatim; the fresh files re-audit against the constraint
+    * set as of each rebase, so a constraint added between stage and
+    * publish rejects the publish rather than letting un-audited rows
+    * through). A stage the rebase cannot carry (schema moved, vacuum
+    * swept it) fails loudly — re-run the write under the wap id. */
+  final case class PublishWapCommand(path: String, id: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("path", StringType), attr("wap_id", StringType),
+      attr("epoch", IntegerType), attr("n_files", IntegerType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val key = (path, id)
+      val (staged0, observedSchema) =
+        graft.catalog.GraftTable.pendingWap.getOrElse(key,
+          throw new IllegalArgumentException(
+            s"no staged WAP write '$id' on $path in this session"))
+      var staged = staged0
+      var attempts = 0
+      var committed = false
+      while (!committed) {
+        try {
+          ManifestSink.commitStaged(spark, staged)
+          committed = true
+        } catch {
+          case c: ManifestSink.ManifestConflictException =>
+            attempts += 1
+            if (attempts >= ManifestSink.commitMaxRetries(spark)) throw c
+            staged = ManifestSink.rebaseStagedInsert(spark, staged,
+              overwrite = false, observedSchema).getOrElse(
+              throw new IllegalStateException(
+                s"WAP stage '$id' on $path cannot be rebased (the table's " +
+                  "schema moved or a vacuum swept the stage); re-run the " +
+                  "write under spark.graft.wap.id"))
+            // constraint set may have moved since the stage: re-audit
+            // the fresh files as of the rebase (the insert discipline)
+            graft.catalog.GraftTable.auditConstraints(spark, path,
+              staged.relFiles.filter(_.contains(s"-a${staged.token}/")))
+        }
+      }
+      graft.catalog.GraftTable.pendingWap.remove(key)
+      Seq(Row(path, id, staged.epoch, staged.relFiles.size))
+    }
+  }
+
+  /** `DROP WAP <id> ON <tbl>` — discard a staged write-audit-publish
+    * epoch; its files become vacuum-sweepable debris. */
+  final case class DropWapCommand(path: String, id: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("path", StringType), attr("wap_id", StringType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val removed = graft.catalog.GraftTable.pendingWap.remove((path, id))
+      require(removed.isDefined,
+        s"no staged WAP write '$id' on $path in this session")
+      Seq(Row(path, id))
     }
   }
 

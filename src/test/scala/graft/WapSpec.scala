@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.GraftCatalog
+import graft.sink.ManifestSink
+
+/** WRITE-AUDIT-PUBLISH (Iceberg's `spark.wap.id` discipline): an
+  * INSERT under `spark.graft.wap.id` stages its epoch without
+  * publishing; `@wap:<id>` audits the staged increment; PUBLISH WAP
+  * makes it visible in one CAS (rebasing through racing appends with
+  * the live-INSERT ladder, re-auditing constraints per rebase);
+  * DROP WAP discards to vacuum-sweepable debris. */
+class WapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ensureCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+
+  private def withWap[T](id: String)(body: => T): T = {
+    spark.conf.set("spark.graft.wap.id", id)
+    try body finally spark.conf.unset("spark.graft.wap.id")
+  }
+
+  test("stage is invisible, auditable via @wap, publish makes it one epoch") {
+    ensureCatalog()
+    val root = tmpDir("wap_a_") + "/t"
+    (0 until 50).map(i => (i.toLong, i * 1.5)).toDF("k", "v")
+      .createOrReplaceTempView("wap_src")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM wap_src")
+    withWap("batch7") {
+      spark.sql(s"INSERT INTO graft.`$root` SELECT k + 100, v FROM wap_src")
+    }
+    // nothing published: the table still reads epoch 1
+    assert(spark.table(s"graft.`$root`").count() == 50L)
+    assert(ManifestSink.currentEpoch(spark, root) == 1)
+    // the audit leg: the staged INCREMENT is a queryable table
+    val audit = spark.sql(s"SELECT count(*) AS c, min(k) AS lo " +
+      s"FROM graft.`$root@wap:batch7`").collect()(0)
+    assert(audit.getLong(0) == 50L && audit.getLong(1) == 100L)
+    // audit JOINs against the live table compose
+    val overlap = spark.sql(
+      s"""SELECT count(*) AS c FROM graft.`$root@wap:batch7` w
+         |JOIN graft.`$root` t ON w.k = t.k""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(overlap == 0L)
+    // publish: one epoch, all rows visible
+    val pub = spark.sql(s"PUBLISH WAP batch7 ON graft.`$root`").collect()(0)
+    assert(pub.getInt(2) == 2)
+    assert(spark.table(s"graft.`$root`").count() == 100L)
+    // the registry entry is consumed
+    intercept[Exception] {
+      spark.sql(s"PUBLISH WAP batch7 ON graft.`$root`").collect()
+    }
+  }
+
+  test("publish rebases through a racing INSERT; constraint added mid-flight rejects") {
+    ensureCatalog()
+    val root = tmpDir("wap_r_") + "/t"
+    (0 until 30).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("wap_r_src")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM wap_r_src")
+    withWap("race1") {
+      spark.sql(s"INSERT INTO graft.`$root` SELECT k + 100, v FROM wap_r_src")
+    }
+    // a LIVE insert races past the stage: epoch 2 commits
+    spark.sql(s"INSERT INTO graft.`$root` SELECT k + 200, v FROM wap_r_src")
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+    // publish rebases the staged files onto epoch 3 — data intact
+    val pub = spark.sql(s"PUBLISH WAP race1 ON graft.`$root`").collect()(0)
+    assert(pub.getInt(2) == 3)
+    assert(spark.table(s"graft.`$root`").count() == 90L)
+
+    // a constraint added between stage and publish must REJECT a
+    // violating stage at publish time (the carry-epoch + rebase
+    // re-audit discipline)
+    withWap("race2") {
+      spark.sql(s"INSERT INTO graft.`$root` SELECT k + 900, -5.0 FROM wap_r_src")
+    }
+    spark.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT nonneg CHECK (v >= 0)")
+    intercept[Exception] {
+      spark.sql(s"PUBLISH WAP race2 ON graft.`$root`").collect()
+    }
+    // the rejected stage stays unpublished
+    assert(spark.table(s"graft.`$root`").filter(col("v") < 0).count() == 0L)
+  }
+
+  test("DROP WAP discards; vacuum sweeps the orphan stage") {
+    ensureCatalog()
+    val root = tmpDir("wap_d_") + "/t"
+    (0 until 20).map(i => (i.toLong, i.toString)).toDF("k", "v")
+      .createOrReplaceTempView("wap_d_src")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM wap_d_src")
+    withWap("oops") {
+      spark.sql(s"INSERT INTO graft.`$root` SELECT k + 50, v FROM wap_d_src")
+    }
+    spark.sql(s"DROP WAP oops ON graft.`$root`")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$root@wap:oops`").collect()
+    }
+    // the staged dir is debris — but the orphan sweep is EPOCH-BOUNDED
+    // (never claims dirs above the current epoch: an in-flight writer
+    // necessarily stages there), so it survives until the table
+    // advances past the staged epoch
+    def orphans: Seq[String] = ManifestSink.orphanFiles(spark, root)
+    assert(orphans.nonEmpty)
+    ManifestSink.vacuum(spark, root, keep = 2, orphanGraceMs = 0L)
+    assert(orphans.nonEmpty, "an above-current stage is never swept")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT k + 70, v FROM wap_d_src")
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+    ManifestSink.vacuum(spark, root, keep = 2, orphanGraceMs = 0L)
+    assert(orphans.isEmpty, "a dropped WAP stage must vacuum away " +
+      "once the table advances past its epoch")
+    assert(spark.table(s"graft.`$root`").count() == 40L)
+  }
+}
