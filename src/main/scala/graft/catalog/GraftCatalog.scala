@@ -944,6 +944,110 @@ object GraftTable {
     new scala.collection.concurrent.TrieMap[(String, String),
       (graft.sink.ManifestSink.Staged, Option[String])]
 
+  /** CROSS-SESSION WAP: the stage also persists a descriptor under
+    * the table root (`_WAP/<id>` — scalars only; the stats table is
+    * already on disk as the stage's `stats-<epoch>.<token>` parquet),
+    * so PUBLISH/DROP/`@wap` audit work from ANY session, not just the
+    * staging one. The in-memory registry stays the fast path; the
+    * descriptor is the durable one. */
+  private def wapPath(dir: String, id: String) =
+    new Path(new Path(dir, "_WAP"), id)
+
+  private[graft] def writeWapDescriptor(spark: SparkSession, dir: String,
+                                        id: String,
+                                        st: graft.sink.ManifestSink.Staged,
+                                        observed: Option[String]): Unit = {
+    val body = new StringBuilder()
+    body.append(s"epoch=${st.epoch}\n")
+    body.append(s"token=${st.token}\n")
+    body.append(s"stats=${st.stats.isDefined}\n")
+    st.schemaJson.foreach(s => body.append(s"schema=$s\n"))
+    observed.foreach(s => body.append(s"observed=$s\n"))
+    st.dvs.foreach { case (rel, k) =>
+      body.append(s"dv=${escJson(rel)}\t${escJson(k)}\n") }
+    st.relFiles.foreach { r =>
+      val sz = st.sizes.getOrElse(r, -1L)
+      val fe = st.fileEpochs.getOrElse(r, st.epoch)
+      body.append(s"file=${escJson(r)}\t$sz\t$fe\n")
+    }
+    val p = wapPath(dir, id)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readWapDescriptor(spark: SparkSession, dir: String,
+                                id: String)
+      : Option[(graft.sink.ManifestSink.Staged, Option[String])] = {
+    val p = wapPath(dir, id)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return None
+    val text = {
+      val in = f.open(p)
+      try {
+        val sz = f.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](sz); in.readFully(buf); new String(buf, "UTF-8")
+      } finally in.close()
+    }
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    def one(k: String): Option[String] =
+      lines.find(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
+    for {
+      epoch <- one("epoch").flatMap(_.toIntOption)
+      token <- one("token")
+    } yield {
+      val files = lines.filter(_.startsWith("file=")).map { l =>
+        val Array(r, sz, fe) = l.drop(5).split("\t", 3)
+        (unescJson(r), sz.toLong, fe.toInt)
+      }
+      val dvs = lines.filter(_.startsWith("dv=")).map { l =>
+        val Array(r, k) = l.drop(3).split("\t", 2)
+        (unescJson(r), unescJson(k))
+      }
+      // the stats table was written at stage time; rebuild it as an
+      // IN-MEMORY frame (bounded: O(files x stats cols)) so the
+      // publish-time stats write never reads the path it overwrites
+      val statsPath = s"$dir/stats-$epoch.$token"
+      val sp = new Path(statsPath)
+      val hadStats = one("stats").contains("true")
+      require(!hadStats || f.exists(sp),
+        s"WAP stage '$id' on $dir staged a stats table that is gone " +
+          "(a vacuum or a crashed publish swept it); re-run the write " +
+          "under spark.graft.wap.id")
+      val stats =
+        if (!f.exists(sp)) None
+        else {
+          val read = spark.read.parquet(statsPath)
+          val rows = read.collect().toSeq
+          Some(spark.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+            read.schema))
+        }
+      (graft.sink.ManifestSink.Staged(dir, epoch, token,
+        files.map(_._1).sorted, stats, one("schema"), dvs,
+        files.collect { case (r, sz, _) if sz >= 0 => r -> sz }.toMap,
+        files.map { case (r, _, fe) => r -> fe }.toMap),
+        one("observed"))
+    }
+  }
+
+  /** Resolve a staged WAP write: registry (this session's stages)
+    * first, descriptor (any session's) second. */
+  private[graft] def wapStaged(spark: SparkSession, dir: String, id: String)
+      : Option[(graft.sink.ManifestSink.Staged, Option[String])] =
+    pendingWap.get((dir, id)).orElse(readWapDescriptor(spark, dir, id))
+
+  /** Forget a staged WAP write everywhere (registry + descriptor).
+    * Returns true iff it existed in either place. */
+  private[graft] def removeWap(spark: SparkSession, dir: String,
+                               id: String): Boolean = {
+    val inMem = pendingWap.remove((dir, id)).isDefined
+    val p = wapPath(dir, id)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = f.exists(p) && f.delete(p, false)
+    inMem || onDisk
+  }
+
   /** Planning evidence for specs: manifest files the LAST catalog scan
     * planned over, after skipping. */
   @volatile var lastPlannedFiles: Int = -1
@@ -1238,6 +1342,12 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
         GraftTable.auditConstraints(spark, dir,
           st.relFiles.filter(_.startsWith(s"data-epoch=$next-")))
         GraftTable.pendingWap.put((dir, id), (st, curSchema.map(_.json)))
+        // durable leg: the stats table lands on disk NOW (the name
+        // commitStaged will claim) and the descriptor records the
+        // scalars, so any session can audit/publish/drop this stage
+        st.stats.foreach(_.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/stats-${st.epoch}.${st.token}"))
+        GraftTable.writeWapDescriptor(spark, dir, id, st, curSchema.map(_.json))
         return
       case None => ()
     }

@@ -213,9 +213,9 @@ final class GraftWapTable(dir: String, ident: String, wapId: String)
   private def spark: SparkSession = SparkSession.active
 
   private def staged: ManifestSink.Staged =
-    GraftTable.pendingWap.get((dir, wapId)).map(_._1).getOrElse(
+    GraftTable.wapStaged(spark, dir, wapId).map(_._1).getOrElse(
       throw new IllegalArgumentException(
-        s"no staged WAP write '$wapId' on $dir in this session"))
+        s"no staged WAP write '$wapId' on $dir"))
 
   override def name(): String = ident
 

@@ -426,11 +426,10 @@ object GraftSqlParser {
       attr("path", StringType), attr("wap_id", StringType),
       attr("epoch", IntegerType), attr("n_files", IntegerType))
     override def run(spark: SparkSession): Seq[Row] = {
-      val key = (path, id)
       val (staged0, observedSchema) =
-        graft.catalog.GraftTable.pendingWap.getOrElse(key,
+        graft.catalog.GraftTable.wapStaged(spark, path, id).getOrElse(
           throw new IllegalArgumentException(
-            s"no staged WAP write '$id' on $path in this session"))
+            s"no staged WAP write '$id' on $path"))
       var staged = staged0
       var attempts = 0
       var committed = false
@@ -454,7 +453,7 @@ object GraftSqlParser {
               staged.relFiles.filter(_.contains(s"-a${staged.token}/")))
         }
       }
-      graft.catalog.GraftTable.pendingWap.remove(key)
+      graft.catalog.GraftTable.removeWap(spark, path, id)
       Seq(Row(path, id, staged.epoch, staged.relFiles.size))
     }
   }
@@ -466,9 +465,8 @@ object GraftSqlParser {
     override val output: Seq[Attribute] = Seq(
       attr("path", StringType), attr("wap_id", StringType))
     override def run(spark: SparkSession): Seq[Row] = {
-      val removed = graft.catalog.GraftTable.pendingWap.remove((path, id))
-      require(removed.isDefined,
-        s"no staged WAP write '$id' on $path in this session")
+      require(graft.catalog.GraftTable.removeWap(spark, path, id),
+        s"no staged WAP write '$id' on $path")
       Seq(Row(path, id))
     }
   }

@@ -85,6 +85,43 @@ class WapSpec extends SparkTestBase {
     assert(spark.table(s"graft.`$root`").filter(col("v") < 0).count() == 0L)
   }
 
+  test("cross-session WAP: a fresh session audits and publishes from the descriptor") {
+    ensureCatalog()
+    val root = tmpDir("wap_x_") + "/t"
+    (0 until 40).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .createOrReplaceTempView("wap_x_src")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM wap_x_src")
+    withWap("handoff") {
+      spark.sql(s"INSERT INTO graft.`$root` SELECT k + 100, v FROM wap_x_src")
+    }
+    // simulate a NEW session: the staging session's registry is gone;
+    // only the durable descriptor + staged files remain
+    graft.catalog.GraftTable.pendingWap.clear()
+    val audit = spark.sql(s"SELECT count(*) AS c FROM graft.`$root@wap:handoff`")
+      .collect()(0).getLong(0)
+    assert(audit == 40L, "audit must serve from the durable descriptor")
+    val pub = spark.sql(s"PUBLISH WAP handoff ON graft.`$root`").collect()(0)
+    assert(pub.getInt(2) == 2)
+    assert(spark.table(s"graft.`$root`").count() == 80L)
+    // zone maps survived the handoff: a range scan on the published
+    // table still prunes files (stats committed with the publish)
+    val (_, hit, all) = ManifestSink.readRangePruned(spark, root, "k", 0L, 5L)
+    assert(hit < all, s"expected pruning on the published table: $hit/$all")
+    // the descriptor is consumed with the publish
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$root@wap:handoff`").collect()
+    }
+    // drop-from-descriptor works the same way
+    withWap("drop_x") {
+      spark.sql(s"INSERT INTO graft.`$root` SELECT k + 900, v FROM wap_x_src")
+    }
+    graft.catalog.GraftTable.pendingWap.clear()
+    spark.sql(s"DROP WAP drop_x ON graft.`$root`")
+    intercept[Exception] {
+      spark.sql(s"PUBLISH WAP drop_x ON graft.`$root`").collect()
+    }
+  }
+
   test("DROP WAP discards; vacuum sweeps the orphan stage") {
     ensureCatalog()
     val root = tmpDir("wap_d_") + "/t"
