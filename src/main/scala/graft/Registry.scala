@@ -3533,7 +3533,7 @@ object Registry {
           } catch {
             case t: Throwable =>
               (t.getMessage != null && t.getMessage.contains("appended")) ||
-                (t.getCause != null &&
+                (t.getCause != null && t.getCause.getMessage != null &&
                   t.getCause.getMessage.contains("appended"))
           } finally graft.catalog.GraftTable.replaceCommitRaceHook = None
         val concOk = pinnedOk && after.intersect(before).nonEmpty &&

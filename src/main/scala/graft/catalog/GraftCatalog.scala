@@ -1173,9 +1173,15 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     * identity cannot be null (Spark's delta row-level API requires
     * non-nullable row IDs, inserts of a null key now fail the write
     * check, and the DV anti-join's null semantics never trigger). */
+  // resolved once per table instance (schema() is the hottest
+  // metadata accessor — a per-call sidecar read would cost two
+  // object-store RPCs per analysis-time reference)
+  private lazy val declaredMergeKey: Option[String] =
+    GraftTable.readProps(spark, dir).get("graft.mergeKey")
+
   override def schema(): StructType = {
     val base = graft.sink.ColumnMapping.stripMapping(mappedSchema)
-    GraftTable.readProps(spark, dir).get("graft.mergeKey") match {
+    declaredMergeKey match {
       case Some(k) if base.fieldNames.contains(k) =>
         StructType(base.fields.map(f =>
           if (f.name == k) f.copy(nullable = false) else f))
@@ -1270,12 +1276,28 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     * the whole SQL surface (SELECT, VERSION/TIMESTAMP AS OF across DV
     * generations, joins, streams of the compacted state) stays live
     * between a takedown and its materializing compaction. */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val e = resolvedEpoch.getOrElse(throw new IllegalStateException(
-      s"graft table $dir has no committed epoch yet"))
-    new GraftScanBuilder(spark, dir, e, mappedSchema, readOptions = options,
-      dvs = ManifestSink.commitDvs(spark, dir, e))
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    resolvedEpoch match {
+      case Some(e) =>
+        new GraftScanBuilder(spark, dir, e, mappedSchema, readOptions = options,
+          dvs = ManifestSink.commitDvs(spark, dir, e))
+      case None =>
+        // created-but-never-written: logically EMPTY (the Delta
+        // semantics) — a plain SELECT, a join, or Spark's own
+        // ADD CONSTRAINT validation scan over a fresh table plans
+        // zero rows instead of erroring
+        val sch = graft.sink.ColumnMapping.stripMapping(mappedSchema)
+        new ScanBuilder {
+          override def build(): org.apache.spark.sql.connector.read.Scan =
+            new org.apache.spark.sql.connector.read.LocalScan {
+              override def readSchema(): StructType = sch
+              override def rows(): Array[org.apache.spark.sql.catalyst
+                .InternalRow] = Array.empty
+              override def description(): String =
+                s"GraftEmptyScan($dir: no committed epoch)"
+            }
+        }
+    }
 
   /** All-column zone maps for SQL-written epochs: every integral,
     * string, timestamp, and date top-level column gets per-file

@@ -2830,6 +2830,12 @@ object ManifestSink {
   def createTag(spark: SparkSession, root: String, name: String,
                 epoch: Option[Int] = None): Int = {
     require(name.matches("\\w+"), s"tag names are word-shaped; got '$name'")
+    // an all-digit tag would be shadowed by epoch-number travel
+    // (VERSION AS OF '7' parses as epoch 7 before tag lookup) —
+    // refuse it rather than create an unreachable pin
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits and would be read as an epoch " +
+        "number by VERSION AS OF; pick a name with a letter")
     val cur = currentEpoch(spark, root)
     val e = epoch.getOrElse(cur)
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -2847,6 +2853,28 @@ object ManifestSink {
     val tags = readTags(spark, root)
     require(tags.contains(name), s"no tag '$name' on $root")
     writeTags(spark, root, tags - name)
+  }
+
+  /** Live write-audit-publish stages: (epoch, token) per `_WAP/<id>`
+    * descriptor (written by the catalog's WAP stage path). Vacuum
+    * consults this so a pending cross-session stage — its
+    * `stats-<epoch>.<token>` parquet and its `data-epoch=<e>-a<token>/`
+    * files — is RETENTION-EXEMPT until the stage publishes or drops
+    * (the whole point of the durable descriptor is that another
+    * session publishes it later). */
+  def liveWapStages(spark: SparkSession, root: String): Seq[(Int, String)] = {
+    val p = new org.apache.hadoop.fs.Path(root, "_WAP")
+    val f = fs(spark, p)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.filter(_.isFile).flatMap { st =>
+      val lines =
+        try readLines(spark, st.getPath)
+        catch { case _: java.io.IOException => Nil }
+      def one(k: String): Option[String] =
+        lines.find(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
+      for (e <- one("epoch").flatMap(_.toIntOption); t <- one("token"))
+        yield (e, t)
+    }
   }
 
   // ---------------------------------------------------------------- retention
@@ -2940,6 +2968,9 @@ object ManifestSink {
     // tmp at or below the current epoch can never commit — epochs are
     // monotonic — so it is dead weight)
     val winners = kept.map(e => e -> commitInfo(spark, root, e)._1).toMap
+    // pending WAP stages are retention-exempt (see [[liveWapStages]])
+    val wapStages = liveWapStages(spark, root).toSet
+    val wapTokens = wapStages.map(_._2)
     // DV files are carried ACROSS epochs by reference (appends ride the
     // line), so a dv-N file may outlive epoch N: sweep only DVs no
     // KEPT epoch references
@@ -2961,7 +2992,8 @@ object ManifestSink {
           // sweepable only once a later vacuum observes a higher
           // committed epoch (ADVICE r11).
           val ep = e.toInt
-          if (ep <= cur && (!kept.contains(ep) || winners.get(ep).exists(_ != token)))
+          if (ep <= cur && !wapStages((ep, token)) &&
+            (!kept.contains(ep) || winners.get(ep).exists(_ != token)))
             f.delete(p, true): Unit
         case dv(e, _) if e.toInt <= cur && !keptDvs.contains(n) =>
           f.delete(p, true): Unit
@@ -2979,6 +3011,7 @@ object ManifestSink {
     val orphanCutoff = System.currentTimeMillis() - math.max(orphanGraceMs, 0L)
     orphanFiles(spark, root)
       .filter(p => dataEpochOf(p).exists(_ <= cur))
+      .filterNot(p => wapTokens.exists(t => p.contains(s"-a$t/")))
       .filter { p =>
         orphanGraceMs <= 0 ||
           (try f.getFileStatus(new org.apache.hadoop.fs.Path(p))

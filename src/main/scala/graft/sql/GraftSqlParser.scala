@@ -333,15 +333,19 @@ object GraftSqlParser {
       val next = cur + 1
       ManifestSink.publishBucketed(ManifestSink.read(spark, path), path, next,
         keyCol, buckets, (keyCol +: existing).distinct)
-      // future INSERTs through the catalog keep the layout (and a
-      // table declares ONE layout: a prior time transform is replaced)
+      // future INSERTs through the catalog keep the layout. A table
+      // declares ONE layout, and the swap is crash-ordered: the OLD
+      // sidecar deletes FIRST, so a crash between the two steps
+      // leaves the table honestly unpartitioned-declared — never
+      // carrying BOTH sidecars (which would brick every later INSERT
+      // on the one-layout require)
       val p = new org.apache.hadoop.fs.Path(path, graft.catalog.GraftTable.BucketFile)
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(path,
+        graft.catalog.GraftTable.PtimeFile), false)
       val out = f.create(p, true)
       try out.write(s"""{"col":"$keyCol","n":$buckets}""".getBytes("UTF-8"))
       finally out.close()
-      f.delete(new org.apache.hadoop.fs.Path(path,
-        graft.catalog.GraftTable.PtimeFile), false)
       val after = ManifestSink.manifestFiles(spark, path, next).size
       Seq(Row(path, next, before, after))
     }
@@ -371,13 +375,15 @@ object GraftSqlParser {
       val next = cur + 1
       ManifestSink.publishTimePartitioned(ManifestSink.read(spark, path),
         path, next, col, unit, (col +: existing).distinct)
+      // crash-ordered layout swap (see OptimizeBucketCommand): the
+      // old bucket sidecar deletes BEFORE the new time sidecar lands
       val p = new org.apache.hadoop.fs.Path(path, graft.catalog.GraftTable.PtimeFile)
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(path,
+        graft.catalog.GraftTable.BucketFile), false)
       val out = f.create(p, true)
       try out.write(s"""{"col":"$col","unit":"$unit"}""".getBytes("UTF-8"))
       finally out.close()
-      f.delete(new org.apache.hadoop.fs.Path(path,
-        graft.catalog.GraftTable.BucketFile), false)
       val after = ManifestSink.manifestFiles(spark, path, next).size
       Seq(Row(path, next, before, after))
     }
@@ -430,31 +436,57 @@ object GraftSqlParser {
         graft.catalog.GraftTable.wapStaged(spark, path, id).getOrElse(
           throw new IllegalArgumentException(
             s"no staged WAP write '$id' on $path"))
+      val freshMark = s"-a${staged0.token}/"
+      val fresh = staged0.relFiles.filter(_.contains(freshMark)).toSet
+      // published already? A prior PUBLISH that crashed between its
+      // commit CAS and its descriptor cleanup (or a concurrent
+      // publisher that won) left the fresh files IN the current
+      // manifest — rebasing would append them AGAIN and duplicate
+      // every staged row. Idempotence check: fresh-subset-of-current
+      // means consume the descriptor and report the standing epoch.
+      def alreadyPublished(): Option[Int] =
+        ManifestSink.currentEpochOpt(spark, path).filter { cur =>
+          fresh.nonEmpty && fresh.subsetOf(
+            ManifestSink.manifestEntries(spark, path, cur).map(_._1).toSet)
+        }
+      // the constraint set may have moved since the stage — including
+      // through the pre-first-commit sidecar-only ADD CONSTRAINT
+      // branch, which advances NO epoch and so cannot surface as a
+      // commit conflict — audit before the FIRST attempt, always
+      graft.catalog.GraftTable.auditConstraints(spark, path,
+        staged0.relFiles.filter(_.contains(freshMark)))
       var staged = staged0
       var attempts = 0
-      var committed = false
-      while (!committed) {
-        try {
-          ManifestSink.commitStaged(spark, staged)
-          committed = true
-        } catch {
-          case c: ManifestSink.ManifestConflictException =>
-            attempts += 1
-            if (attempts >= ManifestSink.commitMaxRetries(spark)) throw c
-            staged = ManifestSink.rebaseStagedInsert(spark, staged,
-              overwrite = false, observedSchema).getOrElse(
-              throw new IllegalStateException(
-                s"WAP stage '$id' on $path cannot be rebased (the table's " +
-                  "schema moved or a vacuum swept the stage); re-run the " +
-                  "write under spark.graft.wap.id"))
-            // constraint set may have moved since the stage: re-audit
-            // the fresh files as of the rebase (the insert discipline)
-            graft.catalog.GraftTable.auditConstraints(spark, path,
-              staged.relFiles.filter(_.contains(s"-a${staged.token}/")))
-        }
+      var publishedEpoch = -1
+      alreadyPublished() match {
+        case Some(cur) => publishedEpoch = cur
+        case None =>
+          while (publishedEpoch < 0) {
+            try {
+              ManifestSink.commitStaged(spark, staged)
+              publishedEpoch = staged.epoch
+            } catch {
+              case c: ManifestSink.ManifestConflictException =>
+                attempts += 1
+                if (attempts >= ManifestSink.commitMaxRetries(spark)) throw c
+                alreadyPublished() match {
+                  case Some(cur) => publishedEpoch = cur // lost to ourselves
+                  case None =>
+                    staged = ManifestSink.rebaseStagedInsert(spark, staged,
+                      overwrite = false, observedSchema).getOrElse(
+                      throw new IllegalStateException(
+                        s"WAP stage '$id' on $path cannot be rebased (the " +
+                          "table's schema moved or a vacuum swept the " +
+                          "stage); re-run the write under spark.graft.wap.id"))
+                    // re-audit as of the rebase (the insert discipline)
+                    graft.catalog.GraftTable.auditConstraints(spark, path,
+                      staged.relFiles.filter(_.contains(freshMark)))
+                }
+            }
+          }
       }
       graft.catalog.GraftTable.removeWap(spark, path, id)
-      Seq(Row(path, id, staged.epoch, staged.relFiles.size))
+      Seq(Row(path, id, publishedEpoch, staged.relFiles.size))
     }
   }
 

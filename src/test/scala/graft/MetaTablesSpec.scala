@@ -153,6 +153,9 @@ class MetaTablesSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql(s"CREATE TAG dead ON graft.`$root` AS OF VERSION 2")
     }
+    intercept[Exception] { // all-digit names would shadow epoch travel
+      spark.sql(s"CREATE TAG 7 ON graft.`$root`")
+    }
     // drop the tag -> the epoch rejoins the retention window
     spark.sql(s"DROP TAG release_v1 ON graft.`$root`")
     spark.sql(s"VACUUM graft.`$root` RETAIN 2 EPOCHS")

@@ -122,6 +122,68 @@ class WapSpec extends SparkTestBase {
     }
   }
 
+  test("a pending stage is vacuum-exempt; publish stays idempotent after lost cleanup") {
+    ensureCatalog()
+    val root = tmpDir("wap_v_") + "/t"
+    (0 until 25).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("wap_v_src")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM wap_v_src")
+    withWap("pend") {
+      spark.sql(s"INSERT INTO graft.`$root` SELECT k + 100, v FROM wap_v_src")
+    }
+    // a live insert advances the table PAST the staged epoch, making
+    // the stage's files orphan-shaped — but the _WAP descriptor keeps
+    // them retention-exempt
+    spark.sql(s"INSERT INTO graft.`$root` SELECT k + 200, v FROM wap_v_src")
+    ManifestSink.vacuum(spark, root, keep = 2, orphanGraceMs = 0L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root@wap:pend`")
+      .collect()(0).getLong(0) == 25L,
+      "a pending WAP stage must survive vacuum")
+    val pub = spark.sql(s"PUBLISH WAP pend ON graft.`$root`").collect()(0)
+    assert(spark.table(s"graft.`$root`").count() == 75L)
+
+    // idempotence: a crashed publish that lost only its descriptor
+    // cleanup must NOT re-commit the files on retry (that would
+    // duplicate every staged row through the rebase)
+    val (staged, obs) = {
+      spark.conf.set("spark.graft.wap.id", "idem")
+      try spark.sql(s"INSERT INTO graft.`$root` SELECT k + 300, v FROM wap_v_src")
+      finally spark.conf.unset("spark.graft.wap.id")
+      graft.catalog.GraftTable.pendingWap((root, "idem"))
+    }
+    spark.sql(s"PUBLISH WAP idem ON graft.`$root`")
+    assert(spark.table(s"graft.`$root`").count() == 100L)
+    // simulate the lost cleanup: descriptor re-appears post-publish
+    graft.catalog.GraftTable.writeWapDescriptor(spark, root, "idem", staged, obs)
+    graft.catalog.GraftTable.pendingWap.remove((root, "idem"))
+    val again = spark.sql(s"PUBLISH WAP idem ON graft.`$root`").collect()(0)
+    assert(spark.table(s"graft.`$root`").count() == 100L,
+      "an idempotent publish retry must not duplicate rows")
+    assert(again.getInt(2) == ManifestSink.currentEpoch(spark, root))
+  }
+
+  test("a sidecar-only constraint (no epoch yet) still audits at publish") {
+    ensureCatalog()
+    val root = tmpDir("wap_c_") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$root` (k BIGINT, v DOUBLE) USING parquet")
+    // a created-but-never-written table scans as EMPTY, not an error
+    assert(spark.table(s"graft.`$root`").count() == 0L)
+    withWap("early") {
+      (0 until 10).map(i => (i.toLong, -1.0)).toDF("k", "v")
+        .createOrReplaceTempView("wap_c_src")
+      spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM wap_c_src")
+    }
+    // the table has NO committed epoch, so ADD CONSTRAINT takes the
+    // sidecar-only branch — no carry epoch, no commit conflict for
+    // the publish to trip over
+    spark.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT pos CHECK (v >= 0)")
+    intercept[Exception] {
+      spark.sql(s"PUBLISH WAP early ON graft.`$root`").collect()
+    }
+    assert(ManifestSink.currentEpochOpt(spark, root).isEmpty,
+      "the violating stage must not publish")
+  }
+
   test("DROP WAP discards; vacuum sweeps the orphan stage") {
     ensureCatalog()
     val root = tmpDir("wap_d_") + "/t"
