@@ -80,6 +80,10 @@ final class GraftMetaTable(dir: String, ident: String, kind: String,
     case "tags" => StructType(Seq(
       StructField("tag", StringType, nullable = false),
       StructField("epoch", IntegerType, nullable = false)))
+    case "wap" => StructType(Seq(
+      StructField("wap_id", StringType, nullable = false),
+      StructField("staged_epoch", IntegerType, nullable = false),
+      StructField("token", StringType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"unknown graft metadata table kind: $other")
   }
@@ -103,7 +107,8 @@ final class GraftMetaTable(dir: String, ident: String, kind: String,
 object GraftMetaTable {
 
   /** The `@` kinds this object serves (`@changes` routes elsewhere). */
-  val Kinds: Seq[String] = Seq("files", "partitions", "history", "tags")
+  val Kinds: Seq[String] = Seq("files", "partitions", "history", "tags",
+    "wap")
 
   /** Parse `<base>@<kind>[:<epoch>]` → (base, kind, epochSpec). */
   def parseIdent(name: String): (String, String, Option[Int]) = {
@@ -191,6 +196,14 @@ object GraftMetaTable {
         require(epochSpec.isEmpty, "@tags lists all tags; it takes no pin")
         ManifestSink.readTags(spark, dir).toSeq.sortBy(_._1).map {
           case (n, e) => InternalRow(UTF8String.fromString(n), e)
+        }.toArray
+      case "wap" =>
+        // bare `@wap` = the PENDING-STAGE listing (the ops view of
+        // write-audit-publish); `@wap:<id>` routes to the audit table
+        require(epochSpec.isEmpty, "@wap lists pending stages; audit " +
+          "one with @wap:<id>")
+        ManifestSink.liveWapStages(spark, dir).map { case (id, e, t) =>
+          InternalRow(UTF8String.fromString(id), e, UTF8String.fromString(t))
         }.toArray
       case other => throw new IllegalArgumentException(
         s"unknown graft metadata table kind: $other")

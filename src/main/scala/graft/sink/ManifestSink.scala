@@ -2862,7 +2862,8 @@ object ManifestSink {
     * files — is RETENTION-EXEMPT until the stage publishes or drops
     * (the whole point of the durable descriptor is that another
     * session publishes it later). */
-  def liveWapStages(spark: SparkSession, root: String): Seq[(Int, String)] = {
+  def liveWapStages(spark: SparkSession, root: String)
+      : Seq[(String, Int, String)] = {
     val p = new org.apache.hadoop.fs.Path(root, "_WAP")
     val f = fs(spark, p)
     if (!f.exists(p)) Nil
@@ -2873,8 +2874,8 @@ object ManifestSink {
       def one(k: String): Option[String] =
         lines.find(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
       for (e <- one("epoch").flatMap(_.toIntOption); t <- one("token"))
-        yield (e, t)
-    }
+        yield (st.getPath.getName, e, t)
+    }.sortBy(_._1)
   }
 
   // ---------------------------------------------------------------- retention
@@ -2969,7 +2970,8 @@ object ManifestSink {
     // monotonic — so it is dead weight)
     val winners = kept.map(e => e -> commitInfo(spark, root, e)._1).toMap
     // pending WAP stages are retention-exempt (see [[liveWapStages]])
-    val wapStages = liveWapStages(spark, root).toSet
+    val wapStages = liveWapStages(spark, root)
+      .map { case (_, e, t) => (e, t) }.toSet
     val wapTokens = wapStages.map(_._2)
     // DV files are carried ACROSS epochs by reference (appends ride the
     // line), so a dv-N file may outlive epoch N: sweep only DVs no

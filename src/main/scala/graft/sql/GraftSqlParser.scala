@@ -101,7 +101,8 @@ object GraftSqlParser {
   private val DetailRe =
     ("(?is)^\\s*DESCRIBE\\s+DETAIL\\s+" + Tbl + "\\s*;?\\s*$").r
   private val RestoreRe =
-    ("(?is)^\\s*RESTORE\\s+" + Tbl + "\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
+    ("(?is)^\\s*RESTORE\\s+" + Tbl +
+      "\\s+VERSION\\s+AS\\s+OF\\s+(?:(\\d+)|'(\\w+)')\\s*;?\\s*$").r
   private val AnalyzeRe =
     ("(?is)^\\s*ANALYZE\\s+TABLE\\s+" + Tbl +
       "\\s+COMPUTE\\s+STATISTICS\\s*;?\\s*$").r
@@ -163,8 +164,9 @@ object GraftSqlParser {
         Some(RefreshMvCommand(Option(bq).getOrElse(q)))
       case DetailRe(bq, q) =>
         Some(DetailCommand(Option(bq).getOrElse(q)))
-      case RestoreRe(bq, q, to) =>
-        Some(RestoreCommand(Option(bq).getOrElse(q), to.toInt))
+      case RestoreRe(bq, q, to, tag) =>
+        Some(RestoreCommand(Option(bq).getOrElse(q),
+          Option(to).map(_.toInt), Option(tag)))
       case AnalyzeRe(bq, q) =>
         Some(AnalyzeCommand(Option(bq).getOrElse(q)))
       case CreateTagRe(name, bq, q, ver) =>
@@ -283,14 +285,21 @@ object GraftSqlParser {
     * target epoch's manifest, stats, schema, and DV — history is never
     * rewritten, data files are shared, pure metadata (see
     * [[ManifestSink.rollback]]). */
-  final case class RestoreCommand(path: String, to: Int)
+  final case class RestoreCommand(path: String, to: Option[Int],
+                                  tag: Option[String])
     extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       attr("path", StringType), attr("restored_epoch", IntegerType),
       attr("new_epoch", IntegerType))
     override def run(spark: SparkSession): Seq[Row] = {
-      val next = ManifestSink.rollback(spark, path, to)
-      Seq(Row(path, to, next))
+      // RESTORE ... VERSION AS OF 'release_v1' resolves the snapshot
+      // TAG (the same named-ref travel VERSION AS OF uses on reads)
+      val epoch = to.orElse(tag.map { t =>
+        ManifestSink.readTags(spark, path).getOrElse(t,
+          throw new IllegalArgumentException(s"no tag '$t' on $path"))
+      }).get
+      val next = ManifestSink.rollback(spark, path, epoch)
+      Seq(Row(path, epoch, next))
     }
   }
 

@@ -156,6 +156,12 @@ class MetaTablesSpec extends SparkTestBase {
     intercept[Exception] { // all-digit names would shadow epoch travel
       spark.sql(s"CREATE TAG 7 ON graft.`$root`")
     }
+    // RESTORE travels by tag too (the same named-ref resolution)
+    val restored = spark.sql(
+      s"RESTORE graft.`$root` VERSION AS OF 'release_v1'").collect()(0)
+    assert(restored.getInt(1) == 1)
+    assert(spark.table(s"graft.`$root`").count() == 30L,
+      "the restore re-pins the tagged epoch's content")
     // drop the tag -> the epoch rejoins the retention window
     spark.sql(s"DROP TAG release_v1 ON graft.`$root`")
     spark.sql(s"VACUUM graft.`$root` RETAIN 2 EPOCHS")

@@ -34,6 +34,10 @@ class WapSpec extends SparkTestBase {
     // nothing published: the table still reads epoch 1
     assert(spark.table(s"graft.`$root`").count() == 50L)
     assert(ManifestSink.currentEpoch(spark, root) == 1)
+    // the ops view: bare @wap lists the pending stage
+    val pending = spark.sql(s"SELECT wap_id, staged_epoch FROM graft.`$root@wap`")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(pending.toSeq == Seq(("batch7", 2)))
     // the audit leg: the staged INCREMENT is a queryable table
     val audit = spark.sql(s"SELECT count(*) AS c, min(k) AS lo " +
       s"FROM graft.`$root@wap:batch7`").collect()(0)
@@ -48,6 +52,8 @@ class WapSpec extends SparkTestBase {
     val pub = spark.sql(s"PUBLISH WAP batch7 ON graft.`$root`").collect()(0)
     assert(pub.getInt(2) == 2)
     assert(spark.table(s"graft.`$root`").count() == 100L)
+    assert(spark.sql(s"SELECT * FROM graft.`$root@wap`").count() == 0L,
+      "the publish consumes the pending listing")
     // the registry entry is consumed
     intercept[Exception] {
       spark.sql(s"PUBLISH WAP batch7 ON graft.`$root`").collect()
