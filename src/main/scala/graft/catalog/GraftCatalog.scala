@@ -126,11 +126,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       f.exists(new Path(dir, GraftTable.SchemaFile)))
   }
 
+  // metadata-table routing is END-ANCHORED (ADVICE r15): the `@<kind>`
+  // suffix must close the identifier — a legitimate table whose
+  // DIRECTORY PATH merely contains such a substring (`/data/x@wapp/t`,
+  // `/a@changesy/t`) must fall through to the plain-table path instead
+  // of exploding in parseIdent. The alternations mirror exactly what
+  // each parseIdent accepts.
+  private val ChangesIdentRe = "(?s).*@changes(?::[^/@]*)?$".r
+  private val WapIdentRe = "(?s).*@wap:[^/@]+$".r
+  private val MetaIdentRe =
+    ("(?s).*@(?:" + GraftMetaTable.Kinds.mkString("|") + ")(?::\\d+)?$").r
+
   override def loadTable(ident: Identifier): Table = {
     // the `@changes` METADATA TABLE (Iceberg's `db.t.changes`
     // spelling): the table's row-level change feed, streamable by
     // name — see [[GraftChangesTable]]
-    if (ident.name.contains("@changes")) {
+    if (ChangesIdentRe.matches(ident.name)) {
       // `@changes` (options-driven) or `@changes:<key>[:<from>-<to>]`
       // (the pure-SQL spelling — a batch SELECT cannot pass options)
       val (base, keySpec, fromSpec, toSpec) =
@@ -142,7 +153,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     }
     // `@wap:<id>` — audit a staged write-audit-publish increment
     // before publishing it (see [[GraftWapTable]])
-    if (ident.name.contains("@wap:")) {
+    if (WapIdentRe.matches(ident.name)) {
       val at = ident.name.lastIndexOf("@wap:")
       val (base, id) = (ident.name.substring(0, at),
         ident.name.substring(at + "@wap:".length))
@@ -154,7 +165,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     }
     // `@files` / `@partitions` / `@history` — the metadata-only
     // inspection surface (see [[GraftMetaTable]])
-    if (GraftMetaTable.Kinds.exists(k => ident.name.contains(s"@$k"))) {
+    if (MetaIdentRe.matches(ident.name)) {
       val (base, kind, epochSpec) = GraftMetaTable.parseIdent(ident.name)
       val baseIdent = Identifier.of(ident.namespace, base)
       val dir = dirOf(baseIdent)
@@ -1031,11 +1042,17 @@ object GraftTable {
     }
   }
 
-  /** Resolve a staged WAP write: registry (this session's stages)
-    * first, descriptor (any session's) second. */
+  /** Resolve a staged WAP write: the durable descriptor FIRST (its
+    * stats come back as a materialized in-memory frame), the
+    * session registry second. The registry's stats is a LAZY plan
+    * whose inputs include the pre-stage epoch's stats parquet — a
+    * vacuum during the unbounded stage-to-publish window can sweep
+    * that, failing a same-session publish with FileNotFoundException
+    * even though the durable stage is intact (ADVICE r15); the
+    * descriptor never has that hazard. */
   private[graft] def wapStaged(spark: SparkSession, dir: String, id: String)
       : Option[(graft.sink.ManifestSink.Staged, Option[String])] =
-    pendingWap.get((dir, id)).orElse(readWapDescriptor(spark, dir, id))
+    readWapDescriptor(spark, dir, id).orElse(pendingWap.get((dir, id)))
 
   /** Forget a staged WAP write everywhere (registry + descriptor).
     * Returns true iff it existed in either place. */
@@ -1353,6 +1370,14 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
         require(!overwrite,
           "write-audit-publish supports INSERT INTO (append) only; " +
             "unset spark.graft.wap.id for INSERT OVERWRITE")
+        // one stage per (table, id) — the createTag immutable-pin
+        // discipline (ADVICE r15): a second INSERT under the same id
+        // would silently overwrite the registry entry and descriptor,
+        // orphaning the first stage's files with no signal, and
+        // PUBLISH would then commit only the second batch
+        require(GraftTable.wapStaged(spark, dir, id).isEmpty,
+          s"WAP id '$id' already has a staged write on $dir; " +
+            "PUBLISH WAP or DROP WAP it first (one stage per id)")
         val cur = currentOpt
         val next = cur.getOrElse(0) + 1
         val curSchema = cur.flatMap(e => ManifestSink.commitSchema(spark, dir, e))

@@ -491,15 +491,29 @@ object ManifestSink {
     val marker = new org.apache.hadoop.fs.Path(rootPath, s"commit-${staged.epoch}")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri,
       spark.sparkContext.hadoopConfiguration)
+    // deterministic-race seam (the GraftTable raceHook discipline):
+    // fired ONCE, self-clearing, between the attempt's metadata writes
+    // and its CAS — a spec can land a racing epoch exactly inside the
+    // loser-cleanup window
+    commitCasRaceHook.foreach { h => commitCasRaceHook = None; h() }
     try fc.rename(tmp, marker)
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
            _: org.apache.hadoop.fs.PathExistsException =>
-        // loser cleanup: this attempt's metadata can never be read
+        // loser cleanup: this attempt's metadata can never be read.
+        // EXEMPT a live WAP stage's stats parquet (ADVICE r15, the
+        // vacuum exemption mirrored): stats-<e>.<token> here may BE
+        // the durable stats a `_WAP/<id>` descriptor references — a
+        // publish that loses this CAS and then fails its rebase must
+        // leave the stage re-publishable from any session, not
+        // permanently voided (stats=true but the parquet gone)
         f.delete(tmp, false)
         f.delete(manifest, false)
-        f.delete(new org.apache.hadoop.fs.Path(rootPath,
-          s"stats-${staged.epoch}.${staged.token}"), true)
+        val wapLive = liveWapStages(spark, staged.root).exists { case (_, e, t) =>
+          e == staged.epoch && t == staged.token }
+        if (!wapLive)
+          f.delete(new org.apache.hadoop.fs.Path(rootPath,
+            s"stats-${staged.epoch}.${staged.token}"), true)
         throw new ManifestConflictException(staged.root, staged.epoch,
           s"commit marker exists; losing token ${staged.token}")
     }
@@ -585,39 +599,98 @@ object ManifestSink {
     pmod(col(keyCol).cast(LongType), lit(n.toLong)).cast(IntegerType)
   }
 
-  /** Lay `df` out so each output PARTITION is exactly one bucket:
-    * partition i = the rows with floorMod(key, n) == i. Spark's own
-    * `repartition(n, expr)` hashes the bucket id again (two buckets
-    * can land in one partition, files stop being single-bucket), and
-    * `repartitionByRange` boundaries are sample-estimated — so the
-    * placement uses an explicit identity [[org.apache.spark.Partitioner]],
-    * the one case where dropping to the RDD layer is the correct tool
-    * (a deterministic partition-index contract the declarative API
-    * cannot state). Rows sort by key within each bucket so the zone
-    * maps of a bucketed file stay tight. Null keys are rejected: a
-    * null's transform value is null, and a row placed in any numbered
-    * bucket would break the key-grouping contract SPJ plans against. */
+  /** Lay `df` out so each output FILE holds exactly one bucket of
+    * floorMod(key, n), fanning an over-[[targetFileSize]] bucket out
+    * across several salted single-bucket files (see [[placeByKey]]
+    * for the whole placement discipline — the identity partitioner,
+    * the null rejection, the salt). */
   private def bucketLayout(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(n > 0, s"numBuckets must be positive; got $n")
     val kt = df.schema(keyCol).dataType
     require(Seq(LongType, IntegerType, ShortType, ByteType).contains(kt),
       s"bucketed layout needs an integral key; $keyCol is $kt")
-    val spark = df.sparkSession
-    val withB = df.withColumn("__b", bucketIdCol(keyCol, n))
-    val schema = withB.schema
-    val bIdx = schema.length - 1
+    val withK = df
+      .withColumn("__k", bucketIdCol(keyCol, n).cast(LongType))
+      .withColumn("__s", xxhash64(col(keyCol)))
+    placeByKey(withK, Seq(keyCol), s"bucketed layout: null bucket key $keyCol")
+  }
+
+  /** Target data-file size for layout writes (Iceberg's
+    * `write.target-file-size-bytes`): a layout partition whose
+    * estimated bytes exceed this is SPLIT across that many salted
+    * sub-files instead of funneling through one task. */
+  def targetFileSize(spark: SparkSession): Long =
+    spark.sessionState.conf
+      .getConfString("spark.graft.write.targetFileSize",
+        (128L * 1024 * 1024).toString).toLong
+
+  /** The layout placer shared by [[bucketLayout]]/[[timeLayout]] (and
+    * their composition): `withK`'s last two columns are `__k` (the
+    * LongType layout key — bucket id, time ordinal, or a packed pair)
+    * and `__s` (a LongType row salt). Every output partition holds
+    * exactly ONE layout key — the single-key-per-file contract the
+    * stats rows verify — but a key whose estimated bytes exceed
+    * [[targetFileSize]] fans out into `ceil(bytes/target)` salted
+    * sub-partitions, so one task writes one BOUNDED file: a 100×
+    * `CREATE TABLE ... PARTITIONED BY (days(ts)) AS SELECT` over a
+    * year never plans 365 straggler tasks each sorting a whole day
+    * into a single 300 GB parquet (the manifest has always supported
+    * many files per key — appends produce them). The key set is
+    * collected with its counts in ONE bounded aggregate (ordinal
+    * count × splits, never data-sized — Iceberg manifests enumerate
+    * partition values the same way); the per-row byte estimate is the
+    * schema's default (in-memory) width, a deliberate OVERestimate
+    * (parquet encodes + compresses), so sizing errs toward more,
+    * smaller files rather than stragglers. The salt hashes the layout
+    * column's VALUE — it spreads volume across a partition's many
+    * values; a single pathologically hot value still co-locates (as
+    * it must: sorting keeps zone maps tight). Placement itself uses
+    * an explicit identity [[org.apache.spark.Partitioner]] (Spark's
+    * `repartition(n, expr)` re-hashes and can fold two keys into one
+    * partition; `repartitionByRange` boundaries are sample-estimated)
+    * — the one case where dropping to the RDD layer is the correct
+    * tool: a deterministic partition-index contract the declarative
+    * API cannot state. Rows sort by `sortCols` within each partition
+    * so zone maps stay tight. Null keys are rejected: a null's
+    * transform value is null, and a row placed in any numbered
+    * partition would break the key-grouping contract SPJ plans
+    * against. */
+  private def placeByKey(withK: DataFrame, sortCols: Seq[String],
+                         nullMsg: => String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = withK.sparkSession
+    val schema = withK.schema
+    val kIdx = schema.length - 2
+    val sIdx = schema.length - 1
+    val counts = withK.groupBy(col("__k")).count().collect()
+    counts.foreach(r => require(!r.isNullAt(0), nullMsg))
+    if (counts.isEmpty) return withK.drop("__k", "__s")
+    val target = math.max(1L, targetFileSize(spark))
+    val rowBytes = math.max(1L,
+      org.apache.spark.sql.types.StructType(schema.dropRight(2))
+        .defaultSize.toLong)
+    val keys = counts.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val splits = keys.map { case (_, cnt) =>
+      math.max(1L, (cnt * rowBytes + target - 1) / target).toInt }
+    val offsets = splits.scanLeft(0)(_ + _)
+    val index: Map[Long, (Int, Int)] =
+      keys.map(_._1).zipWithIndex.map { case (k, i) =>
+        k -> ((offsets(i), splits(i))) }.toMap
+    val bIndex = spark.sparkContext.broadcast(index)
     val part = new org.apache.spark.Partitioner {
-      override def numPartitions: Int = n
+      override def numPartitions: Int = offsets.last
       override def getPartition(key: Any): Int = key.asInstanceOf[Int]
     }
-    val placed = withB.rdd.map { r =>
-      if (r.isNullAt(bIdx)) throw new IllegalArgumentException(
-        s"bucketed layout: null bucket key $keyCol")
-      (r.getInt(bIdx), r)
+    val placed = withK.rdd.map { r =>
+      if (r.isNullAt(kIdx)) throw new IllegalArgumentException(nullMsg)
+      val (off, ns) = bIndex.value(r.getLong(kIdx))
+      (off + java.lang.Math.floorMod(r.getLong(sIdx), ns.toLong).toInt, r)
     }.partitionBy(part).values
     spark.createDataFrame(placed, schema)
-      .sortWithinPartitions(keyCol).drop("__b")
+      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      .drop("__k", "__s")
   }
 
   /** One `__bucket:<col>:<n>` stats row per staged file (lo == hi ==
@@ -836,54 +909,44 @@ object ManifestSink {
           .cast(IntegerType)
       case (_, "hours")  => floorDivL(statLongExpr(c, dt), 3600L * 1000000L)
       case (_, "days")   => floorDivL(statLongExpr(c, dt), 86400L * 1000000L)
-      case (_, "months") => ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1))
-        .cast(IntegerType)
-      case (_, "years")  => (year(c) - lit(1970)).cast(IntegerType)
+      // months/years derive from the UTC epoch DAY (date_add over the
+      // floored day ordinal, mirroring GraftTimeBound's
+      // LocalDate.ofEpochDay), never year()/month() on the timestamp:
+      // those follow spark.sql.session.timeZone, and under a non-UTC
+      // session the committed ordinals would disagree with the V2
+      // function Spark compares SPJ join sides with — silently joining
+      // wrong partitions (year()/month() on the derived DATE are
+      // timezone-free: DateType is a plain epoch-day count)
+      case (_, u @ ("months" | "years")) =>
+        val d =
+          if (dt == DateType) c
+          else date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+            floorDivL(statLongExpr(c, dt), 86400L * 1000000L))
+        if (u == "years") (year(d) - lit(1970)).cast(IntegerType)
+        else ((year(d) - lit(1970)) * lit(12) + month(d) - lit(1))
+          .cast(IntegerType)
       case other => throw new IllegalArgumentException(
         s"unsupported time transform: $other (want hours/days/months/years)")
     }
   }
 
-  /** Lay `df` out so each output PARTITION is exactly one time
-    * ordinal. The distinct-ordinal set is collected first — bounded
-    * BY DESIGN at partition-count scale (a year of hourly grain is
-    * 8,760 values; Iceberg manifests enumerate partition values the
-    * same way), never data-sized — then an explicit identity
-    * [[org.apache.spark.Partitioner]] places each row (Spark's
-    * `repartition(n, expr)` re-hashes and can fold two ordinals into
-    * one partition, breaking the single-ordinal file contract; same
-    * reasoning as [[bucketLayout]]). Rows sort by the time column
-    * within each partition so zone maps stay tight inside the unit.
-    * Null partition values are rejected (a null ordinal cannot join
-    * the key-grouping contract). */
+  /** Lay `df` out so each output FILE holds exactly one time ordinal,
+    * fanning an over-[[targetFileSize]] ordinal out across several
+    * salted single-ordinal files (see [[placeByKey]] for the whole
+    * placement discipline — the bounded ordinal enumeration, the
+    * identity partitioner, the null rejection). */
   private def timeLayout(df: DataFrame, col0: String, unit: String): DataFrame = {
-    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
     val dt = df.schema(col0).dataType
     require(Seq(TimestampType, TimestampNTZType, DateType).contains(dt),
       s"time-partitioned layout needs a timestamp or date column; $col0 is $dt")
     require(TimeUnits.contains(unit), s"unknown time unit $unit")
-    val spark = df.sparkSession
-    val withP = df.withColumn("__p", timeOrdCol(org.apache.spark.sql.functions
-      .col(col0), dt, unit))
-    val ords = withP.select("__p").distinct().collect().map { r =>
-      require(!r.isNullAt(0),
-        s"time-partitioned layout: null partition value in $col0")
-      r.getInt(0)
-    }.sorted
-    if (ords.isEmpty) return df
-    val index = ords.zipWithIndex.toMap
-    val schema = withP.schema
-    val pIdx = schema.length - 1
-    val bIndex = spark.sparkContext.broadcast(index)
-    val part = new org.apache.spark.Partitioner {
-      override def numPartitions: Int = ords.length
-      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
-    }
-    val placed = withP.rdd.map { r =>
-      (bIndex.value(r.getInt(pIdx)), r)
-    }.partitionBy(part).values
-    spark.createDataFrame(placed, schema)
-      .sortWithinPartitions(col0).drop("__p")
+    val withK = df
+      .withColumn("__k", timeOrdCol(col(col0), dt, unit).cast(LongType))
+      .withColumn("__s", xxhash64(col(col0)))
+    placeByKey(withK, Seq(col0),
+      s"time-partitioned layout: null partition value in $col0")
   }
 
   /** One `__ptime:<col>:<unit>` stats row per staged file (lo == hi ==
@@ -1985,6 +2048,13 @@ object ManifestSink {
 
   /** Bounded optimistic-concurrency retries for derived commits
     * (`spark.graft.commit.maxRetries`). */
+  /** Test seam for DETERMINISTIC commit-CAS races: fired ONCE
+    * (self-clearing) after an attempt's manifest/stats land, right
+    * before its CAS rename — so a spec can put a racing commit exactly
+    * inside the loser-cleanup window (thread timing cannot sit under
+    * an oracle). */
+  @volatile var commitCasRaceHook: Option[() => Unit] = None
+
   def commitMaxRetries(spark: SparkSession): Int =
     spark.sessionState.conf
       .getConfString("spark.graft.commit.maxRetries", "5").toInt
@@ -2836,24 +2906,35 @@ object ManifestSink {
     require(!name.forall(_.isDigit),
       s"tag name '$name' is all digits and would be read as an epoch " +
         "number by VERSION AS OF; pick a name with a letter")
-    val cur = currentEpoch(spark, root)
-    val e = epoch.getOrElse(cur)
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val f = fs(spark, rootPath)
-    require(f.exists(new org.apache.hadoop.fs.Path(root, s"commit-$e")),
-      s"cannot tag epoch $e: not a live committed epoch of $root")
-    val tags = readTags(spark, root)
-    require(!tags.contains(name),
-      s"tag '$name' already pins epoch ${tags(name)}; DROP TAG first")
-    writeTags(spark, root, tags + (name -> e))
-    e
+    // tag mutations SERIALIZE against vacuum and each other under the
+    // maintenance lease (ADVICE r15): an unsynchronized read-modify-
+    // write here could (a) have its just-pinned epoch swept by a
+    // vacuum that read _TAGS.json before the write landed — silently
+    // voiding the retention-exemption contract — or (b) drop a
+    // concurrent CREATE TAG's entry (last writer wins)
+    withMaintLease(spark, root) {
+      val cur = currentEpoch(spark, root)
+      val e = epoch.getOrElse(cur)
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val f = fs(spark, rootPath)
+      require(f.exists(new org.apache.hadoop.fs.Path(root, s"commit-$e")),
+        s"cannot tag epoch $e: not a live committed epoch of $root")
+      val tags = readTags(spark, root)
+      require(!tags.contains(name),
+        s"tag '$name' already pins epoch ${tags(name)}; DROP TAG first")
+      writeTags(spark, root, tags + (name -> e))
+      e
+    }
   }
 
-  def dropTag(spark: SparkSession, root: String, name: String): Unit = {
-    val tags = readTags(spark, root)
-    require(tags.contains(name), s"no tag '$name' on $root")
-    writeTags(spark, root, tags - name)
-  }
+  def dropTag(spark: SparkSession, root: String, name: String): Unit =
+    // leased for the same reason as createTag: a racing tag writer's
+    // entry must not vanish under this read-modify-write
+    withMaintLease(spark, root) {
+      val tags = readTags(spark, root)
+      require(tags.contains(name), s"no tag '$name' on $root")
+      writeTags(spark, root, tags - name)
+    }
 
   /** Live write-audit-publish stages: (epoch, token) per `_WAP/<id>`
     * descriptor (written by the catalog's WAP stage path). Vacuum

@@ -190,6 +190,103 @@ class TimePartitionSpec extends SparkTestBase {
     spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM tp_opt_b2")
   }
 
+  test("an over-target day fans out into MULTIPLE single-ordinal files; " +
+    "pruning and SPJ survive") {
+    ensureCatalog()
+    val base = tmpDir("tpart_fan_")
+    val (r1, r2) = (s"$base/a", s"$base/b")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+      .filter(col("ts") < lit("2024-01-04"))
+    ev.createOrReplaceTempView("tp_fan_src")
+    // a tiny target forces every day past ceil(bytes/target) = 1:
+    // one task per FILE, never one straggler task per day
+    spark.conf.set("spark.graft.write.targetFileSize", "512")
+    try {
+      spark.sql(s"CREATE TABLE graft.`$r1` PARTITIONED BY (days(ts)) " +
+        "AS SELECT * FROM tp_fan_src")
+      // ptimeSpec defined == every file verified single-ordinal
+      val spec = ManifestSink.ptimeSpec(spark, r1, 1).get
+      val perDay = spec.fileOrds.groupBy(_._2).map { case (o, fs) => o -> fs.size }
+      assert(perDay.values.exists(_ > 1),
+        s"an over-target day must commit multiple files, got $perDay")
+      assert(spark.table(s"graft.`$r1`").count() == ev.count())
+      // a one-day range scan plans exactly that day's files — no more
+      val day0 = perDay.keys.min
+      val dayFiles = perDay(day0)
+      val lo = java.time.LocalDate.ofEpochDay(day0.toLong).toString
+      val hi = java.time.LocalDate.ofEpochDay(day0.toLong + 1).toString
+      val c = spark.sql(s"SELECT count(*) AS c FROM graft.`$r1` " +
+        s"WHERE ts >= TIMESTAMP '$lo 00:00:00' AND ts < TIMESTAMP '$hi 00:00:00'")
+        .collect()(0).getLong(0)
+      assert(GraftTable.lastPlannedFiles == dayFiles,
+        s"one-day scan must plan exactly the day's $dayFiles files, " +
+          s"planned ${GraftTable.lastPlannedFiles}")
+      assert(c == ev.filter(col("ts") >= lit(s"$lo 00:00:00") &&
+        col("ts") < lit(s"$hi 00:00:00")).count())
+      // SPJ still plans zero shuffles over the fanned-out layout
+      ev.withColumn("value", col("value") * 2)
+        .createOrReplaceTempView("tp_fan_b")
+      spark.sql(s"CREATE TABLE graft.`$r2` PARTITIONED BY (days(ts)) " +
+        "AS SELECT * FROM tp_fan_b")
+      withSpjConfs {
+        val out = spark.sql(
+          s"""SELECT a.ts, a.value + b.value AS v
+             |FROM graft.`$r1` a JOIN graft.`$r2` b ON a.ts = b.ts""".stripMargin)
+        assert(out.count() >= ev.count())
+        assert(shuffles(out).isEmpty,
+          s"fanned-out same-layout join must stay shuffle-free:\n" +
+            out.queryExecution.executedPlan)
+      }
+      // the bucket layout fans out under the same contract
+      val r3 = s"$base/c"
+      spark.sql(s"CREATE TABLE graft.`$r3` PARTITIONED BY (bucket(2, event_id)) " +
+        "AS SELECT * FROM tp_fan_src")
+      val bs = ManifestSink.bucketSpec(spark, r3, 1).get
+      val perBucket = bs.fileBuckets.groupBy(_._2).map { case (b, fs) => b -> fs.size }
+      assert(perBucket.values.exists(_ > 1),
+        s"an over-target bucket must commit multiple files, got $perBucket")
+      assert(spark.table(s"graft.`$r3`").count() == ev.count())
+    } finally spark.conf.unset("spark.graft.write.targetFileSize")
+  }
+
+  test("months/years ordinals stay UTC under a non-UTC session timezone " +
+    "(write-side agrees with the V2 function SPJ compares with)") {
+    ensureCatalog()
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      // 2024-03-01T00:30Z is 2024-02-29 16:30 in LA: a session-tz
+      // year()/month() would commit ordinal 649 (Feb) while the UTC
+      // V2 function says 650 (Mar) — a silent SPJ mismatch
+      val instants = Seq("2024-03-01T00:30:00Z", "2024-01-01T00:30:00Z")
+        .map(s => new java.sql.Timestamp(
+          java.time.Instant.parse(s).toEpochMilli))
+      instants.toDF("ts").createOrReplaceTempView("tp_tz_src")
+      val root = tmpDir("tpart_tz_") + "/t"
+      spark.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (months(ts)) " +
+        "AS SELECT * FROM tp_tz_src")
+      val m = ManifestSink.ptimeSpec(spark, root, 1).get
+      assert(m.fileOrds.values.toSet == Set(650, 648),
+        s"months ordinals must be UTC-derived, got ${m.fileOrds}")
+      // and they equal what the catalog's bound function evaluates
+      val fn = new graft.catalog.GraftTimeBound("months",
+        org.apache.spark.sql.types.TimestampType)
+      val expected = instants.map { t =>
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](t.getTime * 1000L))
+        fn.produceResult(row).toInt
+      }.toSet
+      assert(m.fileOrds.values.toSet == expected)
+      val rootY = tmpDir("tpart_tzy_") + "/t"
+      spark.sql(s"CREATE TABLE graft.`$rootY` PARTITIONED BY (years(ts)) " +
+        "AS SELECT * FROM tp_tz_src")
+      assert(ManifestSink.ptimeSpec(spark, rootY, 1).get
+        .fileOrds.values.toSet == Set(54),
+        "years ordinal must be UTC-derived (2024 - 1970)")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("days(date_col) partitions DateType; refusals: null ts, layout-column DDL") {
     ensureCatalog()
     val root = tmpDir("tpart_d_") + "/t"
