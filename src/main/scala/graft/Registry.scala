@@ -3700,6 +3700,105 @@ object Registry {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
         |  min(event_id) AS lo, max(event_id) AS hi, TRUE AS tp_ok
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin),
+    // COMPOSED PARTITION SPEC (round 16 — Iceberg's multi-transform
+    // `PARTITIONED BY (days(ts), bucket(n, id))`; the reference's own
+    // access pattern — device-bucketed rows clustered by hour,
+    // `cassandra/init.cql:41-54` — in ONE table instead of a choice):
+    // every committed file holds exactly one (day ordinal, bucket)
+    // pair, proven by BOTH `__ptime` and `__bucket` stats rows, so
+    // (a) a (day, key) point query prunes to the INTERSECTION of the
+    // day's files and the key's bucket files; (b) the scan reports a
+    // TWO-transform KeyGroupedPartitioning and same-layout tables
+    // storage-partition-join on (ts, key) — or on the key alone under
+    // allowJoinKeysSubsetOfPartitionKeys — with zero shuffles;
+    // (c) appends lay out only the batch, both specs carrying.
+    // ml_ok gates the dual spec, the intersected point lookup, the
+    // pair SPJ, the subset-key SPJ, and the spec-preserving append.
+    "q_catalog_multi_layout" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val base = tmpDir("graft_cml_")
+        val (r1, r2) = (s"$base/a", s"$base/b")
+        val ev = events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        ev.filter(col("ts") < lit("2024-01-22")).createOrReplaceTempView("cml_src")
+        s.sql(s"CREATE TABLE graft.`$r1` " +
+          "PARTITIONED BY (days(ts), bucket(4, user_id)) " +
+          "AS SELECT * FROM cml_src")
+        val bs1 = graft.sink.ManifestSink.bucketSpec(s, r1, 1)
+        val ts1 = graft.sink.ManifestSink.ptimeSpec(s, r1, 1)
+        val dualSpec = bs1.exists(b => b.keyCol == "user_id" && b.numBuckets == 4) &&
+          ts1.exists(t => t.col == "ts" && t.unit == "days") &&
+          bs1.get.fileBuckets.keySet == ts1.get.fileOrds.keySet
+        // intersected pruning: a (day, key) lookup plans within the
+        // day's bucket slice, never the whole day
+        val dev = ev.filter(col("ts") < lit("2024-01-02"))
+          .select("user_id").head.getLong(0)
+        val day0 = ts1.get.fileOrds.values.min
+        val want = bs1.get.fileBuckets.count { case (f, b) =>
+          b == (dev % 4).toInt && ts1.get.fileOrds(f) == day0 }
+        val dayFiles = ts1.get.fileOrds.count(_._2 == day0)
+        val hit = s.sql(s"SELECT count(*) AS c FROM graft.`$r1` " +
+          s"WHERE user_id = $dev AND ts >= TIMESTAMP '2024-01-01 00:00:00' " +
+          "AND ts < TIMESTAMP '2024-01-02 00:00:00'").collect()(0).getLong(0)
+        val planned = graft.catalog.GraftTable.lastPlannedFiles
+        val pruneOk = hit > 0 && planned >= 1 && planned <= want && want < dayFiles
+        // pair SPJ and subset-key SPJ, both shuffle-free
+        ev.filter(col("ts") < lit("2024-01-22"))
+          .withColumn("value", col("value") * 2)
+          .createOrReplaceTempView("cml_bsrc")
+        s.sql(s"CREATE TABLE graft.`$r2` " +
+          "PARTITIONED BY (days(ts), bucket(4, user_id)) " +
+          "AS SELECT * FROM cml_bsrc")
+        val spjKeys = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+          ("spark.sql.sources.v2.bucketing" +
+            ".allowJoinKeysSubsetOfPartitionKeys.enabled") -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = spjKeys.map { case (k, _) => k -> s.conf.getOption(k) }
+        def shuffleFree(sql: String): Boolean = {
+          val j = s.sql(sql)
+          j.collect()
+          j.queryExecution.executedPlan.collect {
+            case sh: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeExec => sh
+          }.isEmpty
+        }
+        val (pairSpj, subsetSpj) =
+          try {
+            spjKeys.foreach { case (k, v) => s.conf.set(k, v) }
+            (shuffleFree(s"SELECT a.ts FROM graft.`$r1` a JOIN graft.`$r2` b " +
+              "ON a.ts = b.ts AND a.user_id = b.user_id"),
+              shuffleFree(s"SELECT a.user_id FROM graft.`$r1` a " +
+                s"JOIN graft.`$r2` b ON a.user_id = b.user_id " +
+                "WHERE a.ts < TIMESTAMP '2024-01-03 00:00:00' " +
+                "AND b.ts < TIMESTAMP '2024-01-03 00:00:00'"))
+          } finally prev.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None) => s.conf.unset(k)
+          }
+        // the append lays out only the batch; BOTH specs carry
+        ev.filter(col("ts") >= lit("2024-01-22")).createOrReplaceTempView("cml_b2")
+        s.sql(s"INSERT INTO graft.`$r1` SELECT * FROM cml_b2")
+        val e2 = graft.sink.ManifestSink.currentEpoch(s, r1)
+        val appendKept =
+          graft.sink.ManifestSink.bucketSpec(s, r1, e2).isDefined &&
+          graft.sink.ManifestSink.ptimeSpec(s, r1, e2).isDefined
+        val mlOk = dualSpec && pruneOk && pairSpj && subsetSpj && appendKept
+        s.sql(s"""SELECT CAST(date_trunc('DAY', ts) AS TIMESTAMP) AS day,
+                 |  user_id % 4 AS b, count(*) AS n,
+                 |  min(event_id) AS lo, max(event_id) AS hi
+                 |FROM graft.`$r1` GROUP BY 1, 2 ORDER BY day, b""".stripMargin)
+          .withColumn("ml_ok", lit(mlOk))
+      },
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  user_id % 4 AS b, count(*) AS n,
+        |  min(event_id) AS lo, max(event_id) AS hi, TRUE AS ml_ok
+        |FROM events GROUP BY 1, 2 ORDER BY day, b""".stripMargin),
     // WRITE-AUDIT-PUBLISH (round 15 — Iceberg's `spark.wap.id`
     // discipline): an INSERT under `spark.graft.wap.id` STAGES its
     // epoch (data written, layout applied, constraints audited) but

@@ -245,10 +245,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     * rejected: this engine's range/point layout story is stats
     * clustering. */
   private def layoutOf(partitions: Array[Transform])
-      : (Option[(String, Int)], Option[(String, String)]) =
-    partitions.toSeq match {
-      case Seq() => (None, None)
-      case Seq(t) if t.name == "bucket" && t.arguments.length == 2 =>
+      : (Option[(String, Int)], Option[(String, String)]) = {
+    def bucketOf(t: Transform): Option[(String, Int)] =
+      if (t.name != "bucket" || t.arguments.length != 2) None
+      else {
         val n = t.arguments.collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_]
             if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
@@ -256,23 +256,41 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
         val c = t.arguments.collectFirst {
           case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
         }
-        val spec = for (nn <- n; cc <- c) yield (cc, nn)
-        (Some(spec.getOrElse(throw new IllegalArgumentException(
-          s"unsupported bucket transform shape: $t (want bucket(n, col))"))),
-          None)
-      case Seq(t) if graft.sink.ManifestSink.TimeUnits.contains(t.name) &&
-          t.arguments.length == 1 =>
+        Some((for (nn <- n; cc <- c) yield (cc, nn)).getOrElse(
+          throw new IllegalArgumentException(
+            s"unsupported bucket transform shape: $t (want bucket(n, col))")))
+      }
+    def timeOf(t: Transform): Option[(String, String)] =
+      if (!graft.sink.ManifestSink.TimeUnits.contains(t.name) ||
+        t.arguments.length != 1) None
+      else {
         val c = t.arguments.collectFirst {
           case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
         }
-        (None, Some((c.getOrElse(throw new IllegalArgumentException(
+        Some((c.getOrElse(throw new IllegalArgumentException(
           s"unsupported time transform shape: $t (want ${t.name}(col))")),
-          t.name)))
-      case other => throw new IllegalArgumentException(
-        "graft tables support PARTITIONED BY (bucket(n, col)) or one " +
-          "time transform (hours/days/months/years(col)) only; " +
-          s"got ${other.mkString(", ")} (range/point layout is stats clustering)")
-    }
+          t.name))
+      }
+    // Iceberg-style COMPOSABLE spec: at most one bucket transform plus
+    // at most one time transform, in either order — `(days(ts),
+    // bucket(16, id))` is the reference's own (hour, device) access
+    // pattern in one table. Hive-style identity partitions, duplicate
+    // transforms, and anything else stay rejected (range/point layout
+    // is stats clustering here).
+    val buckets = partitions.toSeq.flatMap(bucketOf)
+    val times = partitions.toSeq.flatMap(timeOf)
+    if (buckets.length > 1 || times.length > 1 ||
+      buckets.length + times.length != partitions.length)
+      throw new IllegalArgumentException(
+        "graft tables support PARTITIONED BY (bucket(n, col)), one time " +
+          "transform (hours/days/months/years(col)), or one of each; " +
+          s"got ${partitions.mkString(", ")} (range/point layout is " +
+          "stats clustering)")
+    require(buckets.headOption.map(_._1) != times.headOption.map(_._1) ||
+      buckets.isEmpty,
+      "a composed layout needs distinct bucket and time columns")
+    (buckets.headOption, times.headOption)
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
@@ -2100,16 +2118,79 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     * a LIMIT-capped one (the cap would break the all-buckets-present
     * contract). Fully-covered layouts only — see
     * [[ManifestSink.bucketSpec]]. */
-  private lazy val bucketed: Option[ManifestSink.BucketSpec] =
+  private lazy val bucketed0: Option[ManifestSink.BucketSpec] =
     if (rowLevel.isDefined || limit.isDefined) None
     else ManifestSink.bucketSpec(spark, dir, epoch)
 
   /** The committed time-transform layout, under the same exploitation
-    * guards as [[bucketed]]. A table declares at most one layout, so
-    * the two are mutually exclusive by construction. */
-  private lazy val timed: Option[ManifestSink.TimeSpec] =
-    if (rowLevel.isDefined || limit.isDefined || bucketed.isDefined) None
+    * guards as [[bucketed0]]. */
+  private lazy val timed0: Option[ManifestSink.TimeSpec] =
+    if (rowLevel.isDefined || limit.isDefined) None
     else ManifestSink.ptimeSpec(spark, dir, epoch)
+
+  /** COMPOSED layout: both transforms committed on every file (the
+    * multi-transform spec) — planned as (time ordinal, bucket) pair
+    * keys by [[pairKeyedPartitions]]. */
+  private lazy val composed: Option[(ManifestSink.BucketSpec, ManifestSink.TimeSpec)] =
+    for (b <- bucketed0; t <- timed0) yield (b, t)
+
+  private lazy val bucketed: Option[ManifestSink.BucketSpec] =
+    bucketed0.filter(_ => timed0.isEmpty)
+
+  private lazy val timed: Option[ManifestSink.TimeSpec] =
+    timed0.filter(_ => bucketed0.isEmpty)
+
+  /** Key-grouped input partitions over a COMPOSED layout: the
+    * partition key is the (time ordinal, bucket) PAIR, in that order
+    * (it must match [[outputPartitioning]]'s transform array). The
+    * ordinal dimension is data-dependent — only ordinals with
+    * surviving files emit (the Iceberg SPJ shape, `pushPartValues`
+    * covers set mismatches) — while the bucket dimension stays
+    * complete 0..n-1 within each emitted ordinal, so same-layout
+    * sides align exactly on the bucket axis. Pruning rides the same
+    * pushed static filters as every scan: a day-range predicate
+    * prunes whole ordinals via the unit-aligned zone maps, a bucket
+    * point-lookup prunes within them via the `__bucket` rows — the
+    * INTERSECTED file list. */
+  private lazy val pairKeyedPartitions: Option[Array[InputPartition]] =
+    composed.map { case (bs, ts) =>
+      val idx = new ManifestFileIndex(spark, dir, epoch)
+      val exprs = pushed.map(physFilter)
+        .flatMap(GraftFileScan.toCatalyst(physTableSchema, _)).toSeq
+      val survivors = idx.listFiles(Nil, exprs).flatMap(_.files).map(_.fileStatus)
+      GraftTable.lastPlannedFiles = survivors.size
+      val byPair = survivors.groupBy { s =>
+        val rel = relOf(s.getPath)
+        (ts.fileOrds(rel), bs.fileBuckets(rel))
+      }
+      val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      val ords = byPair.keys.map(_._1).toSeq.distinct.sorted
+      ords.foreach { ord =>
+        (0 until bs.numBuckets).foreach { b =>
+          byPair.get((ord, b)) match {
+            case None =>
+              parts += new GraftBucketPartition(
+                org.apache.spark.sql.execution.datasources.FilePartition(
+                  parts.length, Array.empty), Array(ord, b))
+            case Some(fps) =>
+              val groups =
+                if (dvSorted.isEmpty) Seq(fps)
+                else fps.groupBy(st => dvGroupOf(relOf(st.getPath)))
+                  .toSeq.sortBy(_._1).map(_._2)
+              groups.foreach { gf =>
+                parquetBatchOver(gf).planInputPartitions().foreach {
+                  case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                    parts += new GraftBucketPartition(
+                      fp.copy(index = parts.length), Array(ord, b))
+                  case other => throw new IllegalStateException(
+                    s"unexpected parquet partition shape: ${other.getClass}")
+                }
+              }
+          }
+        }
+      }
+      parts.toArray
+    }
 
   /** Key-grouped input partitions over the TIME-TRANSFORM layout:
     * every split carries its file's time ordinal as its partition key.
@@ -2201,24 +2282,33 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     * both tables across the cluster. */
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    keyedPartitions match {
-      case Some(parts) =>
-        val bs = bucketed.get
+    pairKeyedPartitions match {
+      case Some(parts) if parts.nonEmpty =>
+        val (bs, ts) = composed.get
+        // transform order MUST match the partition-key tuple order:
+        // (time ordinal, bucket)
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(Expressions.bucket(bs.numBuckets, bs.keyCol)), parts.length)
-      case None => timeKeyedPartitions match {
-        case Some(parts) if parts.nonEmpty =>
-          val ts = timed.get
+          Array(Expressions.apply(ts.unit, Expressions.column(ts.col)),
+            Expressions.bucket(bs.numBuckets, bs.keyCol)), parts.length)
+      case _ => keyedPartitions match {
+        case Some(parts) =>
+          val bs = bucketed.get
           new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-            Array(Expressions.apply(ts.unit, Expressions.column(ts.col))),
-            parts.length)
-        case _ =>
-          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+            Array(Expressions.bucket(bs.numBuckets, bs.keyCol)), parts.length)
+        case None => timeKeyedPartitions match {
+          case Some(parts) if parts.nonEmpty =>
+            val ts = timed.get
+            new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+              Array(Expressions.apply(ts.unit, Expressions.column(ts.col))),
+              parts.length)
+          case _ =>
+            new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+        }
       }
     }
 
   override def planInputPartitions(): Array[InputPartition] =
-    keyedPartitions.orElse(timeKeyedPartitions).getOrElse {
+    pairKeyedPartitions.orElse(keyedPartitions).orElse(timeKeyedPartitions).getOrElse {
       val survivors = selectSurvivors()
       GraftTable.lastPlannedFiles = survivors.size
       rowLevel.foreach(_.recordScanned(
@@ -2239,7 +2329,7 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     }
   override def createReaderFactory(): PartitionReaderFactory = {
     val base =
-      if (keyedPartitions.isDefined || timeKeyedPartitions.isDefined)
+      if (pairKeyedPartitions.isDefined || keyedPartitions.isDefined || timeKeyedPartitions.isDefined)
         // the factory is file-list-independent (each FilePartition
         // carries its own files); built over the manifest so the keyed
         // path never re-runs the delegate's survivor selection
@@ -2296,7 +2386,7 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
       // partitions still carry DV-subject files, whose deleted rows
       // would then re-enter unfiltered (ADVICE r13).
       val dvJudged: Seq[org.apache.hadoop.fs.FileStatus] =
-        if (keyedPartitions.isDefined || timeKeyedPartitions.isDefined) {
+        if (pairKeyedPartitions.isDefined || keyedPartitions.isDefined || timeKeyedPartitions.isDefined) {
           val idx = new ManifestFileIndex(spark, dir, epoch)
           val exprs = pushed.map(physFilter)
             .flatMap(GraftFileScan.toCatalyst(physTableSchema, _)).toSeq
@@ -3091,10 +3181,13 @@ final class DvFilteringReaderFactory(delegate: PartitionReaderFactory,
   * split granularity. */
 final class GraftBucketPartition(
     val delegate: org.apache.spark.sql.execution.datasources.FilePartition,
-    bucket: Int)
+    keys: Array[Int])
   extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  def this(delegate: org.apache.spark.sql.execution.datasources.FilePartition,
+           key: Int) = this(delegate, Array(key))
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
-    org.apache.spark.sql.catalyst.InternalRow(bucket)
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+      keys.toIndexedSeq.map(Int.box))
   override def preferredLocations(): Array[String] = delegate.preferredLocations()
 }
 

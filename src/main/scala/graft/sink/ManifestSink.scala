@@ -296,11 +296,10 @@ object ManifestSink {
     val token = newToken()
     val dirName = if (unique) s"data-epoch=$epoch-a$token" else s"data-epoch=$epoch"
     val epochDir = s"$root/$dirName"
-    require(bucket.isEmpty || ptime.isEmpty,
-      "a table declares ONE layout: bucket(n, col) or a time transform")
     val laid = (bucket, ptime) match {
-      case (Some((k, n)), _) => bucketLayout(df, k, n)
-      case (_, Some((c, u))) => timeLayout(df, c, u)
+      case (Some((k, n)), Some((c, u))) => composedLayout(df, c, u, k, n)
+      case (Some((k, n)), None) => bucketLayout(df, k, n)
+      case (None, Some((c, u))) => timeLayout(df, c, u)
       case _ => df
     }
     laid.write.mode("overwrite").parquet(epochDir)
@@ -947,6 +946,39 @@ object ManifestSink {
       .withColumn("__s", xxhash64(col(col0)))
     placeByKey(withK, Seq(col0),
       s"time-partitioned layout: null partition value in $col0")
+  }
+
+  /** COMPOSED layout (the Iceberg multi-transform partition spec —
+    * `PARTITIONED BY (days(ts), bucket(n, id))`; the reference's own
+    * access pattern is exactly this pair, device-bucketed within
+    * hour-clustered time, `cassandra/init.cql:41-54`): each output
+    * FILE holds exactly ONE (time ordinal, bucket) pair, committed as
+    * BOTH a `__ptime` row and a `__bucket` row, so time pruning and
+    * bucket point-lookup pruning INTERSECT on the file list with zero
+    * new machinery, and the scan reports the pair as a two-transform
+    * `KeyGroupedPartitioning` (SPJ on (ts, key) — or on a subset under
+    * `allowJoinKeysSubsetOfPartitionKeys`). The pair key packs as
+    * `ord * n + bucket` (exact in Long; bucket ∈ [0, n)), the pair
+    * SET stays bounded at ordinals × buckets, and each pair fans out
+    * past [[targetFileSize]] like every layout ([[placeByKey]]). */
+  private def composedLayout(df: DataFrame, col0: String, unit: String,
+                             keyCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    import org.apache.spark.sql.types._
+    val dt = df.schema(col0).dataType
+    require(Seq(TimestampType, TimestampNTZType, DateType).contains(dt),
+      s"time-partitioned layout needs a timestamp or date column; $col0 is $dt")
+    require(TimeUnits.contains(unit), s"unknown time unit $unit")
+    require(n > 0, s"numBuckets must be positive; got $n")
+    val kt = df.schema(keyCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(kt),
+      s"bucketed layout needs an integral key; $keyCol is $kt")
+    val packed = timeOrdCol(col(col0), dt, unit).cast(LongType) *
+      lit(n.toLong) + bucketIdCol(keyCol, n).cast(LongType)
+    val withK = df.withColumn("__k", packed)
+      .withColumn("__s", xxhash64(col(col0), col(keyCol)))
+    placeByKey(withK, Seq(col0, keyCol),
+      s"composed layout: null partition value in $col0 or $keyCol")
   }
 
   /** One `__ptime:<col>:<unit>` stats row per staged file (lo == hi ==

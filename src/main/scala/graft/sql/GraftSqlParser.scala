@@ -577,12 +577,13 @@ object GraftSqlParser {
       val statsCols = stats.map(_.map(_.getString(1))
         .filterNot(_.startsWith("__")).distinct.sorted.mkString(","))
         .filter(_.nonEmpty).orNull
-      // the one layout slot: bucket as "col:n", time as "unit(col)"
-      val bucket = ManifestSink.bucketSpec(spark, path, e)
-        .map(b => s"${b.keyCol}:${b.numBuckets}")
-        .orElse(ManifestSink.ptimeSpec(spark, path, e)
-          .map(t => s"${t.unit}(${t.col})"))
-        .orNull
+      // the layout slot: bucket as "col:n", time as "unit(col)", a
+      // composed spec as "unit(col),col:n"
+      val bucket = (ManifestSink.ptimeSpec(spark, path, e)
+        .map(t => s"${t.unit}(${t.col})") ++
+        ManifestSink.bucketSpec(spark, path, e)
+          .map(b => s"${b.keyCol}:${b.numBuckets}"))
+        .reduceOption((a, b) => s"$a,$b").orNull
       Seq(Row(path, e, entries.size, bytes, nRows, statsCols, bucket,
         ManifestSink.commitDv(spark, path, e).isDefined.toString))
     }

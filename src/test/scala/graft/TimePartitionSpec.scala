@@ -310,11 +310,107 @@ class TimePartitionSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN d TO d2")
     }
-    // two transforms at once are refused (one layout per table)
+    // refused transform combinations: two buckets, two time
+    // transforms, identity partitions (bucket+time COMPOSE — that is
+    // the multi-transform spec, pinned in its own test)
     val rootT = tmpDir("tpart_t_") + "/t"
     intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$rootT` (k BIGINT, j BIGINT, ts TIMESTAMP) " +
+        "USING parquet PARTITIONED BY (bucket(4, k), bucket(4, j))")
+    }
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$rootT` (k BIGINT, ts TIMESTAMP, t2 TIMESTAMP) " +
+        "USING parquet PARTITIONED BY (days(ts), hours(t2))")
+    }
+    intercept[Exception] {
       spark.sql(s"CREATE TABLE graft.`$rootT` (k BIGINT, ts TIMESTAMP) " +
-        "USING parquet PARTITIONED BY (bucket(4, k), days(ts))")
+        "USING parquet PARTITIONED BY (k)")
+    }
+  }
+
+  test("composed spec days(ts) + bucket(n, id): intersected pruning, " +
+    "pair SPJ, subset-key SPJ under a time filter") {
+    ensureCatalog()
+    val base = tmpDir("tpart_mx_")
+    val (r1, r2) = (s"$base/a", s"$base/b")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .filter(col("ts") < lit("2024-01-05"))
+    ev.createOrReplaceTempView("tp_mx_src")
+    spark.sql(s"CREATE TABLE graft.`$r1` " +
+      "PARTITIONED BY (days(ts), bucket(4, user_id)) " +
+      "AS SELECT * FROM tp_mx_src")
+    // BOTH layouts committed and fully covering
+    val bs = ManifestSink.bucketSpec(spark, r1, 1).get
+    val ts = ManifestSink.ptimeSpec(spark, r1, 1).get
+    assert(bs.keyCol == "user_id" && bs.numBuckets == 4)
+    assert(ts.col == "ts" && ts.unit == "days")
+    assert(bs.fileBuckets.keySet == ts.fileOrds.keySet)
+    assert(spark.table(s"graft.`$r1`").count() == ev.count())
+    // a (day, bucket) point query reads at most the INTERSECTED files
+    // (day ordinal files ∩ the key's bucket files; user_id zone maps
+    // may prune further within that set), never the whole day
+    val day0 = ts.fileOrds.values.min
+    val lo = java.time.LocalDate.ofEpochDay(day0.toLong).toString
+    val hi = java.time.LocalDate.ofEpochDay(day0.toLong + 1).toString
+    val dev = ev.filter(col("ts") < lit(s"$hi 00:00:00"))
+      .select("user_id").head.getLong(0)
+    val want = bs.fileBuckets.count { case (f, b) =>
+      b == (dev % 4).toInt && ts.fileOrds(f) == day0 }
+    val dayFiles = ts.fileOrds.count(_._2 == day0)
+    val c = spark.sql(s"SELECT count(*) AS c FROM graft.`$r1` " +
+      s"WHERE user_id = $dev AND ts >= TIMESTAMP '$lo 00:00:00' " +
+      s"AND ts < TIMESTAMP '$hi 00:00:00'").collect()(0).getLong(0)
+    assert(GraftTable.lastPlannedFiles >= 1 &&
+      GraftTable.lastPlannedFiles <= want && want < dayFiles,
+      s"(day, bucket) lookup must plan within the intersected $want files " +
+        s"(day has $dayFiles), planned ${GraftTable.lastPlannedFiles}")
+    assert(c == ev.filter(col("user_id") === dev &&
+      col("ts") >= lit(s"$lo 00:00:00") && col("ts") < lit(s"$hi 00:00:00")).count())
+    // INSERT INTO keeps the composed layout
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .filter(col("ts") >= lit("2024-01-05") && col("ts") < lit("2024-01-07"))
+      .createOrReplaceTempView("tp_mx_b2")
+    spark.sql(s"INSERT INTO graft.`$r1` SELECT * FROM tp_mx_b2")
+    assert(ManifestSink.bucketSpec(spark, r1, 2).isDefined)
+    assert(ManifestSink.ptimeSpec(spark, r1, 2).isDefined)
+    // same-layout pair join (ts AND user_id) plans zero shuffles
+    spark.sql(s"CREATE TABLE graft.`$r2` " +
+      "PARTITIONED BY (days(ts), bucket(4, user_id)) " +
+      "AS SELECT * FROM tp_mx_src")
+    withSpjConfs {
+      val out = spark.sql(
+        s"""SELECT a.ts, a.value + b.value AS v
+           |FROM graft.`$r2` a JOIN graft.`$r2` b
+           |ON a.ts = b.ts AND a.user_id = b.user_id""".stripMargin)
+      assert(out.count() >= ev.count())
+      assert(shuffles(out).isEmpty,
+        s"composed same-layout pair join must drop both shuffles:\n" +
+          out.queryExecution.executedPlan)
+      // subset-key SPJ: join on the bucket key alone under a time
+      // filter still plans zero shuffles when Spark is allowed to
+      // group on the join-key subset
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled",
+        "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      try {
+        val sub = spark.sql(
+          s"""SELECT a.user_id, a.value + b.value AS v
+             |FROM graft.`$r2` a JOIN graft.`$r2` b
+             |ON a.user_id = b.user_id
+             |WHERE a.ts < TIMESTAMP '$hi 00:00:00'
+             |  AND b.ts < TIMESTAMP '$hi 00:00:00'""".stripMargin)
+        assert(sub.count() > 0)
+        assert(shuffles(sub).isEmpty,
+          s"subset-key SPJ must drop both shuffles:\n" +
+            sub.queryExecution.executedPlan)
+      } finally {
+        spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled")
+        spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      }
     }
   }
 }
