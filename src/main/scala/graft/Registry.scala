@@ -3849,6 +3849,74 @@ object Registry {
         |  SELECT event_id + 2000, user_id, value, TRUE FROM events
         |  WHERE event_id < 50
         |) ORDER BY event_id""".stripMargin),
+    // BRANCH REFS (round 16 — the multi-epoch WAP generalization /
+    // Iceberg's writable branch refs): `CREATE BRANCH` opens a
+    // writable ref at the current snapshot (base epoch PINNED against
+    // vacuum for the ref's life), INSERTs under `spark.graft.branch`
+    // stage CUMULATIVELY — an audit PIPELINE of N epochs, reader-
+    // invisible, auditable as `@branch:<name>` and listed under
+    // `@branches` — and `PUBLISH BRANCH` fast-forwards the whole
+    // pipeline onto the live table in ONE commit CAS through the
+    // rebase ladder (atomically above any racing live write; racer
+    // rows survive). `DROP BRANCH` discards to vacuum debris. br_ok
+    // gates two-stage invisibility, the cumulative audit count, the
+    // listing, and the publish landing above the race as one epoch.
+    "q_catalog_branch" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cbr_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 200).createOrReplaceTempView("cbr_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cbr_src")
+        s.sql(s"CREATE BRANCH rel ON graft.`$root`")
+        s.conf.set("spark.graft.branch", "rel")
+        try {
+          s.sql(s"INSERT INTO graft.`$root` SELECT event_id + 1000, " +
+            "user_id, value FROM cbr_src WHERE event_id < 100")
+          s.sql(s"INSERT INTO graft.`$root` SELECT event_id + 2000, " +
+            "user_id, value FROM cbr_src WHERE event_id < 50")
+        } finally s.conf.unset("spark.graft.branch")
+        // two staged epochs, nothing reader-visible
+        val invisible = s.table(s"graft.`$root`").count() == 200L &&
+          graft.sink.ManifestSink.currentEpoch(s, root) == 1
+        // the cumulative increment audits; the ref lists
+        val auditOk = s.sql(s"SELECT count(*) AS c, min(event_id) AS lo " +
+          s"FROM graft.`$root@branch:rel`").collect()(0) match {
+          case r => r.getLong(0) == 150L && r.getLong(1) == 1000L
+        }
+        val listOk = s.table(s"graft.`$root@branches`").collect() match {
+          case Array(r) => r.getString(0) == "rel" && r.getInt(1) == 1 &&
+            r.getInt(2) == 3
+          case _ => false
+        }
+        // a LIVE insert races below the publish; the fast-forward
+        // lands the whole pipeline as ONE epoch above it
+        s.sql(s"INSERT INTO graft.`$root` SELECT event_id + 3000, user_id, " +
+          "value FROM cbr_src WHERE event_id < 20")
+        val pub = s.sql(s"PUBLISH BRANCH rel ON graft.`$root`").collect()(0)
+        val brOk = invisible && auditOk && listOk &&
+          pub.getInt(2) == graft.sink.ManifestSink.currentEpoch(s, root) &&
+          pub.getInt(4) == 2 &&
+          graft.sink.ManifestSink.liveBranchStages(s, root).isEmpty
+        s.sql(s"""SELECT event_id, user_id, value FROM graft.`$root`
+                 |ORDER BY event_id""".stripMargin)
+          .withColumn("br_ok", lit(brOk))
+      },
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, value, TRUE AS br_ok FROM events
+        |  WHERE event_id < 200
+        |  UNION ALL
+        |  SELECT event_id + 1000, user_id, value, TRUE FROM events
+        |  WHERE event_id < 100
+        |  UNION ALL
+        |  SELECT event_id + 2000, user_id, value, TRUE FROM events
+        |  WHERE event_id < 50
+        |  UNION ALL
+        |  SELECT event_id + 3000, user_id, value, TRUE FROM events
+        |  WHERE event_id < 20
+        |) ORDER BY event_id""".stripMargin),
     // METADATA TABLES (round 15 — Iceberg's inspection surface,
     // `db.t.files`/`partitions`/`history`, spelled with the same
     // `@`-suffix convention as `@changes`): committed metadata served

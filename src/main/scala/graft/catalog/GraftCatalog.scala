@@ -134,6 +134,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
   // each parseIdent accepts.
   private val ChangesIdentRe = "(?s).*@changes(?::[^/@]*)?$".r
   private val WapIdentRe = "(?s).*@wap:[^/@]+$".r
+  private val BranchIdentRe = "(?s).*@branch:[^/@]+$".r
   private val MetaIdentRe =
     ("(?s).*@(?:" + GraftMetaTable.Kinds.mkString("|") + ")(?::\\d+)?$").r
 
@@ -162,6 +163,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       val dir = dirOf(baseIdent)
       if (!existsAsTable(dir)) throw new NoSuchTableException(baseIdent)
       return new GraftWapTable(dir, ident.toString, id)
+    }
+    // `@branch:<name>` — audit a branch ref's cumulative staged
+    // increment before publishing it (the multi-epoch WAP audit leg)
+    if (BranchIdentRe.matches(ident.name)) {
+      val at = ident.name.lastIndexOf("@branch:")
+      val (base, nm) = (ident.name.substring(0, at),
+        ident.name.substring(at + "@branch:".length))
+      require(nm.nonEmpty, "want @branch:<name>")
+      val baseIdent = Identifier.of(ident.namespace, base)
+      val dir = dirOf(baseIdent)
+      if (!existsAsTable(dir)) throw new NoSuchTableException(baseIdent)
+      return new GraftWapTable(dir, ident.toString, nm, branch = true)
     }
     // `@files` / `@partitions` / `@history` — the metadata-only
     // inspection surface (see [[GraftMetaTable]])
@@ -982,14 +995,34 @@ object GraftTable {
   private def wapPath(dir: String, id: String) =
     new Path(new Path(dir, "_WAP"), id)
 
+  /** Branch descriptors live beside the WAP ones — same line format
+    * plus `base=`/`stages=` (the multi-epoch generalization). */
+  private def branchPath(dir: String, name: String) =
+    new Path(new Path(dir, "_BRANCH"), name)
+
   private[graft] def writeWapDescriptor(spark: SparkSession, dir: String,
                                         id: String,
                                         st: graft.sink.ManifestSink.Staged,
-                                        observed: Option[String]): Unit = {
+                                        observed: Option[String]): Unit =
+    writeRefDescriptor(spark, wapPath(dir, id), st, observed, Nil)
+
+  private[graft] def writeBranchDescriptor(spark: SparkSession, dir: String,
+                                           name: String,
+                                           st: graft.sink.ManifestSink.Staged,
+                                           observed: Option[String],
+                                           base: Int, stages: Int): Unit =
+    writeRefDescriptor(spark, branchPath(dir, name), st, observed,
+      Seq("base" -> base.toString, "stages" -> stages.toString))
+
+  private def writeRefDescriptor(spark: SparkSession, p: Path,
+                                 st: graft.sink.ManifestSink.Staged,
+                                 observed: Option[String],
+                                 extra: Seq[(String, String)]): Unit = {
     val body = new StringBuilder()
     body.append(s"epoch=${st.epoch}\n")
     body.append(s"token=${st.token}\n")
     body.append(s"stats=${st.stats.isDefined}\n")
+    extra.foreach { case (k, v) => body.append(s"$k=$v\n") }
     st.schemaJson.foreach(s => body.append(s"schema=$s\n"))
     observed.foreach(s => body.append(s"observed=$s\n"))
     st.dvs.foreach { case (rel, k) =>
@@ -999,7 +1032,6 @@ object GraftTable {
       val fe = st.fileEpochs.getOrElse(r, st.epoch)
       body.append(s"file=${escJson(r)}\t$sz\t$fe\n")
     }
-    val p = wapPath(dir, id)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = f.create(p, true)
     try out.write(body.toString.getBytes("UTF-8")) finally out.close()
@@ -1007,8 +1039,25 @@ object GraftTable {
 
   private def readWapDescriptor(spark: SparkSession, dir: String,
                                 id: String)
-      : Option[(graft.sink.ManifestSink.Staged, Option[String])] = {
-    val p = wapPath(dir, id)
+      : Option[(graft.sink.ManifestSink.Staged, Option[String])] =
+    readRefDescriptor(spark, dir, wapPath(dir, id), "WAP stage", id)
+      .map { case (st, obs, _) => (st, obs) }
+
+  /** A branch's cumulative staged state: (staged, observed schema,
+    * base epoch, stage count). */
+  private[graft] def branchStaged(spark: SparkSession, dir: String,
+                                  name: String)
+      : Option[(graft.sink.ManifestSink.Staged, Option[String], Int, Int)] =
+    readRefDescriptor(spark, dir, branchPath(dir, name), "branch", name)
+      .map { case (st, obs, extras) =>
+        (st, obs, extras.getOrElse("base", "0").toInt,
+          extras.getOrElse("stages", "0").toInt)
+      }
+
+  private def readRefDescriptor(spark: SparkSession, dir: String, p: Path,
+                                what: String, name: String)
+      : Option[(graft.sink.ManifestSink.Staged, Option[String],
+        Map[String, String])] = {
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) return None
     val text = {
@@ -1040,9 +1089,8 @@ object GraftTable {
       val sp = new Path(statsPath)
       val hadStats = one("stats").contains("true")
       require(!hadStats || f.exists(sp),
-        s"WAP stage '$id' on $dir staged a stats table that is gone " +
-          "(a vacuum or a crashed publish swept it); re-run the write " +
-          "under spark.graft.wap.id")
+        s"$what '$name' on $dir staged a stats table that is gone " +
+          "(a vacuum or a crashed publish swept it); re-run the write")
       val stats =
         if (!f.exists(sp)) None
         else {
@@ -1052,11 +1100,13 @@ object GraftTable {
             scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
             read.schema))
         }
+      val extras = Seq("base", "stages")
+        .flatMap(k => one(k).map(k -> _)).toMap
       (graft.sink.ManifestSink.Staged(dir, epoch, token,
         files.map(_._1).sorted, stats, one("schema"), dvs,
         files.collect { case (r, sz, _) if sz >= 0 => r -> sz }.toMap,
         files.map { case (r, _, fe) => r -> fe }.toMap),
-        one("observed"))
+        one("observed"), extras)
     }
   }
 
@@ -1071,6 +1121,78 @@ object GraftTable {
   private[graft] def wapStaged(spark: SparkSession, dir: String, id: String)
       : Option[(graft.sink.ManifestSink.Staged, Option[String])] =
     readWapDescriptor(spark, dir, id).orElse(pendingWap.get((dir, id)))
+
+  /** The pre-first-commit sidecar schema (`_SCHEMA.json`), if any. */
+  private[graft] def sidecarSchema(spark: SparkSession,
+                                   dir: String): Option[StructType] = {
+    val p = new Path(dir, SchemaFile)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val json = try {
+        val sz = f.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](sz); in.readFully(buf); new String(buf, "UTF-8")
+      } finally in.close()
+      Some(DataType.fromJson(json).asInstanceOf[StructType])
+    }
+  }
+
+  /** `CREATE BRANCH <name> ON <tbl>` — open a WRITABLE REF (the
+    * multi-epoch WAP generalization / Iceberg branch ref): the branch
+    * starts as the CURRENT snapshot (base pinned against vacuum like
+    * a tag), every INSERT under `spark.graft.branch = '<name>'`
+    * STAGES cumulatively onto it — N epochs of an audit pipeline,
+    * nothing reader-visible — and `PUBLISH BRANCH` fast-forwards the
+    * cumulative state onto the live table in ONE commit CAS through
+    * the rebase ladder. The base epoch's stats parquet is COPIED to
+    * the branch token's name at create time, so the cumulative stats
+    * chain never reads metadata a vacuum could sweep. Returns the
+    * base epoch. */
+  private[graft] def createBranch(spark: SparkSession, dir: String,
+                                  name: String): Int = {
+    require(name.matches("\\w+"), s"branch names are word-shaped; got '$name'")
+    require(branchStaged(spark, dir, name).isEmpty,
+      s"branch '$name' already exists on $dir; PUBLISH or DROP it first")
+    val base = ManifestSink.currentEpochOpt(spark, dir).getOrElse(0)
+    val token = ManifestSink.newAttemptToken()
+    val schemaJson =
+      (if (base > 0) ManifestSink.commitSchema(spark, dir, base) else None)
+        .orElse(GraftTable.sidecarSchema(spark, dir))
+        .map(_.json)
+    require(schemaJson.isDefined, s"no table at $dir to branch from")
+    val (entries, stats, dvs) =
+      if (base == 0) (Nil, None, Nil)
+      else {
+        val es = ManifestSink.manifestEntries3(spark, dir, base)
+        val st =
+          if (!ManifestSink.statsExists(spark, dir, base)) None
+          else {
+            // durable copy under the branch token (vacuum-exempt for
+            // the branch's life): the chain's stable stats root
+            val s = ManifestSink.statsTable(spark, dir, base)
+            s.coalesce(1).write.mode("overwrite")
+              .parquet(s"$dir/stats-$base.$token")
+            Some(s)
+          }
+        (es, st, ManifestSink.commitDvs(spark, dir, base))
+      }
+    val st = graft.sink.ManifestSink.Staged(dir, base, token,
+      entries.map(_._1).sorted, stats, schemaJson, dvs,
+      entries.collect { case (r, s, _) if s >= 0 => r -> s }.toMap,
+      entries.collect { case (r, _, fe) if fe >= 0 => r -> fe }.toMap)
+    writeBranchDescriptor(spark, dir, name, st, schemaJson, base, 0)
+    base
+  }
+
+  /** Forget a branch (descriptor only — staged files become
+    * vacuum-sweepable debris). True iff it existed. */
+  private[graft] def removeBranch(spark: SparkSession, dir: String,
+                                  name: String): Boolean = {
+    val p = branchPath(dir, name)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p) && f.delete(p, false)
+  }
 
   /** Forget a staged WAP write everywhere (registry + descriptor).
     * Returns true iff it existed in either place. */
@@ -1378,6 +1500,60 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
   private def insertImpl(data: DataFrame, overwrite: Boolean): Unit = {
     val bucket = declaredBucket
     val ptime = declaredPtime
+    // BRANCH WRITES (the multi-epoch WAP generalization): under a
+    // session branch name, the INSERT stages CUMULATIVELY onto the
+    // branch — full layout, stats chain, constraint audit — and
+    // rewrites the descriptor instead of committing; readers see
+    // nothing until PUBLISH BRANCH fast-forwards the whole pipeline
+    // in one CAS. Appends only, exact schema (a branch is an audit
+    // pipeline over the branched-from shape, not an evolution path).
+    spark.conf.getOption("spark.graft.branch").filter(_.nonEmpty) match {
+      case Some(name) =>
+        require(!overwrite,
+          "branch writes support INSERT INTO (append) only; " +
+            "unset spark.graft.branch for INSERT OVERWRITE")
+        require(spark.conf.getOption("spark.graft.wap.id").forall(_.isEmpty),
+          "spark.graft.branch and spark.graft.wap.id are exclusive")
+        val (prior, observed, base, stages) =
+          GraftTable.branchStaged(spark, dir, name).getOrElse(
+            throw new IllegalArgumentException(
+              s"no branch '$name' on $dir; CREATE BRANCH first"))
+        val priorSchema = prior.schemaJson.map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType])
+        require(priorSchema.forall(s => !graft.sink.ColumnMapping.hasMapping(s)),
+          "branch writes on a column-mapped table are not supported")
+        priorSchema.foreach { p =>
+          val n = ManifestSink.asNullable(data.schema)
+          require(p.fields.map(f => (f.name, f.dataType)).toSet ==
+            n.fields.map(f => (f.name, f.dataType)).toSet,
+            s"branch write schema drift: branch ${p.simpleString} " +
+              s"vs batch ${n.simpleString}")
+        }
+        val fresh = ManifestSink.stage(data, dir, prior.epoch + 1,
+          statsColsOf(data.schema), unique = true, bucket = bucket,
+          ptime = ptime, tokenOpt = Some(prior.token))
+        GraftTable.auditConstraints(spark, dir,
+          fresh.relFiles.filter(_.startsWith(s"data-epoch=${prior.epoch + 1}-")))
+        val stats = (prior.stats, fresh.stats) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b) => a.orElse(b)
+        }
+        val cumulative = prior.copy(epoch = prior.epoch + 1,
+          relFiles = (prior.relFiles ++ fresh.relFiles).sorted,
+          stats = stats,
+          sizes = prior.sizes ++ fresh.sizes,
+          fileEpochs = prior.fileEpochs ++
+            fresh.relFiles.map(_ -> (prior.epoch + 1)))
+        // durable stats leg for the NEXT stage / the publish (the
+        // WAP discipline): materialize under the branch token
+        cumulative.stats.foreach(_.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/stats-${cumulative.epoch}.${cumulative.token}"))
+        GraftTable.writeBranchDescriptor(spark, dir, name, cumulative,
+          observed, base, stages + 1)
+        return
+      case None => ()
+    }
     // WRITE-AUDIT-PUBLISH (Iceberg's spark.wap.id): under a session
     // wap id, the INSERT stages — full layout, stats, constraint
     // audit — and registers instead of committing; readers see

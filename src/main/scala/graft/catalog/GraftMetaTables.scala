@@ -84,6 +84,11 @@ final class GraftMetaTable(dir: String, ident: String, kind: String,
       StructField("wap_id", StringType, nullable = false),
       StructField("staged_epoch", IntegerType, nullable = false),
       StructField("token", StringType, nullable = false)))
+    case "branches" => StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("base_epoch", IntegerType, nullable = false),
+      StructField("staged_epoch", IntegerType, nullable = false),
+      StructField("token", StringType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"unknown graft metadata table kind: $other")
   }
@@ -108,7 +113,7 @@ object GraftMetaTable {
 
   /** The `@` kinds this object serves (`@changes` routes elsewhere). */
   val Kinds: Seq[String] = Seq("files", "partitions", "history", "tags",
-    "wap")
+    "wap", "branches")
 
   /** Parse `<base>@<kind>[:<epoch>]` → (base, kind, epochSpec). */
   def parseIdent(name: String): (String, String, Option[Int]) = {
@@ -205,6 +210,14 @@ object GraftMetaTable {
         ManifestSink.liveWapStages(spark, dir).map { case (id, e, t) =>
           InternalRow(UTF8String.fromString(id), e, UTF8String.fromString(t))
         }.toArray
+      case "branches" =>
+        // the writable-ref listing (the ops view of branch refs);
+        // audit one's staged increment with @branch:<name>
+        require(epochSpec.isEmpty, "@branches lists live branches; " +
+          "audit one with @branch:<name>")
+        ManifestSink.liveBranchStages(spark, dir).map { case (n, e, t, b) =>
+          InternalRow(UTF8String.fromString(n), b, e, UTF8String.fromString(t))
+        }.toArray
       case other => throw new IllegalArgumentException(
         s"unknown graft metadata table kind: $other")
     }
@@ -220,15 +233,17 @@ object GraftMetaTable {
   * queries run against `graft.`/p@wap:<id>`` (counts, constraint
   * probes, joins against the live table), then the write publishes or
   * drops. */
-final class GraftWapTable(dir: String, ident: String, wapId: String)
+final class GraftWapTable(dir: String, ident: String, wapId: String,
+                          branch: Boolean = false)
   extends Table with SupportsRead {
 
   private def spark: SparkSession = SparkSession.active
 
   private def staged: ManifestSink.Staged =
-    GraftTable.wapStaged(spark, dir, wapId).map(_._1).getOrElse(
+    (if (branch) GraftTable.branchStaged(spark, dir, wapId).map(_._1)
+     else GraftTable.wapStaged(spark, dir, wapId).map(_._1)).getOrElse(
       throw new IllegalArgumentException(
-        s"no staged WAP write '$wapId' on $dir"))
+        s"no staged ${if (branch) "branch" else "WAP write"} '$wapId' on $dir"))
 
   override def name(): String = ident
 

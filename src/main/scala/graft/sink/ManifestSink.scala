@@ -291,9 +291,13 @@ object ManifestSink {
             bloomCols: Seq[String] = Nil, bloomBits: Int = 16384,
             bloomHashes: Int = 5, bucket: Option[(String, Int)] = None,
             hllCols: Seq[String] = Nil,
-            ptime: Option[(String, String)] = None): Staged = {
+            ptime: Option[(String, String)] = None,
+            tokenOpt: Option[String] = None): Staged = {
     val spark = df.sparkSession
-    val token = newToken()
+    // a caller-supplied token makes a SERIES of stages one sweepable /
+    // exemptable unit (branch refs: every stage dir carries the
+    // branch's token); only meaningful with unique = true
+    val token = tokenOpt.getOrElse(newToken())
     val dirName = if (unique) s"data-epoch=$epoch-a$token" else s"data-epoch=$epoch"
     val epochDir = s"$root/$dirName"
     val laid = (bucket, ptime) match {
@@ -438,7 +442,7 @@ object ManifestSink {
   /** Nullable-normalize for the committed schema: evolved reads fill
     * absent columns of old files with null, so every field must admit
     * it (the Delta normalization). */
-  private def asNullable(dt: org.apache.spark.sql.types.StructType)
+  private[graft] def asNullable(dt: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     def loop(t: DataType): DataType = t match {
@@ -509,7 +513,8 @@ object ManifestSink {
         f.delete(tmp, false)
         f.delete(manifest, false)
         val wapLive = liveWapStages(spark, staged.root).exists { case (_, e, t) =>
-          e == staged.epoch && t == staged.token }
+          e == staged.epoch && t == staged.token } ||
+          liveBranchStages(spark, staged.root).exists(_._3 == staged.token)
         if (!wapLive)
           f.delete(new org.apache.hadoop.fs.Path(rootPath,
             s"stats-${staged.epoch}.${staged.token}"), true)
@@ -2732,7 +2737,7 @@ object ManifestSink {
     }
   }
 
-  private def statsExists(spark: SparkSession, root: String, epoch: Int): Boolean = {
+  def statsExists(spark: SparkSession, root: String, epoch: Int): Boolean = {
     val (token, _) = commitInfo(spark, root, epoch)
     fs(spark, new org.apache.hadoop.fs.Path(root))
       .exists(new org.apache.hadoop.fs.Path(s"$root/stats-$epoch.$token"))
@@ -2991,6 +2996,29 @@ object ManifestSink {
     }.sortBy(_._1)
   }
 
+  /** Live BRANCH stages: (name, latest staged epoch, token, base
+    * epoch) per `_BRANCH/<name>` descriptor (written by the catalog's
+    * branch write path — the multi-epoch WAP generalization). Vacuum
+    * consults this so a live branch's staged files and stats stay
+    * retention-exempt AND its base epoch stays alive (the branch's
+    * carried file list references it) until publish or drop. */
+  def liveBranchStages(spark: SparkSession, root: String)
+      : Seq[(String, Int, String, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(root, "_BRANCH")
+    val f = fs(spark, p)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.filter(_.isFile).flatMap { st =>
+      val lines =
+        try readLines(spark, st.getPath)
+        catch { case _: java.io.IOException => Nil }
+      def one(k: String): Option[String] =
+        lines.find(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
+      for (e <- one("epoch").flatMap(_.toIntOption); t <- one("token");
+           b <- one("base").flatMap(_.toIntOption))
+        yield (st.getPath.getName, e, t, b)
+    }.sortBy(_._1)
+  }
+
   // ---------------------------------------------------------------- retention
 
   /** Retention sweep — the vacuum discipline of the dedup epoch chain
@@ -3048,7 +3076,13 @@ object ManifestSink {
     // a stale tag naming an epoch already dropped by an earlier,
     // pre-tag vacuum is simply inert
     val tagged = readTags(spark, root).values.toSeq.filter(epochs.contains)
-    val kept = (epochs.takeRight(keep) ++ tagged :+ cur).distinct.sorted
+    // a live branch PINS its base epoch (the cumulative staged file
+    // list references the base's files; publishing later must still
+    // find them) — the tag discipline applied to refs
+    val branchBases = liveBranchStages(spark, root).map(_._4)
+      .filter(epochs.contains)
+    val kept = (epochs.takeRight(keep) ++ tagged ++ branchBases :+ cur)
+      .distinct.sorted
     val dropped = epochs.filterNot(kept.contains)
     val keptFiles = kept
       .flatMap(e => manifestFiles(spark, root, e))
@@ -3082,10 +3116,13 @@ object ManifestSink {
     // tmp at or below the current epoch can never commit — epochs are
     // monotonic — so it is dead weight)
     val winners = kept.map(e => e -> commitInfo(spark, root, e)._1).toMap
-    // pending WAP stages are retention-exempt (see [[liveWapStages]])
+    // pending WAP stages are retention-exempt (see [[liveWapStages]]);
+    // live BRANCH stages likewise — a branch's token marks EVERY stage
+    // dir and stats file of the ref, so exemption keys on the token
     val wapStages = liveWapStages(spark, root)
       .map { case (_, e, t) => (e, t) }.toSet
-    val wapTokens = wapStages.map(_._2)
+    val branchTokens = liveBranchStages(spark, root).map(_._3).toSet
+    val wapTokens = wapStages.map(_._2) ++ branchTokens
     // DV files are carried ACROSS epochs by reference (appends ride the
     // line), so a dv-N file may outlive epoch N: sweep only DVs no
     // KEPT epoch references
@@ -3108,6 +3145,7 @@ object ManifestSink {
           // committed epoch (ADVICE r11).
           val ep = e.toInt
           if (ep <= cur && !wapStages((ep, token)) &&
+            !branchTokens.contains(token) &&
             (!kept.contains(ep) || winners.get(ep).exists(_ != token)))
             f.delete(p, true): Unit
         case dv(e, _) if e.toInt <= cur && !keptDvs.contains(n) =>

@@ -115,6 +115,12 @@ object GraftSqlParser {
     ("(?is)^\\s*PUBLISH\\s+WAP\\s+(\\w+)\\s+ON\\s+" + Tbl + "\\s*;?\\s*$").r
   private val DropWapRe =
     ("(?is)^\\s*DROP\\s+WAP\\s+(\\w+)\\s+ON\\s+" + Tbl + "\\s*;?\\s*$").r
+  private val CreateBranchRe =
+    ("(?is)^\\s*CREATE\\s+BRANCH\\s+(\\w+)\\s+ON\\s+" + Tbl + "\\s*;?\\s*$").r
+  private val PublishBranchRe =
+    ("(?is)^\\s*PUBLISH\\s+BRANCH\\s+(\\w+)\\s+ON\\s+" + Tbl + "\\s*;?\\s*$").r
+  private val DropBranchRe =
+    ("(?is)^\\s*DROP\\s+BRANCH\\s+(\\w+)\\s+ON\\s+" + Tbl + "\\s*;?\\s*$").r
   // NOTE: ANALYZE is deliberately NOT in LeadRe — a non-graft-shaped
   // `ANALYZE TABLE hive_t COMPUTE STATISTICS` must fall through to
   // Spark's own grammar untouched; only the exact graft-path form is
@@ -123,7 +129,8 @@ object GraftSqlParser {
     ("(?is)^\\s*(VACUUM|OPTIMIZE|DESCRIBE\\s+HISTORY|DESCRIBE\\s+CHANGES" +
       "|DESCRIBE\\s+DETAIL|RESTORE|CREATE\\s+MATERIALIZED" +
       "|REFRESH\\s+MATERIALIZED|CREATE\\s+TAG|DROP\\s+TAG" +
-      "|PUBLISH\\s+WAP|DROP\\s+WAP)\\b.*").r
+      "|PUBLISH\\s+WAP|DROP\\s+WAP|CREATE\\s+BRANCH|PUBLISH\\s+BRANCH" +
+      "|DROP\\s+BRANCH)\\b.*").r
 
   /** True iff the statement carries a graft-shaped table reference —
     * an explicit `graft.` catalog prefix, or a backquoted/quoted
@@ -190,6 +197,12 @@ object GraftSqlParser {
         Some(PublishWapCommand(Option(bq).getOrElse(q), id))
       case DropWapRe(id, bq, q) =>
         Some(DropWapCommand(Option(bq).getOrElse(q), id))
+      case CreateBranchRe(name, bq, q) =>
+        Some(CreateBranchCommand(Option(bq).getOrElse(q), name))
+      case PublishBranchRe(name, bq, q) =>
+        Some(PublishBranchCommand(Option(bq).getOrElse(q), name))
+      case DropBranchRe(name, bq, q) =>
+        Some(DropBranchCommand(Option(bq).getOrElse(q), name))
       case LeadRe(kw) if GraftShapedRe.matches(sqlText) =>
         throw new IllegalArgumentException(
         s"malformed graft maintenance statement (keyword ${kw.toUpperCase}): " +
@@ -203,7 +216,9 @@ object GraftSqlParser {
           "AS cnt, SUM(<v>) AS sum_value FROM <tbl> GROUP BY <g> | " +
           "REFRESH MATERIALIZED VIEW <tbl> | CREATE TAG <name> ON <tbl> " +
           "[AS OF VERSION <n>] | DROP TAG <name> ON <tbl> | " +
-          "PUBLISH WAP <id> ON <tbl> | DROP WAP <id> ON <tbl> " +
+          "PUBLISH WAP <id> ON <tbl> | DROP WAP <id> ON <tbl> | " +
+          "CREATE BRANCH <name> ON <tbl> | PUBLISH BRANCH <name> ON <tbl> | " +
+          "DROP BRANCH <name> ON <tbl> " +
           "where <tbl> = graft.`/path` | `/path` | '/path'")
       case _ => None
     }
@@ -521,6 +536,110 @@ object GraftSqlParser {
       require(graft.catalog.GraftTable.removeWap(spark, path, id),
         s"no staged WAP write '$id' on $path")
       Seq(Row(path, id))
+    }
+  }
+
+  /** `CREATE BRANCH <name> ON <tbl>` — open a writable ref at the
+    * current snapshot (see [[graft.catalog.GraftTable.createBranch]]);
+    * the base epoch pins against vacuum for the branch's life. */
+  final case class CreateBranchCommand(path: String, name: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("path", StringType), attr("branch", StringType),
+      attr("base_epoch", IntegerType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val base = graft.catalog.GraftTable.createBranch(spark, path, name)
+      Seq(Row(path, name, base))
+    }
+  }
+
+  /** `PUBLISH BRANCH <name> ON <tbl>` — FAST-FORWARD the branch's
+    * cumulative staged state (N audit-pipeline epochs) onto the live
+    * table in ONE commit CAS, rebasing through racing appends with
+    * the live-INSERT ladder: the branch's staged files land verbatim
+    * above whatever committed meanwhile, constraints re-audit per
+    * attempt, and the whole pipeline becomes reader-visible
+    * atomically or not at all. Idempotent after a crashed cleanup
+    * (fresh-files-already-in-manifest consumes the descriptor). */
+  final case class PublishBranchCommand(path: String, name: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("path", StringType), attr("branch", StringType),
+      attr("epoch", IntegerType), attr("n_files", IntegerType),
+      attr("stages", IntegerType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val (staged0, observedSchema, base, stages) =
+        graft.catalog.GraftTable.branchStaged(spark, path, name).getOrElse(
+          throw new IllegalArgumentException(s"no branch '$name' on $path"))
+      require(stages > 0,
+        s"branch '$name' on $path has no staged writes to publish; " +
+          "DROP BRANCH to discard it")
+      val freshMark = s"-a${staged0.token}/"
+      val fresh = staged0.relFiles.filter(_.contains(freshMark)).toSet
+      def alreadyPublished(): Option[Int] =
+        ManifestSink.currentEpochOpt(spark, path).filter { cur =>
+          fresh.nonEmpty && fresh.subsetOf(
+            ManifestSink.manifestEntries(spark, path, cur).map(_._1).toSet)
+        }
+      // constraints may have moved since any stage — audit the whole
+      // pipeline's fresh files before the first attempt (the WAP
+      // discipline, covering the sidecar-only pre-first-commit ADD)
+      graft.catalog.GraftTable.auditConstraints(spark, path, fresh.toSeq)
+      // COLLAPSE the pipeline to the ONE epoch directly above the
+      // branch base: intermediate stage epochs (base+1..base+k) never
+      // commit markers, so the published file epochs must all say the
+      // epoch that does — gaps in the marker chain would break
+      // history/changes iteration. If the live table has ADVANCED
+      // past the base, this first attempt's early conflict routes
+      // through the rebase ladder below, which merges the CURRENT
+      // manifest with the fresh files at cur+1 — a publish must never
+      // drop a racer's rows by committing the stale base file list.
+      var staged = staged0.copy(epoch = base + 1,
+        fileEpochs = staged0.fileEpochs.map { case (r, e) =>
+          r -> (if (fresh(r)) base + 1 else e) })
+      var attempts = 0
+      var publishedEpoch = -1
+      alreadyPublished() match {
+        case Some(cur) => publishedEpoch = cur
+        case None =>
+          while (publishedEpoch < 0) {
+            try {
+              ManifestSink.commitStaged(spark, staged)
+              publishedEpoch = staged.epoch
+            } catch {
+              case c: ManifestSink.ManifestConflictException =>
+                attempts += 1
+                if (attempts >= ManifestSink.commitMaxRetries(spark)) throw c
+                alreadyPublished() match {
+                  case Some(cur) => publishedEpoch = cur
+                  case None =>
+                    staged = ManifestSink.rebaseStagedInsert(spark, staged,
+                      overwrite = false, observedSchema).getOrElse(
+                      throw new IllegalStateException(
+                        s"branch '$name' on $path cannot be rebased (the " +
+                          "table's schema moved or a vacuum swept the " +
+                          "stage); re-stage the branch"))
+                    graft.catalog.GraftTable.auditConstraints(spark, path,
+                      staged.relFiles.filter(_.contains(freshMark)))
+                }
+            }
+          }
+      }
+      graft.catalog.GraftTable.removeBranch(spark, path, name)
+      Seq(Row(path, name, publishedEpoch, fresh.size, stages))
+    }
+  }
+
+  /** `DROP BRANCH <name> ON <tbl>` — discard the ref; its staged
+    * files become vacuum-sweepable debris. */
+  final case class DropBranchCommand(path: String, name: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("path", StringType), attr("branch", StringType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      require(graft.catalog.GraftTable.removeBranch(spark, path, name),
+        s"no branch '$name' on $path")
+      Seq(Row(path, name))
     }
   }
 

@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{GraftCatalog, GraftTable}
+import graft.sink.ManifestSink
+
+/** BRANCH REFS — the multi-epoch write-audit-publish generalization
+  * (Iceberg's writable branch refs): `CREATE BRANCH` opens a ref at
+  * the current snapshot, INSERTs under `spark.graft.branch` stage
+  * CUMULATIVELY (an audit pipeline of N epochs, reader-invisible),
+  * `@branch:<name>` audits the cumulative increment, and
+  * `PUBLISH BRANCH` fast-forwards the whole pipeline onto the live
+  * table in ONE commit CAS through the rebase ladder — atomically
+  * above any racing live write. `DROP BRANCH` discards to
+  * vacuum-sweepable debris; a LIVE branch is retention-exempt and
+  * pins its base epoch. */
+class BranchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ensureCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+
+  private def mkTable(prefix: String, n: Int = 40): String = {
+    ensureCatalog()
+    val root = tmpDir(prefix) + "/t"
+    (0 until n).map(i => (i.toLong, i * 1.5)).toDF("k", "v")
+      .createOrReplaceTempView(s"br_src_$n")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM br_src_$n")
+    root
+  }
+
+  private def branchWrite(root: String, name: String, view: String): Unit = {
+    spark.conf.set("spark.graft.branch", name)
+    try spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM $view")
+    finally spark.conf.unset("spark.graft.branch")
+  }
+
+  test("two staged inserts publish atomically ABOVE a racing live insert") {
+    val root = mkTable("br_pub_")
+    spark.sql(s"CREATE BRANCH audit ON graft.`$root`")
+    (100L until 110L).map(i => (i, 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("br_b1")
+    (200L until 215L).map(i => (i, 2.0)).toDF("k", "v")
+      .createOrReplaceTempView("br_b2")
+    branchWrite(root, "audit", "br_b1")
+    branchWrite(root, "audit", "br_b2")
+    // nothing is reader-visible; the cumulative increment audits as
+    // the @branch table and the ref lists under @branches
+    assert(spark.table(s"graft.`$root`").count() == 40)
+    assert(spark.table(s"graft.`$root@branch:audit`").count() == 25)
+    val listing = spark.table(s"graft.`$root@branches`").collect()
+    assert(listing.length == 1 && listing(0).getString(0) == "audit" &&
+      listing(0).getInt(1) == 1 && listing(0).getInt(2) == 3)
+    // a LIVE insert races in below the publish
+    (300L until 305L).map(i => (i, 3.0)).toDF("k", "v")
+      .createOrReplaceTempView("br_race")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM br_race")
+    assert(spark.table(s"graft.`$root`").count() == 45)
+    val pub = spark.sql(s"PUBLISH BRANCH audit ON graft.`$root`").collect()(0)
+    assert(pub.getInt(4) == 2, "stage count surfaces at publish")
+    // the pipeline landed as ONE epoch above the racer: all rows live
+    val e = ManifestSink.currentEpoch(spark, root)
+    assert(pub.getInt(2) == e)
+    assert(spark.table(s"graft.`$root`").count() == 70)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root` " +
+      "WHERE k >= 300").collect()(0).getLong(0) == 5,
+      "the racing live insert's rows survive the fast-forward")
+    // travel: the pre-publish epoch still shows 45 (racer, no branch)
+    assert(spark.sql(s"SELECT * FROM graft.`$root` VERSION AS OF ${e - 1}")
+      .count() == 45)
+    // the ref is consumed
+    assert(ManifestSink.liveBranchStages(spark, root).isEmpty)
+    assert(spark.table(s"graft.`$root@branches`").collect().isEmpty)
+  }
+
+  test("a live branch is vacuum-exempt and pins its base; DROP leaves " +
+    "sweepable debris") {
+    val root = mkTable("br_vac_")
+    spark.sql(s"CREATE BRANCH pipe ON graft.`$root`")
+    (100L until 120L).map(i => (i, 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("br_v1")
+    branchWrite(root, "pipe", "br_v1")
+    val Seq((_, _, token, base)) =
+      ManifestSink.liveBranchStages(spark, root).map(t => (t._1, t._2, t._3, t._4))
+    // advance the live table well past the base
+    for (i <- 0 until 3) {
+      (1000L + i until 1001L + i).map(j => (j, 9.0)).toDF("k", "v")
+        .createOrReplaceTempView("br_adv")
+      spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM br_adv")
+    }
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stagedFiles(): Seq[String] =
+      f.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+        .map(_.getPath.getName).filter(_.contains(s"-a$token"))
+    assert(stagedFiles().nonEmpty)
+    // vacuum with ZERO orphan grace (the age window must not be what
+    // saves the stage): the LIVE branch's stage dirs, stats chain,
+    // AND base epoch all survive
+    ManifestSink.vacuum(spark, root, keep = 1, orphanGraceMs = 0L)
+    assert(stagedFiles().nonEmpty,
+      "a live branch's staged files must be retention-exempt")
+    assert(spark.sql(s"SELECT * FROM graft.`$root` VERSION AS OF $base")
+      .count() == 40, "a live branch pins its base epoch past retention")
+    // the branch still audits and publishes after the sweep
+    assert(spark.table(s"graft.`$root@branch:pipe`").count() == 20)
+    spark.sql(s"PUBLISH BRANCH pipe ON graft.`$root`")
+    assert(spark.table(s"graft.`$root`").count() == 63)
+    // now DROP-style debris: a fresh branch, staged then dropped,
+    // sweeps once the table advances past its staged epochs
+    spark.sql(s"CREATE BRANCH dead ON graft.`$root`")
+    branchWrite(root, "dead", "br_v1")
+    val Seq((_, _, t2, _)) =
+      ManifestSink.liveBranchStages(spark, root).map(t => (t._1, t._2, t._3, t._4))
+    spark.sql(s"DROP BRANCH dead ON graft.`$root`")
+    intercept[Exception] {
+      spark.sql(s"PUBLISH BRANCH dead ON graft.`$root`").collect()
+    }
+    (2000L until 2002L).map(j => (j, 9.0)).toDF("k", "v")
+      .createOrReplaceTempView("br_adv2")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM br_adv2")
+    ManifestSink.vacuum(spark, root, keep = 1, orphanGraceMs = 0L)
+    // the dropped branch's stats chain and staged parquet are gone
+    // (the emptied attempt dir itself may linger — harmless debris)
+    val after = f.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+    assert(!after.exists(s => s.getPath.getName.startsWith("stats-") &&
+      s.getPath.getName.endsWith(t2)),
+      "a dropped branch's stats chain is vacuum debris")
+    after.filter(_.getPath.getName.contains(s"-a$t2")).foreach { d =>
+      assert(!f.listStatus(d.getPath)
+        .exists(_.getPath.getName.endsWith(".parquet")),
+        s"a dropped branch's staged files are vacuum debris: ${d.getPath}")
+    }
+  }
+
+  test("refusals: no branch, duplicate branch, empty publish, schema " +
+    "drift, schema moved under the publish") {
+    val root = mkTable("br_ref_")
+    // write without CREATE BRANCH
+    (0L until 3L).map(i => (i, 0.0)).toDF("k", "v")
+      .createOrReplaceTempView("br_r1")
+    val e1 = intercept[Exception] { branchWrite(root, "ghost", "br_r1") }
+    assert(e1.getMessage.contains("CREATE BRANCH first"), e1.getMessage)
+    // duplicate
+    spark.sql(s"CREATE BRANCH b ON graft.`$root`")
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE BRANCH b ON graft.`$root`").collect()
+    }
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    // empty publish refused (nothing staged)
+    val e3 = intercept[Exception] {
+      spark.sql(s"PUBLISH BRANCH b ON graft.`$root`").collect()
+    }
+    assert(e3.getMessage.contains("no staged writes"), e3.getMessage)
+    // schema drift refused at the branch write (Spark's own V2
+    // by-name validation catches a renamed/retyped column first; the
+    // branch's drift require is the backstop for the direct API
+    // path) — and a refused write stages NOTHING
+    Seq((1L, "x")).toDF("k", "s").createOrReplaceTempView("br_bad")
+    intercept[Exception] { branchWrite(root, "b", "br_bad") }
+    assert(GraftTable.branchStaged(spark, root, "b").exists(_._4 == 0),
+      "a refused branch write must leave the branch unstaged")
+    // stage, then MOVE the live schema: the publish rebase refuses
+    branchWrite(root, "b", "br_r1")
+    ManifestSink.evolveSchema(spark, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType))))
+    val e5 = intercept[Exception] {
+      spark.sql(s"PUBLISH BRANCH b ON graft.`$root`").collect()
+    }
+    assert(e5.getMessage.contains("cannot be rebased"), e5.getMessage)
+    // the stage is intact: droppable, auditable
+    assert(spark.table(s"graft.`$root@branch:b`").count() == 3)
+    spark.sql(s"DROP BRANCH b ON graft.`$root`")
+  }
+
+  test("branch writes keep the declared layout; publish lands it") {
+    ensureCatalog()
+    val root = tmpDir("br_lay_") + "/t"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+    ev.filter(col("ts") < lit("2024-01-04")).createOrReplaceTempView("br_l1")
+    spark.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (days(ts)) " +
+      "AS SELECT * FROM br_l1")
+    spark.sql(s"CREATE BRANCH lay ON graft.`$root`")
+    ev.filter(col("ts") >= lit("2024-01-04") && col("ts") < lit("2024-01-06"))
+      .createOrReplaceTempView("br_l2")
+    branchWrite(root, "lay", "br_l2")
+    spark.sql(s"PUBLISH BRANCH lay ON graft.`$root`")
+    val e = ManifestSink.currentEpoch(spark, root)
+    assert(ManifestSink.ptimeSpec(spark, root, e).isDefined,
+      "published branch epochs keep the committed time layout")
+    assert(spark.table(s"graft.`$root`").count() ==
+      ev.filter(col("ts") < lit("2024-01-06")).count())
+  }
+}
