@@ -134,7 +134,7 @@ object GraftMetaTable {
 
   /** Per-file layout value of `epoch`: bucket id or time ordinal,
     * None per file when the epoch carries no fully-covering layout. */
-  private def partitionOf(spark: SparkSession, dir: String,
+  def partitionOf(spark: SparkSession, dir: String,
                           epoch: Int): Map[String, Long] =
     ManifestSink.bucketSpec(spark, dir, epoch) match {
       case Some(bs) => bs.fileBuckets.map { case (f, b) => f -> b.toLong }

@@ -55,7 +55,8 @@ import graft.sink.ManifestSink
 final class ManifestStreamSource(spark: SparkSession, root: String,
                                  override val schema: StructType,
                                  startEpoch: Int, allowRewrites: Boolean,
-                                 changeFeedKey: Option[String] = None)
+                                 changeFeedKey: Option[String] = None,
+                                 partitionValues: Boolean = false)
   extends Source {
 
   private def epochOf(o: V1Offset): Int = o.json().trim.toLong.toInt
@@ -105,7 +106,32 @@ final class ManifestStreamSource(spark: SparkSession, root: String,
         val added = (cur -- prev).toSeq.sorted
         if (added.isEmpty)
           spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-        else spark.read.schema(schema).parquet(added.map(n => s"$root/$n"): _*)
+        else if (!partitionValues)
+          spark.read.schema(schema).parquet(added.map(n => s"$root/$n"): _*)
+        else {
+          // `option("partitionValues", true)`: each row rides its
+          // file's COMMITTED layout value (time ordinal under
+          // hours/days/months/years(col), bucket id under
+          // bucket(n, col)) as `_partition` — read from the manifest's
+          // stats rows, never recomputed — so a downstream foreachBatch
+          // can write PARTITION-ALIGNED (the reference's hour-bucketed
+          // dual-sink, end to end: tail the bronze hours(ts) table,
+          // land each micro-batch grouped by the same hour ordinals).
+          // One parquet read per (layout value) group in the batch —
+          // the batch's file set already groups by ordinal, so this
+          // adds zero data movement.
+          import org.apache.spark.sql.functions.lit
+          import org.apache.spark.sql.types.LongType
+          val vals = graft.catalog.GraftMetaTable.partitionOf(spark, root, to)
+          val base = StructType(schema.fields.filterNot(_.name == "_partition"))
+          added.groupBy(vals.get).toSeq
+            .sortBy(_._1.getOrElse(Long.MinValue))
+            .map { case (v, files) =>
+              spark.read.schema(base).parquet(files.map(n => s"$root/$n"): _*)
+                .withColumn("_partition",
+                  v.map(lit(_)).getOrElse(lit(null)).cast(LongType))
+            }.reduce(_ unionByName _)
+        }
     }
     GraftBridge.asStreamingScan(spark, batch)
   }
@@ -192,6 +218,10 @@ final class ManifestStreamProvider extends StreamSourceProvider with DataSourceR
       ManifestSink.commitSchema(spark, root, e)
         .getOrElse(ManifestSink.read(spark, root, e).schema)
     }
+    val partitionValues = parameters.get("partitionValues").exists(_.toBoolean)
+    require(!(partitionValues && parameters.contains("changeFeedKey")),
+      "partitionValues rides per-FILE layout values; the change feed's " +
+        "row-level diff is not file-aligned — pick one")
     val sch =
       if (parameters.contains("changeFeedKey"))
         StructType(base.fields ++ Seq(
@@ -199,6 +229,10 @@ final class ManifestStreamProvider extends StreamSourceProvider with DataSourceR
             org.apache.spark.sql.types.StringType, nullable = false),
           org.apache.spark.sql.types.StructField("_commit_epoch",
             org.apache.spark.sql.types.IntegerType, nullable = false)))
+      else if (partitionValues)
+        StructType(base.fields :+
+          org.apache.spark.sql.types.StructField("_partition",
+            org.apache.spark.sql.types.LongType, nullable = true))
       else base
     (root, sch)
   }
@@ -217,6 +251,7 @@ final class ManifestStreamProvider extends StreamSourceProvider with DataSourceR
     new ManifestStreamSource(sqlContext.sparkSession, root, sch,
       startEpoch = parameters.get("startEpoch").map(_.toInt).getOrElse(0),
       allowRewrites = parameters.get("allowRewrites").exists(_.toBoolean),
-      changeFeedKey = parameters.get("changeFeedKey"))
+      changeFeedKey = parameters.get("changeFeedKey"),
+      partitionValues = parameters.get("partitionValues").exists(_.toBoolean))
   }
 }

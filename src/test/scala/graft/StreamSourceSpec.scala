@@ -38,6 +38,63 @@ class StreamSourceSpec extends SparkTestBase {
       s"snapshot + two deltas, never a re-read; got $batches")
   }
 
+  test("partitionValues: each micro-batch rides its files' committed " +
+    "time ordinals; batch file sets group by ordinal") {
+    val bronze = tmpDir("graft_mpv_")
+    val evts = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+    ManifestSink.publishTimePartitioned(
+      evts.filter(col("ts") < lit("2024-01-01 06:00:00")),
+      bronze, 1, "ts", "hours", statsCols = Seq("ts"))
+    // (batchId, ordinal, rows, ordinal==recomputed-transform?) per group
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+    val q = spark.readStream
+      .format("graft-manifest").option("root", bronze)
+      .option("partitionValues", "true").load()
+      .writeStream.option("checkpointLocation", tmpDir("graft_mpv_ck_"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the downstream partition-aligned write: group by the RIDDEN
+        // value and verify it equals the transform of every row in
+        // the group (floorDiv(epochMicros, hourMicros))
+        val rows = b.groupBy(col("_partition"))
+          .agg(count(lit(1)).as("n"),
+            min(col("_partition") === ManifestSink.timeOrdCol(col("ts"),
+              b.schema("ts").dataType, "hours").cast("long")).as("aligned"))
+          .collect()
+        seen.synchronized {
+          rows.foreach(r => seen +=
+            ((id, r.getLong(0), r.getLong(1), r.getBoolean(2))))
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // the append lays out ONLY the batch; its micro-batch exposes
+      // exactly the appended hours
+      ManifestSink.publishTimePartitionedAppend(
+        evts.filter(col("ts") >= lit("2024-01-01 06:00:00") &&
+          col("ts") < lit("2024-01-01 09:00:00")),
+        bronze, 2, "ts", "hours", statsCols = Seq("ts"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = seen.toSeq.groupBy(_._1)
+    def hoursOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(ManifestSink.timeOrdCol(col("ts"),
+        df.schema("ts").dataType, "hours").cast("long"))
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(byBatch(0L).map(_._2).sorted ==
+      hoursOf(evts.filter(col("ts") < lit("2024-01-01 06:00:00"))),
+      s"snapshot batch must group by exactly the committed hour ordinals: $seen")
+    assert(byBatch(1L).map(_._2).sorted ==
+      hoursOf(evts.filter(col("ts") >= lit("2024-01-01 06:00:00") &&
+        col("ts") < lit("2024-01-01 09:00:00"))),
+      s"tail batch must expose exactly the appended hours: $seen")
+    assert(seen.forall(_._4),
+      s"every ridden value must equal the row's transform: $seen")
+    val total = seen.map(_._3).sum
+    assert(total == evts.filter(col("ts") < lit("2024-01-01 09:00:00")).count())
+  }
+
   test("manifest stream source: startEpoch skips the snapshot; rewrites are refused") {
     val bronze = tmpDir("graft_msrc2_")
     ManifestSink.publishWithStats(
