@@ -1063,6 +1063,18 @@ object ManifestSink {
     commitStaged(df.sparkSession,
       stageAppend(df, root, epoch, statsCols, ptime = Some((col, unit))), txn)
 
+  /** Publish `df` under the COMPOSED layout (one file per (time
+    * ordinal, bucket) pair — see [[composedLayout]]): the engine-API
+    * form of `PARTITIONED BY (unit(col), bucket(n, keyCol))`. */
+  def publishComposed(df: DataFrame, root: String, epoch: Int,
+                      col: String, unit: String,
+                      keyCol: String, n: Int,
+                      statsCols: Seq[String] = Nil,
+                      txn: Option[Txn] = None): Int =
+    commitStaged(df.sparkSession,
+      stage(df, root, epoch, statsCols, ptime = Some((col, unit)),
+        bucket = Some((keyCol, n))), txn)
+
   /** ADD-COLUMN schema evolution as a PURE-METADATA commit (Delta's
     * `ALTER TABLE ADD COLUMNS`): a new epoch carrying the SAME file
     * list, stats, and DV as the current one, with the union schema

@@ -81,7 +81,9 @@ object GraftSqlParser {
   private val OptimizePtimeRe =
     ("(?is)^\\s*OPTIMIZE\\s+" + Tbl +
       "\\s+PARTITION\\s+BY\\s+(hours|days|months|years)" +
-      "\\s*\\(\\s*(\\w+)\\s*\\)\\s*;?\\s*$").r
+      "\\s*\\(\\s*(\\w+)\\s*\\)" +
+      "(?:\\s+BUCKET\\s+BY\\s*\\(\\s*(\\w+)\\s*\\)\\s+BUCKETS\\s+(\\d+))?" +
+      "\\s*;?\\s*$").r
   private val HistoryRe =
     ("(?is)^\\s*DESCRIBE\\s+HISTORY\\s+" + Tbl + "\\s*;?\\s*$").r
   private val ChangesRe =
@@ -149,9 +151,10 @@ object GraftSqlParser {
           Option(retain).map(_.toInt).getOrElse(2)))
       case OptimizeBucketRe(bq, q, keyCol, n) =>
         Some(OptimizeBucketCommand(Option(bq).getOrElse(q), keyCol, n.toInt))
-      case OptimizePtimeRe(bq, q, unit, col) =>
+      case OptimizePtimeRe(bq, q, unit, col, bkCol, bkN) =>
         Some(OptimizePtimeCommand(Option(bq).getOrElse(q),
-          col, unit.toLowerCase))
+          col, unit.toLowerCase,
+          for (c <- Option(bkCol); n <- Option(bkN)) yield (c, n.toInt)))
       case OptimizeRe(bq, q, kind, cols, files) =>
         Some(OptimizeCommand(Option(bq).getOrElse(q),
           Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq),
@@ -209,7 +212,7 @@ object GraftSqlParser {
           s"$sqlText\nexpected: VACUUM <tbl> [RETAIN n EPOCHS] | OPTIMIZE <tbl> " +
           "[CLUSTER BY (cols) | ZORDER BY (c1, c2)] [FILES n] | OPTIMIZE <tbl> " +
           "BUCKET BY (col) BUCKETS n | OPTIMIZE <tbl> PARTITION BY " +
-          "hours|days|months|years(col) | DESCRIBE " +
+          "hours|days|months|years(col) [BUCKET BY (col) BUCKETS n] | DESCRIBE " +
           "HISTORY <tbl> | DESCRIBE CHANGES <tbl> KEY <col> FROM <e1> TO <e2> | " +
           "DESCRIBE DETAIL <tbl> | RESTORE <tbl> VERSION AS OF <n> | " +
           "CREATE MATERIALIZED VIEW <tbl> KEY <srcKey> AS SELECT <g>, COUNT(*) " +
@@ -397,7 +400,8 @@ object GraftSqlParser {
     * future INSERT, and a previously-bucketed table hands its ONE
     * layout slot over. */
   final case class OptimizePtimeCommand(path: String, col: String,
-                                        unit: String)
+                                        unit: String,
+                                        bucket: Option[(String, Int)] = None)
     extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       attr("path", StringType), attr("new_epoch", IntegerType),
@@ -409,10 +413,20 @@ object GraftSqlParser {
         .select("col").distinct().collect().map(_.getString(0))
         .filterNot(_.startsWith("__")).sorted.toSeq
       val next = cur + 1
-      ManifestSink.publishTimePartitioned(ManifestSink.read(spark, path),
-        path, next, col, unit, (col +: existing).distinct)
+      // `BUCKET BY (k) BUCKETS n` alongside the time transform re-lays
+      // into the COMPOSED spec (one file per (ordinal, bucket) pair);
+      // without it, the plain time layout — either way one maintenance
+      // epoch, data files rewritten once
+      bucket match {
+        case Some((k, n)) =>
+          ManifestSink.publishComposed(ManifestSink.read(spark, path),
+            path, next, col, unit, k, n, (col +: k +: existing).distinct)
+        case None =>
+          ManifestSink.publishTimePartitioned(ManifestSink.read(spark, path),
+            path, next, col, unit, (col +: existing).distinct)
+      }
       // crash-ordered layout swap (see OptimizeBucketCommand): the
-      // old bucket sidecar deletes BEFORE the new time sidecar lands
+      // old bucket sidecar deletes BEFORE the new sidecars land
       val p = new org.apache.hadoop.fs.Path(path, graft.catalog.GraftTable.PtimeFile)
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       f.delete(new org.apache.hadoop.fs.Path(path,
@@ -420,6 +434,13 @@ object GraftSqlParser {
       val out = f.create(p, true)
       try out.write(s"""{"col":"$col","unit":"$unit"}""".getBytes("UTF-8"))
       finally out.close()
+      bucket.foreach { case (k, n) =>
+        val bp = new org.apache.hadoop.fs.Path(path,
+          graft.catalog.GraftTable.BucketFile)
+        val bo = f.create(bp, true)
+        try bo.write(s"""{"col":"$k","n":$n}""".getBytes("UTF-8"))
+        finally bo.close()
+      }
       val after = ManifestSink.manifestFiles(spark, path, next).size
       Seq(Row(path, next, before, after))
     }

@@ -412,5 +412,24 @@ class TimePartitionSpec extends SparkTestBase {
         spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
       }
     }
+    // OPTIMIZE ... PARTITION BY days(ts) BUCKET BY (k) BUCKETS n
+    // re-lays a PLAIN table into the composed spec as one maintenance
+    // epoch; subsequent INSERTs keep both transforms
+    val r3 = s"$base/c"
+    spark.sql(s"CREATE TABLE graft.`$r3` AS SELECT * FROM tp_mx_src")
+    assert(ManifestSink.ptimeSpec(spark, r3, 1).isEmpty)
+    val row = spark.sql(s"OPTIMIZE graft.`$r3` PARTITION BY days(ts) " +
+      "BUCKET BY (user_id) BUCKETS 4").collect()(0)
+    val e2 = row.getInt(1)
+    assert(ManifestSink.ptimeSpec(spark, r3, e2).exists(_.unit == "days"))
+    assert(ManifestSink.bucketSpec(spark, r3, e2).exists(_.numBuckets == 4))
+    assert(spark.table(s"graft.`$r3`").count() == ev.count())
+    assert(spark.sql(s"DESCRIBE DETAIL graft.`$r3`")
+      .collect()(0).getString(6) == "days(ts),user_id:4")
+    spark.sql(s"INSERT INTO graft.`$r3` SELECT * FROM tp_mx_b2")
+    val e3 = ManifestSink.currentEpoch(spark, r3)
+    assert(ManifestSink.ptimeSpec(spark, r3, e3).isDefined &&
+      ManifestSink.bucketSpec(spark, r3, e3).isDefined,
+      "an INSERT after the composed OPTIMIZE must keep both transforms")
   }
 }
