@@ -642,12 +642,12 @@ object ManifestSink {
     * year never plans 365 straggler tasks each sorting a whole day
     * into a single 300 GB parquet (the manifest has always supported
     * many files per key — appends produce them). The key set is
-    * collected with its counts in ONE bounded aggregate (ordinal
-    * count × splits, never data-sized — Iceberg manifests enumerate
-    * partition values the same way); the per-row byte estimate is the
-    * schema's default (in-memory) width, a deliberate OVERestimate
-    * (parquet encodes + compresses), so sizing errs toward more,
-    * smaller files rather than stragglers. The salt hashes the layout
+    * collected with its SIZES in ONE bounded aggregate (result rows =
+    * distinct keys, never data-sized — Iceberg manifests enumerate
+    * partition values the same way); the byte estimate is data-driven
+    * for var-width columns (actual string/binary octet lengths,
+    * actual array element counts) and schema-width for fixed ones —
+    * see the inline note. The salt hashes the layout
     * column's VALUE — it spreads volume across a partition's many
     * values; a single pathologically hot value still co-locates (as
     * it must: sorting keeps zone maps tight). Placement itself uses
@@ -663,21 +663,46 @@ object ManifestSink {
     * against. */
   private def placeByKey(withK: DataFrame, sortCols: Seq[String],
                          nullMsg: => String): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit,
+      octet_length, size, sum}
+    import org.apache.spark.sql.types._
     val spark = withK.sparkSession
     val schema = withK.schema
     val kIdx = schema.length - 2
     val sIdx = schema.length - 1
-    val counts = withK.groupBy(col("__k")).count().collect()
+    // per-key byte estimate, DATA-DRIVEN for var-width columns (one
+    // sizing aggregate either way): strings/binaries sum their actual
+    // octet lengths and primitive arrays their actual element counts —
+    // schema default widths alone would count a 5 KB document as 20
+    // bytes and under-split a text corpus ~250×, exactly the workload
+    // the fanout exists for. Fixed-width columns ride the schema
+    // width (an overestimate vs parquet encoding — sizing errs toward
+    // more, smaller files rather than stragglers).
+    val dataFields = schema.fields.dropRight(2)
+    def varWidth(f: StructField): Option[org.apache.spark.sql.Column] =
+      f.dataType match {
+        case StringType | BinaryType =>
+          Some(coalesce(octet_length(col(f.name)).cast(LongType), lit(0L)))
+        case ArrayType(e, _) if e.defaultSize > 0 && (e match {
+          case _: NumericType | BooleanType => true; case _ => false }) =>
+          Some(coalesce(size(col(f.name)).cast(LongType), lit(0L)) *
+            lit(e.defaultSize.toLong))
+        case _ => None
+      }
+    val varExprs = dataFields.toSeq.flatMap(varWidth)
+    val fixedWidth = math.max(1L, dataFields.filter(varWidth(_).isEmpty)
+      .map(_.dataType.defaultSize.toLong).sum)
+    val bytesExpr =
+      (count(lit(1)) * lit(fixedWidth) +: varExprs.map(sum))
+        .reduce(_ + _).as("__bytes")
+    val counts = withK.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"), bytesExpr).collect()
     counts.foreach(r => require(!r.isNullAt(0), nullMsg))
     if (counts.isEmpty) return withK.drop("__k", "__s")
     val target = math.max(1L, targetFileSize(spark))
-    val rowBytes = math.max(1L,
-      org.apache.spark.sql.types.StructType(schema.dropRight(2))
-        .defaultSize.toLong)
-    val keys = counts.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val splits = keys.map { case (_, cnt) =>
-      math.max(1L, (cnt * rowBytes + target - 1) / target).toInt }
+    val keys = counts.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    val splits = keys.map { case (_, bytes) =>
+      math.max(1L, (bytes + target - 1) / target).toInt }
     val offsets = splits.scanLeft(0)(_ + _)
     val index: Map[Long, (Int, Int)] =
       keys.map(_._1).zipWithIndex.map { case (k, i) =>

@@ -250,6 +250,29 @@ class TimePartitionSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.write.targetFileSize")
   }
 
+  test("var-width sizing: long strings drive the fanout estimate, not " +
+    "the 20-byte schema default") {
+    ensureCatalog()
+    val root = tmpDir("tpart_vw_") + "/t"
+    // 30 rows of ~2 KB text in one day = ~61 KB actual; the schema
+    // default would call it ~840 bytes and plan ONE file at a 4 KB
+    // target — the data-driven estimate must fan out
+    val base = java.time.Instant.parse("2024-01-01T01:00:00Z").toEpochMilli
+    (0 until 30).map(i => (("x" * 2048) + i.toString,
+      new java.sql.Timestamp(base + i * 1000L)))
+      .toDF("txt", "ts").createOrReplaceTempView("tp_vw_src")
+    spark.conf.set("spark.graft.write.targetFileSize", "4096")
+    try {
+      spark.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (days(ts)) " +
+        "AS SELECT * FROM tp_vw_src")
+      val sp = ManifestSink.ptimeSpec(spark, root, 1).get
+      assert(sp.fileOrds.size > 1,
+        s"2 KB-string rows must fan out past a 4 KB target, got ${sp.fileOrds}")
+      assert(sp.fileOrds.values.toSet.size == 1, "all files one ordinal")
+      assert(spark.table(s"graft.`$root`").count() == 30)
+    } finally spark.conf.unset("spark.graft.write.targetFileSize")
+  }
+
   test("months/years ordinals stay UTC under a non-UTC session timezone " +
     "(write-side agrees with the V2 function SPJ compares with)") {
     ensureCatalog()
