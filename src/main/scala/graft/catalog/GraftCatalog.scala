@@ -1549,6 +1549,16 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
         // WAP discipline): materialize under the branch token
         cumulative.stats.foreach(_.coalesce(1).write.mode("overwrite")
           .parquet(s"$dir/stats-${cumulative.epoch}.${cumulative.token}"))
+        // a branch tip is SINGLE-WRITER (the Iceberg branch-tip
+        // optimistic discipline): two concurrent stages onto one
+        // branch would last-writer-win the descriptor, silently
+        // orphaning the loser's files — re-read before the rewrite
+        // and refuse if the tip moved under us
+        require(GraftTable.branchStaged(spark, dir, name)
+          .exists(_._4 == stages),
+          s"branch '$name' on $dir advanced or vanished during this " +
+            "write (branches are single-writer pipelines); re-run " +
+            "against the current tip")
         GraftTable.writeBranchDescriptor(spark, dir, name, cumulative,
           observed, base, stages + 1)
         return
