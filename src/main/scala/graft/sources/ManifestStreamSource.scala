@@ -112,25 +112,48 @@ final class ManifestStreamSource(spark: SparkSession, root: String,
           // `option("partitionValues", true)`: each row rides its
           // file's COMMITTED layout value (time ordinal under
           // hours/days/months/years(col), bucket id under
-          // bucket(n, col)) as `_partition` — read from the manifest's
+          // bucket(n, col), identity value for integral identity
+          // layouts) as `_partition` — read from the manifest's
           // stats rows, never recomputed — so a downstream foreachBatch
           // can write PARTITION-ALIGNED (the reference's hour-bucketed
           // dual-sink, end to end: tail the bronze hours(ts) table,
           // land each micro-batch grouped by the same hour ordinals).
-          // One parquet read per (layout value) group in the batch —
-          // the batch's file set already groups by ordinal, so this
-          // adds zero data movement.
+          // COMPOSED-spec tables surface the pair UNPACKED (VERDICT
+          // r16 #6): `_partition` = the time ordinal, `_bucket` = the
+          // bucket id — the consumer never re-derives the `ord*n+b`
+          // factorization. One parquet read per layout-value group in
+          // the batch — the batch's file set already groups by
+          // value, so this adds zero data movement.
           import org.apache.spark.sql.functions.lit
-          import org.apache.spark.sql.types.LongType
-          val vals = graft.catalog.GraftMetaTable.partitionOf(spark, root, to)
-          val base = StructType(schema.fields.filterNot(_.name == "_partition"))
-          added.groupBy(vals.get).toSeq
-            .sortBy(_._1.getOrElse(Long.MinValue))
-            .map { case (v, files) =>
-              spark.read.schema(base).parquet(files.map(n => s"$root/$n"): _*)
-                .withColumn("_partition",
-                  v.map(lit(_)).getOrElse(lit(null)).cast(LongType))
-            }.reduce(_ unionByName _)
+          import org.apache.spark.sql.types.{IntegerType, LongType}
+          val base = StructType(schema.fields.filterNot(f =>
+            f.name == "_partition" || f.name == "_bucket"))
+          if (schema.fieldNames.contains("_bucket")) {
+            val bs = ManifestSink.bucketSpec(spark, root, to)
+            val ts = ManifestSink.ptimeSpec(spark, root, to)
+            def pairOf(rel: String): (Option[Long], Option[Int]) =
+              (ts.flatMap(_.fileOrds.get(rel)).map(_.toLong),
+                bs.flatMap(_.fileBuckets.get(rel)))
+            added.groupBy(pairOf).toSeq
+              .sortBy { case ((o, b), _) =>
+                (o.getOrElse(Long.MinValue), b.getOrElse(Int.MinValue)) }
+              .map { case ((o, b), files) =>
+                spark.read.schema(base).parquet(files.map(n => s"$root/$n"): _*)
+                  .withColumn("_partition",
+                    o.map(lit(_)).getOrElse(lit(null)).cast(LongType))
+                  .withColumn("_bucket",
+                    b.map(lit(_)).getOrElse(lit(null)).cast(IntegerType))
+              }.reduce(_ unionByName _)
+          } else {
+            val vals = graft.catalog.GraftMetaTable.partitionOf(spark, root, to)
+            added.groupBy(vals.get).toSeq
+              .sortBy(_._1.getOrElse(Long.MinValue))
+              .map { case (v, files) =>
+                spark.read.schema(base).parquet(files.map(n => s"$root/$n"): _*)
+                  .withColumn("_partition",
+                    v.map(lit(_)).getOrElse(lit(null)).cast(LongType))
+              }.reduce(_ unionByName _)
+          }
         }
     }
     GraftBridge.asStreamingScan(spark, batch)
@@ -229,11 +252,24 @@ final class ManifestStreamProvider extends StreamSourceProvider with DataSourceR
             org.apache.spark.sql.types.StringType, nullable = false),
           org.apache.spark.sql.types.StructField("_commit_epoch",
             org.apache.spark.sql.types.IntegerType, nullable = false)))
-      else if (partitionValues)
-        StructType(base.fields :+
+      else if (partitionValues) {
+        // composed-spec tables surface the (ord, bucket) pair UNPACKED
+        // — `_partition` (time ordinal) + `_bucket` — decided from the
+        // CURRENT epoch's committed spec at source-creation time (the
+        // stream's schema is pinned for its life, as all source
+        // schemas are)
+        val e = ManifestSink.currentEpochOpt(spark, root)
+        val composed = e.exists(ep =>
+          ManifestSink.bucketSpec(spark, root, ep).isDefined &&
+            ManifestSink.ptimeSpec(spark, root, ep).isDefined)
+        val cols = Seq(
           org.apache.spark.sql.types.StructField("_partition",
-            org.apache.spark.sql.types.LongType, nullable = true))
-      else base
+            org.apache.spark.sql.types.LongType, nullable = true)) ++
+          (if (composed) Seq(org.apache.spark.sql.types.StructField("_bucket",
+            org.apache.spark.sql.types.IntegerType, nullable = true))
+          else Nil)
+        StructType(base.fields ++ cols)
+      } else base
     (root, sch)
   }
 

@@ -718,11 +718,14 @@ object GraftSqlParser {
         .filterNot(_.startsWith("__")).distinct.sorted.mkString(","))
         .filter(_.nonEmpty).orNull
       // the layout slot: bucket as "col:n", time as "unit(col)", a
-      // composed spec as "unit(col),col:n"
+      // composed spec as "unit(col),col:n", identity as "col",
+      // truncate as "truncate(w,col)"
       val bucket = (ManifestSink.ptimeSpec(spark, path, e)
         .map(t => s"${t.unit}(${t.col})") ++
         ManifestSink.bucketSpec(spark, path, e)
-          .map(b => s"${b.keyCol}:${b.numBuckets}"))
+          .map(b => s"${b.keyCol}:${b.numBuckets}") ++
+        ManifestSink.identSpec(spark, path, e).map(i =>
+          i.width.fold(i.col)(w => s"truncate($w,${i.col})")))
         .reduceOption((a, b) => s"$a,$b").orNull
       Seq(Row(path, e, entries.size, bytes, nRows, statsCols, bucket,
         ManifestSink.commitDv(spark, path, e).isDefined.toString))

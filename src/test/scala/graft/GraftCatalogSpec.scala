@@ -535,7 +535,7 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
-  test("SPJ survives bucketed appends; degrades to a shuffle join after a CoW rewrite") {
+  test("SPJ survives bucketed appends AND CoW rewrites (replacements re-lay)") {
     ensureCatalog()
     val base = tmpDir("gcat_spjd_")
     val (r1, r2) = (s"$base/a", s"$base/b")
@@ -560,15 +560,20 @@ class GraftCatalogSpec extends SparkTestBase {
       assert(n == 300, s"appended rows must join: $n")
       assert(shuffles(out).isEmpty, s"post-append SPJ:\n${out.queryExecution.executedPlan}")
 
-      // a CoW rewrite drops the rewritten file's bucket row -> the
-      // layout no longer covers the manifest -> scans degrade to
-      // unpartitioned and the join shuffles (correctly)
+      // a CoW rewrite re-lays its replacement files into the same
+      // bucket spec and commits fresh __bucket rows (VERDICT r16):
+      // the layout keeps covering the manifest and SPJ keeps planning
+      // shuffle-free
       spark.sql(s"DELETE FROM graft.`$r1` WHERE event_id IN (5)")
-      assert(ManifestSink.bucketSpec(spark, r1,
-        ManifestSink.currentEpoch(spark, r1)).isEmpty)
+      val bs = ManifestSink.bucketSpec(spark, r1,
+        ManifestSink.currentEpoch(spark, r1))
+      assert(bs.exists(b => b.keyCol == "user_id" && b.numBuckets == 4),
+        s"a CoW DELETE must keep the bucket layout, got $bs")
       val out2 = spark.sql(q)
       assert(out2.collect().length == 299)
-      assert(shuffles(out2).nonEmpty, "degraded table must shuffle again")
+      assert(shuffles(out2).isEmpty,
+        s"post-DELETE same-layout join must stay shuffle-free:\n" +
+          out2.queryExecution.executedPlan)
     }
   }
 
@@ -655,12 +660,14 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
-  test("bucketed tables refuse null keys and non-bucket partition transforms") {
+  test("bucketed tables refuse null keys and unsupported partition transforms") {
     ensureCatalog()
     val base = tmpDir("gcat_spjr_")
+    // identity composed with bucket is refused (identity is
+    // standalone-only); bare identity is ACCEPTED since r17
     intercept[IllegalArgumentException] {
       spark.sql(s"CREATE TABLE graft.`$base/h` (event_id BIGINT, d STRING) " +
-        "PARTITIONED BY (d)")
+        "PARTITIONED BY (d, bucket(4, event_id))")
     }
     val r = s"$base/t"
     spark.sql(s"CREATE TABLE graft.`$r` (event_id BIGINT, user_id BIGINT) " +

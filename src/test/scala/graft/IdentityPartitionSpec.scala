@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{GraftCatalog, GraftTable}
+import graft.sink.ManifestSink
+
+/** Identity and truncate partition transforms (`PARTITIONED BY (lang)`
+  * / `(truncate(w, col))` — the Iceberg transforms; the reference's
+  * own `location` secondary-index access pattern,
+  * `cassandra/init.cql:81-82`, re-expressed as a layout): every
+  * committed file holds exactly one transform value, recorded as
+  * `__ident`/`__trunc` stats rows. Single-value files make the
+  * ordinary zone maps EXACT pruning for `WHERE col = ?`, and the
+  * committed layout reports as `KeyGroupedPartitioning(identity(col))`
+  * (or the V2 `truncate` function) so same-layout tables
+  * storage-partition-join with zero shuffles. */
+class IdentityPartitionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ensureCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+
+  private def withSpjConfs[T](body: => T): T = {
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("CTAS PARTITIONED BY (lang): single-value files, exact value " +
+    "pruning, append keeps the layout, identity SPJ plans zero shuffles") {
+    ensureCatalog()
+    val base = tmpDir("ident_s_")
+    val (r1, r2) = (s"$base/a", s"$base/b")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.filter(col("doc_id") < 400).createOrReplaceTempView("id_src")
+    spark.sql(s"CREATE TABLE graft.`$r1` PARTITIONED BY (lang) " +
+      "AS SELECT * FROM id_src")
+    val spec = ManifestSink.identSpec(spark, r1, 1)
+    assert(spec.exists(s => s.col == "lang" && s.width.isEmpty && s.isString),
+      s"expected a committed identity(lang) layout, got $spec")
+    val vals = spec.get.fileStrs
+    assert(vals.values.toSet == docs.filter(col("doc_id") < 400)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet)
+    // one file per value at this scale (each under the target size)
+    assert(vals.values.toSet.size == vals.size, s"one file per value: $vals")
+    assert(spark.table(s"graft.`$r1`").count() == 400)
+    // WHERE lang = ? plans exactly that value's files
+    val c = spark.sql(s"SELECT count(*) AS c FROM graft.`$r1` " +
+      "WHERE lang = 'fr'").collect()(0).getLong(0)
+    val frFiles = vals.count(_._2 == "fr")
+    assert(GraftTable.lastPlannedFiles == frFiles,
+      s"lang='fr' must plan exactly $frFiles files, planned " +
+        s"${GraftTable.lastPlannedFiles}")
+    assert(c == docs.filter(col("doc_id") < 400 && col("lang") === "fr").count())
+    // INSERT INTO lays out only the batch; the layout survives
+    docs.filter(col("doc_id") >= 400).createOrReplaceTempView("id_b2")
+    spark.sql(s"INSERT INTO graft.`$r1` SELECT * FROM id_b2")
+    val spec2 = ManifestSink.identSpec(spark, r1, 2)
+    assert(spec2.isDefined, "append must keep the identity layout")
+    assert(vals.forall { case (f, v) => spec2.get.fileStrs.get(f).contains(v) },
+      "prior files carry verbatim")
+    assert(spark.table(s"graft.`$r1`").count() == docs.count())
+    // same-layout identity join: zero shuffles
+    docs.createOrReplaceTempView("id_ball")
+    spark.sql(s"CREATE TABLE graft.`$r2` PARTITIONED BY (lang) " +
+      "AS SELECT * FROM id_ball")
+    withSpjConfs {
+      val out = spark.sql(
+        s"""SELECT a.lang, count(*) AS pairs
+           |FROM graft.`$r1` a JOIN graft.`$r2` b ON a.lang = b.lang
+           |GROUP BY a.lang""".stripMargin)
+      assert(out.count() == 5)
+      assert(shuffles(out).isEmpty,
+        s"same-layout identity join must drop both shuffles:\n" +
+          out.queryExecution.executedPlan)
+    }
+    // DESCRIBE DETAIL reports the layout slot as the bare column
+    assert(spark.sql(s"DESCRIBE DETAIL graft.`$r1`")
+      .collect()(0).getString(6) == "lang")
+  }
+
+  test("identity on an integral column: long-typed spec, pruning, SPJ") {
+    ensureCatalog()
+    val base = tmpDir("ident_i_")
+    val (r1, r2) = (s"$base/a", s"$base/b")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), (col("n_chars") % 4).as("grp"), col("n_chars"))
+    docs.createOrReplaceTempView("idi_src")
+    spark.sql(s"CREATE TABLE graft.`$r1` PARTITIONED BY (grp) " +
+      "AS SELECT * FROM idi_src")
+    val spec = ManifestSink.identSpec(spark, r1, 1)
+    assert(spec.exists(s => s.col == "grp" && !s.isString && s.width.isEmpty),
+      s"got $spec")
+    assert(spec.get.fileLongs.values.toSet == Set(0L, 1L, 2L, 3L))
+    assert(spark.table(s"graft.`$r1`").count() == docs.count())
+    val c = spark.sql(s"SELECT count(*) AS c FROM graft.`$r1` WHERE grp = 2")
+      .collect()(0).getLong(0)
+    assert(GraftTable.lastPlannedFiles == spec.get.fileLongs.count(_._2 == 2L))
+    assert(c == docs.filter(col("grp") === 2).count())
+    spark.sql(s"CREATE TABLE graft.`$r2` PARTITIONED BY (grp) " +
+      "AS SELECT * FROM idi_src")
+    withSpjConfs {
+      val out = spark.sql(
+        s"""SELECT a.grp, count(*) AS pairs
+           |FROM graft.`$r1` a JOIN graft.`$r2` b ON a.grp = b.grp
+           |GROUP BY a.grp""".stripMargin)
+      assert(out.count() == 4)
+      assert(shuffles(out).isEmpty,
+        s"integral identity SPJ must drop both shuffles:\n" +
+          out.queryExecution.executedPlan)
+    }
+  }
+
+  test("truncate(4, source): single-prefix files; join on the full key " +
+    "rides the V2 truncate function shuffle-free") {
+    ensureCatalog()
+    val base = tmpDir("ident_t_")
+    val (r1, r2) = (s"$base/a", s"$base/b")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.createOrReplaceTempView("idt_src")
+    spark.sql(s"CREATE TABLE graft.`$r1` PARTITIONED BY (truncate(4, source)) " +
+      "AS SELECT * FROM idt_src")
+    val spec = ManifestSink.identSpec(spark, r1, 1)
+    assert(spec.exists(s => s.col == "source" && s.width.contains(4) && s.isString),
+      s"expected a committed truncate(4, source) layout, got $spec")
+    // every committed value is a 4-char-or-shorter prefix
+    assert(spec.get.fileStrs.values.forall(_.length <= 4))
+    assert(spark.table(s"graft.`$r1`").count() == docs.count())
+    // an equality predicate on source prunes via the ordinary zone
+    // maps (single-prefix files keep them tight on the prefix)
+    val c = spark.sql(s"SELECT count(*) AS c FROM graft.`$r1` " +
+      "WHERE source = 'src7'").collect()(0).getLong(0)
+    assert(c == docs.filter(col("source") === "src7").count())
+    assert(GraftTable.lastPlannedFiles < spec.get.fileStrs.size,
+      "a source point-lookup must prune below the full file list")
+    spark.sql(s"CREATE TABLE graft.`$r2` PARTITIONED BY (truncate(4, source)) " +
+      "AS SELECT * FROM idt_src")
+    withSpjConfs {
+      val out = spark.sql(
+        s"""SELECT a.source, count(*) AS pairs
+           |FROM graft.`$r1` a JOIN graft.`$r2` b ON a.source = b.source
+           |GROUP BY a.source""".stripMargin)
+      assert(out.count() == docs.select("source").distinct().count())
+      assert(shuffles(out).isEmpty,
+        s"same-truncate-layout join must drop both shuffles:\n" +
+          out.queryExecution.executedPlan)
+    }
+    // DESCRIBE DETAIL layout slot
+    assert(spark.sql(s"DESCRIBE DETAIL graft.`$r1`")
+      .collect()(0).getString(6) == "truncate(4,source)")
+  }
+
+  test("integral truncate floors to the width's multiple (negatives floor)") {
+    ensureCatalog()
+    val root = tmpDir("ident_ti_") + "/t"
+    Seq(-5L, -1L, 0L, 3L, 10L, 19L).toDF("v").createOrReplaceTempView("iti_src")
+    spark.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (truncate(10, v)) " +
+      "AS SELECT * FROM iti_src")
+    val spec = ManifestSink.identSpec(spark, root, 1).get
+    assert(!spec.isString && spec.width.contains(10))
+    // Iceberg truncate: -5 -> -10, -1 -> -10, 0/3 -> 0, 10/19 -> 10
+    assert(spec.fileLongs.values.toSet == Set(-10L, 0L, 10L),
+      s"got ${spec.fileLongs}")
+    assert(spark.table(s"graft.`$root`").count() == 6)
+    // the V2 truncate function agrees with the committed placement
+    val fn = new graft.catalog.GraftTruncBound(
+      org.apache.spark.sql.types.LongType)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](10, -5L))
+    assert(fn.produceResult(row) == -10L)
+  }
+
+  test("CoW UPDATE keeps the identity layout; refusals: null values, " +
+    "maxKeys cap, identity+bucket mix, layout-column rename") {
+    ensureCatalog()
+    val root = tmpDir("ident_u_") + "/t"
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.createOrReplaceTempView("idu_src")
+    spark.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (lang) " +
+      "AS SELECT * FROM idu_src")
+    spark.sql(s"UPDATE graft.`$root` SET n_chars = 0 WHERE doc_id < 10")
+    val e = ManifestSink.currentEpoch(spark, root)
+    assert(ManifestSink.identSpec(spark, root, e).exists(_.col == "lang"),
+      "a CoW UPDATE must keep the identity layout")
+    assert(spark.table(s"graft.`$root`")
+      .filter(col("n_chars") === 0).count() == 10)
+    assert(spark.table(s"graft.`$root`").count() == docs.count())
+    // null identity values are rejected
+    val rootN = tmpDir("ident_n_") + "/t"
+    Seq(Some("en"), None).toDF("lang").createOrReplaceTempView("idn_src")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$rootN` PARTITIONED BY (lang) " +
+        "AS SELECT * FROM idn_src")
+    }
+    // a too-fine identity layout refuses at the cap
+    spark.conf.set("spark.graft.layout.maxKeys", "2")
+    try {
+      val rootC = tmpDir("ident_c_") + "/t"
+      val eCap = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.`$rootC` PARTITIONED BY (lang) " +
+          "AS SELECT * FROM idu_src")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(eCap).exists(_.contains("layout.maxKeys")))
+    } finally spark.conf.unset("spark.graft.layout.maxKeys")
+    // layout column refuses rename (the spec is declared by name)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN lang TO language")
+    }
+  }
+}

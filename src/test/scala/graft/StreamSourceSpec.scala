@@ -95,6 +95,45 @@ class StreamSourceSpec extends SparkTestBase {
     assert(total == evts.filter(col("ts") < lit("2024-01-01 09:00:00")).count())
   }
 
+  test("partitionValues on a COMPOSED table: the (ord, bucket) pair rides " +
+    "UNPACKED as _partition + _bucket — never the packed long") {
+    val bronze = tmpDir("graft_mpv2_")
+    val evts = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .filter(col("ts") < lit("2024-01-01 04:00:00"))
+    ManifestSink.publishComposed(evts, bronze, 1, "ts", "hours",
+      "user_id", 2, statsCols = Seq("ts", "user_id"))
+    // every row's ridden pair must equal its recomputed transforms
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Boolean)]
+    val q = spark.readStream
+      .format("graft-manifest").option("root", bronze)
+      .option("partitionValues", "true").load()
+      .writeStream.option("checkpointLocation", tmpDir("graft_mpv2_ck_"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(b.schema.fieldNames.takeRight(2).toSeq ==
+          Seq("_partition", "_bucket"))
+        val rows = b.groupBy(col("_partition"), col("_bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("_partition") === ManifestSink.timeOrdCol(col("ts"),
+              b.schema("ts").dataType, "hours").cast("long") &&
+              col("_bucket") === pmod(col("user_id"), lit(2)).cast("int"))
+              .as("aligned"))
+          .collect()
+        seen.synchronized {
+          rows.foreach(r => seen +=
+            ((r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))))
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.nonEmpty && seen.forall(_._4),
+      s"every ridden (ord, bucket) must equal the row's transforms: $seen")
+    assert(seen.map(_._3).sum == evts.count())
+    // both buckets and >1 hour present — the pair really is unpacked
+    assert(seen.map(_._2).toSet == Set(0, 1), s"buckets seen: $seen")
+    assert(seen.map(_._1).toSet.size > 1, s"hours seen: $seen")
+  }
+
   test("manifest stream source: startEpoch skips the snapshot; rewrites are refused") {
     val bronze = tmpDir("graft_msrc2_")
     ManifestSink.publishWithStats(

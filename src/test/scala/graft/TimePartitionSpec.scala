@@ -74,7 +74,8 @@ class TimePartitionSpec extends SparkTestBase {
     assert(c == exp)
   }
 
-  test("INSERT INTO preserves the layout; a CoW rewrite degrades it honestly") {
+  test("INSERT INTO preserves the layout; a CoW UPDATE re-lays its " +
+    "replacement files and KEEPS it") {
     ensureCatalog()
     val root = tmpDir("tpart_a_") + "/t"
     val ev = Tables.events(spark, sf)
@@ -93,13 +94,45 @@ class TimePartitionSpec extends SparkTestBase {
     assert(before.fileOrds.forall { case (f, o) => after.get.fileOrds.get(f).contains(o) })
     assert(spark.table(s"graft.`$root`").count() ==
       ev.filter(col("ts") < lit("2024-01-12")).count())
-    // a CoW UPDATE rewrites files without ptime rows -> the spec
-    // refuses to report a layout the files no longer prove
+    // a CoW UPDATE re-lays its replacement batch under the SAME spec
+    // and commits fresh __ptime rows for the relaid files (VERDICT
+    // r16): the layout survives row-level DML — no full-table re-lay
     spark.sql(s"UPDATE graft.`$root` SET value = 0.0 WHERE event_id < 20")
     val e = ManifestSink.currentEpoch(spark, root)
-    assert(ManifestSink.ptimeSpec(spark, root, e).isEmpty,
-      "a rewritten table must degrade to unpartitioned, not lie")
+    val kept = ManifestSink.ptimeSpec(spark, root, e)
+    assert(kept.exists(s => s.col == "ts" && s.unit == "days"),
+      s"a CoW UPDATE must keep the days(ts) layout, got $kept")
     assert(spark.table(s"graft.`$root`").filter(col("value") === 0.0).count() >= 20 - 1)
+    assert(spark.table(s"graft.`$root`").count() ==
+      ev.filter(col("ts") < lit("2024-01-12")).count(),
+      "the rewrite must preserve every row")
+    // the preserved layout still storage-partition-joins shuffle-free
+    // against an untouched same-spec table
+    val root2 = tmpDir("tpart_a2_") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$root2` PARTITIONED BY (days(ts)) " +
+      "AS SELECT * FROM tp_app_src")
+    withSpjConfs {
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      try {
+        val out = spark.sql(
+          s"""SELECT a.ts, a.value + b.value AS v
+             |FROM graft.`$root` a JOIN graft.`$root2` b ON a.ts = b.ts""".stripMargin)
+        assert(out.count() > 0)
+        assert(shuffles(out).isEmpty,
+          s"post-UPDATE same-layout join must stay shuffle-free:\n" +
+            out.queryExecution.executedPlan)
+      } finally
+        spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    }
+    // an UPDATE that NULLS the layout column is refused (placeByKey's
+    // null contract — the key-grouping promise cannot hold a null)
+    val eNull = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$root` SET ts = NULL WHERE event_id = 30")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(eNull).exists(_.contains("null partition value")),
+      s"null layout-column UPDATE must be refused, got: ${msgs(eNull)}")
   }
 
   test("SPJ: two days(ts) tables join on ts with zero shuffles") {
@@ -334,8 +367,9 @@ class TimePartitionSpec extends SparkTestBase {
       spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN d TO d2")
     }
     // refused transform combinations: two buckets, two time
-    // transforms, identity partitions (bucket+time COMPOSE — that is
-    // the multi-transform spec, pinned in its own test)
+    // transforms, identity mixed with bucket/time (identity is
+    // standalone-only; bucket+time COMPOSE — that is the
+    // multi-transform spec, pinned in its own test)
     val rootT = tmpDir("tpart_t_") + "/t"
     intercept[Exception] {
       spark.sql(s"CREATE TABLE graft.`$rootT` (k BIGINT, j BIGINT, ts TIMESTAMP) " +
@@ -347,7 +381,7 @@ class TimePartitionSpec extends SparkTestBase {
     }
     intercept[Exception] {
       spark.sql(s"CREATE TABLE graft.`$rootT` (k BIGINT, ts TIMESTAMP) " +
-        "USING parquet PARTITIONED BY (k)")
+        "USING parquet PARTITIONED BY (k, days(ts))")
     }
   }
 
@@ -454,5 +488,35 @@ class TimePartitionSpec extends SparkTestBase {
     assert(ManifestSink.ptimeSpec(spark, r3, e3).isDefined &&
       ManifestSink.bucketSpec(spark, r3, e3).isDefined,
       "an INSERT after the composed OPTIMIZE must keep both transforms")
+  }
+
+  test("layout.maxKeys guard: a too-fine spec is refused loudly at the " +
+    "sizing aggregate, never collected") {
+    ensureCatalog()
+    val root = tmpDir("tpart_cap_") + "/t"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+      .filter(col("ts") < lit("2024-01-03"))
+    ev.createOrReplaceTempView("tp_cap_src")
+    // 2 days x bucket(64) = up to 128 pairs; a cap of 16 must refuse
+    spark.conf.set("spark.graft.layout.maxKeys", "16")
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.`$root` " +
+          "PARTITIONED BY (hours(ts), bucket(64, event_id)) " +
+          "AS SELECT * FROM tp_cap_src")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("layout.maxKeys")),
+        s"refusal must name the cap, got: ${msgs(e)}")
+      // under the default cap the same spec commits fine
+      spark.conf.unset("spark.graft.layout.maxKeys")
+      val root2 = tmpDir("tpart_cap2_") + "/t"
+      spark.sql(s"CREATE TABLE graft.`$root2` " +
+        "PARTITIONED BY (hours(ts), bucket(64, event_id)) " +
+        "AS SELECT * FROM tp_cap_src")
+      assert(spark.table(s"graft.`$root2`").count() == ev.count())
+    } finally spark.conf.unset("spark.graft.layout.maxKeys")
   }
 }
