@@ -3799,6 +3799,63 @@ object Registry {
         |  user_id % 4 AS b, count(*) AS n,
         |  min(event_id) AS lo, max(event_id) AS hi, TRUE AS ml_ok
         |FROM events GROUP BY 1, 2 ORDER BY day, b""".stripMargin),
+    // PARTITION-SPEC EVOLUTION (round 17 — Iceberg's update-spec
+    // discipline): `ALTER TABLE ... SET PARTITION SPEC (...)` swaps
+    // the declared layout as PURE METADATA — zero data I/O, zero
+    // epochs — so NEW writes lay out under the new spec while
+    // committed files keep serving under their own (the per-file
+    // __ptime/__bucket/__ident rows identify each file's spec). At
+    // 100 TB a spec change must never cost a table rewrite; the
+    // whole-table KeyGroupedPartitioning report honestly stays off
+    // until one spec covers the manifest again, while zone-map
+    // pruning keeps biting on BOTH populations. ev_ok gates the
+    // zero-epoch evolution, the mixed per-file spec rows, the honest
+    // no-single-layout report, and pruning on each population.
+    "q_catalog_spec_evolution" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cse_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("ts"), col("value"))
+        ev.filter(col("ts") < lit("2024-01-08")).createOrReplaceTempView("cse_src")
+        s.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (days(ts)) " +
+          "AS SELECT * FROM cse_src")
+        val days = graft.sink.ManifestSink.ptimeSpec(s, root, 1)
+        s.sql(s"ALTER TABLE graft.`$root` SET PARTITION SPEC (hours(ts))")
+        val metadataOnly =
+          graft.sink.ManifestSink.currentEpoch(s, root) == 1 &&
+            graft.sink.ManifestSink.ptimeSpec(s, root, 1) == days
+        ev.filter(col("ts") >= lit("2024-01-08") && col("ts") < lit("2024-01-09"))
+          .createOrReplaceTempView("cse_b2")
+        s.sql(s"INSERT INTO graft.`$root` SELECT * FROM cse_b2")
+        val specs = graft.sink.SnapshotCache.statRows(s, root, 2).get
+          .filter(_.getString(1).startsWith("__ptime:"))
+          .map(_.getString(1)).distinct.toSet
+        val mixedHonest = specs == Set("__ptime:ts:days", "__ptime:ts:hours") &&
+          graft.sink.ManifestSink.ptimeSpec(s, root, 2).isEmpty
+        val total = graft.sink.ManifestSink.manifestFiles(s, root, 2).size
+        // old population: a one-day scan prunes below the table
+        s.sql(s"SELECT count(*) AS c FROM graft.`$root` " +
+          "WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' " +
+          "AND ts < TIMESTAMP '2024-01-04 00:00:00'").collect()
+        val oldPrune = graft.catalog.GraftTable.lastPlannedFiles
+        // new population: a one-hour scan prunes to the hour's files
+        s.sql(s"SELECT count(*) AS c FROM graft.`$root` " +
+          "WHERE ts >= TIMESTAMP '2024-01-08 03:00:00' " +
+          "AND ts < TIMESTAMP '2024-01-08 04:00:00'").collect()
+        val newPrune = graft.catalog.GraftTable.lastPlannedFiles
+        val evOk = metadataOnly && mixedHonest &&
+          oldPrune < total && oldPrune <= 2 && newPrune <= 2
+        s.sql(s"""SELECT CAST(date_trunc('DAY', ts) AS TIMESTAMP) AS day,
+                 |  count(*) AS n, min(event_id) AS lo, max(event_id) AS hi
+                 |FROM graft.`$root` GROUP BY 1 ORDER BY day""".stripMargin)
+          .withColumn("ev_ok", lit(evOk))
+      },
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+        |  min(event_id) AS lo, max(event_id) AS hi, TRUE AS ev_ok
+        |FROM events WHERE ts < TIMESTAMP '2024-01-09 00:00:00'
+        |GROUP BY 1 ORDER BY day""".stripMargin),
     // IDENTITY PARTITION TRANSFORM (round 17 — `PARTITIONED BY (lang)`,
     // the Iceberg identity transform; the reference's own `location`
     // secondary-index pattern, `cassandra/init.cql:81-82`, as a layout,
@@ -4057,6 +4114,80 @@ object Registry {
         |  UNION ALL
         |  SELECT event_id + 2000, user_id, value, TRUE FROM events
         |  WHERE event_id < 50
+        |  UNION ALL
+        |  SELECT event_id + 3000, user_id, value, TRUE FROM events
+        |  WHERE event_id < 20
+        |) ORDER BY event_id""".stripMargin),
+    // BRANCH DML (round 17 — the fix-up half of the ingest-audit-
+    // release pipeline): a keyed DELETE under `spark.graft.branch`
+    // stages a MERGE-ON-READ delete vector onto the branch's
+    // cumulative state — zero data I/O, zero live-table change — so a
+    // curation pipeline expresses "ingest, then take down bad keys,
+    // then publish" entirely on the branch. The `@branch` audit shows
+    // the NET increment (staged inserts minus staged takedowns,
+    // applied reader-side like every MoR scan); the fast-forward
+    // publish carries the DV into the live marker SCOPED ABOVE
+    // everything pre-publish, so the takedown hits base rows, staged
+    // rows, and racing live writes alike. Refusals keep it honest:
+    // INSERT after a branch delete (scope ordering), UPDATE/MERGE
+    // under a branch (would rewrite the live table). bd_ok gates
+    // live-invisibility of the staged delete, the net audit state,
+    // both refusals, and the publish landing above the race.
+    "q_catalog_branch_dml" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cbd_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 200).createOrReplaceTempView("cbd_src")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cbd_src")
+        s.sql(s"CREATE BRANCH fix ON graft.`$root`")
+        s.conf.set("spark.graft.branch", "fix")
+        val (audited, refusalsOk) =
+          try {
+            s.sql(s"INSERT INTO graft.`$root` SELECT event_id + 1000, " +
+              "user_id, value FROM cbd_src WHERE event_id < 100")
+            s.sql(s"DELETE FROM graft.`$root` " +
+              "WHERE event_id IN (5, 1000, 1001)")
+            // net audit: 100 staged inserts minus the 2 staged-key
+            // takedowns (the base-key takedown applies at publish)
+            val a = s.sql(s"SELECT count(*) AS c, min(event_id) AS lo " +
+              s"FROM graft.`$root@branch:fix`").collect()(0)
+            val insRefused =
+              try { s.sql(s"INSERT INTO graft.`$root` " +
+                "SELECT * FROM cbd_src WHERE event_id < 3"); false }
+              catch { case e: Exception =>
+                e.getMessage.contains("INSERT after a branch delete") }
+            val updRefused =
+              try { s.sql(s"UPDATE graft.`$root` SET value = 0.0 " +
+                "WHERE event_id = 7"); false }
+              catch { case e: Exception =>
+                e.getMessage.contains("rewrite the LIVE table") }
+            (a.getLong(0) == 98L && a.getLong(1) == 1002L,
+              insRefused && updRefused)
+          } finally s.conf.unset("spark.graft.branch")
+        // the live table saw NOTHING from the staged delete
+        val invisible = s.table(s"graft.`$root`").count() == 200L &&
+          graft.sink.ManifestSink.commitDvs(s, root,
+            graft.sink.ManifestSink.currentEpoch(s, root)).isEmpty
+        // a live insert races below the publish; the takedown scopes
+        // over it too (event 5's racing copy also vanishes)
+        s.sql(s"INSERT INTO graft.`$root` SELECT event_id + 3000, user_id, " +
+          "value FROM cbd_src WHERE event_id < 20")
+        val pub = s.sql(s"PUBLISH BRANCH fix ON graft.`$root`").collect()(0)
+        val bdOk = audited && refusalsOk && invisible && pub.getInt(4) == 2 &&
+          graft.sink.ManifestSink.liveBranchStages(s, root).isEmpty
+        s.sql(s"""SELECT event_id, user_id, value FROM graft.`$root`
+                 |ORDER BY event_id""".stripMargin)
+          .withColumn("bd_ok", lit(bdOk))
+      },
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, value, TRUE AS bd_ok FROM events
+        |  WHERE event_id < 200 AND event_id <> 5
+        |  UNION ALL
+        |  SELECT event_id + 1000, user_id, value, TRUE FROM events
+        |  WHERE event_id < 100 AND event_id >= 2
         |  UNION ALL
         |  SELECT event_id + 3000, user_id, value, TRUE FROM events
         |  WHERE event_id < 20

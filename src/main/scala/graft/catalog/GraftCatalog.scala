@@ -719,7 +719,7 @@ object GraftTable {
     * partitioning. */
   val IdentFile = "_IDENT.json"
 
-  private[catalog] def identJson(c: String, w: Option[Int]): String =
+  private[graft] def identJson(c: String, w: Option[Int]): String =
     w.fold(s"""{"col":"$c"}""")(ww => s"""{"col":"$c","width":$ww}""")
 
   /** CHECK constraints: one `{"name":…,"sql":…}` JSON line per
@@ -1245,6 +1245,71 @@ object GraftTable {
     base
   }
 
+  /** BRANCH MoR DELETE (round 17 branch DML): stage a keys-only delete
+    * vector onto the branch's cumulative state — zero data I/O, the
+    * exact merge-on-read discipline of [[ManifestSink.deleteMor]]
+    * lifted into the descriptor chain. The DV commits at the branch's
+    * next stage epoch, so it scopes OVER everything staged before it
+    * (base files and earlier branch inserts — a takedown pipeline's
+    * "ingest, then fix-up delete, then publish"); the fast-forward
+    * publish carries it into the live table's marker. Key cap, key
+    * uniqueness, and the single-writer tip guard all mirror the live
+    * deleteMor / branch-insert disciplines. */
+  private[graft] def branchDeleteMor(spark: SparkSession, dir: String,
+                                     name: String, keys: DataFrame,
+                                     keyCol: String): Unit = {
+    val (prior, observed, base, stages) = branchStaged(spark, dir, name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no branch '$name' on $dir; CREATE BRANCH first"))
+    val priorSchema = prior.schemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType])
+    require(priorSchema.forall(s => !graft.sink.ColumnMapping.hasMapping(s)),
+      "branch DML on a column-mapped table is not supported")
+    require(priorSchema.forall(_.fieldNames.contains(keyCol)),
+      s"DELETE key $keyCol is not a branch column")
+    prior.dvs.foreach { case (_, k) =>
+      require(k == keyCol,
+        s"DV key mismatch: the branch carries $k vectors, delete on $keyCol")
+    }
+    val next = prior.epoch + 1
+    val dvRel = s"dv-$next.${prior.token}"
+    keys.distinct().coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/$dvRel")
+    val nKeys = spark.read.parquet(s"$dir/$dvRel").count()
+    val cap = ManifestSink.dvKeyCap(spark)
+    if (nKeys > cap) {
+      val p = new Path(s"$dir/$dvRel")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      throw new IllegalArgumentException(
+        s"branch delete key set ($nKeys keys) exceeds spark.graft.dv.maxKeys " +
+          s"($cap); publish the branch and run the bulk erasure on the " +
+          "live table (its CoW path rewrites instead of bloating readers)")
+    }
+    // stats carry verbatim (a DV epoch changes no files), re-legged
+    // under the new stage epoch's name for the next stage / publish
+    val cumulative = prior.copy(epoch = next,
+      dvs = prior.dvs :+ ((dvRel, keyCol)))
+    cumulative.stats.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/stats-$next.${cumulative.token}"))
+    require(branchStaged(spark, dir, name).exists(_._4 == stages),
+      s"branch '$name' on $dir advanced or vanished during this delete " +
+        "(branches are single-writer pipelines); re-run against the " +
+        "current tip")
+    writeBranchDescriptor(spark, dir, name, cumulative, observed, base,
+      stages + 1)
+  }
+
+  /** Refuse a LIVE-table mutating write while a session branch is set
+    * — silently committing live epochs would bypass the staged
+    * pipeline the user asked for. Branch DML today = INSERT INTO
+    * (append) + keyed DELETE (merge-on-read, [[branchDeleteMor]]). */
+  private[catalog] def requireNotBranch(spark: SparkSession,
+                                        what: String): Unit =
+    require(spark.conf.getOption("spark.graft.branch").forall(_.isEmpty),
+      s"$what under spark.graft.branch would rewrite the LIVE table, not " +
+        "the branch; branch DML supports INSERT INTO and keyed DELETE " +
+        s"(merge-on-read) — unset spark.graft.branch for $what")
+
   /** Forget a branch (descriptor only — staged files become
     * vacuum-sweepable debris). True iff it existed. */
   private[graft] def removeBranch(spark: SparkSession, dir: String,
@@ -1615,6 +1680,14 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
             .asInstanceOf[StructType])
         require(priorSchema.forall(s => !graft.sink.ColumnMapping.hasMapping(s)),
           "branch writes on a column-mapped table are not supported")
+        // a branch pipeline is INSERTS-THEN-DELETES: the fast-forward
+        // collapses stage epochs to one, so an insert staged AFTER a
+        // branch delete would commit BELOW the delete's scope and a
+        // re-inserted key would silently vanish — refuse the ordering
+        require(!prior.dvs.exists(_._1.endsWith(s".${prior.token}")),
+          s"branch '$name' already staged a DELETE; INSERT after a " +
+            "branch delete is not supported — PUBLISH BRANCH first, " +
+            "then branch again for the next ingest stage")
         priorSchema.foreach { p =>
           val n = ManifestSink.asNullable(data.schema)
           require(p.fields.map(f => (f.name, f.dataType)).toSet ==
@@ -1845,7 +1918,24 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     * or (b) the DV key column of an epoch that already carries a
     * delete vector (the cumulative-DV append; any other column would
     * split the key space deleteMor's contract pins to one column). */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    // BRANCH MoR DELETE (round 17): under a session branch name a
+    // key-shaped delete stages a DV onto the branch descriptor — no
+    // live-table state is touched, so eligibility is just the key
+    // shape + the cap (see GraftTable.branchDeleteMor's own guards)
+    spark.conf.getOption("spark.graft.branch").filter(_.nonEmpty) match {
+      case Some(_) =>
+        // no size gate here: branchDeleteMor enforces the DV key cap
+        // itself with the explicit over-cap refusal message
+        return pinned.isEmpty && deleteKeys(filters).exists { case (c, vs) =>
+          mappedSchema.fieldNames.contains(c) &&
+            vs.forall {
+              case _: Long | _: Int | _: Short | _: Byte | _: String => true
+              case _ => false
+            }
+        }
+      case None => ()
+    }
     pinned.isEmpty && currentOpt.isDefined &&
       deleteKeys(filters).exists { case (c, vs) =>
         val dvOk = ManifestSink.commitDv(spark, dir, currentOpt.get) match {
@@ -1864,6 +1954,7 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
           case _ => false
         }
       }
+  }
 
   /** `DELETE FROM ... WHERE k = v / k IN (...)` — COST-ROUTED between
     * copy-on-write and merge-on-read (the r12 VERDICT item 4): the
@@ -1897,6 +1988,12 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
     val tableType = schema()(colName).dataType
     val keys = keyDf.select(
       org.apache.spark.sql.functions.col(colName).cast(tableType).as(colName))
+    spark.conf.getOption("spark.graft.branch").filter(_.nonEmpty) match {
+      case Some(name) =>
+        GraftTable.branchDeleteMor(spark, dir, name, keys, colName)
+        return
+      case None => ()
+    }
     val e = ManifestSink.currentEpoch(spark, dir)
     val mode = spark.sessionState.conf
       .getConfString("spark.graft.delete.mode", "auto")
@@ -2934,7 +3031,15 @@ final class GraftReplaceWrite(dir: String, baseEpoch: Int,
       graft.sink.ColumnMapping.physicalSchema(tableSchema)
   }
 
-  override def toBatch: BatchWrite = new BatchWrite {
+  override def toBatch: BatchWrite = {
+    // a row-level rewrite scans and replaces LIVE files — executing it
+    // while a session branch is set would bypass the staged pipeline
+    // the user asked for. (The check sits HERE, at write execution,
+    // because analysis-time refusal would also kill the keyed-DELETE
+    // plans the optimizer later rewrites onto the metadata-only
+    // SupportsDelete path — which branch deletes ride.)
+    GraftTable.requireNotBranch(SparkSession.active, "row-level rewrites")
+    new BatchWrite {
     private val delegate =
       org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite(
         Seq(s"$dir/$stagedDirName"), "parquet", _ => true, dataInfo).toBatch
@@ -2988,6 +3093,7 @@ final class GraftReplaceWrite(dir: String, baseEpoch: Int,
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       delegate.abort(messages)
+  }
   }
 }
 
@@ -3137,7 +3243,10 @@ final class GraftMorWrite(dir: String, baseEpoch: Int,
     override def schema: StructType = s
   }
 
-  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = {
+    // same discipline as GraftReplaceWrite.toBatch: a MoR delta write
+    // commits LIVE epochs — refuse under a session branch
+    GraftTable.requireNotBranch(SparkSession.active, "merge-on-read DML")
     new org.apache.spark.sql.connector.write.DeltaBatchWrite {
       private val physSchema =
         graft.sink.ColumnMapping.physicalSchema(tableSchema)
@@ -3231,6 +3340,7 @@ final class GraftMorWrite(dir: String, baseEpoch: Int,
         dataDelegate.abort(parts.flatMap(m => Option(m.data)))
       }
     }
+  }
 }
 
 /** Per-task commit of the MoR write (data half null when the task

@@ -266,20 +266,76 @@ final class GraftWapTable(dir: String, ident: String, wapId: String,
     val freshMark = s"-a${st.token}/"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statuses = st.relFiles.filter(_.contains(freshMark))
+    val freshRels = st.relFiles.filter(_.contains(freshMark))
+    val statuses = freshRels
       .map(r => fsys.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$r")))
+    // branch-staged delete vectors (token-named — base DVs carry other
+    // tokens and scope only base files, which this audit never reads):
+    // the NET increment is fresh rows MINUS the staged takedowns,
+    // applied reader-side exactly like the live table's MoR scan.
+    // Branch inserts always precede branch deletes (insertImpl refuses
+    // the other ordering), so every staged DV applies to every fresh
+    // file — one scope group, no per-file scoping needed here.
+    val branchDvs = st.dvs.filter(_._1.endsWith(s".${st.token}"))
     new ScanBuilder {
-      override def build(): Scan =
-        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
-          spark,
-          spark.sessionState.newHadoopConfWithOptions(Map.empty),
-          new graft.sink.StaticFileIndex(spark,
-            new org.apache.hadoop.fs.Path(dir), statuses),
-          dataSchema = sch,
-          readDataSchema = sch,
-          readPartitionSchema = StructType(Nil),
-          pushedFilters = Array.empty,
-          options = CaseInsensitiveStringMap.empty())
+      override def build(): Scan = {
+        val raw =
+          org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+            spark,
+            spark.sessionState.newHadoopConfWithOptions(Map.empty),
+            new graft.sink.StaticFileIndex(spark,
+              new org.apache.hadoop.fs.Path(dir), statuses),
+            dataSchema = sch,
+            readDataSchema = sch,
+            readPartitionSchema = StructType(Nil),
+            pushedFilters = Array.empty,
+            options = CaseInsensitiveStringMap.empty())
+        if (branchDvs.isEmpty) raw
+        else new Scan {
+          override def readSchema(): StructType = sch
+          override def description(): String =
+            s"GraftBranchNetScan($dir@${st.token}, ${branchDvs.size} DVs)"
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            new org.apache.spark.sql.connector.read.Batch {
+              private val inner = raw.toBatch
+              override def planInputPartitions()
+                  : Array[org.apache.spark.sql.connector.read.InputPartition] =
+                inner.planInputPartitions()
+              override def createReaderFactory()
+                  : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+                val keyCol = branchDvs.head._2
+                val keyIdx = sch.fieldNames.indexOf(keyCol)
+                require(keyIdx >= 0,
+                  s"branch DV key $keyCol not in ${sch.simpleString}")
+                val keyType = sch(keyCol).dataType
+                val keyVals = branchDvs.flatMap { case (rel, _) =>
+                  spark.read.parquet(s"$dir/$rel").collect().map(_.get(0))
+                }
+                val (longs, strs) = keyType match {
+                  case org.apache.spark.sql.types.StringType =>
+                    (Array.empty[Long],
+                      keyVals.map(_.asInstanceOf[String]).toArray)
+                  case _ =>
+                    (keyVals.map {
+                      case l: Long => l
+                      case i: Int => i.toLong
+                      case sh: Short => sh.toLong
+                      case b: Byte => b.toLong
+                      case other => throw new IllegalStateException(
+                        s"unsupported branch DV key value $other")
+                    }.toArray, Array.empty[String])
+                }
+                new DvFilteringReaderFactory(inner.createReaderFactory(),
+                  keyIdx, keyType,
+                  Array(longs, Array.empty[Long]),
+                  Array(strs, Array.empty[String]),
+                  freshRels.map(_ -> 0).toMap,
+                  columnarOk = false, strip = false,
+                  sch.fields.map(_.dataType), sch.fields.map(_.nullable))
+              }
+            }
+        }
+      }
     }
   }
 }

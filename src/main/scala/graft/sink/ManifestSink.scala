@@ -2584,6 +2584,31 @@ object ManifestSink {
     (b.toSeq ++ t.toSeq ++ i.toSeq).foldLeft(emptyStats(spark))(_ unionByName _)
   }
 
+  /** Re-attach a publishing branch's STAGED delete vectors above a
+    * rebased epoch (round 17 branch DML): [[rebaseStagedInsert]]
+    * rebuilds `dvs` from the CURRENT epoch — correct for plain
+    * inserts, but a branch pipeline's own takedowns (token-named
+    * `dv-N.<branchToken>` files) must survive the rebase AND scope
+    * over everything below the publish: each is re-written under a
+    * scope epoch ABOVE the rebased one (order preserved), so the
+    * published DV hides its keys in base files, branch inserts, and
+    * racing live writes alike — the takedown semantics of a
+    * fix-up-then-publish pipeline. Keys are cap-bounded (the branch
+    * delete enforced it), so the copy is metadata-priced. */
+  def rebaseBranchDvs(spark: SparkSession, root: String,
+                      orig: Staged, rebased: Staged): Staged = {
+    val branchDvs = orig.dvs.filter(_._1.endsWith(s".${orig.token}"))
+    if (branchDvs.isEmpty) return rebased
+    val renumbered = branchDvs.zipWithIndex.map { case ((rel, k), j) =>
+      val newRel = s"dv-${rebased.epoch + j + 1}.${orig.token}"
+      if (newRel != rel)
+        spark.read.parquet(s"$root/$rel").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/$newRel")
+      (newRel, k)
+    }
+    rebased.copy(dvs = (rebased.dvs ++ renumbered).distinct)
+  }
+
   /** Commit a REPLACE-GROUPS epoch — the commit half of SQL
     * MERGE/UPDATE/DELETE (group-based copy-on-write): the files in
     * `replaced` (rel paths) leave the manifest, every parquet file
@@ -3527,7 +3552,10 @@ object ManifestSink {
             !branchTokens.contains(token) &&
             (!kept.contains(ep) || winners.get(ep).exists(_ != token)))
             f.delete(p, true): Unit
-        case dv(e, _) if e.toInt <= cur && !keptDvs.contains(n) =>
+        case dv(e, token) if e.toInt <= cur && !keptDvs.contains(n) &&
+          !branchTokens.contains(token) =>
+          // branch-staged DVs (token-named) are retention-exempt for
+          // the ref's life, exactly like its stage dirs and stats legs
           f.delete(p, true): Unit
         case tmp(e, _) if e.toInt <= cur =>
           f.delete(p, false): Unit

@@ -176,6 +176,103 @@ class BranchSpec extends SparkTestBase {
     spark.sql(s"DROP BRANCH b ON graft.`$root`")
   }
 
+  test("branch DML: stage insert -> stage MoR delete -> audit shows the " +
+    "NET state -> publish lands both above a racing live write") {
+    val root = mkTable("br_dml_")
+    spark.sql(s"CREATE BRANCH fix ON graft.`$root`")
+    // stage 1: ingest 20 rows (keys 100..119)
+    (100L until 120L).map(i => (i, 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("br_d1")
+    branchWrite(root, "fix", "br_d1")
+    // stage 2: the fix-up DELETE — keys 5 (base) and 100..104 (staged)
+    spark.conf.set("spark.graft.branch", "fix")
+    try spark.sql(s"DELETE FROM graft.`$root` " +
+      "WHERE k IN (5, 100, 101, 102, 103, 104)")
+    finally spark.conf.unset("spark.graft.branch")
+    // the live table saw NOTHING: base row 5 still visible, no DV
+    assert(spark.table(s"graft.`$root`").count() == 40)
+    assert(ManifestSink.commitDvs(spark, root,
+      ManifestSink.currentEpoch(spark, root)).isEmpty,
+      "a branch delete must not touch the live table's DV state")
+    // the audit shows the NET increment: 20 inserts minus the 5
+    // staged-key takedowns (the base-key takedown applies at publish)
+    val audit = spark.table(s"graft.`$root@branch:fix`")
+    assert(audit.count() == 15, s"net audit state, got ${audit.count()}")
+    assert(audit.filter(col("k") < 105).count() == 0,
+      "deleted staged keys must not audit")
+    val listing = spark.table(s"graft.`$root@branches`").collect()
+    assert(listing(0).getInt(2) == 3,
+      "the delete advances the branch tip epoch (base 1 + insert + delete)")
+    // INSERT after a branch delete is refused (scope ordering)
+    val eIns = intercept[Exception] { branchWrite(root, "fix", "br_d1") }
+    assert(eIns.getMessage.contains("INSERT after a branch delete"),
+      eIns.getMessage)
+    // UPDATE/MERGE under a branch are refused loudly, never silently
+    // applied to the live table
+    spark.conf.set("spark.graft.branch", "fix")
+    val eUpd =
+      try intercept[Exception] {
+        spark.sql(s"UPDATE graft.`$root` SET v = 0.0 WHERE k > 1000")
+      } finally spark.conf.unset("spark.graft.branch")
+    assert(eUpd.getMessage.contains("rewrite the LIVE table"), eUpd.getMessage)
+    // a LIVE insert races in below the publish — including a row whose
+    // key the branch deletes (the takedown must apply to it too)
+    Seq((300L, 3.0), (5L, 5.5)).toDF("k", "v")
+      .createOrReplaceTempView("br_drace")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM br_drace")
+    val pub = spark.sql(s"PUBLISH BRANCH fix ON graft.`$root`").collect()(0)
+    assert(pub.getInt(4) == 2)
+    // net state: 40 base - key 5 (both copies: base row AND the racing
+    // re-insert — the takedown scopes over everything pre-publish)
+    // + 20 staged - 5 staged-deleted + 1 racer(300)
+    val live = spark.table(s"graft.`$root`")
+    assert(live.filter(col("k") === 5).count() == 0,
+      "the branch takedown hides base AND racing copies of the key")
+    assert(live.filter(col("k") === 300).count() == 1,
+      "the racer's other row survives")
+    assert(live.filter(col("k").between(100, 104)).count() == 0)
+    assert(live.filter(col("k").between(105, 119)).count() == 15)
+    assert(live.count() == 40 - 1 + 20 - 5 + 1)
+    assert(ManifestSink.liveBranchStages(spark, root).isEmpty)
+    // the published DV is live table state: a fresh insert of a
+    // deleted key is VISIBLE again (epoch-scoped, not cumulative)
+    Seq((5L, 7.0)).toDF("k", "v").createOrReplaceTempView("br_dre")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM br_dre")
+    assert(spark.table(s"graft.`$root`")
+      .filter(col("k") === 5).count() == 1,
+      "a post-publish re-insert sits above the DV's scope")
+  }
+
+  test("branch MoR delete refusals: over-cap keys, key mismatch across " +
+    "deletes; delete-only branch publishes") {
+    val root = mkTable("br_dref_")
+    spark.sql(s"CREATE BRANCH d ON graft.`$root`")
+    // two deletes on DIFFERENT key columns: the second is refused
+    spark.conf.set("spark.graft.branch", "d")
+    try {
+      spark.sql(s"DELETE FROM graft.`$root` WHERE k IN (1, 2)")
+      val eKey = intercept[Exception] {
+        spark.sql(s"DELETE FROM graft.`$root` WHERE v = 1.5")
+      }
+      assert(eKey.getMessage != null)
+      // over-cap refusal
+      spark.conf.set("spark.graft.dv.maxKeys", "1")
+      val eCap = intercept[Exception] {
+        spark.sql(s"DELETE FROM graft.`$root` WHERE k IN (10, 11, 12)")
+      }
+      def msgs(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(eCap).exists(_.contains("dv.maxKeys")), msgs(eCap))
+      spark.conf.unset("spark.graft.dv.maxKeys")
+    } finally spark.conf.unset("spark.graft.branch")
+    // a delete-only branch publishes: keys 1, 2 vanish from the base
+    val pub = spark.sql(s"PUBLISH BRANCH d ON graft.`$root`").collect()(0)
+    assert(pub.getInt(4) == 1)
+    assert(spark.table(s"graft.`$root`").count() == 38)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root` " +
+      "WHERE k IN (1, 2)").collect()(0).getLong(0) == 0)
+  }
+
   test("branch writes keep the declared layout; publish lands it") {
     ensureCatalog()
     val root = tmpDir("br_lay_") + "/t"

@@ -490,6 +490,83 @@ class TimePartitionSpec extends SparkTestBase {
       "an INSERT after the composed OPTIMIZE must keep both transforms")
   }
 
+  test("SET PARTITION SPEC evolves the spec METADATA-ONLY: old files " +
+    "keep serving, new inserts lay out under the new spec, both " +
+    "populations prune, zero rewrite epochs") {
+    ensureCatalog()
+    val root = tmpDir("tpart_ev_") + "/t"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+    ev.filter(col("ts") < lit("2024-01-04")).createOrReplaceTempView("tp_ev1")
+    spark.sql(s"CREATE TABLE graft.`$root` PARTITIONED BY (days(ts)) " +
+      "AS SELECT * FROM tp_ev1")
+    val days = ManifestSink.ptimeSpec(spark, root, 1).get
+    // the evolution is PURE METADATA: the epoch does not move
+    val out = spark.sql(
+      s"ALTER TABLE graft.`$root` SET PARTITION SPEC (hours(ts))").collect()(0)
+    assert(out.getString(1) == "hours(ts)")
+    assert(ManifestSink.currentEpoch(spark, root) == 1,
+      "spec evolution must commit zero epochs")
+    assert(ManifestSink.ptimeSpec(spark, root, 1).contains(days),
+      "committed files keep their own spec rows")
+    // a new INSERT lays out under the NEW spec (hour-aligned files)
+    ev.filter(col("ts") >= lit("2024-01-04") && col("ts") < lit("2024-01-04 06:00:00"))
+      .createOrReplaceTempView("tp_ev2")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM tp_ev2")
+    assert(ManifestSink.currentEpoch(spark, root) == 2)
+    // mixed specs: the whole-table layout report honestly degrades ...
+    assert(ManifestSink.ptimeSpec(spark, root, 2).isEmpty,
+      "mixed specs must not report a single layout")
+    // ... but the per-file rows identify BOTH populations
+    val specs = graft.sink.SnapshotCache.statRows(spark, root, 2).get
+      .filter(_.getString(1).startsWith("__ptime:")).map(_.getString(1)).distinct
+    assert(specs.toSet == Set("__ptime:ts:days", "__ptime:ts:hours"),
+      s"got $specs")
+    assert(spark.table(s"graft.`$root`").count() ==
+      ev.filter(col("ts") < lit("2024-01-04 06:00:00")).count())
+    // pruning bites on BOTH populations: an old-population day scan
+    // plans ~that day's files; a new-population hour scan plans ~1
+    spark.sql(s"SELECT count(*) AS c FROM graft.`$root` " +
+      "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' " +
+      "AND ts < TIMESTAMP '2024-01-03 00:00:00'").collect()
+    val total = ManifestSink.manifestFiles(spark, root, 2).size
+    assert(GraftTable.lastPlannedFiles < total &&
+      GraftTable.lastPlannedFiles <= days.fileOrds.count(_._2 ==
+        java.time.LocalDate.of(2024, 1, 2).toEpochDay.toInt) + 1,
+      s"old-population day scan must prune, planned " +
+        s"${GraftTable.lastPlannedFiles} of $total")
+    spark.sql(s"SELECT count(*) AS c FROM graft.`$root` " +
+      "WHERE ts >= TIMESTAMP '2024-01-04 02:00:00' " +
+      "AND ts < TIMESTAMP '2024-01-04 03:00:00'").collect()
+    assert(GraftTable.lastPlannedFiles <= 2,
+      s"new-population hour scan must prune to the hour, planned " +
+        s"${GraftTable.lastPlannedFiles}")
+    // appends-only convergence: once every file carries ONE spec the
+    // report returns — prove it with an OPTIMIZE re-lay
+    spark.sql(s"OPTIMIZE graft.`$root` PARTITION BY hours(ts)")
+    val e3 = ManifestSink.currentEpoch(spark, root)
+    assert(ManifestSink.ptimeSpec(spark, root, e3).exists(_.unit == "hours"))
+    // refusals: unknown column, wrong type, identity+bucket mix
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` SET PARTITION SPEC (days(nope))")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` SET PARTITION SPEC (days(value))")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` " +
+        "SET PARTITION SPEC (event_id, bucket(4, event_id))")
+    }
+    // the empty spec declares future writes unpartitioned
+    assert(spark.sql(s"ALTER TABLE graft.`$root` SET PARTITION SPEC ()")
+      .collect()(0).getString(1) == "unpartitioned")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM tp_ev2")
+    assert(spark.table(s"graft.`$root`").count() ==
+      ev.filter(col("ts") < lit("2024-01-04 06:00:00")).count() +
+        ev.filter(col("ts") >= lit("2024-01-04") &&
+          col("ts") < lit("2024-01-04 06:00:00")).count())
+  }
+
   test("layout.maxKeys guard: a too-fine spec is refused loudly at the " +
     "sizing aggregate, never collected") {
     ensureCatalog()
