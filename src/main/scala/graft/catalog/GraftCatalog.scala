@@ -311,28 +311,31 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
           throw new IllegalArgumentException(
             s"unsupported truncate transform shape: $t (want truncate(w, col))")))
       } else None
-    // Iceberg-style COMPOSABLE spec: at most one bucket transform plus
-    // at most one time transform, in either order — `(days(ts),
-    // bucket(16, id))` is the reference's own (hour, device) access
-    // pattern in one table — OR one standalone identity/truncate
-    // transform. Duplicate transforms and anything else stay rejected
-    // (range/point layout is stats clustering here).
+    // Iceberg-style COMPOSABLE spec: at most TWO transforms, drawn
+    // from at most one bucket, at most one time transform, and at most
+    // one identity/truncate — `(days(ts), bucket(16, id))` is the
+    // reference's own (hour, device) access pattern in one table;
+    // `(lang, bucket(4, id))` / `(event_type, days(ts))` are the
+    // corpus-slicing composures. Duplicate transforms, the three-way
+    // composition, and anything else stay rejected (range/point layout
+    // is stats clustering here).
     val buckets = partitions.toSeq.flatMap(bucketOf)
     val times = partitions.toSeq.flatMap(timeOf)
     val idents = partitions.toSeq.flatMap(identOf)
     if (idents.length > 1 ||
-      (idents.nonEmpty && (buckets.nonEmpty || times.nonEmpty)) ||
+      (idents.nonEmpty && buckets.nonEmpty && times.nonEmpty) ||
       buckets.length > 1 || times.length > 1 ||
       buckets.length + times.length + idents.length != partitions.length)
       throw new IllegalArgumentException(
-        "graft tables support PARTITIONED BY (bucket(n, col)), one time " +
-          "transform (hours/days/months/years(col)), one of each, or ONE " +
-          "standalone identity/truncate transform (col | truncate(w, col)); " +
+        "graft tables support PARTITIONED BY combinations of at most one " +
+          "bucket(n, col), one time transform (hours/days/months/years(col)), " +
+          "and one identity/truncate transform (col | truncate(w, col)) — " +
+          "at most TWO transforms total; " +
           s"got ${partitions.mkString(", ")} (range/point layout is " +
           "stats clustering)")
-    require(buckets.headOption.map(_._1) != times.headOption.map(_._1) ||
-      buckets.isEmpty,
-      "a composed layout needs distinct bucket and time columns")
+    val cols = buckets.map(_._1) ++ times.map(_._1) ++ idents.map(_._1)
+    require(cols.distinct.length == cols.length,
+      "a composed layout needs distinct transform columns")
     (buckets.headOption, times.headOption, idents.headOption)
   }
 
@@ -2511,19 +2514,143 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     for (b <- bucketed0; t <- timed0) yield (b, t)
 
   private lazy val bucketed: Option[ManifestSink.BucketSpec] =
-    bucketed0.filter(_ => timed0.isEmpty)
+    bucketed0.filter(_ => timed0.isEmpty && idented0.isEmpty)
 
   private lazy val timed: Option[ManifestSink.TimeSpec] =
-    timed0.filter(_ => bucketed0.isEmpty)
+    timed0.filter(_ => bucketed0.isEmpty && idented0.isEmpty)
 
   /** The committed identity/truncate layout, under the same
-    * exploitation guards as [[bucketed0]]. Standalone by construction
-    * (the spec grammar refuses identity composed with bucket/time),
-    * but guarded anyway. */
-  private lazy val idented: Option[ManifestSink.IdentSpec] =
+    * exploitation guards as [[bucketed0]]. */
+  private lazy val idented0: Option[ManifestSink.IdentSpec] =
     if (rowLevel.isDefined || limit.isDefined) None
-    else if (bucketed0.isDefined || timed0.isDefined) None
     else ManifestSink.identSpec(spark, dir, epoch)
+
+  private lazy val idented: Option[ManifestSink.IdentSpec] =
+    idented0.filter(_ => bucketed0.isEmpty && timed0.isEmpty)
+
+  /** COMPOSED identity × bucket / identity × time layouts: both
+    * transforms committed on every file — planned as two-element
+    * partition keys, (identity value, bucket id) / (identity value,
+    * time ordinal). */
+  private lazy val identBucketC: Option[(ManifestSink.IdentSpec, ManifestSink.BucketSpec)] =
+    for (i <- idented0; b <- bucketed0 if timed0.isEmpty) yield (i, b)
+
+  private lazy val identTimeC: Option[(ManifestSink.IdentSpec, ManifestSink.TimeSpec)] =
+    for (i <- idented0; t <- timed0 if bucketed0.isEmpty) yield (i, t)
+
+  /** The identity partition-key value Spark compares with: identity
+    * keys in the COLUMN's type (the transform resolves to the
+    * attribute), truncate keys in [[GraftTruncBound]]'s result type,
+    * strings as UTF8String. */
+  private def identKeyValue(is: ManifestSink.IdentSpec,
+                            colType: DataType, rel: String): Any =
+    if (is.isString)
+      org.apache.spark.unsafe.types.UTF8String.fromString(is.fileStrs(rel))
+    else {
+      val v = is.fileLongs(rel)
+      if (is.width.isDefined) v
+      else colType match {
+        case IntegerType => v.toInt
+        case ShortType => v.toShort
+        case ByteType => v.toByte
+        case _ => v
+      }
+    }
+
+  /** Raw (sortable) identity value of a file — String or Long. */
+  private def identRaw(is: ManifestSink.IdentSpec, rel: String): Any =
+    if (is.isString) is.fileStrs(rel) else is.fileLongs(rel)
+
+  private def identOrdering(is: ManifestSink.IdentSpec): Ordering[Any] =
+    (if (is.isString) implicitly[Ordering[String]]
+     else implicitly[Ordering[Long]]).asInstanceOf[Ordering[Any]]
+
+  /** Key-grouped partitions over a composed identity layout: the
+    * identity axis is data-dependent (present values only); the bucket
+    * axis stays COMPLETE 0..n-1 within each value (exact alignment,
+    * like [[pairKeyedPartitions]]); the time axis is data-dependent on
+    * both sides (`pushPartValues` covers set mismatches). */
+  private def identPairPartitions(partnerOf: String => Int,
+                                  completeAxis: Option[Int])
+      : Option[Array[InputPartition]] = idented0.map { is =>
+    val idx = new ManifestFileIndex(spark, dir, epoch)
+    val exprs = pushed.map(physFilter)
+      .flatMap(GraftFileScan.toCatalyst(physTableSchema, _)).toSeq
+    val survivors = idx.listFiles(Nil, exprs).flatMap(_.files).map(_.fileStatus)
+    GraftTable.lastPlannedFiles = survivors.size
+    val colType = physTableSchema(is.col).dataType
+    implicit val ord: Ordering[Any] = identOrdering(is)
+    val byPair = survivors.groupBy { s =>
+      val rel = relOf(s.getPath)
+      (identRaw(is, rel), partnerOf(rel))
+    }
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    def emit(iraw: Any, p: Int,
+             fps: Seq[org.apache.hadoop.fs.FileStatus]): Unit = {
+      val ikey = fps.headOption.map(s => identKeyValue(is, colType,
+        relOf(s.getPath))).getOrElse {
+        // empty partner slot on the complete axis: convert the raw
+        // value directly
+        iraw match {
+          case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case l: Long => identKeyValue0(is, colType, l)
+          case other => other
+        }
+      }
+      if (fps.isEmpty)
+        parts += new GraftValuePartition(
+          org.apache.spark.sql.execution.datasources.FilePartition(
+            parts.length, Array.empty), Seq(ikey, p))
+      else {
+        val groups =
+          if (dvSorted.isEmpty) Seq(fps)
+          else fps.groupBy(st => dvGroupOf(relOf(st.getPath)))
+            .toSeq.sortBy(_._1).map(_._2)
+        groups.foreach { gf =>
+          parquetBatchOver(gf).planInputPartitions().foreach {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              parts += new GraftValuePartition(
+                fp.copy(index = parts.length), Seq(ikey, p))
+            case other => throw new IllegalStateException(
+              s"unexpected parquet partition shape: ${other.getClass}")
+          }
+        }
+      }
+    }
+    val ivals = byPair.keys.map(_._1).toSeq.distinct.sorted
+    completeAxis match {
+      case Some(n) =>
+        ivals.foreach { iv =>
+          (0 until n).foreach(b => emit(iv, b, byPair.getOrElse((iv, b), Nil)))
+        }
+      case None =>
+        byPair.keys.toSeq.sortBy(identity)(Ordering.Tuple2(ord,
+          implicitly[Ordering[Int]])).foreach { case (iv, p) =>
+          emit(iv, p, byPair((iv, p)))
+        }
+    }
+    parts.toArray
+  }
+
+  private def identKeyValue0(is: ManifestSink.IdentSpec,
+                             colType: DataType, v: Long): Any =
+    if (is.width.isDefined) v
+    else colType match {
+      case IntegerType => v.toInt
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case _ => v
+    }
+
+  private lazy val identBucketPartitions: Option[Array[InputPartition]] =
+    identBucketC.flatMap { case (_, bs) =>
+      identPairPartitions(rel => bs.fileBuckets(rel), Some(bs.numBuckets))
+    }
+
+  private lazy val identTimePartitions: Option[Array[InputPartition]] =
+    identTimeC.flatMap { case (_, ts) =>
+      identPairPartitions(rel => ts.fileOrds(rel), None)
+    }
 
   /** Key-grouped input partitions over the IDENTITY/TRUNCATE layout:
     * every split carries its file's transform VALUE as its partition
@@ -2746,24 +2873,42 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
               parts.length)
           case _ => identKeyedPartitions match {
             case Some(parts) if parts.nonEmpty =>
-              val is = idented.get
-              val expr = is.width match {
-                case None => Expressions.identity(is.col)
-                case Some(w) => Expressions.apply("truncate",
-                  Expressions.literal(w), Expressions.column(is.col))
-              }
               new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-                Array(expr), parts.length)
-            case _ =>
-              new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+                Array(identExprOf(idented.get)), parts.length)
+            case _ => identBucketPartitions match {
+              case Some(parts) if parts.nonEmpty =>
+                val (is, bs) = identBucketC.get
+                new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+                  Array(identExprOf(is),
+                    Expressions.bucket(bs.numBuckets, bs.keyCol)), parts.length)
+              case _ => identTimePartitions match {
+                case Some(parts) if parts.nonEmpty =>
+                  val (is, ts) = identTimeC.get
+                  new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+                    Array(identExprOf(is),
+                      Expressions.apply(ts.unit, Expressions.column(ts.col))),
+                    parts.length)
+                case _ =>
+                  new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+              }
+            }
           }
         }
       }
     }
 
+  private def identExprOf(is: ManifestSink.IdentSpec)
+      : org.apache.spark.sql.connector.expressions.Transform =
+    is.width match {
+      case None => Expressions.identity(is.col)
+      case Some(w) => Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(is.col))
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
     pairKeyedPartitions.orElse(keyedPartitions).orElse(timeKeyedPartitions)
-      .orElse(identKeyedPartitions).getOrElse {
+      .orElse(identKeyedPartitions).orElse(identBucketPartitions)
+      .orElse(identTimePartitions).getOrElse {
       val survivors = selectSurvivors()
       GraftTable.lastPlannedFiles = survivors.size
       rowLevel.foreach(_.recordScanned(
@@ -2785,7 +2930,8 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
   override def createReaderFactory(): PartitionReaderFactory = {
     val base =
       if (pairKeyedPartitions.isDefined || keyedPartitions.isDefined ||
-        timeKeyedPartitions.isDefined || identKeyedPartitions.isDefined)
+        timeKeyedPartitions.isDefined || identKeyedPartitions.isDefined ||
+        identBucketPartitions.isDefined || identTimePartitions.isDefined)
         // the factory is file-list-independent (each FilePartition
         // carries its own files); built over the manifest so the keyed
         // path never re-runs the delegate's survivor selection
@@ -3676,10 +3822,12 @@ final class GraftBucketPartition(
   * where [[GraftBucketPartition]] carries int ordinals. */
 final class GraftValuePartition(
     val delegate: org.apache.spark.sql.execution.datasources.FilePartition,
-    key: Any)
+    keys: Seq[Any])
   extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  def this(delegate: org.apache.spark.sql.execution.datasources.FilePartition,
+           key: Any) = this(delegate, Seq(key))
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
-    org.apache.spark.sql.catalyst.InternalRow(key)
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(keys)
   override def preferredLocations(): Array[String] = delegate.preferredLocations()
 }
 

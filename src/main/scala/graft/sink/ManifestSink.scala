@@ -301,14 +301,20 @@ object ManifestSink {
     val token = tokenOpt.getOrElse(newToken())
     val dirName = if (unique) s"data-epoch=$epoch-a$token" else s"data-epoch=$epoch"
     val epochDir = s"$root/$dirName"
-    require(ident.isEmpty || (bucket.isEmpty && ptime.isEmpty),
-      "identity/truncate layouts do not compose with bucket/time " +
-        "transforms (yet); pick one family")
+    require(ident.isEmpty || bucket.isEmpty || ptime.isEmpty,
+      "a partition spec composes at most TWO transforms; identity + " +
+        "bucket + time is not supported")
     val laid = (bucket, ptime, ident) match {
-      case (Some((k, n)), Some((c, u)), _) => composedLayout(df, c, u, k, n)
-      case (Some((k, n)), None, _) => bucketLayout(df, k, n)
-      case (None, Some((c, u)), _) => timeLayout(df, c, u)
+      case (Some((k, n)), Some((c, u)), None) => composedLayout(df, c, u, k, n)
+      case (Some((k, n)), None, None) => bucketLayout(df, k, n)
+      case (None, Some((c, u)), None) => timeLayout(df, c, u)
       case (None, None, Some((c, w))) => identLayout(df, c, w)
+      case (Some((k, n)), None, Some((c, w))) =>
+        identPairLayout(df, c, w, bucketIdCol(k, n), k, sortIdentFirst = true)
+      case (None, Some((tc, u)), Some((c, w))) =>
+        identPairLayout(df, c, w,
+          timeOrdCol(org.apache.spark.sql.functions.col(tc),
+            df.schema(tc).dataType, u), tc, sortIdentFirst = false)
       case _ => df
     }
     laid.write.mode("overwrite").parquet(epochDir)
@@ -1249,6 +1255,64 @@ object ManifestSink {
       placeByKey(withK, Seq(col0), nullMsg)
     }
   }
+
+  /** COMPOSED identity layout — identity/truncate × bucket, or
+    * identity/truncate × time transform (`PARTITIONED BY (lang,
+    * bucket(4, id))` / `(event_type, days(ts))`): each output FILE
+    * holds exactly ONE (identity value, partner value) pair, committed
+    * as BOTH stats-row families so the two prunings INTERSECT and the
+    * scan reports a two-transform `KeyGroupedPartitioning`. Unlike the
+    * time×bucket pair (packable as `ord*n+bucket` — bucket's domain is
+    * bounded), an identity value's domain is data-dependent, so the
+    * pair key is a DENSE INDEX over the distinct pairs actually
+    * present — ONE bounded enumeration (capped by [[layoutMaxKeys]],
+    * the same bound the sizing aggregate lives under), broadcast back
+    * as a value→ordinal join. */
+  private def identPairLayout(df: DataFrame, c: String, w: Option[Int],
+                              partner: org.apache.spark.sql.Column,
+                              partnerSortCol: String,
+                              sortIdentFirst: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, xxhash64}
+    import org.apache.spark.sql.types._
+    val dt = df.schema(c).dataType
+    requireWidth(w)
+    val isStr = dt == StringType
+    val iKey = identKeyCol(col(c), dt, w)
+    val spark = df.sparkSession
+    val maxKeys = layoutMaxKeys(spark)
+    val nullMsg = s"composed identity layout: null partition value in " +
+      s"$c or $partnerSortCol"
+    val pairs = df.select(iKey.as("__iv"), partner.cast(LongType).as("__pv"))
+      .distinct().limit(maxKeys + 1).collect()
+    require(pairs.length <= maxKeys,
+      s"composed identity layout on ($c, $partnerSortCol) would exceed " +
+        s"spark.graft.layout.maxKeys=$maxKeys distinct pairs; coarsen the " +
+        "spec or raise the cap")
+    pairs.foreach(r => require(!r.isNullAt(0) && !r.isNullAt(1), nullMsg))
+    val sorted =
+      if (isStr) pairs.sortBy(r => (r.getString(0), r.getLong(1)))
+      else pairs.sortBy(r => (r.getLong(0), r.getLong(1)))
+    import spark.implicits._
+    val idx =
+      if (isStr)
+        sorted.zipWithIndex.map { case (r, i) =>
+          (r.getString(0), r.getLong(1), i.toLong) }.toSeq
+          .toDF("__iv", "__pv", "__k")
+      else
+        sorted.zipWithIndex.map { case (r, i) =>
+          (r.getLong(0), r.getLong(1), i.toLong) }.toSeq
+          .toDF("__iv", "__pv", "__k")
+    val sortCols =
+      if (sortIdentFirst) Seq(c, partnerSortCol) else Seq(partnerSortCol, c)
+    val withK = df.withColumn("__iv", iKey)
+      .withColumn("__pv", partner.cast(LongType))
+      .join(broadcast(idx), Seq("__iv", "__pv")).drop("__iv", "__pv")
+      .withColumn("__s", xxhash64(col(c), col(partnerSortCol)))
+    placeByKey(withK, sortCols, nullMsg)
+  }
+
+  private def requireWidth(w: Option[Int]): Unit =
+    w.foreach(ww => require(ww > 0, s"truncate width must be positive; got $ww"))
 
   /** One `__ident:<col>` / `__trunc:<col>:<w>` stats row per staged
     * file (lo == hi == the file's transform value), verified
@@ -2552,11 +2616,18 @@ object ManifestSink {
     if (files.isEmpty) return stagedDirName
     val df = spark.read.parquet(files.map(_.getPath.toString): _*)
     val laid = (bs, ts, is) match {
-      case (Some(b), Some(t), _) =>
+      case (Some(b), Some(t), None) =>
         composedLayout(df, t.col, t.unit, b.keyCol, b.numBuckets)
-      case (Some(b), None, _) => bucketLayout(df, b.keyCol, b.numBuckets)
-      case (None, Some(t), _) => timeLayout(df, t.col, t.unit)
+      case (Some(b), None, None) => bucketLayout(df, b.keyCol, b.numBuckets)
+      case (None, Some(t), None) => timeLayout(df, t.col, t.unit)
       case (None, None, Some(i)) => identLayout(df, i.col, i.width)
+      case (Some(b), None, Some(i)) =>
+        identPairLayout(df, i.col, i.width,
+          bucketIdCol(b.keyCol, b.numBuckets), b.keyCol, sortIdentFirst = true)
+      case (None, Some(t), Some(i)) =>
+        identPairLayout(df, i.col, i.width,
+          timeOrdCol(org.apache.spark.sql.functions.col(t.col),
+            df.schema(t.col).dataType, t.unit), t.col, sortIdentFirst = false)
       case _ => df
     }
     val newDir = s"data-epoch=${baseEpoch + 1}-a${newToken()}"

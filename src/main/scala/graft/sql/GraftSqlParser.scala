@@ -399,10 +399,12 @@ object GraftSqlParser {
           "(want col | truncate(w, col) | bucket(n, col) | " +
           "hours|days|months|years(col))")
     }
-    require(idn.isEmpty || (bkt.isEmpty && pt.isEmpty),
-      "identity/truncate layouts do not compose with bucket/time transforms")
-    require(bkt.map(_._1) != pt.map(_._1) || bkt.isEmpty,
-      "a composed layout needs distinct bucket and time columns")
+    require(Seq(bkt, pt, idn).count(_.isDefined) <= 2,
+      "a partition spec composes at most TWO transforms; identity + " +
+        "bucket + time is not supported")
+    val cols = bkt.map(_._1).toSeq ++ pt.map(_._1) ++ idn.map(_._1)
+    require(cols.distinct.length == cols.length,
+      "a composed layout needs distinct transform columns")
     (bkt, pt, idn)
   }
 

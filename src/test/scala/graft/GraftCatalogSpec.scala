@@ -663,11 +663,13 @@ class GraftCatalogSpec extends SparkTestBase {
   test("bucketed tables refuse null keys and unsupported partition transforms") {
     ensureCatalog()
     val base = tmpDir("gcat_spjr_")
-    // identity composed with bucket is refused (identity is
-    // standalone-only); bare identity is ACCEPTED since r17
+    // the THREE-way composition is refused (any two transforms
+    // compose since r17; bare identity and identity+bucket/time are
+    // ACCEPTED)
     intercept[IllegalArgumentException] {
-      spark.sql(s"CREATE TABLE graft.`$base/h` (event_id BIGINT, d STRING) " +
-        "PARTITIONED BY (d, bucket(4, event_id))")
+      spark.sql(s"CREATE TABLE graft.`$base/h` " +
+        "(event_id BIGINT, d STRING, ts TIMESTAMP) " +
+        "PARTITIONED BY (d, days(ts), bucket(4, event_id))")
     }
     val r = s"$base/t"
     spark.sql(s"CREATE TABLE graft.`$r` (event_id BIGINT, user_id BIGINT) " +

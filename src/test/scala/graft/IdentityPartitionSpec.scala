@@ -185,6 +185,101 @@ class IdentityPartitionSpec extends SparkTestBase {
     assert(fn.produceResult(row) == -10L)
   }
 
+  test("identity composes with bucket: dual spec, intersected pruning, " +
+    "pair SPJ on (lang, doc_id) plans zero shuffles") {
+    ensureCatalog()
+    val base = tmpDir("ident_cb_")
+    val (r1, r2) = (s"$base/a", s"$base/b")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.createOrReplaceTempView("icb_src")
+    spark.sql(s"CREATE TABLE graft.`$r1` " +
+      "PARTITIONED BY (lang, bucket(2, doc_id)) AS SELECT * FROM icb_src")
+    val is = ManifestSink.identSpec(spark, r1, 1)
+    val bs = ManifestSink.bucketSpec(spark, r1, 1)
+    assert(is.exists(_.col == "lang") && bs.exists(_.numBuckets == 2),
+      s"both specs must commit, got $is / $bs")
+    assert(is.get.fileStrs.keySet == bs.get.fileBuckets.keySet)
+    assert(spark.table(s"graft.`$r1`").count() == docs.count())
+    // a (lang, key) point query plans within the INTERSECTION
+    val dev = docs.filter(col("lang") === "fr").select("doc_id").head.getLong(0)
+    val want = is.get.fileStrs.count { case (f, v) =>
+      v == "fr" && bs.get.fileBuckets(f) == (dev % 2).toInt }
+    val frFiles = is.get.fileStrs.count(_._2 == "fr")
+    val c = spark.sql(s"SELECT count(*) AS c FROM graft.`$r1` " +
+      s"WHERE lang = 'fr' AND doc_id = $dev").collect()(0).getLong(0)
+    assert(c == 1)
+    assert(GraftTable.lastPlannedFiles <= want && want <= frFiles,
+      s"intersected lookup must plan <= $want files (fr has $frFiles), " +
+        s"planned ${GraftTable.lastPlannedFiles}")
+    // INSERT keeps both specs
+    spark.sql(s"INSERT INTO graft.`$r1` SELECT doc_id + 100000, lang, " +
+      "n_chars FROM icb_src WHERE doc_id < 20")
+    assert(ManifestSink.identSpec(spark, r1, 2).isDefined &&
+      ManifestSink.bucketSpec(spark, r1, 2).isDefined,
+      "the append must carry both specs")
+    // pair SPJ: same-layout tables join on (lang, doc_id) shuffle-free
+    spark.sql(s"CREATE TABLE graft.`$r2` " +
+      "PARTITIONED BY (lang, bucket(2, doc_id)) AS SELECT * FROM icb_src")
+    withSpjConfs {
+      val out = spark.sql(
+        s"""SELECT a.lang, count(*) AS pairs
+           |FROM graft.`$r2` a JOIN graft.`$r2` b
+           |ON a.lang = b.lang AND a.doc_id = b.doc_id
+           |GROUP BY a.lang""".stripMargin)
+      assert(out.count() == 5)
+      assert(shuffles(out).isEmpty,
+        s"identity x bucket pair SPJ must drop both shuffles:\n" +
+          out.queryExecution.executedPlan)
+    }
+  }
+
+  test("identity composes with days(ts): dual spec, intersected pruning, " +
+    "pair SPJ on (event_type, ts)") {
+    ensureCatalog()
+    val base = tmpDir("ident_ct_")
+    val r1 = s"$base/a"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .filter(col("ts") < lit("2024-01-05"))
+    ev.createOrReplaceTempView("ict_src")
+    spark.sql(s"CREATE TABLE graft.`$r1` " +
+      "PARTITIONED BY (event_type, days(ts)) AS SELECT * FROM ict_src")
+    val is = ManifestSink.identSpec(spark, r1, 1)
+    val ts = ManifestSink.ptimeSpec(spark, r1, 1)
+    assert(is.exists(_.col == "event_type") && ts.exists(_.unit == "days"),
+      s"both specs must commit, got $is / $ts")
+    assert(spark.table(s"graft.`$r1`").count() == ev.count())
+    // a (type, day) point query plans the intersection, never the day
+    val day0 = ts.get.fileOrds.values.min
+    val lo = java.time.LocalDate.ofEpochDay(day0.toLong).toString
+    val hi = java.time.LocalDate.ofEpochDay(day0.toLong + 1).toString
+    val ty = ev.select("event_type").head.getString(0)
+    val want = is.get.fileStrs.count { case (f, v) =>
+      v == ty && ts.get.fileOrds(f) == day0 }
+    val dayFiles = ts.get.fileOrds.count(_._2 == day0)
+    val c = spark.sql(s"SELECT count(*) AS c FROM graft.`$r1` " +
+      s"WHERE event_type = '$ty' AND ts >= TIMESTAMP '$lo 00:00:00' " +
+      s"AND ts < TIMESTAMP '$hi 00:00:00'").collect()(0).getLong(0)
+    assert(c > 0)
+    assert(GraftTable.lastPlannedFiles <= want && want < dayFiles,
+      s"(type, day) lookup must plan within the intersected $want files " +
+        s"(day has $dayFiles), planned ${GraftTable.lastPlannedFiles}")
+    // pair SPJ on (event_type, ts) — both axes data-dependent; same
+    // table both sides so the pair sets align exactly
+    withSpjConfs {
+      val out = spark.sql(
+        s"""SELECT a.event_type, count(*) AS pairs
+           |FROM graft.`$r1` a JOIN graft.`$r1` b
+           |ON a.event_type = b.event_type AND a.ts = b.ts
+           |GROUP BY a.event_type""".stripMargin)
+      assert(out.count() > 0)
+      assert(shuffles(out).isEmpty,
+        s"identity x time pair SPJ must drop both shuffles:\n" +
+          out.queryExecution.executedPlan)
+    }
+  }
+
   test("CoW UPDATE keeps the identity layout; refusals: null values, " +
     "maxKeys cap, identity+bucket mix, layout-column rename") {
     ensureCatalog()

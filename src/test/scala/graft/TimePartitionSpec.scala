@@ -367,9 +367,9 @@ class TimePartitionSpec extends SparkTestBase {
       spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN d TO d2")
     }
     // refused transform combinations: two buckets, two time
-    // transforms, identity mixed with bucket/time (identity is
-    // standalone-only; bucket+time COMPOSE — that is the
-    // multi-transform spec, pinned in its own test)
+    // transforms, the THREE-way composition (any two transforms
+    // compose — bucket+time, identity+bucket, identity+time — three
+    // do not)
     val rootT = tmpDir("tpart_t_") + "/t"
     intercept[Exception] {
       spark.sql(s"CREATE TABLE graft.`$rootT` (k BIGINT, j BIGINT, ts TIMESTAMP) " +
@@ -380,8 +380,8 @@ class TimePartitionSpec extends SparkTestBase {
         "USING parquet PARTITIONED BY (days(ts), hours(t2))")
     }
     intercept[Exception] {
-      spark.sql(s"CREATE TABLE graft.`$rootT` (k BIGINT, ts TIMESTAMP) " +
-        "USING parquet PARTITIONED BY (k, days(ts))")
+      spark.sql(s"CREATE TABLE graft.`$rootT` (k BIGINT, j BIGINT, ts TIMESTAMP) " +
+        "USING parquet PARTITIONED BY (k, days(ts), bucket(4, j))")
     }
   }
 
