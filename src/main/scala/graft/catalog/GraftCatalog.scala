@@ -352,21 +352,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
     // commit marker's pinned schema takes over (and evolves with it)
     val out = f.create(new Path(dir, GraftTable.SchemaFile), false)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
-    bucket.foreach { case (c, n) =>
-      val bo = f.create(new Path(dir, GraftTable.BucketFile), false)
-      try bo.write(s"""{"col":"$c","n":$n}""".getBytes("UTF-8"))
-      finally bo.close()
-    }
-    ptime.foreach { case (c, u) =>
-      val po = f.create(new Path(dir, GraftTable.PtimeFile), false)
-      try po.write(s"""{"col":"$c","unit":"$u"}""".getBytes("UTF-8"))
-      finally po.close()
-    }
-    identL.foreach { case (c, w) =>
-      val io = f.create(new Path(dir, GraftTable.IdentFile), false)
-      try io.write(GraftTable.identJson(c, w).getBytes("UTF-8"))
-      finally io.close()
-    }
+    GraftTable.writeLayoutSidecars(spark, dir, bucket, ptime, identL)
     // persist user TBLPROPERTIES (Spark's reserved/engine keys out)
     val userProps = userPropsOf(properties)
     if (userProps.nonEmpty) GraftTable.writeProps(spark, dir, userProps)
@@ -725,6 +711,32 @@ object GraftTable {
   private[graft] def identJson(c: String, w: Option[Int]): String =
     w.fold(s"""{"col":"$c"}""")(ww => s"""{"col":"$c","width":$ww}""")
 
+  /** The ONE writer of the declared-layout sidecars (shared by
+    * createTable, the RTAS sidecar swap, and SET PARTITION SPEC — the
+    * strict regex readers live in declaredBucket/declaredPtime/
+    * declaredIdent, so a format drift between writers would brick
+    * table loads): deletes all three, then writes the declared ones —
+    * crash-ordered, a mid-swap crash leaves the table honestly
+    * unpartitioned-declared. */
+  private[graft] def writeLayoutSidecars(spark: SparkSession, dir: String,
+                                         bucket: Option[(String, Int)],
+                                         ptime: Option[(String, String)],
+                                         identL: Option[(String, Option[Int])]): Unit = {
+    val p = new Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(dir, BucketFile), false)
+    f.delete(new Path(dir, PtimeFile), false)
+    f.delete(new Path(dir, IdentFile), false)
+    def write(name: String, body: String): Unit = {
+      val o = f.create(new Path(dir, name), true)
+      try o.write(body.getBytes("UTF-8")) finally o.close()
+    }
+    bucket.foreach { case (c, n) => write(BucketFile, s"""{"col":"$c","n":$n}""") }
+    ptime.foreach { case (c, u) =>
+      write(PtimeFile, s"""{"col":"$c","unit":"$u"}""") }
+    identL.foreach { case (c, w) => write(IdentFile, identJson(c, w)) }
+  }
+
   /** CHECK constraints: one `{"name":…,"sql":…}` JSON line per
     * constraint. Table state, not session state — any session
     * enforces them on its inserts after reading the sidecar. */
@@ -786,28 +798,13 @@ object GraftTable {
     if (replacing) {
       f.delete(new Path(dir, ConstraintsFile), false)
       f.delete(new Path(dir, PropsFile), false)
-      f.delete(new Path(dir, BucketFile), false)
-      f.delete(new Path(dir, PtimeFile), false)
-      f.delete(new Path(dir, IdentFile), false)
       f.delete(new Path(dir, SchemaFile), false)
     }
     val so = f.create(new Path(dir, SchemaFile), true)
     try so.write(schemaJson.getBytes("UTF-8")) finally so.close()
-    bucket.foreach { case (c, n) =>
-      val bo = f.create(new Path(dir, BucketFile), true)
-      try bo.write(s"""{"col":"$c","n":$n}""".getBytes("UTF-8"))
-      finally bo.close()
-    }
-    ptime.foreach { case (c, u) =>
-      val po = f.create(new Path(dir, PtimeFile), true)
-      try po.write(s"""{"col":"$c","unit":"$u"}""".getBytes("UTF-8"))
-      finally po.close()
-    }
-    identL.foreach { case (c, w) =>
-      val io = f.create(new Path(dir, IdentFile), true)
-      try io.write(identJson(c, w).getBytes("UTF-8"))
-      finally io.close()
-    }
+    // the helper swaps the layout sidecars whether replacing or not
+    // (a CREATE has nothing to delete; a REPLACE resets the surface)
+    writeLayoutSidecars(spark, dir, bucket, ptime, identL)
     if (props.nonEmpty) writeProps(spark, dir, props)
   }
 
@@ -2546,16 +2543,7 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
                             colType: DataType, rel: String): Any =
     if (is.isString)
       org.apache.spark.unsafe.types.UTF8String.fromString(is.fileStrs(rel))
-    else {
-      val v = is.fileLongs(rel)
-      if (is.width.isDefined) v
-      else colType match {
-        case IntegerType => v.toInt
-        case ShortType => v.toShort
-        case ByteType => v.toByte
-        case _ => v
-      }
-    }
+    else identKeyValue0(is, colType, is.fileLongs(rel))
 
   /** Raw (sortable) identity value of a file — String or Long. */
   private def identRaw(is: ManifestSink.IdentSpec, rel: String): Any =
@@ -3464,13 +3452,14 @@ final class GraftMorWrite(dir: String, baseEpoch: Int,
           val survivors = visible.join(broadcast(keys),
             visible(physKeyName) === keys(physKeyName), "left_anti")
           val delta = readRels(fresh)
-          val cowDirName0 = s"data-epoch=${baseEpoch + 1}-a${ManifestSink.newAttemptToken()}"
-          survivors.unionByName(delta)
-            .write.mode("overwrite").parquet(s"$dir/$cowDirName0")
+          val cowDirName = s"data-epoch=${baseEpoch + 1}-a${ManifestSink.newAttemptToken()}"
           // layout-preserving CoW: the over-cap materialization keeps
           // the committed layout exactly like the row-level write path
-          val cowDirName =
-            ManifestSink.relayStagedToLayout(spark, dir, baseEpoch, cowDirName0)
+          // — applied to the still-in-memory batch so the replacement
+          // writes ONCE (no write-read-rewrite round trip)
+          ManifestSink.layoutForBase(spark, dir, baseEpoch,
+              survivors.unionByName(delta))
+            .write.mode("overwrite").parquet(s"$dir/$cowDirName")
           ManifestSink.commitReplaceGroups(spark, dir, baseEpoch,
             cowDirName, op.scannedFiles,
             appendGuard = Some(guard),

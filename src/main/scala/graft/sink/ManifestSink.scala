@@ -2604,10 +2604,7 @@ object ManifestSink {
     * contract — same rule as INSERT). */
   def relayStagedToLayout(spark: SparkSession, root: String, baseEpoch: Int,
                           stagedDirName: String): String = {
-    val bs = bucketSpec(spark, root, baseEpoch)
-    val ts = ptimeSpec(spark, root, baseEpoch)
-    val is = identSpec(spark, root, baseEpoch)
-    if (bs.isEmpty && ts.isEmpty && is.isEmpty) return stagedDirName
+    if (!hasLayout(spark, root, baseEpoch)) return stagedDirName
     val stagedPath = new org.apache.hadoop.fs.Path(s"$root/$stagedDirName")
     val f = fs(spark, stagedPath)
     if (!f.exists(stagedPath)) return stagedDirName
@@ -2615,7 +2612,31 @@ object ManifestSink {
       .filter(_.getPath.getName.endsWith(".parquet"))
     if (files.isEmpty) return stagedDirName
     val df = spark.read.parquet(files.map(_.getPath.toString): _*)
-    val laid = (bs, ts, is) match {
+    val laid = layoutForBase(spark, root, baseEpoch, df)
+    val newDir = s"data-epoch=${baseEpoch + 1}-a${newToken()}"
+    laid.write.mode("overwrite").parquet(s"$root/$newDir")
+    f.delete(stagedPath, true): Unit
+    newDir
+  }
+
+  /** True iff `epoch` carries any fully-covering committed layout. */
+  def hasLayout(spark: SparkSession, root: String, epoch: Int): Boolean =
+    bucketSpec(spark, root, epoch).isDefined ||
+      ptimeSpec(spark, root, epoch).isDefined ||
+      identSpec(spark, root, epoch).isDefined
+
+  /** Apply `baseEpoch`'s committed layout to an IN-MEMORY replacement
+    * batch — the shared placement half of [[relayStagedToLayout]],
+    * exposed so a caller that still HAS the batch as a DataFrame (the
+    * over-cap MoR→CoW materialization) writes ONCE instead of
+    * write-read-rewrite. Returns `df` unchanged when the base has no
+    * layout. */
+  def layoutForBase(spark: SparkSession, root: String, baseEpoch: Int,
+                    df: DataFrame): DataFrame = {
+    val bs = bucketSpec(spark, root, baseEpoch)
+    val ts = ptimeSpec(spark, root, baseEpoch)
+    val is = identSpec(spark, root, baseEpoch)
+    (bs, ts, is) match {
       case (Some(b), Some(t), None) =>
         composedLayout(df, t.col, t.unit, b.keyCol, b.numBuckets)
       case (Some(b), None, None) => bucketLayout(df, b.keyCol, b.numBuckets)
@@ -2630,10 +2651,6 @@ object ManifestSink {
             df.schema(t.col).dataType, t.unit), t.col, sortIdentFirst = false)
       case _ => df
     }
-    val newDir = s"data-epoch=${baseEpoch + 1}-a${newToken()}"
-    laid.write.mode("overwrite").parquet(s"$root/$newDir")
-    f.delete(stagedPath, true): Unit
-    newDir
   }
 
   /** Layout stats rows for replace-groups REPLACEMENT files — the
@@ -2670,8 +2687,19 @@ object ManifestSink {
                       orig: Staged, rebased: Staged): Staged = {
     val branchDvs = orig.dvs.filter(_._1.endsWith(s".${orig.token}"))
     if (branchDvs.isEmpty) return rebased
+    // target scopes start ABOVE both the rebased epoch and every
+    // ORIGINAL branch scope: a target that collided with a
+    // later-in-the-list original (e.g. two branch deletes racing one
+    // live epoch) would overwrite that delete's keys before its own
+    // copy read them — silently resurrecting its takedowns
+    val scopeRe = "dv-(\\d+)\\..*".r
+    val origMax = branchDvs.map(_._1 match {
+      case scopeRe(e) => e.toInt
+      case _ => 0
+    }).max
+    val start = math.max(rebased.epoch, origMax)
     val renumbered = branchDvs.zipWithIndex.map { case ((rel, k), j) =>
-      val newRel = s"dv-${rebased.epoch + j + 1}.${orig.token}"
+      val newRel = s"dv-${start + j + 1}.${orig.token}"
       if (newRel != rel)
         spark.read.parquet(s"$root/$rel").coalesce(1)
           .write.mode("overwrite").parquet(s"$root/$newRel")

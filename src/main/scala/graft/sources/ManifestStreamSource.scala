@@ -254,12 +254,21 @@ final class ManifestStreamProvider extends StreamSourceProvider with DataSourceR
             org.apache.spark.sql.types.IntegerType, nullable = false)))
       else if (partitionValues) {
         // composed-spec tables surface the (ord, bucket) pair UNPACKED
-        // — `_partition` (time ordinal) + `_bucket` — decided from the
-        // CURRENT epoch's committed spec at source-creation time (the
-        // stream's schema is pinned for its life, as all source
-        // schemas are)
+        // — `_partition` (time ordinal) + `_bucket` — decided at
+        // source-creation time from the DECLARED sidecars (a composed
+        // table that is still empty when the stream attaches must get
+        // the pair schema its future batches need) OR the current
+        // epoch's committed coverage (API-written tables carry no
+        // sidecars); the stream's schema is then pinned for its life,
+        // as all source schemas are
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val f = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val declared = f.exists(new org.apache.hadoop.fs.Path(root,
+          graft.catalog.GraftTable.BucketFile)) &&
+          f.exists(new org.apache.hadoop.fs.Path(root,
+            graft.catalog.GraftTable.PtimeFile))
         val e = ManifestSink.currentEpochOpt(spark, root)
-        val composed = e.exists(ep =>
+        val composed = declared || e.exists(ep =>
           ManifestSink.bucketSpec(spark, root, ep).isDefined &&
             ManifestSink.ptimeSpec(spark, root, ep).isDefined)
         val cols = Seq(

@@ -463,30 +463,11 @@ object GraftSqlParser {
           s"identity/truncate needs an integral or string column; $c is " +
             s"${field(c).dataType}")
       }
-      // crash-ordered swap: delete every declared-layout sidecar FIRST
-      // (a crash mid-swap leaves the table honestly unpartitioned-
-      // declared, never carrying a stale mix)
-      val p = new org.apache.hadoop.fs.Path(path)
-      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      import graft.catalog.GraftTable.{BucketFile, IdentFile, PtimeFile}
-      f.delete(new org.apache.hadoop.fs.Path(path, BucketFile), false)
-      f.delete(new org.apache.hadoop.fs.Path(path, PtimeFile), false)
-      f.delete(new org.apache.hadoop.fs.Path(path, IdentFile), false)
-      bucket.foreach { case (c, n) =>
-        val o = f.create(new org.apache.hadoop.fs.Path(path, BucketFile), true)
-        try o.write(s"""{"col":"$c","n":$n}""".getBytes("UTF-8"))
-        finally o.close()
-      }
-      ptime.foreach { case (c, u) =>
-        val o = f.create(new org.apache.hadoop.fs.Path(path, PtimeFile), true)
-        try o.write(s"""{"col":"$c","unit":"$u"}""".getBytes("UTF-8"))
-        finally o.close()
-      }
-      identL.foreach { case (c, w) =>
-        val o = f.create(new org.apache.hadoop.fs.Path(path, IdentFile), true)
-        try o.write(graft.catalog.GraftTable.identJson(c, w).getBytes("UTF-8"))
-        finally o.close()
-      }
+      // crash-ordered swap (the ONE shared sidecar writer: old
+      // sidecars delete FIRST, so a mid-swap crash leaves the table
+      // honestly unpartitioned-declared, never a stale mix)
+      graft.catalog.GraftTable.writeLayoutSidecars(spark, path,
+        bucket, ptime, identL)
       val spec = (ptime.map { case (c, u) => s"$u($c)" } ++
         bucket.map { case (c, n) => s"bucket($n,$c)" } ++
         identL.map { case (c, w) => w.fold(c)(ww => s"truncate($ww,$c)") })

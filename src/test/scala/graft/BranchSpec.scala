@@ -273,6 +273,34 @@ class BranchSpec extends SparkTestBase {
       "WHERE k IN (1, 2)").collect()(0).getLong(0) == 0)
   }
 
+  test("TWO branch deletes publish intact through a racing live write " +
+    "(DV re-scope must never clobber a later takedown's keys)") {
+    val root = mkTable("br_dv2_")
+    spark.sql(s"CREATE BRANCH fix2 ON graft.`$root`")
+    (100L until 110L).map(i => (i, 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("br_dv2_ins")
+    branchWrite(root, "fix2", "br_dv2_ins")
+    spark.conf.set("spark.graft.branch", "fix2")
+    try {
+      spark.sql(s"DELETE FROM graft.`$root` WHERE k IN (1, 100)")
+      spark.sql(s"DELETE FROM graft.`$root` WHERE k IN (2, 101)")
+    } finally spark.conf.unset("spark.graft.branch")
+    // a racing live insert forces the publish through the rebase
+    // ladder, which re-scopes BOTH branch DVs above the rebased epoch
+    // — the re-scope targets must clear every ORIGINAL dv name, or
+    // the first copy would overwrite the second delete's keys before
+    // they were read (the round-17 review finding)
+    Seq((300L, 3.0)).toDF("k", "v").createOrReplaceTempView("br_dv2_race")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM br_dv2_race")
+    spark.sql(s"PUBLISH BRANCH fix2 ON graft.`$root`")
+    val live = spark.table(s"graft.`$root`")
+    assert(live.filter(col("k").isin(1L, 2L, 100L, 101L)).count() == 0,
+      "BOTH branch deletes' keys must stay deleted through the rebase")
+    assert(live.filter(col("k").between(102, 109)).count() == 8)
+    assert(live.filter(col("k") === 300).count() == 1)
+    assert(live.count() == 40 - 2 + 10 - 2 + 1)
+  }
+
   test("branch writes keep the declared layout; publish lands it") {
     ensureCatalog()
     val root = tmpDir("br_lay_") + "/t"
