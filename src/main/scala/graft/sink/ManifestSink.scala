@@ -2672,40 +2672,38 @@ object ManifestSink {
     (b.toSeq ++ t.toSeq ++ i.toSeq).foldLeft(emptyStats(spark))(_ unionByName _)
   }
 
-  /** Re-attach a publishing branch's STAGED delete vectors above a
-    * rebased epoch (round 17 branch DML): [[rebaseStagedInsert]]
-    * rebuilds `dvs` from the CURRENT epoch — correct for plain
-    * inserts, but a branch pipeline's own takedowns (token-named
-    * `dv-N.<branchToken>` files) must survive the rebase AND scope
-    * over everything below the publish: each is re-written under a
-    * scope epoch ABOVE the rebased one (order preserved), so the
-    * published DV hides its keys in base files, branch inserts, and
-    * racing live writes alike — the takedown semantics of a
-    * fix-up-then-publish pipeline. Keys are cap-bounded (the branch
-    * delete enforced it), so the copy is metadata-priced. */
+  /** Collapse a publishing branch's STAGED delete vectors into ONE
+    * vector scoped exactly at `target.epoch + 1` (round 18, clearing
+    * the r17-advice scope-stacking bug): the branch pipeline is
+    * inserts-then-deletes (an INSERT after a branch delete is refused
+    * at stage time — [[graft.catalog.GraftTable]]'s branch write
+    * guard), so the UNION of all staged takedown keys, scoped one
+    * above the publish epoch, hides those keys in base files, the
+    * branch's own fresh files, and racing live writes alike while
+    * EXEMPTING every post-publish epoch. Keeping stage-epoch names
+    * verbatim (the old fast-forward) or renumbering each DV above the
+    * rebased epoch (the old rebase) published scopes HIGHER than
+    * publishedEpoch+1, so a post-publish re-insert of a taken-down
+    * key at those epochs silently vanished — violating the
+    * epoch-scoped-not-cumulative DV contract. The merged vector gets
+    * a FRESH token (a stage-epoch name can equal the merged name —
+    * overwriting an input mid-read); originals stay as sweepable
+    * debris, so a later rebase attempt re-reads them intact. Keys are
+    * cap-bounded (the branch delete enforced it) — metadata-priced.
+    * Callers pass the ORIGINAL staged state (its dvs name the staged
+    * files) and the about-to-commit state; used by BOTH publish paths
+    * (fast-forward and rebase ladder). */
   def rebaseBranchDvs(spark: SparkSession, root: String,
-                      orig: Staged, rebased: Staged): Staged = {
+                      orig: Staged, target: Staged): Staged = {
     val branchDvs = orig.dvs.filter(_._1.endsWith(s".${orig.token}"))
-    if (branchDvs.isEmpty) return rebased
-    // target scopes start ABOVE both the rebased epoch and every
-    // ORIGINAL branch scope: a target that collided with a
-    // later-in-the-list original (e.g. two branch deletes racing one
-    // live epoch) would overwrite that delete's keys before its own
-    // copy read them — silently resurrecting its takedowns
-    val scopeRe = "dv-(\\d+)\\..*".r
-    val origMax = branchDvs.map(_._1 match {
-      case scopeRe(e) => e.toInt
-      case _ => 0
-    }).max
-    val start = math.max(rebased.epoch, origMax)
-    val renumbered = branchDvs.zipWithIndex.map { case ((rel, k), j) =>
-      val newRel = s"dv-${start + j + 1}.${orig.token}"
-      if (newRel != rel)
-        spark.read.parquet(s"$root/$rel").coalesce(1)
-          .write.mode("overwrite").parquet(s"$root/$newRel")
-      (newRel, k)
-    }
-    rebased.copy(dvs = (rebased.dvs ++ renumbered).distinct)
+    if (branchDvs.isEmpty) return target
+    val keyCol = branchDvs.head._2
+    val mergedRel = s"dv-${target.epoch + 1}.${newToken()}"
+    branchDvs.map(d => spark.read.parquet(s"$root/${d._1}"))
+      .reduce(_ unionByName _).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/$mergedRel")
+    target.copy(dvs = target.dvs.filterNot(
+      _._1.endsWith(s".${orig.token}")) :+ ((mergedRel, keyCol)))
   }
 
   /** Commit a REPLACE-GROUPS epoch — the commit half of SQL

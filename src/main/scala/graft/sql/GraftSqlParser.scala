@@ -749,6 +749,12 @@ object GraftSqlParser {
       alreadyPublished() match {
         case Some(cur) => publishedEpoch = cur
         case None =>
+          // collapse the branch's takedown DVs into ONE vector scoped
+          // at staged.epoch+1 in the FAST-FORWARD path too — stage
+          // names kept verbatim scope above publishedEpoch+1 and
+          // silently hide a post-publish re-insert of a deleted key
+          staged = ManifestSink.rebaseBranchDvs(spark, path,
+            staged0, staged)
           while (publishedEpoch < 0) {
             try {
               ManifestSink.commitStaged(spark, staged)
@@ -766,9 +772,10 @@ object GraftSqlParser {
                         s"branch '$name' on $path cannot be rebased (the " +
                           "table's schema moved or a vacuum swept the " +
                           "stage); re-stage the branch"))
-                    // the branch's own takedown DVs survive the rebase,
-                    // re-scoped ABOVE the rebased epoch (the insert
-                    // rebase rebuilds dvs from the current epoch)
+                    // the branch's own takedown DVs survive the rebase
+                    // as ONE merged vector scoped at the rebased
+                    // epoch + 1 (the insert rebase rebuilds dvs from
+                    // the current epoch, dropping them)
                     staged = ManifestSink.rebaseBranchDvs(spark, path,
                       staged0, staged)
                     graft.catalog.GraftTable.auditConstraints(spark, path,

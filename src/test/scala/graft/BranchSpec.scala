@@ -299,6 +299,51 @@ class BranchSpec extends SparkTestBase {
     assert(live.filter(col("k").between(102, 109)).count() == 8)
     assert(live.filter(col("k") === 300).count() == 1)
     assert(live.count() == 40 - 2 + 10 - 2 + 1)
+    // the published DVs are epoch-scoped, NOT cumulative: a
+    // post-publish re-insert of a taken-down key is visible — the
+    // publish must merge the staged deletes into ONE vector scoped at
+    // publishedEpoch+1, never carry stage-epoch scopes that exceed it
+    // (the r17-advice scope-stacking bug)
+    Seq((101L, 9.0)).toDF("k", "v").createOrReplaceTempView("br_dv2_re")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM br_dv2_re")
+    assert(spark.table(s"graft.`$root`")
+      .filter(col("k") === 101).count() == 1,
+      "a post-publish re-insert must sit above the merged DV's scope")
+  }
+
+  test("multi-delete branch FAST-FORWARD publish: post-publish " +
+    "re-inserts of taken-down keys are visible (scopes never stack " +
+    "above publishedEpoch+1)") {
+    val root = mkTable("br_dvff_")
+    spark.sql(s"CREATE BRANCH ff ON graft.`$root`")
+    (100L until 110L).map(i => (i, 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("br_dvff_ins")
+    branchWrite(root, "ff", "br_dvff_ins")
+    spark.conf.set("spark.graft.branch", "ff")
+    try {
+      spark.sql(s"DELETE FROM graft.`$root` WHERE k IN (1, 100)")
+      spark.sql(s"DELETE FROM graft.`$root` WHERE k IN (2, 101)")
+    } finally spark.conf.unset("spark.graft.branch")
+    // NO racing write: the fast-forward path commits the staged state
+    // directly — stage-epoch DV names kept verbatim (dv-3, dv-4 on
+    // base 1) would hide post-publish inserts at epochs 2..3
+    spark.sql(s"PUBLISH BRANCH ff ON graft.`$root`")
+    val live = spark.table(s"graft.`$root`")
+    assert(live.filter(col("k").isin(1L, 2L, 100L, 101L)).count() == 0)
+    assert(live.count() == 40 - 2 + 10 - 2)
+    // immediate post-publish re-inserts land at publishedEpoch+1 —
+    // the exact epoch the stacked stage scopes used to swallow
+    Seq((2L, 8.0), (100L, 9.0)).toDF("k", "v")
+      .createOrReplaceTempView("br_dvff_re")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM br_dvff_re")
+    assert(spark.table(s"graft.`$root`")
+      .filter(col("k").isin(2L, 100L)).count() == 2,
+      "post-publish re-inserts must be visible (epoch-scoped DVs)")
+    // and one epoch later still
+    Seq((1L, 7.0)).toDF("k", "v").createOrReplaceTempView("br_dvff_re2")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM br_dvff_re2")
+    assert(spark.table(s"graft.`$root`")
+      .filter(col("k") === 1).count() == 1)
   }
 
   test("branch writes keep the declared layout; publish lands it") {
