@@ -2454,7 +2454,7 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     }
   }
 
-  private def relOf(p: Path): String = s"${p.getParent.getName}/${p.getName}"
+  private def relOf(p: Path): String = ManifestSink.relOfData(p)
 
   private def parquetBatchOver(statuses: Seq[org.apache.hadoop.fs.FileStatus]): Batch = {
     // a StaticFileIndex over the already-resolved statuses: an
@@ -3141,11 +3141,26 @@ class GraftRowLevelOperation(dir: String, baseEpoch: Int,
   * commit then runs [[ManifestSink.commitReplaceGroups]] — one CAS
   * epoch that drops the scanned files, adds the staged ones with
   * fresh stats, and carries the rest. An abort aborts the delegate
-  * and leaves only an invisible orphan dir for vacuum. */
+  * and leaves only an invisible orphan dir for vacuum.
+  *
+  * SINGLE-WRITE layout preservation (round 18; supersedes the r17
+  * read-back relay): when the base epoch carries a committed
+  * bucket/time/identity/composed layout, the write DECLARES it via
+  * [[RequiresDistributionAndOrdering]] — Spark clusters and sorts the
+  * replacement plan by the layout transforms, resolved through the
+  * catalog's FunctionCatalog to the SAME bound functions the SPJ read
+  * path compares (the Iceberg write-distribution discipline) — and
+  * stages through a dynamic-partition parquet write that rotates
+  * output files per layout value. The replacement files are
+  * single-key ON ARRIVAL, so an UPDATE/DELETE/MERGE on a laid-out
+  * table keeps `KeyGroupedPartitioning` and exact pruning at ONE
+  * write cost: at 100 TB a MERGE touching 10% of a table writes that
+  * 10% once, not twice. */
 final class GraftReplaceWrite(dir: String, baseEpoch: Int,
                               op: GraftRowLevelOperation,
                               info: LogicalWriteInfo,
-                              tableSchema: StructType) extends Write {
+                              tableSchema: StructType) extends Write
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   private val token = ManifestSink.newAttemptToken()
   private val stagedDirName = s"data-epoch=${baseEpoch + 1}-a$token"
@@ -3165,6 +3180,41 @@ final class GraftReplaceWrite(dir: String, baseEpoch: Int,
       graft.sink.ColumnMapping.physicalSchema(tableSchema)
   }
 
+  private val physSchema = graft.sink.ColumnMapping.physicalSchema(tableSchema)
+
+  /** The base epoch's committed layout axes with the row index of
+    * each source column (physical and logical schemas are positional
+    * renames of each other — one index serves both). */
+  private val axisIdx: Seq[(LayoutAxisSpec, Int)] =
+    LayoutWrite.axesFor(SparkSession.active, dir, baseEpoch).map { a =>
+      val pi = physSchema.fieldNames.indexOf(a.col)
+      (a, if (pi >= 0) pi else tableSchema.fieldIndex(a.col))
+    }
+
+  /** Axes paired with the LOGICAL column name — the name the
+    * distribution/ordering expressions resolve against the
+    * ReplaceData plan (specs store the physical parquet name). */
+  private def axes: Seq[(LayoutAxisSpec, String)] =
+    axisIdx.map { case (a, i) => (a, tableSchema.fieldNames(i)) }
+
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    if (axisIdx.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        axes.map { case (a, l) => a.transform(l) }
+          .toArray[org.apache.spark.sql.connector.expressions.Expression])
+
+  // best-effort (Rebalance) rather than strict: AQE sizes the shuffle
+  // and SPLITS a skewed layout value across tasks — the value-based
+  // file rotation keeps every file single-key regardless, so a hot
+  // key becomes several bounded files instead of one straggler task
+  // (the salt-fanout discipline of placeByKey, inherited by the plan)
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    LayoutWrite.ordering(axes)
+
   override def toBatch: BatchWrite = {
     // a row-level rewrite scans and replaces LIVE files — executing it
     // while a session branch is set would bypass the staged pipeline
@@ -3173,7 +3223,35 @@ final class GraftReplaceWrite(dir: String, baseEpoch: Int,
     // plans the optimizer later rewrites onto the metadata-only
     // SupportsDelete path — which branch deletes ride.)
     GraftTable.requireNotBranch(SparkSession.active, "row-level rewrites")
-    new BatchWrite {
+    if (axisIdx.isEmpty) flatBatchWrite() else layoutBatchWrite()
+  }
+
+  /** Shared commit half: list the staged replacement files
+    * (RECURSIVELY — the layout write stages into partition
+    * subdirectories), audit constraints (a merge cannot smuggle in
+    * CHECK violations), and swap the scanned groups in one CAS
+    * epoch. */
+  private def commitStage(spark: SparkSession): Unit = {
+    // deterministic-race seam: a spec/demo injects a concurrent
+    // commit exactly here — after the replacement files finalized,
+    // before the epoch CAS (see GraftTable.replaceCommitRaceHook)
+    GraftTable.replaceCommitRaceHook.foreach { h =>
+      GraftTable.replaceCommitRaceHook = None; h()
+    }
+    val fresh = ManifestSink.listStagedParquet(spark, dir, stagedDirName)
+      .keys.toSeq.sorted
+    GraftTable.auditConstraints(spark, dir, fresh)
+    ManifestSink.commitReplaceGroups(spark, dir, baseEpoch,
+      stagedDirName, op.scannedFiles,
+      appendGuard = Some(RowLevelCommit.appendGuard(spark, dir, tableSchema, op)),
+      // re-audit EVERY attempt: a racing ADD CONSTRAINT commits a
+      // metadata epoch, re-entering the CAS loop — the staged files
+      // must clear the NEW constraint set before they publish
+      reaudit = Some(() => GraftTable.auditConstraints(spark, dir, fresh))): Unit
+  }
+
+  /** The unpartitioned-table path: a flat single-directory stage. */
+  private def flatBatchWrite(): BatchWrite = new BatchWrite {
     private val delegate =
       org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite(
         Seq(s"$dir/$stagedDirName"), "parquet", _ => true, dataInfo).toBatch
@@ -3193,41 +3271,49 @@ final class GraftReplaceWrite(dir: String, baseEpoch: Int,
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       delegate.commit(messages)
-      val spark = SparkSession.active
-      // deterministic-race seam: a spec/demo injects a concurrent
-      // commit exactly here — after the replacement files finalized,
-      // before the epoch CAS (see GraftTable.replaceCommitRaceHook)
-      GraftTable.replaceCommitRaceHook.foreach { h =>
-        GraftTable.replaceCommitRaceHook = None; h()
-      }
-      // layout-preserving CoW (VERDICT r16): re-lay the replacement
-      // batch into the base epoch's committed layout BEFORE the audit
-      // and the commit, so row-level DML on a bucket/time/composed
-      // table keeps KeyGroupedPartitioning and exact pruning
-      val commitDirName =
-        ManifestSink.relayStagedToLayout(spark, dir, baseEpoch, stagedDirName)
-      // row-level rewrites (MERGE/UPDATE) enforce CHECKs on their
-      // replacement files too — a merge cannot smuggle in violations
-      val stagePath = new Path(s"$dir/$commitDirName")
-      val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val fresh =
-        if (!fs.exists(stagePath)) Nil
-        else fs.listStatus(stagePath).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
-          .map(p => s"$commitDirName/${p.getName}")
-      GraftTable.auditConstraints(spark, dir, fresh)
-      ManifestSink.commitReplaceGroups(spark, dir, baseEpoch,
-        commitDirName, op.scannedFiles,
-        appendGuard = Some(RowLevelCommit.appendGuard(spark, dir, tableSchema, op)),
-        // re-audit EVERY attempt: a racing ADD CONSTRAINT commits a
-        // metadata epoch, re-entering the CAS loop — the staged files
-        // must clear the NEW constraint set before they publish
-        reaudit = Some(() => GraftTable.auditConstraints(spark, dir, fresh))): Unit
+      commitStage(SparkSession.active)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       delegate.abort(messages)
   }
+
+  /** The laid-out-table path: a dynamic-partition stage rotating one
+    * file per layout value (see the class scaladoc). */
+  private def layoutBatchWrite(): BatchWrite = new BatchWrite {
+    private val spark0 = SparkSession.active
+    private val partSchema = StructType(axisIdx.zipWithIndex.map {
+      case ((a, i), j) =>
+        org.apache.spark.sql.types.StructField(s"__p$j",
+          a.fieldType(tableSchema.fields(i).dataType), nullable = false)
+    })
+    private val writeOpts = {
+      val m = spark0.sessionState.conf
+        .getConfString("spark.graft.write.maxRecordsPerFile", "")
+      if (m.isEmpty) Map.empty[String, String]
+      else Map("maxRecordsPerFile" -> m)
+    }
+    private val delegate =
+      org.apache.spark.sql.execution.datasources.v2.GraftWriteBridge
+        .partitionedParquetWrite(spark0, s"$dir/$stagedDirName",
+          physSchema, partSchema, writeOpts)
+
+    override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory =
+      new LayoutAppendingWriterFactory(
+        delegate.createBatchWriterFactory(pInfo),
+        tableSchema.fields.map(_.dataType),
+        axisIdx.map { case (a, i) => (i, a) }.toArray)
+    override def useCommitCoordinator: Boolean = delegate.useCommitCoordinator
+    override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+      delegate.onDataWriterCommit(message)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      delegate.commit(messages)
+      commitStage(spark0)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      delegate.abort(messages)
   }
 }
 
@@ -3289,8 +3375,7 @@ private[catalog] object RowLevelCommit {
         else {
           val idx = new ManifestFileIndex(spark, dir, e)
           val survivors = idx.listFiles(Nil, exprs).flatMap(_.files)
-            .map(f => s"${f.fileStatus.getPath.getParent.getName}/" +
-              s"${f.fileStatus.getPath.getName}").toSet
+            .map(f => ManifestSink.relOfData(f.fileStatus.getPath)).toSet
           val overlap = added.intersect(survivors)
           if (overlap.isEmpty) None
           else Some(s"${overlap.size} of them may hold rows matching " +
@@ -3714,7 +3799,7 @@ final class DvFilteringReaderFactory(delegate: PartitionReaderFactory,
     fp match {
       case f if f != null && f.files.nonEmpty =>
         val hp = f.files.head.filePath.toPath
-        relGroup.getOrElse(s"${hp.getParent.getName}/${hp.getName}", 0)
+        relGroup.getOrElse(ManifestSink.relOfData(hp), 0)
       case _ => groupLongs.length - 1 // empty partition: nothing to filter
     }
   }

@@ -132,8 +132,7 @@ final class ManifestFileIndex(spark: SparkSession, root: String, epoch: Int)
       ManifestSink.bloomHexTest(hex, pos)
     }
 
-  private def relOf(p: Path): String =
-    s"${p.getParent.getName}/${p.getName}"
+  private def relOf(p: Path): String = ManifestSink.relOfData(p)
 
   /** String bound comparisons in UTF8String BINARY order — the order
     * Spark's min/max produced the committed bounds in. Java String

