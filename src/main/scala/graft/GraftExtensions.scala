@@ -82,7 +82,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     // Maintenance SQL (VACUUM / OPTIMIZE / DESCRIBE HISTORY on
     // manifest tables) — the Delta-style delegating parser
-    // (sql/GraftSqlParser.scala); all other SQL passes through.
+    // (sql/GraftSqlParser.scala); all other SQL passes through,
+    // except UPDATE/MERGE under a session branch, which route to the
+    // branch merge-on-read commands (catalog/BranchDml.scala).
     ext.injectParser((_, parser) => new graft.sql.GraftSqlParser(parser))
   }
 }

@@ -3683,10 +3683,7 @@ object Registry {
             val j = s.sql(s"SELECT a.ts FROM graft.`$r1` a " +
               s"JOIN graft.`$r2` b ON a.ts = b.ts")
             j.collect()
-            j.queryExecution.executedPlan.collect {
-              case sh: org.apache.spark.sql.execution.exchange
-                .ShuffleExchangeExec => sh
-            }.isEmpty
+            graft.plans.PlanProbe.shuffles(j).isEmpty
           } finally prev.foreach {
             case (k, Some(v)) => s.conf.set(k, v)
             case (k, None) => s.conf.unset(k)
@@ -3763,17 +3760,19 @@ object Registry {
         def shuffleFree(sql: String): Boolean = {
           val j = s.sql(sql)
           j.collect()
-          j.queryExecution.executedPlan.collect {
-            case sh: org.apache.spark.sql.execution.exchange
-              .ShuffleExchangeExec => sh
-          }.isEmpty
+          graft.plans.PlanProbe.shuffles(j).isEmpty
         }
         val (pairSpj, subsetSpj) =
           try {
             spjKeys.foreach { case (k, v) => s.conf.set(k, v) }
             (shuffleFree(s"SELECT a.ts FROM graft.`$r1` a JOIN graft.`$r2` b " +
               "ON a.ts = b.ts AND a.user_id = b.user_id"),
-              shuffleFree(s"SELECT a.user_id FROM graft.`$r1` a " +
+              // a.ts/b.ts stay in the OUTPUT: column pruning that
+              // drops the time column invalidates the days(ts) leg of
+              // the reported partitioning at the projection, and the
+              // subset-key grouping dies with it
+              shuffleFree(s"SELECT a.user_id, a.ts, b.ts AS ts2 " +
+                s"FROM graft.`$r1` a " +
                 s"JOIN graft.`$r2` b ON a.user_id = b.user_id " +
                 "WHERE a.ts < TIMESTAMP '2024-01-03 00:00:00' " +
                 "AND b.ts < TIMESTAMP '2024-01-03 00:00:00'"))
@@ -3914,10 +3913,8 @@ object Registry {
             val j = s.sql(s"SELECT a.lang, count(*) AS n FROM graft.`$r1` a " +
               s"JOIN graft.`$r2` b ON a.lang = b.lang GROUP BY a.lang")
             j.collect()
-            j.queryExecution.executedPlan.collect {
-              case sh: org.apache.spark.sql.execution.exchange
-                .ShuffleExchangeExec => sh
-            }.isEmpty
+            graft.plans.PlanProbe.joins(j).nonEmpty &&
+              graft.plans.PlanProbe.joinInputShuffles(j).isEmpty
           } finally prev.foreach {
             case (k, Some(v)) => s.conf.set(k, v)
             case (k, None) => s.conf.unset(k)
@@ -3985,10 +3982,8 @@ object Registry {
             val j = s.sql(s"SELECT a.source, count(*) AS n FROM graft.`$r1` a " +
               s"JOIN graft.`$r2` b ON a.source = b.source GROUP BY a.source")
             j.collect()
-            j.queryExecution.executedPlan.collect {
-              case sh: org.apache.spark.sql.execution.exchange
-                .ShuffleExchangeExec => sh
-            }.isEmpty
+            graft.plans.PlanProbe.joins(j).nonEmpty &&
+              graft.plans.PlanProbe.joinInputShuffles(j).isEmpty
           } finally prev.foreach {
             case (k, Some(v)) => s.conf.set(k, v)
             case (k, None) => s.conf.unset(k)
@@ -4160,10 +4155,14 @@ object Registry {
               catch { case e: Exception =>
                 e.getMessage.contains("INSERT after a branch delete") }
             val updRefused =
+              // round 18: branch UPDATE is supported WHEN the table
+              // declares its merge key; this table does not, so the
+              // statement refuses at the key requirement instead of
+              // ever touching the live table
               try { s.sql(s"UPDATE graft.`$root` SET value = 0.0 " +
                 "WHERE event_id = 7"); false }
               catch { case e: Exception =>
-                e.getMessage.contains("rewrite the LIVE table") }
+                e.getMessage.contains("unique merge key") }
             (a.getLong(0) == 98L && a.getLong(1) == 1002L,
               insRefused && updRefused)
           } finally s.conf.unset("spark.graft.branch")
@@ -4191,6 +4190,102 @@ object Registry {
         |  UNION ALL
         |  SELECT event_id + 3000, user_id, value, TRUE FROM events
         |  WHERE event_id < 20
+        |) ORDER BY event_id""".stripMargin),
+    // BRANCH UPDATE / MERGE (round 18 — the correction half of branch
+    // DML, completing ingest → fix-up → publish): under
+    // `spark.graft.branch`, UPDATE and MERGE stage MERGE-ON-READ onto
+    // the branch chain — matched keys land in an UPDATE-CLASS vector
+    // (`dv-N.u.*`) that at publish hides their BASE and RACING copies
+    // while exempting every branch file; branch-private copies of
+    // matched keys are rewritten at stage time (bounded by the branch
+    // increment). The statement evaluates against the BRANCH-VISIBLE
+    // state, so a fix-up corrects staged rows and base rows alike,
+    // and the live table sees nothing until the one-CAS publish.
+    // bu_ok gates live-invisibility of both corrections, the
+    // corrected audit state (staged copy AND base copy show the fix),
+    // no live DVs pre-publish, and the consumed ref; the final SELECT
+    // hashes the published state — base rows minus hidden copies,
+    // corrections, the merge insert, and the racer (whose copy of a
+    // corrected key the update vector takes down).
+    "q_catalog_branch_update" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val root = tmpDir("graft_cbu_") + "/t"
+        val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+        ev.filter(col("event_id") < 200).createOrReplaceTempView("cbu_base")
+        s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cbu_base")
+        s.sql(s"ALTER TABLE graft.`$root` " +
+          "SET TBLPROPERTIES ('graft.mergeKey' = 'event_id')")
+        s.sql(s"CREATE BRANCH fixup ON graft.`$root`")
+        s.sql("SELECT CAST(9 AS BIGINT) AS sid, -2.0 AS sval " +
+          "UNION ALL SELECT CAST(5000 AS BIGINT), 55.5")
+          .createOrReplaceTempView("cbu_src")
+        s.conf.set("spark.graft.branch", "fixup")
+        val auditOk =
+          try {
+            s.sql(s"INSERT INTO graft.`$root` SELECT event_id + 1000, " +
+              "user_id, value FROM cbu_base WHERE event_id < 100")
+            // fix-up UPDATE: one base key (7), one branch-staged key
+            // (1003) — the branch state sees both
+            s.sql(s"UPDATE graft.`$root` SET value = -1.0 " +
+              "WHERE event_id IN (7, 1003)")
+            // fix-up MERGE: correct base key 9, insert key 5000
+            s.sql(s"MERGE INTO graft.`$root` t USING cbu_src s " +
+              "ON t.event_id = s.sid " +
+              "WHEN MATCHED THEN UPDATE SET value = s.sval " +
+              "WHEN NOT MATCHED THEN INSERT (event_id, user_id, value) " +
+              "VALUES (s.sid, CAST(0 AS BIGINT), s.sval)")
+            val a = s.table(s"graft.`$root@branch:fixup`")
+            a.count() == 103L &&
+              a.filter(col("event_id") === 1003).collect()(0)
+                .getDouble(2) == -1.0 &&
+              a.filter(col("event_id") === 7).collect()(0)
+                .getDouble(2) == -1.0 &&
+              a.filter(col("event_id") === 9).collect()(0)
+                .getDouble(2) == -2.0 &&
+              a.filter(col("event_id") === 5000).count() == 1L
+          } finally s.conf.unset("spark.graft.branch")
+        // the live table saw NOTHING from the staged corrections
+        val invisible = s.table(s"graft.`$root`").count() == 200L &&
+          s.table(s"graft.`$root`").filter(col("event_id") === 7)
+            .collect()(0).getDouble(2) != -1.0 &&
+          graft.sink.ManifestSink.commitDvs(s, root,
+            graft.sink.ManifestSink.currentEpoch(s, root)).isEmpty
+        // a live insert races below the publish, including a copy of a
+        // corrected key — the update vector takes it down too
+        s.sql(s"INSERT INTO graft.`$root` SELECT event_id + 4000, user_id, " +
+          "value FROM cbu_base WHERE event_id < 10")
+        s.sql(s"INSERT INTO graft.`$root` " +
+          "SELECT CAST(7 AS BIGINT), CAST(0 AS BIGINT), 99.9")
+        s.sql(s"PUBLISH BRANCH fixup ON graft.`$root`")
+        val buOk = auditOk && invisible &&
+          graft.sink.ManifestSink.liveBranchStages(s, root).isEmpty &&
+          s.table(s"graft.`$root`").filter(col("event_id") === 7)
+            .count() == 1L
+        s.sql(s"""SELECT event_id, user_id, value FROM graft.`$root`
+                 |ORDER BY event_id""".stripMargin)
+          .withColumn("bu_ok", lit(buOk))
+      },
+      """SELECT * FROM (
+        |  SELECT event_id, user_id, value, TRUE AS bu_ok FROM events
+        |  WHERE event_id < 200 AND event_id NOT IN (7, 9)
+        |  UNION ALL
+        |  SELECT event_id + 1000, user_id, value, TRUE FROM events
+        |  WHERE event_id < 100 AND event_id <> 3
+        |  UNION ALL
+        |  SELECT event_id, user_id, -1.0, TRUE FROM events WHERE event_id = 7
+        |  UNION ALL
+        |  SELECT event_id + 1000, user_id, -1.0, TRUE FROM events
+        |  WHERE event_id = 3
+        |  UNION ALL
+        |  SELECT event_id, user_id, -2.0, TRUE FROM events WHERE event_id = 9
+        |  UNION ALL
+        |  SELECT 5000, 0, 55.5, TRUE
+        |  UNION ALL
+        |  SELECT event_id + 4000, user_id, value, TRUE FROM events
+        |  WHERE event_id < 10
         |) ORDER BY event_id""".stripMargin),
     // METADATA TABLES (round 15 — Iceberg's inspection surface,
     // `db.t.files`/`partitions`/`history`, spelled with the same

@@ -1,0 +1,406 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sink.{ColumnMapping, ManifestSink}
+
+/** BRANCH UPDATE / MERGE (round 18 — completing the branch DML
+  * surface): under `spark.graft.branch`, an `UPDATE` or `MERGE INTO`
+  * on a graft table stages MERGE-ON-READ onto the branch's cumulative
+  * descriptor chain instead of rewriting the live table — the
+  * ingest → fix-up → publish pipeline's correction leg, next to the
+  * existing staged INSERT and keyed MoR DELETE.
+  *
+  * Mechanics per stage ([[BranchDml.stageUpsert]]):
+  *  - the statement evaluates against the BRANCH-VISIBLE state (base
+  *    files + staged branch files, per-epoch delete vectors applied);
+  *  - matched keys land in an UPDATE-CLASS delete vector
+  *    (`dv-N.u.<token>` — the `.u.` infix is the class marker) that
+  *    hides their BASE and racing-live copies at publish;
+  *  - branch-file copies of matched keys are REWRITTEN at stage time
+  *    (branch files are single-writer private — the rewrite is
+  *    bounded by the branch increment, never the base), because the
+  *    publish collapses every branch file to ONE epoch where a vector
+  *    could no longer distinguish a stale copy from the replacement;
+  *  - replacement rows stage as ordinary branch files, laid out under
+  *    the declared table layout like any branch insert.
+  *
+  * At publish, [[ManifestSink.rebaseBranchDvs]] merges update-class
+  * vectors at scope = the published epoch (base + racers hidden,
+  * every branch file exempt) and delete-class vectors one above it —
+  * which is why an UPDATE does not block later branch INSERTs the way
+  * a DELETE does.
+  *
+  * The interception happens AT PARSE TIME ([[GraftSqlParser]] calls
+  * [[BranchDml.interceptParsed]]): Spark's analyzer rewrites
+  * UPDATE/MERGE to row-level writes against the LIVE snapshot inside
+  * its own Resolution batch — before any injected resolution rule can
+  * reliably observe the statement — but a branch fix-up must match
+  * rows the branch itself staged. The commands hold the PARSED
+  * statement and resolve its expressions naturally, as unresolved
+  * Columns over the branch-state DataFrame (target-alias applied), so
+  * `t.k`, `s.sv`, and bare column names all resolve exactly as they
+  * would in the statement. Keyed semantics ride the table's declared
+  * `graft.mergeKey` (the same unique-key pin the live MoR DML path
+  * requires). A statement whose target turns out NOT to be a graft
+  * table re-executes the original plan untouched. */
+object BranchDml {
+
+  /** Parser hook: route UPDATE/MERGE to the branch commands when a
+    * session branch is set (see class scaladoc). */
+  def interceptParsed(plan: LogicalPlan): LogicalPlan = {
+    val branch = SparkSession.active.conf
+      .getOption("spark.graft.branch").filter(_.nonEmpty)
+    branch match {
+      case None => plan
+      case Some(name) => plan match {
+        case u: UpdateTable => BranchUpdateCommand(name, u)
+        case m: MergeIntoTable => BranchMergeCommand(name, m)
+        case other => other
+      }
+    }
+  }
+
+  def attr(n: String, dt: DataType): AttributeReference =
+    AttributeReference(n, dt)()
+
+  def assignedName(e: Expression): String = e match {
+    case a: AttributeReference => a.name
+    case u: UnresolvedAttribute => u.nameParts.last
+    case other => throw new IllegalArgumentException(
+      "branch UPDATE/MERGE supports top-level column assignments; " +
+        s"got ${other.sql}")
+  }
+
+  /** The graft table root under a parsed target plan, resolved
+    * through the ordinary analyzer (a read-side resolution — nothing
+    * executes). None when the target is not a graft table. */
+  def resolveGraftDir(spark: SparkSession, target: LogicalPlan): Option[String] =
+    GraftBridge.analyzed(GraftBridge.ofRows(spark, target)).collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        r.table.asInstanceOf[GraftTable].tableDir
+    }
+
+  /** The statement-level alias of the parsed target, if any
+    * (`UPDATE t AS x ...` / `MERGE INTO t AS x ...`). */
+  def targetAlias(target: LogicalPlan): Option[String] =
+    target.collectFirst {
+      case SubqueryAlias(ident, _: UnresolvedRelation) => ident.name
+    }
+
+  /** The branch-visible state: every descriptor file read with its
+    * manifest rel path (`__rel`) and stage epoch (`__fe`), per-epoch
+    * delete vectors applied (a dv-N key hides rows of files staged
+    * below N — base files sit below every branch vector). DV key sets
+    * are cap-bounded, so the visibility join broadcasts. */
+  def branchState(spark: SparkSession, dir: String,
+                  prior: ManifestSink.Staged,
+                  schema: StructType): DataFrame = {
+    import spark.implicits._
+    if (prior.relFiles.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](), schema)
+        .withColumn("__rel", lit("")).withColumn("__fe", lit(0))
+    val raw = spark.read.schema(schema)
+      .parquet(prior.relFiles.map(r => s"$dir/$r"): _*)
+      .withColumn("__rel", ManifestSink.relColUnder(dir, input_file_name()))
+    val feDf = prior.relFiles
+      .map(r => (r, prior.fileEpochs.getOrElse(r, 0)))
+      .toDF("__rel", "__fe")
+    val withFe = raw.join(broadcast(feDf), Seq("__rel"), "left")
+      .withColumn("__fe", coalesce(col("__fe"), lit(0)))
+    if (prior.dvs.isEmpty) return withFe
+    val keyCols = prior.dvs.map(_._2).distinct
+    require(keyCols.size == 1,
+      s"branch DVs disagree on the key column: $keyCols")
+    val keyCol = keyCols.head
+    val dvMax = prior.dvs.map { case (rel, _) =>
+      val d = spark.read.parquet(s"$dir/$rel")
+      d.select(col(d.columns.head).as("__dvk"),
+        lit(ManifestSink.dvEpochOf(rel)).as("__dvs"))
+    }.reduce(_ unionByName _).groupBy("__dvk")
+      .agg(max("__dvs").as("__dvs"))
+    withFe.join(broadcast(dvMax),
+        withFe(keyCol) === dvMax("__dvk"), "left")
+      .filter(col("__dvk").isNull || col("__fe") >= col("__dvs"))
+      .drop("__dvk", "__dvs")
+  }
+
+  /** Shared stage half: rewrite matched keys out of the branch's own
+    * fresh files, stage `replacement ++ survivors` as the next branch
+    * epoch under the declared layout, write the update-class (and
+    * optionally delete-class) key vectors, and advance the
+    * descriptor. Returns the new stage epoch. */
+  def stageUpsert(spark: SparkSession, dir: String, name: String,
+                  prior: ManifestSink.Staged, observed: Option[String],
+                  base: Int, stages: Int, schema: StructType,
+                  keyCol: String, state: DataFrame,
+                  updateKeys: Option[DataFrame],
+                  deleteKeys: Option[DataFrame],
+                  replacement: DataFrame): Int = {
+    val next = prior.epoch + 1
+    val token = prior.token
+    val cap = ManifestSink.dvKeyCap(spark)
+    def writeDv(rel: String, keys: DataFrame): Unit = {
+      keys.distinct().coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/$rel")
+      val n = spark.read.parquet(s"$dir/$rel").count()
+      if (n > cap) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        throw new IllegalArgumentException(
+          s"branch DML key set ($n keys) exceeds spark.graft.dv.maxKeys " +
+            s"($cap); publish the branch and run the wide rewrite on the " +
+            "live table (its CoW path rewrites instead of bloating readers)")
+      }
+    }
+    val allKeys = (updateKeys.toSeq ++ deleteKeys.toSeq)
+      .reduce(_ unionByName _).distinct()
+    // branch-file copies of matched keys REWRITE (see class scaladoc);
+    // visibility already applied by `state`
+    val freshMark = s"-a$token/"
+    val affected = state
+      .filter(col("__rel").contains(freshMark))
+      .join(allKeys, Seq(keyCol), "left_semi")
+      .select("__rel").distinct().collect().map(_.getString(0)).toSet
+    val survivors = state
+      .filter(col("__rel").isin(affected.toSeq: _*))
+      .join(allKeys, Seq(keyCol), "left_anti")
+      .select(schema.fieldNames.map(col): _*)
+    val batch = replacement
+      .select(schema.fieldNames.map(col): _*)
+      .unionByName(survivors)
+    // declared layout + stats exactly like a branch INSERT
+    val tbl = new GraftTable(dir, dir, None)
+    val fresh = ManifestSink.stage(batch, dir, next,
+      GraftTable.statsColsOf(schema), unique = true,
+      bucket = tbl.declaredBucket, ptime = tbl.declaredPtime,
+      ident = tbl.declaredIdent, tokenOpt = Some(token))
+    GraftTable.auditConstraints(spark, dir,
+      fresh.relFiles.filter(_.startsWith(s"data-epoch=$next-")))
+    val updRel = updateKeys.map { uk =>
+      val r = s"dv-$next.u.$token"; writeDv(r, uk); r
+    }
+    val delRel = deleteKeys.map { dk =>
+      val r = s"dv-$next.$token"; writeDv(r, dk); r
+    }
+    val stats = (prior.stats.map(_.filter(!col("file").isin(affected.toSeq: _*))),
+        fresh.stats) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+    val cumulative = prior.copy(epoch = next,
+      relFiles = (prior.relFiles.filterNot(affected) ++ fresh.relFiles).sorted,
+      stats = stats,
+      dvs = prior.dvs ++ updRel.map((_, keyCol)) ++ delRel.map((_, keyCol)),
+      sizes = prior.sizes.view.filterKeys(!affected(_)).toMap ++ fresh.sizes,
+      fileEpochs = prior.fileEpochs.view.filterKeys(!affected(_)).toMap ++
+        fresh.relFiles.map(_ -> next))
+    cumulative.stats.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/stats-$next.$token"))
+    require(GraftTable.branchStaged(spark, dir, name).exists(_._4 == stages),
+      s"branch '$name' on $dir advanced or vanished during this write " +
+        "(branches are single-writer pipelines); re-run against the " +
+        "current tip")
+    GraftTable.writeBranchDescriptor(spark, dir, name, cumulative,
+      observed, base, stages + 1)
+    next
+  }
+
+  /** Common preamble: descriptor, schema, mapping refusal, merge key. */
+  def openBranch(spark: SparkSession, dir: String, name: String):
+      (ManifestSink.Staged, Option[String], Int, Int, StructType, String) = {
+    val (prior, observed, base, stages) =
+      GraftTable.branchStaged(spark, dir, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no branch '$name' on $dir; CREATE BRANCH first"))
+    val schema = prior.schemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(
+      throw new IllegalStateException(s"branch '$name' on $dir has no schema"))
+    require(!ColumnMapping.hasMapping(schema),
+      "branch DML on a column-mapped table is not supported")
+    val keyCol = GraftTable.readProps(spark, dir).get("graft.mergeKey")
+      .getOrElse(throw new IllegalArgumentException(
+        "branch UPDATE/MERGE is merge-on-read and needs the table's " +
+          "unique merge key: ALTER TABLE ... SET TBLPROPERTIES " +
+          "('graft.mergeKey' = '<col>')"))
+    require(schema.fieldNames.contains(keyCol),
+      s"graft.mergeKey names no branch column: $keyCol")
+    prior.dvs.foreach { case (_, k) =>
+      require(k == keyCol,
+        s"DV key mismatch: the branch carries $k vectors, " +
+          s"graft.mergeKey is $keyCol")
+    }
+    (prior, observed, base, stages, schema, keyCol)
+  }
+}
+
+/** `UPDATE <graft table> SET ... WHERE ...` under a session branch —
+  * see [[BranchDml]]. Holds the PARSED statement; expressions resolve
+  * as Columns over the branch-state DataFrame at run time. */
+final case class BranchUpdateCommand(name: String, orig: UpdateTable)
+  extends LeafRunnableCommand {
+  import BranchDml._
+
+  // the held statement is intentionally unresolved (it resolves
+  // against the BRANCH state at run time, never the live relation)
+  override lazy val resolved: Boolean = true
+
+  override val output: Seq[Attribute] = Seq(
+    attr("branch", StringType), attr("stage_epoch", IntegerType),
+    attr("n_keys", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = resolveGraftDir(spark, orig.table).getOrElse(
+      // not a graft table: the branch conf does not apply — execute
+      // the original statement untouched
+      return { GraftBridge.ofRows(spark, orig).collect(): Unit; Nil })
+    val (prior, observed, base, stages, schema, keyCol) =
+      openBranch(spark, dir, name)
+    val state0 = branchState(spark, dir, prior, schema)
+    val state = targetAlias(orig.table).fold(state0)(state0.alias)
+    val condCol = orig.condition.map(GraftBridge.column).getOrElse(lit(true))
+    val matched = state.filter(condCol)
+    val keys = matched.select(state(keyCol)).distinct()
+    val nKeys = keys.count()
+    if (nKeys == 0) return Seq(Row(name, prior.epoch, 0L))
+    val assignMap = orig.assignments.map(a =>
+      assignedName(a.key) -> a.value).toMap
+    val replacement = matched.select(schema.fields.toSeq.map { f =>
+      assignMap.get(f.name)
+        .map(e => GraftBridge.column(e).cast(f.dataType).as(f.name))
+        .getOrElse(state(f.name))
+    }: _*)
+    val next = stageUpsert(spark, dir, name, prior, observed, base,
+      stages, schema, keyCol, state, Some(keys), None, replacement)
+    Seq(Row(name, next, nKeys))
+  }
+}
+
+/** `MERGE INTO <graft table> [AS t] USING <source> [AS s]
+  * ON t.<mergeKey> = <source expr> ...` under a session branch — see
+  * [[BranchDml]]. Supported actions: one
+  * `WHEN MATCHED [AND cond] THEN UPDATE SET ...`, one
+  * `WHEN MATCHED [AND cond] THEN DELETE`, one
+  * `WHEN NOT MATCHED [AND cond] THEN INSERT ...`; anything else is
+  * refused loudly. */
+final case class BranchMergeCommand(name: String, merge: MergeIntoTable)
+  extends LeafRunnableCommand {
+  import BranchDml._
+
+  override lazy val resolved: Boolean = true
+
+  override val output: Seq[Attribute] = Seq(
+    attr("branch", StringType), attr("stage_epoch", IntegerType),
+    attr("n_updated", LongType), attr("n_deleted", LongType),
+    attr("n_inserted", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = resolveGraftDir(spark, merge.targetTable).getOrElse(
+      return { GraftBridge.ofRows(spark, merge).collect(): Unit; Nil })
+    val (prior, observed, base, stages, schema, keyCol) =
+      openBranch(spark, dir, name)
+    require(merge.notMatchedBySourceActions.isEmpty,
+      "branch MERGE does not support WHEN NOT MATCHED BY SOURCE")
+    val alias = targetAlias(merge.targetTable)
+    // the keyed join: ON <target key> = <source expression>, matched
+    // SYNTACTICALLY (the statement is parse-time intercepted) — the
+    // target side must be the declared merge key, bare or
+    // alias-qualified
+    def isTargetKey(e: Expression): Boolean = e match {
+      case u: UnresolvedAttribute => u.nameParts match {
+        case Seq(k) => k.equalsIgnoreCase(keyCol)
+        case Seq(q, k) => alias.exists(q.equalsIgnoreCase) &&
+          k.equalsIgnoreCase(keyCol)
+        case _ => false
+      }
+      case _ => false
+    }
+    val srcSide = merge.mergeCondition match {
+      case EqualTo(l, r) if isTargetKey(l) => r
+      case EqualTo(l, r) if isTargetKey(r) => l
+      case other => throw new IllegalArgumentException(
+        "branch MERGE needs ON <target merge key> = <source " +
+          s"expression> (graft.mergeKey = $keyCol); got ${other.sql}")
+    }
+    def one[T](what: String, as: Seq[T]): Option[T] = as match {
+      case Nil => None
+      case Seq(a) => Some(a)
+      case _ => throw new IllegalArgumentException(
+        s"branch MERGE supports at most one $what action")
+    }
+    val updAct = one("matched UPDATE",
+      merge.matchedActions.collect { case u: UpdateAction => u })
+    val delAct = one("matched DELETE",
+      merge.matchedActions.collect { case d: DeleteAction => d })
+    merge.matchedActions.foreach {
+      case _: UpdateAction | _: DeleteAction => ()
+      case other => throw new IllegalArgumentException(
+        s"unsupported branch MERGE matched action: $other")
+    }
+    val insAct = one("not-matched INSERT",
+      merge.notMatchedActions.collect { case i: InsertAction => i })
+    merge.notMatchedActions.foreach {
+      case _: InsertAction => ()
+      case other => throw new IllegalArgumentException(
+        s"unsupported branch MERGE not-matched action: $other")
+    }
+
+    val state0 = branchState(spark, dir, prior, schema)
+    val state = alias.fold(state0)(state0.alias)
+    val src = GraftBridge.ofRows(spark, merge.sourceTable)
+    val joined = state.join(src, GraftBridge.column(merge.mergeCondition),
+      "inner")
+
+    def filtered(cond: Option[Expression], from: DataFrame): DataFrame =
+      cond.map(c => from.filter(GraftBridge.column(c))).getOrElse(from)
+
+    val updated = updAct.map { ua =>
+      val assignMap = ua.assignments.map(a =>
+        assignedName(a.key) -> a.value).toMap
+      filtered(ua.condition, joined).select(schema.fields.toSeq.map { f =>
+        assignMap.get(f.name)
+          .map(e => GraftBridge.column(e).cast(f.dataType).as(f.name))
+          .getOrElse(state(f.name))
+      }: _*)
+    }
+    val updatedKeys = updAct.map(ua =>
+      filtered(ua.condition, joined).select(state(keyCol)).distinct())
+    val deletedKeys = delAct.map(da =>
+      filtered(da.condition, joined).select(state(keyCol)).distinct())
+    val inserted = insAct.map { ia =>
+      val srcOnly = src.join(state.select(state(keyCol).as("__tk")),
+        GraftBridge.column(srcSide) === col("__tk"), "left_anti")
+      val assignMap = ia.assignments.map(a =>
+        assignedName(a.key) -> a.value).toMap
+      schema.fieldNames.foreach(f => require(assignMap.contains(f),
+        s"branch MERGE INSERT must assign every column; missing $f"))
+      filtered(ia.condition, srcOnly).select(schema.fields.toSeq.map { f =>
+        GraftBridge.column(assignMap(f.name)).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    val replacement = (updated.toSeq ++ inserted.toSeq) match {
+      case Nil => throw new IllegalArgumentException(
+        "branch MERGE needs at least one UPDATE or INSERT action")
+      case dfs => dfs.reduce(_ unionByName _)
+    }
+    val nUpd = updatedKeys.map(_.count()).getOrElse(0L)
+    val nDel = deletedKeys.map(_.count()).getOrElse(0L)
+    val nIns = inserted.map(_.count()).getOrElse(0L)
+    if (nUpd + nDel + nIns == 0) return Seq(Row(name, prior.epoch, 0L, 0L, 0L))
+    val next = stageUpsert(spark, dir, name, prior, observed, base,
+      stages, schema, keyCol, state,
+      updatedKeys.filter(_ => nUpd > 0),
+      deletedKeys.filter(_ => nDel > 0), replacement)
+    Seq(Row(name, next, nUpd, nDel, nIns))
+  }
+}

@@ -88,10 +88,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog with StagingTableCa
       ("bucket" +: "truncate" +: graft.sink.ManifestSink.TimeUnits.toArray.sorted)
         .map(Identifier.of(Array.empty[String], _))
     else Array.empty
+  private val TruncNRe = "truncate([1-9][0-9]{0,8})".r
   override def loadFunction(ident: Identifier): functions.UnboundFunction =
     if (ident.namespace().isEmpty && ident.name == "bucket") GraftBucketFunction
     else if (ident.namespace().isEmpty && ident.name == "truncate")
       GraftTruncFunction
+    else if (ident.namespace().isEmpty && TruncNRe.matches(ident.name))
+      // the width-parameterized single-argument family the SCANS
+      // report for SPJ — see [[GraftTruncFixedFunction]]
+      new GraftTruncFixedFunction(
+        ident.name.stripPrefix("truncate").toInt)
     else if (ident.namespace().isEmpty &&
       graft.sink.ManifestSink.TimeUnits.contains(ident.name))
       new GraftTimeFunction(ident.name)
@@ -1307,8 +1313,9 @@ object GraftTable {
                                         what: String): Unit =
     require(spark.conf.getOption("spark.graft.branch").forall(_.isEmpty),
       s"$what under spark.graft.branch would rewrite the LIVE table, not " +
-        "the branch; branch DML supports INSERT INTO and keyed DELETE " +
-        s"(merge-on-read) — unset spark.graft.branch for $what")
+        "the branch; branch DML supports INSERT INTO, keyed DELETE, " +
+        "UPDATE, and MERGE (all merge-on-read) — unset " +
+        s"spark.graft.branch for $what")
 
   /** Forget a branch (descriptor only — staged files become
     * vacuum-sweepable debris). True iff it existed. */
@@ -1406,6 +1413,9 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with TruncatableTable {
 
+  /** The table root (the branch-DML analyzer rule routes on it). */
+  private[graft] def tableDir: String = dir
+
   private def spark: SparkSession = SparkSession.active
 
   /** Persisted TBLPROPERTIES plus the provider marker (what SHOW
@@ -1487,7 +1497,7 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
   /** The declared bucket layout, from the `_BUCKET.json` sidecar
     * (CREATE TABLE PARTITIONED BY) — governs WRITES. Reads trust only
     * the committed per-file bucket rows ([[ManifestSink.bucketSpec]]). */
-  private[catalog] def declaredBucket: Option[(String, Int)] = {
+  private[graft] def declaredBucket: Option[(String, Int)] = {
     val p = new Path(dir, GraftTable.BucketFile)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) None
@@ -1509,7 +1519,7 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
   /** The declared time-transform layout, from the `_PTIME.json`
     * sidecar — governs WRITES. Reads trust only the committed
     * per-file `__ptime` rows ([[ManifestSink.ptimeSpec]]). */
-  private[catalog] def declaredPtime: Option[(String, String)] = {
+  private[graft] def declaredPtime: Option[(String, String)] = {
     val p = new Path(dir, GraftTable.PtimeFile)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) None
@@ -1531,7 +1541,7 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
   /** The declared identity/truncate layout, from the `_IDENT.json`
     * sidecar — governs WRITES. Reads trust only the committed
     * per-file `__ident`/`__trunc` rows ([[ManifestSink.identSpec]]). */
-  private[catalog] def declaredIdent: Option[(String, Option[Int])] = {
+  private[graft] def declaredIdent: Option[(String, Option[Int])] = {
     val p = new Path(dir, GraftTable.IdentFile)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(p)) None
@@ -1562,8 +1572,8 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
       case (c, None) =>
         org.apache.spark.sql.connector.expressions.Expressions.identity(c)
       case (c, Some(w)) =>
-        org.apache.spark.sql.connector.expressions.Expressions.apply("truncate",
-          org.apache.spark.sql.connector.expressions.Expressions.literal(w),
+        org.apache.spark.sql.connector.expressions.Expressions.apply(
+          s"truncate$w",
           org.apache.spark.sql.connector.expressions.Expressions.column(c))
     }
 
@@ -1680,11 +1690,15 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
             .asInstanceOf[StructType])
         require(priorSchema.forall(s => !graft.sink.ColumnMapping.hasMapping(s)),
           "branch writes on a column-mapped table are not supported")
-        // a branch pipeline is INSERTS-THEN-DELETES: the fast-forward
-        // collapses stage epochs to one, so an insert staged AFTER a
-        // branch delete would commit BELOW the delete's scope and a
-        // re-inserted key would silently vanish — refuse the ordering
-        require(!prior.dvs.exists(_._1.endsWith(s".${prior.token}")),
+        // a branch pipeline never INSERTS after a DELETE: the publish
+        // merges delete takedowns into one vector scoped ABOVE the
+        // published epoch, so an insert staged after a branch delete
+        // would have its re-inserted keys silently vanish — refuse the
+        // ordering. UPDATE-class vectors (`dv-N.u.*`) do NOT block:
+        // their publish scope sits AT the published epoch, exempting
+        // every branch file (see [[graft.catalog.BranchUpdateCommand]]).
+        require(!prior.dvs.exists(d =>
+          d._1.endsWith(s".${prior.token}") && !d._1.contains(".u.")),
           s"branch '$name' already staged a DELETE; INSERT after a " +
             "branch delete is not supported — PUBLISH BRANCH first, " +
             "then branch again for the next ingest stage")
@@ -2489,20 +2503,47 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
 
   // ------------------------------------------------- storage-partitioned scan
 
+  /** MIXED-SPEC scope (round 18; VERDICT r17 #4): when no ONE spec
+    * covers the whole manifest (mid-spec-evolution), the scan may
+    * still be key-grouped over the files it actually PLANS — if the
+    * static pushed filters prune the scan to a population that DOES
+    * carry one consistent spec, the partitioning report is truthful
+    * for every scanned row, and a time-range query over the converged
+    * population of a half-converged 100 TB table keeps its
+    * storage-partitioned joins instead of waiting for full
+    * convergence. None on an unfiltered scan (the whole-manifest gate
+    * already answered) — the scope is the SAME static-filter survivor
+    * set the keyed planners select, so the report and the plan agree
+    * file-for-file. */
+  private lazy val prunedScope: Option[Set[String]] =
+    if (rowLevel.isDefined || limit.isDefined) None
+    else {
+      val exprs = pushed.map(physFilter)
+        .flatMap(GraftFileScan.toCatalyst(physTableSchema, _)).toSeq
+      if (exprs.isEmpty) None
+      else Some(new ManifestFileIndex(spark, dir, epoch)
+        .listFiles(Nil, exprs).flatMap(_.files)
+        .map(f => ManifestSink.relOfData(f.fileStatus.getPath)).toSet)
+    }
+
   /** The committed bucket layout, when this scan may exploit it: not
     * a row-level rewrite scan (groups are files, not buckets) and not
     * a LIMIT-capped one (the cap would break the all-buckets-present
-    * contract). Fully-covered layouts only — see
-    * [[ManifestSink.bucketSpec]]. */
+    * contract). Fully-covered layouts, or a fully-covered PRUNED
+    * scope — see [[ManifestSink.bucketSpec]] and [[prunedScope]]. */
   private lazy val bucketed0: Option[ManifestSink.BucketSpec] =
     if (rowLevel.isDefined || limit.isDefined) None
-    else ManifestSink.bucketSpec(spark, dir, epoch)
+    else ManifestSink.bucketSpec(spark, dir, epoch).orElse(
+      prunedScope.flatMap(sc =>
+        ManifestSink.bucketSpec(spark, dir, epoch, Some(sc))))
 
   /** The committed time-transform layout, under the same exploitation
     * guards as [[bucketed0]]. */
   private lazy val timed0: Option[ManifestSink.TimeSpec] =
     if (rowLevel.isDefined || limit.isDefined) None
-    else ManifestSink.ptimeSpec(spark, dir, epoch)
+    else ManifestSink.ptimeSpec(spark, dir, epoch).orElse(
+      prunedScope.flatMap(sc =>
+        ManifestSink.ptimeSpec(spark, dir, epoch, Some(sc))))
 
   /** COMPOSED layout: both transforms committed on every file (the
     * multi-transform spec) — planned as (time ordinal, bucket) pair
@@ -2520,7 +2561,9 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     * exploitation guards as [[bucketed0]]. */
   private lazy val idented0: Option[ManifestSink.IdentSpec] =
     if (rowLevel.isDefined || limit.isDefined) None
-    else ManifestSink.identSpec(spark, dir, epoch)
+    else ManifestSink.identSpec(spark, dir, epoch).orElse(
+      prunedScope.flatMap(sc =>
+        ManifestSink.identSpec(spark, dir, epoch, Some(sc))))
 
   private lazy val idented: Option[ManifestSink.IdentSpec] =
     idented0.filter(_ => bucketed0.isEmpty && timed0.isEmpty)
@@ -2889,8 +2932,12 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
       : org.apache.spark.sql.connector.expressions.Transform =
     is.width match {
       case None => Expressions.identity(is.col)
-      case Some(w) => Expressions.apply("truncate",
-        Expressions.literal(w), Expressions.column(is.col))
+      // the SINGLE-ARGUMENT width-parameterized form:
+      // KeyGroupedPartitioning.supportsExpressions rejects transforms
+      // with more than one reference child, so the two-arg
+      // truncate(w, col) spelling silently killed truncate SPJ
+      case Some(w) => Expressions.apply(s"truncate$w",
+        Expressions.column(is.col))
     }
 
   override def planInputPartitions(): Array[InputPartition] =

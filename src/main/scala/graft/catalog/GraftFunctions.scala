@@ -129,6 +129,10 @@ final class GraftTruncBound(keyType: DataType) extends ScalarFunction[Any] {
   override def produceResult(input: InternalRow): Any = {
     if (input.isNullAt(1)) return null
     val w = input.getInt(0)
+    // same refusal as the write-side layout: a zero/negative width
+    // would otherwise surface as a per-row ArithmeticException
+    // (floorMod by zero) at execution time
+    require(w > 0, s"truncate width must be positive; got $w")
     keyType match {
       case StringType =>
         val s = input.getUTF8String(1)
@@ -140,6 +144,60 @@ final class GraftTruncBound(keyType: DataType) extends ScalarFunction[Any] {
         val v = input.getShort(1).toLong; v - Math.floorMod(v, w.toLong)
       case ByteType =>
         val v = input.getByte(1).toLong; v - Math.floorMod(v, w.toLong)
+    }
+  }
+}
+
+/** Width-parameterized SINGLE-ARGUMENT form of the truncate transform
+  * — `truncate<w>(col)` (e.g. `truncate4`). Spark's
+  * `KeyGroupedPartitioning.supportsExpressions` only admits transforms
+  * with ONE reference child, so the two-argument `truncate(w, col)`
+  * spelling can never drive a storage-partitioned join — the SCAN
+  * therefore reports the width inside the function NAME (resolved by
+  * the catalog via the `truncate(\\d+)` family), while the two-arg
+  * form remains for SQL DDL and the write-side distribution. The
+  * bound canonical name carries the width, so only SAME-WIDTH layouts
+  * compare co-partitioned. */
+final class GraftTruncFixedFunction(w: Int) extends UnboundFunction {
+  require(w > 0, s"truncate width must be positive; got $w")
+  override def name(): String = s"truncate$w"
+  override def description(): String =
+    s"truncate$w(col): Iceberg truncate transform at fixed width $w " +
+      "(the single-argument form KeyGroupedPartitioning supports)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"truncate$w takes one column; got ${inputType.simpleString}")
+    inputType.fields(0).dataType match {
+      case kt @ (LongType | IntegerType | ShortType | ByteType | StringType) =>
+        new GraftTruncFixedBound(w, kt)
+      case other => throw new UnsupportedOperationException(
+        s"graft truncate keys are integral or string; got $other")
+    }
+  }
+}
+
+/** Bound form of [[GraftTruncFixedFunction]] — same arithmetic as
+  * [[GraftTruncBound]] with the width captured. */
+final class GraftTruncFixedBound(w: Int, keyType: DataType)
+  extends ScalarFunction[Any] {
+  override def inputTypes(): Array[DataType] = Array(keyType)
+  override def resultType(): DataType =
+    if (keyType == StringType) StringType else LongType
+  override def name(): String = s"truncate$w"
+  override def canonicalName(): String = s"graft.truncate[$w]"
+  override def produceResult(input: InternalRow): Any = {
+    if (input.isNullAt(0)) return null
+    keyType match {
+      case StringType =>
+        val s = input.getUTF8String(0)
+        if (s.numChars() <= w) s else s.substring(0, w)
+      case LongType => val v = input.getLong(0); v - Math.floorMod(v, w.toLong)
+      case IntegerType =>
+        val v = input.getInt(0).toLong; v - Math.floorMod(v, w.toLong)
+      case ShortType =>
+        val v = input.getShort(0).toLong; v - Math.floorMod(v, w.toLong)
+      case ByteType =>
+        val v = input.getByte(0).toLong; v - Math.floorMod(v, w.toLong)
     }
   }
 }

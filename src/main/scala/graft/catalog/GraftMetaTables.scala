@@ -269,14 +269,19 @@ final class GraftWapTable(dir: String, ident: String, wapId: String,
     val freshRels = st.relFiles.filter(_.contains(freshMark))
     val statuses = freshRels
       .map(r => fsys.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$r")))
-    // branch-staged delete vectors (token-named — base DVs carry other
+    // branch-staged DELETE vectors (token-named — base DVs carry other
     // tokens and scope only base files, which this audit never reads):
     // the NET increment is fresh rows MINUS the staged takedowns,
     // applied reader-side exactly like the live table's MoR scan.
     // Branch inserts always precede branch deletes (insertImpl refuses
-    // the other ordering), so every staged DV applies to every fresh
-    // file — one scope group, no per-file scoping needed here.
-    val branchDvs = st.dvs.filter(_._1.endsWith(s".${st.token}"))
+    // the other ordering), so every staged delete DV applies to every
+    // fresh file — one scope group, no per-file scoping needed here.
+    // UPDATE-class vectors (`dv-N.u.*`) are EXCLUDED: a branch update
+    // rewrites its keys' branch-file copies at stage time, so its
+    // vector targets only base/racer copies — applying it here would
+    // wrongly hide the update's own replacement rows.
+    val branchDvs = st.dvs.filter(d =>
+      d._1.endsWith(s".${st.token}") && !d._1.contains(".u."))
     new ScanBuilder {
       override def build(): Scan = {
         val raw =

@@ -924,11 +924,13 @@ object ManifestSink {
     * file, a non-bucketed append, mixed specs) returns None — the
     * scan degrades to unpartitioned rather than reporting a layout
     * the files don't have. Metadata-only (one stats-table read). */
-  def bucketSpec(spark: SparkSession, root: String, epoch: Int): Option[BucketSpec] = {
+  def bucketSpec(spark: SparkSession, root: String, epoch: Int,
+                 scope: Option[Set[String]] = None): Option[BucketSpec] = {
     val rows =
       try SnapshotCache.statRows(spark, root, epoch).getOrElse(return None)
       catch { case _: Throwable => return None }
-    val brows = rows.filter(_.getString(1).startsWith("__bucket:"))
+    val brows = rows.filter(r => r.getString(1).startsWith("__bucket:") &&
+      scope.forall(_.contains(r.getString(0))))
     if (brows.isEmpty) return None
     val specs = brows.map(_.getString(1)).distinct
     if (specs.length != 1) return None
@@ -938,7 +940,8 @@ object ManifestSink {
       if (r.isNullAt(2) || r.isNullAt(3) || r.getLong(2) != r.getLong(3)) None
       else Some(r.getString(0) -> r.getLong(2).toInt)
     }.toMap
-    val all = manifestEntries(spark, root, epoch).map(_._1)
+    val all = scope.map(_.toSeq)
+      .getOrElse(manifestEntries(spark, root, epoch).map(_._1))
     if (all.nonEmpty && all.forall(fb.contains) && brows.length == fb.size &&
       fb.values.forall(b => b >= 0 && b < n))
       Some(BucketSpec(keyCol, n, fb))
@@ -1105,11 +1108,13 @@ object ManifestSink {
     * covers the manifest — any gap (CoW-rewritten file, non-layout
     * append, mixed specs) returns None and the scan degrades to
     * unpartitioned. Metadata-only (one stats-table read). */
-  def ptimeSpec(spark: SparkSession, root: String, epoch: Int): Option[TimeSpec] = {
+  def ptimeSpec(spark: SparkSession, root: String, epoch: Int,
+                scope: Option[Set[String]] = None): Option[TimeSpec] = {
     val rows =
       try SnapshotCache.statRows(spark, root, epoch).getOrElse(return None)
       catch { case _: Throwable => return None }
-    val prows = rows.filter(_.getString(1).startsWith("__ptime:"))
+    val prows = rows.filter(r => r.getString(1).startsWith("__ptime:") &&
+      scope.forall(_.contains(r.getString(0))))
     if (prows.isEmpty) return None
     val specs = prows.map(_.getString(1)).distinct
     if (specs.length != 1) return None
@@ -1118,7 +1123,8 @@ object ManifestSink {
       if (r.isNullAt(2) || r.isNullAt(3) || r.getLong(2) != r.getLong(3)) None
       else Some(r.getString(0) -> r.getLong(2).toInt)
     }.toMap
-    val all = manifestEntries(spark, root, epoch).map(_._1)
+    val all = scope.map(_.toSeq)
+      .getOrElse(manifestEntries(spark, root, epoch).map(_._1))
     if (all.nonEmpty && all.forall(fo.contains) && prows.length == fo.size)
       Some(TimeSpec(col0, unit, fo))
     else None
@@ -1246,10 +1252,17 @@ object ManifestSink {
       import spark.implicits._
       val idx = vals.map(_.getString(0)).sorted.zipWithIndex
         .map { case (v, i) => (v, i.toLong) }.toSeq.toDF("__v", "__k")
+      // LEFT join, never inner (r17 advice): a nondeterministic input
+      // (rand()-derived values, unstable sampling) can produce values
+      // ABSENT from the just-collected index — an inner join would
+      // silently drop those rows from the committed table; the left
+      // join surfaces them as null keys, which placeByKey refuses
       val withK = df.withColumn("__v", key)
-        .join(broadcast(idx), Seq("__v")).drop("__v")
+        .join(broadcast(idx), Seq("__v"), "left").drop("__v")
         .withColumn("__s", xxhash64(col(col0)))
-      placeByKey(withK, Seq(col0), nullMsg)
+      placeByKey(withK, Seq(col0), nullMsg +
+        " (a null key here can also mean a value NOT present when the " +
+        "placement index was computed — a nondeterministic input)")
     }
   }
 
@@ -1301,11 +1314,16 @@ object ManifestSink {
           .toDF("__iv", "__pv", "__k")
     val sortCols =
       if (sortIdentFirst) Seq(c, partnerSortCol) else Seq(partnerSortCol, c)
+    // LEFT join for the same nondeterministic-input discipline as the
+    // single-axis identity path: an unseen pair surfaces as a null
+    // key and fails loudly instead of silently vanishing
     val withK = df.withColumn("__iv", iKey)
       .withColumn("__pv", partner.cast(LongType))
-      .join(broadcast(idx), Seq("__iv", "__pv")).drop("__iv", "__pv")
+      .join(broadcast(idx), Seq("__iv", "__pv"), "left").drop("__iv", "__pv")
       .withColumn("__s", xxhash64(col(c), col(partnerSortCol)))
-    placeByKey(withK, sortCols, nullMsg)
+    placeByKey(withK, sortCols, nullMsg +
+      " (a null key here can also mean a pair NOT present when the " +
+      "placement index was computed — a nondeterministic input)")
   }
 
   private def requireWidth(w: Option[Int]): Unit =
@@ -1368,12 +1386,14 @@ object ManifestSink {
     * covers the manifest — any gap (a non-layout append, mixed specs)
     * returns None and the scan degrades to unpartitioned
     * (metadata-only; same discipline as [[bucketSpec]]). */
-  def identSpec(spark: SparkSession, root: String, epoch: Int): Option[IdentSpec] = {
+  def identSpec(spark: SparkSession, root: String, epoch: Int,
+                scope: Option[Set[String]] = None): Option[IdentSpec] = {
     val rows =
       try SnapshotCache.statRows(spark, root, epoch).getOrElse(return None)
       catch { case _: Throwable => return None }
-    val irows = rows.filter(r => r.getString(1).startsWith("__ident:") ||
-      r.getString(1).startsWith("__trunc:"))
+    val irows = rows.filter(r => (r.getString(1).startsWith("__ident:") ||
+      r.getString(1).startsWith("__trunc:")) &&
+      scope.forall(_.contains(r.getString(0))))
     if (irows.isEmpty) return None
     val specs = irows.map(_.getString(1)).distinct
     if (specs.length != 1) return None
@@ -1395,7 +1415,8 @@ object ManifestSink {
       if (strs.nonEmpty && longs.isEmpty) (true, strs.keySet)
       else if (longs.nonEmpty && strs.isEmpty) (false, longs.keySet)
       else return None
-    val all = manifestEntries(spark, root, epoch).map(_._1)
+    val all = scope.map(_.toSeq)
+      .getOrElse(manifestEntries(spark, root, epoch).map(_._1))
     if (all.nonEmpty && all.forall(covered.contains) &&
       irows.length == covered.size)
       Some(IdentSpec(col0, width, isString, longs, strs))
@@ -1933,11 +1954,16 @@ object ManifestSink {
     * `data-epoch=N-aTOK/__p0=<v>/part-*.parquet`, and the old
     * last-two-segments rule silently mislabeled them, detaching their
     * stats rows from the manifest entries they describe. */
-  private def relUnderRoot(root: String): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, lit, locate}
+  private def relUnderRoot(root: String): org.apache.spark.sql.Column =
+    relColUnder(root, org.apache.spark.sql.functions.col("__f"))
+
+  /** [[relUnderRoot]] over an arbitrary file-name column (the branch
+    * DML state reads tag rows with their manifest rel path). */
+  def relColUnder(root: String,
+                  c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, locate}
     val marker = rootMarker(root)
-    col("__f").substr(locate(marker, col("__f")) + lit(marker.length),
-      lit(Int.MaxValue))
+    c.substr(locate(marker, c) + lit(marker.length), lit(Int.MaxValue))
   }
 
   private def fileStats(spark: SparkSession, root: String,
@@ -2723,12 +2749,27 @@ object ManifestSink {
     val branchDvs = orig.dvs.filter(_._1.endsWith(s".${orig.token}"))
     if (branchDvs.isEmpty) return target
     val keyCol = branchDvs.head._2
-    val mergedRel = s"dv-${target.epoch + 1}.${newToken()}"
-    branchDvs.map(d => spark.read.parquet(s"$root/${d._1}"))
-      .reduce(_ unionByName _).distinct().coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/$mergedRel")
-    target.copy(dvs = target.dvs.filterNot(
-      _._1.endsWith(s".${orig.token}")) :+ ((mergedRel, keyCol)))
+    // two publish scopes, by class: DELETE vectors land one ABOVE the
+    // published epoch (hide their keys in base files, the branch's own
+    // fresh files, and racers — exempting post-publish epochs);
+    // UPDATE-class vectors (`dv-N.u.*` — see
+    // [[graft.catalog.BranchUpdateCommand]]) land AT the published
+    // epoch: their keys' branch-file copies were already rewritten at
+    // stage time, so the vector hides only base + racer copies while
+    // exempting every branch file (all published at target.epoch),
+    // including the update's own replacement rows.
+    def merge(dvs: Seq[(String, String)], scope: Int): Option[(String, String)] =
+      if (dvs.isEmpty) None
+      else {
+        val mergedRel = s"dv-$scope.${newToken()}"
+        dvs.map(d => spark.read.parquet(s"$root/${d._1}"))
+          .reduce(_ unionByName _).distinct().coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/$mergedRel")
+        Some((mergedRel, keyCol))
+      }
+    val (upd, del) = branchDvs.partition(_._1.contains(".u."))
+    target.copy(dvs = target.dvs.filterNot(_._1.endsWith(s".${orig.token}")) ++
+      merge(del, target.epoch + 1) ++ merge(upd, target.epoch))
   }
 
   /** Commit a REPLACE-GROUPS epoch — the commit half of SQL
@@ -2749,11 +2790,26 @@ object ManifestSink {
     * MATERIALIZES the deletes for the touched files) while untouched
     * files still need the vector. Keys physically absent everywhere
     * after the rewrite stay in the DV harmlessly (anti join misses). */
+  /** A declared layout triple (bucket, time, identity/truncate) — the
+    * shape [[stage]] takes as three parameters, bundled for callers
+    * that thread it through commits. */
+  final case class LayoutDecl(bucket: Option[(String, Int)],
+                              ptime: Option[(String, String)],
+                              ident: Option[(String, Option[Int])]) {
+    def specStrings: Set[String] =
+      (bucket.map { case (c, n) => s"__bucket:$c:$n" } ++
+        ptime.map { case (c, u) => s"__ptime:$c:$u" } ++
+        ident.map { case (c, w) =>
+          w.fold(s"__ident:$c")(ww => s"__trunc:$c:$ww") }).toSet
+    def isEmpty: Boolean = bucket.isEmpty && ptime.isEmpty && ident.isEmpty
+  }
+
   def commitReplaceGroups(spark: SparkSession, root: String, baseEpoch: Int,
                           stagedDirName: String, replaced: Set[String],
                           txn: Option[Txn] = None,
                           appendGuard: Option[(Int, Set[String]) => Option[String]] = None,
-                          reaudit: Option[() => Unit] = None): Int = {
+                          reaudit: Option[() => Unit] = None,
+                          declaredLayout: Option[LayoutDecl] = None): Int = {
     import org.apache.spark.sql.functions.col
     val stagedPath = new org.apache.hadoop.fs.Path(s"$root/$stagedDirName")
     val f = fs(spark, stagedPath)
@@ -2820,8 +2876,26 @@ object ManifestSink {
           // files staged single-key (the layout write rotates per
           // value) get their own layout rows, so the spec keeps
           // covering the whole manifest and the scan keeps
-          // KeyGroupedPartitioning + exact pruning
-          val layoutStats = replacementLayoutStats(spark, root, cur, newRel)
+          // KeyGroupedPartitioning + exact pruning. A caller that
+          // placed the batch under an explicitly DECLARED spec (the
+          // scoped spec-evolution convergence — on a mixed-spec table
+          // no committed whole-table spec exists to infer from)
+          // passes it; verification is then STRICT (the files were
+          // just placed — a mixed-key file is a placement bug, not an
+          // honest degrade).
+          val layoutStats = declaredLayout match {
+            case Some(ld) if newRel.nonEmpty && !ld.isEmpty =>
+              (ld.bucket.flatMap { case (c, n) =>
+                bucketStatsOpt(spark, root, newRel, c, n, lenient = false)
+              }.toSeq ++
+                ld.ptime.flatMap { case (c, u) =>
+                  ptimeStatsOpt(spark, root, newRel, c, u, lenient = false)
+                } ++
+                ld.ident.flatMap { case (c, w) =>
+                  identStatsOpt(spark, root, newRel, c, w, lenient = false)
+                }).foldLeft(emptyStats(spark))(_ unionByName _)
+            case _ => replacementLayoutStats(spark, root, cur, newRel)
+          }
           Some(carriedStats.unionByName(freshStats).unionByName(layoutStats))
         }
       val tableSchema = commitSchema(spark, root, cur)
@@ -3212,9 +3286,10 @@ object ManifestSink {
   def commitDv(spark: SparkSession, root: String, epoch: Int): Option[(String, String)] =
     commitDvs(spark, root, epoch).lastOption
 
-  /** The scoping epoch of a delete-vector file (`dv-N.TOKEN` -> N):
-    * its keys apply to data files committed at epochs < N. */
-  private def dvEpochOf(rel: String): Int = {
+  /** The scoping epoch of a delete-vector file (`dv-N.TOKEN`, or the
+    * branch UPDATE class `dv-N.u.TOKEN` -> N): its keys apply to data
+    * files committed at epochs < N. */
+  def dvEpochOf(rel: String): Int = {
     val m = "dv-(\\d+)\\..*".r
     rel match {
       case m(e) => e.toInt
@@ -3656,7 +3731,7 @@ object ManifestSink {
     f.listStatus(rootPath).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
       val m = "^(manifest|stats)-(\\d+)\\.([0-9a-f]+)$".r
-      val dv = "^dv-(\\d+)\\.([0-9a-f]+)$".r
+      val dv = "^dv-(\\d+)\\.(?:u\\.)?([0-9a-f]+)$".r
       val tmp = "^commit-(\\d+)\\.tmp\\.([0-9a-f]+)$".r
       n match {
         case m(_, e, token) =>

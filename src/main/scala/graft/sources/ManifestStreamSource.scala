@@ -128,6 +128,23 @@ final class ManifestStreamSource(spark: SparkSession, root: String,
           import org.apache.spark.sql.types.{IntegerType, LongType}
           val base = StructType(schema.fields.filterNot(f =>
             f.name == "_partition" || f.name == "_bucket"))
+          // identity-COMPOSED and string-identity layouts are refused
+          // LOUDLY (r17 advice): the identity axis has no Long
+          // `_partition` encoding (string values are unsurfaceable
+          // through this column's type, and the composed pair would
+          // silently ride only the partner axis, dropping a declared
+          // dimension from the stream's contract). Integral
+          // single-axis identity layouts keep working.
+          val identC = ManifestSink.identSpec(spark, root, to)
+          if (identC.exists(_.isString) || (identC.isDefined &&
+              (ManifestSink.bucketSpec(spark, root, to).isDefined ||
+                ManifestSink.ptimeSpec(spark, root, to).isDefined)))
+            throw new IllegalArgumentException(
+              "partitionValues on an identity-composed or string-identity " +
+                "layout is not supported: the identity value has no Long " +
+                "_partition encoding — read per-file layout values from " +
+                "the @files metadata table, or stream without " +
+                "partitionValues")
           if (schema.fieldNames.contains("_bucket")) {
             val bs = ManifestSink.bucketSpec(spark, root, to)
             val ts = ManifestSink.ptimeSpec(spark, root, to)

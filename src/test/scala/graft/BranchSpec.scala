@@ -207,14 +207,15 @@ class BranchSpec extends SparkTestBase {
     val eIns = intercept[Exception] { branchWrite(root, "fix", "br_d1") }
     assert(eIns.getMessage.contains("INSERT after a branch delete"),
       eIns.getMessage)
-    // UPDATE/MERGE under a branch are refused loudly, never silently
-    // applied to the live table
+    // UPDATE under a branch on a table WITHOUT a declared merge key is
+    // refused loudly (branch UPDATE is merge-on-read — it needs key
+    // identity), never silently applied to the live table
     spark.conf.set("spark.graft.branch", "fix")
     val eUpd =
       try intercept[Exception] {
         spark.sql(s"UPDATE graft.`$root` SET v = 0.0 WHERE k > 1000")
       } finally spark.conf.unset("spark.graft.branch")
-    assert(eUpd.getMessage.contains("rewrite the LIVE table"), eUpd.getMessage)
+    assert(eUpd.getMessage.contains("unique merge key"), eUpd.getMessage)
     // a LIVE insert races in below the publish — including a row whose
     // key the branch deletes (the takedown must apply to it too)
     Seq((300L, 3.0), (5L, 5.5)).toDF("k", "v")
@@ -344,6 +345,94 @@ class BranchSpec extends SparkTestBase {
     spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM br_dvff_re2")
     assert(spark.table(s"graft.`$root`")
       .filter(col("k") === 1).count() == 1)
+  }
+
+  test("branch UPDATE stages merge-on-read onto the branch; publish " +
+    "lands the correction above a racing write; re-inserts stay visible") {
+    val root = mkTable("br_upd_")
+    spark.sql(s"ALTER TABLE graft.`$root` " +
+      "SET TBLPROPERTIES ('graft.mergeKey' = 'k')")
+    spark.sql(s"CREATE BRANCH fixu ON graft.`$root`")
+    (100L until 110L).map(i => (i, 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("br_upd_ins")
+    branchWrite(root, "fixu", "br_upd_ins")
+    // the fix-up: one base key (5) and one branch-staged key (100)
+    spark.conf.set("spark.graft.branch", "fixu")
+    try spark.sql(s"UPDATE graft.`$root` SET v = v * 10 WHERE k IN (5, 100)")
+    finally spark.conf.unset("spark.graft.branch")
+    // the LIVE table saw NOTHING
+    assert(spark.table(s"graft.`$root`").count() == 40)
+    assert(spark.table(s"graft.`$root`")
+      .filter(col("k") === 5).collect()(0).getDouble(1) == 7.5)
+    assert(ManifestSink.commitDvs(spark, root,
+      ManifestSink.currentEpoch(spark, root)).isEmpty)
+    // the audit shows the CORRECTED increment: 9 untouched staged
+    // rows + the rewritten k=100 + the base-row correction k=5
+    val audit = spark.table(s"graft.`$root@branch:fixu`")
+    assert(audit.count() == 11, s"corrected increment, got ${audit.count()}")
+    assert(audit.filter(col("k") === 100).collect()(0).getDouble(1) == 10.0,
+      "the branch-staged copy audits CORRECTED")
+    assert(audit.filter(col("k") === 5).collect()(0).getDouble(1) == 75.0,
+      "the base-row correction audits on the branch")
+    // an INSERT after an UPDATE is allowed (updates don't scope above
+    // the publish epoch the way deletes do)
+    Seq((200L, 2.0)).toDF("k", "v").createOrReplaceTempView("br_upd_more")
+    branchWrite(root, "fixu", "br_upd_more")
+    // a LIVE insert races in below the publish, including a copy of
+    // an updated key — the correction must take it down too
+    Seq((300L, 3.0), (5L, 5.5)).toDF("k", "v")
+      .createOrReplaceTempView("br_upd_race")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM br_upd_race")
+    spark.sql(s"PUBLISH BRANCH fixu ON graft.`$root`")
+    val live = spark.table(s"graft.`$root`")
+    // 40 base - hidden base copy of 5 + 11 branch increment + insert
+    // 200 + racer 300 (racing copy of 5 hidden)
+    assert(live.count() == 40 - 1 + 11 + 1 + 1, s"got ${live.count()}")
+    val k5 = live.filter(col("k") === 5).collect()
+    assert(k5.length == 1 && k5(0).getDouble(1) == 75.0,
+      "exactly ONE corrected row for the updated base key")
+    assert(live.filter(col("k") === 100).collect()(0).getDouble(1) == 10.0)
+    assert(live.filter(col("k") === 300).count() == 1)
+    // the published update vector is epoch-scoped: a post-publish
+    // re-insert of an updated key is visible next to the correction
+    Seq((5L, 9.9)).toDF("k", "v").createOrReplaceTempView("br_upd_re")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM br_upd_re")
+    assert(spark.table(s"graft.`$root`")
+      .filter(col("k") === 5).count() == 2)
+  }
+
+  test("branch MERGE: matched update + not-matched insert stage onto " +
+    "the branch and publish as one epoch") {
+    val root = mkTable("br_mrg_")
+    spark.sql(s"ALTER TABLE graft.`$root` " +
+      "SET TBLPROPERTIES ('graft.mergeKey' = 'k')")
+    spark.sql(s"CREATE BRANCH m ON graft.`$root`")
+    (100L until 105L).map(i => (i, 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("br_mrg_ins")
+    branchWrite(root, "m", "br_mrg_ins")
+    // source: corrects base key 3 and staged key 102, inserts 500
+    Seq((3L, 30.0), (102L, 12.0), (500L, 5.0)).toDF("sk", "sv")
+      .createOrReplaceTempView("br_mrg_src")
+    spark.conf.set("spark.graft.branch", "m")
+    try spark.sql(
+      s"""MERGE INTO graft.`$root` t USING br_mrg_src s ON t.k = s.sk
+         |WHEN MATCHED THEN UPDATE SET v = s.sv
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.sk, s.sv)
+         |""".stripMargin)
+    finally spark.conf.unset("spark.graft.branch")
+    assert(spark.table(s"graft.`$root`").count() == 40, "live untouched")
+    val audit = spark.table(s"graft.`$root@branch:m`")
+    // 4 untouched staged + rewritten 102 + base-correction 3 + insert 500
+    assert(audit.count() == 7, s"got ${audit.count()}")
+    assert(audit.filter(col("k") === 102).collect()(0).getDouble(1) == 12.0)
+    assert(audit.filter(col("k") === 3).collect()(0).getDouble(1) == 30.0)
+    assert(audit.filter(col("k") === 500).count() == 1)
+    spark.sql(s"PUBLISH BRANCH m ON graft.`$root`")
+    val live = spark.table(s"graft.`$root`")
+    assert(live.count() == 40 - 1 + 7, s"got ${live.count()}")
+    assert(live.filter(col("k") === 3).collect()(0).getDouble(1) == 30.0)
+    assert(live.filter(col("k") === 102).collect()(0).getDouble(1) == 12.0)
+    assert(live.filter(col("k") === 500).count() == 1)
   }
 
   test("branch writes keep the declared layout; publish lands it") {

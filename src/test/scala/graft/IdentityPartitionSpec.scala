@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
 import graft.catalog.{GraftCatalog, GraftTable}
@@ -22,8 +21,10 @@ class IdentityPartitionSpec extends SparkTestBase {
   private def ensureCatalog(): Unit =
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
 
+  // AQE-unwrapped (see PlanProbe: a naive executedPlan.collect finds
+  // nothing under AdaptiveSparkPlanExec and shuffle asserts go vacuous)
   private def shuffles(df: org.apache.spark.sql.DataFrame) =
-    df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+    graft.plans.PlanProbe.shuffles(df)
 
   private def withSpjConfs[T](body: => T): T = {
     val keys = Seq(
@@ -156,8 +157,9 @@ class IdentityPartitionSpec extends SparkTestBase {
            |FROM graft.`$r1` a JOIN graft.`$r2` b ON a.source = b.source
            |GROUP BY a.source""".stripMargin)
       assert(out.count() == docs.select("source").distinct().count())
-      assert(shuffles(out).isEmpty,
-        s"same-truncate-layout join must drop both shuffles:\n" +
+      assert(graft.plans.PlanProbe.joins(out).nonEmpty)
+      assert(graft.plans.PlanProbe.joinInputShuffles(out).isEmpty,
+        s"same-truncate-layout join must drop both input shuffles:\n" +
           out.queryExecution.executedPlan)
     }
     // DESCRIBE DETAIL layout slot
@@ -228,8 +230,11 @@ class IdentityPartitionSpec extends SparkTestBase {
            |ON a.lang = b.lang AND a.doc_id = b.doc_id
            |GROUP BY a.lang""".stripMargin)
       assert(out.count() == 5)
-      assert(shuffles(out).isEmpty,
-        s"identity x bucket pair SPJ must drop both shuffles:\n" +
+      // the post-join GROUP BY on ONE axis of the pair legitimately
+      // reshuffles; the SPJ claim is about the JOIN's inputs
+      assert(graft.plans.PlanProbe.joins(out).nonEmpty)
+      assert(graft.plans.PlanProbe.joinInputShuffles(out).isEmpty,
+        s"identity x bucket pair SPJ must drop both input shuffles:\n" +
           out.queryExecution.executedPlan)
     }
   }
@@ -274,8 +279,9 @@ class IdentityPartitionSpec extends SparkTestBase {
            |ON a.event_type = b.event_type AND a.ts = b.ts
            |GROUP BY a.event_type""".stripMargin)
       assert(out.count() > 0)
-      assert(shuffles(out).isEmpty,
-        s"identity x time pair SPJ must drop both shuffles:\n" +
+      assert(graft.plans.PlanProbe.joins(out).nonEmpty)
+      assert(graft.plans.PlanProbe.joinInputShuffles(out).isEmpty,
+        s"identity x time pair SPJ must drop both input shuffles:\n" +
           out.queryExecution.executedPlan)
     }
   }

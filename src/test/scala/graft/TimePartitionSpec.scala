@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
 import graft.catalog.{GraftCatalog, GraftTable}
@@ -21,8 +20,10 @@ class TimePartitionSpec extends SparkTestBase {
   private def ensureCatalog(): Unit =
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
 
+  // AQE-unwrapped (see PlanProbe: a naive executedPlan.collect finds
+  // nothing under AdaptiveSparkPlanExec and shuffle asserts go vacuous)
   private def shuffles(df: org.apache.spark.sql.DataFrame) =
-    df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+    graft.plans.PlanProbe.shuffles(df)
 
   private def withSpjConfs[T](body: => T): T = {
     val keys = Seq(
@@ -464,8 +465,12 @@ class TimePartitionSpec extends SparkTestBase {
         "true")
       spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       try {
+        // the partition column must SURVIVE into the join output:
+        // column pruning that drops ts invalidates the days(ts)
+        // expression at the projection and the grouping report dies
+        // with it — selecting a.ts/b.ts keeps the subset-key SPJ alive
         val sub = spark.sql(
-          s"""SELECT a.user_id, a.value + b.value AS v
+          s"""SELECT a.user_id, a.ts, b.ts AS ts2, a.value + b.value AS v
              |FROM graft.`$r2` a JOIN graft.`$r2` b
              |ON a.user_id = b.user_id
              |WHERE a.ts < TIMESTAMP '$hi 00:00:00'
@@ -576,6 +581,105 @@ class TimePartitionSpec extends SparkTestBase {
       ev.filter(col("ts") < lit("2024-01-04 06:00:00")).count() +
         ev.filter(col("ts") >= lit("2024-01-04") &&
           col("ts") < lit("2024-01-04 06:00:00")).count())
+  }
+
+  test("OPTIMIZE CONVERGE PARTITION SPEC re-lays ONLY the stale " +
+    "population; the whole-table report returns at stale-fraction cost") {
+    ensureCatalog()
+    val root = tmpDir("tpart_cv_") + "/t"
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+    ev.filter(col("ts") < lit("2024-01-04")).createOrReplaceTempView("tp_cv1")
+    // UNPARTITIONED CTAS — the population that will go stale
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM tp_cv1")
+    spark.sql(s"ALTER TABLE graft.`$root` SET PARTITION SPEC (days(ts))")
+    ev.filter(col("ts") >= lit("2024-01-04") && col("ts") < lit("2024-01-06"))
+      .createOrReplaceTempView("tp_cv2")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM tp_cv2")
+    val eMix = ManifestSink.currentEpoch(spark, root)
+    assert(ManifestSink.ptimeSpec(spark, root, eMix).isEmpty,
+      "a mixed-spec table honestly reports no whole-table layout")
+    val entries = ManifestSink.manifestEntries(spark, root, eMix).map(_._1)
+    val newPop = entries.filter(_.startsWith(s"data-epoch=$eMix-")).toSet
+    val oldPop = entries.toSet -- newPop
+    assert(oldPop.nonEmpty && newPop.nonEmpty)
+    // converge: rewrite cost proportional to the STALE fraction only
+    val res = spark.sql(s"OPTIMIZE graft.`$root` CONVERGE PARTITION SPEC")
+      .collect()(0)
+    assert(res.getInt(2) == oldPop.size,
+      s"stale set must be exactly the old population, got $res")
+    assert(res.getInt(3) == newPop.size)
+    val eConv = ManifestSink.currentEpoch(spark, root)
+    val after = ManifestSink.manifestEntries(spark, root, eConv)
+      .map(_._1).toSet
+    assert(newPop.subsetOf(after),
+      "already-converged files must carry VERBATIM (pure metadata)")
+    assert((after & oldPop).isEmpty, "the stale population fully rewrote")
+    assert(ManifestSink.ptimeSpec(spark, root, eConv).isDefined,
+      "one spec covers the manifest again — KeyGroupedPartitioning returns")
+    assert(spark.table(s"graft.`$root`").count() ==
+      ev.filter(col("ts") < lit("2024-01-06")).count(),
+      "convergence preserves every row")
+    // idempotent: a second converge is a ZERO-EPOCH no-op
+    val res2 = spark.sql(s"OPTIMIZE graft.`$root` CONVERGE PARTITION SPEC")
+      .collect()(0)
+    assert(res2.getInt(2) == 0 && res2.getInt(1) == eConv)
+    assert(ManifestSink.currentEpoch(spark, root) == eConv,
+      "no-op convergence must not commit an epoch")
+    // refusal: no declared spec to converge to
+    val root2 = tmpDir("tpart_cv2_") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$root2` AS SELECT * FROM tp_cv1")
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE graft.`$root2` CONVERGE PARTITION SPEC").collect()
+    }
+    assert(e.getMessage.contains("SET PARTITION SPEC first"), e.getMessage)
+  }
+
+  test("mixed-spec tables: a scan pruned to the converged population " +
+    "reports its layout, and two such scans join shuffle-free") {
+    ensureCatalog()
+    val base = tmpDir("tpart_mx_")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("value"))
+    val old = ev.filter(col("ts") < lit("2024-01-04"))
+    val neu = ev.filter(col("ts") >= lit("2024-01-04") &&
+      col("ts") < lit("2024-01-07"))
+    val roots = Seq(s"$base/a", s"$base/b").zipWithIndex.map { case (r, i) =>
+      old.createOrReplaceTempView(s"tp_mx_o$i")
+      neu.createOrReplaceTempView(s"tp_mx_n$i")
+      // old population UNPARTITIONED, then evolve, then laid appends
+      spark.sql(s"CREATE TABLE graft.`$r` AS SELECT * FROM tp_mx_o$i")
+      spark.sql(s"ALTER TABLE graft.`$r` SET PARTITION SPEC (days(ts))")
+      spark.sql(s"INSERT INTO graft.`$r` SELECT * FROM tp_mx_n$i")
+      assert(ManifestSink.ptimeSpec(spark, r,
+        ManifestSink.currentEpoch(spark, r)).isEmpty,
+        "half-converged: no whole-table spec")
+      r
+    }
+    withSpjConfs {
+      // both sides prune to the CONVERGED population — the scans
+      // report KeyGroupedPartitioning over exactly the planned files
+      // and the join drops both shuffles without full convergence
+      val out = spark.sql(
+        s"""SELECT a.ts, a.value + b.value AS v
+           |FROM graft.`${roots(0)}` a JOIN graft.`${roots(1)}` b
+           |ON a.ts = b.ts
+           |WHERE a.ts >= TIMESTAMP '2024-01-04 00:00:00'
+           |AND b.ts >= TIMESTAMP '2024-01-04 00:00:00'""".stripMargin)
+      assert(out.count() >= neu.count())
+      assert(shuffles(out).isEmpty,
+        "converged-population join on a mixed-spec table must drop " +
+          s"both shuffles:\n${out.queryExecution.executedPlan}")
+      // a scan that TOUCHES the stale population keeps the honest
+      // no-layout report (shuffles stay)
+      val across = spark.sql(
+        s"""SELECT a.ts, a.value + b.value AS v
+           |FROM graft.`${roots(0)}` a JOIN graft.`${roots(1)}` b
+           |ON a.ts = b.ts""".stripMargin)
+      assert(across.count() >= old.count() + neu.count())
+      assert(shuffles(across).nonEmpty,
+        "an unpruned mixed-spec scan must NOT claim key grouping")
+    }
   }
 
   test("layout.maxKeys guard: a too-fine spec is refused loudly at the " +
