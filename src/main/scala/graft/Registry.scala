@@ -3855,6 +3855,83 @@ object Registry {
         |  min(event_id) AS lo, max(event_id) AS hi, TRUE AS ev_ok
         |FROM events WHERE ts < TIMESTAMP '2024-01-09 00:00:00'
         |GROUP BY 1 ORDER BY day""".stripMargin),
+    // SCOPED SPEC CONVERGENCE + MIXED-SPEC GROUPED SCANS (round 18 —
+    // r17 VERDICT #3/#4): `OPTIMIZE ... CONVERGE PARTITION SPEC`
+    // re-lays ONLY the files whose per-file spec rows differ from the
+    // declared spec (cost ∝ the stale fraction — a 99%-converged
+    // 100 TB table converges for 1% of a full re-lay), restoring the
+    // whole-table KeyGroupedPartitioning report; meanwhile a scan
+    // PRUNED to the converged population reports that population's
+    // layout, so two half-converged tables storage-partition-join on
+    // their converged data without waiting. cv_ok gates: honest
+    // no-report while mixed, the shuffle-free converged-population
+    // join (AQE-aware probe), stale==old-population convergence with
+    // converged files carried VERBATIM, the report's return, and the
+    // zero-epoch idempotent re-run.
+    "q_catalog_spec_converge" -> q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.catalog.GraftCatalog].getName)
+        val base = tmpDir("graft_ccv_")
+        val (r1, r2) = (s"$base/a", s"$base/b")
+        val ev = events(s, d).select(col("event_id"), col("ts"), col("value"))
+        ev.filter(col("ts") < lit("2024-01-05")).createOrReplaceTempView("ccv_old")
+        ev.filter(col("ts") >= lit("2024-01-05") && col("ts") < lit("2024-01-08"))
+          .createOrReplaceTempView("ccv_new")
+        Seq(r1, r2).foreach { r =>
+          s.sql(s"CREATE TABLE graft.`$r` AS SELECT * FROM ccv_old")
+          s.sql(s"ALTER TABLE graft.`$r` SET PARTITION SPEC (days(ts))")
+          s.sql(s"INSERT INTO graft.`$r` SELECT * FROM ccv_new")
+        }
+        val mixedHonest =
+          graft.sink.ManifestSink.ptimeSpec(s, r1, 2).isEmpty
+        // mixed-spec grouped scan: both sides prune to the CONVERGED
+        // population and the join plans zero shuffles
+        val spjKeys = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+          "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val prev = spjKeys.map { case (k, _) => k -> s.conf.getOption(k) }
+        val mixedSpj =
+          try {
+            spjKeys.foreach { case (k, v) => s.conf.set(k, v) }
+            val j = s.sql(s"SELECT a.ts, a.value + b.value AS v " +
+              s"FROM graft.`$r1` a JOIN graft.`$r2` b ON a.ts = b.ts " +
+              "WHERE a.ts >= TIMESTAMP '2024-01-05 00:00:00' " +
+              "AND b.ts >= TIMESTAMP '2024-01-05 00:00:00'")
+            j.collect()
+            graft.plans.PlanProbe.joins(j).nonEmpty &&
+              graft.plans.PlanProbe.shuffles(j).isEmpty
+          } finally prev.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None) => s.conf.unset(k)
+          }
+        val entries = graft.sink.ManifestSink.manifestEntries(s, r1, 2).map(_._1)
+        val newPop = entries.filter(_.startsWith("data-epoch=2-")).toSet
+        val res = s.sql(s"OPTIMIZE graft.`$r1` CONVERGE PARTITION SPEC")
+          .collect()(0)
+        val after = graft.sink.ManifestSink.manifestEntries(s, r1, 3).map(_._1).toSet
+        val converged =
+          res.getInt(2) == entries.size - newPop.size &&
+            newPop.subsetOf(after) &&
+            graft.sink.ManifestSink.ptimeSpec(s, r1, 3).isDefined
+        // idempotent: the second converge commits NO epoch
+        val res2 = s.sql(s"OPTIMIZE graft.`$r1` CONVERGE PARTITION SPEC")
+          .collect()(0)
+        val noop = res2.getInt(2) == 0 &&
+          graft.sink.ManifestSink.currentEpoch(s, r1) == 3
+        val cvOk = mixedHonest && mixedSpj && converged && noop
+        s.sql(s"""SELECT CAST(date_trunc('DAY', ts) AS TIMESTAMP) AS day,
+                 |  count(*) AS n, min(event_id) AS lo, max(event_id) AS hi
+                 |FROM graft.`$r1` GROUP BY 1 ORDER BY day""".stripMargin)
+          .withColumn("cv_ok", lit(cvOk))
+      },
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+        |  min(event_id) AS lo, max(event_id) AS hi, TRUE AS cv_ok
+        |FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+        |GROUP BY 1 ORDER BY day""".stripMargin),
     // IDENTITY PARTITION TRANSFORM (round 17 — `PARTITIONED BY (lang)`,
     // the Iceberg identity transform; the reference's own `location`
     // secondary-index pattern, `cassandra/init.cql:81-82`, as a layout,

@@ -1688,8 +1688,6 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
         val priorSchema = prior.schemaJson.map(j =>
           org.apache.spark.sql.types.DataType.fromJson(j)
             .asInstanceOf[StructType])
-        require(priorSchema.forall(s => !graft.sink.ColumnMapping.hasMapping(s)),
-          "branch writes on a column-mapped table are not supported")
         // a branch pipeline never INSERTS after a DELETE: the publish
         // merges delete takedowns into one vector scoped ABOVE the
         // published epoch, so an insert staged after a branch delete
@@ -1709,8 +1707,14 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
             s"branch write schema drift: branch ${p.simpleString} " +
               s"vs batch ${n.simpleString}")
         }
-        val fresh = ManifestSink.stage(data, dir, prior.epoch + 1,
-          statsColsOf(data.schema), unique = true, bucket = bucket,
+        // column-mapped tables stage in the files' PHYSICAL shape (the
+        // translation the live append rides); the drift check above
+        // compared LOGICAL names, as the user writes them
+        val dataW = priorSchema.filter(graft.sink.ColumnMapping.hasMapping)
+          .map(p => graft.sink.ColumnMapping.toPhysicalDf(data, p))
+          .getOrElse(data)
+        val fresh = ManifestSink.stage(dataW, dir, prior.epoch + 1,
+          statsColsOf(dataW.schema), unique = true, bucket = bucket,
           ptime = ptime, ident = identL, tokenOpt = Some(prior.token))
         GraftTable.auditConstraints(spark, dir,
           fresh.relFiles.filter(_.startsWith(s"data-epoch=${prior.epoch + 1}-")))
@@ -1764,8 +1768,10 @@ final class GraftTable(dir: String, ident: String, pinned: Option[Int])
         val cur = currentOpt
         val next = cur.getOrElse(0) + 1
         val curSchema = cur.flatMap(e => ManifestSink.commitSchema(spark, dir, e))
-        require(curSchema.forall(s => !graft.sink.ColumnMapping.hasMapping(s)),
-          "write-audit-publish on a column-mapped table is not supported")
+        // column-mapped tables stage like any append: stageAppend
+        // translates the logical batch to the files' physical shape
+        // itself, and the publish rebase refuses honestly if the
+        // schema (and with it the mapping) moves before the CAS
         val st = ManifestSink.stageAppend(data, dir, next,
           statsColsOf(data.schema), unique = true, bucket = bucket,
           ptime = ptime, ident = identL)

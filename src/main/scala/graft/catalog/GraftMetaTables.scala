@@ -284,18 +284,30 @@ final class GraftWapTable(dir: String, ident: String, wapId: String,
       d._1.endsWith(s".${st.token}") && !d._1.contains(".u."))
     new ScanBuilder {
       override def build(): Scan = {
+        // column-mapped tables: the staged files hold PHYSICAL names —
+        // read them physically and present the LOGICAL schema (a
+        // positional rename; rows need no translation)
+        val phys = graft.sink.ColumnMapping.physicalSchema(sch)
+        val mapped = graft.sink.ColumnMapping.hasMapping(sch)
         val raw =
           org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
             spark,
             spark.sessionState.newHadoopConfWithOptions(Map.empty),
             new graft.sink.StaticFileIndex(spark,
               new org.apache.hadoop.fs.Path(dir), statuses),
-            dataSchema = sch,
-            readDataSchema = sch,
+            dataSchema = phys,
+            readDataSchema = phys,
             readPartitionSchema = StructType(Nil),
             pushedFilters = Array.empty,
             options = CaseInsensitiveStringMap.empty())
-        if (branchDvs.isEmpty) raw
+        if (branchDvs.isEmpty && !mapped) raw
+        else if (branchDvs.isEmpty) new Scan {
+          override def readSchema(): StructType = sch
+          override def description(): String =
+            s"GraftWapMappedScan($dir@${st.token})"
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            raw.toBatch
+        }
         else new Scan {
           override def readSchema(): StructType = sch
           override def description(): String =

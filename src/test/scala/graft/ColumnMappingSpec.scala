@@ -185,4 +185,54 @@ class ColumnMappingSpec extends SparkTestBase {
     }
     assert(chain(e3).exists(_.contains("bucket")), s"got: ${chain(e3)}")
   }
+
+  test("staged writes on a column-mapped table: WAP stages, audits " +
+    "LOGICAL, and publishes; branch inserts stage and publish " +
+    "(round 18 — the refusals are gone)") {
+    ensureCatalog()
+    val root = tmpDir("cmap_wap_") + "/t"
+    (0 until 50).map(i => (i.toLong, i * 1.5)).toDF("k", "v")
+      .createOrReplaceTempView("cmap_wap_src")
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM cmap_wap_src")
+    spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN k TO key_id")
+    // WAP: stage under the LOGICAL shape, audit, publish
+    spark.conf.set("spark.graft.wap.id", "w1")
+    try spark.sql(s"INSERT INTO graft.`$root` VALUES (100, 9.0), (101, 9.5)")
+    finally spark.conf.unset("spark.graft.wap.id")
+    assert(spark.table(s"graft.`$root`").count() == 50, "stage invisible")
+    val audit = spark.table(s"graft.`$root@wap:w1`")
+    assert(audit.schema.fieldNames.toSeq == Seq("key_id", "v"),
+      s"the WAP audit speaks LOGICAL names, got ${audit.schema.simpleString}")
+    assert(audit.count() == 2 &&
+      audit.filter(col("key_id") === 100).count() == 1)
+    spark.sql(s"PUBLISH WAP w1 ON graft.`$root`")
+    assert(spark.table(s"graft.`$root`").count() == 52)
+    assert(spark.sql(s"SELECT v FROM graft.`$root` WHERE key_id = 101")
+      .collect()(0).getDouble(0) == 9.5)
+    // BRANCH: two cumulative staged inserts, logical audit, publish
+    spark.sql(s"CREATE BRANCH fix ON graft.`$root`")
+    spark.conf.set("spark.graft.branch", "fix")
+    try {
+      spark.sql(s"INSERT INTO graft.`$root` VALUES (200, 1.0)")
+      spark.sql(s"INSERT INTO graft.`$root` VALUES (201, 2.0)")
+    } finally spark.conf.unset("spark.graft.branch")
+    assert(spark.table(s"graft.`$root`").count() == 52, "branch invisible")
+    val br = spark.table(s"graft.`$root@branch:fix`")
+    assert(br.schema.fieldNames.toSeq == Seq("key_id", "v"))
+    assert(br.count() == 2)
+    spark.sql(s"PUBLISH BRANCH fix ON graft.`$root`")
+    assert(spark.table(s"graft.`$root`").count() == 54)
+    assert(spark.sql(s"SELECT v FROM graft.`$root` WHERE key_id = 201")
+      .collect()(0).getDouble(0) == 2.0)
+    // branch row-level DML stays refused on mapped tables (the DV /
+    // branch-state machinery is physical-keyed)
+    spark.sql(s"CREATE BRANCH d ON graft.`$root`")
+    spark.conf.set("spark.graft.branch", "d")
+    val eDel =
+      try intercept[Exception] {
+        spark.sql(s"DELETE FROM graft.`$root` WHERE key_id IN (1, 2)")
+      } finally spark.conf.unset("spark.graft.branch")
+    assert(eDel.getMessage.contains("column-mapped"), eDel.getMessage)
+    spark.sql(s"DROP BRANCH d ON graft.`$root`")
+  }
 }
