@@ -364,19 +364,35 @@ final case class BranchMergeCommand(name: String, merge: MergeIntoTable)
     def filtered(cond: Option[Expression], from: DataFrame): DataFrame =
       cond.map(c => from.filter(GraftBridge.column(c))).getOrElse(from)
 
+    // FIRST-MATCH-WINS across the matched actions (the SQL MERGE
+    // contract: actions evaluate in statement order) — a row matching
+    // several conditions takes whichever action was written first, so
+    // each action sees only rows NOT claimed by an earlier one
+    def notFirst(from: DataFrame, act: MergeAction): DataFrame =
+      merge.matchedActions.takeWhile(_ ne act).foldLeft(from) { (df, e) =>
+        e.condition match {
+          // NOT-TRUE, not NOT: a NULL earlier condition claims nothing
+          case Some(c) =>
+            df.filter(!coalesce(GraftBridge.column(c), lit(false)))
+          case None => df.limit(0) // an unconditional earlier action wins all
+        }
+      }
     val updated = updAct.map { ua =>
       val assignMap = ua.assignments.map(a =>
         assignedName(a.key) -> a.value).toMap
-      filtered(ua.condition, joined).select(schema.fields.toSeq.map { f =>
-        assignMap.get(f.name)
-          .map(e => GraftBridge.column(e).cast(f.dataType).as(f.name))
-          .getOrElse(state(f.name))
-      }: _*)
+      filtered(ua.condition, notFirst(joined, ua))
+        .select(schema.fields.toSeq.map { f =>
+          assignMap.get(f.name)
+            .map(e => GraftBridge.column(e).cast(f.dataType).as(f.name))
+            .getOrElse(state(f.name))
+        }: _*)
     }
     val updatedKeys = updAct.map(ua =>
-      filtered(ua.condition, joined).select(state(keyCol)).distinct())
+      filtered(ua.condition, notFirst(joined, ua))
+        .select(state(keyCol)).distinct())
     val deletedKeys = delAct.map(da =>
-      filtered(da.condition, joined).select(state(keyCol)).distinct())
+      filtered(da.condition, notFirst(joined, da))
+        .select(state(keyCol)).distinct())
     val inserted = insAct.map { ia =>
       val srcOnly = src.join(state.select(state(keyCol).as("__tk")),
         GraftBridge.column(srcSide) === col("__tk"), "left_anti")
@@ -388,9 +404,11 @@ final case class BranchMergeCommand(name: String, merge: MergeIntoTable)
         GraftBridge.column(assignMap(f.name)).cast(f.dataType).as(f.name)
       }: _*)
     }
+    // a pure matched-DELETE merge is legitimate (the takedown shape);
+    // its replacement set is simply empty
     val replacement = (updated.toSeq ++ inserted.toSeq) match {
-      case Nil => throw new IllegalArgumentException(
-        "branch MERGE needs at least one UPDATE or INSERT action")
+      case Nil => state.limit(0)
+        .select(schema.fieldNames.map(f => state(f)): _*)
       case dfs => dfs.reduce(_ unionByName _)
     }
     val nUpd = updatedKeys.map(_.count()).getOrElse(0L)

@@ -2523,6 +2523,14 @@ final class GraftFileScan(spark: SparkSession, dir: String, epoch: Int,
     * file-for-file. */
   private lazy val prunedScope: Option[Set[String]] =
     if (rowLevel.isDefined || limit.isDefined) None
+    else if (!allStatRows.exists(r =>
+      r.getString(1).startsWith("__bucket:") ||
+        r.getString(1).startsWith("__ptime:") ||
+        r.getString(1).startsWith("__ident:") ||
+        r.getString(1).startsWith("__trunc:")))
+      // no layout rows anywhere (plain unpartitioned table): don't
+      // pay an extra planning-time listFiles on every filtered scan
+      None
     else {
       val exprs = pushed.map(physFilter)
         .flatMap(GraftFileScan.toCatalyst(physTableSchema, _)).toSeq

@@ -158,6 +158,9 @@ final class LayoutAppendingWriterFactory(
       override def write(row: InternalRow): Unit = {
         // rows arrive as [data...] or [__row_operation, data...]
         val off = row.numFields - n
+        require(off == 0 || off == 1,
+          s"replacement row has ${row.numFields} fields for a " +
+            s"$n-column table — unexpected plan shape")
         var i = 0
         while (i < n) { out.update(i, row.get(i + off, dataTypes(i))); i += 1 }
         var j = 0

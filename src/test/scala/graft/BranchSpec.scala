@@ -433,6 +433,26 @@ class BranchSpec extends SparkTestBase {
     assert(live.filter(col("k") === 3).collect()(0).getDouble(1) == 30.0)
     assert(live.filter(col("k") === 102).collect()(0).getDouble(1) == 12.0)
     assert(live.filter(col("k") === 500).count() == 1)
+    // a PURE matched-DELETE merge is the takedown shape — no UPDATE or
+    // INSERT action, an empty replacement set, a delete-class vector
+    spark.sql(s"CREATE BRANCH m2 ON graft.`$root`")
+    Seq((500L, 0.0), (3L, 0.0)).toDF("sk", "sv")
+      .createOrReplaceTempView("br_mrg_del")
+    spark.conf.set("spark.graft.branch", "m2")
+    try spark.sql(
+      s"""MERGE INTO graft.`$root` t USING br_mrg_del s ON t.k = s.sk
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    finally spark.conf.unset("spark.graft.branch")
+    assert(spark.table(s"graft.`$root`").count() == 46, "live untouched")
+    spark.sql(s"PUBLISH BRANCH m2 ON graft.`$root`")
+    val live2 = spark.table(s"graft.`$root`")
+    assert(live2.count() == 44)
+    assert(live2.filter(col("k").isin(3L, 500L)).count() == 0)
+    // delete-class publish scope: a post-publish re-insert is visible
+    Seq((500L, 1.0)).toDF("k", "v").createOrReplaceTempView("br_mrg_re")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM br_mrg_re")
+    assert(spark.table(s"graft.`$root`")
+      .filter(col("k") === 500).count() == 1)
   }
 
   test("branch writes keep the declared layout; publish lands it") {
