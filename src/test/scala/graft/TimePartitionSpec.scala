@@ -504,6 +504,27 @@ class TimePartitionSpec extends SparkTestBase {
     assert(ManifestSink.ptimeSpec(spark, r3, e3).isDefined &&
       ManifestSink.bucketSpec(spark, r3, e3).isDefined,
       "an INSERT after the composed OPTIMIZE must keep both transforms")
+    // COMPOSED single-write CoW (round 18): an UPDATE on the two-axis
+    // table stages its replacement files through the declared-
+    // distribution write — files nest TWO partition levels deep
+    // (__p0=<ordinal>/__p1=<bucket>) in ONE attempt dir — and BOTH
+    // specs survive with row parity
+    val totalBefore = spark.table(s"graft.`$r3`").count()
+    spark.sql(s"UPDATE graft.`$r3` SET value = -1.0 WHERE event_id < 15")
+    val e4 = ManifestSink.currentEpoch(spark, r3)
+    assert(ManifestSink.ptimeSpec(spark, r3, e4).isDefined &&
+      ManifestSink.bucketSpec(spark, r3, e4).isDefined,
+      "a CoW UPDATE must keep BOTH composed transforms")
+    val repl = ManifestSink.manifestEntries(spark, r3, e4).map(_._1)
+      .filter(_.startsWith(s"data-epoch=$e4-"))
+    assert(repl.nonEmpty && repl.forall(r =>
+      r.contains("/__p0=") && r.contains("/__p1=")),
+      s"composed replacements must nest both partition levels, got $repl")
+    assert(repl.map(_.split("/").head).distinct.size == 1,
+      "exactly one staged attempt dir — no relay rewrite")
+    assert(spark.table(s"graft.`$r3`").count() == totalBefore)
+    assert(spark.table(s"graft.`$r3`")
+      .filter(col("value") === -1.0).count() >= 14)
   }
 
   test("SET PARTITION SPEC evolves the spec METADATA-ONLY: old files " +
