@@ -1314,8 +1314,9 @@ object GraftTable {
     require(spark.conf.getOption("spark.graft.branch").forall(_.isEmpty),
       s"$what under spark.graft.branch would rewrite the LIVE table, not " +
         "the branch; branch DML supports INSERT INTO, keyed DELETE, " +
-        "UPDATE, and MERGE (all merge-on-read) — unset " +
-        s"spark.graft.branch for $what")
+        "UPDATE, and MERGE as SQL statements (all merge-on-read; the " +
+        "DataFrame merge/update APIs bypass the parse-time branch " +
+        s"routing) — unset spark.graft.branch for $what")
 
   /** Forget a branch (descriptor only — staged files become
     * vacuum-sweepable debris). True iff it existed. */
