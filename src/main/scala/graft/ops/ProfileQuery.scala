@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round measurement harness (guide §1: measure first).
+  *
+  * `runMain graft.ops.ProfileQuery q_name [q_name2 ...]` runs each named
+  * registered query through the same noop-sink protocol as [[graft.Bench]]
+  * (same session config, same env vars) and prints, per query and per
+  * PASS (two passes, like the bench):
+  *
+  *   - total wall seconds;
+  *   - every Spark JOB with its duration, task count and the first
+  *     stage's call site — this is what localizes cost inside the
+  *     construction-heavy demos (graph builds, catalog DML pipelines),
+  *     where one registered query executes dozens of jobs.
+  *
+  * Diagnostic tooling only: never run by the driver, adds no queries.
+  */
+object ProfileQuery {
+
+  private final case class JobRec(id: Int, desc: String, site: String,
+                                  var tasks: Int = 0, var start: Long = 0L,
+                                  var end: Long = 0L)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        val site = js.stageInfos.headOption.map(_.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("ProfileQuery"))
+          .getOrElse(js.stageInfos.head.name)).getOrElse("")
+        val rec = JobRec(js.jobId, desc, site,
+          js.stageInfos.map(_.numTasks).sum, js.time)
+        jobs.put(js.jobId, rec)
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(jobs.get(je.jobId)).foreach(_.end = je.time)
+      }
+    })
+
+    // same warm + dim-cache protocol as Bench so numbers are comparable
+    Seq("q_count", "q_pricing_summary", "q_hourly_agg").foreach { w =>
+      try graft.SparkEntry.queries.get(w).foreach(
+        _(spark, sfDir).write.format("noop").mode("overwrite").save())
+      catch { case _: Throwable => () }
+    }
+    Seq(graft.Tables.customer(spark, sfDir), graft.Tables.supplier(spark, sfDir),
+        graft.Tables.part(spark, sfDir), graft.Tables.nation(spark, sfDir),
+        graft.Tables.region(spark, sfDir))
+      .foreach { df => df.cache(); df.count() }
+
+    for (name <- args; pass <- 1 to 2) {
+      if (pass == 2) {
+        graft.streaming.DemoMemo.reset(spark)
+        graft.llm.AnnIndex.vacuumArtifacts(spark, _ => false): Unit
+      }
+      jobs.clear()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // settle async listener events (listenerBus is private[spark])
+      Thread.sleep(500)
+      val recs = {
+        import scala.jdk.CollectionConverters._
+        jobs.values().asScala.toSeq.sortBy(_.id)
+      }
+      val jobSum = recs.map(r => (r.end - r.start) / 1e3).sum
+      println(f"\n=== $name pass $pass: $secs%.2f s wall, ${recs.size} jobs, $jobSum%.2f s in-job ===")
+      recs.sortBy(r => -(r.end - r.start)).take(40).foreach { r =>
+        val d = (r.end - r.start) / 1e3
+        println(f"  job ${r.id}%4d ${d}%7.3f s ${r.tasks}%5d tasks  ${r.desc.take(40)}%-40s ${r.site.take(100)}")
+      }
+    }
+    spark.stop()
+  }
+}
