@@ -631,13 +631,9 @@ object AnnIndex {
                            rerank: Int = 4): DataFrame = {
     val exact = Similarity.batchTopKExact(embeddings, embeddings.filter(queryPredicate), k)
       .localCheckpoint()
-    val total = exact.count()
     val ann = batchProbeIvfSq(spark, ivfDir, sqDir, ivfSqDir, embeddings,
       queryPredicate, k, nProbe, rerank)
-    val hits = exact.select(col("query_id"), col("vec_id"))
-      .join(ann.select(col("query_id"), col("vec_id")),
-        Seq("query_id", "vec_id"), "left_semi")
-      .count()
+    val (total, hits) = Similarity.totalAndHits(exact, ann, Seq("query_id", "vec_id"))
     exact.withColumn("batch_recall_ok",
       lit(total == 0L || hits.toDouble / total >= bound))
   }
@@ -713,13 +709,9 @@ object AnnIndex {
                            rerank: Int = 8): DataFrame = {
     val exact = Similarity.batchTopKExact(embeddings, embeddings.filter(queryPredicate), k)
       .localCheckpoint()
-    val total = exact.count()
     val ann = batchProbeIvfPq(spark, ivfDir, pqDirS, ivfPqDir, embeddings,
       queryPredicate, k, nProbe, rerank)
-    val hits = exact.select(col("query_id"), col("vec_id"))
-      .join(ann.select(col("query_id"), col("vec_id")),
-        Seq("query_id", "vec_id"), "left_semi")
-      .count()
+    val (total, hits) = Similarity.totalAndHits(exact, ann, Seq("query_id", "vec_id"))
     exact.withColumn("batch_recall_ok",
       lit(total == 0L || hits.toDouble / total >= bound))
   }

@@ -323,11 +323,8 @@ object Bm25 {
       .select(col("query_id"), col("vec_id"), col("rank")).localCheckpoint()
     val annVec = AnnIndex.batchProbeIvfSq(spark, ivfDir, sqDir, csqDir,
       embeddings, vecPredicate, k = perList, nProbe = nProbe, rerank = rerank)
-    val total = exactVec.count()
-    val hits = exactVec.select(col("query_id"), col("vec_id"))
-      .join(annVec.select(col("query_id"), col("vec_id")),
-        Seq("query_id", "vec_id"), "left_semi")
-      .count()
+    val (total, hits) = Similarity.totalAndHits(exactVec, annVec,
+      Seq("query_id", "vec_id"))
     val ok = total == 0L || hits.toDouble / total >= bound
     fuseRrf(lex,
         exactVec.select(col("query_id"), col("vec_id").as("doc_id"),

@@ -676,12 +676,9 @@ object Curation {
                  bound: Double = 0.9): DataFrame = {
     val exact = Similarity.batchTopKExact(
       embeddings, embeddings.filter(queryPredicate), k).localCheckpoint()
-    val total = exact.count()
     val ann = AnnIndex.batchProbeIvfSq(spark, ivfDir, sqDir, ivfSqDir,
       embeddings, queryPredicate, k, nProbe, rerank)
-    val hits = exact.select(col("query_id"), col("vec_id"))
-      .join(ann.select(col("query_id"), col("vec_id")),
-        Seq("query_id", "vec_id"), "left_semi").count()
+    val (total, hits) = Similarity.totalAndHits(exact, ann, Seq("query_id", "vec_id"))
     val ok = total == 0L || hits.toDouble / total >= bound
 
     val nTok = documents.select(col("doc_id").as("vec_id"),

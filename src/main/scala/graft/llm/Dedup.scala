@@ -955,11 +955,9 @@ object Dedup {
                         featureShingle: Int = 3): DataFrame = {
     val truth = ngramJaccardPairs(documents, shingleSize, threshold)
       .localCheckpoint() // evaluated twice (count + output) — cut the join lineage
-    val total = truth.count()
-    val hits = truth.select(col("doc_a"), col("doc_b"))
-      .join(simhashCandidates(documents, featureShingle = featureShingle),
-        Seq("doc_a", "doc_b"), "left_semi")
-      .count()
+    val (total, hits) = Similarity.totalAndHits(truth,
+      simhashCandidates(documents, featureShingle = featureShingle),
+      Seq("doc_a", "doc_b"))
     truth.withColumn("simhash_recall_ok",
       lit(total == 0L || hits.toDouble / total >= bound))
   }
@@ -977,12 +975,9 @@ object Dedup {
                         threshold: Double = 0.5, bound: Double = 0.9): DataFrame = {
     val truth = ngramJaccardPairs(documents, shingleSize, threshold)
       .localCheckpoint() // evaluated twice (count + output) — cut the join lineage
-    val total = truth.count()
-    val hits = truth.select(col("doc_a"), col("doc_b"))
-      .join(minhashPairs(documents, shingleSize, jaccardThreshold = threshold)
-        .select(col("doc_a"), col("doc_b")),
-        Seq("doc_a", "doc_b"), "left_semi")
-      .count()
+    val (total, hits) = Similarity.totalAndHits(truth,
+      minhashPairs(documents, shingleSize, jaccardThreshold = threshold),
+      Seq("doc_a", "doc_b"))
     truth.withColumn("minhash_recall_ok",
       lit(total == 0L || hits.toDouble / total >= bound))
   }

@@ -54,6 +54,20 @@ import org.apache.spark.sql.functions._
   * enters as a boolean gate that flips the hash on regression. */
 object NnDescent {
 
+  /** Deliberate join-strategy pick (guide §3.1) for sides whose size
+    * the PLANNER cannot estimate (iteratively-built id tables behind a
+    * localCheckpoint carry garbage-big origin stats) but whose true
+    * size WE can bound from the algorithm's invariants (k edges per
+    * node, beam·k visits per query). Hint broadcast iff the bound fits
+    * the session's live autoBroadcastJoinThreshold — at bench scale the
+    * id tables are a few MB and every round's SMJ exchange+sort pair
+    * collapses; at 100 TB the bound exceeds the threshold and the same
+    * code plans the shuffle join the data size demands. */
+  private def maybeBroadcast(df: DataFrame, boundBytes: Long): DataFrame = {
+    val thr = org.apache.spark.sql.GraftBridge.autoBroadcastThreshold(df.sparkSession)
+    if (thr > 0 && boundBytes >= 0 && boundBytes <= thr) broadcast(df) else df
+  }
+
   /** The edge table lives as a [[graft.sink.ManifestSink]] table at
     * `dir/graphtab`, clustered + zone-mapped on `src` — so the index
     * inherits the sink's whole lifecycle for free: atomic commits
@@ -91,11 +105,15 @@ object NnDescent {
         .select(col("src"), col("dst"),
           Similarity.dot(col("su"), col("du")).as("sim"))
 
-    // seed: per-bucket brute force (~bucketSize² pairs per bucket)
+    // seed: per-bucket brute force (~bucketSize² pairs per bucket).
+    // One side of the bucket self-join is (id, bucket) pairs — n rows
+    // of two longs, never vectors — so when that bound fits the
+    // broadcast threshold the seed costs ZERO pre-join exchanges
+    // instead of an SMJ's two exchange+sort legs of the same rows.
     val bucketed = e.select(col("vec_id"),
       pmod(xxhash64(col("vec_id")), lit(nb)).as("b"))
     val seedPairs = bucketed.toDF("src", "b")
-      .join(bucketed.toDF("dst", "b"), Seq("b"))
+      .join(maybeBroadcast(bucketed.toDF("dst", "b"), n * 24L), Seq("b"))
       .filter(col("src") =!= col("dst"))
       .select("src", "dst")
     var graph = topKPerSrc(score(seedPairs)).localCheckpoint()
@@ -110,14 +128,29 @@ object NnDescent {
         .select(col("src"), pmod(
           col("src") * lit(2654435761L) + col("j") * lit(40503L) + lit(r * 69069L),
           lit(n)).as("dst"))
+      // ONE exchange per round (guide §2.4): the candidate table is
+      // hash-partitioned by src exactly once, and everything downstream
+      // rides that partitioning — dropDuplicates(src, dst) dedups
+      // locally (src ⊆ grouping keys), the two vector joins broadcast e
+      // (unit rows with real origin stats), and TopKPerKeyFinal's
+      // required clustering on src is already satisfied, so the window
+      // needs no exchange of its own. The old spelling (SMJ mid-join +
+      // distinct + TopK) paid FOUR exchanges and three sorts of the
+      // same n·(2k)² id pairs. The neighbor side of the mid-join is
+      // 2kn id pairs (the graph invariant), size-bound-gated: ids
+      // only, never vectors — the "decide with small rows" shape of
+      // guide §8.
       val cand = und.toDF("src", "mid")
-        .join(und.toDF("mid", "dst"), Seq("mid"))
+        .join(maybeBroadcast(und.toDF("mid", "dst"), 2L * n * k * 24L), Seq("mid"))
         .select("src", "dst")
         .union(und)
         .union(probes)
         .filter(col("src") =!= col("dst"))
-        .distinct()
-      graph = topKPerSrc(score(cand)).localCheckpoint()
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst")
+      val refined = topKPerSrc(score(cand))
+      if (r == 1) graft.ops.PlanDump.dump("nnd_build_round", refined)
+      graph = refined.localCheckpoint()
     }
     graft.sink.ManifestSink.publishWithStats(
       graph.repartitionByRange(4, col("src")).sortWithinPartitions("src"),
@@ -164,7 +197,17 @@ object NnDescent {
   def searchGraph(embeddings: DataFrame, dir: String, queryPredicate: Column,
                   k: Int = 5, entries: Int = 48, beam: Int = 48,
                   rounds: Int = 4): DataFrame =
-    searchScored(embeddings, dir, queryPredicate, k, entries, beam, rounds)
+    searchGraphFromVisited(
+      searchVisited(embeddings, dir, queryPredicate, entries, beam, rounds), k)
+
+  /** Rank a [[searchVisited]] set to the standard (query_id, rank,
+    * vec_id) search rows — splitting rank from search lets ONE beam
+    * search serve consumers with different k (the streaming ingest
+    * demo's gate and placement both search the same batch against the
+    * same graph state; computing the visited fixed point once instead
+    * of twice halves the demo's beam-search job count). */
+  def searchGraphFromVisited(visited: DataFrame, k: Int): DataFrame =
+    rankVisited(visited, k)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("node"))))
       .select(col("query_id"), col("rank"), col("node").as("vec_id"))
@@ -173,22 +216,46 @@ object NnDescent {
     * rows — the placement primitive [[appendToGraph]] builds on. */
   private def searchScored(embeddings: DataFrame, dir: String,
                            queryPredicate: Column, k: Int, entries: Int,
-                           beam: Int, rounds: Int): DataFrame = {
+                           beam: Int, rounds: Int): DataFrame =
+    rankVisited(
+      searchVisited(embeddings, dir, queryPredicate, entries, beam, rounds), k)
+
+  /** Top `width` scored nodes per query of a visited set. */
+  private def rankVisited(visited: DataFrame, width: Int): DataFrame =
+    visited.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("node"))))
+      .filter(col("rank") <= width)
+      .drop("rank")
+
+  /** The beam search's full scored visited set (query_id, node, sim),
+    * checkpointed — the shared fixed point [[searchGraph]] /
+    * [[appendToGraph]] rank with their own k. */
+  def searchVisited(embeddings: DataFrame, dir: String,
+                    queryPredicate: Column, entries: Int = 48,
+                    beam: Int = 48, rounds: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
     val n = embeddings.count()
     val q = embeddings.filter(queryPredicate)
       .select(col("vec_id").as("query_id"),
         Similarity.unitVector(col("embedding")).as("qu"))
       .localCheckpoint()
+    // size bounds for the deliberate join picks below: the visited set
+    // is ≤ entries + rounds·beam·degree nodes per query (the
+    // beam-search invariant; 20 = the library's default build degree),
+    // ~20 B of ids per row; a q row is id + 64 doubles.
+    val qCount = q.count()
+    val visitedBound = qCount * (entries + rounds.toLong * beam * 20) * 20L
     val corpus = embeddings
       .select(col("vec_id").as("node"), Similarity.unitVector(col("embedding")).as("u"))
     val edges = graphEdges(spark, dir).select("src", "dst")
 
     // score ONLY new (query, node) pairs: corpus vectors join by node
-    // id, query vectors broadcast by query id
+    // id, query vectors broadcast by query id. Both joins leave the
+    // pair side's query_id partitioning intact when their small sides
+    // broadcast, which is what keeps every round at ONE exchange.
     def score(pairs: DataFrame): DataFrame =
       pairs.join(corpus, Seq("node"))
-        .join(broadcast(q), Seq("query_id"))
+        .join(maybeBroadcast(q, qCount * 600L), Seq("query_id"))
         .select(col("query_id"), col("node"),
           Similarity.dot(col("qu"), col("u")).as("sim"))
 
@@ -198,6 +265,16 @@ object NnDescent {
         .filter(col("rank") <= width)
         .drop("rank")
 
+    // ONE exchange per round (guide §2.4): the beam window's TopK
+    // exchange establishes hash-partitioning by query_id, and
+    // everything downstream rides it — the (query_id, node) distinct
+    // dedups locally (query_id ⊆ keys), the visited anti-join
+    // broadcasts its bounded id set, and the two score joins broadcast
+    // their small sides — so a round moves the visited set exactly
+    // once. The old spelling additionally paid a distinct exchange and
+    // an SMJ-anti exchange+sort pair of the same id rows per round.
+    // (localCheckpoint does NOT carry partitioning across rounds, so
+    // the one exchange per round is also the floor for this shape.)
     val entry = q.select(col("query_id"))
       .select(col("query_id"), explode(sequence(lit(0), lit(entries - 1))).as("j"))
       .select(col("query_id"), pmod(
@@ -205,16 +282,19 @@ object NnDescent {
       .filter(col("node") =!= col("query_id"))
       .distinct()
     var visited = score(entry).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val fresh = topBeam(visited, beam)
         .join(edges, col("node") === col("src"))
         .select(col("query_id"), col("dst").as("node"))
         .filter(col("node") =!= col("query_id"))
         .distinct()
-        .join(visited.select("query_id", "node"), Seq("query_id", "node"), "left_anti")
-      visited = visited.unionByName(score(fresh)).localCheckpoint()
+        .join(maybeBroadcast(visited.select("query_id", "node"), visitedBound),
+          Seq("query_id", "node"), "left_anti")
+      val next = visited.unionByName(score(fresh))
+      if (r == 1) graft.ops.PlanDump.dump("nnd_search_round", next)
+      visited = next.localCheckpoint()
     }
-    topBeam(visited, k)
+    visited
   }
 
   /** INCREMENTAL graph insert — the append discipline every other
@@ -242,9 +322,15 @@ object NnDescent {
     * `all` (standing = the rest, which the existing graph covers). */
   def appendToGraph(all: DataFrame, dir: String, deltaPredicate: Column,
                     k: Int = 20, entries: Int = 48, beam: Int = 48,
-                    rounds: Int = 4): Unit = {
+                    rounds: Int = 4,
+                    precomputedVisited: Option[DataFrame] = None): Unit = {
     val spark = all.sparkSession
-    val placed = searchScored(all, dir, deltaPredicate, k, entries, beam, rounds)
+    // a caller that already beam-searched this batch against this graph
+    // state (the streaming demo's recall gate) hands the visited set in
+    // instead of paying the whole search a second time
+    val placed = precomputedVisited
+      .map(v => rankVisited(v, k))
+      .getOrElse(searchScored(all, dir, deltaPredicate, k, entries, beam, rounds))
       .localCheckpoint()
     // delta×delta: the batch's internal pairs, brute-forced (m² rows)
     val du = all.filter(deltaPredicate)
@@ -262,19 +348,26 @@ object NnDescent {
     // now want a delta neighbor; re-rank their lists
     val revCand = deltaAdj.select(col("dst").as("src"), col("src").as("dst"), col("sim"))
     val touched = revCand.select("src").distinct()
+    // Same single-exchange discipline as the build rounds: partition by
+    // src once, then the (src, dst) dedup and the per-src top-k window
+    // both ride that partitioning instead of exchanging again.
     val refreshed = graphEdges(spark, dir)
       .join(broadcast(touched), Seq("src"), "left_semi")
       .unionByName(revCand)
+      .repartition(col("src"))
       .dropDuplicates("src", "dst")
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
       .filter(col("rank") <= k)
       .drop("rank")
-    graft.sink.ManifestSink.mergeCow(spark, s"$dir/graphtab",
-      deltaAdj.unionByName(refreshed).dropDuplicates("src", "dst")
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
-        .filter(col("rank") <= k).drop("rank"),
+    val merged = deltaAdj.unionByName(refreshed)
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
+      .filter(col("rank") <= k).drop("rank")
+    graft.ops.PlanDump.dump("nnd_append_merge", merged)
+    graft.sink.ManifestSink.mergeCow(spark, s"$dir/graphtab", merged,
       "src", Seq("src"))
     ()
   }
@@ -294,11 +387,8 @@ object NnDescent {
                        k: Int = 5, bound: Double = 0.9): DataFrame = {
     val exact = Similarity.batchTopKExact(embeddings,
       embeddings.filter(queryPredicate), k).localCheckpoint()
-    val total = exact.count()
-    val hits = exact.select(col("query_id"), col("vec_id"))
-      .join(searchGraph(embeddings, dir, queryPredicate, k)
-        .select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_semi")
-      .count()
+    val (total, hits) = Similarity.totalAndHits(exact,
+      searchGraph(embeddings, dir, queryPredicate, k), Seq("query_id", "vec_id"))
     exact.withColumn("search_recall_ok",
       lit(total == 0L || hits.toDouble / total >= bound))
   }
@@ -311,11 +401,8 @@ object NnDescent {
     val spark = embeddings.sparkSession
     val queries = embeddings.filter(queryPredicate)
     val exact = Similarity.batchTopKExact(embeddings, queries, k).localCheckpoint()
-    val total = exact.count()
-    val hits = exact.select(col("query_id"), col("vec_id"))
-      .join(graphTopK(spark, dir, queries, k)
-        .select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_semi")
-      .count()
+    val (total, hits) = Similarity.totalAndHits(exact,
+      graphTopK(spark, dir, queries, k), Seq("query_id", "vec_id"))
     exact.withColumn("graph_recall_ok",
       lit(total == 0L || hits.toDouble / total >= bound))
   }

@@ -42,6 +42,21 @@ object Similarity {
       .select(col("vec_id"), round(col("raw_cos"), 4).as("cos_sim"))
   }
 
+  /** Recall-gate arithmetic in ONE job: total exact rows and how many
+    * have a match in `found` on `keys` (the gates used to run a count()
+    * for each — two full jobs per gate, and the gates run in every ANN
+    * row of the bench). `found` is deduped on the keys first so the
+    * left join cannot multiply exact rows. */
+  private[graft] def totalAndHits(exact: DataFrame, found: DataFrame,
+                                  keys: Seq[String]): (Long, Long) = {
+    val f = found.select(keys.map(col): _*).dropDuplicates(keys)
+      .withColumn("__hit", lit(1))
+    val r = exact.select(keys.map(col): _*)
+      .join(f, keys, "left")
+      .agg(count(lit(1)), count(col("__hit"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Seeded random hyperplanes for sign-LSH: numPlanes x dim doubles. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)
@@ -292,11 +307,9 @@ object Similarity {
                          bound: Double = 0.9,
                          numPlanes: Int = 4, numTables: Int = 6): DataFrame = {
     val exact = batchTopKExact(embeddings, queries, k).localCheckpoint()
-    val total = exact.count()
-    val hits = exact.select(col("query_id"), col("vec_id"))
-      .join(annBatchTopK(embeddings, queries, k, numPlanes, numTables)
-        .select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_semi")
-      .count()
+    val (total, hits) = totalAndHits(exact,
+      annBatchTopK(embeddings, queries, k, numPlanes, numTables),
+      Seq("query_id", "vec_id"))
     exact.withColumn("batch_recall_ok",
       lit(total == 0L || hits.toDouble / total >= bound))
   }
@@ -312,13 +325,9 @@ object Similarity {
                                        bound: Double = 0.9, numPlanes: Int = 4): DataFrame = {
     val exact = batchTopKExact(embeddings, embeddings.filter(queryPredicate), k)
       .localCheckpoint()
-    val total = exact.count()
     val ann = annBatchTopKFromSignatures(
       corpusSig, corpusSig.filter(queryPredicate), k, numPlanes)
-    val hits = exact.select(col("query_id"), col("vec_id"))
-      .join(ann.select(col("query_id"), col("vec_id")),
-        Seq("query_id", "vec_id"), "left_semi")
-      .count()
+    val (total, hits) = totalAndHits(exact, ann, Seq("query_id", "vec_id"))
     exact.withColumn("batch_recall_ok",
       lit(total == 0L || hits.toDouble / total >= bound))
   }
@@ -392,9 +401,7 @@ object Similarity {
     // Denominator = the ACHIEVABLE top-k (corpora with < k non-query
     // vectors cap the brute-force result below k; dividing by the
     // constant would then read recall < 1 even for a perfect index).
-    val denom = brute.count()
-    val hits = brute.select(col("vec_id"))
-      .join(ann.select(col("vec_id")), Seq("vec_id")).count()
+    val (denom, hits) = totalAndHits(brute, ann, Seq("vec_id"))
     brute.withColumn("recall_at_10_ok",
       lit(denom == 0L || hits.toDouble / denom >= bound))
   }

@@ -27,14 +27,18 @@ object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.GraftExtensions)
-      .getOrCreate()
+    // A/B experiments: args of the form conf:key=value override session
+    // conf; remaining args are query names.
+    args.filter(_.startsWith("conf:")).map(_.stripPrefix("conf:"))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
@@ -65,7 +69,7 @@ object ProfileQuery {
         graft.Tables.region(spark, sfDir))
       .foreach { df => df.cache(); df.count() }
 
-    for (name <- args; pass <- 1 to 2) {
+    for (name <- args.filterNot(_.startsWith("conf:")); pass <- 1 to 2) {
       if (pass == 2) {
         graft.streaming.DemoMemo.reset(spark)
         graft.llm.AnnIndex.vacuumArtifacts(spark, _ => false): Unit

@@ -93,11 +93,8 @@ object StreamAnnIngest {
         val exact = Similarity.batchTopKExact(state, batch, k = 3).localCheckpoint()
         val ann = AnnIndex.batchProbeIvfSqFrames(spark, ivf, sq, csq, emb,
           batch, k = 3, nProbe = 14, rerank = 24)
-        val total = exact.count()
-        val hits = exact.select(col("query_id"), col("vec_id"))
-          .join(ann.select(col("query_id"), col("vec_id")),
-            Seq("query_id", "vec_id"), "left_semi")
-          .count()
+        val (total, hits) = Similarity.totalAndHits(exact, ann,
+          Seq("query_id", "vec_id"))
         exact
           .withColumn("batch_recall_ok",
             lit(total == 0L || hits.toDouble / total >= 0.9))

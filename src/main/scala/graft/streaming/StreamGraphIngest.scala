@@ -87,25 +87,28 @@ object StreamGraphIngest {
         val visible = emb.filter(col("vec_id") % 10 =!= 9 || lit(mod == 9))
         // exact top-3 against the state — the emitted, SQL-replayable rows
         val exact = Similarity.batchTopKExact(state, batch, k = 3).localCheckpoint()
+        // ONE beam search serves both the gate and the placement below:
+        // the gate ranks the visited set to top-10, the append ranks the
+        // SAME set to its placement k — the fixed point is identical, so
+        // computing it twice was pure waste (guide §1.2: don't compute
+        // things you throw away).
+        val vis = NnDescent.searchVisited(visible, dir, col("vec_id") % 10 === mod)
         // gate: the beam search over the same state, filtered to
         // state nodes (batch peers are searchable but not yet indexed)
-        val found = NnDescent.searchGraph(visible, dir,
-            col("vec_id") % 10 === mod, k = 10)
+        val found = NnDescent.searchGraphFromVisited(vis, k = 10)
           .join(stateIds, Seq("vec_id"), "left_semi")
           .withColumn("r2", row_number().over(
             Window.partitionBy(col("query_id")).orderBy(col("rank"))))
           .filter(col("r2") <= 3)
-        val total = exact.count()
-        val hits = exact.select(col("query_id"), col("vec_id"))
-          .join(found.select(col("query_id"), col("vec_id")),
-            Seq("query_id", "vec_id"), "left_semi")
-          .count()
+        val (total, hits) = Similarity.totalAndHits(exact, found,
+          Seq("query_id", "vec_id"))
         exact
           .withColumn("batch_recall_ok",
             lit(total == 0L || hits.toDouble / total >= 0.9))
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
         // absorb: one atomic CoW-merge epoch on the edge table
-        NnDescent.appendToGraph(visible, dir, col("vec_id") % 10 === mod)
+        NnDescent.appendToGraph(visible, dir, col("vec_id") % 10 === mod,
+          precomputedVisited = Some(vis))
         ()
       }
       .start()

@@ -63,6 +63,14 @@ object GraftBridge {
     cs.internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = false)
   }
 
+  /** The session's live autoBroadcastJoinThreshold in bytes (-1 =
+    * disabled) — for operators that pick a join strategy from a size
+    * bound the PLANNER cannot know (e.g. an iteratively-built edge
+    * table bounded by k rows per node), so the decision stays
+    * scale-adaptive instead of a hard-coded hint. */
+  def autoBroadcastThreshold(spark: SparkSession): Long =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf.autoBroadcastJoinThreshold
+
   /** Register a temp SQL function on a live session (the
     * SparkSessionExtensions path only applies at session build time;
     * this covers already-built sessions and tests). */
