@@ -41,6 +41,21 @@ object ProfileQuery {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-SQL-execution attribution: action name + wall ns (covers
+    // planning + execution, which the job listener alone cannot see)
+    val sqlExecs = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        val top = qe.analyzed.getClass.getSimpleName
+        sqlExecs.add((funcName, durationNs, top)); ()
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    })
+
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
@@ -75,6 +90,7 @@ object ProfileQuery {
         graft.llm.AnnIndex.vacuumArtifacts(spark, _ => false): Unit
       }
       jobs.clear()
+      sqlExecs.clear()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -86,8 +102,18 @@ object ProfileQuery {
         jobs.values().asScala.toSeq.sortBy(_.id)
       }
       val jobSum = recs.map(r => (r.end - r.start) / 1e3).sum
-      println(f"\n=== $name pass $pass: $secs%.2f s wall, ${recs.size} jobs, $jobSum%.2f s in-job ===")
-      recs.sortBy(r => -(r.end - r.start)).take(40).foreach { r =>
+      val execs = {
+        import scala.jdk.CollectionConverters._
+        sqlExecs.asScala.toSeq
+      }
+      val execSum = execs.map(_._2 / 1e9).sum
+      println(f"\n=== $name pass $pass: $secs%.2f s wall, ${recs.size} jobs, $jobSum%.2f s in-job, ${execs.size} sql-execs, $execSum%.2f s in-exec ===")
+      execs.groupBy(e => (e._1, e._3)).toSeq
+        .map { case ((fn, top), es) => (fn, top, es.size, es.map(_._2 / 1e9).sum) }
+        .sortBy(-_._4).take(20).foreach { case (fn, top, cnt, s) =>
+          println(f"  exec $s%7.3f s x$cnt%-4d $fn%-22s $top")
+        }
+      recs.sortBy(r => -(r.end - r.start)).take(15).foreach { r =>
         val d = (r.end - r.start) / 1e3
         println(f"  job ${r.id}%4d ${d}%7.3f s ${r.tasks}%5d tasks  ${r.desc.take(40)}%-40s ${r.site.take(100)}")
       }

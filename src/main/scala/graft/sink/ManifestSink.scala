@@ -331,34 +331,8 @@ object ManifestSink {
         bucket.isEmpty && hllCols.isEmpty && ptime.isEmpty &&
         ident.isEmpty) None
       else if (relFiles.isEmpty) Some(emptyStats(spark))
-      else {
-        val zone =
-          if (statsCols.isEmpty) emptyStats(spark)
-          else fileStats(spark, root, relFiles, statsCols)
-        val dict =
-          if (dictCols.isEmpty) emptyStats(spark)
-          else dictStats(spark, root, relFiles, dictCols, dictCap)
-        val bloom =
-          if (bloomCols.isEmpty) emptyStats(spark)
-          else bloomStats(spark, root, relFiles, bloomCols, bloomBits, bloomHashes)
-        val buck = bucket match {
-          case Some((k, n)) => bucketStats(spark, root, relFiles, k, n)
-          case None => emptyStats(spark)
-        }
-        val pt = ptime match {
-          case Some((c, u)) => ptimeStats(spark, root, relFiles, c, u)
-          case None => emptyStats(spark)
-        }
-        val idn = ident match {
-          case Some((c, w)) => identStats(spark, root, relFiles, c, w)
-          case None => emptyStats(spark)
-        }
-        val hll =
-          if (hllCols.isEmpty) emptyStats(spark)
-          else hllStats(spark, root, relFiles, hllCols)
-        Some(zone.unionByName(dict).unionByName(bloom).unionByName(buck)
-          .unionByName(pt).unionByName(idn).unionByName(hll))
-      }
+      else fusedStats(spark, root, relFiles, statsCols, dictCols, dictCap,
+        bloomCols, bloomBits, bloomHashes, bucket, ptime, ident, hllCols)
     Staged(root, epoch, token, relFiles, stats,
       Some(asNullable(df.schema).json), sizes = sizes)
   }
@@ -762,49 +736,6 @@ object ManifestSink {
       .drop("__k", "__s")
   }
 
-  /** One `__bucket:<col>:<n>` stats row per staged file (lo == hi ==
-    * the file's bucket id), verified single-bucket — the committed,
-    * append-carried, vacuum-swept record of the layout. A CoW rewrite
-    * drops these rows for the files it replaces, so a rewritten table
-    * degrades to unpartitioned scans instead of reporting a layout it
-    * no longer has. */
-  private def bucketStats(spark: SparkSession, root: String,
-                          relFiles: Seq[String], keyCol: String,
-                          n: Int): DataFrame =
-    bucketStatsOpt(spark, root, relFiles, keyCol, n, lenient = false).get
-
-  /** [[bucketStats]] with a LENIENT mode for replace-groups commits:
-    * a mixed-bucket file returns None (the caller omits layout rows
-    * and the table degrades honestly) instead of failing the commit —
-    * direct [[commitReplaceGroups]] callers that stage outside
-    * [[relayStagedToLayout]] keep their pre-r17 behavior. */
-  private def bucketStatsOpt(spark: SparkSession, root: String,
-                             relFiles: Seq[String], keyCol: String,
-                             n: Int, lenient: Boolean): Option[DataFrame] = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, StringType}
-    val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
-    val rel = relUnderRoot(root)
-    val b = bucketIdCol(keyCol, n)
-    val base = df.groupBy(input_file_name().as("__f"))
-      .agg(min(b).as("__blo"), max(b).as("__bhi"))
-      .select(rel.as("file"), col("__blo"), col("__bhi"))
-      .collect()
-    base.foreach { r =>
-      val single = !r.isNullAt(1) && r.getInt(1) == r.getInt(2)
-      if (!single && lenient) return None
-      require(single,
-        s"bucketed stage produced a mixed-bucket file ${r.getString(0)}: " +
-          s"${r.get(1)}..${r.get(2)}")
-    }
-    import spark.implicits._
-    Some(base.toSeq.map(r => (r.getString(0), s"__bucket:$keyCol:$n",
-        r.getInt(1).toLong)).toDF("file", "col", "lo_long")
-      .select(col("file"), col("col"),
-        col("lo_long").cast(LongType), col("lo_long").cast(LongType).as("hi_long"),
-        lit(null).cast(StringType).as("lo_str"),
-        lit(null).cast(StringType).as("hi_str")))
-  }
 
   /** Per-file HLL NDV SKETCHES (the Iceberg puffin-file ndv idea at
     * the manifest level): one `__hll:<col>` row per (file, column)
@@ -1064,45 +995,6 @@ object ManifestSink {
       s"composed layout: null partition value in $col0 or $keyCol")
   }
 
-  /** One `__ptime:<col>:<unit>` stats row per staged file (lo == hi ==
-    * the file's ordinal), verified single-ordinal — the committed,
-    * append-carried, vacuum-swept record of the layout. A CoW rewrite
-    * drops these rows for the files it replaces, so a rewritten table
-    * degrades to unpartitioned scans instead of reporting a layout it
-    * no longer has (same discipline as [[bucketStats]]). */
-  private def ptimeStats(spark: SparkSession, root: String,
-                         relFiles: Seq[String], col0: String,
-                         unit: String): DataFrame =
-    ptimeStatsOpt(spark, root, relFiles, col0, unit, lenient = false).get
-
-  /** [[ptimeStats]] with the same LENIENT mode as [[bucketStatsOpt]]. */
-  private def ptimeStatsOpt(spark: SparkSession, root: String,
-                            relFiles: Seq[String], col0: String,
-                            unit: String, lenient: Boolean): Option[DataFrame] = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, StringType}
-    val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
-    val rel = relUnderRoot(root)
-    val p = timeOrdCol(col(col0), df.schema(col0).dataType, unit)
-    val base = df.groupBy(input_file_name().as("__f"))
-      .agg(min(p).as("__plo"), max(p).as("__phi"))
-      .select(rel.as("file"), col("__plo"), col("__phi"))
-      .collect()
-    base.foreach { r =>
-      val single = !r.isNullAt(1) && r.getInt(1) == r.getInt(2)
-      if (!single && lenient) return None
-      require(single,
-        s"time-partitioned stage produced a mixed-ordinal file " +
-          s"${r.getString(0)}: ${r.get(1)}..${r.get(2)}")
-    }
-    import spark.implicits._
-    Some(base.toSeq.map(r => (r.getString(0), s"__ptime:$col0:$unit",
-        r.getInt(1).toLong)).toDF("file", "col", "lo_long")
-      .select(col("file"), col("col"),
-        col("lo_long").cast(LongType), col("lo_long").cast(LongType).as("hi_long"),
-        lit(null).cast(StringType).as("lo_str"),
-        lit(null).cast(StringType).as("hi_str")))
-  }
 
   /** The committed time-transform layout of an epoch, if it FULLY
     * covers the manifest — any gap (CoW-rewritten file, non-layout
@@ -1329,58 +1221,6 @@ object ManifestSink {
   private def requireWidth(w: Option[Int]): Unit =
     w.foreach(ww => require(ww > 0, s"truncate width must be positive; got $ww"))
 
-  /** One `__ident:<col>` / `__trunc:<col>:<w>` stats row per staged
-    * file (lo == hi == the file's transform value), verified
-    * single-value — the committed, append-carried, vacuum-swept record
-    * of the layout (same discipline as [[bucketStats]]). */
-  private def identStats(spark: SparkSession, root: String,
-                         relFiles: Seq[String], col0: String,
-                         width: Option[Int]): DataFrame =
-    identStatsOpt(spark, root, relFiles, col0, width, lenient = false).get
-
-  /** [[identStats]] with the same LENIENT mode as [[bucketStatsOpt]]. */
-  private def identStatsOpt(spark: SparkSession, root: String,
-                            relFiles: Seq[String], col0: String,
-                            width: Option[Int],
-                            lenient: Boolean): Option[DataFrame] = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, StringType}
-    val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
-    val dt = df.schema(col0).dataType
-    val isStr = dt == StringType
-    val rel = relUnderRoot(root)
-    val k = identKeyCol(col(col0), dt, width)
-    val base = df.groupBy(input_file_name().as("__f"))
-      .agg(min(k).as("__ilo"), max(k).as("__ihi"))
-      .select(rel.as("file"), col("__ilo"), col("__ihi"))
-      .collect()
-    base.foreach { r =>
-      val single = !r.isNullAt(1) && r.get(1) == r.get(2)
-      if (!single && lenient) return None
-      require(single,
-        s"identity/truncate stage produced a mixed-value file " +
-          s"${r.getString(0)}: ${r.get(1)}..${r.get(2)}")
-    }
-    val spec = width.fold(s"__ident:$col0")(w => s"__trunc:$col0:$w")
-    import spark.implicits._
-    val rows =
-      if (isStr)
-        base.toSeq.map(r => (r.getString(0), spec, r.getString(1)))
-          .toDF("file", "col", "v")
-          .select(col("file"), col("col"),
-            lit(null).cast(LongType).as("lo_long"),
-            lit(null).cast(LongType).as("hi_long"),
-            col("v").as("lo_str"), col("v").as("hi_str"))
-      else
-        base.toSeq.map(r => (r.getString(0), spec, r.getLong(1)))
-          .toDF("file", "col", "v")
-          .select(col("file"), col("col"),
-            col("v").cast(LongType).as("lo_long"),
-            col("v").cast(LongType).as("hi_long"),
-            lit(null).cast(StringType).as("lo_str"),
-            lit(null).cast(StringType).as("hi_str"))
-    Some(rows)
-  }
 
   /** The committed identity/truncate layout of an epoch, if it FULLY
     * covers the manifest — any gap (a non-layout append, mixed specs)
@@ -1858,7 +1698,7 @@ object ManifestSink {
     val freshStats =
       if (statsCols.isEmpty) None
       else if (relFiles.isEmpty) Some(emptyStats(spark))
-      else Some(fileStats(spark, root, relFiles, statsCols))
+      else fusedStats(spark, root, relFiles, statsCols)
     val fresh = Staged(root, next, token, relFiles, freshStats,
       sizes = freshSizes)
     val staged =
@@ -1966,8 +1806,30 @@ object ManifestSink {
     c.substr(locate(marker, c) + lit(marker.length), lit(Int.MaxValue))
   }
 
-  private def fileStats(spark: SparkSession, root: String,
-                        relFiles: Seq[String], statsCols: Seq[String]): DataFrame = {
+  /** EVERY requested per-file stats flavor in ONE pass (guide §1.2 —
+    * one read, one groupBy(input_file_name), one driver collect of
+    * file-count-bounded rows): zone min/max + __count, dictionaries,
+    * bloom filters, bucket/ptime/ident layout rows, HLL sketches. The
+    * dedicated single-flavor builders each re-scan the freshly staged
+    * files — a composed-spec CTAS with zone maps paid three scans and
+    * three shuffles of the batch it had just written; this fuses them
+    * into one aggregation whose result is one row per staged file (the
+    * same driver bound as the `sizes` map the stage already holds, and
+    * the same enumeration an Iceberg manifest makes). Values and
+    * validation messages are byte-identical to the dedicated paths;
+    * under `lenientLayout` a layout flavor that sees a mixed-value
+    * file contributes NO rows (independently per flavor — the
+    * spec-detection callers' partial-coverage contract) instead of
+    * throwing. Always Some (Option kept for call-site symmetry). */
+  private def fusedStats(spark: SparkSession, root: String, relFiles: Seq[String],
+                         statsCols: Seq[String], dictCols: Seq[String] = Nil,
+                         dictCap: Int = 256, bloomCols: Seq[String] = Nil,
+                         bloomBits: Int = 16384, bloomHashes: Int = 5,
+                         bucketO: Option[(String, Int)] = None,
+                         ptime: Option[(String, String)] = None,
+                         ident: Option[(String, Option[Int])] = None,
+                         hllCols: Seq[String] = Nil,
+                         lenientLayout: Boolean = false): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
@@ -1981,148 +1843,169 @@ object ManifestSink {
             s"columns; $c is $other")
       }
     }
-    val aggs = statsCols.flatMap { c =>
+    val aggs = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
+    aggs ++= statsCols.flatMap { c =>
       val e = statLongExpr(col(c), schema(c).dataType)
       Seq(min(e).as(s"__lo_$c"), max(e).as(s"__hi_$c"))
-    } :+
-      count(lit(1)).as("__cnt")
-    // relative path = last two segments (layout is always root/dir/file)
-    val rel = relUnderRoot(root)
-    val base = df.groupBy(input_file_name().as("__f"))
-      .agg(aggs.head, aggs.tail: _*)
-    // one `__count` row per file rides every zone-map publish: it is
-    // what makes metadata-only aggregation ([[aggFromMetadata]])
-    // possible, and it merges/carries/compacts through the same
-    // machinery as the min/max rows (appends union it, CoW carries it)
-    val cnt = base.select(
-      rel.as("file"), lit("__count").as("col"),
-      col("__cnt").cast(LongType).as("lo_long"),
-      lit(null).cast(LongType).as("hi_long"),
-      lit(null).cast(StringType).as("lo_str"),
-      lit(null).cast(StringType).as("hi_str"))
-    (statsCols.map { c =>
-      val isStr = schema(c).dataType == StringType
-      base.select(
-        rel.as("file"), lit(c).as("col"),
-        (if (isStr) lit(null).cast(LongType) else col(s"__lo_$c").cast(LongType)).as("lo_long"),
-        (if (isStr) lit(null).cast(LongType) else col(s"__hi_$c").cast(LongType)).as("hi_long"),
-        (if (isStr) col(s"__lo_$c") else lit(null).cast(StringType)).as("lo_str"),
-        (if (isStr) col(s"__hi_$c") else lit(null).cast(StringType)).as("hi_str"))
-    } :+ cnt).reduce(_ unionByName _)
-  }
-
-  /** FILE DICTIONARIES — the point-lookup complement of the zone maps
-    * (Parquet's dictionary-filtering idea lifted to the manifest
-    * level): for each dict column, every file contributes either its
-    * COMPLETE distinct-value set (≤ `cap` values, one stats row per
-    * value under the pseudo-column `__dict:c`) or an overflow
-    * sentinel (`__dictover:c` — high-cardinality file, never pruned).
-    * Where a hash-clustered layout makes min/max useless (every
-    * file's range spans the key space), the dictionary prunes a point
-    * lookup to exactly the files that CONTAIN the key. Rows share the
-    * zone-map stats schema (value in lo_long / lo_str), so they
-    * merge, carry, and compact through the same machinery.
-    * collect_set gathers a file's full distinct set before the cap
-    * test — dict columns are for bounded-cardinality keys (device
-    * ids, shards, enum-ish dimensions), which is also when the
-    * feature is useful. */
-  private def dictStats(spark: SparkSession, root: String,
-                        relFiles: Seq[String], dictCols: Seq[String],
-                        cap: Int): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types._
-    val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
-    val schema = df.schema
-    val rel = relUnderRoot(root)
-    dictCols.map { c =>
-      val isStr = schema(c).dataType match {
-        case StringType => true
-        case LongType | IntegerType | ShortType | ByteType => false
+    }
+    aggs += count(lit(1)).as("__cnt")
+    aggs ++= dictCols.map { c =>
+      schema(c).dataType match {
+        case StringType | LongType | IntegerType | ShortType | ByteType => ()
         case other => throw new IllegalArgumentException(
           s"file dictionaries support integral and string columns; $c is $other")
       }
-      val grouped = df.groupBy(input_file_name().as("__f"))
-        .agg(collect_set(col(c)).as("__s"))
-        .select(rel.as("file"), col("__s"), (size(col("__s")) > cap).as("__over"))
-      val values = grouped.filter(!col("__over"))
-        .select(col("file"), explode(col("__s")).as("__v"))
-        .select(col("file"), lit(s"__dict:$c").as("col"),
-          (if (isStr) lit(null).cast(LongType) else col("__v").cast(LongType)).as("lo_long"),
-          lit(null).cast(LongType).as("hi_long"),
-          (if (isStr) col("__v").cast(StringType) else lit(null).cast(StringType)).as("lo_str"),
-          lit(null).cast(StringType).as("hi_str"))
-      val over = grouped.filter(col("__over"))
-        .select(col("file"), lit(s"__dictover:$c").as("col"),
-          lit(null).cast(LongType).as("lo_long"), lit(null).cast(LongType).as("hi_long"),
-          lit(null).cast(StringType).as("lo_str"), lit(null).cast(StringType).as("hi_str"))
-      values.unionByName(over)
-    }.reduce(_ unionByName _)
-  }
-
-  /** PER-FILE BLOOM FILTERS — the high-cardinality point-lookup tier
-    * (Parquet's bloom filters lifted to the manifest level, as
-    * Iceberg/Delta do with puffin/deletion-adjacent sketches): where
-    * the file dictionary OVERFLOWS (too many distinct values to store
-    * exactly) and a hash-clustered layout blinds the zone map (every
-    * file's min/max spans the key space), a fixed-size bloom per
-    * (file, column) still prunes a point lookup to the files that MAY
-    * contain the key — no false negatives (the containing file is
-    * always kept), false positives bounded by (1-e^(-kn/m))^k. One
-    * stats row per (file, column) under pseudo-column `__bloom:c`:
-    * the bitmap as hex in `lo_str`, with m (bits) in `lo_long` and k
-    * (hashes) in `hi_long`, so the read side probes under the
-    * COMMITTED parameters even across epochs written with different
-    * settings. Bit positions are computed DISTRIBUTIVELY with the
-    * same Spark expression the probe side replays
-    * (`pmod(xxhash64(lit(seed), col), m)`), which removes any
-    * write/read hash-mismatch surface; only the per-file distinct
-    * position sets (≤ m bits per file — bounded metadata, the same
-    * class as the zone-map rows) reach the driver for bitmap
-    * assembly. Rows share the stats schema, so blooms merge, carry,
-    * and compact through the append/CoW machinery unchanged. */
-  private def bloomStats(spark: SparkSession, root: String,
-                         relFiles: Seq[String], bloomCols: Seq[String],
-                         m: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types._
-    require(m > 0 && m % 8 == 0, s"bloom bits must be a positive multiple of 8, got $m")
-    require(k >= 1, s"bloom needs at least one hash, got $k")
-    val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
-    val schema = df.schema
-    bloomCols.map { c =>
+      collect_set(col(c)).as(s"__d_$c")
+    }
+    if (bloomCols.nonEmpty) {
+      require(bloomBits > 0 && bloomBits % 8 == 0,
+        s"bloom bits must be a positive multiple of 8, got $bloomBits")
+      require(bloomHashes >= 1, s"bloom needs at least one hash, got $bloomHashes")
+    }
+    aggs ++= bloomCols.flatMap { c =>
       val probe: org.apache.spark.sql.Column = schema(c).dataType match {
         case StringType => col(c)
         case LongType | IntegerType | ShortType | ByteType => col(c).cast(LongType)
         case other => throw new IllegalArgumentException(
           s"bloom filters support integral and string columns; $c is $other")
       }
-      val posCols = (0 until k).map(i =>
-        pmod(xxhash64(lit(i), probe), lit(m.toLong)).cast(IntegerType))
-      val perFile = df.filter(col(c).isNotNull)
-        .select(input_file_name().as("__f"),
-          explode(array(posCols: _*)).as("__p"))
-        .groupBy("__f").agg(collect_set(col("__p")).as("__ps"))
-        .collect()
-      val marker = rootMarker(root)
-      val rows = perFile.map { r =>
-        val full = r.getString(0)
-        val at = full.indexOf(marker)
-        val rel =
-          if (at >= 0) full.substring(at + marker.length)
-          else full.split("/").takeRight(2).mkString("/")
-        val bytes = new Array[Byte](m / 8)
-        r.getSeq[Int](1).foreach { p =>
-          bytes(p / 8) = (bytes(p / 8) | (1 << (p % 8))).toByte
+      (0 until bloomHashes).map(i => collect_set(when(col(c).isNotNull,
+        pmod(xxhash64(lit(i), probe), lit(bloomBits.toLong)).cast(IntegerType)))
+        .as(s"__b${i}_$c"))
+    }
+    bucketO.foreach { case (k, n) =>
+      val b = bucketIdCol(k, n)
+      aggs += min(b).as("__blo"); aggs += max(b).as("__bhi")
+    }
+    ptime.foreach { case (c, u) =>
+      val p = timeOrdCol(col(c), schema(c).dataType, u)
+      aggs += min(p).as("__plo"); aggs += max(p).as("__phi")
+    }
+    ident.foreach { case (c, w) =>
+      val k = identKeyCol(col(c), schema(c).dataType, w)
+      aggs += min(k).as("__ilo"); aggs += max(k).as("__ihi")
+    }
+    aggs ++= hllCols.flatMap { c =>
+      val in = schema(c).dataType match {
+        case StringType | LongType | IntegerType => col(c)
+        case ShortType | ByteType => col(c).cast(IntegerType)
+        case TimestampType | TimestampNTZType | DateType =>
+          statLongExpr(col(c), schema(c).dataType)
+        case other => throw new IllegalArgumentException(
+          s"hll sketches support integral, string, timestamp, and date " +
+            s"columns; $c is $other")
+      }
+      Seq(hex(hll_sketch_agg(in)).as(s"__h_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"))
+    }
+    val collected = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail.toSeq: _*)
+      .collect()
+    val marker = rootMarker(root)
+    def relOf(full: String): String = {
+      val at = full.indexOf(marker)
+      if (at >= 0) full.substring(at + marker.length)
+      else full.split("/").takeRight(2).mkString("/")
+    }
+    // layout flavors validate up front, per flavor: strict callers get
+    // the dedicated paths' exact require message naming the first
+    // offending file; lenient callers drop just that flavor's rows
+    def flavorClean(loCol: String, hiCol: String, what: String): Boolean = {
+      collected.foreach { r =>
+        val lo = r.getAs[Any](loCol); val hi = r.getAs[Any](hiCol)
+        val single = lo != null && lo == hi
+        if (!single) {
+          if (lenientLayout) return false
+          require(single, s"$what ${relOf(r.getAs[String]("__f"))}: $lo..$hi")
         }
-        org.apache.spark.sql.Row(rel, s"__bloom:$c", m.toLong, k.toLong,
+      }
+      true
+    }
+    val bucketClean = bucketO.isDefined && flavorClean("__blo", "__bhi",
+      "bucketed stage produced a mixed-bucket file")
+    val ptimeClean = ptime.isDefined && flavorClean("__plo", "__phi",
+      "time-partitioned stage produced a mixed-ordinal file")
+    val identClean = ident.isDefined && flavorClean("__ilo", "__ihi",
+      "identity/truncate stage produced a mixed-value file")
+    def asLong(v: Any): java.lang.Long = v match {
+      case null => null
+      case l: Long => java.lang.Long.valueOf(l)
+      case i: Int => java.lang.Long.valueOf(i.toLong)
+      case s: Short => java.lang.Long.valueOf(s.toLong)
+      case b: Byte => java.lang.Long.valueOf(b.toLong)
+      case other => throw new IllegalStateException(s"unexpected stat value $other")
+    }
+    val rows = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    collected.foreach { r =>
+      val file = relOf(r.getAs[String]("__f"))
+      statsCols.foreach { c =>
+        val isStr = schema(c).dataType == StringType
+        val lo = r.getAs[Any](s"__lo_$c"); val hi = r.getAs[Any](s"__hi_$c")
+        rows += org.apache.spark.sql.Row(file, c,
+          if (isStr) null else asLong(lo), if (isStr) null else asLong(hi),
+          if (isStr) lo else null, if (isStr) hi else null)
+      }
+      // __count rides the ZONE-MAP flavor exactly as in fileStats — a
+      // layout-only stage (no statsCols) must not grow one (the
+      // metadata-agg coverage checks key on its presence)
+      if (statsCols.nonEmpty)
+        rows += org.apache.spark.sql.Row(file, "__count",
+          asLong(r.getAs[Any]("__cnt")), null, null, null)
+      dictCols.foreach { c =>
+        val isStr = schema(c).dataType == StringType
+        val set = r.getAs[scala.collection.Seq[Any]](s"__d_$c")
+        if (set.size > dictCap)
+          rows += org.apache.spark.sql.Row(file, s"__dictover:$c", null, null, null, null)
+        else set.foreach { v =>
+          rows += org.apache.spark.sql.Row(file, s"__dict:$c",
+            if (isStr) null else asLong(v), null,
+            if (isStr) v.toString else null, null)
+        }
+      }
+      bloomCols.foreach { c =>
+        val bytes = new Array[Byte](bloomBits / 8)
+        (0 until bloomHashes).foreach { i =>
+          r.getAs[scala.collection.Seq[Int]](s"__b${i}_$c").foreach { p =>
+            bytes(p / 8) = (bytes(p / 8) | (1 << (p % 8))).toByte
+          }
+        }
+        rows += org.apache.spark.sql.Row(file, s"__bloom:$c",
+          bloomBits.toLong, bloomHashes.toLong,
           bytes.map("%02x".format(_)).mkString, null)
       }
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          java.util.Arrays.asList(rows: _*)),
-        emptyStats(spark).schema)
-    }.reduce(_ unionByName _)
+      if (bucketClean) bucketO.foreach { case (k, n) =>
+        val lo = r.getAs[Any]("__blo")
+        rows += org.apache.spark.sql.Row(file, s"__bucket:$k:$n",
+          asLong(lo), asLong(lo), null, null)
+      }
+      if (ptimeClean) ptime.foreach { case (c, u) =>
+        val lo = r.getAs[Any]("__plo")
+        rows += org.apache.spark.sql.Row(file, s"__ptime:$c:$u",
+          asLong(lo), asLong(lo), null, null)
+      }
+      if (identClean) ident.foreach { case (c, w) =>
+        val isStr = schema(c).dataType == StringType
+        val lo = r.getAs[Any]("__ilo")
+        val spec = w.fold(s"__ident:$c")(wd => s"__trunc:$c:$wd")
+        rows += org.apache.spark.sql.Row(file, spec,
+          if (isStr) null else asLong(lo), if (isStr) null else asLong(lo),
+          if (isStr) lo.toString else null, if (isStr) lo.toString else null)
+      }
+      hllCols.foreach { c =>
+        rows += org.apache.spark.sql.Row(file, s"__hll:$c",
+          null, null, r.getAs[String](s"__h_$c"), null)
+        rows += org.apache.spark.sql.Row(file, s"__nulls:$c",
+          asLong(r.getAs[Any](s"__n_$c")), null, null, null)
+      }
+    }
+    Some(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows.toSeq: _*)),
+      emptyStats(spark).schema))
   }
+
+
+
 
   /** Publish with zone maps AND per-file bloom filters (see
     * [[bloomStats]]): `bloomCols` get probabilistic point-lookup
@@ -2713,14 +2596,17 @@ object ManifestSink {
   private def replacementLayoutStats(spark: SparkSession, root: String,
                                      cur: Int, relFiles: Seq[String]): DataFrame = {
     if (relFiles.isEmpty) return emptyStats(spark)
-    val b = bucketSpec(spark, root, cur).flatMap(s =>
-      bucketStatsOpt(spark, root, relFiles, s.keyCol, s.numBuckets,
-        lenient = true))
-    val t = ptimeSpec(spark, root, cur).flatMap(s =>
-      ptimeStatsOpt(spark, root, relFiles, s.col, s.unit, lenient = true))
-    val i = identSpec(spark, root, cur).flatMap(s =>
-      identStatsOpt(spark, root, relFiles, s.col, s.width, lenient = true))
-    (b.toSeq ++ t.toSeq ++ i.toSeq).foldLeft(emptyStats(spark))(_ unionByName _)
+    // spec detection is metadata-only; the verification scan of the
+    // replacement files then runs ONCE for every present flavor (the
+    // per-flavor lenient drop preserves partial coverage exactly as
+    // the three dedicated passes did)
+    val b = bucketSpec(spark, root, cur).map(s => (s.keyCol, s.numBuckets))
+    val t = ptimeSpec(spark, root, cur).map(s => (s.col, s.unit))
+    val i = identSpec(spark, root, cur).map(s => (s.col, s.width))
+    if (b.isEmpty && t.isEmpty && i.isEmpty) emptyStats(spark)
+    else fusedStats(spark, root, relFiles, statsCols = Nil,
+      bucketO = b, ptime = t, ident = i, lenientLayout = true)
+      .getOrElse(emptyStats(spark))
   }
 
   /** Collapse a publishing branch's STAGED delete vectors into ONE
@@ -2869,9 +2755,6 @@ object ManifestSink {
           val statsCols = stats.select("col").distinct().collect()
             .map(_.getString(0)).filterNot(_.startsWith("__")).sorted.toSeq
           val carriedStats = stats.filter(col("file").isin(carried: _*))
-          val freshStats =
-            if (newRel.isEmpty || statsCols.isEmpty) emptyStats(spark)
-            else fileStats(spark, root, newRel, statsCols)
           // layout-preserving CoW (VERDICT r16/r18): replacement
           // files staged single-key (the layout write rotates per
           // value) get their own layout rows, so the spec keeps
@@ -2882,21 +2765,24 @@ object ManifestSink {
           // no committed whole-table spec exists to infer from)
           // passes it; verification is then STRICT (the files were
           // just placed — a mixed-key file is a placement bug, not an
-          // honest degrade).
-          val layoutStats = declaredLayout match {
+          // honest degrade). Zone maps and the declared-layout rows
+          // fuse into ONE verification pass over the replacement
+          // batch (fusedStats); the inferred-spec fallback keeps its
+          // own lenient pass.
+          val freshAndLayout = declaredLayout match {
             case Some(ld) if newRel.nonEmpty && !ld.isEmpty =>
-              (ld.bucket.flatMap { case (c, n) =>
-                bucketStatsOpt(spark, root, newRel, c, n, lenient = false)
-              }.toSeq ++
-                ld.ptime.flatMap { case (c, u) =>
-                  ptimeStatsOpt(spark, root, newRel, c, u, lenient = false)
-                } ++
-                ld.ident.flatMap { case (c, w) =>
-                  identStatsOpt(spark, root, newRel, c, w, lenient = false)
-                }).foldLeft(emptyStats(spark))(_ unionByName _)
-            case _ => replacementLayoutStats(spark, root, cur, newRel)
+              fusedStats(spark, root, newRel, statsCols,
+                bucketO = ld.bucket, ptime = ld.ptime, ident = ld.ident)
+                .getOrElse(emptyStats(spark))
+            case _ =>
+              val freshStats =
+                if (newRel.isEmpty || statsCols.isEmpty) emptyStats(spark)
+                else fusedStats(spark, root, newRel, statsCols)
+                  .getOrElse(emptyStats(spark))
+              freshStats.unionByName(
+                replacementLayoutStats(spark, root, cur, newRel))
           }
-          Some(carriedStats.unionByName(freshStats).unionByName(layoutStats))
+          Some(carriedStats.unionByName(freshAndLayout))
         }
       val tableSchema = commitSchema(spark, root, cur)
       try {
@@ -3243,7 +3129,8 @@ object ManifestSink {
             .map(_.getString(0)).filterNot(_.startsWith("__")).sorted.toSeq
           val freshStats =
             if (deltaRel.isEmpty || statsCols.isEmpty) emptyStats(spark)
-            else fileStats(spark, root, deltaRel, statsCols)
+            else fusedStats(spark, root, deltaRel, statsCols)
+              .getOrElse(emptyStats(spark))
           Some(stats.unionByName(freshStats))
         }
       try {
