@@ -731,21 +731,32 @@ object Dedup {
       .localCheckpoint()
 
     var labels = vertices.select(col("doc_id"), col("doc_id").as("component"))
+    // Convergence probe via the MONOTONE LABEL SUM (guide §1.2 — don't
+    // pay a join for what an aggregate proves): min-propagation only
+    // ever lowers a vertex's label and never drops a vertex, so the
+    // exact per-round label sum strictly decreases iff ANY label
+    // changed — equal sums == fixpoint. One tiny aggregate job on the
+    // just-checkpointed labels replaces the old per-round
+    // next-join-prior improvement probe (a join + two exchanges of the
+    // label table, every round). DECIMAL(38,0) keeps the sum exact at
+    // any scale (ANSI long sum would overflow on 10^12-row corpora).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("component")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var curSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val pushed = sym
-        .join(labels.select(col("doc_id").as("src"), col("component")), Seq("src"))
-        .select(col("dst").as("doc_id"), col("component"))
-      val next = labels.unionByName(pushed)
+      val next = labels.unionByName(sym
+          .join(labels.select(col("doc_id").as("src"), col("component")), Seq("src"))
+          .select(col("dst").as("doc_id"), col("component")))
         .groupBy("doc_id").agg(min("component").as("component"))
         .localCheckpoint() // truncate the per-round lineage growth
-      val improved = next.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.component") < col("o.component"))
-        .limit(1).count() // any strict improvement => another round
+      val nextSum = labelSum(next)
       labels = next
-      converged = improved == 0
+      converged = nextSum.compareTo(curSum) == 0
+      curSum = nextSum
       iter += 1
     }
     labels.orderBy("doc_id")

@@ -326,11 +326,15 @@ object ManifestSink {
       .filter(_.getPath.getName.endsWith(".parquet"))
     val sizes = listed.map(s => s"$dirName/${s.getPath.getName}" -> s.getLen).toMap
     val relFiles = sizes.keys.toSeq.sorted
+    val zoneOnly = dictCols.isEmpty && bloomCols.isEmpty && bucket.isEmpty &&
+      hllCols.isEmpty && ptime.isEmpty && ident.isEmpty
     val stats =
-      if (statsCols.isEmpty && dictCols.isEmpty && bloomCols.isEmpty &&
-        bucket.isEmpty && hllCols.isEmpty && ptime.isEmpty &&
-        ident.isEmpty) None
+      if (statsCols.isEmpty && zoneOnly) None
       else if (relFiles.isEmpty) Some(emptyStats(spark))
+      // zone-only commits keep the LAZY builder (zero extra jobs — the
+      // rows compute inside the commit's stats write); anything with a
+      // second flavor fuses every flavor into one pass
+      else if (zoneOnly) Some(zoneStats(spark, root, relFiles, statsCols))
       else fusedStats(spark, root, relFiles, statsCols, dictCols, dictCap,
         bloomCols, bloomBits, bloomHashes, bucket, ptime, ident, hllCols)
     Staged(root, epoch, token, relFiles, stats,
@@ -1698,7 +1702,7 @@ object ManifestSink {
     val freshStats =
       if (statsCols.isEmpty) None
       else if (relFiles.isEmpty) Some(emptyStats(spark))
-      else fusedStats(spark, root, relFiles, statsCols)
+      else Some(zoneStats(spark, root, relFiles, statsCols))
     val fresh = Staged(root, next, token, relFiles, freshStats,
       sizes = freshSizes)
     val staged =
@@ -1804,6 +1808,56 @@ object ManifestSink {
     import org.apache.spark.sql.functions.{lit, locate}
     val marker = rootMarker(root)
     c.substr(locate(marker, c) + lit(marker.length), lit(Int.MaxValue))
+  }
+
+  /** LAZY zone-map builder for SINGLE-flavor (statsCols-only) stages:
+    * the rows fold into the commit's one stats-parquet write, so the
+    * common append/DML commit pays ZERO extra jobs. Multi-flavor
+    * stages go through [[fusedStats]] (one pass for all flavors)
+    * instead of one scan per flavor. */
+  private def zoneStats(spark: SparkSession, root: String,
+                        relFiles: Seq[String], statsCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(relFiles.map(r => s"$root/$r"): _*)
+    val schema = df.schema
+    statsCols.foreach { c =>
+      schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType | StringType |
+             TimestampType | TimestampNTZType | DateType => ()
+        case other => throw new IllegalArgumentException(
+          s"zone maps support integral, string, timestamp, and date " +
+            s"columns; $c is $other")
+      }
+    }
+    val aggs = statsCols.flatMap { c =>
+      val e = statLongExpr(col(c), schema(c).dataType)
+      Seq(min(e).as(s"__lo_$c"), max(e).as(s"__hi_$c"))
+    } :+
+      count(lit(1)).as("__cnt")
+    // relative path = last two segments (layout is always root/dir/file)
+    val rel = relUnderRoot(root)
+    val base = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+    // one `__count` row per file rides every zone-map publish: it is
+    // what makes metadata-only aggregation ([[aggFromMetadata]])
+    // possible, and it merges/carries/compacts through the same
+    // machinery as the min/max rows (appends union it, CoW carries it)
+    val cnt = base.select(
+      rel.as("file"), lit("__count").as("col"),
+      col("__cnt").cast(LongType).as("lo_long"),
+      lit(null).cast(LongType).as("hi_long"),
+      lit(null).cast(StringType).as("lo_str"),
+      lit(null).cast(StringType).as("hi_str"))
+    (statsCols.map { c =>
+      val isStr = schema(c).dataType == StringType
+      base.select(
+        rel.as("file"), lit(c).as("col"),
+        (if (isStr) lit(null).cast(LongType) else col(s"__lo_$c").cast(LongType)).as("lo_long"),
+        (if (isStr) lit(null).cast(LongType) else col(s"__hi_$c").cast(LongType)).as("hi_long"),
+        (if (isStr) col(s"__lo_$c") else lit(null).cast(StringType)).as("lo_str"),
+        (if (isStr) col(s"__hi_$c") else lit(null).cast(StringType)).as("hi_str"))
+    } :+ cnt).reduce(_ unionByName _)
   }
 
   /** EVERY requested per-file stats flavor in ONE pass (guide §1.2 —
@@ -2777,8 +2831,7 @@ object ManifestSink {
             case _ =>
               val freshStats =
                 if (newRel.isEmpty || statsCols.isEmpty) emptyStats(spark)
-                else fusedStats(spark, root, newRel, statsCols)
-                  .getOrElse(emptyStats(spark))
+                else zoneStats(spark, root, newRel, statsCols)
               freshStats.unionByName(
                 replacementLayoutStats(spark, root, cur, newRel))
           }
@@ -3129,8 +3182,7 @@ object ManifestSink {
             .map(_.getString(0)).filterNot(_.startsWith("__")).sorted.toSeq
           val freshStats =
             if (deltaRel.isEmpty || statsCols.isEmpty) emptyStats(spark)
-            else fusedStats(spark, root, deltaRel, statsCols)
-              .getOrElse(emptyStats(spark))
+            else zoneStats(spark, root, deltaRel, statsCols)
           Some(stats.unionByName(freshStats))
         }
       try {
