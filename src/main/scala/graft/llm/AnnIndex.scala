@@ -43,8 +43,14 @@ object AnnIndex {
     * in (hash, id) order. The row_number window runs on the ALREADY
     * LIMITed nCells rows — never a global single-partition sort. */
   private[graft] def seedCentroids(embeddings: DataFrame, nCells: Int): DataFrame =
-    embeddings
-      .select(col("vec_id"), Similarity.unitVector(col("embedding")).as("centroid"))
+    seedCentroidsFromUnits(
+      embeddings.select(col("vec_id"),
+        Similarity.unitVector(col("embedding")).as("u")), nCells)
+
+  /** Same seeds from an already-projected (vec_id, u) unit table. */
+  private[graft] def seedCentroidsFromUnits(units: DataFrame, nCells: Int): DataFrame =
+    units
+      .select(col("vec_id"), col("u").as("centroid"))
       .orderBy(hash(col("vec_id")), col("vec_id"))
       .limit(nCells)
       .withColumn("cell",
@@ -114,10 +120,21 @@ object AnnIndex {
     // — acceptable for a bounded build job (a lost executor restarts
     // the build); a long-lived cluster build would persist
     // MEMORY_AND_DISK instead.
-    val units = embeddings
+    val units = unitsOf(embeddings).localCheckpoint()
+    buildIvfFromUnits(spark, embeddings, units, dir, nCells, lloydIters)
+  }
+
+  private[graft] def unitsOf(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), Similarity.unitVector(col("embedding")).as("u"))
-      .localCheckpoint()
-    val cents = trainCentroids(units, seedCentroids(embeddings, nCells), lloydIters)
+
+  private def buildIvfFromUnits(spark: SparkSession, embeddings: DataFrame,
+                                units: DataFrame, dir: String,
+                                nCells: Int, lloydIters: Int): Unit = {
+    // seeds from the shared unit table — same rows seedCentroids
+    // derives (unitVector is deterministic), one corpus pass saved
+    val cents = trainCentroids(units,
+      seedCentroidsFromUnits(units, nCells), lloydIters)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     val assigned = assignCells(units, spark.read.parquet(s"$dir/centroids"))
     embeddings.join(assigned, Seq("vec_id"))
@@ -202,10 +219,11 @@ object AnnIndex {
     *   dir/sq_params — 1 row: per-dim mins + scales (array<double>);
     *   dir/sq_codes  — (vec_id, codes array<int> in 0..255), the
     *                   4x-smaller first-pass table. */
-  def buildSq(spark: SparkSession, embeddings: DataFrame, dir: String): Unit = {
-    val units = embeddings
-      .select(col("vec_id"), Similarity.unitVector(col("embedding")).as("u"))
-      .localCheckpoint()
+  def buildSq(spark: SparkSession, embeddings: DataFrame, dir: String): Unit =
+    buildSqFromUnits(spark, unitsOf(embeddings).localCheckpoint(), dir)
+
+  private def buildSqFromUnits(spark: SparkSession, units: DataFrame,
+                               dir: String): Unit = {
     val params = units.agg(
       array((0 until Dim).map(i => min(element_at(col("u"), i + 1))): _*).as("mins"),
       array((0 until Dim).map(i =>
@@ -274,6 +292,21 @@ object AnnIndex {
     * nProbe partitions OF THE 4x-SMALLER table — partition pruning and
     * quantization multiply. Builds on the persisted ivf + sq artifacts
     * (assignment and codes are read back, not recomputed). */
+  /** Build all three index tiers of one corpus in one go, sharing ONE
+    * unit-vector projection/checkpoint between the IVF training and
+    * the SQ grid+codes (the separate builders each paid their own
+    * corpus pass + checkpoint — guide §1.2). Artifact bytes are
+    * identical to the separate builders': unitVector is deterministic
+    * and every downstream expression is unchanged. */
+  def buildIvfSqAll(spark: SparkSession, embeddings: DataFrame,
+                    ivfDir: String, sqDir: String, csqDir: String,
+                    nCells: Int = 16, lloydIters: Int = 1): Unit = {
+    val units = unitsOf(embeddings).localCheckpoint()
+    buildIvfFromUnits(spark, embeddings, units, ivfDir, nCells, lloydIters)
+    buildSqFromUnits(spark, units, sqDir)
+    buildIvfSq(spark, ivfDir, sqDir, csqDir)
+  }
+
   def buildIvfSq(spark: SparkSession, ivfDir: String, sqDir: String,
                  outDir: String): Unit =
     spark.read.parquet(s"$ivfDir/cells").select(col("vec_id"), col("cell"))
@@ -726,9 +759,11 @@ object AnnIndex {
     * index. Centroid drift under sustained appends is a rebuild
     * trigger, not an append concern (the standard IVF maintenance
     * contract). */
-  def appendIvf(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
-    val units = delta
-      .select(col("vec_id"), Similarity.unitVector(col("embedding")).as("u"))
+  def appendIvf(spark: SparkSession, dir: String, delta: DataFrame): Unit =
+    appendIvfFromUnits(spark, dir, delta, unitsOf(delta))
+
+  private def appendIvfFromUnits(spark: SparkSession, dir: String,
+                                 delta: DataFrame, units: DataFrame): Unit = {
     val assigned = assignCells(units, spark.read.parquet(s"$dir/centroids"))
     delta.join(assigned, Seq("vec_id"))
       .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
@@ -740,24 +775,56 @@ object AnnIndex {
     * clamp to the grid edge (quantize's 0..255 clamp), costing those
     * dims resolution, not correctness: the exact float re-rank still
     * orders the final k. */
-  def appendSq(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
-    val units = delta
-      .select(col("vec_id"), Similarity.unitVector(col("embedding")).as("u"))
-    val p = spark.read.parquet(s"$dir/sq_params")
-    units.crossJoin(broadcast(p))
-      .select(col("vec_id"), quantize(col("u"), col("mins"), col("scales")).as("codes"))
-      .write.mode("append").parquet(s"$dir/sq_codes")
-  }
+  def appendSq(spark: SparkSession, dir: String, delta: DataFrame): Unit =
+    appendSqFromUnits(spark, dir, unitsOf(delta))
 
-  /** Append the delta into the composed IVF-SQ layout: join the (just
-    * appended) cell assignments and int8 codes for the DELTA ids only,
-    * append into the cell partitions of `cells_sq`. */
+  private def deltaCodes(spark: SparkSession, sqDir: String,
+                         units: DataFrame): DataFrame =
+    units.crossJoin(broadcast(spark.read.parquet(s"$sqDir/sq_params")))
+      .select(col("vec_id"), quantize(col("u"), col("mins"), col("scales")).as("codes"))
+
+  private def appendSqFromUnits(spark: SparkSession, dir: String,
+                                units: DataFrame): Unit =
+    deltaCodes(spark, dir, units)
+      .write.mode("append").parquet(s"$dir/sq_codes")
+
+  /** Append the delta into the composed IVF-SQ layout: the delta's
+    * cell assignments and int8 codes are recomputed DIRECTLY from the
+    * persisted centroid table and quantization grid (the same
+    * deterministic expressions [[appendIvf]]/[[appendSq]] write, so the
+    * values are identical to a read-back join) and appended into the
+    * cell partitions of `cells_sq`. The old spelling re-read the ENTIRE
+    * `cells` and `sq_codes` trees per append just to semi-join the
+    * delta ids back out — two corpus-sized scans for delta-sized output
+    * (guide §1.2/§6: at 100 TB the nightly append must touch
+    * O(delta) + two k-row artifacts, never the standing index). */
   def appendIvfSq(spark: SparkSession, ivfDir: String, sqDir: String,
                   outDir: String, delta: DataFrame): Unit =
-    spark.read.parquet(s"$ivfDir/cells").select(col("vec_id"), col("cell"))
-      .join(spark.read.parquet(s"$sqDir/sq_codes"), Seq("vec_id"))
-      .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"), "left_semi")
-      .write.partitionBy("cell").mode("append").parquet(s"$outDir/cells_sq")
+    appendIvfSqFromUnits(spark, ivfDir, sqDir, outDir, unitsOf(delta))
+
+  private def appendIvfSqFromUnits(spark: SparkSession, ivfDir: String,
+                                   sqDir: String, outDir: String,
+                                   units: DataFrame): Unit = {
+    val assigned = assignCells(units, spark.read.parquet(s"$ivfDir/centroids"))
+    val rows = assigned
+      .join(deltaCodes(spark, sqDir, units), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("codes"))
+    graft.ops.PlanDump.dump("ann_append_ivfsq", rows)
+    rows.write.partitionBy("cell").mode("append").parquet(s"$outDir/cells_sq")
+  }
+
+  /** All three incremental appends in ONE delta-sized pass: the unit
+    * vectors are computed and checkpointed once and feed the cell
+    * assignment, the int8 codes, and the composed rows — the trio
+    * spelling paid three unit projections plus [[appendIvfSq]]'s two
+    * corpus scans per batch (guide §1.2). */
+  def appendAll(spark: SparkSession, ivfDir: String, sqDir: String,
+                csqDir: String, delta: DataFrame): Unit = {
+    val units = unitsOf(delta).localCheckpoint()
+    appendIvfFromUnits(spark, ivfDir, delta, units)
+    appendSqFromUnits(spark, sqDir, units)
+    appendIvfSqFromUnits(spark, ivfDir, sqDir, csqDir, units)
+  }
 
   /** Memoized append-demo artifact: the corpus MINUS every 10th vector
     * is indexed (ivf + sq + composed), then the held-out tenth is
@@ -768,12 +835,8 @@ object AnnIndex {
     artifact(spark, s"ivfappend:$sfDir") { d =>
       val corpus = embeddings.filter(col("vec_id") % 10 =!= 9)
       val delta = embeddings.filter(col("vec_id") % 10 === 9)
-      buildIvf(spark, corpus, s"$d/ivf")
-      buildSq(spark, corpus, s"$d/sq")
-      buildIvfSq(spark, s"$d/ivf", s"$d/sq", s"$d/csq")
-      appendIvf(spark, s"$d/ivf", delta)
-      appendSq(spark, s"$d/sq", delta)
-      appendIvfSq(spark, s"$d/ivf", s"$d/sq", s"$d/csq", delta)
+      buildIvfSqAll(spark, corpus, s"$d/ivf", s"$d/sq", s"$d/csq")
+      appendAll(spark, s"$d/ivf", s"$d/sq", s"$d/csq", delta)
     }
 
   /** ANN-ROUTED semantic decontamination — the scale path

@@ -740,11 +740,23 @@ object Dedup {
     // next-join-prior improvement probe (a join + two exchanges of the
     // label table, every round). DECIMAL(38,0) keeps the sum exact at
     // any scale (ANSI long sum would overflow on 10^12-row corpora).
+    // The sum is sound ONLY for integral ids (a string id casts to a
+    // null decimal — every round would sum to 0 and "converge" after
+    // one propagation; a fractional id truncates and can mask a
+    // change): non-integral id types fall back to the join-based
+    // any-label-changed probe, which works for any orderable type.
+    val sumProbeOk = {
+      import org.apache.spark.sql.types._
+      labels.schema("component").dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("component")
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    var curSum = labelSum(labels)
+    var curSum = if (sumProbeOk) labelSum(labels) else java.math.BigDecimal.ZERO
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -753,10 +765,17 @@ object Dedup {
           .select(col("dst").as("doc_id"), col("component")))
         .groupBy("doc_id").agg(min("component").as("component"))
         .localCheckpoint() // truncate the per-round lineage growth
-      val nextSum = labelSum(next)
+      if (sumProbeOk) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(curSum) == 0
+        curSum = nextSum
+      } else {
+        converged = next.as("n")
+          .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+          .filter(col("n.component") =!= col("p.component"))
+          .limit(1).count() == 0L
+      }
       labels = next
-      converged = nextSum.compareTo(curSum) == 0
-      curSum = nextSum
       iter += 1
     }
     labels.orderBy("doc_id")
@@ -787,6 +806,18 @@ object Dedup {
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
 
+    // canonicalize KEYED on the next consumer's key (guide §2.4 — two
+    // operations keyed the same way share one exchange): hash-
+    // partitioning by `v` alone co-locates equal (u, v) rows, so the
+    // dedup is exchange-free on top of the repartition, and smallStar's
+    // groupBy("v") + equality join on "v" both RIDE the same exchange.
+    // Same set as `canon` (dropDuplicates == distinct on these keys).
+    def canonByV(df: DataFrame): DataFrame = df
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .repartition(col("v"))
+      .dropDuplicates("u", "v")
+
     var e = canon(edges.select(col("doc_a").as("u"), col("doc_b").as("v")))
       .localCheckpoint()
 
@@ -794,7 +825,7 @@ object Dedup {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      canon(sym.filter(col("v") > col("u"))
+      canonByV(sym.filter(col("v") > col("u"))
         .join(mins, Seq("u"))
         .select(col("v").as("u"), col("m").as("v")))
     }
@@ -807,15 +838,41 @@ object Dedup {
         .unionByName(mins.select(col("v").as("u"), col("m").as("v"))))
     }
 
+    // convergence probe: the exact set-equality test (exceptAll —
+    // shuffles BOTH edge tables) now runs ONLY when the cheap monotone
+    // witnesses already match. Star rounds never increase an edge's
+    // endpoint sum and only merge rows, so the canonical edge set's
+    // (count, Σ(u+v)) pair is non-increasing round over round; a round
+    // that changed either is PROVEN unconverged by one tiny aggregate
+    // on the just-checkpointed edges (guide §1.2). Σ only certifies
+    // for integral ids (string ids sum to null) — non-integral ids
+    // keep the exceptAll-every-round probe.
+    val idsIntegral = {
+      import org.apache.spark.sql.types._
+      e.schema("u").dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    def stat(df: DataFrame): (Long, java.math.BigDecimal) =
+      if (!idsIntegral) (df.count(), java.math.BigDecimal.ZERO)
+      else {
+        val r = df.agg(count(lit(1)), sum((col("u") + col("v"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+        (r.getLong(0),
+          Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+      }
     var rounds = 0
     var converged = false
-    var nCur = e.count() // carried across rounds: 1 count job per round, not 2
+    var curStat = stat(e) // carried across rounds: 1 probe job per round
     while (!converged && rounds < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nNext = next.count()
-      converged = nNext == nCur &&
+      val round = smallStar(largeStar(e))
+      if (rounds == 0) graft.ops.PlanDump.dump("cc_star_round", round)
+      val next = round.localCheckpoint()
+      val nextStat = stat(next)
+      converged = nextStat == curStat &&
         next.exceptAll(e).limit(1).count() == 0
-      nCur = nNext
+      curStat = nextStat
       e = next
       rounds += 1
     }

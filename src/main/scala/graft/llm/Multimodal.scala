@@ -98,6 +98,32 @@ object Multimodal {
 
   private val NumBands = 8
 
+  /** The id input of every partition-wise codec stage, with a
+    * DATA-derived fan-out (guide §2.2 — right-size partitions to the
+    * input instead of inheriting the session's shuffle.partitions):
+    * the decode stages' per-row work is codec CPU, not bytes, so the
+    * task count comes from the row count over
+    * `spark.graft.decode.rowsPerTask` (default 512 — at the fixtures'
+    * decode cost that is ~100 ms of honest work per task; a 32-way
+    * fan-out of a 5k-row corpus was measured FASTER on 8 cores than
+    * 32, i.e. pure scheduling/contention overhead). At corpus scale
+    * the count grows linearly with the data, so the fan-out scales
+    * with it; the knob repositions the per-task work for heavier
+    * codecs. Still globally doc_id-ordered: range partitions emit in
+    * order and mapPartitions preserves intra-partition order, and the
+    * sort sits BELOW the decode so the codec chain never re-runs in
+    * the range-boundary sampling job. */
+  private def decodeIds(spark: SparkSession, documents: DataFrame): Dataset[Long] = {
+    import spark.implicits._
+    val ids = documents.select(col("doc_id"))
+    val rowsPerTask = spark.sessionState.conf
+      .getConfString("spark.graft.decode.rowsPerTask", "512").toLong
+    val n = ids.count() // metadata-only count of the id projection
+    val parts = math.max(1L, (n + rowsPerTask - 1) / rowsPerTask).toInt
+    ids.repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id").as[Long]
+  }
+
   /** Partition-wise feature extraction: encode -> REAL ImageIO decode ->
     * spatial pooling over the decoded raster. Features = mean gray value
     * of 8 horizontal bands (band of row y = y*8/h) — the classic pooled-
@@ -109,7 +135,7 @@ object Multimodal {
     // boundary sampling job (2x decode per query). Range partitions are
     // emitted in order and mapPartitions preserves intra-partition
     // order, so the output is still deterministically doc_id-ordered.
-    documents.select(col("doc_id")).orderBy("doc_id").as[Long].mapPartitions { ids =>
+    decodeIds(spark, documents).mapPartitions { ids =>
       ids.flatMap { id =>
         decodeImage(pngFor(id)).map { img =>
           val w = img.getWidth
@@ -160,7 +186,7 @@ object Multimodal {
   def resize(spark: SparkSession, documents: DataFrame, w: Int = 8, h: Int = 8): Dataset[ResizedMedia] = {
     import spark.implicits._
     // id input sorted pre-decode for the same reason as extractFeatures
-    documents.select(col("doc_id")).orderBy("doc_id").as[Long].mapPartitions { ids =>
+    decodeIds(spark, documents).mapPartitions { ids =>
       ids.flatMap { id =>
         decodeImage(pngFor(id)).map { img =>
           val srcW = img.getWidth
@@ -224,7 +250,7 @@ object Multimodal {
     // id input sorted pre-decode for the same reason as extractFeatures;
     // frames emit per doc in ascending y, so output order is
     // (doc_id, frame_idx) without a post-decode sort.
-    documents.select(col("doc_id")).orderBy("doc_id").as[Long].mapPartitions { ids =>
+    decodeIds(spark, documents).mapPartitions { ids =>
       ids.flatMap { id =>
         decodeImage(pngFor(id)).iterator.flatMap { img =>
           val w = img.getWidth
@@ -328,7 +354,7 @@ object Multimodal {
   def audioFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     // id input sorted pre-decode for the same reason as extractFeatures
-    documents.select(col("doc_id")).orderBy("doc_id").as[Long].mapPartitions { ids =>
+    decodeIds(spark, documents).mapPartitions { ids =>
       ids.flatMap { id =>
         decodeWav(wavFor(id)).map { audio =>
           val s = audio.samples
@@ -370,7 +396,7 @@ object Multimodal {
                          factor: Int = 4): DataFrame = {
     import spark.implicits._
     // id input sorted pre-decode for the same reason as extractFeatures
-    documents.select(col("doc_id")).orderBy("doc_id").as[Long].mapPartitions { ids =>
+    decodeIds(spark, documents).mapPartitions { ids =>
       ids.flatMap { id =>
         decodeWav(wavFor(id)).filter(_.channels == 1).flatMap { audio =>
           val s = audio.samples
@@ -484,7 +510,7 @@ object Multimodal {
   def pgmStats(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     // id input sorted pre-decode for the same reason as extractFeatures
-    documents.select(col("doc_id")).orderBy("doc_id").as[Long].mapPartitions { ids =>
+    decodeIds(spark, documents).mapPartitions { ids =>
       ids.flatMap { id =>
         decodePgm(pgmFor(id)).map { img =>
           var sum = 0L
@@ -525,7 +551,7 @@ object Multimodal {
   def imageDHash(spark: SparkSession, documents: DataFrame): Dataset[ImageHash] = {
     import spark.implicits._
     // id input sorted pre-decode for the same reason as extractFeatures
-    documents.select(col("doc_id")).orderBy("doc_id").as[Long].mapPartitions { ids =>
+    decodeIds(spark, documents).mapPartitions { ids =>
       ids.flatMap { id =>
         decodeImage(pngFor(id)).map { img =>
           val sw = img.getWidth

@@ -232,19 +232,27 @@ object NnDescent {
     * [[appendToGraph]] rank with their own k. */
   def searchVisited(embeddings: DataFrame, dir: String,
                     queryPredicate: Column, entries: Int = 48,
-                    beam: Int = 48, rounds: Int = 4): DataFrame = {
+                    beam: Int = 48, rounds: Int = 4,
+                    degree: Int = 20, dim: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
-    val n = embeddings.count()
+    // ONE count job for both sizes (was two: embeddings.count() + a
+    // q.count() purely for the broadcast bounds — guide §1.2)
+    val cnt = embeddings
+      .agg(count(lit(1)), count(when(queryPredicate, lit(1)))).head()
+    val n = cnt.getLong(0)
+    val qCount = cnt.getLong(1)
     val q = embeddings.filter(queryPredicate)
       .select(col("vec_id").as("query_id"),
         Similarity.unitVector(col("embedding")).as("qu"))
       .localCheckpoint()
     // size bounds for the deliberate join picks below: the visited set
     // is ≤ entries + rounds·beam·degree nodes per query (the
-    // beam-search invariant; 20 = the library's default build degree),
-    // ~20 B of ids per row; a q row is id + 64 doubles.
-    val qCount = q.count()
-    val visitedBound = qCount * (entries + rounds.toLong * beam * 20) * 20L
+    // beam-search invariant; `degree` = the graph's build k — callers
+    // searching a graph built with a non-default k must pass it, or
+    // the bound under-estimates and over-broadcasts), ~20 B of ids per
+    // row; a q row is an id + `dim` doubles (+ row overhead).
+    val visitedBound = qCount * (entries + rounds.toLong * beam * degree) * 20L
+    val qRowBytes = 8L + 8L * dim + 88L
     val corpus = embeddings
       .select(col("vec_id").as("node"), Similarity.unitVector(col("embedding")).as("u"))
     val edges = graphEdges(spark, dir).select("src", "dst")
@@ -255,7 +263,7 @@ object NnDescent {
     // broadcast, which is what keeps every round at ONE exchange.
     def score(pairs: DataFrame): DataFrame =
       pairs.join(corpus, Seq("node"))
-        .join(maybeBroadcast(q, qCount * 600L), Seq("query_id"))
+        .join(maybeBroadcast(q, qCount * qRowBytes), Seq("query_id"))
         .select(col("query_id"), col("node"),
           Similarity.dot(col("qu"), col("u")).as("sim"))
 
@@ -339,11 +347,16 @@ object NnDescent {
         col("query_id") =!= col("node"))
       .select(col("query_id"), col("node"),
         Similarity.dot(col("qu"), col("nu")).as("sim"))
+    // checkpointed: deltaAdj feeds BOTH the merged output and (via
+    // revCand/touched) the standing re-rank — without the checkpoint
+    // the placement-scoring pipeline re-executes once per consumer,
+    // and again for each of mergeCow's two passes (guide §1.2)
     val deltaAdj = placed.unionByName(dd)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("node"))))
       .filter(col("rank") <= k)
       .select(col("query_id").as("src"), col("node").as("dst"), col("sim"))
+      .localCheckpoint()
     // reverse candidates: standing nodes (and delta peers) that may
     // now want a delta neighbor; re-rank their lists
     val revCand = deltaAdj.select(col("dst").as("src"), col("src").as("dst"), col("sim"))
@@ -360,6 +373,9 @@ object NnDescent {
         Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
       .filter(col("rank") <= k)
       .drop("rank")
+    // checkpointed: mergeCow executes its updates frame twice (the
+    // zone-overlap touched probe, then the staged rewrite) — one
+    // materialization instead of two executions of the whole merge
     val merged = deltaAdj.unionByName(refreshed)
       .repartition(col("src"))
       .dropDuplicates("src", "dst")
@@ -367,8 +383,8 @@ object NnDescent {
         Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
       .filter(col("rank") <= k).drop("rank")
     graft.ops.PlanDump.dump("nnd_append_merge", merged)
-    graft.sink.ManifestSink.mergeCow(spark, s"$dir/graphtab", merged,
-      "src", Seq("src"))
+    graft.sink.ManifestSink.mergeCow(spark, s"$dir/graphtab",
+      merged.localCheckpoint(), "src", Seq("src"))
     ()
   }
 

@@ -1909,7 +1909,13 @@ object ManifestSink {
         case other => throw new IllegalArgumentException(
           s"file dictionaries support integral and string columns; $c is $other")
       }
-      collect_set(col(c)).as(s"__d_$c")
+      // BOUNDED dict aggregate: at most dictCap+1 distinct values leave
+      // the executors per file — enough to decide overflow (size > cap
+      // ⟺ the capped slice has cap+1 elements) without ever shipping a
+      // high-cardinality column's full distinct set to the driver (the
+      // uncapped collect_set made every __dictover file's whole set
+      // cross the wire just to be discarded — a driver OOM at 100 TB).
+      slice(sort_array(collect_set(col(c))), 1, dictCap + 1).as(s"__d_$c")
     }
     if (bloomCols.nonEmpty) {
       require(bloomBits > 0 && bloomBits % 8 == 0,
@@ -1952,9 +1958,10 @@ object ManifestSink {
       Seq(hex(hll_sketch_agg(in)).as(s"__h_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"))
     }
-    val collected = df.groupBy(input_file_name().as("__f"))
+    val fusedAgg = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail.toSeq: _*)
-      .collect()
+    graft.ops.PlanDump.dump("sink_fused_stats", fusedAgg)
+    val collected = fusedAgg.collect()
     val marker = rootMarker(root)
     def relOf(full: String): String = {
       val at = full.indexOf(marker)
@@ -2018,14 +2025,21 @@ object ManifestSink {
       }
       bloomCols.foreach { c =>
         val bytes = new Array[Byte](bloomBits / 8)
+        var any = false
         (0 until bloomHashes).foreach { i =>
           r.getAs[scala.collection.Seq[Int]](s"__b${i}_$c").foreach { p =>
             bytes(p / 8) = (bytes(p / 8) | (1 << (p % 8))).toByte
+            any = true
           }
         }
-        rows += org.apache.spark.sql.Row(file, s"__bloom:$c",
-          bloomBits.toLong, bloomHashes.toLong,
-          bytes.map("%02x".format(_)).mkString, null)
+        // a file whose bloom column is entirely null emits NO __bloom
+        // row (the dedicated builder's exact output: explode+filter saw
+        // zero positions for it) — the file is then KEPT on point
+        // lookups, byte-identical stats either way
+        if (any)
+          rows += org.apache.spark.sql.Row(file, s"__bloom:$c",
+            bloomBits.toLong, bloomHashes.toLong,
+            bytes.map("%02x".format(_)).mkString, null)
       }
       if (bucketClean) bucketO.foreach { case (k, n) =>
         val lo = r.getAs[Any]("__blo")
@@ -2421,6 +2435,7 @@ object ManifestSink {
     val layoutB = bucketSpec(spark, root, cur).map(b => (b.keyCol, b.numBuckets))
     val layoutT = ptimeSpec(spark, root, cur).map(t => (t.col, t.unit))
     val layoutI = identSpec(spark, root, cur).map(i => (i.col, i.width))
+    graft.ops.PlanDump.dump("cow_survivors", survivors)
     val fresh = stage(survivors, root, next, statsCols,
       bucket = layoutB, ptime = layoutT, ident = layoutI)
     commitStaged(spark, fresh.copy(

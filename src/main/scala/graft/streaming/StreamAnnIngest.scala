@@ -70,9 +70,7 @@ object StreamAnnIngest {
     val corpus = emb.filter(col("vec_id") % 10 =!= 3 && col("vec_id") % 10 =!= 7)
     val root = java.nio.file.Files.createTempDirectory("graft_stream_ann_").toString
     val (ivf, sq, csq) = (s"$root/ivf", s"$root/sq", s"$root/csq")
-    AnnIndex.buildIvf(spark, corpus, ivf)
-    AnnIndex.buildSq(spark, corpus, sq)
-    AnnIndex.buildIvfSq(spark, ivf, sq, csq)
+    AnnIndex.buildIvfSqAll(spark, corpus, ivf, sq, csq)
 
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_ann_out_").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ann_ckpt_").toString
@@ -99,10 +97,9 @@ object StreamAnnIngest {
           .withColumn("batch_recall_ok",
             lit(total == 0L || hits.toDouble / total >= 0.9))
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
-        // absorb: delta-only appends, existing centroids + grid
-        AnnIndex.appendIvf(spark, ivf, batch)
-        AnnIndex.appendSq(spark, sq, batch)
-        AnnIndex.appendIvfSq(spark, ivf, sq, csq, batch)
+        // absorb: delta-only appends, existing centroids + grid — one
+        // shared unit projection, no standing-index scans (appendAll)
+        AnnIndex.appendAll(spark, ivf, sq, csq, batch)
       }
       .start()
     try {

@@ -82,6 +82,27 @@ class DedupClusterSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("star round plan: canonByV shares one exchange with smallStar's agg+join") {
+    import spark.implicits._
+    val edges = (0 until 199).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val vertices = (0L until 200L).toDF("doc_id")
+    var round: Option[org.apache.spark.sql.DataFrame] = None
+    graft.ops.PlanDump.sink = Some((l, df) =>
+      if (l == "cc_star_round" && round.isEmpty) round = Some(df))
+    try Dedup.connectedComponentsStarRounds(vertices, edges): Unit
+    finally graft.ops.PlanDump.sink = None
+    val df = round.getOrElse(fail("PlanDump never saw cc_star_round"))
+    df.write.format("noop").mode("overwrite").save()
+    val shuffles = graft.plans.PlanProbe.shuffles(df)
+    // largeStar: groupBy(u) + its join's left leg + the v-keyed canon;
+    // smallStar's groupBy(v) and join RIDE the canonByV exchange; the
+    // round-final canon distinct is the 4th (the old spelling paid 6:
+    // an unkeyed (u,v) distinct plus smallStar's own two exchanges)
+    assert(shuffles.size <= 4,
+      s"star round should exchange at most 4 times, got ${shuffles.size}:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("star CC converges in O(log n) rounds on a 500-vertex chain") {
     import spark.implicits._
     // Adversarial diameter: a path 0-1-2-...-499. Plain min-label
