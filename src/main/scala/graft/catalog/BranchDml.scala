@@ -270,7 +270,10 @@ final case class BranchUpdateCommand(name: String, orig: UpdateTable)
     val state = targetAlias(orig.table).fold(state0)(state0.alias)
     val condCol = orig.condition.map(GraftBridge.column).getOrElse(lit(true))
     val matched = state.filter(condCol)
-    val keys = matched.select(state(keyCol)).distinct()
+    // dv-cap-bounded key set, checkpointed once: the count below and
+    // stageUpsert's two key joins all read the blocks instead of
+    // re-running the branch-state scan (guide §1.2)
+    val keys = matched.select(state(keyCol)).distinct().localCheckpoint()
     val nKeys = keys.count()
     if (nKeys == 0) return Seq(Row(name, prior.epoch, 0L))
     val assignMap = orig.assignments.map(a =>
@@ -387,12 +390,17 @@ final case class BranchMergeCommand(name: String, merge: MergeIntoTable)
             .getOrElse(state(f.name))
         }: _*)
     }
+    // key/insert frames CHECKPOINTED once (guide §1.2): each is
+    // delta-sized (update/delete keys are dv-cap-bounded, inserts are
+    // source-batch-sized — never table-sized, so this is scale-safe),
+    // yet each previously executed the whole branch-state ⋈ source
+    // pipeline once for its count here and AGAIN inside stageUpsert
     val updatedKeys = updAct.map(ua =>
       filtered(ua.condition, notFirst(joined, ua))
-        .select(state(keyCol)).distinct())
+        .select(state(keyCol)).distinct().localCheckpoint())
     val deletedKeys = delAct.map(da =>
       filtered(da.condition, notFirst(joined, da))
-        .select(state(keyCol)).distinct())
+        .select(state(keyCol)).distinct().localCheckpoint())
     val inserted = insAct.map { ia =>
       val srcOnly = src.join(state.select(state(keyCol).as("__tk")),
         GraftBridge.column(srcSide) === col("__tk"), "left_anti")
@@ -402,7 +410,7 @@ final case class BranchMergeCommand(name: String, merge: MergeIntoTable)
         s"branch MERGE INSERT must assign every column; missing $f"))
       filtered(ia.condition, srcOnly).select(schema.fields.toSeq.map { f =>
         GraftBridge.column(assignMap(f.name)).cast(f.dataType).as(f.name)
-      }: _*)
+      }: _*).localCheckpoint()
     }
     // a pure matched-DELETE merge is legitimate (the takedown shape);
     // its replacement set is simply empty

@@ -805,10 +805,24 @@ object AnnIndex {
   private def appendIvfSqFromUnits(spark: SparkSession, ivfDir: String,
                                    sqDir: String, outDir: String,
                                    units: DataFrame): Unit = {
-    val assigned = assignCells(units, spark.read.parquet(s"$ivfDir/centroids"))
-    val rows = assigned
-      .join(deltaCodes(spark, sqDir, units), Seq("vec_id"))
-      .select(col("vec_id"), col("cell"), col("codes"))
+    // one aggregate, one exchange: the unit vector rides the argmax
+    // aggregate (first(u) — u is functionally dependent on vec_id, so
+    // the value is deterministic) and the codes compute post-agg; an
+    // assigned ⋈ codes self-join spelling costs a second exchange of
+    // the same delta rows. Assignment arithmetic = assignCells's
+    // exactly (same struct-min over the same broadcast centroids).
+    val withCell = units
+      .crossJoin(broadcast(spark.read.parquet(s"$ivfDir/centroids")))
+      .select(col("vec_id"), col("u"),
+        struct((-Similarity.dot(col("u"), col("centroid"))).as("nd"),
+          col("cell").as("c")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("sc")).as("m"), first(col("u")).as("u"))
+      .select(col("vec_id"), col("m.c").as("cell"), col("u"))
+    val rows = withCell
+      .crossJoin(broadcast(spark.read.parquet(s"$sqDir/sq_params")))
+      .select(col("vec_id"), col("cell"),
+        quantize(col("u"), col("mins"), col("scales")).as("codes"))
     graft.ops.PlanDump.dump("ann_append_ivfsq", rows)
     rows.write.partitionBy("cell").mode("append").parquet(s"$outDir/cells_sq")
   }

@@ -725,10 +725,16 @@ object Dedup {
     // Materialize the edge list ONCE: the pair-join pipeline feeding
     // `edges` is the expensive part, and every propagation round (plus
     // the convergence probe) would otherwise re-execute it from the
-    // scan. After this, a round touches only checkpointed blocks.
+    // scan. PERSISTED rather than localCheckpointed: the cache's real
+    // sizes let the planner broadcast the SMALL side of each round's
+    // propagation join (checkpoint origin stats are garbage-big, which
+    // forced an SMJ exchanging BOTH tables every round — the cached
+    // plan in plans/r19/cc_round_after.txt shows the edge scan feeding
+    // the join with no exchange and the label table broadcast).
+    // Released before return (the result is handed over checkpointed).
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var labels = vertices.select(col("doc_id"), col("doc_id").as("component"))
     // Convergence probe via the MONOTONE LABEL SUM (guide §1.2 — don't
@@ -759,12 +765,21 @@ object Dedup {
     var curSum = if (sumProbeOk) labelSum(labels) else java.math.BigDecimal.ZERO
     var converged = false
     var iter = 0
+    // labels persist per round instead of localCheckpoint: the cached
+    // groupBy(doc_id) output KEEPS its hash partitioning, so the next
+    // round's join on src (= doc_id aliased — alias-aware partitioning)
+    // needs no label exchange either; the probe aggregate doubles as
+    // the cache materializer, and the prior round unpersists as soon
+    // as the probe no longer needs it.
+    var cached: Option[DataFrame] = None
     while (!converged && iter < maxIters) {
-      val next = labels.unionByName(sym
+      val round = labels.unionByName(sym
           .join(labels.select(col("doc_id").as("src"), col("component")), Seq("src"))
           .select(col("dst").as("doc_id"), col("component")))
         .groupBy("doc_id").agg(min("component").as("component"))
-        .localCheckpoint() // truncate the per-round lineage growth
+      if (iter == 1) graft.ops.PlanDump.dump("cc_round", round)
+      val next = round
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (sumProbeOk) {
         val nextSum = labelSum(next)
         converged = nextSum.compareTo(curSum) == 0
@@ -775,10 +790,17 @@ object Dedup {
           .filter(col("n.component") =!= col("p.component"))
           .limit(1).count() == 0L
       }
+      cached.foreach(_.unpersist())
+      cached = Some(next)
       labels = next
       iter += 1
     }
-    labels.orderBy("doc_id")
+    // hand consumers a checkpointed result so the caches can release
+    // (several callers re-join the label table more than once)
+    val out = labels.orderBy("doc_id").localCheckpoint()
+    cached.foreach(_.unpersist())
+    sym.unpersist()
+    out
   }
 
   /** Connected components via alternating large-star / small-star

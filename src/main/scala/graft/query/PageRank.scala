@@ -72,13 +72,27 @@ object PageRank {
     // (and reproduces the round-9 demo arithmetic bit-for-bit)
     val hasDangling = dangling.limit(1).count() > 0
 
+    // LOOP-INVARIANT edge⋈outdegree, hoisted (guide §1.2 — it was
+    // re-joined every round) and PERSISTED: the cache's real sizes let
+    // the planner broadcast the (small) rank table into the standing
+    // edge side each round — the edge table never moves
+    // (localCheckpoint's garbage-big origin stats forced SMJs; a
+    // pre-partitioned cache does NOT expose its partitioning under AQE
+    // — measured, plans/r19/pagerank_round_after.txt — so the stats
+    // are the lever, not the layout). Released after the loop; the
+    // returned frame references only checkpointed ranks.
+    val eo = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lazily materialized by round 1 — an eager count here would add a
+    // job for nothing on small graphs
+
     // teleport term (0.15/N) in fixed point, floored — Scala integer
     // division here, `//` in the oracle: identical semantics
     val teleport = Scale * 15L / 100L / n
     var ranks = ids.select(col("doc_id"), lit(Scale / n).as("r")).localCheckpoint()
     for (_ <- 1 to iters) {
-      val contribs = e
-        .join(outdeg, "src")
+      val contribs = eo
         .join(ranks.select(col("doc_id").as("src"), col("r").as("rs")), "src")
         .select(col("dst").as("doc_id"), expr("rs div outdeg").as("c"))
         .groupBy(col("doc_id"))
@@ -96,8 +110,10 @@ object PageRank {
           base.select(col("doc_id"),
             (lit(teleport) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
         }
+      graft.ops.PlanDump.dump("pagerank_round", next)
       ranks = next.localCheckpoint()
     }
+    eo.unpersist()
     ranks
       .select(col("doc_id"),
         (col("r").cast(DoubleType) / Scale).as("pagerank"))

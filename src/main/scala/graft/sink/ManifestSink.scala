@@ -2358,6 +2358,13 @@ object ManifestSink {
     // in PHYSICAL terms (stats keys, file columns, staged output)
     val tableSchemaEarly = commitSchema(spark, root, cur)
     val mapping = tableSchemaEarly.filter(ColumnMapping.hasMapping)
+    // NOTE (r19, measured): the update frame executes up to three
+    // times here (touched probe, survivors anti-join, staged union).
+    // A generic localCheckpoint was A/B'd and REGRESSED 3 of 4
+    // cow-heavy rows (+1.5-2.5 s each): typical updates are tiny
+    // literal/delta frames where the materialization job costs more
+    // than the re-executions. Callers with EXPENSIVE update pipelines
+    // checkpoint at the call site instead (NnDescent.appendToGraph).
     val (updates, keyCol, statsCols) = mapping match {
       case Some(p) =>
         val phys = ColumnMapping.physOf(p)
